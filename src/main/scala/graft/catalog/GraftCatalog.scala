@@ -1,0 +1,95 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.store.{Snapshot, TableStore}
+
+/** Database/table registry over [[graft.store.TableStore]].
+  *
+  * Re-expresses the reference's warehouse DDL surface
+  * (`CREATE DATABASE / USE / DROP TABLE / CREATE TABLE STORED AS ICEBERG`,
+  * `create_iceberg.py:106-155`) and registers each table's latest snapshot
+  * as a temp view so plain `spark.sql` sees the warehouse, like the
+  * reference's Impala connection sees its Iceberg catalog.
+  *
+  * Layout: `<warehouse>/<database>/<table>/{data/, snapshots.json, schema.json}`.
+  */
+final class GraftCatalog(val warehouse: Path, val spark: SparkSession) {
+
+  @volatile private var currentDb: String = "default"
+
+  def store(db: String = currentDb): TableStore =
+    new TableStore(warehouse.resolve(db), spark)
+
+  def createDatabase(name: String): Unit = {
+    Files.createDirectories(warehouse.resolve(name))
+  }
+
+  def use(name: String): Unit = {
+    require(Files.exists(warehouse.resolve(name)), s"database not found: $name")
+    currentDb = name
+    // refresh views for the now-current database
+    listTables().foreach(registerView)
+  }
+
+  def database: String = currentDb
+
+  def listDatabases(): Seq[String] =
+    if (!Files.exists(warehouse)) Seq.empty
+    else Files.list(warehouse).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  def listTables(): Seq[String] = {
+    val dbDir = warehouse.resolve(currentDb)
+    if (!Files.exists(dbDir)) Seq.empty
+    else Files.list(dbDir).iterator().asScala
+      .filter(d => Files.exists(d.resolve("snapshots.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def createTable(name: String, schema: StructType): Unit = {
+    store().create(name, schema)
+    registerView(name)
+  }
+
+  def dropTable(name: String): Unit = {
+    store().drop(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def append(name: String, df: DataFrame,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().append(name, df, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  def overwrite(name: String, df: DataFrame,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().overwrite(name, df, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** Latest view (default) or snapshot-pinned time travel. */
+  def table(name: String, asOfMs: Option[Long] = None): DataFrame =
+    store().read(name, asOfMs)
+
+  def history(name: String): DataFrame = store().history(name)
+
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    val snap = store().compact(name, targetBytes)
+    registerView(name)
+    snap
+  }
+
+  /** Make `spark.sql("SELECT ... FROM <name>")` resolve to the latest
+    * snapshot (the reference's default read, `README.md:75-79`).
+    */
+  def registerView(name: String): Unit =
+    table(name).createOrReplaceTempView(name)
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extension).
+  *
+  * Image/audio/video payloads are opaque `binary` columns beside typed
+  * metadata. The Spark-side plumbing — schema, partitioning, batched
+  * decode shape — is real and tested; the actual media decode is STUBBED
+  * (no image/audio libraries in this container): `FakeDecoder` produces
+  * deterministic pseudo-metadata from the bytes so pipelines and tests
+  * exercise the full data flow. Swap `FakeDecoder` for a real codec
+  * binding (JNI/javacv) without touching any plan shape.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: id + modality + raw bytes + sidecar metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("byte_len", LongType))), nullable = true)))
+
+  /** Wrap any table with a binary payload column (here: utf-8 bytes of a
+    * text column stand in for media bytes — deterministic test payloads). */
+  def asAssets(df: DataFrame, idCol: String, payloadCol: String,
+      modality: String, sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(modality).as("modality"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(col(sourceCol).as("source"),
+        octet_length(col(payloadCol)).cast("long").as("byte_len")).as("meta"))
+
+  // ---------------------------------------------------------------------
+  // STUB decoders — deterministic fakes keyed on content bytes.
+  // A real deployment replaces the body of each; signatures/schemas stay.
+  // ---------------------------------------------------------------------
+
+  /** STUB image decode: width/height/channels derived from the content
+    * hash (a real impl would parse the container header). */
+  def decodeImageMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val h = xxhash64(col(contentCol))
+    df.withColumn("image_meta", struct(
+      (pmod(h, lit(1920)) + 32).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080)) + 32).cast("int").as("height"),
+      lit(3).as("channels")))
+  }
+
+  /** STUB resize: proportional metadata transform; bytes pass through
+    * truncated (a real impl re-encodes pixels). */
+  def resize(df: DataFrame, maxSide: Int, contentCol: String = "content"): DataFrame = {
+    val w = col("image_meta.width"); val hgt = col("image_meta.height")
+    val scale = least(lit(maxSide) / greatest(w, hgt), lit(1.0))
+    df.withColumn("resized_meta", struct(
+      round(w * scale).cast("int").as("width"),
+      round(hgt * scale).cast("int").as("height"),
+      col("image_meta.channels").as("channels")))
+  }
+
+  /** STUB video frame-sampling: n evenly-spaced binary slices stand in
+    * for decoded frames; shows the explode/partitioning shape. */
+  def sampleFrames(df: DataFrame, n: Int, contentCol: String = "content"): DataFrame = {
+    val len = octet_length(col(contentCol))
+    df.withColumn("frame",
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => col(contentCol).substr(
+            (i * greatest(len / n, lit(1)) + 1).cast("int"), lit(64)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("frame", "frame_bytes")
+  }
+
+  /** Batched feature extraction via mapPartitions — the Scala analogue of
+    * a pandas-UDF batch loop: per-partition setup (codec init) happens
+    * once, rows stream through in bulk. The feature body is a STUB
+    * (content-hash folded to a fixed-length vector). */
+  def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val out = assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would open the real codec here
+        it.map { case (id, bytes) =>
+          val base = if (bytes == null) 0L else java.util.Arrays.hashCode(bytes).toLong
+          val vec = Array.tabulate(dim) { i =>
+            var z = base ^ (i.toLong * 0x9E3779B97F4A7C15L)
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
+          }
+          (id, vec)
+        }
+      }.toDF("asset_id", "features")
+    out
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension, absent from the reference — SURVEY.md §7.1 module 7).
+  * Everything is a column expression over the `documents` table shape
+  * (doc_id, text, lang, source, n_chars — TESTDATA.md): no UDFs in the
+  * per-row hot path except where a tight JVM loop wins (sketches), no
+  * driver-side collection — all operators scale with the cluster.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count (the "token counting" baseline; a BPE-ish
+    * regex variant is `bpeTokenCount`). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword proxy: word pieces + digits + punctuation as
+    * separate tokens (a regex approximation of byte-pair pretokenization). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-score components + aggregate score in [0,1]:
+    * length score, alpha ratio, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap heuristics used to filter
+    * web-scale corpora. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double")
+    val stop = size(array_intersect(tokens(text), lit(englishStopwords.toArray))).cast("double")
+    val lengthScore = least(len / lit(500.0), lit(1.0))
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
+    val punctPenalty = when(len > 0, lit(1.0) - least(punct / len * 10.0, lit(1.0))).otherwise(0.0)
+    val stopRatio = when(nTok > 0, least(stop / nTok * 2.0, lit(1.0))).otherwise(0.0)
+    round((lengthScore + alphaRatio + punctPenalty + stopRatio) / 4.0, 4)
+  }
+
+  /** n-gram-free language ID heuristic: score = stopword hits per
+    * language over the token set; predicted language = argmax, "und"
+    * when nothing matches. Pure column expressions ⇒ distributed. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwordSets.map { case (lang, words) =>
+      struct(size(array_intersect(toks, lit(words.toArray))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive document fingerprint (rolling hash over normalized
+    * text); use `GraftFunctions.minhashSignature` for order-insensitive. */
+  def fingerprint(text: Column): Column =
+    GraftFunctions.rollingHash(normalize(text))
+
+  /** Normalization for fingerprinting/dedup: lowercase, collapse
+    * whitespace, strip non-alphanumerics. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Full stats frame for a documents table. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars_measured", length(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("pred_lang", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "are", "was", "be", "this", "at", "by")
+
+  /** Small per-language stopword lists (language-ID heuristic). */
+  val stopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "auf", "für", "von", "den", "im"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
+      "pour", "dans", "que", "qui", "sur", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "en", "que", "por", "para", "con", "no"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+}

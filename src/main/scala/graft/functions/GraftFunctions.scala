@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+/** Column-API facade over the custom Catalyst expressions + SQL
+  * registration, so both DataFrame code and `spark.sql` can use them
+  * (build-contract preference (b): native Expression over UDF — these
+  * stay inside codegen / tight eval loops instead of ser/de per row).
+  */
+object GraftFunctions {
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd). */
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** L2 norm of an `array<float>` column (codegen'd). */
+  def l2Norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
+
+  /** MinHash signature (`array<bigint>` length numHashes) of a token array. */
+  def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    toCol(MinHashSignature(toExpr(tokens), numHashes, seed))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    toCol(SimHash64(toExpr(tokens), seed))
+
+  /** Polynomial rolling hash of a string (document fingerprint). */
+  def rollingHash(text: Column, base: Long = 1000003L,
+      modulus: Long = (1L << 61) - 1): Column =
+    toCol(RollingHash(toExpr(text), base, modulus))
+
+  /** Random-hyperplane sign sketch of an `array<float>` (cosine LSH bucket). */
+  def hyperplaneLsh(vec: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
+    toCol(HyperplaneLsh(toExpr(vec), numPlanes, seed))
+
+  /** Register every custom function for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm",
+      es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head, 64, 42L), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head, 42L), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => RollingHash(es.head, 1000003L, (1L << 61) - 1), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_lsh",
+      es => HyperplaneLsh(es.head, 16, 42L), "built-in")
+  }
+}

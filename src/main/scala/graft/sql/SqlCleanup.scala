@@ -1,0 +1,35 @@
+package graft.sql
+
+/** Normalizes raw LLM output into a single executable SQL statement.
+  *
+  * Behavioral spec from the reference's cleanup (`app-gradio.py:149-155`,
+  * identical in `iceberg-PC.py:161-167` and `all_in_one_PC.py:219-229`):
+  * strip Markdown code fences (```sql … ```), strip a leading `SQLQuery:`
+  * prefix, truncate at the first `;` (rule 2 of the prompt: exactly one
+  * statement, `app-gradio.py:137`), trim whitespace.
+  */
+object SqlCleanup {
+
+  private val Fence = "(?s)```(?:sql)?\\s*(.*?)```".r
+
+  def clean(raw: String): String = {
+    if (raw == null) return ""
+    var s = raw.trim
+    // Prefer the content of the first code fence if present.
+    Fence.findFirstMatchIn(s).foreach(m => s = m.group(1))
+    // Remove any stray fence markers that survived (unbalanced fences).
+    s = s.replace("```sql", "").replace("```", "")
+    s = s.trim
+    val prefixes = Seq("SQLQuery:", "SQL Query:", "SQL:", "Query:")
+    prefixes.find(p => s.regionMatches(true, 0, p, 0, p.length))
+      .foreach(p => s = s.substring(p.length))
+    s = s.trim
+    val semi = s.indexOf(';')
+    if (semi >= 0) s = s.substring(0, semi)
+    s.trim
+  }
+
+  /** Empty-result contract: the reference keys "no matching records" off
+    * the literal string "[]" (`app-gradio.py:176-181`). */
+  val EmptyResult = "[]"
+}

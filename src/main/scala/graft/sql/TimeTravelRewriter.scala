@@ -1,0 +1,66 @@
+package graft.sql
+
+import java.sql.Timestamp
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Handles Impala/Iceberg `FOR SYSTEM_TIME AS OF '<ts>'` syntax.
+  *
+  * The reference instructs the LLM to apply the clause "on every table in
+  * the query" when the user asks for system time (`app-gradio.py:138`,
+  * demo `README.md:100-107`). Spark's parser only accepts `TIMESTAMP AS OF`
+  * for DataSourceV2 relations, so — mirroring the reference's own
+  * string-level SQL handling (`app-gradio.py:149-155`) — we rewrite before
+  * parsing: strip every clause, collect the timestamp, and let the engine
+  * pin each referenced table's snapshot to it (SURVEY.md §4.1).
+  */
+object TimeTravelRewriter {
+
+  /** `FOR SYSTEM_TIME AS OF 'ts'` / `FOR SYSTEM_TIME AS OF ts` (also the
+    * Spark spelling `TIMESTAMP AS OF`), case-insensitive. */
+  private val Clause =
+    ("(?i)\\s+(?:FOR\\s+SYSTEM_TIME\\s+AS\\s+OF|FOR\\s+SYSTEM_VERSION\\s+AS\\s+OF" +
+     "|TIMESTAMP\\s+AS\\s+OF)\\s+('([^']*)'|\"([^\"]*)\"|\\S+)").r
+
+  final case class Rewritten(sql: String, asOfMs: Option[Long])
+
+  def rewrite(sql: String): Rewritten = {
+    var asOf: Option[Long] = None
+    val stripped = Clause.replaceAllIn(sql, m => {
+      // group 1 = raw literal, group 2 = single-quoted, group 3 = double-quoted
+      val lit = Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(1))
+      asOf = Some(parseTimestampMs(lit))
+      ""
+    })
+    Rewritten(stripped, asOf)
+  }
+
+  /** Accepts 'YYYY-MM-DD HH:MI:SS[.fff]' (the prompt's required shape,
+    * `app-gradio.py:138`), bare dates, ISO 'T' separators, and epoch millis.
+    * Wall-clock literals are interpreted in UTC (session timezone is pinned
+    * to UTC for oracle parity — build.sbt).
+    */
+  def parseTimestampMs(lit: String): Long = {
+    val s = lit.trim
+    if (s.matches("\\d{13}")) return s.toLong
+    if (s.matches("\\d{1,12}")) return s.toLong * 1000L
+    val norm = s.replace('T', ' ')
+    val dateOnly = "\\d{4}-\\d{2}-\\d{2}".r
+    if (dateOnly.matches(norm))
+      return LocalDate.parse(norm).atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli
+    val fmts = Seq(
+      "yyyy-MM-dd HH:mm:ss.SSS",
+      "yyyy-MM-dd HH:mm:ss",
+      "yyyy-MM-dd HH:mm")
+    fmts.view.flatMap { f =>
+      try Some(LocalDateTime.parse(norm, DateTimeFormatter.ofPattern(f))
+        .toInstant(ZoneOffset.UTC).toEpochMilli)
+      catch { case _: Exception => None }
+    }.headOption.getOrElse(
+      throw new IllegalArgumentException(s"cannot parse AS OF timestamp: '$lit'"))
+  }
+
+  def format(ts: Timestamp): String =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .format(ts.toInstant.atOffset(ZoneOffset.UTC))
+}
