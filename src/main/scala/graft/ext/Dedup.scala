@@ -29,19 +29,41 @@ object Dedup {
     exact(df.withColumn("_ch", xxhash64(TextAnalysis.normalize(col(textCol)))),
       Seq("_ch"), idCol).drop("_ch")
 
-  /** MinHash + LSH banding candidate pairs.
+  /** Default hot-bucket guard: LSH buckets with more members than this
+    * are dropped from candidate generation (a degenerate key — e.g. many
+    * near-empty documents hashing identically — would otherwise produce a
+    * quadratic bucket; at 100 TB that is the difference between a shuffle
+    * and a stuck executor). Dropped buckets are overwhelmingly junk
+    * (empty/boilerplate docs), the standard trade in web-scale dedup.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Drop groups over `maxBucket` members. One extra aggregation on the
+    * same shuffle key the candidate join uses (AQE co-locates them). */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    banded.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+  }
+
+  /** MinHash + LSH banding candidate pairs — ids only.
     *
     * tokens → one-pass MinHash signature (numHashes) → `bands` bands of
     * `numHashes/bands` rows; docs sharing any band hash become a candidate
     * pair (equi-self-join on the band key — broadcast-free, shuffle on
-    * (band, hash)). Returns (id_a, id_b, jaccard_est) with id_a < id_b,
-    * where jaccard_est = matching signature fraction (exact verification
-    * is `verifyJaccard`).
+    * (band, hash)). Only (band, hash, id) enters the shuffle — signatures
+    * stay out of the join (at 100 TB the 64×8-byte signature on both sides
+    * of a self-join dominates shuffle volume for no benefit, since exact
+    * verification re-reads token sets anyway). Returns distinct
+    * (id_a, id_b) with id_a < id_b.
     */
-  def minhashCandidates(
+  def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df.select(
@@ -55,19 +77,41 @@ object Dedup {
       struct(lit(j).as("_band"),
         xxhash64(slice(col("_sig"), j * rows + 1, rows), lit(j)).as("_bandHash"))
     }
-    val banded = sigs
-      .select(col("_id"), col("_sig"), explode(array(bandStructs: _*)).as("_b"))
-      .select(col("_id"), col("_sig"),
-        col("_b._band").as("_band"), col("_b._bandHash").as("_bandHash"))
-    val a = banded.select(col("_band"), col("_bandHash"),
-      col("_id").as("id_a"), col("_sig").as("_sig_a"))
-    val b = banded.select(col("_band"), col("_bandHash"),
-      col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    val banded = capBuckets(
+      sigs.select(col("_id"), explode(array(bandStructs: _*)).as("_b"))
+        .select(col("_id"), col("_b._band").as("_band"),
+          col("_b._bandHash").as("_bandHash")),
+      Seq("_band", "_bandHash"), maxBucket)
+      // persist: the self-join reads the banded frame twice; without this
+      // the whole tokenize→minhash pipeline runs twice
+      .persist()
+    val a = banded.select(col("_band"), col("_bandHash"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_bandHash"), col("_id").as("id_b"))
     a.join(b, Seq("_band", "_bandHash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs with the signature-agreement Jaccard estimate
+    * (kept for estimate-only callers; joins signatures back onto the
+    * ids-only pair set rather than carrying them through the self-join).
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize)
+    val sigs = df.select(
+      col(idCol).as("_sid"),
+      GraftFunctions.minhashSignature(
+        shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        numHashes, seed).as("_s"))
+    pairs
+      .join(sigs.withColumnRenamed("_sid", "id_a").withColumnRenamed("_s", "_sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("_sid", "id_b").withColumnRenamed("_s", "_sig_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         sigAgreement(col("_sig_a"), col("_sig_b"), numHashes).as("jaccard_est"))
-      .distinct()
   }
 
   /** Signature-agreement estimate of Jaccard for candidate pairs. */
@@ -75,13 +119,14 @@ object Dedup {
     aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
-  /** Candidate pairs with both the signature estimate and the exact
-    * token-set Jaccard, filtered at `threshold`. */
+  /** Candidate pairs verified with the exact token-set Jaccard, filtered
+    * at `threshold`. Verification joins token sets onto the (small)
+    * ids-only candidate set — never onto the banded self-join. */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L, shingleSize: Int = 3): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, seed, shingleSize)
+    val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize)
     // verify on the same shingle sets the signatures sketch
     val toks = df.select(col(idCol).as("_tid"),
       array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleSize))
@@ -105,22 +150,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup candidates: 64-bit sketch, banded into 4×16-bit
-    * chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified by
-    * popcount of the xor. */
+  /** Bit boundaries splitting 64 bits into `chunks` near-equal ranges:
+    * boundary(i) = i*64/chunks. With `chunks = maxHamming + 1`, any two
+    * sketches within `maxHamming` differing bits share at least one
+    * untouched chunk (pigeonhole), so banding on chunk equality is
+    * recall-complete for the requested radius. */
+  private[ext] def chunkBounds(chunks: Int): Seq[(Int, Int)] =
+    (0 until chunks).map(i => (i * 64 / chunks, (i + 1) * 64 / chunks))
+
+  /** SimHash near-dup candidates: 64-bit sketch, banded into
+    * `maxHamming + 1` chunks (pigeonhole-complete for the given radius —
+    * a fixed 4-chunk split would silently miss pairs past hamming 3),
+    * verified by popcount of the xor. The sketch (one long) rides the
+    * join on both sides — 8 bytes, cheap — so verification is free.
+    * Narrower chunks at higher radii mean bigger buckets; the hot-bucket
+    * cap bounds the worst case.
+    */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+      maxHamming: Int = 3, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val chunks = maxHamming + 1
     val sk = df.select(col(idCol).as("_id"),
       GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol)), seed).as("_sh"))
-    val chunks = 4
-    val chunkStructs = (0 until chunks).map { i =>
+    val chunkStructs = chunkBounds(chunks).zipWithIndex.map { case ((lo, hi), i) =>
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(i).as("_chunk"),
-        shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("_ckey"))
+        shiftrightunsigned(col("_sh"), lo).bitwiseAND(lit(mask)).as("_ckey"))
     }
-    val banded = sk
-      .select(col("_id"), col("_sh"), explode(array(chunkStructs: _*)).as("_c"))
-      .select(col("_id"), col("_sh"),
-        col("_c._chunk").as("_chunk"), col("_c._ckey").as("_ckey"))
+    val banded = capBuckets(
+      sk.select(col("_id"), col("_sh"), explode(array(chunkStructs: _*)).as("_c"))
+        .select(col("_id"), col("_sh"),
+          col("_c._chunk").as("_chunk"), col("_c._ckey").as("_ckey")),
+      Seq("_chunk", "_ckey"), maxBucket)
+      .persist()
     val a = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val b = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_b"), col("_sh").as("_shb"))
     a.join(b, Seq("_chunk", "_ckey"))
@@ -157,9 +221,13 @@ object Dedup {
   /** Embedding-cosine near-dup: hyperplane-LSH bucket join (shuffle on
     * the 16-bit sketch), cosine verified per candidate pair. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
-    val sk = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed).as("_bucket"))
+      threshold: Double = 0.95, numPlanes: Int = 16, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sk = capBuckets(
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed).as("_bucket")),
+      Seq("_bucket"), maxBucket)
+      .persist()
     val a = sk.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = sk.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_bucket"))

@@ -24,9 +24,37 @@ object SqlCleanup {
     prefixes.find(p => s.regionMatches(true, 0, p, 0, p.length))
       .foreach(p => s = s.substring(p.length))
     s = s.trim
-    val semi = s.indexOf(';')
+    val semi = firstSemicolonOutsideQuotes(s)
     if (semi >= 0) s = s.substring(0, semi)
     s.trim
+  }
+
+  /** First `;` not inside a quoted literal — a `;` inside `'a;b'` is data,
+    * not a statement separator, and truncating there would corrupt valid
+    * SQL into an unterminated-quote statement. Single quotes escape by
+    * doubling (`''`), the SQL rule; double quotes delimit identifiers. */
+  private[sql] def firstSemicolonOutsideQuotes(s: String): Int = {
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 // escaped ''
+          else inSingle = false
+        }
+      } else if (inDouble) {
+        if (c == '"') inDouble = false
+      } else c match {
+        case '\'' => inSingle = true
+        case '"'  => inDouble = true
+        case ';'  => return i
+        case _    =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Empty-result contract: the reference keys "no matching records" off

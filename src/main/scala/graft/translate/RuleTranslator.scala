@@ -13,10 +13,17 @@ final class RuleTranslator(rules: Seq[(String, String)] = RuleTranslator.default
   override def toSql(question: String, tableInfo: String, topK: Int = 50): String = {
     val q = question.toLowerCase
     if (q.trim.startsWith("select ") || q.trim.startsWith("with ")) return question
-    rules.collectFirst {
-      case (pat, sql) if pat.r.findFirstIn(q).isDefined =>
-        sql.replace("{top_k}", topK.toString)
-    }.getOrElse(
+    rules.view.flatMap { case (pat, sql) =>
+      pat.r.findFirstMatchIn(q).map { m =>
+        // $1..$9 in the SQL template substitute the pattern's capture
+        // groups, so e.g. the date in "registered since 2025-08-19" lands
+        // in the emitted predicate instead of a hard-coded demo literal.
+        val withGroups = (1 to m.groupCount).foldLeft(sql) { (acc, i) =>
+          acc.replace(s"$$$i", Option(m.group(i)).getOrElse(""))
+        }
+        withGroups.replace("{top_k}", topK.toString)
+      }
+    }.headOption.getOrElse(
       throw new IllegalArgumentException(s"RuleTranslator has no rule for: $question"))
   }
 }
@@ -30,9 +37,9 @@ object RuleTranslator {
       "SELECT COUNT(*) FROM customers JOIN subscriptions ON customers.customer_id" +
       " = subscriptions.customer_id WHERE subscriptions.plan_id IN" +
       " (SELECT plan_id FROM plans WHERE plan_type = 'Postpaid') LIMIT {top_k}"),
-    // README.md:113-117
+    // README.md:113-117 — the captured date flows into the predicate
     ("registered since (\\d{4}-\\d{2}-\\d{2})",
-      "SELECT COUNT(*) FROM customers WHERE registration_date >= '2025-08-19'"),
+      "SELECT COUNT(*) FROM customers WHERE registration_date >= '$1' LIMIT {top_k}"),
     // app-gradio.py:114 placeholder question
     ("compare total revenue between prepaid and postpaid",
       "SELECT p.plan_type, SUM(r.amount) AS total_revenue FROM recharges r" +
