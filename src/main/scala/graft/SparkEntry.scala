@@ -473,18 +473,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup candidates (rows-only).
+    // SimHash near-dup candidates (rows-only). Radius 4 is the widest a
+    // 64-bit sketch can shard (Dedup.MaxSimhashRadius) — looser
+    // similarity goes through minhash banding instead.
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 8)
+          maxHamming = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // n-gram Jaccard verification over simhash candidates (rows-only).
+    // n-gram Jaccard verification over minhash-band candidates (rows-only).
+    // Minhash bands shard by content at any similarity level, unlike
+    // high-radius simhash chunks whose keyspace collapses.
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 12)
-        .select("id_a", "id_b")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
         .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 4))
         .orderBy(col("id_a"), col("id_b"))

@@ -1,12 +1,10 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-import graft.store.{Snapshot, TableStore}
+import graft.store.{Snapshot, SnapshotLog, TableStore}
 
 /** Database/table registry over [[graft.store.TableStore]].
   *
@@ -16,21 +14,34 @@ import graft.store.{Snapshot, TableStore}
   * as a temp view so plain `spark.sql` sees the warehouse, like the
   * reference's Impala connection sees its Iceberg catalog.
   *
+  * The warehouse root is a Hadoop path (`file:`, `hdfs:`, object store),
+  * so the same catalog code serves the local test layout and a cluster
+  * deployment.
+  *
   * Layout: `<warehouse>/<database>/<table>/{data/, snapshots.json, schema.json}`.
   */
-final class GraftCatalog(val warehouse: Path, val spark: SparkSession) {
+final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
+
+  def this(warehouse: java.nio.file.Path, spark: SparkSession) =
+    this(new HPath(warehouse.toUri), spark)
+
+  def this(warehouse: String, spark: SparkSession) =
+    this(new HPath(warehouse), spark)
+
+  private val fs: FileSystem =
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
 
   @volatile private var currentDb: String = "default"
 
   def store(db: String = currentDb): TableStore =
-    new TableStore(warehouse.resolve(db), spark)
+    new TableStore(new HPath(warehouse, db), spark)
 
   def createDatabase(name: String): Unit = {
-    Files.createDirectories(warehouse.resolve(name))
+    fs.mkdirs(new HPath(warehouse, name))
   }
 
   def use(name: String): Unit = {
-    require(Files.exists(warehouse.resolve(name)), s"database not found: $name")
+    require(fs.exists(new HPath(warehouse, name)), s"database not found: $name")
     currentDb = name
     // refresh views for the now-current database
     listTables().foreach(registerView)
@@ -39,16 +50,16 @@ final class GraftCatalog(val warehouse: Path, val spark: SparkSession) {
   def database: String = currentDb
 
   def listDatabases(): Seq[String] =
-    if (!Files.exists(warehouse)) Seq.empty
-    else Files.list(warehouse).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    if (!fs.exists(warehouse)) Seq.empty
+    else fs.listStatus(warehouse).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
 
   def listTables(): Seq[String] = {
-    val dbDir = warehouse.resolve(currentDb)
-    if (!Files.exists(dbDir)) Seq.empty
-    else Files.list(dbDir).iterator().asScala
-      .filter(d => Files.exists(d.resolve("snapshots.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    val dbDir = new HPath(warehouse, currentDb)
+    if (!fs.exists(dbDir)) Seq.empty
+    else fs.listStatus(dbDir).toSeq.map(_.getPath)
+      .filter(d => fs.exists(SnapshotLog.logPath(d)))
+      .map(_.getName).sorted
   }
 
   def createTable(name: String, schema: StructType): Unit = {

@@ -38,15 +38,40 @@ object Dedup {
     */
   val DefaultMaxBucket: Int = 10000
 
-  /** Drop groups over `maxBucket` members. One extra aggregation on the
-    * same shuffle key the candidate join uses (AQE co-locates them). */
+  /** Drop groups over `maxBucket` members.
+    *
+    * Uses `groupBy.count` (partial map-side aggregation) + a broadcast
+    * anti-join of the oversized keys — NOT a window over the bucket key: a
+    * window hauls the entire hot bucket into one task to count it, which
+    * is exactly the skew this guard exists to prevent. The oversized-key
+    * set is tiny by construction (each surviving key has > maxBucket
+    * members, so there can be at most |rows|/maxBucket of them), so the
+    * anti-join broadcasts and adds no shuffle to the banded frame.
+    */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    banded.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    val oversized = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select(keyCols.map(col): _*)
+    banded.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
+  /** Materialize `result` (executor-local checkpoint — distributed, never
+    * through the driver), then unpersist `scratch`. The LSH pipelines
+    * persist their banded frame because the candidate self-join reads it
+    * twice; without this scope the cached frames outlive the call and
+    * executor storage grows without bound across pipeline invocations
+    * (round-2 bench showed unrelated queries slowing 3-4× from exactly
+    * that). The checkpointed result drops its lineage, so the scratch
+    * frame is safe to free immediately; ContextCleaner reclaims the
+    * checkpoint blocks once the returned frame is unreferenced.
+    */
+  private def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    scratch.unpersist()
+    out
   }
 
   /** MinHash + LSH banding candidate pairs — ids only.
@@ -69,7 +94,8 @@ object Dedup {
     val sigs = df.select(
       col(idCol).as("_id"),
       GraftFunctions.minhashSignature(
-        shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), shingleSize, seed),
         numHashes, seed).as("_sig"))
     // band j hash = xxhash64 over the j-th signature slice (band indices
     // are compile-time Ints, so the slices are constant-folded offsets)
@@ -77,20 +103,22 @@ object Dedup {
       struct(lit(j).as("_band"),
         xxhash64(slice(col("_sig"), j * rows + 1, rows), lit(j)).as("_bandHash"))
     }
-    val banded = capBuckets(
-      sigs.select(col("_id"), explode(array(bandStructs: _*)).as("_b"))
-        .select(col("_id"), col("_b._band").as("_band"),
-          col("_b._bandHash").as("_bandHash")),
-      Seq("_band", "_bandHash"), maxBucket)
-      // persist: the self-join reads the banded frame twice; without this
-      // the whole tokenize→minhash pipeline runs twice
+    // persist BEFORE the bucket cap: the cap's aggregate + probe and the
+    // candidate self-join all read this frame — caching it means the
+    // tokenize→shingle→minhash pipeline runs exactly once.
+    val banded = sigs
+      .select(col("_id"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col("_id"), col("_b._band").as("_band"),
+        col("_b._bandHash").as("_bandHash"))
       .persist()
-    val a = banded.select(col("_band"), col("_bandHash"), col("_id").as("id_a"))
-    val b = banded.select(col("_band"), col("_bandHash"), col("_id").as("id_b"))
-    a.join(b, Seq("_band", "_bandHash"))
+    val capped = capBuckets(banded, Seq("_band", "_bandHash"), maxBucket)
+    val a = capped.select(col("_band"), col("_bandHash"), col("_id").as("id_a"))
+    val b = capped.select(col("_band"), col("_bandHash"), col("_id").as("id_b"))
+    val pairs = a.join(b, Seq("_band", "_bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    materializeAndFree(pairs, banded)
   }
 
   /** Candidate pairs with the signature-agreement Jaccard estimate
@@ -105,7 +133,8 @@ object Dedup {
     val sigs = df.select(
       col(idCol).as("_sid"),
       GraftFunctions.minhashSignature(
-        shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), shingleSize, seed),
         numHashes, seed).as("_s"))
     pairs
       .join(sigs.withColumnRenamed("_sid", "id_a").withColumnRenamed("_s", "_sig_a"), "id_a")
@@ -127,9 +156,11 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L, shingleSize: Int = 3): DataFrame = {
     val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize)
-    // verify on the same shingle sets the signatures sketch
+    // verify on the same (hashed) shingle sets the signatures sketch —
+    // set ops over bigints, not concatenated strings
     val toks = df.select(col(idCol).as("_tid"),
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleSize))
+      array_distinct(GraftFunctions.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), shingleSize, seed))
         .as("_toks"))
     cand
       .join(toks.withColumnRenamed("_tid", "id_a").withColumnRenamed("_toks", "_ta"), "id_a")
@@ -158,18 +189,35 @@ object Dedup {
   private[ext] def chunkBounds(chunks: Int): Seq[(Int, Int)] =
     (0 until chunks).map(i => (i * 64 / chunks, (i + 1) * 64 / chunks))
 
+  /** Maximum supported simhash radius. With `chunks = maxHamming + 1`
+    * pigeonhole banding, radius 4 ⇒ 5 chunks of 12-13 bits (4096-8192
+    * distinct bucket values per chunk) — the narrowest split that still
+    * shards a large corpus. Beyond that, chunk keyspaces collapse (radius
+    * 8 ⇒ ~128 values, radius 12 ⇒ ~32) and every bucket saturates: the
+    * plan degenerates to quadratic work or, with the hot-bucket cap,
+    * silent recall collapse. 64-bit simhash is a small-radius sketch by
+    * design; for looser similarity use MinHash banding
+    * ([[minhashCandidatePairs]]), which shards by content, not bit-chunks.
+    * (Higher radii would need multi-chunk key combinations à la Manku et
+    * al., WWW'07 — out of scope here.)
+    */
+  val MaxSimhashRadius: Int = 4
+
   /** SimHash near-dup candidates: 64-bit sketch, banded into
     * `maxHamming + 1` chunks (pigeonhole-complete for the given radius —
     * a fixed 4-chunk split would silently miss pairs past hamming 3),
     * verified by popcount of the xor. The sketch (one long) rides the
     * join on both sides — 8 bytes, cheap — so verification is free.
-    * Narrower chunks at higher radii mean bigger buckets; the hot-bucket
-    * cap bounds the worst case.
+    * Radius is capped at [[MaxSimhashRadius]]: see its doc for why wider
+    * radii cannot shard.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= MaxSimhashRadius,
+      s"maxHamming must be in [0, $MaxSimhashRadius] (got $maxHamming): " +
+        "64-bit simhash banding cannot shard wider radii — use minhash " +
+        "candidates for looser similarity")
     val chunks = maxHamming + 1
     val sk = df.select(col(idCol).as("_id"),
       GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol)), seed).as("_sh"))
@@ -179,29 +227,33 @@ object Dedup {
       struct(lit(i).as("_chunk"),
         shiftrightunsigned(col("_sh"), lo).bitwiseAND(lit(mask)).as("_ckey"))
     }
-    val banded = capBuckets(
-      sk.select(col("_id"), col("_sh"), explode(array(chunkStructs: _*)).as("_c"))
-        .select(col("_id"), col("_sh"),
-          col("_c._chunk").as("_chunk"), col("_c._ckey").as("_ckey")),
-      Seq("_chunk", "_ckey"), maxBucket)
+    // persist before the cap — see minhashCandidatePairs
+    val banded = sk
+      .select(col("_id"), col("_sh"), explode(array(chunkStructs: _*)).as("_c"))
+      .select(col("_id"), col("_sh"),
+        col("_c._chunk").as("_chunk"), col("_c._ckey").as("_ckey"))
       .persist()
-    val a = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_a"), col("_sh").as("_sha"))
-    val b = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_b"), col("_sh").as("_shb"))
-    a.join(b, Seq("_chunk", "_ckey"))
+    val capped = capBuckets(banded, Seq("_chunk", "_ckey"), maxBucket)
+    val a = capped.select(col("_chunk"), col("_ckey"), col("_id").as("id_a"), col("_sh").as("_sha"))
+    val b = capped.select(col("_chunk"), col("_ckey"), col("_id").as("id_b"), col("_sh").as("_shb"))
+    val pairs = a.join(b, Seq("_chunk", "_ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_sha").bitwiseXOR(col("_shb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    materializeAndFree(pairs, banded)
   }
 
   /** Exact n-gram (word shingle) Jaccard similarity for given pairs —
     * the verification-grade near-dup measure. `pairs` must have
-    * (id_a, id_b). */
+    * (id_a, id_b). Gram sets are hashed shingles (bigints): identical
+    * Jaccard signal, set ops ~10× cheaper than concatenated strings. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, n: Int = 3): DataFrame = {
+      textCol: String, n: Int = 3, seed: Long = 42L): DataFrame = {
     val grams = df.select(col(idCol).as("_gid"),
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("_grams"))
+      array_distinct(GraftFunctions.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), n, seed)).as("_grams"))
     pairs
       .join(grams.withColumnRenamed("_gid", "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
       .join(grams.withColumnRenamed("_gid", "id_b").withColumnRenamed("_grams", "_gb"), "id_b")
@@ -223,18 +275,19 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sk = capBuckets(
-      df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed).as("_bucket")),
-      Seq("_bucket"), maxBucket)
+    // persist before the cap — see minhashCandidatePairs
+    val sk = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed).as("_bucket"))
       .persist()
-    val a = sk.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = sk.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
-    a.join(b, Seq("_bucket"))
+    val capped = capBuckets(sk, Seq("_bucket"), maxBucket)
+    val a = capped.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = capped.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    val pairs = a.join(b, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", GraftFunctions.cosineSim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()
+    materializeAndFree(pairs, sk)
   }
 }

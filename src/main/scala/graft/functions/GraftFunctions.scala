@@ -17,9 +17,15 @@ object GraftFunctions {
   /** L2 norm of an `array<float>` column (codegen'd). */
   def l2Norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
 
-  /** MinHash signature (`array<bigint>` length numHashes) of a token array. */
+  /** MinHash signature (`array<bigint>` length numHashes) of a token
+    * array (`array<string>`, or pre-hashed `array<bigint>`). */
   def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes, seed))
+
+  /** Hashed word n-gram shingles (`array<bigint>`) of a token array —
+    * the string-free shingle representation for dedup hot paths. */
+  def shingleHashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =
+    toCol(ShingleHashes(toExpr(tokens), n, seed))
 
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
@@ -43,6 +49,8 @@ object GraftFunctions {
       es => L2Norm(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es.head, 64, 42L), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head, 3, 42L), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head, 42L), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",

@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * g_j(t) = a_j * h(t) + b_j over the 64-bit ring; signature_j =
   * min_t g_j(t) (unsigned min). Standard MinHash estimator: expected
   * fraction of equal components ≈ Jaccard(tokensA, tokensB).
+  *
+  * Accepts `array<string>` (tokens are xxhash64'd first) or
+  * `array<bigint>` (pre-hashed elements, e.g. [[ShingleHashes]] output —
+  * skips the string hashing entirely, the hot-path pairing).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
@@ -30,24 +34,33 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   @transient private lazy val coeffs: (Array[Long], Array[Long]) =
     MinHashSignature.coefficients(numHashes, seed)
 
+  @transient private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val tokens = v.asInstanceOf[ArrayData]
     val (as, bs) = coeffs
     val sig = Array.fill(numHashes)(-1L) // 0xFFFF… = unsigned max
-    var t = 0
     val n = tokens.numElements()
-    while (t < n) {
-      val tok = tokens.getUTF8String(t)
-      if (tok != null) {
-        val h = HashUtil.xx64(tok, seed)
-        var j = 0
-        while (j < numHashes) {
-          val g = as(j) * h + bs(j)
-          if (java.lang.Long.compareUnsigned(g, sig(j)) < 0) sig(j) = g
-          j += 1
-        }
+    @inline def fold(h: Long): Unit = {
+      var j = 0
+      while (j < numHashes) {
+        val g = as(j) * h + bs(j)
+        if (java.lang.Long.compareUnsigned(g, sig(j)) < 0) sig(j) = g
+        j += 1
       }
-      t += 1
+    }
+    var t = 0
+    if (preHashed) {
+      while (t < n) { fold(tokens.getLong(t)); t += 1 }
+    } else {
+      while (t < n) {
+        val tok = tokens.getUTF8String(t)
+        if (tok != null) fold(HashUtil.xx64(tok, seed))
+        t += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -63,6 +76,53 @@ object MinHashSignature {
     val bs = Array.fill(numHashes)(rnd.nextLong())
     (as, bs)
   }
+}
+
+/** Hashed word n-gram shingles: `array<bigint>`, one 64-bit hash per
+  * window of `n` consecutive tokens (positional multiply-xor fold of the
+  * per-token xxhash64s). Equivalent candidate/verification signal to
+  * string shingles (`concat_ws` over slices) without materializing
+  * millions of concatenated strings — at corpus scale the string
+  * shingling dominates the whole dedup pipeline, this is the same
+  * information at ~10× less cost. Documents shorter than `n` tokens
+  * produce a single hash over all their tokens (mirroring the string
+  * version's single joined shingle).
+  */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 64)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val Prime = 0x9E3779B97F4A7C15L
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[ArrayData]
+    val count = tokens.numElements()
+    val th = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val tok = tokens.getUTF8String(i)
+      th(i) = if (tok == null) seed else HashUtil.xx64(tok, seed)
+      i += 1
+    }
+    val windows = math.max(1, count - n + 1)
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var h = 1L
+      var k = w
+      val end = math.min(w + n, count)
+      while (k < end) { h = h * Prime ^ th(k); k += 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash over a token array: per token hash, vote each bit

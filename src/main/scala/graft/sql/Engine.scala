@@ -23,21 +23,33 @@ final class Engine(catalog: GraftCatalog) {
     val cleaned = SqlCleanup.clean(raw)
     val TimeTravelRewriter.Rewritten(stmt, asOf) = TimeTravelRewriter.rewrite(cleaned)
     asOf match {
-      case None => catalog.spark.sql(stmt)
-      case Some(ms) =>
-        // Rule 3 applies the clause to *every* table (`app-gradio.py:138`):
-        // pin every catalog table to the same timestamp for this query,
-        // then restore the latest views.
-        val tables = catalog.listTables()
-        try {
-          tables.foreach(t =>
-            catalog.table(t, Some(ms)).createOrReplaceTempView(t))
-          // Force execution while views are pinned.
-          val pinned = catalog.spark.sql(stmt)
-          pinned.cache()
-          pinned.count()
-          pinned
-        } finally tables.foreach(catalog.registerView)
+      case None     => catalog.spark.sql(stmt)
+      case Some(ms) => asOfQuery(stmt, ms)
+    }
+  }
+
+  /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
+    * Only the tables the statement references get pinned, each under a
+    * per-query unique view name: two concurrent AS-OF queries at
+    * different timestamps cannot see each other's pins, and nothing is
+    * cached or eagerly materialized. Dropping the views right after
+    * analysis is safe — the resolved plan holds the pinned snapshot's
+    * concrete file set, which old snapshots keep (until `expire`).
+    */
+  private def asOfQuery(stmt: String, ms: Long): DataFrame = {
+    val referenced = catalog.listTables().filter(SqlText.referencesTable(stmt, _))
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val views = referenced.map(t => t -> s"${t}_asof_$suffix")
+    try {
+      views.foreach { case (t, v) =>
+        catalog.table(t, Some(ms)).createOrReplaceTempView(v)
+      }
+      val rewritten = views.foldLeft(stmt) { case (s, (t, v)) =>
+        SqlText.replaceTableName(s, t, v)
+      }
+      catalog.spark.sql(rewritten) // analysis resolves the pinned views here
+    } finally views.foreach { case (_, v) =>
+      catalog.spark.catalog.dropTempView(v)
     }
   }
 

@@ -32,7 +32,9 @@ object SqlCleanup {
   /** First `;` not inside a quoted literal — a `;` inside `'a;b'` is data,
     * not a statement separator, and truncating there would corrupt valid
     * SQL into an unterminated-quote statement. Single quotes escape by
-    * doubling (`''`), the SQL rule; double quotes delimit identifiers. */
+    * doubling (`''`, the SQL rule) and by backslash (`\'` — Spark's
+    * default `escapedStringLiterals=false` accepts it); double quotes
+    * delimit identifiers. */
   private[sql] def firstSemicolonOutsideQuotes(s: String): Int = {
     var i = 0
     var inSingle = false
@@ -40,7 +42,8 @@ object SqlCleanup {
     while (i < s.length) {
       val c = s.charAt(i)
       if (inSingle) {
-        if (c == '\'') {
+        if (c == '\\') i += 1 // backslash escapes the next char
+        else if (c == '\'') {
           if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 // escaped ''
           else inSingle = false
         }

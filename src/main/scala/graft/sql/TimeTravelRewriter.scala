@@ -43,13 +43,15 @@ object TimeTravelRewriter {
   def parseTimestampMs(lit: String): Long = {
     val s = lit.trim
     if (s.matches("\\d{13}")) return s.toLong
-    // Epoch seconds only for a plausible digit range (2001–2286). A bare
-    // year ('2026') or compact date ('20250819') must NOT silently become
-    // seconds-since-1970 — reject so the caller sees the bad literal.
-    if (s.matches("\\d{10,12}")) return s.toLong * 1000L
+    // Epoch seconds only for the unambiguous digit range: 10-11 digits =
+    // 2001-5138. A bare year ('2026') or compact date ('20250819') must
+    // NOT silently become seconds-since-1970, and 12 digits are ambiguous
+    // (epoch seconds out to year 33658, but also epoch MILLIS for dates
+    // before Sep 2001) — all rejected so the caller sees the bad literal.
+    if (s.matches("\\d{10,11}")) return s.toLong * 1000L
     if (s.matches("\\d+"))
       throw new IllegalArgumentException(
-        s"ambiguous numeric AS OF literal '$lit': use 10-12 digits for epoch " +
+        s"ambiguous numeric AS OF literal '$lit': use 10-11 digits for epoch " +
           "seconds, 13 for epoch millis, or a 'YYYY-MM-DD[ HH:MM:SS]' timestamp")
     val norm = s.replace('T', ' ')
     val dateOnly = "\\d{4}-\\d{2}-\\d{2}".r

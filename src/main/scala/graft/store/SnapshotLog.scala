@@ -1,8 +1,10 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
 /** One committed table version.
   *
@@ -25,10 +27,14 @@ final case class Snapshot(
 
 /** Append-only JSON commit log: `<tableDir>/snapshots.json`.
   *
-  * Equivalent of Iceberg's snapshot list in `metadata.json`. Commits are
-  * atomic (write temp file + atomic move), so a reader never observes a
-  * torn log; last-writer-wins is acceptable for the single-writer batch
-  * loads the reference performs (`append_iceberg.py:182-215`).
+  * Equivalent of Iceberg's snapshot list in `metadata.json`. All I/O goes
+  * through Hadoop [[FileSystem]], so the warehouse root may be a local
+  * directory, HDFS, or any object store with a Hadoop connector — the
+  * 100 TB deployment path. Commits are atomic where the filesystem
+  * supports it (write temp file + overwrite-rename via [[FileContext]];
+  * HDFS and POSIX rename are atomic), so a reader never observes a torn
+  * log; last-writer-wins is acceptable for the single-writer batch loads
+  * the reference performs (`append_iceberg.py:182-215`).
   */
 object SnapshotLog {
   private val mapper = {
@@ -37,13 +43,17 @@ object SnapshotLog {
     m
   }
 
-  def logPath(tableDir: Path): Path = tableDir.resolve("snapshots.json")
+  def logPath(tableDir: HPath): HPath = new HPath(tableDir, "snapshots.json")
 
-  def read(tableDir: Path): Seq[Snapshot] = {
+  def read(fs: FileSystem, tableDir: HPath): Seq[Snapshot] = {
     val p = logPath(tableDir)
-    if (!Files.exists(p)) Seq.empty
+    if (!fs.exists(p)) Seq.empty
     else {
-      val node = mapper.readTree(Files.readString(p))
+      val in = fs.open(p)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val node = mapper.readTree(text)
       node.elements().asScala.map { e =>
         Snapshot(
           id = e.get("id").asLong(),
@@ -61,42 +71,62 @@ object SnapshotLog {
     }
   }
 
-  def write(tableDir: Path, snapshots: Seq[Snapshot]): Unit = {
-    Files.createDirectories(tableDir)
+  def write(fs: FileSystem, tableDir: HPath, snapshots: Seq[Snapshot]): Unit = {
+    fs.mkdirs(tableDir)
     val json = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(snapshots.sortBy(_.id))
-    val tmp = tableDir.resolve(s"snapshots.json.tmp${System.nanoTime()}")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logPath(tableDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new HPath(tableDir, s"snapshots.json.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    atomicReplace(fs, tmp, logPath(tableDir))
+  }
+
+  /** Overwrite-rename `tmp` onto `dst`. [[FileContext]] rename with
+    * OVERWRITE is atomic on HDFS and POSIX; filesystems without an
+    * AbstractFileSystem binding (some object stores) fall back to
+    * delete + rename — object-store rename is a copy anyway, so nothing
+    * atomic is lost there.
+    */
+  private def atomicReplace(fs: FileSystem, tmp: HPath, dst: HPath): Unit = {
+    try {
+      val fc = FileContext.getFileContext(dst.toUri, fs.getConf)
+      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename failed: $tmp -> $dst")
+    }
   }
 
   /** Append a commit; returns the new snapshot. Explicit `timestampMs`
     * keeps tests deterministic (SURVEY.md §7.4 — injected commit times).
     */
   def commit(
-      tableDir: Path,
+      fs: FileSystem,
+      tableDir: HPath,
       operation: String,
       newFiles: Seq[String],
       recordCount: Long,
       timestampMs: Long = System.currentTimeMillis(),
       replaceAll: Boolean = false,
       summary: Map[String, String] = Map.empty): Snapshot = {
-    val existing = read(tableDir)
+    val existing = read(fs, tableDir)
     val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
     val files =
       if (replaceAll) newFiles
       else existing.lastOption.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val snap = Snapshot(id, timestampMs, operation, files, recordCount, summary)
-    write(tableDir, existing :+ snap)
+    write(fs, tableDir, existing :+ snap)
     snap
   }
 
   /** Time travel: newest snapshot with commit time <= asOfMs
     * (`FOR SYSTEM_TIME AS OF`, `app-gradio.py:138`, `README.md:100-107`).
     */
-  def resolve(tableDir: Path, asOfMs: Option[Long]): Option[Snapshot] = {
-    val all = read(tableDir)
+  def resolve(fs: FileSystem, tableDir: HPath, asOfMs: Option[Long]): Option[Snapshot] = {
+    val all = read(fs, tableDir)
     asOfMs match {
       case None     => all.lastOption
       case Some(ts) => all.filter(_.timestampMs <= ts).lastOption

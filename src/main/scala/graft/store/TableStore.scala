@@ -1,9 +1,11 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -14,37 +16,41 @@ import org.apache.spark.sql.types._
   * Maps the reference's observable table semantics
   * (`telco_spark/append_telco_spark_iceberg.py:67` `writeTo().append()`;
   * time travel `app-gradio.py:138`; history `README.md:94-98`) onto plain
-  * Parquet + a commit log. At cluster scale each append is a distributed
-  * Parquet write; only the (tiny) file list touches the driver, so the
-  * design holds at 100 TB — data files never funnel through one node.
+  * Parquet + a commit log. All filesystem access goes through Hadoop
+  * [[FileSystem]], so `root` may be `file:`, `hdfs:`, or any object store
+  * with a Hadoop connector. At cluster scale each append is a distributed
+  * Parquet write; only the (tiny) file list and footers touch the driver,
+  * so the design holds at 100 TB — data bytes never funnel through one
+  * node.
   */
-final class TableStore(val root: Path, spark: SparkSession) {
+final class TableStore(val root: HPath, spark: SparkSession) {
 
-  def tableDir(table: String): Path = root.resolve(table)
-  private def dataDir(table: String): Path = tableDir(table).resolve("data")
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def tableDir(table: String): HPath = new HPath(root, table)
+  private def dataDir(table: String): HPath = new HPath(tableDir(table), "data")
 
   def exists(table: String): Boolean =
-    Files.exists(SnapshotLog.logPath(tableDir(table)))
+    fs.exists(SnapshotLog.logPath(tableDir(table)))
 
   def create(table: String, schema: StructType): Unit = {
-    Files.createDirectories(dataDir(table))
+    fs.mkdirs(dataDir(table))
     // Persist the schema so an empty table is still readable.
-    Files.writeString(tableDir(table).resolve("schema.json"), schema.json)
-    if (SnapshotLog.read(tableDir(table)).isEmpty)
-      SnapshotLog.write(tableDir(table), Seq.empty)
+    writeString(new HPath(tableDir(table), "schema.json"), schema.json)
+    if (SnapshotLog.read(fs, tableDir(table)).isEmpty)
+      SnapshotLog.write(fs, tableDir(table), Seq.empty)
   }
 
   def drop(table: String): Unit = {
     val dir = tableDir(table)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   def schema(table: String): StructType = {
-    val p = tableDir(table).resolve("schema.json")
-    if (Files.exists(p))
-      DataType.fromJson(Files.readString(p)).asInstanceOf[StructType]
+    val p = new HPath(tableDir(table), "schema.json")
+    if (fs.exists(p))
+      DataType.fromJson(readString(p)).asInstanceOf[StructType]
     else spark.read.parquet(currentFiles(table): _*).schema
   }
 
@@ -52,16 +58,14 @@ final class TableStore(val root: Path, spark: SparkSession) {
     * names to the log. Readers only see files listed in a committed
     * snapshot, so a failed write leaves orphans, never partial reads —
     * the same visibility rule Iceberg gives `writeTo().append()`.
+    * Row counts come from the Parquet footers of the freshly written
+    * files (driver-side metadata reads, bytes never re-scanned).
     */
   def append(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val staging = tableDir(table).resolve(s"stage-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val moved = promoteStaged(table, staging)
-    val n = spark.read.parquet(
-      moved.map(f => tableDir(table).resolve(f).toString): _*).count()
-    SnapshotLog.commit(tableDir(table), "append", moved, rowCountAfter(table, moved, n),
-      timestampMs, replaceAll = false,
+    val (moved, n) = writeAndPromote(table, df)
+    SnapshotLog.commit(fs, tableDir(table), "append", moved,
+      rowCountAfter(table) + n, timestampMs, replaceAll = false,
       summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString))
   }
 
@@ -69,39 +73,56 @@ final class TableStore(val root: Path, spark: SparkSession) {
   def overwrite(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       operation: String = "replace"): Snapshot = {
-    val staging = tableDir(table).resolve(s"stage-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val moved = promoteStaged(table, staging)
-    val n = spark.read.parquet(
-      moved.map(f => tableDir(table).resolve(f).toString): _*).count()
-    SnapshotLog.commit(tableDir(table), operation, moved, n, timestampMs,
+    val (moved, n) = writeAndPromote(table, df)
+    SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
       summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString))
   }
 
-  private def promoteStaged(table: String, staging: Path): Seq[String] = {
-    Files.createDirectories(dataDir(table))
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  /** Distributed Parquet write into a staging dir, promote the part files
+    * into data/, return (relative paths, row count from footers). */
+  private def writeAndPromote(table: String, df: DataFrame): (Seq[String], Long) = {
+    val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val moved = promoteStaged(table, staging)
+    val n = moved.map(f => parquetRowCount(new HPath(tableDir(table), f))).sum
+    (moved, n)
+  }
+
+  /** Total record count from a Parquet file's footer — metadata only. */
+  private def parquetRowCount(file: HPath): Long = {
+    val in = HadoopInputFile.fromPath(file, fs.getConf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getRecordCount
+    finally reader.close()
+  }
+
+  private def promoteStaged(table: String, staging: HPath): Seq[String] = {
+    fs.mkdirs(dataDir(table))
+    val parts = fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
     val moved = parts.map { p =>
-      val target = dataDir(table).resolve(s"${UUID.randomUUID()}-${p.getFileName}")
-      Files.move(p, target)
-      root.relativize(target).toString.stripPrefix(s"$table/")
+      val name = s"${UUID.randomUUID()}-${p.getName}"
+      val target = new HPath(dataDir(table), name)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"rename failed: $p -> $target")
+      s"data/$name"
     }
     // clean staging remnants (_SUCCESS, .crc)
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    fs.delete(staging, true)
     moved
   }
 
-  private def rowCountAfter(table: String, added: Seq[String], addedRows: Long): Long =
-    SnapshotLog.read(tableDir(table)).lastOption.map(_.recordCount).getOrElse(0L) + addedRows
+  private def rowCountAfter(table: String): Long =
+    SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.recordCount).getOrElse(0L)
 
   def currentFiles(table: String): Seq[String] =
     filesAsOf(table, None)
 
   def filesAsOf(table: String, asOfMs: Option[Long]): Seq[String] = {
-    val snap = SnapshotLog.resolve(tableDir(table), asOfMs)
-    snap.map(_.files.map(f => tableDir(table).resolve(f).toString)).getOrElse(Seq.empty)
+    val snap = SnapshotLog.resolve(fs, tableDir(table), asOfMs)
+    snap.map(_.files.map(f => new HPath(tableDir(table), f).toString))
+      .getOrElse(Seq.empty)
   }
 
   /** Latest-snapshot read; `asOfMs` = time travel. Snapshot resolution →
@@ -117,7 +138,8 @@ final class TableStore(val root: Path, spark: SparkSession) {
 
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
   def history(table: String): DataFrame = {
-    val snaps = SnapshotLog.read(tableDir(table))
+    import scala.jdk.CollectionConverters._
+    val snaps = SnapshotLog.read(fs, tableDir(table))
     val rows = snaps.map(s => Row(s.id, new java.sql.Timestamp(s.timestampMs),
       s.operation, s.files.size, s.recordCount))
     val sch = StructType(Seq(
@@ -135,7 +157,7 @@ final class TableStore(val root: Path, spark: SparkSession) {
     */
   def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
     val files = currentFiles(table)
-    val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
+    val totalBytes = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = read(table).repartition(numFiles)
     overwrite(table, df, operation = "replace")
@@ -146,7 +168,7 @@ final class TableStore(val root: Path, spark: SparkSession) {
     */
   def expire(table: String, olderThanMs: Long): Unit = {
     val dir = tableDir(table)
-    val all = SnapshotLog.read(dir)
+    val all = SnapshotLog.read(fs, dir)
     if (all.size <= 1) return
     val keep = all.filter(s => s.timestampMs >= olderThanMs) match {
       case Seq() => Seq(all.last)
@@ -155,8 +177,20 @@ final class TableStore(val root: Path, spark: SparkSession) {
     }
     val live = keep.flatMap(_.files).toSet
     all.flatMap(_.files).distinct.filterNot(live.contains).foreach { f =>
-      Files.deleteIfExists(dir.resolve(f))
+      fs.delete(new HPath(dir, f), false)
     }
-    SnapshotLog.write(dir, keep)
+    SnapshotLog.write(fs, dir, keep)
+  }
+
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 }
