@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // ---- chunkBounds: the pigeonhole banding underlying simhash ----------
+
+  test("chunkBounds partitions 0..64 contiguously without overlap for any chunk count") {
+    (1 to 64).foreach { chunks =>
+      val bounds = Dedup.chunkBounds(chunks)
+      assert(bounds.size == chunks)
+      assert(bounds.head._1 == 0 && bounds.last._2 == 64)
+      bounds.sliding(2).foreach {
+        case Seq((_, hiA), (loB, _)) => assert(hiA == loB)
+        case _ =>
+      }
+      bounds.foreach { case (lo, hi) => assert(lo < hi) }
+      assert(bounds.map { case (lo, hi) => hi - lo }.sum == 64)
+    }
+  }
+
+  // ---- exact dedup ----------------------------------------------------
+
+  test("exact dedup keeps the first writer per key") {
+    val df = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30))
+      .toDF("id", "key", "v")
+    val out = Dedup.exact(df, Seq("key"), "id").orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("exactByContent collapses whitespace/punctuation variants") {
+    val docs = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "the  quick   BROWN fox!!"), // same normalized content
+      (3L, "a different document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  // ---- minhash --------------------------------------------------------
+
+  private val nearDupDocs = {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"token$i").mkString(" ") + " x y z"
+    Seq(
+      (1L, base),
+      (2L, base),            // exact duplicate
+      (3L, nearDup),         // high-jaccard near duplicate
+      (4L, (100 to 160).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash near-dup finds planted duplicates and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(nearDupDocs, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate pair missing")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "near-duplicate pair missing")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc paired")
+  }
+
+  test("minhash jaccard of an exact duplicate is 1.0") {
+    val out = Dedup.minhashNearDuplicates(nearDupDocs, "doc_id", "text",
+      threshold = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].collect()
+    assert(out.length == 1 && out.head == 1.0)
+  }
+
+  test("minhashDedup drops the larger id of each duplicate cluster") {
+    val kept = Dedup.minhashDedup(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("hot-bucket cap drops degenerate buckets instead of exploding") {
+    val clones = (1L to 30L).map(i => (i, "same text for everyone here")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(clones, "doc_id", "text",
+      maxBucket = 10)
+    assert(capped.count() == 0) // every bucket oversized → dropped
+    val uncapped = Dedup.minhashCandidatePairs(clones, "doc_id", "text")
+    assert(uncapped.count() == 30L * 29L / 2) // below default cap → all pairs
+  }
+
+  // ---- simhash --------------------------------------------------------
+
+  test("simhash pairs exact duplicates at hamming 0 and respects the radius cap") {
+    val pairs = Dedup.simhashNearDuplicates(nearDupDocs, "doc_id", "text",
+      maxHamming = 4)
+      .select("id_a", "id_b", "hamming").collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(exact.isDefined, "exact duplicate not paired")
+    assert(exact.get.getInt(2) == 0)
+    pairs.foreach(r => assert(r.getInt(2) <= 4))
+  }
+
+  test("simhash rejects radii the 64-bit sketch cannot shard") {
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDuplicates(nearDupDocs, "doc_id", "text", maxHamming = 8))
+    assert(e.getMessage.contains("minhash"))
+  }
+
+  // ---- ngram jaccard --------------------------------------------------
+
+  test("ngramJaccard scores exact duplicates 1.0 and near-duplicates high") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(nearDupDocs, pairs, "doc_id", "text", n = 3)
+      .orderBy("id_b").collect()
+    assert(out(0).getDouble(2) == 1.0)           // 1 vs 2: identical
+    assert(out(1).getDouble(2) > 0.7)            // 1 vs 3: near dup
+    assert(out(2).getDouble(2) == 0.0)           // 1 vs 4: disjoint
+  }
+
+  // ---- embeddings -----------------------------------------------------
+
+  test("embedding near-dup pairs identical vectors, skips orthogonal ones") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, numPlanes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH scratch frames are unpersisted after each call") {
+    Dedup.minhashNearDuplicates(nearDupDocs, "doc_id", "text", threshold = 0.5).count()
+    Dedup.simhashNearDuplicates(nearDupDocs, "doc_id", "text", maxHamming = 2).count()
+    // Catalyst-cached fragments register in the session cache manager;
+    // scratch frames must not accumulate there or in the RDD block store.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "banded scratch frame leaked into the cache manager")
+  }
+}

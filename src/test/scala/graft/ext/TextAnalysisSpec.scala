@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokenCount counts whitespace tokens, zero for blank text") {
+    val df = Seq("one two three", "  ", "", "single").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("bpeTokenCount splits words, digits, and punctuation") {
+    val n = one("Hello, world 42!")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[Int].head()
+    // Hello , world 4 2 !  → 6 pieces
+    assert(n == 6)
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val out = one("  The  QUICK!! brown-fox ")
+      .select(TextAnalysis.normalize(col("text")).as("t")).as[String].head()
+    assert(out == "the quick brown fox")
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val texts = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht in der küche und das ist gut",
+      "le chat est dans la maison et il est content",
+      "el gato es un animal y la casa es grande",
+      "zxcv qwer asdf") // no stopwords at all
+    val out = texts.toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore lands in [0,1] and ranks prose above junk") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and runs far away into the woods.",
+      "!!!! ???? ;;;; ####").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val Seq(prose, junk) = df.as[Double].collect().toSeq
+    assert(prose >= 0.0 && prose <= 1.0 && junk >= 0.0 && junk <= 1.0)
+    assert(prose > junk)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
+    val Seq(a, b, c) = df.as[Long].collect().toSeq
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("documentStats yields every column for downstream filters") {
+    val stats = TextAnalysis.documentStats(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
+    val cols = stats.columns.toSet
+    assert(Set("n_tokens", "quality", "pred_lang", "fingerprint").subsetOf(cols))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.catalog.GraftCatalog
+
+/** The execute-and-render surface (`QuerySQLDataBaseTool` replacement)
+  * including the time-travel path: per-query snapshot pinning must
+  * survive concurrent AS-OF queries at different timestamps — the
+  * failure mode of global view pinning.
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def fixture(): (GraftCatalog, Engine) = {
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-engine"), spark)
+    cat.createDatabase("default")
+    val v1 = Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
+    val v2 = Seq((3, "gamma")).toDF("id", "name")
+    cat.createTable("items", v1.schema)
+    cat.append("items", v1, 1000L)
+    cat.append("items", v2, 2000L)
+    (cat, new Engine(cat))
+  }
+
+  test("plain SQL sees the latest snapshot") {
+    val (_, engine) = fixture()
+    assert(engine.run("SELECT COUNT(*) FROM items") == "[(3,)]")
+  }
+
+  test("AS OF reads the pinned snapshot") {
+    val (_, engine) = fixture()
+    assert(engine.run(
+      "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+      "[(2,)]")
+  }
+
+  test("concurrent AS-OF queries at different timestamps do not interfere") {
+    val (_, engine) = fixture()
+    // Build both plans before collecting either: with global view pinning
+    // the second rewrite would clobber the first query's snapshot.
+    val atT1 = engine.sql(
+      "SELECT COUNT(*) AS c FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'")
+    val atT2 = engine.sql(
+      "SELECT COUNT(*) AS c FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:02'")
+    assert(atT1.head().getLong(0) == 2)
+    assert(atT2.head().getLong(0) == 3)
+    // and again in the opposite collection order
+    assert(atT2.head().getLong(0) == 3)
+    assert(atT1.head().getLong(0) == 2)
+  }
+
+  test("AS OF before the first commit yields the empty contract") {
+    val (_, engine) = fixture()
+    val out = engine.run(
+      "SELECT * FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:00.500'")
+    assert(out == "[]")
+    assert(engine.isEmpty(out))
+  }
+
+  test("AS OF pins only referenced tables; other tables stay latest") {
+    val (cat, engine) = fixture()
+    val other = Seq((9, "x")).toDF("id", "name")
+    cat.createTable("other", other.schema)
+    cat.append("other", other, 3000L)
+    // 'other' is not in the statement: engine must not disturb its view
+    assert(engine.run(
+      "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+      "[(2,)]")
+    assert(engine.run("SELECT COUNT(*) FROM other") == "[(1,)]")
+  }
+
+  test("temp AS-OF views are cleaned up after the query") {
+    val (cat, engine) = fixture()
+    engine.sql(
+      "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'")
+    val leftover = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.contains("_asof_"))
+    assert(leftover.isEmpty, s"leaked views: ${leftover.mkString(",")}")
+  }
+
+  test("rendered output follows the tuple-list contract end to end") {
+    val (_, engine) = fixture()
+    assert(engine.run("SELECT id, name FROM items ORDER BY id LIMIT 2") ==
+      "[(1, 'alpha'), (2, 'beta')]")
+  }
+}

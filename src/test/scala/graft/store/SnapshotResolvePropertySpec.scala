@@ -1,0 +1,69 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5 property: reading AS OF t must equal replaying exactly
+  * the prefix of appends committed at or before t — for any append
+  * history and any probe time. Exercises only the (pure, driver-side)
+  * snapshot log, so hundreds of cases stay fast.
+  */
+class SnapshotResolvePropertySpec extends AnyFunSuite {
+
+  private lazy val conf = new org.apache.hadoop.conf.Configuration()
+
+  private val genBatchSizes = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.choose(1, 20)))
+  private val genProbe = Gen.choose(0L, 6000L)
+
+  test("AS OF t ≡ replay of the append prefix with commit time <= t") {
+    val prop = Prop.forAll(genBatchSizes, genProbe) { (sizes, probe) =>
+      val dir = new HPath(Files.createTempDirectory("graft-prop").toUri)
+      val fs = FileSystem.get(dir.toUri, conf)
+      // commit batch i at time 1000*(i+1) with `size` synthetic files
+      sizes.zipWithIndex.foreach { case (size, i) =>
+        SnapshotLog.commit(fs, dir, "append",
+          newFiles = (0 until size).map(j => s"data/b$i-f$j"),
+          recordCount = sizes.take(i + 1).sum.toLong,
+          timestampMs = 1000L * (i + 1))
+      }
+      val expectedFiles = sizes.zipWithIndex
+        .filter { case (_, i) => 1000L * (i + 1) <= probe }
+        .flatMap { case (size, i) => (0 until size).map(j => s"data/b$i-f$j") }
+      val resolved = SnapshotLog.resolve(fs, dir, Some(probe))
+        .map(_.files).getOrElse(Seq.empty)
+      val latest = SnapshotLog.resolve(fs, dir, None)
+        .map(_.files.size).getOrElse(0)
+      resolved == expectedFiles && latest == sizes.sum
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("commit ids increase monotonically and files accumulate") {
+    val dir = new HPath(Files.createTempDirectory("graft-prop2").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    val s1 = SnapshotLog.commit(fs, dir, "append", Seq("data/a"), 1, 100L)
+    val s2 = SnapshotLog.commit(fs, dir, "append", Seq("data/b"), 2, 200L)
+    val s3 = SnapshotLog.commit(fs, dir, "replace", Seq("data/c"), 1, 300L,
+      replaceAll = true)
+    assert(Seq(s1.id, s2.id, s3.id) == Seq(1L, 2L, 3L))
+    assert(s2.files == Seq("data/a", "data/b"))
+    assert(s3.files == Seq("data/c")) // replaceAll drops the history's files
+    val all = SnapshotLog.read(fs, dir)
+    assert(all.map(_.id) == Seq(1L, 2L, 3L))
+    assert(all.last.summary.isEmpty)
+  }
+
+  test("summary round-trips through the JSON log") {
+    val dir = new HPath(Files.createTempDirectory("graft-prop3").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    SnapshotLog.commit(fs, dir, "append", Seq("data/a"), 5, 100L,
+      summary = Map("added-files" -> "1", "added-records" -> "5"))
+    val read = SnapshotLog.read(fs, dir).head
+    assert(read.summary == Map("added-files" -> "1", "added-records" -> "5"))
+  }
+}

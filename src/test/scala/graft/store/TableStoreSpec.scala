@@ -1,0 +1,124 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Snapshot semantics the reference relies on: one snapshot per commit
+  * (`/root/reference/create_iceberg.py:158-160`), history
+  * (`/root/reference/README.md:94-98`), time travel
+  * (`/root/reference/app-gradio.py:138`), plus expire/compact.
+  */
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def newStore(): TableStore =
+    new TableStore(new HPath(Files.createTempDirectory("graft-store").toUri), spark)
+
+  private def df(range: Range) = range.toDF("id")
+
+  test("create + append + read latest") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    val s1 = st.append("t", df(1 to 10), 1000L)
+    assert(s1.id == 1 && s1.operation == "append")
+    assert(s1.recordCount == 10) // from parquet footers, not a re-scan
+    val s2 = st.append("t", df(11 to 15), 2000L)
+    assert(s2.id == 2 && s2.recordCount == 15)
+    assert(st.read("t").count() == 15)
+  }
+
+  test("empty table is readable through its persisted schema") {
+    val st = newStore()
+    st.create("empty", df(1 to 1).schema)
+    assert(st.read("empty").count() == 0)
+    assert(st.read("empty").schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("time travel resolves newest snapshot <= asOf") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 10), 1000L)
+    st.append("t", df(11 to 15), 2000L)
+    assert(st.read("t", Some(999L)).count() == 0)  // before first commit
+    assert(st.read("t", Some(1000L)).count() == 10) // inclusive boundary
+    assert(st.read("t", Some(1500L)).count() == 10)
+    assert(st.read("t", Some(2000L)).count() == 15)
+    assert(st.read("t", None).count() == 15)
+  }
+
+  test("history lists every commit with record counts") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 10), 1000L)
+    st.append("t", df(11 to 15), 2000L)
+    val h = st.history("t").collect().sortBy(_.getLong(0))
+    assert(h.length == 2)
+    assert(h(0).getAs[String]("operation") == "append")
+    assert(h(0).getAs[Long]("record_count") == 10)
+    assert(h(1).getAs[Long]("record_count") == 15)
+  }
+
+  test("overwrite replaces contents in a replace snapshot") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 10), 1000L)
+    val s = st.overwrite("t", df(100 to 102), 2000L)
+    assert(s.operation == "replace" && s.recordCount == 3)
+    assert(st.read("t").count() == 3)
+    assert(st.read("t", Some(1500L)).count() == 10) // old snapshot intact
+  }
+
+  test("compact bin-packs files, preserves rows, keeps time travel") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 100).toDF("id").repartition(4), 1000L)
+    st.append("t", df(101 to 200).toDF("id").repartition(4), 2000L)
+    val before = st.currentFiles("t").size
+    val snap = st.compact("t")
+    assert(snap.operation == "replace")
+    assert(st.currentFiles("t").size < before)
+    assert(st.read("t").count() == 200)
+    assert(st.read("t", Some(1000L)).count() == 100) // pre-compaction snapshot
+  }
+
+  test("expire drops old snapshots and deletes unreferenced files only") {
+    val st = newStore()
+    val fs = FileSystem.get(st.root.toUri, spark.sessionState.newHadoopConf())
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 10), 1000L)
+    st.overwrite("t", df(1 to 5), 2000L) // snapshot 1's files now orphaned
+    val oldFiles = st.filesAsOf("t", Some(1000L))
+    assert(oldFiles.nonEmpty)
+    st.expire("t", olderThanMs = 1500L)
+    // snapshot 1 is gone: as-of now resolves to nothing
+    assert(st.filesAsOf("t", Some(1000L)).isEmpty)
+    // its data files were physically deleted
+    oldFiles.foreach(f => assert(!fs.exists(new HPath(f)), s"should be deleted: $f"))
+    // the surviving snapshot still reads
+    assert(st.read("t").count() == 5)
+  }
+
+  test("expire keeps the latest snapshot even if older than cutoff") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 10), 1000L)
+    st.append("t", df(11 to 12), 2000L)
+    st.expire("t", olderThanMs = 99999L)
+    assert(st.read("t").count() == 12)
+    assert(st.history("t").count() == 1)
+  }
+
+  test("drop removes the table") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 3), 1000L)
+    assert(st.exists("t"))
+    st.drop("t")
+    assert(!st.exists("t"))
+  }
+}
