@@ -431,6 +431,29 @@ object SparkEntry {
         .select(col("operation"), col("record_count"))
     }),
 
+    // S7/S8: the reference's warehouse-build script surface, replayed
+    // verbatim through the SQL engine (`create_iceberg.py:106-203`):
+    // CREATE DATABASE / USE / DROP / CREATE TABLE STORED AS ICEBERG,
+    // then batched INSERT VALUES (backtick columns, '' escaping, NULLs,
+    // string date literals) — one snapshot per INSERT — then read back.
+    "q_sql_ddl_insert" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE DATABASE IF NOT EXISTS telco")
+      eng.sql("USE telco")
+      eng.sql("DROP TABLE IF EXISTS plans_sql")
+      eng.sql("""CREATE TABLE plans_sql (
+        plan_id INT, plan_name STRING, monthly_fee DOUBLE, launch_date DATE
+      ) STORED AS ICEBERG""")
+      eng.sql("INSERT INTO plans_sql (`plan_id`, `plan_name`, `monthly_fee`, `launch_date`) " +
+        "VALUES (1, 'Basic', 10, '2025-01-01'), (2, 'It''s Big', 49.99, '2025-02-01'), " +
+        "(3, NULL, NULL, NULL)")
+      eng.sql("INSERT INTO plans_sql (`plan_id`, `plan_name`, `monthly_fee`, `launch_date`) " +
+        "VALUES (4, 'Pro', 99, '2025-03-01')")
+      eng.sql("SELECT plan_id, plan_name, monthly_fee, launch_date " +
+        "FROM plans_sql ORDER BY plan_id")
+    }),
+
     // S4/S5: CSV sink + source with inferSchema and corrective timestamp
     // cast (`telco_spark/append_telco_spark_iceberg.py:40-59` shape).
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -559,12 +582,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-count + character-class stats (oracle-checkable).
+    "q_doc_stats" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(text).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(text).cast("int").as("n_bpe"),
+          round((length(text) - length(regexp_replace(text, "[0-9]", "")))
+            .cast("double") / length(text), 4).as("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID + composite quality + fingerprint (rows-only: heuristic
     // stopword scoring and the custom rolling-hash expression).
-    "q_doc_stats" -> ((s, dir) => {
+    "q_doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.documentStats(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"), col("quality"),
-          col("pred_lang"), col("fingerprint"))
+        .select(col("doc_id"), col("quality"), col("pred_lang"),
+          col("fingerprint"))
         .orderBy(col("doc_id"))
     }),
 
@@ -583,14 +618,20 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
-    // Fake-decode + resize metadata pipeline (rows-only: stubbed decode).
+    // REAL header decode + resize pipeline: payloads are crafted PNG
+    // headers (dimensions derived from asset_id), parsed by the native
+    // ImageHeaderMeta expression — oracle recomputes the arithmetic.
     "q_multimodal_decode" -> ((s, dir) => {
       val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
-        "image", "source")
+          "image", "source")
+        .withColumn("content", Multimodal.syntheticPngContent(
+          (pmod(col("asset_id"), lit(1920)) + 32).cast("int"),
+          (pmod(col("asset_id") * 7, lit(1080)) + 32).cast("int")))
       Multimodal.resize(Multimodal.decodeImageMeta(assets), maxSide = 256)
         .select(col("asset_id"),
           col("image_meta.width").as("width"),
           col("image_meta.height").as("height"),
+          col("image_meta.format").as("format"),
           col("resized_meta.width").as("resized_w"),
           col("resized_meta.height").as("resized_h"))
         .orderBy(col("asset_id"))
@@ -803,6 +844,17 @@ object SparkEntry {
     "q_compact" ->
       "SELECT 'replace' AS operation, count(*) AS record_count FROM orders",
 
+    "q_sql_ddl_insert" ->
+      """SELECT plan_id, plan_name, CAST(monthly_fee AS DOUBLE) AS monthly_fee,
+        |       launch_date
+        |FROM (VALUES
+        |  (1, 'Basic', 10.0, DATE '2025-01-01'),
+        |  (2, 'It''s Big', 49.99, DATE '2025-02-01'),
+        |  (3, NULL, NULL, NULL),
+        |  (4, 'Pro', 99.0, DATE '2025-03-01'))
+        |  AS t(plan_id, plan_name, monthly_fee, launch_date)
+        |ORDER BY plan_id""".stripMargin,
+
     "q_csv_roundtrip" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
         |       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
@@ -812,6 +864,27 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |       count(DISTINCT lang) AS n_langs
         |FROM documents""".stripMargin,
+
+    // first-writer-wins within identical normalized content — the oracle
+    // partitions on the normalized text itself (equivalent to the 64-bit
+    // content hash modulo collisions)
+    "q_dedup_exact_rows" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars, row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_stats" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE length(string_split_regex(trim(lower(text)), '\s+')) END AS INTEGER) AS n_tokens,
+        |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe,
+        |       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |             / length(text), 4) AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_tokens" ->
       """SELECT doc_id,
@@ -832,7 +905,20 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       md5(text) AS content_md5
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT asset_id, width, height, 'png' AS format,
+        |       CAST(floor(width * scale + 0.5) AS INTEGER) AS resized_w,
+        |       CAST(floor(height * scale + 0.5) AS INTEGER) AS resized_h
+        |FROM (
+        |  SELECT asset_id, width, height,
+        |         least(256.0 / greatest(width, height), 1.0) AS scale
+        |  FROM (SELECT doc_id AS asset_id,
+        |               CAST(doc_id % 1920 + 32 AS INTEGER) AS width,
+        |               CAST((doc_id * 7) % 1080 + 32 AS INTEGER) AS height
+        |        FROM documents) a) b
+        |ORDER BY asset_id""".stripMargin
   )
 
   // -------------------------------------------------------------------

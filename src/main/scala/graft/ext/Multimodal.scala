@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,29 +36,57 @@ object Multimodal {
       struct(col(sourceCol).as("source"),
         octet_length(col(payloadCol)).cast("long").as("byte_len")).as("meta"))
 
+  /** Image decode: REAL container-header parsing for PNG/JPEG/GIF/BMP
+    * (width/height/channels from the actual bytes, via the
+    * [[graft.functions.ImageHeaderMeta]] expression — scan-local, no
+    * codec libraries needed). Payloads in an unrecognized format fall
+    * back to a deterministic content-hash STUB so pipelines over
+    * non-image test payloads still flow; the `format` field says which
+    * path produced the row (`png`/`jpeg`/`gif`/`bmp` vs `fake`).
+    * Full pixel decode (beyond header metadata) would need a codec
+    * binding and stays out of scope in this container.
+    */
+  def decodeImageMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val real = graft.functions.GraftFunctions.imageHeaderMeta(col(contentCol))
+    val h = xxhash64(col(contentCol))
+    val fake = struct(
+      (pmod(h, lit(1920)) + 32).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080)) + 32).cast("int").as("height"),
+      lit(3).as("channels"),
+      lit("fake").as("format"))
+    df.withColumn("image_meta", coalesce(real, fake))
+  }
+
+  /** Crafted minimal PNG header bytes (signature + IHDR) carrying the
+    * given dimensions — pure column expressions (`unhex` big-endian
+    * packing), so test pipelines exercise the REAL header decode path
+    * end to end without an image library. */
+  def syntheticPngContent(width: Column, height: Column): Column = {
+    def be32(v: Column) = unhex(lpad(hex(v.cast("int")), 8, "0"))
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // PNG signature
+      unhex(lit("0000000D")),         // IHDR length = 13
+      unhex(lit("49484452")),         // "IHDR"
+      be32(width), be32(height),
+      unhex(lit("0806000000")),       // bit depth 8, color type 6 (RGBA), ...
+      unhex(lit("00000000")))         // (unchecked) CRC placeholder
+  }
+
   // ---------------------------------------------------------------------
-  // STUB decoders — deterministic fakes keyed on content bytes.
+  // STUB transforms — deterministic fakes keyed on content bytes.
   // A real deployment replaces the body of each; signatures/schemas stay.
   // ---------------------------------------------------------------------
 
-  /** STUB image decode: width/height/channels derived from the content
-    * hash (a real impl would parse the container header). */
-  def decodeImageMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
-    val h = xxhash64(col(contentCol))
-    df.withColumn("image_meta", struct(
-      (pmod(h, lit(1920)) + 32).cast("int").as("width"),
-      (pmod(shiftright(h, 16), lit(1080)) + 32).cast("int").as("height"),
-      lit(3).as("channels")))
-  }
-
-  /** STUB resize: proportional metadata transform; bytes pass through
-    * truncated (a real impl re-encodes pixels). */
+  /** Proportional resize of the decoded metadata (bytes pass through —
+    * pixel re-encode needs a codec binding, out of scope here).
+    * Half-up rounding via floor(x + 0.5): identical across engines,
+    * unlike banker's rounding. */
   def resize(df: DataFrame, maxSide: Int, contentCol: String = "content"): DataFrame = {
     val w = col("image_meta.width"); val hgt = col("image_meta.height")
     val scale = least(lit(maxSide) / greatest(w, hgt), lit(1.0))
     df.withColumn("resized_meta", struct(
-      round(w * scale).cast("int").as("width"),
-      round(hgt * scale).cast("int").as("height"),
+      floor(w * scale + 0.5).cast("int").as("width"),
+      floor(hgt * scale + 0.5).cast("int").as("height"),
       col("image_meta.channels").as("channels")))
   }
 

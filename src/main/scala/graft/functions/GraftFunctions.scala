@@ -40,6 +40,11 @@ object GraftFunctions {
   def hyperplaneLsh(vec: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneLsh(toExpr(vec), numPlanes, seed))
 
+  /** PNG/JPEG/GIF/BMP header decode of a binary column →
+    * `struct<width,height,channels,format>`, NULL when unrecognized. */
+  def imageHeaderMeta(content: Column): Column =
+    toCol(ImageHeaderMeta(toExpr(content)))
+
   /** Register every custom function for SQL use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -57,5 +62,7 @@ object GraftFunctions {
       es => RollingHash(es.head, 1000003L, (1L << 61) - 1), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       es => HyperplaneLsh(es.head, 16, 42L), "built-in")
+    reg.createOrReplaceTempFunction("image_header_meta",
+      es => ImageHeaderMeta(es.head), "built-in")
   }
 }

@@ -18,13 +18,16 @@ import graft.catalog.GraftCatalog
   */
 final class Engine(catalog: GraftCatalog) {
 
-  /** Parse-time hook order: cleanup → time-travel rewrite → spark.sql. */
+  /** Parse-time hook order: cleanup → DDL/DML intercept → time-travel
+    * rewrite → spark.sql. */
   def sql(raw: String): DataFrame = {
     val cleaned = SqlCleanup.clean(raw)
-    val TimeTravelRewriter.Rewritten(stmt, asOf) = TimeTravelRewriter.rewrite(cleaned)
-    asOf match {
-      case None     => catalog.spark.sql(stmt)
-      case Some(ms) => asOfQuery(stmt, ms)
+    SqlDdl.tryExecute(catalog, cleaned).getOrElse {
+      val TimeTravelRewriter.Rewritten(stmt, asOf) = TimeTravelRewriter.rewrite(cleaned)
+      asOf match {
+        case None     => catalog.spark.sql(stmt)
+        case Some(ms) => asOfQuery(stmt, ms)
+      }
     }
   }
 

@@ -1,0 +1,139 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.catalog.GraftCatalog
+
+/** SQL write surface: the statements the reference's warehouse build
+  * scripts execute against Impala —
+  * `CREATE DATABASE IF NOT EXISTS / USE / DROP TABLE IF EXISTS /
+  * CREATE TABLE … STORED AS ICEBERG` (`create_iceberg.py:106-155`) and
+  * single batched `INSERT INTO t (cols) VALUES (…),(…)`
+  * (`create_iceberg.py:157-203`, backtick-quoted column lists, `''`
+  * string escaping, NULL literals) — intercepted at the same pre-parse
+  * seam as time travel and routed to [[GraftCatalog]]/TableStore.
+  *
+  * `VALUES` literal parsing is delegated to Spark's own parser
+  * (`SELECT * FROM VALUES …`), then each column is cast to the table's
+  * declared type, so string date/timestamp literals land as proper
+  * DATE/TIMESTAMP — the typed-DataFrame equivalent of Impala's implicit
+  * casts. One INSERT = one snapshot commit, the commit-granularity
+  * behavior the reference builds its batching around
+  * (`create_iceberg.py:158-160`).
+  */
+object SqlDdl {
+
+  private val CreateDb =
+    "(?is)^\\s*CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*$".r
+  private val UseDb = "(?is)^\\s*USE\\s+([A-Za-z_]\\w*)\\s*$".r
+  private val DropTable =
+    "(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+  private val CreateTable =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
+      "\\s*\\((.*)\\)\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
+  private val Insert =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
+      "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
+
+  /** Execute `stmt` if it is a DDL/DML statement; None = not ours, let
+    * the query path handle it. Successful statements return an empty
+    * frame (the DBAPI cursor shape: DDL/INSERT produce no result set, so
+    * `Engine.run` renders the `"[]"` contract).
+    */
+  def tryExecute(catalog: GraftCatalog, stmt: String): Option[DataFrame] = stmt match {
+    case CreateDb(db) =>
+      catalog.createDatabase(db); Some(empty(catalog))
+    case UseDb(db) =>
+      catalog.use(db); Some(empty(catalog))
+    case DropTable(t) =>
+      catalog.dropTable(t); Some(empty(catalog))
+    case CreateTable(t, colsDef) =>
+      if (!catalog.store().exists(t))
+        catalog.createTable(t, parseSchema(colsDef))
+      Some(empty(catalog))
+    case Insert(t, colList, valuesTail) =>
+      insertValues(catalog, t, Option(colList), valuesTail)
+      Some(empty(catalog))
+    case _ => None
+  }
+
+  private def empty(catalog: GraftCatalog): DataFrame =
+    catalog.spark.emptyDataFrame
+
+  /** Column definitions split at paren-depth 0 (DECIMAL(10,2) commas stay
+    * inside their type). */
+  private[sql] def parseSchema(colsDef: String): StructType = {
+    val fields = splitTopLevel(colsDef).map { c =>
+      val trimmed = c.trim
+      val sp = trimmed.indexWhere(_.isWhitespace)
+      require(sp > 0, s"cannot parse column definition: '$trimmed'")
+      val name = trimmed.substring(0, sp).stripPrefix("`").stripSuffix("`")
+      val tpe = trimmed.substring(sp + 1).trim
+        .replaceAll("(?i)\\s+NOT\\s+NULL\\s*$", "")
+      StructField(name, parseType(tpe))
+    }
+    StructType(fields)
+  }
+
+  private[sql] def parseType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val decimal = "DECIMAL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+    up match {
+      case "INT" | "INTEGER"              => IntegerType
+      case "BIGINT" | "LONG"              => LongType
+      case "SMALLINT"                     => ShortType
+      case "TINYINT"                      => ByteType
+      case "DOUBLE"                       => DoubleType
+      case "FLOAT" | "REAL"               => FloatType
+      case "DATE"                         => DateType
+      case "TIMESTAMP"                    => TimestampType
+      case "BOOLEAN"                      => BooleanType
+      case "BINARY"                       => BinaryType
+      case s if s == "STRING" || s == "TEXT" || s.startsWith("VARCHAR") ||
+        s.startsWith("CHAR")              => StringType
+      case decimal(p, s)                  => DecimalType(p.toInt, s.toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported column type: $other")
+    }
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  private def insertValues(catalog: GraftCatalog, table: String,
+      colList: Option[String], valuesTail: String): Unit = {
+    require(catalog.store().exists(table), s"table not found: $table")
+    val schema = catalog.store().schema(table)
+    val targetCols = colList.map(_.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      .getOrElse(schema.fieldNames.toSeq)
+    targetCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown column '$c' in INSERT into $table"))
+    // Spark's own parser evaluates the literal rows (NULL, numerics,
+    // ''-escaped strings) — no hand-rolled literal grammar.
+    val raw = catalog.spark.sql(s"SELECT * FROM VALUES $valuesTail")
+    require(raw.schema.length == targetCols.length,
+      s"INSERT into $table: ${targetCols.length} columns but " +
+        s"${raw.schema.length} values per row")
+    val named = raw.toDF(targetCols: _*)
+    // cast to declared types; unnamed columns become typed NULLs
+    val aligned = named.select(schema.fields.toIndexedSeq.map { f =>
+      if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    catalog.append(table, aligned)
+  }
+}
