@@ -159,7 +159,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val files = currentFiles(table)
     val totalBytes = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = read(table).repartition(numFiles)
+    // coalesce, not repartition: merging small files needs no shuffle —
+    // at 100 TB a full shuffle to rewrite a table is the difference
+    // between an I/O-bound rewrite and doubling cluster network traffic
+    val df = read(table).coalesce(numFiles)
     overwrite(table, df, operation = "replace")
   }
 
