@@ -348,8 +348,11 @@ object SparkEntry {
     }),
 
     // =================================================================
-    // §2.10-analogue: event-time processing in batch (streaming semantics
-    // live in graft.streaming; this is the oracle-checkable batch twin)
+    // §2.10-analogue: event-time processing in batch. The streaming
+    // forms live in graft.streaming.EventStreams (watermarked windowed
+    // aggregation, mapGroupsWithState sessionization, micro-batch
+    // snapshot sink — MemoryStream-tested); these are the
+    // oracle-checkable batch twins of the same logic.
     // =================================================================
 
     // Tumbling-window aggregation (1 hour) per event type.

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.catalog.GraftCatalog
+
+/** Structured Streaming operators over the events stream shape
+  * (event_id, ts, user_id, event_type, value, props — TESTDATA.md).
+  *
+  * The reference itself has no stream processing (SURVEY.md §2.10) — its
+  * closest pattern is incremental batch appends creating successive
+  * snapshots (`append_iceberg.py:182-215`). These operators are the
+  * north-star streaming tier: the windowed aggregation and sessionization
+  * are the streaming twins of the batch queries `q_events_hourly` /
+  * `q_sessionize` (same grouping logic, same outputs once the watermark
+  * closes a window), and [[appendStream]] is the reference's append
+  * pattern expressed as a micro-batch sink into the snapshot store.
+  *
+  * Scale posture: watermark + windowed aggregation is incremental state
+  * (no unbounded buffering); sessionization keeps O(1) state per active
+  * user key and expires it by processing-time timeout; the snapshot sink
+  * commits one snapshot per micro-batch — commit granularity identical
+  * to the batch loads, so downstream time travel works over streamed
+  * tables too.
+  */
+object EventStreams {
+
+  /** Tumbling one-hour counts per event type with late-data tolerance —
+    * the streaming twin of `q_events_hourly`. */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, tsMs: Long)
+  final case class SessionState(nSessions: Long, nEvents: Long, lastTsMs: Long)
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization via mapGroupsWithState — the streaming twin
+    * of `q_sessionize` (30-minute inactivity gap): per-user state is
+    * (session count, event count, last event time), updated per
+    * micro-batch. In production pass a processing-time `stateTimeout` so
+    * idle users' state expires and the state store stays bounded by the
+    * active-user set; None disables timeouts (deterministic tests — the
+    * timeout-check batches otherwise re-trigger continuously under
+    * `processAllAvailable`).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800,
+      stateTimeout: Option[String] = Some("1 hour")): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id").cast("long"),
+        (col("ts").cast("double") * 1000).cast("long").as("tsMs"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](timeoutConf) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionSummary(userId, s.nSessions, s.nEvents)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            val sorted = batch.toSeq.sortBy(_.tsMs)
+            val next = sorted.foldLeft(prev) { (st, e) =>
+              val newSession = st.lastTsMs == Long.MinValue ||
+                e.tsMs - st.lastTsMs > gapSeconds * 1000
+              SessionState(st.nSessions + (if (newSession) 1 else 0),
+                st.nEvents + 1, e.tsMs)
+            }
+            state.update(next)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            SessionSummary(userId, next.nSessions, next.nEvents)
+          }
+      }
+  }
+
+  /** Micro-batch ingest into the snapshot store: every micro-batch is one
+    * ACID append (= one snapshot), the streaming form of the reference's
+    * incremental-append pattern. History/time-travel over the target
+    * table behave exactly as with batch loads.
+    */
+  def appendStream(catalog: GraftCatalog, table: String, events: DataFrame,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { catalog.append(table, batch); () }
+      }
+      .start()
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.catalog.GraftCatalog
+
+/** Streaming operators driven through MemoryStream micro-batches; the
+  * aggregation results must match their batch twins on the same data.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val eventRows = Seq(
+    // user 1: two sessions (gap > 30 min between 10:00 and 11:00)
+    (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+    (1L, ts("2024-01-01 10:10:00"), "click", 2.0),
+    (1L, ts("2024-01-01 11:00:00"), "view", 3.0),
+    // user 2: one session
+    (2L, ts("2024-01-01 10:05:00"), "click", 4.0),
+    (2L, ts("2024-01-01 10:20:00"), "view", 5.0))
+
+  test("hourlyCounts over a stream matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("user_id", "ts", "event_type", "value")
+    val query = EventStreams.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(eventRows.take(3))
+      query.processAllAvailable()
+      input.addData(eventRows.drop(3))
+      query.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("hour", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      val expected = eventRows.toDF("user_id", "ts", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == expected.toSeq)
+    } finally query.stop()
+  }
+
+  test("stateful sessionization counts inactivity gaps across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("user_id", "ts", "event_type", "value")
+    val query = EventStreams.sessionize(spark, events, stateTimeout = None)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("update").start()
+    try {
+      // split mid-session so state must carry across batches
+      input.addData(eventRows.take(2))
+      query.processAllAvailable()
+      input.addData(eventRows.drop(2))
+      query.processAllAvailable()
+      val latest = spark.table("sessions_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // user 1: 10:00/10:10 then 11:00 (> 30 min gap) = 2 sessions, 3 events
+      // user 2: 10:05/10:20 = 1 session, 2 events
+      assert(latest.toSeq == Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+    } finally query.stop()
+  }
+
+  test("appendStream commits one snapshot per micro-batch into the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-stream"), spark)
+    cat.createDatabase("default")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("user_id", "ts", "event_type", "value")
+    cat.createTable("events_t", events.schema)
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    input.addData(eventRows.take(3))
+    val q1 = EventStreams.appendStream(cat, "events_t", events, ckpt)
+    q1.awaitTermination()
+    input.addData(eventRows.drop(3))
+    val q2 = EventStreams.appendStream(cat, "events_t", events, ckpt)
+    q2.awaitTermination()
+
+    assert(cat.table("events_t").count() == 5)
+    val h = cat.history("events_t").orderBy("snapshot_id").collect()
+    assert(h.length == 2) // one snapshot per micro-batch
+    assert(h.map(_.getAs[Long]("record_count")).toSeq == Seq(3L, 5L))
+    // streamed snapshots time-travel like batch ones
+    val t1 = h(0).getAs[Timestamp]("committed_at").getTime
+    assert(cat.table("events_t", Some(t1)).count() == 3)
+  }
+}
