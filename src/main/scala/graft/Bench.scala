@@ -26,9 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: exercises parquet reader, codegen, shuffle machinery.
-    try SparkEntry.queries("q_filter_count")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // Warmup: scan-only then join+agg+shuffle, so JIT/codegen/shuffle
+    // machinery costs aren't billed to whichever query runs first.
+    Seq("q_filter_count", "q_multiway_join").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: $e") }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

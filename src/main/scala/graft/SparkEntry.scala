@@ -559,6 +559,18 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // IVF-pruned ANN: nearest-centroid index + nprobe-list search — the
+    // partition-pruning scale path (rows-only: sampled centroids).
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = firstVector(e)
+      val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        nlist = 16)
+      Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", q,
+          k = 10, nprobe = 6)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // =================================================================
     // North star: text analysis
     // =================================================================

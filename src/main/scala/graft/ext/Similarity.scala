@@ -69,6 +69,56 @@ object Similarity {
     cosineTopK(pruned, idCol, vecCol, query, k)
   }
 
+  /** IVF-flat index: assign every vector to its nearest of `nlist`
+    * centroids (deterministic sample of the data itself, the FAISS-style
+    * IVF training shortcut). The returned frame adds an `_ivf_list`
+    * column; at cluster scale you persist it partitioned/bucketed by
+    * `_ivf_list`, so a probe reads only nprobe/nlist of the data —
+    * the partition-pruning analogue for vector search, where LSH prunes
+    * per-row and IVF prunes per-file.
+    */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): (DataFrame, Seq[Array[Float]]) = {
+    val centroids = embeddings
+      .select(col(idCol).cast("long").as("_cid"), col(vecCol).as("_cv"))
+      .orderBy(xxhash64(col("_cid"), lit(seed)))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .toSeq
+    (embeddings.withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids)),
+      centroids)
+  }
+
+  /** Nearest-centroid id as a codegen-friendly expression: one cosine
+    * per centroid, argmax via `greatest` over (score, id) structs. */
+  private def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(GraftFunctions.cosineSim(vec, lit(c)).as("s"), lit(i).as("c"))
+    }
+    greatest(scored: _*).getField("c")
+  }
+
+  /** IVF-pruned top-k: score only the `nprobe` lists nearest to the
+    * query. Exact ranking within the probed lists (IVF-flat). */
+  def ivfTopK(indexed: DataFrame, centroids: Seq[Array[Float]],
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    cosineTopK(indexed.filter(col("_ivf_list").isin(probeLists: _*)),
+      idCol, vecCol, query, k)
+  }
+
+  /** Driver-side cosine (query vs centroid — tiny). */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Driver-side sketch of one query vector (same bit function the
     * executors apply via [[graft.functions.HyperplaneLsh]]). */
   def sketchOf(vec: Array[Float], numPlanes: Int, seed: Long): Long = {

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that make these
+  * queries scale-safe are visible in the executed plan, so lock them:
+  * filter/column pushdown into the Parquet scan, broadcast joins for
+  * small dimensions, TakeOrderedAndProject for top-k (no global sort),
+  * partial aggregation, and no cartesian products anywhere.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_project_filter pushes the date filter and prunes columns at the scan") {
+    val p = plan("q_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: none of the 16 lineitem columns beyond the 4 selected
+    assert(!p.contains("l_comment"), "scan reads unprojected columns:\n" + p)
+  }
+
+  test("q_count_join_in broadcasts the small dimension side") {
+    val p = plan("q_count_join_in")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
+    val p = plan("q_multiway_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_topk_orders plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_shipping_priority also resolves top-k without a full sort") {
+    assert(plan("q_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_pricing_summary aggregates partially before the shuffle") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("q_forecast_revenue pushes all four predicates into the scan") {
+    val p = plan("q_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    // every filtered column reaches the parquet reader, and the read
+    // schema is pruned to the four referenced columns
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(p.contains(c), s"missing pushed column $c:\n$p"))
+    assert(!p.contains("l_comment"), "scan reads unprojected columns:\n" + p)
+  }
+
+  test("q_embed_topk scores inside codegen and top-ks without a sort") {
+    val p = plan("q_embed_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no query plans a cartesian product at sf0.001") {
+    // cartesian products are the canonical does-not-scale plan; the DDL
+    // and store-backed queries mutate temp state, so check the pure ones
+    val pure = SparkEntry.queries.keys.filterNot(k =>
+      k.startsWith("q_tt_") || k == "q_compact" || k == "q_sql_ddl_insert" ||
+        k == "q_csv_roundtrip")
+    pure.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** ANN operators: brute-force ground truth vs the LSH- and IVF-pruned
+  * paths, and the bounded-heap multi-query aggregator.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // 40 deterministic unit-ish vectors in 8 dims, plus a near-copy of v0
+  private val vecs = {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    base :+ (99L, base.head._2.map(x => x * 0.99f + 0.001f)) // near-dup of v0
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+  private val query = vecs.head._2
+
+  test("brute-force cosine top-k ranks the near-duplicate right after the query itself") {
+    val top = Similarity.cosineTopK(df, "vec_id", "embedding", query, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.take(2).toSet == Set(0L, 99L))
+  }
+
+  test("IVF search finds the brute-force top-1 and prunes the scan") {
+    val (indexed, centroids) = Similarity.ivfIndex(df, "vec_id", "embedding",
+      nlist = 8)
+    assert(centroids.size == 8)
+    // every row gets a list id within [0, nlist)
+    val lists = indexed.select("_ivf_list").distinct().as[Int].collect()
+    assert(lists.forall(l => l >= 0 && l < 8))
+    val top = Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding",
+      query, k = 3, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    // the query vector and its near-copy land in the same probed list
+    assert(top.contains(0L) && top.contains(99L))
+    // pruning is real: fewer rows scanned than the full table
+    val probed = Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding",
+      query, k = 100, nprobe = 2).count()
+    assert(probed < vecs.size)
+  }
+
+  test("multi-query bounded-heap top-k matches brute force per query") {
+    val queries = df.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.cosineTopKForQueries(df, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val expected = (0L to 1L).flatMap { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      Similarity.cosineTopK(df, "vec_id", "embedding", qv, 3)
+        .select("vec_id").as[Long].collect().map(qid -> _)
+    }
+    assert(got == expected)
+  }
+}
