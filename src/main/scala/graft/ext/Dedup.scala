@@ -16,11 +16,16 @@ import graft.functions.GraftFunctions
 object Dedup {
 
   /** Exact dedup: first-writer-wins by `orderCol` within identical
-    * `keyCols` (hash-partitioned groupBy under the hood). */
+    * `keyCols`. Implemented as `min_by` over a hash aggregation — NOT a
+    * row_number window: the aggregate combines partially on the map side
+    * and never sorts, so a hot key costs one combine per partition
+    * instead of pulling its whole group into a single sort. Requires a
+    * unique `orderCol` (ties would pick an arbitrary winner). */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(orderCol)).as("_row"))
+      .select(df.columns.map(c => col(s"_row.$c")).toIndexedSeq: _*)
   }
 
   /** Exact content dedup on a normalized text hash — one shuffle on a

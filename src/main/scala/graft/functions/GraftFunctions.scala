@@ -45,24 +45,13 @@ object GraftFunctions {
   def imageHeaderMeta(content: Column): Column =
     toCol(ImageHeaderMeta(toExpr(content)))
 
-  /** Register every custom function for SQL use. */
+  /** Register every custom function for SQL use on an existing session.
+    * Same builder table as [[graft.GraftExtensions]] (the config-driven
+    * `spark.sql.extensions` path). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2_norm",
-      es => L2Norm(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es.head, 64, 42L), "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      es => ShingleHashes(es.head, 3, 42L), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head, 42L), "built-in")
-    reg.createOrReplaceTempFunction("rolling_hash",
-      es => RollingHash(es.head, 1000003L, (1L << 61) - 1), "built-in")
-    reg.createOrReplaceTempFunction("hyperplane_lsh",
-      es => HyperplaneLsh(es.head, 16, 42L), "built-in")
-    reg.createOrReplaceTempFunction("image_header_meta",
-      es => ImageHeaderMeta(es.head), "built-in")
+    graft.GraftExtensions.functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, es => builder(es), "built-in")
+    }
   }
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension point installs every custom function builder") {
+    // applying to a fresh extensions object must register all builders
+    // without throwing (session-level behavior is covered by the SQL
+    // registration test in ExpressionsSpec — same builder table)
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftExtensions.functions.map(_._1).toSet == Set(
+      "cosine_similarity", "l2_norm", "minhash_signature", "shingle_hashes",
+      "simhash64", "rolling_hash", "hyperplane_lsh", "image_header_meta"))
+  }
+
+  test("builders construct valid expressions") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      val arity = if (name == "cosine_similarity") 2 else 1
+      val expr = builder(Seq.fill(arity)(Literal(1L)))
+      assert(expr != null, name)
+    }
+  }
+}
