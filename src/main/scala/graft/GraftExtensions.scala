@@ -35,5 +35,6 @@ object GraftExtensions {
     "simhash64" -> (es => SimHash64(es.head, 42L)),
     "rolling_hash" -> (es => RollingHash(es.head, 1000003L, (1L << 61) - 1)),
     "hyperplane_lsh" -> (es => HyperplaneLsh(es.head, 16, 42L)),
-    "image_header_meta" -> (es => ImageHeaderMeta(es.head)))
+    "image_header_meta" -> (es => ImageHeaderMeta(es.head)),
+    "audio_header_meta" -> (es => AudioHeaderMeta(es.head)))
 }

@@ -650,6 +650,25 @@ object SparkEntry {
           col("resized_meta.width").as("resized_w"),
           col("resized_meta.height").as("resized_h"))
         .orderBy(col("asset_id"))
+    }),
+
+    // REAL WAV header decode: crafted RIFF headers (rates/sizes derived
+    // from asset_id), parsed by AudioHeaderMeta — arithmetic oracle.
+    "q_multimodal_audio" -> ((s, dir) => {
+      val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
+          "audio", "source")
+        .withColumn("content", Multimodal.syntheticWavContent(
+          (pmod(col("asset_id"), lit(8)) * 1000 + 8000).cast("int"),
+          (pmod(col("asset_id"), lit(2)) + 1).cast("int"),
+          lit(16),
+          ((pmod(col("asset_id"), lit(997)) + 1) * 64).cast("int")))
+      Multimodal.decodeAudioMeta(assets)
+        .select(col("asset_id"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.duration_ms").as("duration_ms"),
+          col("audio_meta.format").as("format"))
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -933,6 +952,20 @@ object SparkEntry {
         |               CAST(doc_id % 1920 + 32 AS INTEGER) AS width,
         |               CAST((doc_id * 7) % 1080 + 32 AS INTEGER) AS height
         |        FROM documents) a) b
+        |ORDER BY asset_id""".stripMargin,
+
+    // byte_rate = sample_rate * channels * 2 (16-bit PCM);
+    // duration_ms = data_size * 1000 // byte_rate (integer division)
+    "q_multimodal_audio" ->
+      """SELECT asset_id, sample_rate, channels,
+        |       CAST(data_size * 1000 // (sample_rate * channels * 2) AS BIGINT)
+        |         AS duration_ms,
+        |       'wav' AS format
+        |FROM (SELECT doc_id AS asset_id,
+        |             CAST(doc_id % 8 * 1000 + 8000 AS INTEGER) AS sample_rate,
+        |             CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |             (doc_id % 997 + 1) * 64 AS data_size
+        |      FROM documents) a
         |ORDER BY asset_id""".stripMargin
   )
 

@@ -72,6 +72,36 @@ object Multimodal {
       unhex(lit("00000000")))         // (unchecked) CRC placeholder
   }
 
+  /** Audio decode: REAL WAV/RIFF header parsing (sample rate, channels,
+    * bits, duration from the chunk list); non-WAV payloads yield a NULL
+    * `audio_meta` (no fake here — audio pipelines filter on
+    * recognizability). */
+  def decodeAudioMeta(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("audio_meta",
+      graft.functions.GraftFunctions.audioHeaderMeta(col(contentCol)))
+
+  /** Crafted minimal WAV header (RIFF/fmt/data chunks, no sample
+    * payload) — little-endian packing via column expressions, for
+    * exercising the real audio decode end to end. */
+  def syntheticWavContent(sampleRate: Column, channels: Column,
+      bitsPerSample: Column, dataSize: Column): Column = {
+    def le(v: Column, bytes: Int) = concat((0 until bytes).map(i =>
+      unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))),
+        2, "0"))): _*)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    concat(
+      lit("RIFF".getBytes), le(dataSize + 36, 4), lit("WAVE".getBytes),
+      lit("fmt ".getBytes), le(lit(16), 4),
+      le(lit(1), 2),            // PCM
+      le(channels, 2),
+      le(sampleRate, 4),
+      le(byteRate, 4),
+      le(blockAlign, 2),
+      le(bitsPerSample, 2),
+      lit("data".getBytes), le(dataSize, 4))
+  }
+
   // ---------------------------------------------------------------------
   // STUB transforms — deterministic fakes keyed on content bytes.
   // A real deployment replaces the body of each; signatures/schemas stay.

@@ -45,6 +45,12 @@ object GraftFunctions {
   def imageHeaderMeta(content: Column): Column =
     toCol(ImageHeaderMeta(toExpr(content)))
 
+  /** WAV/RIFF header decode of a binary column →
+    * `struct<sample_rate,channels,bits,duration_ms,format>`, NULL when
+    * unrecognized. */
+  def audioHeaderMeta(content: Column): Column =
+    toCol(AudioHeaderMeta(toExpr(content)))
+
   /** Register every custom function for SQL use on an existing session.
     * Same builder table as [[graft.GraftExtensions]] (the config-driven
     * `spark.sql.extensions` path). */

@@ -134,3 +134,71 @@ object ImageHeaderMeta {
     if (w > 0 && h > 0) Some((w, h, 3, "bmp")) else None
   }
 }
+
+/** WAV (RIFF) header decode for binary audio payloads:
+  * `struct<sample_rate int, channels int, bits int, duration_ms bigint,
+  * format string>`, NULL for unrecognized content. Header-only — walks
+  * the RIFF chunk list to `fmt ` and `data`, never touches samples.
+  */
+case class AudioHeaderMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AudioHeaderMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_header_meta"
+
+  override def nullSafeEval(v: Any): Any = {
+    AudioHeaderMeta.decode(v.asInstanceOf[Array[Byte]]) match {
+      case Some((sr, ch, bits, durMs)) =>
+        InternalRow(sr, ch, bits, durMs, UTF8String.fromString("wav"))
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioHeaderMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xFFFFFFFFL
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + 4 <= b.length && b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+      b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+  /** (sampleRate, channels, bitsPerSample, durationMs). */
+  def decode(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var byteRate = 0L; var dataSize = -1L
+    var i = 12
+    // chunk walk: id(4) + size(LE32) + payload; header fields only
+    while (i + 8 <= b.length && (sampleRate == 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16)
+        bits = if (i + 24 <= b.length) le16(b, i + 22) else 0
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt
+    }
+    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some((sampleRate, channels, bits, dataSize * 1000L / byteRate))
+  }
+}

@@ -13,7 +13,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "cosine_similarity", "l2_norm", "minhash_signature", "shingle_hashes",
-      "simhash64", "rolling_hash", "hyperplane_lsh", "image_header_meta"))
+      "simhash64", "rolling_hash", "hyperplane_lsh", "image_header_meta",
+      "audio_header_meta"))
   }
 
   test("builders construct valid expressions") {

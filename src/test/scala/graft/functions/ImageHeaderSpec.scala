@@ -109,6 +109,33 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(out(1).getString(2) == "fake") // honest stub, labeled as such
   }
 
+  test("decodes WAV RIFF headers: rate, channels, bits, duration") {
+    // 8000 Hz, mono, 16-bit, 16000 data bytes → byteRate 16000 → 1000 ms
+    val wav = {
+      val buf = ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + 16000).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16)
+      buf.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      buf.put("data".getBytes).putInt(16000)
+      buf.array()
+    }
+    assert(AudioHeaderMeta.decode(wav) == Some((8000, 1, 16, 1000L)))
+    assert(AudioHeaderMeta.decode("not audio".getBytes).isEmpty)
+    assert(AudioHeaderMeta.decode(null).isEmpty)
+  }
+
+  test("syntheticWavContent round-trips through the real audio decoder") {
+    val out = Seq((44100, 2, 16, 176400)).toDF("sr", "ch", "bits", "ds")
+      .select(Multimodal.syntheticWavContent(
+        col("sr"), col("ch"), col("bits"), col("ds")).as("c"))
+      .select(GraftFunctions.audioHeaderMeta(col("c")).as("m"))
+      .selectExpr("m.sample_rate", "m.channels", "m.bits", "m.duration_ms", "m.format")
+      .head()
+    assert(out.getInt(0) == 44100 && out.getInt(1) == 2 && out.getInt(2) == 16)
+    assert(out.getLong(3) == 1000L) // 176400 bytes / (44100*2*2 B/s) = 1 s
+    assert(out.getString(4) == "wav")
+  }
+
   test("syntheticPngContent round-trips through the real decoder") {
     val out = Seq((123, 456)).toDF("w", "h")
       .select(Multimodal.syntheticPngContent(col("w"), col("h")).as("c"))
