@@ -162,11 +162,18 @@ object Dedup {
       seed: Long = 42L, shingleSize: Int = 3): DataFrame = {
     val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize)
     // verify on the same (hashed) shingle sets the signatures sketch —
-    // set ops over bigints, not concatenated strings
-    val toks = df.select(col(idCol).as("_tid"),
-      array_distinct(GraftFunctions.shingleHashes(
-        TextAnalysis.tokens(col(textCol)), shingleSize, seed))
-        .as("_toks"))
+    // set ops over bigints, not concatenated strings. Shingles are
+    // recomputed ONLY for docs that appear in a candidate pair
+    // (semi-join prune): verification cost scales with the candidate
+    // set, not the corpus — at 100 TB candidates are a sliver of docs.
+    val candIds = cand.select(col("id_a").as("_tid"))
+      .union(cand.select(col("id_b").as("_tid"))).distinct()
+    val toks = df.select(col(idCol).as("_tid"), col(textCol).as("_text"))
+      .join(candIds, Seq("_tid"), "left_semi")
+      .select(col("_tid"),
+        array_distinct(GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col("_text")), shingleSize, seed))
+          .as("_toks"))
     cand
       .join(toks.withColumnRenamed("_tid", "id_a").withColumnRenamed("_toks", "_ta"), "id_a")
       .join(toks.withColumnRenamed("_tid", "id_b").withColumnRenamed("_toks", "_tb"), "id_b")
@@ -256,9 +263,14 @@ object Dedup {
     * Jaccard signal, set ops ~10× cheaper than concatenated strings. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, seed: Long = 42L): DataFrame = {
-    val grams = df.select(col(idCol).as("_gid"),
-      array_distinct(GraftFunctions.shingleHashes(
-        TextAnalysis.tokens(col(textCol)), n, seed)).as("_grams"))
+    // gram sets only for docs referenced by a pair (semi-join prune)
+    val pairIds = pairs.select(col("id_a").as("_gid"))
+      .union(pairs.select(col("id_b").as("_gid"))).distinct()
+    val grams = df.select(col(idCol).as("_gid"), col(textCol).as("_text"))
+      .join(pairIds, Seq("_gid"), "left_semi")
+      .select(col("_gid"),
+        array_distinct(GraftFunctions.shingleHashes(
+          TextAnalysis.tokens(col("_text")), n, seed)).as("_grams"))
     pairs
       .join(grams.withColumnRenamed("_gid", "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
       .join(grams.withColumnRenamed("_gid", "id_b").withColumnRenamed("_grams", "_gb"), "id_b")
