@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,19 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * payload are touched.
   */
 case class ImageHeaderMeta(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ImageHeaderMeta.schema
   override def nullable: Boolean = true
   override def prettyName: String = "image_header_meta"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[Array[Byte]]
+  def compute(bytes: Array[Byte]): InternalRow =
     ImageHeaderMeta.decode(bytes) match {
       case Some((w, h, c, fmt)) =>
         InternalRow(w, h, c, UTF8String.fromString(fmt))
       case None => null
     }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imghdr", this, classOf[ImageHeaderMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -141,18 +149,27 @@ object ImageHeaderMeta {
   * the RIFF chunk list to `fmt ` and `data`, never touches samples.
   */
 case class AudioHeaderMeta(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = AudioHeaderMeta.schema
   override def nullable: Boolean = true
   override def prettyName: String = "audio_header_meta"
 
-  override def nullSafeEval(v: Any): Any = {
-    AudioHeaderMeta.decode(v.asInstanceOf[Array[Byte]]) match {
+  def compute(bytes: Array[Byte]): InternalRow =
+    AudioHeaderMeta.decode(bytes) match {
       case Some((sr, ch, bits, durMs)) =>
         InternalRow(sr, ch, bits, durMs, UTF8String.fromString("wav"))
       case None => null
     }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("audiohdr", this, classOf[AudioHeaderMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,17 +1,23 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hash-sketch expressions for near-duplicate detection at scale.
   *
-  * Both run one tight JVM loop per row over the token array — a single
+  * Each runs one tight JVM loop per row over the token array — a single
   * pass computes the whole signature (64 permutations derive from one
   * base hash via multiply-add, not 64 re-hashes), which is what makes
   * signature computation affordable over billions of documents.
+  *
+  * All implement `doGenCode` by calling their own `compute` through a
+  * codegen object reference — NOT `CodegenFallback`, which would demote
+  * the entire containing stage to interpreted execution: one virtual
+  * call per row keeps the surrounding scan→project→explode pipeline
+  * inside whole-stage codegen.
   */
 
 /** MinHash signature: `array<bigint>` of length `numHashes`.
@@ -25,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * skips the string hashing entirely, the hot-path pairing).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1 && numHashes <= 512)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -39,8 +45,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     case _                      => false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
+  def compute(tokens: ArrayData): ArrayData = {
     val (as, bs) = coeffs
     val sig = Array.fill(numHashes)(-1L) // 0xFFFF… = unsigned max
     val n = tokens.numElements()
@@ -63,6 +68,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       }
     }
     new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -89,7 +101,7 @@ object MinHashSignature {
   * version's single joined shingle).
   */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && n <= 64)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -97,8 +109,7 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
 
   private val Prime = 0x9E3779B97F4A7C15L
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
+  def compute(tokens: ArrayData): ArrayData = {
     val count = tokens.numElements()
     val th = new Array[Long](count)
     var i = 0
@@ -121,6 +132,13 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -130,13 +148,12 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
   * similar token multisets.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
+  def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     var t = 0
     val n = tokens.numElements()
@@ -158,6 +175,13 @@ case class SimHash64(child: Expression, seed: Long)
     out
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -166,13 +190,13 @@ case class SimHash64(child: Expression, seed: Long)
   * content-defined, order-sensitive, cheap to maintain incrementally).
   */
 case class RollingHash(child: Expression, base: Long, modulus: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) {
@@ -180,6 +204,13 @@ case class RollingHash(child: Expression, base: Long, modulus: Long)
       i += 1
     }
     h
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

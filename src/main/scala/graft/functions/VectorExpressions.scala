@@ -98,15 +98,14 @@ case class L2Norm(child: Expression)
   * broadcast. Returns a Long bit-set (numPlanes <= 64).
   */
 case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Long)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1,64]")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_lsh"
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
+  def compute(arr: ArrayData): Long = {
+    val x = arr.toFloatArray()
     var bits = 0L
     var p = 0
     while (p < numPlanes) {
@@ -118,6 +117,15 @@ case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Long)
       p += 1
     }
     bits
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  // object-reference codegen, not CodegenFallback: keeps the containing
+  // stage whole-stage-compiled (one virtual call per row)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hlsh", this, classOf[HyperplaneLsh].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

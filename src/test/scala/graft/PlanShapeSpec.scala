@@ -63,6 +63,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sketch expressions keep their stage inside whole-stage codegen") {
+    // CodegenFallback would demote the whole project stage to
+    // interpreted; the object-reference doGenCode must keep the `*(n)`
+    // codegen marker on the stage containing each sketch function.
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = docs.select(
+      GraftFunctions.simhash64(split(col("text"), " ")).as("sh"),
+      GraftFunctions.minhashSignature(
+        GraftFunctions.shingleHashes(split(col("text"), " "))).as("sig"),
+      GraftFunctions.rollingHash(col("text")).as("rh"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*("), "sketch project fell out of codegen:\n" + p)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pv = vecs.select(
+      GraftFunctions.hyperplaneLsh(col("embedding")).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(pv.contains("*("), "lsh project fell out of codegen:\n" + pv)
+  }
+
   test("no query plans a cartesian product at sf0.001") {
     // cartesian products are the canonical does-not-scale plan; the DDL
     // and store-backed queries mutate temp state, so check the pure ones
