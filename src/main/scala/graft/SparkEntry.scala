@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.GraftCatalog
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ingest.Ingest
 import graft.sql.Engine
@@ -609,6 +609,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals (oracle-checkable).
+    "q_doc_repetition" -> ((s, dir) => {
+      val (dupLine, dupWord) = TextAnalysis.repetitionStats(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dupLine.as("dup_line_ratio"),
+          dupWord.as("dup_word_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL/email scrubbing — the minimum PII pass (oracle-checkable).
+    "q_doc_scrub" -> ((s, dir) => {
+      val (scrubbed, nUrls, nEmails) = TextAnalysis.scrubPii(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(scrubbed).as("scrub_md5"),
+          nUrls.as("n_urls"), nEmails.as("n_emails"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document boilerplate line removal (rows-only: reassembly
+    // order + normalization are painful to mirror in SQL). Sentences
+    // become pseudo-lines so the single-line test corpus exercises the
+    // explode→frequency→anti-join→reassemble pipeline.
+    "q_doc_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", regexp_replace(col("text"), "\\. ", ".\n"))
+      Boilerplate.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 10)
+        .select(col("doc_id"), col("n_lines_kept"), md5(col("text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID + composite quality + fingerprint (rows-only: heuristic
     // stopword scoring and the custom rolling-hash expression).
     "q_doc_fingerprint" -> ((s, dir) => {
@@ -933,6 +963,24 @@ object SparkEntry {
         |             / length(text), 4) AS alpha_ratio,
         |       round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
         |             / length(text), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split(text, chr(10))) <= 1 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        |                  / len(string_split(text, chr(10))), 4) END AS dup_line_ratio,
+        |  CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) <= 1 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |                  / len(string_split_regex(trim(lower(text)), '\s+')), 4) END AS dup_word_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_scrub" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_md5,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_bytes" ->

@@ -68,6 +68,34 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Gopher-style repetition signals: fraction of duplicate lines and
+    * duplicate words — cheap single-pass filters that catch
+    * template/boilerplate-heavy documents at corpus scale. */
+  def repetitionStats(text: Column): (Column, Column) = {
+    val lines = split(text, "\n")
+    val words = tokens(text)
+    def dupRatio(arr: Column): Column =
+      when(size(arr) <= 1, 0.0)
+        .otherwise(round(lit(1.0) -
+          size(array_distinct(arr)).cast("double") / size(arr), 4))
+    (dupRatio(lines), dupRatio(words))
+  }
+
+  private val UrlPattern = "https?://[^\\s]+"
+  private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Scrub URLs and email addresses (the minimum PII pass of a
+    * training-data pipeline): returns (scrubbed text, url count,
+    * email count) columns. Pure regex column expressions — distributed,
+    * no UDFs. */
+  def scrubPii(text: Column): (Column, Column, Column) = {
+    val noUrls = regexp_replace(text, UrlPattern, "<URL>")
+    val scrubbed = regexp_replace(noUrls, EmailPattern, "<EMAIL>")
+    (scrubbed,
+      size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("int"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("int"))
+  }
+
   /** Full stats frame for a documents table. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
