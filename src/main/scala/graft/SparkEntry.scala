@@ -519,10 +519,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding-cosine near-dup via hyperplane LSH (rows-only).
+    // Embedding-cosine near-dup via hyperplane LSH (rows-only). The
+    // testdata embeddings are near-orthogonal random vectors (max pair
+    // cosine ≈ 0.46), so near-duplicates are planted: each vec_id < 20
+    // gets a slightly-perturbed copy at id+100000 — the operator must
+    // find exactly those pairs, making the row count meaningful instead
+    // of vacuously zero.
     "q_embed_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.9, numPlanes = 8)
+      val e = t(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05f)).as("embedding"))
+      Dedup.embeddingNearDuplicates(e.select("vec_id", "embedding").union(planted),
+          "vec_id", "embedding", threshold = 0.9, numPlanes = 8)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("id_a"), col("id_b"))
     }),
