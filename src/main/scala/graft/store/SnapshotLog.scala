@@ -102,6 +102,13 @@ object SnapshotLog {
 
   /** Append a commit; returns the new snapshot. Explicit `timestampMs`
     * keeps tests deterministic (SURVEY.md §7.4 — injected commit times).
+    *
+    * The read-modify-write of the log runs under an advisory lock file
+    * (exclusive `create`, atomic on HDFS; best-effort on local FS), so
+    * two concurrent appends serialize instead of one silently losing its
+    * commit — Iceberg's optimistic-commit guarantee, via pessimistic
+    * means. Stale locks (crashed writer) are broken after
+    * [[StaleLockMs]].
     */
   def commit(
       fs: FileSystem,
@@ -111,15 +118,51 @@ object SnapshotLog {
       recordCount: Long,
       timestampMs: Long = System.currentTimeMillis(),
       replaceAll: Boolean = false,
-      summary: Map[String, String] = Map.empty): Snapshot = {
-    val existing = read(fs, tableDir)
-    val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
-    val files =
-      if (replaceAll) newFiles
-      else existing.lastOption.map(_.files).getOrElse(Seq.empty) ++ newFiles
-    val snap = Snapshot(id, timestampMs, operation, files, recordCount, summary)
-    write(fs, tableDir, existing :+ snap)
-    snap
+      summary: Map[String, String] = Map.empty): Snapshot =
+    withCommitLock(fs, tableDir) {
+      val existing = read(fs, tableDir)
+      val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
+      val files =
+        if (replaceAll) newFiles
+        else existing.lastOption.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val snap = Snapshot(id, timestampMs, operation, files, recordCount, summary)
+      write(fs, tableDir, existing :+ snap)
+      snap
+    }
+
+  val LockTimeoutMs: Long = 30000
+  val StaleLockMs: Long = 60000
+
+  /** Exclusive-create of the lock file. HDFS `create(overwrite=false)`
+    * is atomic; Hadoop's RawLocalFileSystem implements it as
+    * check-then-create (NOT atomic), so `file:` locks go through POSIX
+    * O_CREAT|O_EXCL via java.nio instead. */
+  private def tryAcquire(fs: FileSystem, lock: HPath): Boolean =
+    if ("file" == lock.toUri.getScheme) {
+      try { java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(lock.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  private def withCommitLock[T](fs: FileSystem, tableDir: HPath)(f: => T): T = {
+    fs.mkdirs(tableDir)
+    val lock = new HPath(tableDir, "commit.lock")
+    val deadline = System.currentTimeMillis() + LockTimeoutMs
+    while (!tryAcquire(fs, lock)) {
+      try {
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        if (age > StaleLockMs) fs.delete(lock, false) // break crashed writer's lock
+      } catch { case _: java.io.FileNotFoundException => () } // freed meanwhile
+      if (System.currentTimeMillis() > deadline)
+        throw new java.io.IOException(s"commit lock timeout on $lock")
+      Thread.sleep(20)
+    }
+    try f
+    finally fs.delete(lock, false)
   }
 
   /** Time travel: newest snapshot with commit time <= asOfMs

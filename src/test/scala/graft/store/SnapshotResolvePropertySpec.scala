@@ -58,6 +58,42 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
     assert(all.last.summary.isEmpty)
   }
 
+  test("concurrent commits serialize under the lock — none are lost") {
+    val dir = new HPath(Files.createTempDirectory("graft-conc").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (1 to threads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            SnapshotLog.commit(fs, dir, "append", Seq(s"data/f$i"), i.toLong,
+              timestampMs = 1000L + i).id
+        })
+      }
+      val ids = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit got a distinct id and none was lost
+      assert(ids.toSet == (1L to threads.toLong).toSet)
+      val log = SnapshotLog.read(fs, dir)
+      assert(log.size == threads)
+      // the last snapshot accumulated every file exactly once
+      assert(log.last.files.toSet == (1 to threads).map(i => s"data/f$i").toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("a stale lock from a crashed writer is broken, not waited on forever") {
+    val dir = new HPath(Files.createTempDirectory("graft-stale").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    fs.mkdirs(dir)
+    val lock = new HPath(dir, "commit.lock")
+    fs.create(lock, false).close()
+    // age the lock beyond the stale threshold
+    fs.setTimes(lock, System.currentTimeMillis() - SnapshotLog.StaleLockMs - 1000, -1)
+    val snap = SnapshotLog.commit(fs, dir, "append", Seq("data/x"), 1, 100L)
+    assert(snap.id == 1L)
+    assert(!fs.exists(lock)) // released after the commit
+  }
+
   test("summary round-trips through the JSON log") {
     val dir = new HPath(Files.createTempDirectory("graft-prop3").toUri)
     val fs = FileSystem.get(dir.toUri, conf)
