@@ -399,6 +399,19 @@ object SparkEntry {
           "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01.500' ORDER BY n_nationkey")
     }),
 
+    // S2b: snapshot-id travel (`FOR SYSTEM_VERSION AS OF`) — version 1
+    // = the first append only.
+    "q_tt_version" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_sv", nation.schema)
+      cat.append("nation_sv", nation.filter(col("n_nationkey") < 13), 1000L)
+      cat.append("nation_sv", nation.filter(col("n_nationkey") >= 13), 2000L)
+      new Engine(cat).sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_sv " +
+          "FOR SYSTEM_VERSION AS OF 1 ORDER BY n_nationkey")
+    }),
+
     // S1: latest-snapshot read = all appends.
     "q_tt_latest" -> ((s, dir) => {
       val cat = tempCatalog(s)
@@ -901,6 +914,10 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_tt_asof" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
+
+    "q_tt_version" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
 

@@ -90,6 +90,10 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def table(name: String, asOfMs: Option[Long] = None): DataFrame =
     store().read(name, asOfMs)
 
+  /** Snapshot-id pinned read (`FOR SYSTEM_VERSION AS OF`). */
+  def tableVersion(name: String, snapshotId: Long): DataFrame =
+    store().readVersion(name, snapshotId)
+
   def history(name: String): DataFrame = store().history(name)
 
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {

@@ -23,29 +23,32 @@ final class Engine(catalog: GraftCatalog) {
   def sql(raw: String): DataFrame = {
     val cleaned = SqlCleanup.clean(raw)
     SqlDdl.tryExecute(catalog, cleaned).getOrElse {
-      val TimeTravelRewriter.Rewritten(stmt, asOf) = TimeTravelRewriter.rewrite(cleaned)
-      asOf match {
-        case None     => catalog.spark.sql(stmt)
-        case Some(ms) => asOfQuery(stmt, ms)
+      val TimeTravelRewriter.Rewritten(stmt, asOf, version) =
+        TimeTravelRewriter.rewrite(cleaned)
+      (asOf, version) match {
+        case (Some(ms), _)  => pinnedQuery(stmt, catalog.table(_, Some(ms)))
+        case (_, Some(id))  => pinnedQuery(stmt, catalog.tableVersion(_, id))
+        case _              => catalog.spark.sql(stmt)
       }
     }
   }
 
   /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
-    * Only the tables the statement references get pinned, each under a
-    * per-query unique view name: two concurrent AS-OF queries at
-    * different timestamps cannot see each other's pins, and nothing is
+    * Only the tables the statement references get pinned — via
+    * `pinnedRead` (timestamp- or version-resolved snapshot) — each under
+    * a per-query unique view name: two concurrent AS-OF queries at
+    * different snapshots cannot see each other's pins, and nothing is
     * cached or eagerly materialized. Dropping the views right after
     * analysis is safe — the resolved plan holds the pinned snapshot's
     * concrete file set, which old snapshots keep (until `expire`).
     */
-  private def asOfQuery(stmt: String, ms: Long): DataFrame = {
+  private def pinnedQuery(stmt: String, pinnedRead: String => DataFrame): DataFrame = {
     val referenced = catalog.listTables().filter(SqlText.referencesTable(stmt, _))
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val views = referenced.map(t => t -> s"${t}_asof_$suffix")
     try {
       views.foreach { case (t, v) =>
-        catalog.table(t, Some(ms)).createOrReplaceTempView(v)
+        pinnedRead(t).createOrReplaceTempView(v)
       }
       val rewritten = views.foldLeft(stmt) { case (s, (t, v)) =>
         SqlText.replaceTableName(s, t, v)

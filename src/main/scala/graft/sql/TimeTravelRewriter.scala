@@ -16,23 +16,40 @@ import java.time.format.DateTimeFormatter
   */
 object TimeTravelRewriter {
 
-  /** `FOR SYSTEM_TIME AS OF 'ts'` / `FOR SYSTEM_TIME AS OF ts` (also the
-    * Spark spelling `TIMESTAMP AS OF`), case-insensitive. */
-  private val Clause =
-    ("(?i)\\s+(?:FOR\\s+SYSTEM_TIME\\s+AS\\s+OF|FOR\\s+SYSTEM_VERSION\\s+AS\\s+OF" +
+  /** `FOR SYSTEM_TIME AS OF 'ts'` (also the Spark spelling
+    * `TIMESTAMP AS OF`), case-insensitive. */
+  private val TimeClause =
+    ("(?i)\\s+(?:FOR\\s+SYSTEM_TIME\\s+AS\\s+OF" +
      "|TIMESTAMP\\s+AS\\s+OF)\\s+('([^']*)'|\"([^\"]*)\"|\\S+)").r
 
-  final case class Rewritten(sql: String, asOfMs: Option[Long])
+  /** `FOR SYSTEM_VERSION AS OF <snapshot-id>` (Spark spelling
+    * `VERSION AS OF`) — Iceberg's snapshot-id travel, the sibling of
+    * SYSTEM_TIME in the same Impala dialect. */
+  private val VersionClause =
+    ("(?i)\\s+(?:FOR\\s+SYSTEM_VERSION\\s+AS\\s+OF" +
+     "|VERSION\\s+AS\\s+OF)\\s+('([^']*)'|\"([^\"]*)\"|\\S+)").r
+
+  final case class Rewritten(sql: String, asOfMs: Option[Long],
+      versionId: Option[Long] = None)
 
   def rewrite(sql: String): Rewritten = {
     var asOf: Option[Long] = None
-    val stripped = Clause.replaceAllIn(sql, m => {
-      // group 1 = raw literal, group 2 = single-quoted, group 3 = double-quoted
-      val lit = Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(1))
-      asOf = Some(parseTimestampMs(lit))
+    var version: Option[Long] = None
+    def lit(m: scala.util.matching.Regex.Match): String =
+      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(1))
+    val noVersions = VersionClause.replaceAllIn(sql, m => {
+      val v = lit(m).trim
+      require(v.matches("\\d+"), s"snapshot id must be numeric: '$v'")
+      version = Some(v.toLong)
       ""
     })
-    Rewritten(stripped, asOf)
+    val stripped = TimeClause.replaceAllIn(noVersions, m => {
+      asOf = Some(parseTimestampMs(lit(m)))
+      ""
+    })
+    require(asOf.isEmpty || version.isEmpty,
+      "cannot combine SYSTEM_TIME and SYSTEM_VERSION in one statement")
+    Rewritten(stripped, asOf, version)
   }
 
   /** Accepts 'YYYY-MM-DD HH:MI:SS[.fff]' (the prompt's required shape,

@@ -175,4 +175,9 @@ object SnapshotLog {
       case Some(ts) => all.filter(_.timestampMs <= ts).lastOption
     }
   }
+
+  /** Version travel: the snapshot with exactly this id
+    * (`FOR SYSTEM_VERSION AS OF <snapshot-id>`). */
+  def resolveVersion(fs: FileSystem, tableDir: HPath, snapshotId: Long): Option[Snapshot] =
+    read(fs, tableDir).find(_.id == snapshotId)
 }

@@ -125,6 +125,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .getOrElse(Seq.empty)
   }
 
+  /** Snapshot-id read (`FOR SYSTEM_VERSION AS OF`). Unknown ids raise —
+    * silently returning empty would read as "no data at that version". */
+  def readVersion(table: String, snapshotId: Long): DataFrame = {
+    val snap = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no snapshot id $snapshotId"))
+    val files = snap.files.map(f => new HPath(tableDir(table), f).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema(table))
+    else spark.read.schema(schema(table)).parquet(files: _*)
+  }
+
   /** Latest-snapshot read; `asOfMs` = time travel. Snapshot resolution →
     * exact file list is the manifest-pruning analogue: Spark scans only the
     * files of that version (no directory listing, no stale files).

@@ -54,6 +54,16 @@ class EngineSpec extends AnyFunSuite {
     assert(atT1.head().getLong(0) == 2)
   }
 
+  test("SYSTEM_VERSION pins by snapshot id; unknown ids raise") {
+    val (_, engine) = fixture()
+    assert(engine.run("SELECT COUNT(*) FROM items FOR SYSTEM_VERSION AS OF 1") ==
+      "[(2,)]")
+    assert(engine.run("SELECT COUNT(*) FROM items FOR SYSTEM_VERSION AS OF 2") ==
+      "[(3,)]")
+    assertThrows[IllegalArgumentException](
+      engine.sql("SELECT COUNT(*) FROM items FOR SYSTEM_VERSION AS OF 99"))
+  }
+
   test("AS OF before the first commit yields the empty contract") {
     val (_, engine) = fixture()
     val out = engine.run(

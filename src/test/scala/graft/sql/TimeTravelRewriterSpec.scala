@@ -62,6 +62,24 @@ class TimeTravelRewriterSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TimeTravelRewriter.parseTimestampMs("100000000000"))
   }
 
+  test("SYSTEM_VERSION parses a snapshot id, not a timestamp") {
+    val r = TimeTravelRewriter.rewrite(
+      "SELECT * FROM t FOR SYSTEM_VERSION AS OF 2")
+    assert(r.sql == "SELECT * FROM t")
+    assert(r.versionId.contains(2L) && r.asOfMs.isEmpty)
+    val q = TimeTravelRewriter.rewrite("SELECT * FROM t VERSION AS OF '7'")
+    assert(q.versionId.contains(7L))
+  }
+
+  test("non-numeric snapshot ids and mixed clauses are rejected") {
+    assertThrows[IllegalArgumentException](
+      TimeTravelRewriter.rewrite("SELECT * FROM t FOR SYSTEM_VERSION AS OF 'abc'"))
+    assertThrows[IllegalArgumentException](
+      TimeTravelRewriter.rewrite(
+        "SELECT * FROM a FOR SYSTEM_TIME AS OF '2024-01-01' " +
+          "JOIN b FOR SYSTEM_VERSION AS OF 1 ON a.id = b.id"))
+  }
+
   test("garbage literal raises with the offending text") {
     val e = intercept[IllegalArgumentException](
       TimeTravelRewriter.parseTimestampMs("not-a-time"))
