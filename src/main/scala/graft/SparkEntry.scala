@@ -1009,6 +1009,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB's list_cosine_similarity over DOUBLE[] reproduces the
+    // engine's double-precision scoring bit-for-bit at 4/6 decimals
+    "q_embed_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |         ORDER BY vec_id LIMIT 1)), 4) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_topk_multi" ->
+      """SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                             CAST(q.embedding AS DOUBLE[])) DESC,
+        |                      e.vec_id) AS INTEGER) AS rank,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_multimodal_bytes" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
