@@ -1009,6 +1009,25 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_doc_boilerplate" ->
+      """WITH split AS (
+        |  SELECT doc_id, string_split(regexp_replace(text, '\. ', '.' || chr(10), 'g'), chr(10)) AS parts
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, s.x['pos'] AS pos, s.x['line'] AS line,
+        |         trim(regexp_replace(regexp_replace(lower(s.x['line']),
+        |           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nl
+        |  FROM split, unnest(list_transform(range(1, len(parts)+1),
+        |    i -> {'pos': i, 'line': parts[i]})) s(x)
+        |), frequent AS (
+        |  SELECT nl FROM (SELECT DISTINCT doc_id, nl FROM lines) GROUP BY nl
+        |  HAVING count(*) >= 10 AND nl <> ''
+        |)
+        |SELECT doc_id, count(*) AS n_lines_kept,
+        |       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        |FROM lines WHERE nl NOT IN (SELECT nl FROM frequent)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // DuckDB's list_cosine_similarity over DOUBLE[] reproduces the
     // engine's double-precision scoring bit-for-bit at 4/6 decimals
     "q_embed_topk" ->
