@@ -470,6 +470,20 @@ object SparkEntry {
         "FROM plans_sql ORDER BY plan_id")
     }),
 
+    // Row-level write surface (Iceberg DELETE/UPDATE analogues): insert,
+    // update matched rows, delete matched rows — each one snapshot —
+    // then read back. Oracle recomputes the surviving rows.
+    "q_sql_row_ops" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE accounts (id INT, balance DOUBLE, status STRING)")
+      eng.sql("INSERT INTO accounts VALUES (1, 100.0, 'open'), (2, 50.0, 'open'), " +
+        "(3, 0.0, 'open'), (4, 75.0, 'open')")
+      eng.sql("UPDATE accounts SET balance = balance + 10, status = 'bonus' WHERE balance >= 75")
+      eng.sql("DELETE FROM accounts WHERE balance = 0")
+      eng.sql("SELECT id, balance, status FROM accounts ORDER BY id")
+    }),
+
     // S4/S5: CSV sink + source with inferSchema and corrective timestamp
     // cast (`telco_spark/append_telco_spark_iceberg.py:40-59` shape).
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -944,6 +958,12 @@ object SparkEntry {
         |  (4, 'Pro', 99.0, DATE '2025-03-01'))
         |  AS t(plan_id, plan_name, monthly_fee, launch_date)
         |ORDER BY plan_id""".stripMargin,
+
+    "q_sql_row_ops" ->
+      """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES
+        |  (1, 110.0, 'bonus'), (2, 50.0, 'open'), (4, 85.0, 'bonus'))
+        |  AS t(id, balance, status)
+        |ORDER BY id""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,

@@ -96,6 +96,22 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def history(name: String): DataFrame = store().history(name)
 
+  /** Copy-on-write MERGE-INTO analogue: see [[TableStore.upsert]]. */
+  def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().upsert(name, updates, keyCols, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** Copy-on-write row deletion: see [[TableStore.deleteWhere]]. */
+  def deleteWhere(name: String, predicate: org.apache.spark.sql.Column,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().deleteWhere(name, predicate, timestampMs)
+    registerView(name)
+    snap
+  }
+
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
     val snap = store().compact(name, targetBytes)
     registerView(name)

@@ -36,6 +36,11 @@ object SqlDdl {
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
+  private val Delete =
+    "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
+  private val Update =
+    ("(?is)^\\s*UPDATE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s*$").r
 
   /** Execute `stmt` if it is a DDL/DML statement; None = not ours, let
     * the query path handle it. Successful statements return an empty
@@ -56,7 +61,39 @@ object SqlDdl {
     case Insert(t, colList, valuesTail) =>
       insertValues(catalog, t, Option(colList), valuesTail)
       Some(empty(catalog))
+    case Delete(t, cond) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
+      Some(empty(catalog))
+    case Update(t, setList, cond) =>
+      updateWhere(catalog, t, setList, Option(cond))
+      Some(empty(catalog))
     case _ => None
+  }
+
+  /** Copy-on-write UPDATE: rewrite matched rows' assigned columns, keep
+    * the rest — one `overwrite` snapshot via the store. Assignments and
+    * the predicate are parsed by Spark's own expression parser. */
+  private def updateWhere(catalog: GraftCatalog, table: String,
+      setList: String, cond: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{expr, when}
+    require(catalog.store().exists(table), s"table not found: $table")
+    val schema = catalog.store().schema(table)
+    val matched = cond.map(expr).getOrElse(lit(true))
+    val assignments = splitTopLevel(setList).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"cannot parse SET assignment: '$a'")
+      val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      require(schema.fieldNames.contains(name),
+        s"unknown column '$name' in UPDATE $table")
+      name -> expr(a.substring(eq + 1).trim)
+    }
+    val current = catalog.table(table)
+    val updated = assignments.foldLeft(current) { case (df, (name, value)) =>
+      df.withColumn(name,
+        when(matched, value.cast(schema(name).dataType)).otherwise(col(name)))
+    }
+    catalog.overwrite(table, updated)
   }
 
   private def empty(catalog: GraftCatalog): DataFrame =

@@ -163,6 +163,29 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     spark.createDataFrame(rows.asJava, sch)
   }
 
+  /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
+    * replace current rows with the same key; unmatched rows insert. One
+    * `overwrite` snapshot; prior snapshots keep the old rows for time
+    * travel. Table-level copy-on-write — an optimization to file-level
+    * COW (rewrite only files containing matched keys, as Iceberg does)
+    * swaps in here without changing the commit semantics.
+    */
+  def upsert(table: String, updates: DataFrame, keyCols: Seq[String],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val remaining = read(table).join(
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
+      keyCols, "left_anti")
+    overwrite(table, remaining.unionByName(updates), timestampMs,
+      operation = "overwrite")
+  }
+
+  /** Copy-on-write row deletion: keep rows NOT matching `predicate`,
+    * commit a `delete` snapshot. */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    overwrite(table, read(table).filter(!predicate), timestampMs,
+      operation = "delete")
+
   /** Bin-pack small files into ~targetBytes files; commit a `replace`
     * snapshot. Old files stay referenced by old snapshots (time travel
     * keeps working) until `expire`.

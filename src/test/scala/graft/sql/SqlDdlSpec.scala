@@ -100,6 +100,43 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("INSERT INTO t5 VALUES (1)") == "[]")
   }
 
+  test("DELETE FROM removes matching rows in a delete snapshot") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE td (id INT, v STRING)")
+    eng.sql("INSERT INTO td VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.sql("DELETE FROM td WHERE id = 2")
+    assert(eng.run("SELECT id FROM td ORDER BY id") == "[(1,), (3,)]")
+    val ops = cat.history("td").orderBy("snapshot_id")
+      .collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops == Seq("append", "delete"))
+    // prior snapshot still readable (time travel over the deletion)
+    assert(eng.run("SELECT COUNT(*) FROM td FOR SYSTEM_VERSION AS OF 1") == "[(3,)]")
+  }
+
+  test("UPDATE rewrites matched rows only, with type-correct casts") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE tu (id INT, fee DOUBLE, status STRING)")
+    eng.sql("INSERT INTO tu VALUES (1, 10.0, 'active'), (2, 20.0, 'active')")
+    eng.sql("UPDATE tu SET fee = fee * 2, status = 'expired' WHERE id = 2")
+    assert(eng.run("SELECT id, fee, status FROM tu ORDER BY id") ==
+      "[(1, 10.0, 'active'), (2, 40.0, 'expired')]")
+    // UPDATE without WHERE touches every row
+    eng.sql("UPDATE tu SET status = 'all'")
+    assert(eng.run("SELECT DISTINCT status FROM tu") == "[('all',)]")
+    assertThrows[IllegalArgumentException](
+      eng.sql("UPDATE tu SET nope = 1 WHERE id = 1"))
+  }
+
+  test("programmatic upsert replaces keyed rows and inserts the rest") {
+    import graft.SharedSpark.spark.implicits._
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE up (id INT, v STRING)")
+    eng.sql("INSERT INTO up VALUES (1, 'old'), (2, 'keep')")
+    cat.upsert("up", Seq((1, "new"), (3, "ins")).toDF("id", "v"), Seq("id"))
+    assert(eng.run("SELECT id, v FROM up ORDER BY id") ==
+      "[(1, 'new'), (2, 'keep'), (3, 'ins')]")
+  }
+
   test("CREATE TABLE IF NOT EXISTS is idempotent") {
     val (_, eng) = fixture()
     eng.sql("CREATE TABLE t6 (id INT)")
