@@ -213,7 +213,9 @@ object AudioHeaderMeta {
       } else if (tag(b, i, "data")) {
         dataSize = size
       }
-      i += 8 + size.toInt
+      // RIFF chunks are word-aligned: odd-sized chunks carry a pad byte
+      // that is not counted in `size` (e.g. LIST/INFO metadata chunks)
+      i += 8 + size.toInt + (size.toInt & 1)
     }
     if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some((sampleRate, channels, bits, dataSize * 1000L / byteRate))

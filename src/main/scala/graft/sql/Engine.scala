@@ -34,29 +34,30 @@ final class Engine(catalog: GraftCatalog) {
   }
 
   /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
-    * Only the tables the statement references get pinned — via
-    * `pinnedRead` (timestamp- or version-resolved snapshot) — each under
-    * a per-query unique view name: two concurrent AS-OF queries at
-    * different snapshots cannot see each other's pins, and nothing is
-    * cached or eagerly materialized. Dropping the views right after
-    * analysis is safe — the resolved plan holds the pinned snapshot's
-    * concrete file set, which old snapshots keep (until `expire`).
+    * The statement is PARSED and each [[UnresolvedRelation]] naming a
+    * catalog table is replaced by the pinned snapshot's (already
+    * analyzed) plan under a [[SubqueryAlias]] carrying the original
+    * name — so `tbl.col` references and output column names resolve
+    * unchanged, and a column or alias that merely *spells* like a table
+    * name is never touched (the failure mode of the previous text-level
+    * rewrite). No temp views, no shared session state: two concurrent
+    * AS-OF queries at different snapshots cannot observe each other.
     */
   private def pinnedQuery(stmt: String, pinnedRead: String => DataFrame): DataFrame = {
-    val referenced = catalog.listTables().filter(SqlText.referencesTable(stmt, _))
-    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val views = referenced.map(t => t -> s"${t}_asof_$suffix")
-    try {
-      views.foreach { case (t, v) =>
-        pinnedRead(t).createOrReplaceTempView(v)
-      }
-      val rewritten = views.foldLeft(stmt) { case (s, (t, v)) =>
-        SqlText.replaceTableName(s, t, v)
-      }
-      catalog.spark.sql(rewritten) // analysis resolves the pinned views here
-    } finally views.foreach { case (_, v) =>
-      catalog.spark.catalog.dropTempView(v)
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    val spark = catalog.spark
+    val byLower = catalog.listTables().map(t => t.toLowerCase -> t).toMap
+    val pinned = scala.collection.mutable.HashMap.empty[String, LogicalPlan]
+    val rewritten = GraftSqlShim.parsePlan(spark, stmt).transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+          byLower.contains(u.multipartIdentifier.head.toLowerCase) =>
+        val t = byLower(u.multipartIdentifier.head.toLowerCase)
+        val plan = pinned.getOrElseUpdate(t, pinnedRead(t).queryExecution.analyzed)
+        SubqueryAlias(u.multipartIdentifier.head, plan)
     }
+    GraftSqlShim.ofRows(spark, rewritten)
   }
 
   /** `run` = execute + render; max `maxRows` rows are rendered (the

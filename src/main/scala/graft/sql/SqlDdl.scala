@@ -38,9 +38,11 @@ object SqlDdl {
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
   private val Delete =
     "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
+  // SET-tail captured whole; the WHERE split happens quote-aware in
+  // updateWhere (a regex's non-greedy WHERE would match one inside a
+  // string literal, e.g. an address containing the word WHERE)
   private val Update =
-    ("(?is)^\\s*UPDATE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+(.+?)" +
-      "(?:\\s+WHERE\\s+(.+?))?\\s*$").r
+    "(?is)^\\s*UPDATE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+(.+?)\\s*$".r
 
   /** Execute `stmt` if it is a DDL/DML statement; None = not ours, let
     * the query path handle it. Successful statements return an empty
@@ -65,34 +67,45 @@ object SqlDdl {
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
       Some(empty(catalog))
-    case Update(t, setList, cond) =>
-      updateWhere(catalog, t, setList, Option(cond))
+    case Update(t, setTail) =>
+      val (setList, cond) = SqlText.splitFirstTopLevel(setTail, "WHERE")
+      updateWhere(catalog, t, setList, cond)
       Some(empty(catalog))
     case _ => None
   }
 
   /** Copy-on-write UPDATE: rewrite matched rows' assigned columns, keep
     * the rest — one `overwrite` snapshot via the store. Assignments and
-    * the predicate are parsed by Spark's own expression parser. */
+    * the predicate are parsed by Spark's own expression parser.
+    *
+    * SQL UPDATE semantics: the WHERE predicate and every SET right-hand
+    * side evaluate against the PRE-update row. A single `select` over the
+    * current frame gives exactly that — all expressions resolve against
+    * the same input row, so `SET balance = 0, status = 'reset' WHERE
+    * balance >= 75` sets both columns from the original balance. A NULL
+    * predicate matches no row (coalesce to false).
+    */
   private def updateWhere(catalog: GraftCatalog, table: String,
       setList: String, cond: Option[String]): Unit = {
-    import org.apache.spark.sql.functions.{expr, when}
+    import org.apache.spark.sql.functions.{coalesce, expr, when}
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
-    val matched = cond.map(expr).getOrElse(lit(true))
-    val assignments = splitTopLevel(setList).map { a =>
+    val matched = coalesce(cond.map(expr).getOrElse(lit(true)), lit(false))
+    val assignments = SqlText.splitTopLevel(setList).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"cannot parse SET assignment: '$a'")
       val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
       require(schema.fieldNames.contains(name),
         s"unknown column '$name' in UPDATE $table")
       name -> expr(a.substring(eq + 1).trim)
-    }
-    val current = catalog.table(table)
-    val updated = assignments.foldLeft(current) { case (df, (name, value)) =>
-      df.withColumn(name,
-        when(matched, value.cast(schema(name).dataType)).otherwise(col(name)))
-    }
+    }.toMap
+    val updated = catalog.table(table).select(schema.fields.toIndexedSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(value) =>
+          when(matched, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
     catalog.overwrite(table, updated)
   }
 
@@ -102,7 +115,7 @@ object SqlDdl {
   /** Column definitions split at paren-depth 0 (DECIMAL(10,2) commas stay
     * inside their type). */
   private[sql] def parseSchema(colsDef: String): StructType = {
-    val fields = splitTopLevel(colsDef).map { c =>
+    val fields = SqlText.splitTopLevel(colsDef).map { c =>
       val trimmed = c.trim
       val sp = trimmed.indexWhere(_.isWhitespace)
       require(sp > 0, s"cannot parse column definition: '$trimmed'")
@@ -134,20 +147,6 @@ object SqlDdl {
       case other =>
         throw new IllegalArgumentException(s"unsupported column type: $other")
     }
-  }
-
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur.append('(')
-      case ')' => depth -= 1; cur.append(')')
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur.append(c)
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result().filter(_.trim.nonEmpty)
   }
 
   private def insertValues(catalog: GraftCatalog, table: String,

@@ -103,6 +103,13 @@ object SnapshotLog {
   /** Append a commit; returns the new snapshot. Explicit `timestampMs`
     * keeps tests deterministic (SURVEY.md §7.4 — injected commit times).
     *
+    * `recordCount` is the snapshot's TOTAL when `replaceAll` and the
+    * ADDED-row delta otherwise; the cumulative total for appends is
+    * computed here, inside the lock, from the predecessor snapshot — so
+    * concurrent appends that serialized on the lock also serialize their
+    * counts (a pre-lock read of the prior count would let both writers
+    * base their total on the same stale value).
+    *
     * The read-modify-write of the log runs under an advisory lock file
     * (exclusive `create`, atomic on HDFS; best-effort on local FS), so
     * two concurrent appends serialize instead of one silently losing its
@@ -122,10 +129,14 @@ object SnapshotLog {
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
       val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
+      val prior = existing.lastOption
       val files =
         if (replaceAll) newFiles
-        else existing.lastOption.map(_.files).getOrElse(Seq.empty) ++ newFiles
-      val snap = Snapshot(id, timestampMs, operation, files, recordCount, summary)
+        else prior.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val total =
+        if (replaceAll) recordCount
+        else prior.map(_.recordCount).getOrElse(0L) + recordCount
+      val snap = Snapshot(id, timestampMs, operation, files, total, summary)
       write(fs, tableDir, existing :+ snap)
       snap
     }

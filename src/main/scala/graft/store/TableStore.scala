@@ -64,8 +64,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def append(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
     val (moved, n) = writeAndPromote(table, df)
+    // Only the DELTA row count goes in: the cumulative recordCount is
+    // computed inside the commit lock from the predecessor snapshot, so
+    // two concurrent appends cannot both base their total on the same
+    // stale prior count.
     SnapshotLog.commit(fs, tableDir(table), "append", moved,
-      rowCountAfter(table) + n, timestampMs, replaceAll = false,
+      n, timestampMs, replaceAll = false,
       summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString))
   }
 
@@ -112,9 +116,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     fs.delete(staging, true)
     moved
   }
-
-  private def rowCountAfter(table: String): Long =
-    SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.recordCount).getOrElse(0L)
 
   def currentFiles(table: String): Seq[String] =
     filesAsOf(table, None)
@@ -180,11 +181,16 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   }
 
   /** Copy-on-write row deletion: keep rows NOT matching `predicate`,
-    * commit a `delete` snapshot. */
+    * commit a `delete` snapshot. SQL DELETE removes only rows where the
+    * predicate is TRUE — a NULL predicate (e.g. `balance = 0` on a NULL
+    * balance) must keep the row, so the kept-set filter coalesces NULL
+    * to false before negating. */
   def deleteWhere(table: String, predicate: org.apache.spark.sql.Column,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot =
-    overwrite(table, read(table).filter(!predicate), timestampMs,
-      operation = "delete")
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    overwrite(table, read(table).filter(not(coalesce(predicate, lit(false)))),
+      timestampMs, operation = "delete")
+  }
 
   /** Bin-pack small files into ~targetBytes files; commit a `replace`
     * snapshot. Old files stay referenced by old snapshots (time travel

@@ -124,6 +124,21 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(AudioHeaderMeta.decode(null).isEmpty)
   }
 
+  test("WAV chunk walk honors RIFF word alignment for odd-sized chunks") {
+    // an odd-length LIST chunk (7 bytes + 1 pad) precedes fmt/data — the
+    // walk must advance by size + pad or it misreads the fmt boundary
+    val wav = {
+      val buf = ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+      buf.put("LIST".getBytes).putInt(7).put("INFOxyz".getBytes).put(0.toByte)
+      buf.put("fmt ".getBytes).putInt(16)
+      buf.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      buf.put("data".getBytes).putInt(32000)
+      buf.array()
+    }
+    assert(AudioHeaderMeta.decode(wav) == Some((8000, 1, 16, 2000L)))
+  }
+
   test("syntheticWavContent round-trips through the real audio decoder") {
     val out = Seq((44100, 2, 16, 176400)).toDF("sr", "ch", "bits", "ds")
       .select(Multimodal.syntheticWavContent(

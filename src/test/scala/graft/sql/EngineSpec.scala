@@ -93,6 +93,23 @@ class EngineSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"leaked views: ${leftover.mkString(",")}")
   }
 
+  test("AS OF leaves aliases and columns spelled like table names alone") {
+    val (cat, engine) = fixture()
+    // a catalog table whose name collides with items' column `name`
+    cat.createTable("name", Seq((1, "x")).toDF("id", "name").schema)
+    cat.append("name", Seq((1, "x")).toDF("id", "name"), 3000L)
+    // the column reference `name` must NOT be rewritten to the pinned
+    // relation of table `name` (the text-level rewrite's failure mode)
+    assert(engine.run(
+      "SELECT name FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01' " +
+        "ORDER BY id") == "[('alpha',), ('beta',)]")
+    // an output alias spelled like the queried table keeps its name
+    val df = engine.sql(
+      "SELECT COUNT(*) AS items FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'")
+    assert(df.columns.toSeq == Seq("items"))
+    assert(df.head().getLong(0) == 2)
+  }
+
   test("rendered output follows the tuple-list contract end to end") {
     val (_, engine) = fixture()
     assert(engine.run("SELECT id, name FROM items ORDER BY id LIMIT 2") ==

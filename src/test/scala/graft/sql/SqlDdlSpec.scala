@@ -127,6 +127,45 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("UPDATE tu SET nope = 1 WHERE id = 1"))
   }
 
+  test("UPDATE evaluates WHERE and all SET values against the pre-update row") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE acc (id INT, balance DOUBLE, status STRING)")
+    eng.sql("INSERT INTO acc VALUES (1, 100.0, 'open'), (2, 50.0, 'open')")
+    // assigning balance first must not hide the match from status (the
+    // sequential-withColumn bug zeroed balance, then saw 0 >= 75 = false)
+    eng.sql("UPDATE acc SET balance = 0, status = 'reset' WHERE balance >= 75")
+    assert(eng.run("SELECT id, balance, status FROM acc ORDER BY id") ==
+      "[(1, 0.0, 'reset'), (2, 50.0, 'open')]")
+    // SET RHS referencing an assigned column also reads the pre-image
+    eng.sql("CREATE TABLE swp (a INT, b INT)")
+    eng.sql("INSERT INTO swp VALUES (1, 2)")
+    eng.sql("UPDATE swp SET a = b, b = a")
+    assert(eng.run("SELECT a, b FROM swp") == "[(2, 1)]")
+  }
+
+  test("DELETE and UPDATE with NULL predicates touch no NULL rows") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE nul (id INT, balance DOUBLE)")
+    eng.sql("INSERT INTO nul VALUES (1, 0.0), (2, NULL), (3, 5.0)")
+    // predicate is NULL for id=2: SQL DELETE only removes TRUE rows
+    eng.sql("DELETE FROM nul WHERE balance = 0")
+    assert(eng.run("SELECT id FROM nul ORDER BY id") == "[(2,), (3,)]")
+    eng.sql("UPDATE nul SET balance = 99 WHERE balance < 10")
+    assert(eng.run("SELECT id, balance FROM nul ORDER BY id") ==
+      "[(2, None), (3, 99.0)]")
+  }
+
+  test("UPDATE literals may contain commas and the word WHERE") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE adr (id INT, address STRING, note STRING)")
+    eng.sql("INSERT INTO adr VALUES (1, 'x', 'y'), (2, 'x', 'y')")
+    eng.sql("UPDATE adr SET address = '12 Main St, Suite 4', " +
+      "note = 'see WHERE clause docs' WHERE id = 1")
+    assert(eng.run("SELECT address, note FROM adr WHERE id = 1") ==
+      "[('12 Main St, Suite 4', 'see WHERE clause docs')]")
+    assert(eng.run("SELECT address FROM adr WHERE id = 2") == "[('x',)]")
+  }
+
   test("programmatic upsert replaces keyed rows and inserts the rest") {
     import graft.SharedSpark.spark.implicits._
     val (cat, eng) = fixture()

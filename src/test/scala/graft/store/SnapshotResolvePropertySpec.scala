@@ -26,7 +26,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
       sizes.zipWithIndex.foreach { case (size, i) =>
         SnapshotLog.commit(fs, dir, "append",
           newFiles = (0 until size).map(j => s"data/b$i-f$j"),
-          recordCount = sizes.take(i + 1).sum.toLong,
+          recordCount = size.toLong, // delta; cumulative computed in-lock
           timestampMs = 1000L * (i + 1))
       }
       val expectedFiles = sizes.zipWithIndex
@@ -34,9 +34,11 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
         .flatMap { case (size, i) => (0 until size).map(j => s"data/b$i-f$j") }
       val resolved = SnapshotLog.resolve(fs, dir, Some(probe))
         .map(_.files).getOrElse(Seq.empty)
-      val latest = SnapshotLog.resolve(fs, dir, None)
-        .map(_.files.size).getOrElse(0)
-      resolved == expectedFiles && latest == sizes.sum
+      val latestSnap = SnapshotLog.resolve(fs, dir, None)
+      val latest = latestSnap.map(_.files.size).getOrElse(0)
+      // cumulative recordCount is derived in-lock from the append deltas
+      resolved == expectedFiles && latest == sizes.sum &&
+        latestSnap.map(_.recordCount) == Some(sizes.sum.toLong)
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
@@ -78,6 +80,10 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
       assert(log.size == threads)
       // the last snapshot accumulated every file exactly once
       assert(log.last.files.toSet == (1 to threads).map(i => s"data/f$i").toSet)
+      // and the cumulative recordCount (computed inside the lock from the
+      // per-commit deltas) agrees with the serialized commit order — no
+      // writer based its total on a stale pre-lock read
+      assert(log.last.recordCount == (1 to threads).map(_.toLong).sum)
     } finally pool.shutdownNow()
   }
 
