@@ -42,22 +42,58 @@ final class Engine(catalog: GraftCatalog) {
     * name is never touched (the failure mode of the previous text-level
     * rewrite). No temp views, no shared session state: two concurrent
     * AS-OF queries at different snapshots cannot observe each other.
+    *
+    * The walk is a hand-rolled recursion rather than `transformUp` for
+    * three reasons: (a) relations inside expression subqueries
+    * (`IN (SELECT …)`, `EXISTS`, scalar subqueries) must be pinned too,
+    * so every node's [[SubqueryExpression]]s recurse; (b) a CTE name
+    * shadows the base table for references *after* its definition
+    * (`WITH items AS (…) SELECT … FROM items` reads the CTE), while the
+    * definition body itself still reads — and pins — the base table;
+    * (c) a qualified name (`db.items`) that tail-matches a catalog table
+    * fails FAST instead of silently reading the current snapshot while
+    * the rest of the query is pinned.
     */
   private def pinnedQuery(stmt: String, pinnedRead: String => DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     val spark = catalog.spark
     val byLower = catalog.listTables().map(t => t.toLowerCase -> t).toMap
     val pinned = scala.collection.mutable.HashMap.empty[String, LogicalPlan]
-    val rewritten = GraftSqlShim.parsePlan(spark, stmt).transformUp {
-      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
-          byLower.contains(u.multipartIdentifier.head.toLowerCase) =>
-        val t = byLower(u.multipartIdentifier.head.toLowerCase)
-        val plan = pinned.getOrElseUpdate(t, pinnedRead(t).queryExecution.analyzed)
-        SubqueryAlias(u.multipartIdentifier.head, plan)
+
+    def go(plan: LogicalPlan, shadowed: Set[String]): LogicalPlan = plan match {
+      case w: UnresolvedWith =>
+        // Non-recursive WITH: each definition sees only the CTEs defined
+        // before it; the main body sees all of them.
+        var inScope = shadowed
+        val defs = w.cteRelations.map { case (name, defn, colAliases) =>
+          val r = go(defn, inScope).asInstanceOf[SubqueryAlias]
+          inScope += name.toLowerCase
+          (name, r, colAliases)
+        }
+        w.copy(child = go(w.child, inScope), cteRelations = defs)
+      case u: UnresolvedRelation =>
+        u.multipartIdentifier match {
+          case Seq(one) if !shadowed(one.toLowerCase) &&
+              byLower.contains(one.toLowerCase) =>
+            val t = byLower(one.toLowerCase)
+            val p = pinned.getOrElseUpdate(t, pinnedRead(t).queryExecution.analyzed)
+            SubqueryAlias(one, p)
+          case parts if parts.size > 1 &&
+              byLower.contains(parts.last.toLowerCase) =>
+            throw new IllegalArgumentException(
+              s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
+                "reference catalog tables by bare name (USE the database first)")
+          case _ => u
+        }
+      case other =>
+        other.mapChildren(go(_, shadowed)).transformExpressionsUp {
+          case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
+        }
     }
-    GraftSqlShim.ofRows(spark, rewritten)
+    GraftSqlShim.ofRows(spark, go(GraftSqlShim.parsePlan(spark, stmt), Set.empty))
   }
 
   /** `run` = execute + render; max `maxRows` rows are rendered (the

@@ -91,14 +91,21 @@ object SqlDdl {
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
     val matched = coalesce(cond.map(expr).getOrElse(lit(true)), lit(false))
-    val assignments = SqlText.splitTopLevel(setList).map { a =>
+    val assignmentList = SqlText.splitTopLevel(setList).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"cannot parse SET assignment: '$a'")
       val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
       require(schema.fieldNames.contains(name),
         s"unknown column '$name' in UPDATE $table")
       name -> expr(a.substring(eq + 1).trim)
-    }.toMap
+    }
+    // standard SQL rejects `SET a = 1, a = 2` — don't silently last-wins
+    val dups = assignmentList.map(_._1).groupBy(identity).collect {
+      case (n, vs) if vs.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"duplicate column(s) in SET of UPDATE $table: ${dups.mkString(", ")}")
+    val assignments = assignmentList.toMap
     val updated = catalog.table(table).select(schema.fields.toIndexedSeq.map { f =>
       assignments.get(f.name) match {
         case Some(value) =>

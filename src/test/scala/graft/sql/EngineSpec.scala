@@ -110,6 +110,43 @@ class EngineSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 2)
   }
 
+  test("AS OF pins tables inside expression subqueries (IN/EXISTS/scalar)") {
+    val (_, engine) = fixture()
+    // Pinned at t1, items has ids {1,2}: MAX(id)=2 and 2 is present → 1.
+    // If the IN-subquery silently read the CURRENT snapshot, MAX(id)=3,
+    // which is absent at t1 → 0 (the transformUp-misses-subqueries bug).
+    assert(engine.run(
+      "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01' " +
+        "WHERE id IN (SELECT MAX(id) FROM items)") == "[(1,)]")
+    // scalar subquery, same trap
+    assert(engine.run(
+      "SELECT (SELECT MAX(id) FROM items) " +
+        "FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01' LIMIT 1") ==
+      "[(2,)]")
+  }
+
+  test("a CTE named like a table shadows it for later references") {
+    val (_, engine) = fixture()
+    // Inside the CTE body, `items` is the (pinned) base table; the outer
+    // reference resolves to the CTE. Rewriting the outer reference to the
+    // base table would return count 2 and drop the CTE's filter.
+    assert(engine.run(
+      "WITH items AS (SELECT * FROM items WHERE id = 1) " +
+        "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+      "[(1,)]")
+    // CTE under no time travel still works through the engine path
+    assert(engine.run(
+      "WITH small AS (SELECT * FROM items WHERE id <= 2) " +
+        "SELECT COUNT(*) FROM small") == "[(2,)]")
+  }
+
+  test("AS OF with a qualified table name fails fast, not half-pinned") {
+    val (_, engine) = fixture()
+    assertThrows[IllegalArgumentException](
+      engine.sql("SELECT COUNT(*) FROM default.items " +
+        "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
+  }
+
   test("rendered output follows the tuple-list contract end to end") {
     val (_, engine) = fixture()
     assert(engine.run("SELECT id, name FROM items ORDER BY id LIMIT 2") ==

@@ -176,6 +176,14 @@ class SqlDdlSpec extends AnyFunSuite {
       "[(1, 'new'), (2, 'keep'), (3, 'ins')]")
   }
 
+  test("UPDATE rejects duplicate SET assignments to the same column") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE dup (id INT, v INT)")
+    eng.sql("INSERT INTO dup VALUES (1, 1)")
+    assertThrows[IllegalArgumentException](
+      eng.sql("UPDATE dup SET v = 1, v = 2 WHERE id = 1"))
+  }
+
   test("CREATE TABLE IF NOT EXISTS is idempotent") {
     val (_, eng) = fixture()
     eng.sql("CREATE TABLE t6 (id INT)")
