@@ -447,6 +447,47 @@ object SparkEntry {
         .select(col("operation"), col("record_count"))
     }),
 
+    // Partition pruning (hidden partitioning, Iceberg-style): orders
+    // partitioned by month(o_orderdate); a quarter-scoped read must scan
+    // only that quarter's files (asserted in CowAndPartitionSpec /
+    // PlanShapeSpec; here the result is oracle-checked). The predicate
+    // stays on the SOURCE column — the transform is hidden, as Iceberg
+    // users expect for the reference's tables (`create_iceberg.py:119-148`).
+    "q_partition_prune" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_part", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      // co-locate each month in one task before the partitioned write, so
+      // the table lands as ~one file per month instead of tasks × months
+      cat.append("orders_part",
+        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      val pred = col("o_orderdate") >= lit(ts("2000-03-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("2000-06-01 00:00:00"))
+      cat.tableWhere("orders_part", pred)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // SQL MERGE INTO (file-granular COW): update matched keys, insert the
+    // rest — the statement that replaces the reference's manual max-id
+    // continuation append (`append_iceberg.py:104-123`).
+    "q_sql_merge" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE accounts_m (id INT, balance DOUBLE, status STRING)")
+      eng.sql("INSERT INTO accounts_m VALUES (1, 100.0, 'open'), " +
+        "(2, 50.0, 'open'), (3, 75.0, 'open')")
+      eng.sql("""MERGE INTO accounts_m AS t
+        USING (VALUES (2, 500.0), (4, 10.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET balance = s.amount, status = 'merged'
+        WHEN NOT MATCHED THEN INSERT (id, balance, status) VALUES (s.id, s.amount, 'new')""")
+      eng.sql("SELECT id, balance, status FROM accounts_m ORDER BY id")
+    }),
+
     // S7/S8: the reference's warehouse-build script surface, replayed
     // verbatim through the SQL engine (`create_iceberg.py:106-203`):
     // CREATE DATABASE / USE / DROP / CREATE TABLE STORED AS ICEBERG,
@@ -947,6 +988,22 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT 'replace' AS operation, count(*) AS record_count FROM orders",
+
+    "q_partition_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+        |  AND o_orderdate < TIMESTAMP '2000-06-01'
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_sql_merge" ->
+      """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES
+        |  (1, 100.0, 'open'), (2, 500.0, 'merged'), (3, 75.0, 'open'),
+        |  (4, 10.0, 'new'))
+        |  AS t(id, balance, status)
+        |ORDER BY id""".stripMargin,
 
     "q_sql_ddl_insert" ->
       """SELECT plan_id, plan_name, CAST(monthly_fee AS DOUBLE) AS monthly_fee,

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-import graft.store.{Snapshot, SnapshotLog, TableStore}
+import graft.store.{PartitionSpec, Snapshot, SnapshotLog, TableStore}
 
 /** Database/table registry over [[graft.store.TableStore]].
   *
@@ -62,8 +62,9 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
       .map(_.getName).sorted
   }
 
-  def createTable(name: String, schema: StructType): Unit = {
-    store().create(name, schema)
+  def createTable(name: String, schema: StructType,
+      partition: Option[PartitionSpec] = None): Unit = {
+    store().create(name, schema, partition)
     registerView(name)
   }
 
@@ -111,6 +112,30 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     registerView(name)
     snap
   }
+
+  /** Copy-on-write UPDATE: see [[TableStore.updateWhere]]. */
+  def updateWhere(name: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      cond: Option[org.apache.spark.sql.Column],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().updateWhere(name, assignments, cond, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** MERGE INTO core: see [[TableStore.merge]]. */
+  def merge(name: String, sourceKeys: DataFrame, keyCols: Seq[String],
+      replace: DataFrame => DataFrame,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().merge(name, sourceKeys, keyCols, replace, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** Partition-pruned read: see [[TableStore.readWhere]]. */
+  def tableWhere(name: String, predicate: org.apache.spark.sql.Column,
+      asOfMs: Option[Long] = None): DataFrame =
+    store().readWhere(name, predicate, asOfMs)
 
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
     val snap = store().compact(name, targetBytes)

@@ -30,9 +30,14 @@ object SqlDdl {
   private val UseDb = "(?is)^\\s*USE\\s+([A-Za-z_]\\w*)\\s*$".r
   private val DropTable =
     "(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+  // cols group is LAZY so `) PARTITIONED BY SPEC (day(ts))` tails are
+  // never swallowed into the column list; partition fragment allows one
+  // nesting level for transform calls like day(ts)
   private val CreateTable =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
-      "\\s*\\((.*)\\)\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
+      "\\s*\\((.*?)\\)" +
+      "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
@@ -56,9 +61,10 @@ object SqlDdl {
       catalog.use(db); Some(empty(catalog))
     case DropTable(t) =>
       catalog.dropTable(t); Some(empty(catalog))
-    case CreateTable(t, colsDef) =>
+    case CreateTable(t, colsDef, partDef) =>
       if (!catalog.store().exists(t))
-        catalog.createTable(t, parseSchema(colsDef))
+        catalog.createTable(t, parseSchema(colsDef),
+          Option(partDef).map(graft.store.PartitionSpec.parse))
       Some(empty(catalog))
     case Insert(t, colList, valuesTail) =>
       insertValues(catalog, t, Option(colList), valuesTail)
@@ -71,26 +77,26 @@ object SqlDdl {
       val (setList, cond) = SqlText.splitFirstTopLevel(setTail, "WHERE")
       updateWhere(catalog, t, setList, cond)
       Some(empty(catalog))
-    case _ => None
+    case _ => SqlMerge.tryExecute(catalog, stmt)
   }
 
-  /** Copy-on-write UPDATE: rewrite matched rows' assigned columns, keep
-    * the rest — one `overwrite` snapshot via the store. Assignments and
-    * the predicate are parsed by Spark's own expression parser.
+  /** Copy-on-write UPDATE, FILE-GRANULAR via the store: only files
+    * containing matched rows are rewritten ([[graft.store.TableStore
+    * .updateWhere]]); the rest carry into the new snapshot by reference.
+    * Assignments and the predicate are parsed by Spark's own expression
+    * parser.
     *
     * SQL UPDATE semantics: the WHERE predicate and every SET right-hand
-    * side evaluate against the PRE-update row. A single `select` over the
-    * current frame gives exactly that — all expressions resolve against
-    * the same input row, so `SET balance = 0, status = 'reset' WHERE
-    * balance >= 75` sets both columns from the original balance. A NULL
-    * predicate matches no row (coalesce to false).
+    * side evaluate against the PRE-update row — the store applies one
+    * `select` over the matched files' rows, so `SET balance = 0,
+    * status = 'reset' WHERE balance >= 75` sets both columns from the
+    * original balance. A NULL predicate matches no row.
     */
   private def updateWhere(catalog: GraftCatalog, table: String,
       setList: String, cond: Option[String]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, when}
+    import org.apache.spark.sql.functions.expr
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
-    val matched = coalesce(cond.map(expr).getOrElse(lit(true)), lit(false))
     val assignmentList = SqlText.splitTopLevel(setList).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"cannot parse SET assignment: '$a'")
@@ -105,15 +111,7 @@ object SqlDdl {
     }
     require(dups.isEmpty,
       s"duplicate column(s) in SET of UPDATE $table: ${dups.mkString(", ")}")
-    val assignments = assignmentList.toMap
-    val updated = catalog.table(table).select(schema.fields.toIndexedSeq.map { f =>
-      assignments.get(f.name) match {
-        case Some(value) =>
-          when(matched, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }: _*)
-    catalog.overwrite(table, updated)
+    catalog.updateWhere(table, assignmentList, cond.map(expr))
   }
 
   private def empty(catalog: GraftCatalog): DataFrame =

@@ -6,6 +6,22 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
+/** One data file of a snapshot — the manifest-entry analogue.
+  *
+  * `path` is relative to the table root so a table directory can be
+  * relocated (e.g. copied into a test temp dir) without rewriting the log.
+  * `records` is the file's row count from its Parquet footer (`-1` =
+  * unknown, for logs written before this field existed). `partition` maps
+  * the table's partition source column to this file's partition value
+  * (Hive's `__HIVE_DEFAULT_PARTITION__` marker = NULL) — the metadata
+  * that lets the read path prune files without touching storage, which at
+  * 100 TB is the difference between scanning a day and scanning the table.
+  */
+final case class DataFile(
+    path: String,
+    records: Long = -1L,
+    partition: Map[String, String] = Map.empty)
+
 /** One committed table version.
   *
   * Mirrors the observable Iceberg snapshot semantics the reference relies
@@ -13,17 +29,16 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * history inspected in Hue, `README.md:94-98`; time travel
   * `app-gradio.py:138`) without the Iceberg runtime (not on the offline
   * classpath — see SURVEY.md §1.5).
-  *
-  * `files` are paths relative to the table root so a table directory can be
-  * relocated (e.g. copied into a test temp dir) without rewriting the log.
   */
 final case class Snapshot(
     id: Long,
     timestampMs: Long,
-    operation: String, // "append" | "replace" | "delete"
-    files: Seq[String],
+    operation: String, // "append" | "replace" | "delete" | "update" | "overwrite" | "merge"
+    files: Seq[DataFile],
     recordCount: Long,
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty) {
+  def filePaths: Seq[String] = files.map(_.path)
+}
 
 /** Append-only JSON commit log: `<tableDir>/snapshots.json`.
   *
@@ -59,7 +74,7 @@ object SnapshotLog {
           id = e.get("id").asLong(),
           timestampMs = e.get("timestampMs").asLong(),
           operation = e.get("operation").asText(),
-          files = e.get("files").elements().asScala.map(_.asText()).toSeq,
+          files = e.get("files").elements().asScala.map(readFile).toSeq,
           recordCount = e.get("recordCount").asLong(),
           summary =
             if (e.has("summary"))
@@ -70,6 +85,19 @@ object SnapshotLog {
       }.toSeq.sortBy(_.id)
     }
   }
+
+  /** Pre-DataFile logs stored each file as a bare path string; read both
+    * shapes so an existing warehouse keeps working after upgrade. */
+  private def readFile(e: com.fasterxml.jackson.databind.JsonNode): DataFile =
+    if (e.isTextual) DataFile(e.asText())
+    else DataFile(
+      path = e.get("path").asText(),
+      records = if (e.has("records")) e.get("records").asLong() else -1L,
+      partition =
+        if (e.has("partition"))
+          e.get("partition").properties().asScala
+            .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+        else Map.empty)
 
   def write(fs: FileSystem, tableDir: HPath, snapshots: Seq[Snapshot]): Unit = {
     fs.mkdirs(tableDir)
@@ -121,7 +149,7 @@ object SnapshotLog {
       fs: FileSystem,
       tableDir: HPath,
       operation: String,
-      newFiles: Seq[String],
+      newFiles: Seq[DataFile],
       recordCount: Long,
       timestampMs: Long = System.currentTimeMillis(),
       replaceAll: Boolean = false,

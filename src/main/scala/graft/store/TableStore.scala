@@ -1,17 +1,20 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
+import java.time.ZoneId
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when}
 import org.apache.spark.sql.types._
 
 /** Versioned-Parquet table with Iceberg-style snapshot semantics.
   *
-  * Layout: `<root>/<table>/data/part-*.parquet` + `<root>/<table>/snapshots.json`.
+  * Layout: `<root>/<table>/data/part-*.parquet` + `<root>/<table>/snapshots.json`
+  * (+ `schema.json`, optional `partition.json`).
   *
   * Maps the reference's observable table semantics
   * (`telco_spark/append_telco_spark_iceberg.py:67` `writeTo().append()`;
@@ -22,6 +25,15 @@ import org.apache.spark.sql.types._
   * Parquet write; only the (tiny) file list and footers touch the driver,
   * so the design holds at 100 TB — data bytes never funnel through one
   * node.
+  *
+  * Scale posture of the write path: row-level DELETE/UPDATE/upsert are
+  * FILE-GRANULAR copy-on-write. Candidate files are pruned three ways
+  * before any data is rewritten — partition values from the snapshot log
+  * (no I/O), Parquet footer min/max on the predicate columns (metadata-only
+  * driver reads), then an exact distributed probe for files that actually
+  * contain matching rows. Unmatched files are carried into the new
+  * snapshot BY REFERENCE — `DELETE FROM t WHERE id = 1` at 100 TB rewrites
+  * one file, not the table.
   */
 final class TableStore(val root: HPath, spark: SparkSession) {
 
@@ -30,14 +42,23 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   def tableDir(table: String): HPath = new HPath(root, table)
   private def dataDir(table: String): HPath = new HPath(tableDir(table), "data")
+  private def absPath(table: String, rel: String): HPath =
+    new HPath(tableDir(table), rel)
 
   def exists(table: String): Boolean =
     fs.exists(SnapshotLog.logPath(tableDir(table)))
 
-  def create(table: String, schema: StructType): Unit = {
+  def create(table: String, schema: StructType,
+      partition: Option[PartitionSpec] = None): Unit = {
     fs.mkdirs(dataDir(table))
     // Persist the schema so an empty table is still readable.
     writeString(new HPath(tableDir(table), "schema.json"), schema.json)
+    partition.foreach { sp =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(sp.column)),
+        s"partition column '${sp.column}' not in schema of $table")
+      writeString(new HPath(tableDir(table), "partition.json"),
+        s"""{"column":"${sp.column}","transform":"${sp.transform}"}""")
+    }
     if (SnapshotLog.read(fs, tableDir(table)).isEmpty)
       SnapshotLog.write(fs, tableDir(table), Seq.empty)
   }
@@ -54,6 +75,15 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else spark.read.parquet(currentFiles(table): _*).schema
   }
 
+  def partitionSpec(table: String): Option[PartitionSpec] = {
+    val p = new HPath(tableDir(table), "partition.json")
+    if (!fs.exists(p)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      Some(PartitionSpec(node.get("column").asText(), node.get("transform").asText()))
+    }
+  }
+
   /** ACID-ish append: write new Parquet files into data/, then commit their
     * names to the log. Readers only see files listed in a committed
     * snapshot, so a failed write leaves orphans, never partial reads —
@@ -63,7 +93,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     */
   def append(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val (moved, n) = writeAndPromote(table, df)
+    val moved = writeStaged(table, df)
+    val n = moved.map(_.records).sum
     // Only the DELTA row count goes in: the cumulative recordCount is
     // computed inside the commit lock from the predecessor snapshot, so
     // two concurrent appends cannot both base their total on the same
@@ -77,20 +108,53 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def overwrite(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       operation: String = "replace"): Snapshot = {
-    val (moved, n) = writeAndPromote(table, df)
+    val moved = writeStaged(table, df)
+    val n = moved.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
       summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString))
   }
 
-  /** Distributed Parquet write into a staging dir, promote the part files
-    * into data/, return (relative paths, row count from footers). */
-  private def writeAndPromote(table: String, df: DataFrame): (Seq[String], Long) = {
+  /** Distributed Parquet write into a staging dir (partitioned by the
+    * table's spec when one exists), promote the part files into data/,
+    * return their [[DataFile]] entries with footer row counts and
+    * partition values. */
+  private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val moved = promoteStaged(table, staging)
-    val n = moved.map(f => parquetRowCount(new HPath(tableDir(table), f))).sum
-    (moved, n)
+    val moved = partitionSpec(table) match {
+      case Some(sp) =>
+        // hidden partitioning: the transform column exists only for the
+        // write; data files keep the original schema
+        df.withColumn(TableStore.PartDirCol, sp.valueColumn)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(TableStore.PartDirCol).parquet(staging.toString)
+        for {
+          dir <- fs.listStatus(staging).toSeq.filter(_.isDirectory)
+            .sortBy(_.getPath.getName)
+          value = TableStore.unescapePartition(
+            dir.getPath.getName.stripPrefix(TableStore.PartDirCol + "="))
+          p <- fs.listStatus(dir.getPath).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+        } yield promoteOne(table, p, Map(sp.column -> value))
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        fs.listStatus(staging).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+          .map(promoteOne(table, _, Map.empty))
+    }
+    // clean staging remnants (_SUCCESS, .crc)
+    fs.delete(staging, true)
+    moved
+  }
+
+  private def promoteOne(table: String, part: HPath,
+      partition: Map[String, String]): DataFile = {
+    fs.mkdirs(dataDir(table))
+    val name = s"${UUID.randomUUID()}-${part.getName}"
+    val target = new HPath(dataDir(table), name)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename failed: $part -> $target")
+    DataFile(s"data/$name", parquetRowCount(target), partition)
   }
 
   /** Total record count from a Parquet file's footer — metadata only. */
@@ -101,30 +165,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     finally reader.close()
   }
 
-  private def promoteStaged(table: String, staging: HPath): Seq[String] = {
-    fs.mkdirs(dataDir(table))
-    val parts = fs.listStatus(staging).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-    val moved = parts.map { p =>
-      val name = s"${UUID.randomUUID()}-${p.getName}"
-      val target = new HPath(dataDir(table), name)
-      if (!fs.rename(p, target))
-        throw new java.io.IOException(s"rename failed: $p -> $target")
-      s"data/$name"
-    }
-    // clean staging remnants (_SUCCESS, .crc)
-    fs.delete(staging, true)
-    moved
-  }
+  private def recordsOf(table: String, f: DataFile): Long =
+    if (f.records >= 0) f.records else parquetRowCount(absPath(table, f.path))
 
   def currentFiles(table: String): Seq[String] =
     filesAsOf(table, None)
 
-  def filesAsOf(table: String, asOfMs: Option[Long]): Seq[String] = {
-    val snap = SnapshotLog.resolve(fs, tableDir(table), asOfMs)
-    snap.map(_.files.map(f => new HPath(tableDir(table), f).toString))
-      .getOrElse(Seq.empty)
-  }
+  def filesAsOf(table: String, asOfMs: Option[Long]): Seq[String] =
+    dataFilesAsOf(table, asOfMs).map(f => absPath(table, f.path).toString)
+
+  def dataFilesAsOf(table: String, asOfMs: Option[Long]): Seq[DataFile] =
+    SnapshotLog.resolve(fs, tableDir(table), asOfMs)
+      .map(_.files).getOrElse(Seq.empty)
 
   /** Snapshot-id read (`FOR SYSTEM_VERSION AS OF`). Unknown ids raise —
     * silently returning empty would read as "no data at that version". */
@@ -132,22 +184,73 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val snap = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"table $table has no snapshot id $snapshotId"))
-    val files = snap.files.map(f => new HPath(tableDir(table), f).toString)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema(table))
-    else spark.read.schema(schema(table)).parquet(files: _*)
+    readFileList(table, snap.files)
   }
 
   /** Latest-snapshot read; `asOfMs` = time travel. Snapshot resolution →
     * exact file list is the manifest-pruning analogue: Spark scans only the
     * files of that version (no directory listing, no stale files).
     */
-  def read(table: String, asOfMs: Option[Long] = None): DataFrame = {
-    val files = filesAsOf(table, asOfMs)
+  def read(table: String, asOfMs: Option[Long] = None): DataFrame =
+    readFileList(table, dataFilesAsOf(table, asOfMs))
+
+  /** Predicate-scoped read with PARTITION PRUNING: files whose logged
+    * partition value proves no row can match `predicate` are dropped from
+    * the scan before Spark ever sees the list — pure snapshot-log
+    * metadata, no storage I/O. The predicate is then still applied in
+    * full (pruning is conservative, not exact). At 100 TB with a
+    * `day(ts)` spec this is the difference between scanning one day's
+    * files and scanning the table.
+    */
+  def readWhere(table: String, predicate: Column,
+      asOfMs: Option[Long] = None): DataFrame =
+    readFileList(table, prunedFiles(table, predicate, asOfMs)).filter(predicate)
+
+  /** The file list [[readWhere]] would scan (exposed for plan/pruning
+    * assertions). */
+  def prunedFiles(table: String, predicate: Column,
+      asOfMs: Option[Long] = None): Seq[DataFile] = {
+    val files = dataFilesAsOf(table, asOfMs)
+    partitionSpec(table) match {
+      case None => files
+      case Some(sp) =>
+        val sch = schema(table)
+        val srcType = sch.fields
+          .find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
+          .getOrElse(StringType)
+        val zone = sessionZone
+        val pe = analyzedPredicate(table, predicate)
+        files.filter { f =>
+          f.partition.get(sp.column) match {
+            case Some(v) => Pruning.mightMatch(pe,
+              Map(sp.column.toLowerCase -> sp.sourceRange(v, srcType, zone)))
+            case None => true // pre-spec file without partition value
+          }
+        }
+    }
+  }
+
+  /** Resolve `predicate` against the table schema so the pruning walker
+    * sees real Catalyst comparisons (the Spark 4 Column DSL builds lazy
+    * ColumnNodes) with the analyzer's coercion casts in place. Analysis
+    * over an empty relation — driver-only, no job. */
+  private def analyzedPredicate(table: String,
+      predicate: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema(table))
+    df.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+  }
+
+  private def sessionZone: ZoneId =
+    ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
+  private def readFileList(table: String, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema(table))
-    else spark.read.schema(schema(table)).parquet(files: _*)
-  }
+    else spark.read.schema(schema(table))
+      .parquet(files.map(f => absPath(table, f.path).toString): _*)
 
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
   def history(table: String): DataFrame = {
@@ -164,32 +267,158 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     spark.createDataFrame(rows.asJava, sch)
   }
 
-  /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
-    * replace current rows with the same key; unmatched rows insert. One
-    * `overwrite` snapshot; prior snapshots keep the old rows for time
-    * travel. Table-level copy-on-write — an optimization to file-level
-    * COW (rewrite only files containing matched keys, as Iceberg does)
-    * swaps in here without changing the commit semantics.
+  // -------------------------------------------------------------------
+  // File-granular copy-on-write (row-level DELETE / UPDATE / upsert)
+  // -------------------------------------------------------------------
+
+  /** Split the current files into (matched = must rewrite, carried = keep
+    * by reference) for a row predicate. Three pruning stages, cheapest
+    * first: partition values (log only) → footer min/max (driver metadata
+    * reads) → exact distributed probe (`input_file_name` over the
+    * predicate-pushed scan, so only row groups that might match are read).
     */
-  def upsert(table: String, updates: DataFrame, keyCols: Seq[String],
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val remaining = read(table).join(
-      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
-      keyCols, "left_anti")
-    overwrite(table, remaining.unionByName(updates), timestampMs,
-      operation = "overwrite")
+  private def matchedByPredicate(table: String,
+      predicate: Column): (Seq[DataFile], Seq[DataFile]) = {
+    val surviving = prunedFiles(table, predicate) // stage 1: partition prune
+    val partCarried = dataFilesAsOf(table, None).diff(surviving)
+    val pe = analyzedPredicate(table, predicate)
+    val (statCand, statCarried) = surviving.partition { f =>
+      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path)))
+    }
+    val matchedNames: Set[String] =
+      if (statCand.isEmpty) Set.empty
+      else spark.read.schema(schema(table))
+        .parquet(statCand.map(f => absPath(table, f.path).toString): _*)
+        .filter(predicate)
+        .select(input_file_name()).distinct()
+        .collect().map(r => TableStore.fileName(r.getString(0))).toSet
+    val (matched, unmatched) =
+      statCand.partition(f => matchedNames(TableStore.fileName(f.path)))
+    (matched, partCarried ++ statCarried ++ unmatched)
   }
 
-  /** Copy-on-write row deletion: keep rows NOT matching `predicate`,
-    * commit a `delete` snapshot. SQL DELETE removes only rows where the
-    * predicate is TRUE — a NULL predicate (e.g. `balance = 0` on a NULL
-    * balance) must keep the row, so the kept-set filter coalesces NULL
-    * to false before negating. */
-  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column,
+  /** Same split for a key-based write (upsert/MERGE): footer-prune with
+    * the key-space bounds of `updates` (one tiny agg job), then probe
+    * candidates with a distributed semi-join on the keys. */
+  private def matchedByKeys(table: String, updates: DataFrame,
+      keyCols: Seq[String]): (Seq[DataFile], Seq[DataFile]) = {
+    val files = dataFilesAsOf(table, None)
+    if (files.isEmpty) return (Seq.empty, Seq.empty)
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val bounds = keys.agg(aggs.head, aggs.tail: _*).head()
+    val rangePred: Column = keyCols.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) = (bounds.get(2 * i), bounds.get(2 * i + 1))
+      if (lo == null || hi == null) lit(true)
+      else col(k) >= lit(lo) && col(k) <= lit(hi)
+    }.reduce(_ && _)
+    val surviving = prunedFiles(table, rangePred)
+    val partCarried = files.diff(surviving)
+    val pe = analyzedPredicate(table, rangePred)
+    val (statCand, statCarried) = surviving.partition { f =>
+      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path)))
+    }
+    val matchedNames: Set[String] =
+      if (statCand.isEmpty) Set.empty
+      else spark.read.schema(schema(table))
+        .parquet(statCand.map(f => absPath(table, f.path).toString): _*)
+        .withColumn(TableStore.FileCol, input_file_name())
+        .join(keys, keyCols, "left_semi")
+        .select(TableStore.FileCol).distinct()
+        .collect().map(r => TableStore.fileName(r.getString(0))).toSet
+    val (matched, unmatched) =
+      statCand.partition(f => matchedNames(TableStore.fileName(f.path)))
+    (matched, partCarried ++ statCarried ++ unmatched)
+  }
+
+  /** Commit `carried` by reference plus the rewritten `replacement` rows
+    * as fresh files — the file-granular COW commit. */
+  private def cowCommit(table: String, operation: String,
+      carried: Seq[DataFile], rewrittenCount: Int,
+      replacement: Option[DataFrame], timestampMs: Long): Snapshot = {
+    val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
+    val total = carried.map(recordsOf(table, _)).sum + newFiles.map(_.records).sum
+    SnapshotLog.commit(fs, tableDir(table), operation, carried ++ newFiles,
+      total, timestampMs, replaceAll = true,
+      summary = Map(
+        "rewritten-files" -> rewrittenCount.toString,
+        "carried-files" -> carried.size.toString,
+        "added-files" -> newFiles.size.toString))
+  }
+
+  /** Copy-on-write row deletion: rewrite ONLY files containing matching
+    * rows, dropping those rows; carry every other file by reference.
+    * SQL DELETE removes only rows where the predicate is TRUE — a NULL
+    * predicate (e.g. `balance = 0` on a NULL balance) must keep the row,
+    * so the kept-set filter coalesces NULL to false before negating. */
+  def deleteWhere(table: String, predicate: Column,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
-    overwrite(table, read(table).filter(not(coalesce(predicate, lit(false)))),
-      timestampMs, operation = "delete")
+    val (matched, carried) = matchedByPredicate(table, predicate)
+    val replacement =
+      if (matched.isEmpty) None
+      else Some(readFileList(table, matched)
+        .filter(not(coalesce(predicate, lit(false)))))
+    cowCommit(table, "delete", carried, matched.size, replacement, timestampMs)
+  }
+
+  /** Copy-on-write UPDATE: rewrite only files containing matched rows.
+    * SQL UPDATE semantics: the WHERE predicate and every SET right-hand
+    * side evaluate against the PRE-update row — a single `select` over
+    * the matched files' rows gives exactly that. */
+  def updateWhere(table: String, assignments: Seq[(String, Column)],
+      cond: Option[Column],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val sch = schema(table)
+    assignments.foreach { case (n, _) =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"unknown column '$n' in UPDATE $table")
+    }
+    val (matched, carried) = cond match {
+      case Some(p) => matchedByPredicate(table, p)
+      case None    => (dataFilesAsOf(table, None), Seq.empty[DataFile])
+    }
+    val replacement =
+      if (matched.isEmpty) None
+      else {
+        val matchedPred = coalesce(cond.getOrElse(lit(true)), lit(false))
+        val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
+        Some(readFileList(table, matched).select(sch.fields.toIndexedSeq.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(value) =>
+              when(matchedPred, value.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*))
+      }
+    cowCommit(table, "update", carried, matched.size, replacement, timestampMs)
+  }
+
+  /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
+    * replace current rows with the same key; unmatched rows insert. Only
+    * files containing a matched key are rewritten; prior snapshots keep
+    * the old rows for time travel. */
+  def upsert(table: String, updates: DataFrame, keyCols: Seq[String],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val (matched, carried) = matchedByKeys(table, updates, keyCols)
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val aligned = updates.select(schema(table).fieldNames.toIndexedSeq.map(col): _*)
+    val kept =
+      if (matched.isEmpty) aligned
+      else readFileList(table, matched).join(keys, keyCols, "left_anti")
+        .unionByName(aligned)
+    cowCommit(table, "overwrite", carried, matched.size, Some(kept), timestampMs)
+  }
+
+  /** MERGE INTO core: `sourceKeys` drive matched-file detection; the
+    * caller maps the matched files' rows to their replacement (update /
+    * delete arms + not-matched inserts appended). */
+  def merge(table: String, sourceKeys: DataFrame, keyCols: Seq[String],
+      replace: DataFrame => DataFrame,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val (matched, carried) = matchedByKeys(table, sourceKeys, keyCols)
+    val replacement = replace(readFileList(table, matched))
+    cowCommit(table, "merge", carried, matched.size, Some(replacement), timestampMs)
   }
 
   /** Bin-pack small files into ~targetBytes files; commit a `replace`
@@ -219,8 +448,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       case ks if ks.contains(all.last) => ks
       case ks => ks :+ all.last
     }
-    val live = keep.flatMap(_.files).toSet
-    all.flatMap(_.files).distinct.filterNot(live.contains).foreach { f =>
+    val live = keep.flatMap(_.filePaths).toSet
+    all.flatMap(_.filePaths).distinct.filterNot(live.contains).foreach { f =>
       fs.delete(new HPath(dir, f), false)
     }
     SnapshotLog.write(fs, dir, keep)
@@ -236,5 +465,36 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+}
+
+object TableStore {
+  /** Synthetic directory column for hidden-partition writes. */
+  private[store] val PartDirCol = "__gpart"
+  /** Probe column holding `input_file_name()` during matched-file detection. */
+  private[store] val FileCol = "__graft_file"
+
+  /** Last path segment; data-file names are UUID-prefixed, so the name
+    * alone identifies a file within a table. */
+  private[store] def fileName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Undo Hive-style `%xx` escaping in partition directory values. */
+  private[store] def unescapePartition(v: String): String = {
+    if (!v.contains('%')) v
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '%' && i + 3 <= v.length) {
+          try {
+            sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 }

@@ -16,4 +16,10 @@ object GraftSqlShim {
   /** Parse a SQL statement to its unresolved logical plan. */
   def parsePlan(spark: SparkSession, stmt: String): LogicalPlan =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(stmt)
+
+  /** The Catalyst expression behind a [[Column]] (Spark 4 wraps columns in
+    * ColumnNodes; the converter lives behind `private[sql]`). Used by the
+    * store's min/max file pruning to walk predicate trees. */
+  def expression(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(col)
 }

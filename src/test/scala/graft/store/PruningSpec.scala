@@ -1,0 +1,157 @@
+package graft.store
+
+import java.time.ZoneId
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftSqlShim
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.store.Pruning.ColRange
+
+/** The conservative min/max evaluator: must prune exactly when provable,
+  * and NEVER prune a file that could contain a match. */
+class PruningSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def ranges(kv: (String, ColRange)*): Map[String, ColRange] = kv.toMap
+
+  /** Analyze the predicate against a dummy schema — the same resolution
+    * step TableStore does before pruning (Spark 4 Columns are lazy
+    * ColumnNodes until analyzed). */
+  private lazy val dummy = {
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("name", StringType), StructField("other", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+  }
+
+  private def might(pred: org.apache.spark.sql.Column,
+      rs: Map[String, ColRange]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val cond = dummy.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.get
+    Pruning.mightMatch(cond, rs)
+  }
+
+  private val id10to20 =
+    ranges("id" -> ColRange(Some(10L), Some(20L), hasNulls = false))
+
+  test("equality prunes outside [min,max], keeps inside") {
+    assert(!might(col("id") === 5, id10to20))
+    assert(!might(col("id") === 21, id10to20))
+    assert(might(col("id") === 10, id10to20))
+    assert(might(col("id") === 15, id10to20))
+    assert(might(lit(20) === col("id"), id10to20)) // flipped operand order
+    assert(!might(lit(9) === col("id"), id10to20))
+  }
+
+  test("range comparisons prune on the correct bound") {
+    assert(!might(col("id") > 20, id10to20))
+    assert(might(col("id") >= 20, id10to20))
+    assert(!might(col("id") < 10, id10to20))
+    assert(might(col("id") <= 10, id10to20))
+    assert(!might(lit(10) > col("id"), id10to20)) // id < 10
+    assert(might(col("id") > 19, id10to20))
+  }
+
+  test("AND prunes if either side proves empty; OR needs both") {
+    assert(!might(col("id") === 5 && col("id") === 15, id10to20))
+    assert(might(col("id") === 5 || col("id") === 15, id10to20))
+    assert(!might(col("id") === 5 || col("id") === 25, id10to20))
+  }
+
+  test("IN prunes only when every element is outside the range") {
+    assert(!might(col("id").isin(1, 2, 3), id10to20))
+    assert(might(col("id").isin(1, 2, 15), id10to20))
+  }
+
+  test("null predicates use null counts") {
+    val noNulls = ranges("id" -> ColRange(Some(1L), Some(2L), hasNulls = false))
+    val allNull = ranges("id" -> ColRange(None, None, hasNulls = true, allNulls = true))
+    assert(!might(col("id").isNull, noNulls))
+    assert(might(col("id").isNotNull, noNulls))
+    assert(might(col("id").isNull, allNull))
+    assert(!might(col("id").isNotNull, allNull))
+    assert(!might(col("id") === 1, allNull))
+  }
+
+  test("unknown columns, casts and functions never prune") {
+    assert(might(col("other") === 99, id10to20))
+    assert(might(col("id").cast("string") === "5", id10to20))
+    assert(might(org.apache.spark.sql.functions.abs(col("id")) === 5, id10to20))
+  }
+
+  test("mixed numeric widths compare correctly") {
+    val d = ranges("x" -> ColRange(Some(1.5), Some(2.5), hasNulls = false))
+    assert(!might(col("x") === 3, d))   // int literal vs double stats
+    assert(might(col("x") === 2, d))
+    assert(!might(col("x") > lit(2.5), d))
+  }
+
+  test("string ranges prune equality and prefixes") {
+    val s = ranges("name" -> ColRange(Some("mango"), Some("peach"), hasNulls = false))
+    assert(!might(col("name") === "apple", s))
+    assert(might(col("name") === "orange", s))
+    assert(!might(col("name").startsWith("z"), s))
+    assert(might(col("name").startsWith("pe"), s))
+  }
+
+  test("footerRanges reads real parquet min/max and null counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer")
+    import spark.implicits._
+    val df = Seq(
+      (1L, 2.0, "alpha", java.sql.Date.valueOf("2024-01-01")),
+      (9L, 8.5, "omega", java.sql.Date.valueOf("2024-03-31")))
+      .toDF("id", "score", "name", "d")
+      .withColumn("maybe", org.apache.spark.sql.functions
+        .when(col("id") === 1L, lit(null).cast("int")).otherwise(lit(7)))
+      .coalesce(1)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir.toString, "*.parquet")).head.getPath
+    val rs = Pruning.footerRanges(fs, part)
+    assert(rs("id") == ColRange(Some(1L), Some(9L), hasNulls = false))
+    assert(rs("score") == ColRange(Some(2.0), Some(8.5), hasNulls = false))
+    assert(rs("name") == ColRange(Some("alpha"), Some("omega"), hasNulls = false))
+    // dates normalise to epoch days
+    assert(rs("d") == ColRange(
+      Some(java.time.LocalDate.parse("2024-01-01").toEpochDay),
+      Some(java.time.LocalDate.parse("2024-03-31").toEpochDay),
+      hasNulls = false))
+    assert(rs("maybe").hasNulls && !rs("maybe").allNulls)
+  }
+
+  test("partition values map back to source-column ranges") {
+    val zone = ZoneId.of("UTC")
+    val day = PartitionSpec("ts", "day")
+    val r = day.sourceRange("2024-02-29", TimestampType, zone)
+    val lo = java.time.Instant.parse("2024-02-29T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli * 1000L - 1
+    assert(r == ColRange(Some(lo), Some(hi), hasNulls = false))
+
+    val month = PartitionSpec("d", "month")
+    val rm = month.sourceRange("2024-02", DateType, zone)
+    assert(rm == ColRange(
+      Some(java.time.LocalDate.parse("2024-02-01").toEpochDay),
+      Some(java.time.LocalDate.parse("2024-03-01").toEpochDay - 1),
+      hasNulls = false))
+
+    val idp = PartitionSpec("region", "identity")
+    assert(idp.sourceRange("ASIA", StringType, zone) ==
+      ColRange(Some("ASIA"), Some("ASIA"), hasNulls = false))
+    assert(idp.sourceRange(PartitionSpec.NullPartition, StringType, zone).allNulls)
+  }
+
+  test("PartitionSpec.parse accepts transform(col) and bare col") {
+    assert(PartitionSpec.parse("day(ts)") == PartitionSpec("ts", "day"))
+    assert(PartitionSpec.parse(" MONTH( o_orderdate ) ") ==
+      PartitionSpec("o_orderdate", "month"))
+    assert(PartitionSpec.parse("region") == PartitionSpec("region", "identity"))
+    intercept[IllegalArgumentException](PartitionSpec.parse("bucket(7, id)"))
+  }
+}

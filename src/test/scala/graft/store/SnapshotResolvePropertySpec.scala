@@ -25,7 +25,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
       // commit batch i at time 1000*(i+1) with `size` synthetic files
       sizes.zipWithIndex.foreach { case (size, i) =>
         SnapshotLog.commit(fs, dir, "append",
-          newFiles = (0 until size).map(j => s"data/b$i-f$j"),
+          newFiles = (0 until size).map(j => DataFile(s"data/b$i-f$j")),
           recordCount = size.toLong, // delta; cumulative computed in-lock
           timestampMs = 1000L * (i + 1))
       }
@@ -33,7 +33,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
         .filter { case (_, i) => 1000L * (i + 1) <= probe }
         .flatMap { case (size, i) => (0 until size).map(j => s"data/b$i-f$j") }
       val resolved = SnapshotLog.resolve(fs, dir, Some(probe))
-        .map(_.files).getOrElse(Seq.empty)
+        .map(_.filePaths).getOrElse(Seq.empty)
       val latestSnap = SnapshotLog.resolve(fs, dir, None)
       val latest = latestSnap.map(_.files.size).getOrElse(0)
       // cumulative recordCount is derived in-lock from the append deltas
@@ -48,13 +48,13 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
   test("commit ids increase monotonically and files accumulate") {
     val dir = new HPath(Files.createTempDirectory("graft-prop2").toUri)
     val fs = FileSystem.get(dir.toUri, conf)
-    val s1 = SnapshotLog.commit(fs, dir, "append", Seq("data/a"), 1, 100L)
-    val s2 = SnapshotLog.commit(fs, dir, "append", Seq("data/b"), 2, 200L)
-    val s3 = SnapshotLog.commit(fs, dir, "replace", Seq("data/c"), 1, 300L,
+    val s1 = SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/a")), 1, 100L)
+    val s2 = SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/b")), 2, 200L)
+    val s3 = SnapshotLog.commit(fs, dir, "replace", Seq(DataFile("data/c")), 1, 300L,
       replaceAll = true)
     assert(Seq(s1.id, s2.id, s3.id) == Seq(1L, 2L, 3L))
-    assert(s2.files == Seq("data/a", "data/b"))
-    assert(s3.files == Seq("data/c")) // replaceAll drops the history's files
+    assert(s2.filePaths == Seq("data/a", "data/b"))
+    assert(s3.filePaths == Seq("data/c")) // replaceAll drops the history's files
     val all = SnapshotLog.read(fs, dir)
     assert(all.map(_.id) == Seq(1L, 2L, 3L))
     assert(all.last.summary.isEmpty)
@@ -69,7 +69,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
       val futures = (1 to threads).map { i =>
         pool.submit(new java.util.concurrent.Callable[Long] {
           override def call(): Long =
-            SnapshotLog.commit(fs, dir, "append", Seq(s"data/f$i"), i.toLong,
+            SnapshotLog.commit(fs, dir, "append", Seq(DataFile(s"data/f$i")), i.toLong,
               timestampMs = 1000L + i).id
         })
       }
@@ -79,7 +79,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
       val log = SnapshotLog.read(fs, dir)
       assert(log.size == threads)
       // the last snapshot accumulated every file exactly once
-      assert(log.last.files.toSet == (1 to threads).map(i => s"data/f$i").toSet)
+      assert(log.last.filePaths.toSet == (1 to threads).map(i => s"data/f$i").toSet)
       // and the cumulative recordCount (computed inside the lock from the
       // per-commit deltas) agrees with the serialized commit order — no
       // writer based its total on a stale pre-lock read
@@ -95,7 +95,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
     fs.create(lock, false).close()
     // age the lock beyond the stale threshold
     fs.setTimes(lock, System.currentTimeMillis() - SnapshotLog.StaleLockMs - 1000, -1)
-    val snap = SnapshotLog.commit(fs, dir, "append", Seq("data/x"), 1, 100L)
+    val snap = SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/x")), 1, 100L)
     assert(snap.id == 1L)
     assert(!fs.exists(lock)) // released after the commit
   }
@@ -103,7 +103,7 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
   test("summary round-trips through the JSON log") {
     val dir = new HPath(Files.createTempDirectory("graft-prop3").toUri)
     val fs = FileSystem.get(dir.toUri, conf)
-    SnapshotLog.commit(fs, dir, "append", Seq("data/a"), 5, 100L,
+    SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/a")), 5, 100L,
       summary = Map("added-files" -> "1", "added-records" -> "5"))
     val read = SnapshotLog.read(fs, dir).head
     assert(read.summary == Map("added-files" -> "1", "added-records" -> "5"))
