@@ -49,15 +49,18 @@ object Smoke {
     println("[smoke] table_info head: " +
       introspector.tableInfo("plans").linesIterator.take(3).mkString(" | "))
 
+    // the composed predict() lifecycle (graft.app.Predictor) — one call,
+    // staged like the reference's generator
     val question = "How many customers are subscribed to postpaid plans?"
-    val sql = translator.toSql(question, introspector.tableInfo, topK = 5)
-    println(s"[smoke] translated: $sql")
-    val rendered = engine.run(sql)
-    println(s"[smoke] rendered: $rendered")
-    println(s"[smoke] summary: ${Summarizer.summarize(question, rendered)}")
-    val df = engine.sql(sql)
-    println("[smoke] plot: " + PlotDecider.toJson(
-      PlotDecider.decide(df.schema, df.count(), question)))
+    val predictor = new graft.app.Predictor(engine, translator, introspector, topK = 5)
+    val result = predictor.predict(question)
+    println(s"[smoke] translated: ${result.sql.getOrElse("<none>")
+      .replace("\n", " ")}")
+    println(s"[smoke] rendered: ${result.rendered.getOrElse("<none>")}")
+    println(s"[smoke] summary: ${result.answer}")
+    println("[smoke] plot: " + PlotDecider.toJson(result.plot.getOrElse(
+      graft.present.PlotDecision(plottable = false, "none", "", "", ""))))
+    require(!result.failed, s"predict failed: ${result.answer}")
 
     // append + time travel (`README.md:100-107` semantics)
     cat.append("customers", gen.customers(50, startId = 201), 2000L)
