@@ -63,8 +63,19 @@ object Dedup {
     banded.join(broadcast(oversized), keyCols, "left_anti")
   }
 
-  /** Materialize `result` (executor-local checkpoint — distributed, never
-    * through the driver), then unpersist `scratch`. The LSH pipelines
+  /** Session conf key selecting the checkpoint mode of the dedup
+    * pipelines. Unset (default): `localCheckpoint` — executor-local
+    * blocks, fastest, but losing an executor on a real cluster
+    * invalidates the materialized pair set mid-job (lineage is truncated,
+    * so Spark cannot recompute the lost blocks). Set to a durable
+    * directory (HDFS/object store): RELIABLE `checkpoint` — blocks are
+    * written to that directory and survive executor loss, the posture a
+    * multi-hour 100 TB dedup run needs. Local-mode tests and the bench
+    * keep the default.
+    */
+  val CheckpointDirConf = "spark.graft.dedup.checkpointDir"
+
+  /** Materialize `result`, then unpersist `scratch`. The LSH pipelines
     * persist their banded frame because the candidate self-join reads it
     * twice; without this scope the cached frames outlive the call and
     * executor storage grows without bound across pipeline invocations
@@ -72,9 +83,20 @@ object Dedup {
     * that). The checkpointed result drops its lineage, so the scratch
     * frame is safe to free immediately; ContextCleaner reclaims the
     * checkpoint blocks once the returned frame is unreferenced.
+    *
+    * Checkpoint mode is config-selectable via [[CheckpointDirConf]] —
+    * executor-local by default, reliable (durable-directory, executor-loss
+    * safe) when the conf names a checkpoint dir.
     */
   private def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val spark = result.sparkSession
+    val out = spark.conf.getOption(CheckpointDirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        if (!spark.sparkContext.getCheckpointDir.contains(dir))
+          spark.sparkContext.setCheckpointDir(dir)
+        result.checkpoint(eager = true)
+      case _ => result.localCheckpoint(true)
+    }
     scratch.unpersist()
     out
   }
@@ -155,12 +177,22 @@ object Dedup {
 
   /** Candidate pairs verified with the exact token-set Jaccard, filtered
     * at `threshold`. Verification joins token sets onto the (small)
-    * ids-only candidate set — never onto the banded self-join. */
+    * ids-only candidate set — never onto the banded self-join.
+    *
+    * `candidates`: a precomputed (id_a, id_b) pair frame from
+    * [[minhashCandidatePairs]]. Candidate generation (tokenize → shingle →
+    * signature → band → self-join) is the expensive stage of the dedup
+    * pipeline; a pipeline that both reports candidate pairs and verifies
+    * them MUST compute the pair set once and pass it here — re-deriving it
+    * per verifier doubles the dominant cost at 100 TB.
+    */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L, shingleSize: Int = 3): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize)
+      seed: Long = 42L, shingleSize: Int = 3,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val cand = candidates.getOrElse(
+      minhashCandidatePairs(df, idCol, textCol, numHashes, bands, seed, shingleSize))
     // verify on the same (hashed) shingle sets the signatures sketch —
     // set ops over bigints, not concatenated strings. Shingles are
     // recomputed ONLY for docs that appear in a candidate pair

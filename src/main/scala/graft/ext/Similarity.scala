@@ -69,25 +69,128 @@ object Similarity {
     cosineTopK(pruned, idCol, vecCol, query, k)
   }
 
-  /** IVF-flat index: assign every vector to its nearest of `nlist`
-    * centroids (deterministic sample of the data itself, the FAISS-style
-    * IVF training shortcut). The returned frame adds an `_ivf_list`
-    * column; at cluster scale you persist it partitioned/bucketed by
-    * `_ivf_list`, so a probe reads only nprobe/nlist of the data —
-    * the partition-pruning analogue for vector search, where LSH prunes
-    * per-row and IVF prunes per-file.
-    */
-  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L): (DataFrame, Seq[Array[Float]]) = {
-    val centroids = embeddings
+  /** Deterministic sample of `nlist` vectors — the k-means seeds (and the
+    * FAISS-style IVF training shortcut when `iters = 0`). */
+  private def sampleCentroids(embeddings: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, seed: Long): Seq[Array[Float]] =
+    embeddings
       .select(col(idCol).cast("long").as("_cid"), col(vecCol).as("_cv"))
       .orderBy(xxhash64(col("_cid"), lit(seed)))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Float](1).toArray)
       .toSeq
+
+  /** Lloyd k-means over the embedding column: deterministic seeds, then
+    * `iters` assign→mean rounds. Each round is ONE distributed
+    * aggregation — assignment is the codegen'd [[nearestCentroid]]
+    * expression, the per-list mean a map-side-combining Aggregator, so
+    * only nlist partial sums per partition enter the shuffle (never the
+    * vectors themselves). Empty lists keep their previous centroid.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 5, seed: Long = 42L): Seq[Array[Float]] = {
+    // farthest-point seeding over a small deterministic pool (k-means++
+    // flavor, driver-side over ≤ 8·nlist vectors): two seeds never start
+    // in the same tight cluster, the failure mode of plain sampling
+    val pool = sampleCentroids(embeddings, idCol, vecCol, nlist * 8, seed)
+    var cents = farthestPointSeeds(pool, nlist)
+    val mean = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    for (_ <- 1 to iters) {
+      val means = embeddings
+        .select(nearestCentroid(col(vecCol), cents).as("_l"), col(vecCol).as("_v"))
+        .groupBy(col("_l"))
+        .agg(mean(col("_v")).as("_mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i).filter(_.nonEmpty).getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  /** IVF-flat index: assign every vector to its nearest of `nlist`
+    * k-means centroids. The returned frame adds an `_ivf_list` column;
+    * persist it with [[ivfWriteIndex]] so probes prune FILES, not rows —
+    * the partition-pruning analogue for vector search, where LSH prunes
+    * per-row and IVF prunes per-file.
+    */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L,
+      iters: Int = 2): (DataFrame, Seq[Array[Float]]) = {
+    val centroids =
+      if (iters <= 0) sampleCentroids(embeddings, idCol, vecCol, nlist, seed)
+      else kmeansCentroids(embeddings, idCol, vecCol, nlist, iters, seed)
     (embeddings.withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids)),
       centroids)
+  }
+
+  /** Persist an IVF index at `path`: data parquet-partitioned by
+    * `_ivf_list` (one directory per list — the probe's pruning unit) with
+    * the centroids stored alongside. Vectors are co-located per list via
+    * `repartition(_ivf_list)` before the write, so each list lands as a
+    * contiguous file set instead of tasks × lists fragments.
+    */
+  def ivfWriteIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, iters: Int = 2,
+      seed: Long = 42L): Seq[Array[Float]] = {
+    val (indexed, centroids) =
+      ivfIndex(embeddings, idCol, vecCol, nlist, seed, iters)
+    indexed.repartition(col("_ivf_list"))
+      .write.mode("overwrite").partitionBy("_ivf_list").parquet(path)
+    writeCentroids(embeddings.sparkSession, path, centroids)
+    centroids
+  }
+
+  /** Probe a persisted IVF index: rank the `nprobe` lists nearest the
+    * query and read ONLY their directories (`basePath` keeps `_ivf_list`
+    * resolvable). I/O scales with nprobe/nlist of the index, independent
+    * of total index size — the property the in-memory `ivfTopK` row
+    * filter cannot give at 100 TB. */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val lists = centroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = lists.map(l => s"$path/_ivf_list=$l")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    require(dirs.nonEmpty, s"no probe lists exist under $path")
+    cosineTopK(spark.read.option("basePath", path).parquet(dirs: _*),
+      idCol, vecCol, query, k)
+  }
+
+  private val CentroidsFile = "_ivf_centroids.json"
+
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[Array[Float]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = centroids
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Float]] = {
+    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map(arr =>
+      arr.elements().asScala.map(_.floatValue()).toArray).toSeq
   }
 
   /** Nearest-centroid id as a codegen-friendly expression: one cosine
@@ -109,6 +212,20 @@ object Similarity {
       .sortBy(-_._1).take(nprobe).map(_._2)
     cosineTopK(indexed.filter(col("_ivf_list").isin(probeLists: _*)),
       idCol, vecCol, query, k)
+  }
+
+  /** Greedy farthest-point selection by cosine distance: start from the
+    * pool head, repeatedly take the vector farthest from every chosen
+    * seed. Deterministic; O(pool · nlist) driver work on tiny inputs. */
+  private def farthestPointSeeds(pool: Seq[Array[Float]],
+      nlist: Int): Seq[Array[Float]] = {
+    if (pool.size <= nlist) return pool
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (chosen.size < nlist) {
+      val next = pool.maxBy(v => chosen.map(c => 1.0 - cosine(v, c)).min)
+      chosen += next
+    }
+    chosen.toSeq
   }
 
   /** Driver-side cosine (query vs centroid — tiny). */
@@ -134,6 +251,43 @@ object Similarity {
     }
     bits
   }
+}
+
+/** Element-wise mean of `Array[Float]` vectors with map-side combine:
+  * the buffer is one (sum, count) per partition, so a k-means round
+  * shuffles nlist × partitions buffers, never vectors. */
+final class VectorMeanAggregator
+    extends Aggregator[Array[Float], (Array[Double], Long), Array[Float]] {
+
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  override def reduce(b: (Array[Double], Long),
+      v: Array[Float]): (Array[Double], Long) = {
+    val sum = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    var i = 0
+    while (i < v.length && i < sum.length) { sum(i) += v(i); i += 1 }
+    (sum, b._2 + 1)
+  }
+
+  override def merge(a: (Array[Double], Long),
+      b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) b
+    else if (b._1.isEmpty) a
+    else {
+      var i = 0
+      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+  }
+
+  override def finish(r: (Array[Double], Long)): Array[Float] =
+    if (r._2 == 0) Array.empty[Float]
+    else r._1.map(s => (s / r._2).toFloat)
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
 }
 
 final case class Candidate(score: Double, id: Long)

@@ -60,29 +60,36 @@ final class Engine(catalog: GraftCatalog) {
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     val spark = catalog.spark
-    val byLower = catalog.listTables().map(t => t.toLowerCase -> t).toMap
+    // Name matching/shadowing follows the session's resolution mode:
+    // with spark.sql.caseSensitive=true a CTE named ITEMS must NOT
+    // shadow table items (and ITEMS itself is not a catalog reference).
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
+    val byName = catalog.listTables().map(t => norm(t) -> t).toMap
     val pinned = scala.collection.mutable.HashMap.empty[String, LogicalPlan]
 
     def go(plan: LogicalPlan, shadowed: Set[String]): LogicalPlan = plan match {
       case w: UnresolvedWith =>
         // Non-recursive WITH: each definition sees only the CTEs defined
-        // before it; the main body sees all of them.
+        // before it; the main body sees all of them. A RECURSIVE CTE's
+        // own name is in scope inside its definition — the self-reference
+        // must be left for Spark's recursion resolution, not rewired to a
+        // catalog table that happens to share the name.
         var inScope = shadowed
         val defs = w.cteRelations.map { case (name, defn, colAliases) =>
-          val r = go(defn, inScope).asInstanceOf[SubqueryAlias]
-          inScope += name.toLowerCase
+          val defScope = if (w.allowRecursion) inScope + norm(name) else inScope
+          val r = go(defn, defScope).asInstanceOf[SubqueryAlias]
+          inScope += norm(name)
           (name, r, colAliases)
         }
         w.copy(child = go(w.child, inScope), cteRelations = defs)
       case u: UnresolvedRelation =>
         u.multipartIdentifier match {
-          case Seq(one) if !shadowed(one.toLowerCase) &&
-              byLower.contains(one.toLowerCase) =>
-            val t = byLower(one.toLowerCase)
+          case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>
+            val t = byName(norm(one))
             val p = pinned.getOrElseUpdate(t, pinnedRead(t).queryExecution.analyzed)
             SubqueryAlias(one, p)
-          case parts if parts.size > 1 &&
-              byLower.contains(parts.last.toLowerCase) =>
+          case parts if parts.size > 1 && byName.contains(norm(parts.last)) =>
             throw new IllegalArgumentException(
               s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
                 "reference catalog tables by bare name (USE the database first)")

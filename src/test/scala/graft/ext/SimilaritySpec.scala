@@ -46,6 +46,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed < vecs.size)
   }
 
+  // 8 well-separated clusters of 40 vectors each: k-means must recover
+  // the cluster structure, and a probe of a few lists must carry ~all of
+  // the true neighbors of a query near one cluster's center.
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 8).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    (0 until 8).flatMap { c =>
+      (0 until 40).map { j =>
+        val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+        ((c * 40 + j).toLong, v)
+      }
+    }
+  }
+  private lazy val clusteredDf = clustered.toDF("vec_id", "embedding")
+
+  test("k-means centroids separate planted clusters") {
+    val cents = Similarity.kmeansCentroids(clusteredDf, "vec_id", "embedding",
+      nlist = 8, iters = 5)
+    assert(cents.size == 8)
+    // every planted cluster maps (almost) wholly to one learned list
+    val (indexed, _) = Similarity.ivfIndex(clusteredDf, "vec_id", "embedding",
+      nlist = 8, iters = 5)
+    val purity = indexed
+      .groupBy(($"vec_id" / 40).cast("int").as("truth"), $"_ivf_list")
+      .count()
+      .groupBy($"truth")
+      .agg(org.apache.spark.sql.functions.max($"count").as("m"),
+        org.apache.spark.sql.functions.sum($"count").as("n"))
+      .select(($"m" / $"n").as("p")).as[Double].collect()
+    assert(purity.forall(_ >= 0.9), s"cluster purity too low: ${purity.toSeq}")
+  }
+
+  test("persisted IVF probe: recall@10 >= 0.9 vs brute force, fewer files read") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, iters = 5)
+    val queries = Seq(clustered(5)._2, clustered(45)._2, clustered(205)._2)
+    val recalls = queries.map { q =>
+      val truth = Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = Similarity.ivfProbe(spark, idx, "vec_id", "embedding", q,
+        k = 10, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      truth.intersect(got).size / 10.0
+    }
+    assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
+    // the probe reads strictly fewer FILES than the whole index — I/O
+    // pruning, not row filtering
+    val allFiles = spark.read.parquet(idx).inputFiles.length
+    val probeFiles = Similarity.ivfProbe(spark, idx, "vec_id", "embedding",
+      queries.head, k = 10, nprobe = 2).inputFiles.length
+    assert(probeFiles > 0 && probeFiles < allFiles,
+      s"probe read $probeFiles of $allFiles files")
+    // centroids round-trip through the index directory
+    assert(Similarity.readCentroids(spark, idx).size == 8)
+  }
+
   test("multi-query bounded-heap top-k matches brute force per query") {
     val queries = df.filter($"vec_id" < 2)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

@@ -147,6 +147,41 @@ class EngineSpec extends AnyFunSuite {
         "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
   }
 
+  test("a RECURSIVE CTE named like a table keeps its self-reference") {
+    val (_, engine) = fixture()
+    // WITH RECURSIVE items: the self-reference inside the definition must
+    // stay the CTE (Spark's recursion resolution), NOT get rewired to the
+    // pinned base table — that would silently de-recurse the query. The
+    // base-case still reads (and pins) nothing here, so the count is the
+    // recursion's 3 rows, not the table's.
+    assert(engine.run(
+      "WITH RECURSIVE items AS (SELECT 1 AS n UNION ALL " +
+        "SELECT n + 1 FROM items WHERE n < 3) " +
+        "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+      "[(3,)]")
+  }
+
+  test("CTE shadowing honors spark.sql.caseSensitive") {
+    val (_, engine) = fixture()
+    val key = "spark.sql.caseSensitive"
+    val prior = spark.conf.get(key)
+    try {
+      // case-insensitive (default): CTE ITEMS shadows table items
+      spark.conf.set(key, "false")
+      assert(engine.run(
+        "WITH ITEMS AS (SELECT * FROM items WHERE id = 1) " +
+          "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+        "[(1,)]")
+      // case-sensitive: ITEMS is a different name — the later bare
+      // `items` is the base table and must be PINNED (count at t1 = 2)
+      spark.conf.set(key, "true")
+      assert(engine.run(
+        "WITH ITEMS AS (SELECT * FROM items WHERE id = 1) " +
+          "SELECT COUNT(*) FROM items FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") ==
+        "[(2,)]")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("rendered output follows the tuple-list contract end to end") {
     val (_, engine) = fixture()
     assert(engine.run("SELECT id, name FROM items ORDER BY id LIMIT 2") ==
