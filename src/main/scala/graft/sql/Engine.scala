@@ -28,7 +28,7 @@ final class Engine(catalog: GraftCatalog) {
       (asOf, version) match {
         case (Some(ms), _)  => pinnedQuery(stmt, catalog.table(_, Some(ms)))
         case (_, Some(id))  => pinnedQuery(stmt, catalog.tableVersion(_, id))
-        case _              => catalog.spark.sql(stmt)
+        case _              => prunedQuery(stmt)
       }
     }
   }
@@ -94,6 +94,75 @@ final class Engine(catalog: GraftCatalog) {
               s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
                 "reference catalog tables by bare name (USE the database first)")
           case _ => u
+        }
+      case other =>
+        other.mapChildren(go(_, shadowed)).transformExpressionsUp {
+          case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
+        }
+    }
+    GraftSqlShim.ofRows(spark, go(GraftSqlShim.parsePlan(spark, stmt), Set.empty))
+  }
+
+  /** Partition pruning for the PLAIN SQL path: a `WHERE` sitting directly
+    * on a partitioned catalog table is spliced so the relation scans only
+    * the files the snapshot log's partition values cannot rule out — SQL
+    * users get the same file pruning as [[GraftCatalog.tableWhere]]. The
+    * original Filter stays on top (pruning is conservative), so a failed
+    * or impossible prune degrades to the full scan, never to wrong rows.
+    * CTE shadowing and expression subqueries follow the same scoping as
+    * the time-travel walk.
+    */
+  private def prunedQuery(stmt: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias, UnresolvedWith}
+    val spark = catalog.spark
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
+    lazy val byName = catalog.listTables().map(t => norm(t) -> t).toMap
+
+    // Some(pruned analyzed plan) only for an unshadowed, partitioned
+    // catalog table whose filter analyzes against its schema; anything
+    // else → None → the relation resolves through its temp view as usual.
+    def pruned(name: String, cond: Expression,
+        shadowed: Set[String]): Option[LogicalPlan] =
+      if (shadowed(norm(name)) || !byName.contains(norm(name))) None
+      else {
+        val t = byName(norm(name))
+        val store = catalog.store()
+        if (store.partitionSpec(t).isEmpty) None
+        else scala.util.Try(
+          store.readPruned(t, GraftSqlShim.column(cond))
+            .queryExecution.analyzed).toOption
+      }
+
+    def go(plan: LogicalPlan, shadowed: Set[String]): LogicalPlan = plan match {
+      case w: UnresolvedWith =>
+        var inScope = shadowed
+        val defs = w.cteRelations.map { case (name, defn, colAliases) =>
+          val defScope = if (w.allowRecursion) inScope + norm(name) else inScope
+          val r = go(defn, defScope).asInstanceOf[SubqueryAlias]
+          inScope += norm(name)
+          (name, r, colAliases)
+        }
+        w.copy(child = go(w.child, inScope), cteRelations = defs)
+      case f: Filter =>
+        val child = f.child match {
+          case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+            pruned(u.multipartIdentifier.head, f.condition, shadowed)
+              .map(SubqueryAlias(u.multipartIdentifier.head, _))
+              .getOrElse(u)
+          case sa @ SubqueryAlias(_, u: UnresolvedRelation)
+              if u.multipartIdentifier.size == 1 =>
+            pruned(u.multipartIdentifier.head, f.condition, shadowed)
+              .map(p => sa.copy(child =
+                SubqueryAlias(u.multipartIdentifier.head, p)))
+              .getOrElse(sa)
+          case other => go(other, shadowed)
+        }
+        f.copy(child = child).transformExpressionsUp {
+          case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
         }
       case other =>
         other.mapChildren(go(_, shadowed)).transformExpressionsUp {

@@ -206,6 +206,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       asOfMs: Option[Long] = None): DataFrame =
     readFileList(table, prunedFiles(table, predicate, asOfMs)).filter(predicate)
 
+  /** Pruned relation WITHOUT the predicate applied — for callers that
+    * keep their own Filter on top (the SQL-path plan splice): scans only
+    * [[prunedFiles]]. Pruning is conservative, so wrapping this in the
+    * original filter is always semantics-preserving. */
+  def readPruned(table: String, predicate: Column,
+      asOfMs: Option[Long] = None): DataFrame =
+    readFileList(table, prunedFiles(table, predicate, asOfMs))
+
   /** The file list [[readWhere]] would scan (exposed for plan/pruning
     * assertions). */
   def prunedFiles(table: String, predicate: Column,

@@ -22,4 +22,10 @@ object GraftSqlShim {
     * store's min/max file pruning to walk predicate trees. */
   def expression(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(col)
+
+  /** Wrap a Catalyst expression back into a [[Column]] (the inverse of
+    * [[expression]]) — lets a parsed WHERE condition drive the store's
+    * partition pruning. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
