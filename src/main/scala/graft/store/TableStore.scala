@@ -121,7 +121,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * partition values. */
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
-    val moved = partitionSpec(table) match {
+    val parts: Seq[(HPath, Map[String, String])] = partitionSpec(table) match {
       case Some(sp) =>
         // hidden partitioning: the transform column exists only for the
         // write; data files keep the original schema
@@ -135,12 +135,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             dir.getPath.getName.stripPrefix(TableStore.PartDirCol + "="))
           p <- fs.listStatus(dir.getPath).toSeq.map(_.getPath)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-        } yield promoteOne(table, p, Map(sp.column -> value))
+        } yield (p, Map(sp.column -> value))
       case None =>
         df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         fs.listStatus(staging).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-          .map(promoteOne(table, _, Map.empty))
+          .map((_, Map.empty[String, String]))
+    }
+    // promote in parallel: rename + footer row count are independent
+    // per-file metadata ops — serial promotion of a many-file commit
+    // would make the DRIVER the bottleneck of a distributed write
+    val moved = TableStore.inParallel(parts) { case (p, part) =>
+      promoteOne(table, p, part)
     }
     // clean staging remnants (_SUCCESS, .crc)
     fs.delete(staging, true)
@@ -290,9 +296,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val surviving = prunedFiles(table, predicate) // stage 1: partition prune
     val partCarried = dataFilesAsOf(table, None).diff(surviving)
     val pe = analyzedPredicate(table, predicate)
-    val (statCand, statCarried) = surviving.partition { f =>
-      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path)))
-    }
+    // footer reads are independent driver metadata ops: parallelize
+    val keep = TableStore.inParallel(surviving)(f =>
+      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
+    val (kept, dropped) = surviving.zip(keep).partition(_._2)
+    val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
       if (statCand.isEmpty) Set.empty
       else spark.read.schema(schema(table))
@@ -323,9 +331,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val surviving = prunedFiles(table, rangePred)
     val partCarried = files.diff(surviving)
     val pe = analyzedPredicate(table, rangePred)
-    val (statCand, statCarried) = surviving.partition { f =>
-      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path)))
-    }
+    val keep = TableStore.inParallel(surviving)(f =>
+      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
+    val (kept, dropped) = surviving.zip(keep).partition(_._2)
+    val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
       if (statCand.isEmpty) Set.empty
       else spark.read.schema(schema(table))
@@ -345,7 +354,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       carried: Seq[DataFile], rewrittenCount: Int,
       replacement: Option[DataFrame], timestampMs: Long): Snapshot = {
     val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
-    val total = carried.map(recordsOf(table, _)).sum + newFiles.map(_.records).sum
+    val total = TableStore.inParallel(carried)(recordsOf(table, _)).sum +
+      newFiles.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, carried ++ newFiles,
       total, timestampMs, replaceAll = true,
       summary = Map(
@@ -486,6 +496,21 @@ object TableStore {
     * alone identifies a file within a table. */
   private[store] def fileName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
+
+  /** Driver-side parallel map over independent per-file metadata ops
+    * (footer reads, renames). Bounded pool; exceptions propagate. */
+  private[store] def inParallel[A, B](xs: Seq[A], parallelism: Int = 16)(
+      f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, xs.size))
+      try {
+        val futures = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
 
   /** Undo Hive-style `%xx` escaping in partition directory values. */
   private[store] def unescapePartition(v: String): String = {
