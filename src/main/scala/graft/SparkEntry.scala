@@ -525,6 +525,24 @@ object SparkEntry {
       eng.sql("SELECT id, balance, status FROM accounts ORDER BY id")
     }),
 
+    // Warehouse-ETL surface: CTAS + INSERT INTO … SELECT + TRUNCATE — the
+    // statements an Impala warehouse build uses beyond batched VALUES.
+    "q_sql_ctas" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_src", orders.schema)
+      cat.append("orders_src", orders, 1000L)
+      eng.sql("CREATE TABLE big_orders STORED AS ICEBERG AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src " +
+        "WHERE o_totalprice > 200000")
+      eng.sql("INSERT INTO big_orders " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src " +
+        "WHERE o_totalprice <= 50000")
+      eng.sql("SELECT COUNT(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
+        "FROM big_orders")
+    }),
+
     // S4/S5: CSV sink + source with inferSchema and corrective timestamp
     // cast (`telco_spark/append_telco_spark_iceberg.py:40-59` shape).
     "q_csv_roundtrip" -> ((s, dir) => {
@@ -997,6 +1015,11 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT 'replace' AS operation, count(*) AS record_count FROM orders",
+
+    "q_sql_ctas" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 200000 OR o_totalprice <= 50000""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -137,6 +137,14 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
       asOfMs: Option[Long] = None): DataFrame =
     store().readWhere(name, predicate, asOfMs)
 
+  /** TRUNCATE TABLE: see [[TableStore.truncate]]. */
+  def truncate(name: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().truncate(name, timestampMs)
+    registerView(name)
+    snap
+  }
+
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
     val snap = store().compact(name, targetBytes)
     registerView(name)

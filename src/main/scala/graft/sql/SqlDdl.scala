@@ -41,6 +41,20 @@ object SqlDdl {
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
+  // INSERT INTO t [(cols)] SELECT …/WITH … — the warehouse-ETL shape
+  private val InsertSelect =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
+      "\\s*(?:\\(([^)]*)\\))?\\s*((?:SELECT|WITH)\\b.+)$").r
+  // CREATE TABLE t [PARTITIONED BY (spec)] [STORED AS x] AS SELECT …
+  private val CreateTableAs =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
+      "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "\\s*(?:STORED\\s+AS\\s+\\w+\\s*)?AS\\s+((?:SELECT|WITH)\\b.+)$").r
+  private val Truncate =
+    "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+  private val Describe =
+    "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+  private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
   private val Delete =
     "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
   // SET-tail captured whole; the WHERE split happens quote-aware in
@@ -61,6 +75,14 @@ object SqlDdl {
       catalog.use(db); Some(empty(catalog))
     case DropTable(t) =>
       catalog.dropTable(t); Some(empty(catalog))
+    case CreateTableAs(t, partDef, select) =>
+      if (!catalog.store().exists(t)) {
+        val df = evalSelect(catalog, select)
+        catalog.createTable(t, df.schema,
+          Option(partDef).map(graft.store.PartitionSpec.parse))
+        catalog.append(t, df)
+      }
+      Some(empty(catalog))
     case CreateTable(t, colsDef, partDef) =>
       if (!catalog.store().exists(t))
         catalog.createTable(t, parseSchema(colsDef),
@@ -69,6 +91,22 @@ object SqlDdl {
     case Insert(t, colList, valuesTail) =>
       insertValues(catalog, t, Option(colList), valuesTail)
       Some(empty(catalog))
+    case InsertSelect(t, colList, select) =>
+      insertFrame(catalog, t, Option(colList), evalSelect(catalog, select))
+      Some(empty(catalog))
+    case Truncate(t) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      catalog.truncate(t)
+      Some(empty(catalog))
+    case Describe(t) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      val rows = catalog.store().schema(t).fields.toIndexedSeq
+        .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
+      import catalog.spark.implicits._
+      Some(rows.toDF("col_name", "data_type", "comment"))
+    case ShowTables() =>
+      import catalog.spark.implicits._
+      Some(catalog.listTables().toDF("tab_name"))
     case Delete(t, cond) =>
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
@@ -155,7 +193,18 @@ object SqlDdl {
   }
 
   private def insertValues(catalog: GraftCatalog, table: String,
-      colList: Option[String], valuesTail: String): Unit = {
+      colList: Option[String], valuesTail: String): Unit =
+    // Spark's own parser evaluates the literal rows (NULL, numerics,
+    // ''-escaped strings) — no hand-rolled literal grammar.
+    insertFrame(catalog, table, colList,
+      catalog.spark.sql(s"SELECT * FROM VALUES $valuesTail"))
+
+  /** Append `raw`'s rows into `table` under INSERT column semantics:
+    * positional mapping onto the (optional) column list, casts to the
+    * declared types, typed NULLs for unnamed columns. Serves both
+    * `INSERT … VALUES` and `INSERT … SELECT`. */
+  private def insertFrame(catalog: GraftCatalog, table: String,
+      colList: Option[String], raw: DataFrame): Unit = {
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
     val targetCols = colList.map(_.split(",").toSeq
@@ -163,9 +212,6 @@ object SqlDdl {
       .getOrElse(schema.fieldNames.toSeq)
     targetCols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown column '$c' in INSERT into $table"))
-    // Spark's own parser evaluates the literal rows (NULL, numerics,
-    // ''-escaped strings) — no hand-rolled literal grammar.
-    val raw = catalog.spark.sql(s"SELECT * FROM VALUES $valuesTail")
     require(raw.schema.length == targetCols.length,
       s"INSERT into $table: ${targetCols.length} columns but " +
         s"${raw.schema.length} values per row")
@@ -177,4 +223,11 @@ object SqlDdl {
     }: _*)
     catalog.append(table, aligned)
   }
+
+  /** Evaluate the SELECT/WITH body of CTAS / INSERT-SELECT through the
+    * full engine seam, so time travel and partition pruning apply inside
+    * write statements too. (A SELECT never re-enters the DDL matcher, so
+    * the recursion is one level.) */
+  private def evalSelect(catalog: GraftCatalog, select: String): DataFrame =
+    new Engine(catalog).sql(select)
 }

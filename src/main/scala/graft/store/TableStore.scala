@@ -439,6 +439,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cowCommit(table, "merge", carried, matched.size, Some(replacement), timestampMs)
   }
 
+  /** TRUNCATE: one `delete` snapshot with an empty file list — prior
+    * snapshots keep their files for time travel until `expire`. */
+  def truncate(table: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
+      timestampMs, replaceAll = true,
+      summary = Map("carried-files" -> "0", "added-files" -> "0"))
+
   /** Bin-pack small files into ~targetBytes files; commit a `replace`
     * snapshot. Old files stay referenced by old snapshots (time travel
     * keeps working) until `expire`.

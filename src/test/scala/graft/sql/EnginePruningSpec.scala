@@ -59,6 +59,18 @@ class EnginePruningSpec extends AnyFunSuite {
       "WHERE a.d >= DATE'2024-01-01'") == "[(4,)]")
   }
 
+  test("table alias with UNQUALIFIED refs still prunes under the alias") {
+    val (_, eng) = fixture()
+    val pruned = eng.sql("SELECT id FROM ev e WHERE d = DATE'2024-03-15'")
+    // qualified e.d falls back (see previous test); bare d analyzes
+    // against the table schema and prunes under the alias
+    val all = scannedFiles(eng.sql("SELECT * FROM ev"))
+    assert(scannedFiles(pruned) < all)
+    assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(4))
+    // alias-qualified projection over the spliced relation still resolves
+    assert(eng.run("SELECT e.id FROM ev e WHERE d = DATE'2024-03-15'") == "[(4,)]")
+  }
+
   test("a CTE named like the partitioned table is not spliced") {
     val (_, eng) = fixture()
     assert(eng.run("WITH ev AS (SELECT 99 AS id) " +

@@ -191,4 +191,52 @@ class SqlDdlSpec extends AnyFunSuite {
     eng.sql("CREATE TABLE IF NOT EXISTS t6 (id INT)")
     assert(eng.run("SELECT COUNT(*) FROM t6") == "[(1,)]")
   }
+
+  test("CREATE TABLE AS SELECT materializes the query result") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE src (id INT, v DOUBLE)")
+    eng.sql("INSERT INTO src VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.sql("CREATE TABLE big STORED AS ICEBERG AS SELECT id, v FROM src WHERE v >= 20.0")
+    assert(eng.run("SELECT id, v FROM big ORDER BY id") ==
+      "[(2, 20.0), (3, 30.0)]")
+  }
+
+  test("CTAS with a partition spec creates a partitioned table") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE evs (id INT, d DATE)")
+    eng.sql("INSERT INTO evs VALUES (1, '2024-01-05'), (2, '2024-02-03')")
+    eng.sql("CREATE TABLE evp PARTITIONED BY (month(d)) AS SELECT * FROM evs")
+    assert(cat.store().partitionSpec("evp")
+      .contains(graft.store.PartitionSpec("d", "month")))
+    assert(cat.store().dataFilesAsOf("evp", None)
+      .flatMap(_.partition.get("d")).toSet == Set("2024-01", "2024-02"))
+  }
+
+  test("INSERT INTO ... SELECT appends the query result with casts") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE a7 (id INT, v DOUBLE)")
+    eng.sql("INSERT INTO a7 VALUES (1, 1.5)")
+    eng.sql("CREATE TABLE b7 (id INT, v DOUBLE, tag STRING)")
+    eng.sql("INSERT INTO b7 (id, v) SELECT id + 10, v * 2 FROM a7")
+    assert(eng.run("SELECT id, v, tag FROM b7") == "[(11, 3.0, None)]")
+  }
+
+  test("TRUNCATE TABLE empties the table but keeps time travel") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE tr (id INT)")
+    cat.append("tr", graft.SharedSpark.spark.range(3)
+      .selectExpr("CAST(id AS INT) AS id").toDF(), 1000L)
+    eng.sql("TRUNCATE TABLE tr")
+    assert(eng.run("SELECT COUNT(*) FROM tr") == "[(0,)]")
+    assert(eng.run("SELECT COUNT(*) FROM tr " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") == "[(3,)]")
+  }
+
+  test("DESCRIBE and SHOW TABLES return metadata result sets") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE meta1 (id INT, name STRING)")
+    assert(eng.run("DESCRIBE meta1") ==
+      "[('id', 'int', ''), ('name', 'string', '')]")
+    assert(eng.run("SHOW TABLES").contains("meta1"))
+  }
 }
