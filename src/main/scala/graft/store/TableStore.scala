@@ -462,6 +462,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     overwrite(table, df, operation = "replace")
   }
 
+  /** Remove write debris a crashed job can leave behind: staging
+    * directories and `data/` files referenced by NO snapshot (a write
+    * that died between staging and commit). Only items last modified
+    * before `olderThanMs` are touched, so an in-flight write's staging
+    * dir and freshly promoted-but-not-yet-committed files survive — the
+    * same grace-window contract as Iceberg's orphan-file removal. Committed
+    * data is never touched (that is [[expire]]'s job).
+    */
+  def vacuum(table: String, olderThanMs: Long): Unit = {
+    val dir = tableDir(table)
+    if (!fs.exists(dir)) return
+    // stale staging dirs
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("stage-"))
+      .filter(_.getModificationTime < olderThanMs)
+      .foreach(st => fs.delete(st.getPath, true))
+    // orphaned data files (in data/ but in no snapshot's file list)
+    val referenced = SnapshotLog.read(fs, dir).flatMap(_.filePaths)
+      .map(TableStore.fileName).toSet
+    val dd = dataDir(table)
+    if (fs.exists(dd))
+      fs.listStatus(dd).toSeq
+        .filter(st => st.isFile && !referenced(st.getPath.getName))
+        .filter(_.getModificationTime < olderThanMs)
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** Drop snapshots older than `olderThanMs` (keeping the latest) and
     * delete data files no surviving snapshot references.
     */

@@ -143,6 +143,29 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("vacuum removes stale staging dirs and orphan files, nothing live") {
+    val st = newStore()
+    st.create("vc", Seq((1, "x")).toDF("id", "v").schema)
+    st.append("vc", Seq((1, "a")).toDF("id", "v"), 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val dir = st.tableDir("vc")
+    // plant debris: a dead staging dir + an orphan data file
+    val stale = new HPath(dir, "stage-deadbeef")
+    fs.mkdirs(stale)
+    val orphan = new HPath(new HPath(dir, "data"), "orphan-file.parquet")
+    fs.create(orphan, true).close()
+    // grace window: young debris survives
+    st.vacuum("vc", olderThanMs = System.currentTimeMillis() - 60000)
+    assert(fs.exists(stale) && fs.exists(orphan))
+    // past the window: debris goes, committed data stays
+    st.vacuum("vc", olderThanMs = System.currentTimeMillis() + 60000)
+    assert(!fs.exists(stale) && !fs.exists(orphan))
+    assert(st.read("vc").count() == 1)
+    // time travel to the committed snapshot still works
+    assert(st.read("vc", Some(1500L)).count() == 1)
+  }
+
   test("null partition values land in the null partition and stay readable") {
     val st = newStore()
     val data = Seq((1, Option("ASIA")), (2, None), (3, Option("EUROPE")))

@@ -103,4 +103,31 @@ class EventStreamsSpec extends AnyFunSuite {
     val t1 = h(0).getAs[Timestamp]("committed_at").getTime
     assert(cat.table("events_t", Some(t1)).count() == 3)
   }
+
+  test("appendStream into a PARTITIONED table records partition values") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-stream-p"), spark)
+    cat.createDatabase("default")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("user_id", "ts", "event_type", "value")
+    cat.createTable("events_p", events.schema,
+      Some(graft.store.PartitionSpec("ts", "day")))
+
+    val ckpt = Files.createTempDirectory("graft-ckpt-p").toString
+    input.addData(eventRows.take(5))
+    EventStreams.appendStream(cat, "events_p", events, ckpt).awaitTermination()
+
+    val files = cat.store().dataFilesAsOf("events_p", None)
+    val days = files.flatMap(_.partition.get("ts")).toSet
+    assert(days.nonEmpty && days.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+    // a day-scoped pruned read scans fewer files when several days exist
+    if (days.size > 1) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val d = days.min
+      val pred = col("ts") >= lit(java.sql.Timestamp.valueOf(s"$d 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf(s"$d 23:59:59"))
+      assert(cat.store().prunedFiles("events_p", pred).size < files.size)
+    }
+    assert(cat.table("events_p").count() == 5)
+  }
 }
