@@ -137,6 +137,18 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
       asOfMs: Option[Long] = None): DataFrame =
     store().readWhere(name, predicate, asOfMs)
 
+  /** ALTER TABLE ADD COLUMNS: see [[TableStore.addColumns]]. */
+  def addColumns(name: String, cols: StructType): Unit = {
+    store().addColumns(name, cols)
+    registerView(name)
+  }
+
+  /** ALTER TABLE DROP COLUMN: see [[TableStore.dropColumn]]. */
+  def dropColumn(name: String, column: String): Unit = {
+    store().dropColumn(name, column)
+    registerView(name)
+  }
+
   /** TRUNCATE TABLE: see [[TableStore.truncate]]. */
   def truncate(name: String,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {

@@ -26,12 +26,27 @@ final class Engine(catalog: GraftCatalog) {
       val TimeTravelRewriter.Rewritten(stmt, asOf, version) =
         TimeTravelRewriter.rewrite(cleaned)
       (asOf, version) match {
-        case (Some(ms), _)  => pinnedQuery(stmt, catalog.table(_, Some(ms)))
-        case (_, Some(id))  => pinnedQuery(stmt, catalog.tableVersion(_, id))
+        case (Some(ms), _)  =>
+          pinnedQuery(stmt, (t, cond) => pinnedPruned(t, cond, Some(ms)))
+        case (_, Some(id))  =>
+          pinnedQuery(stmt, (t, _) => catalog.tableVersion(t, id))
         case _              => prunedQuery(stmt)
       }
     }
   }
+
+  /** Time-travel read of `t`, partition-pruned by the enclosing filter
+    * when one exists and the table is partitioned — AS-OF queries over a
+    * day-partitioned table scan the day, not the snapshot. Any analysis
+    * hiccup falls back to the unpruned pinned read (the filter stays on
+    * top, so pruning can only drop provably-unmatchable files). */
+  private def pinnedPruned(t: String,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      asOfMs: Option[Long]): DataFrame =
+    cond.filter(_ => catalog.store().partitionSpec(t).isDefined)
+      .flatMap(c => scala.util.Try(catalog.store().readPruned(t,
+        org.apache.spark.sql.GraftSqlShim.column(c), asOfMs)).toOption)
+      .getOrElse(catalog.table(t, asOfMs))
 
   /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
     * The statement is PARSED and each [[UnresolvedRelation]] naming a
@@ -54,11 +69,14 @@ final class Engine(catalog: GraftCatalog) {
     * fails FAST instead of silently reading the current snapshot while
     * the rest of the query is pinned.
     */
-  private def pinnedQuery(stmt: String, pinnedRead: String => DataFrame): DataFrame = {
+  private def pinnedQuery(stmt: String,
+      pinnedRead: (String,
+        Option[org.apache.spark.sql.catalyst.expressions.Expression]) => DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias, UnresolvedWith}
     val spark = catalog.spark
     // Name matching/shadowing follows the session's resolution mode:
     // with spark.sql.caseSensitive=true a CTE named ITEMS must NOT
@@ -83,23 +101,44 @@ final class Engine(catalog: GraftCatalog) {
           (name, r, colAliases)
         }
         w.copy(child = go(w.child, inScope), cteRelations = defs)
-      case u: UnresolvedRelation =>
-        u.multipartIdentifier match {
-          case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>
-            val t = byName(norm(one))
-            val p = pinned.getOrElseUpdate(t, pinnedRead(t).queryExecution.analyzed)
-            SubqueryAlias(one, p)
-          case parts if parts.size > 1 && byName.contains(norm(parts.last)) =>
-            throw new IllegalArgumentException(
-              s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
-                "reference catalog tables by bare name (USE the database first)")
-          case _ => u
+      case f: Filter =>
+        // a filter directly over a relation lets the pinned read prune
+        // partitioned tables by the condition
+        val child = f.child match {
+          case u: UnresolvedRelation => pinRel(u, shadowed, Some(f.condition))
+          case sa @ SubqueryAlias(_, u: UnresolvedRelation) =>
+            sa.copy(child = pinRel(u, shadowed, Some(f.condition)))
+          case other => go(other, shadowed)
         }
+        f.copy(child = child).transformExpressionsUp {
+          case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
+        }
+      case u: UnresolvedRelation => pinRel(u, shadowed, None)
       case other =>
         other.mapChildren(go(_, shadowed)).transformExpressionsUp {
           case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
         }
     }
+
+    def pinRel(u: UnresolvedRelation, shadowed: Set[String],
+        cond: Option[Expression]): LogicalPlan =
+      u.multipartIdentifier match {
+        case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>
+          val t = byName(norm(one))
+          // only the UNPRUNED pin is cached — a condition-pruned plan is a
+          // file subset and must never serve another reference
+          val p = cond match {
+            case Some(c) => pinnedRead(t, Some(c)).queryExecution.analyzed
+            case None =>
+              pinned.getOrElseUpdate(t, pinnedRead(t, None).queryExecution.analyzed)
+          }
+          SubqueryAlias(one, p)
+        case parts if parts.size > 1 && byName.contains(norm(parts.last)) =>
+          throw new IllegalArgumentException(
+            s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
+              "reference catalog tables by bare name (USE the database first)")
+        case _ => u
+      }
     GraftSqlShim.ofRows(spark, go(GraftSqlShim.parsePlan(spark, stmt), Set.empty))
   }
 

@@ -54,7 +54,18 @@ object SqlDdl {
     "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
   private val Describe =
     "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+  // Iceberg's snapshot-history inspection (`DESCRIBE HISTORY t` in
+  // Impala/Spark-Iceberg; the reference inspects the same via Hue,
+  // `README.md:94-98`)
+  private val DescribeHistory =
+    "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val AlterAdd =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\s*" +
+      "\\(?(.+?)\\)?\\s*$").r
+  private val AlterDrop =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
+      "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
   private val Delete =
     "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
   // SET-tail captured whole; the WHERE split happens quote-aware in
@@ -98,12 +109,21 @@ object SqlDdl {
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.truncate(t)
       Some(empty(catalog))
+    case DescribeHistory(t) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      Some(catalog.history(t))
     case Describe(t) =>
       require(catalog.store().exists(t), s"table not found: $t")
       val rows = catalog.store().schema(t).fields.toIndexedSeq
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
       import catalog.spark.implicits._
       Some(rows.toDF("col_name", "data_type", "comment"))
+    case AlterAdd(t, colsDef) =>
+      catalog.addColumns(t, parseSchema(colsDef))
+      Some(empty(catalog))
+    case AlterDrop(t, c) =>
+      catalog.dropColumn(t, c)
+      Some(empty(catalog))
     case ShowTables() =>
       import catalog.spark.implicits._
       Some(catalog.listTables().toDF("tab_name"))

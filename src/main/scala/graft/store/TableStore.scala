@@ -439,6 +439,38 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cowCommit(table, "merge", carried, matched.size, Some(replacement), timestampMs)
   }
 
+  /** Schema evolution: append columns to the persisted schema. Existing
+    * data files simply lack the new columns — Spark's by-name Parquet
+    * resolution fills them with typed NULLs on read, so no data is
+    * rewritten (Iceberg ADD COLUMN semantics). NOTE: one current schema
+    * serves all snapshots, so time-travel reads also surface the new
+    * columns (as NULL) — a per-snapshot schema log is the Iceberg-exact
+    * refinement if ever needed. */
+  def addColumns(table: String, cols: StructType): Unit = {
+    val cur = schema(table)
+    cols.fields.foreach(f => require(
+      !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"column '${f.name}' already exists in $table"))
+    writeString(new HPath(tableDir(table), "schema.json"),
+      StructType(cur.fields ++ cols.fields).json)
+  }
+
+  /** Schema evolution: drop a column from the persisted schema. Data
+    * files keep the physical column; reads with the narrowed schema
+    * never materialize it (column pruning at the scan). The partition
+    * source column cannot be dropped. */
+  def dropColumn(table: String, name: String): Unit = {
+    val cur = schema(table)
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"no column '$name' in $table")
+    partitionSpec(table).foreach(sp => require(
+      !sp.column.equalsIgnoreCase(name),
+      s"cannot drop partition column '$name' of $table"))
+    require(cur.fields.length > 1, s"cannot drop the last column of $table")
+    writeString(new HPath(tableDir(table), "schema.json"),
+      StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))).json)
+  }
+
   /** TRUNCATE: one `delete` snapshot with an empty file list — prior
     * snapshots keep their files for time travel until `expire`. */
   def truncate(table: String,

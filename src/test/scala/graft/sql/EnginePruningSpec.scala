@@ -77,6 +77,32 @@ class EnginePruningSpec extends AnyFunSuite {
       "SELECT id FROM ev WHERE id > 0") == "[(99,)]")
   }
 
+  test("AS OF time travel also prunes partitioned tables by the filter") {
+    val (cat, eng) = fixture()
+    val s = graft.SharedSpark.spark
+    // controlled commit times: months 01/02/03 at t=1000, extra March
+    // row at t=5000 — AS-OF t=4000 must not see the second snapshot
+    cat.createTable("evt", cat.store().schema("ev"),
+      Some(graft.store.PartitionSpec("d", "month")))
+    cat.append("evt", s.sql(
+      "SELECT * FROM VALUES (1, DATE'2024-01-05', 1.0), " +
+        "(2, DATE'2024-02-03', 2.0), (4, DATE'2024-03-15', 4.0) " +
+        "AS t(id, d, v)"), 1000L)
+    cat.append("evt", s.sql(
+      "SELECT 5 AS id, DATE'2024-03-20' AS d, 9.0 AS v"), 5000L)
+    val asOfAll = eng.sql(
+      "SELECT * FROM evt FOR SYSTEM_TIME AS OF '1970-01-01 00:00:04'")
+    val asOfPruned = eng.sql(
+      "SELECT id FROM evt FOR SYSTEM_TIME AS OF '1970-01-01 00:00:04' " +
+        "WHERE d >= DATE'2024-03-01'")
+    assert(scannedFiles(asOfPruned) < scannedFiles(asOfAll))
+    // pinned correctly: only the pre-append March row
+    assert(asOfPruned.collect().map(_.getInt(0)).toSeq == Seq(4))
+    // latest sees both March rows, still pruned
+    assert(eng.run("SELECT COUNT(*) FROM evt WHERE d >= DATE'2024-03-01'") ==
+      "[(2,)]")
+  }
+
   test("DELETE on a partitioned table through SQL stays file-granular") {
     val (cat, eng) = fixture()
     val before = cat.store().dataFilesAsOf("ev", None)

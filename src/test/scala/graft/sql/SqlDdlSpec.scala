@@ -239,4 +239,45 @@ class SqlDdlSpec extends AnyFunSuite {
       "[('id', 'int', ''), ('name', 'string', '')]")
     assert(eng.run("SHOW TABLES").contains("meta1"))
   }
+
+  test("DESCRIBE HISTORY lists snapshots like the Hue inspection") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE h1 (id INT)")
+    eng.sql("INSERT INTO h1 VALUES (1)")
+    eng.sql("INSERT INTO h1 VALUES (2)")
+    val out = eng.sql("DESCRIBE HISTORY h1")
+      .select("snapshot_id", "operation", "record_count")
+      .orderBy("snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "append", 1L), (2L, "append", 2L)))
+  }
+
+  test("ALTER TABLE ADD COLUMN: old rows read as NULL, no rewrite") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE ev1 (id INT)")
+    eng.sql("INSERT INTO ev1 VALUES (1)")
+    val filesBefore = cat.store().dataFilesAsOf("ev1", None).map(_.path)
+    eng.sql("ALTER TABLE ev1 ADD COLUMN tag STRING")
+    // no data file was rewritten
+    assert(cat.store().dataFilesAsOf("ev1", None).map(_.path) == filesBefore)
+    eng.sql("INSERT INTO ev1 VALUES (2, 'new')")
+    assert(eng.run("SELECT id, tag FROM ev1 ORDER BY id") ==
+      "[(1, None), (2, 'new')]")
+    // duplicate add is rejected
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE ev1 ADD COLUMN tag STRING"))
+  }
+
+  test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
+    eng.sql("INSERT INTO ev2 VALUES (1, 1.5, 'a')")
+    eng.sql("ALTER TABLE ev2 DROP COLUMN v")
+    assert(eng.run("SELECT * FROM ev2") == "[(1, 'a')]")
+    assert(cat.store().schema("ev2").fieldNames.toSeq == Seq("id", "tag"))
+    // partition source column is protected
+    eng.sql("CREATE TABLE ev3 (id INT, d DATE) PARTITIONED BY (month(d))")
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE ev3 DROP COLUMN d"))
+  }
 }
