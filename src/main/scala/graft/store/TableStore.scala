@@ -56,8 +56,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     partition.foreach { sp =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(sp.column)),
         s"partition column '${sp.column}' not in schema of $table")
+      // the session zone at CREATE time is pinned into the spec: timestamp
+      // partition values are wall-clock renderings, so writer and pruner
+      // must agree on one zone forever, not on whatever the session has
       writeString(new HPath(tableDir(table), "partition.json"),
-        s"""{"column":"${sp.column}","transform":"${sp.transform}"}""")
+        s"""{"column":"${sp.column}","transform":"${sp.transform}",""" +
+          s""""zone":"${sessionZone.getId}"}""")
     }
     if (SnapshotLog.read(fs, tableDir(table)).isEmpty)
       SnapshotLog.write(fs, tableDir(table), Seq.empty)
@@ -75,13 +79,31 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else spark.read.parquet(currentFiles(table): _*).schema
   }
 
-  def partitionSpec(table: String): Option[PartitionSpec] = {
+  def partitionSpec(table: String): Option[PartitionSpec] =
+    partitionSpecZone(table).map(_._1)
+
+  /** Spec plus the zone its timestamp partition values are rendered in
+    * (pinned at create; absent in pre-zone tables → session zone). */
+  private def partitionSpecZone(table: String): Option[(PartitionSpec, ZoneId)] = {
     val p = new HPath(tableDir(table), "partition.json")
     if (!fs.exists(p)) None
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
-      Some(PartitionSpec(node.get("column").asText(), node.get("transform").asText()))
+      val zone =
+        if (node.has("zone")) ZoneId.of(node.get("zone").asText()) else sessionZone
+      Some((PartitionSpec(node.get("column").asText(),
+        node.get("transform").asText()), zone))
     }
+  }
+
+  /** Whether the partition column's rendered values depend on a zone AND
+    * the current session zone disagrees with the table's pinned zone. */
+  private def zoneMismatch(table: String, sp: PartitionSpec,
+      specZone: ZoneId): Boolean = {
+    val zoneSensitive = schema(table).fields
+      .find(_.name.equalsIgnoreCase(sp.column))
+      .exists(f => f.dataType == TimestampType) && sp.transform != "identity"
+    zoneSensitive && specZone != sessionZone
   }
 
   /** ACID-ish append: write new Parquet files into data/, then commit their
@@ -121,8 +143,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * partition values. */
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
-    val parts: Seq[(HPath, Map[String, String])] = partitionSpec(table) match {
-      case Some(sp) =>
+    val parts: Seq[(HPath, Map[String, String])] = partitionSpecZone(table) match {
+      case Some((sp, specZone)) =>
+        require(!zoneMismatch(table, sp, specZone),
+          s"cannot write partitioned table $table: session time zone " +
+            s"$sessionZone differs from the table's pinned partition zone " +
+            s"$specZone (set spark.sql.session.timeZone to ${specZone.getId})")
         // hidden partitioning: the transform column exists only for the
         // write; data files keep the original schema
         df.withColumn(TableStore.PartDirCol, sp.valueColumn)
@@ -225,14 +251,17 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def prunedFiles(table: String, predicate: Column,
       asOfMs: Option[Long] = None): Seq[DataFile] = {
     val files = dataFilesAsOf(table, asOfMs)
-    partitionSpec(table) match {
+    partitionSpecZone(table) match {
       case None => files
-      case Some(sp) =>
+      // zone drifted since create: values and predicate literals live in
+      // different wall-clock frames — skip pruning (conservative, correct)
+      case Some((sp, specZone)) if zoneMismatch(table, sp, specZone) => files
+      case Some((sp, specZone)) =>
         val sch = schema(table)
         val srcType = sch.fields
           .find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
           .getOrElse(StringType)
-        val zone = sessionZone
+        val zone = specZone
         val pe = analyzedPredicate(table, predicate)
         files.filter { f =>
           f.partition.get(sp.column) match {

@@ -143,6 +143,29 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("timestamp partition zone is pinned: mismatched writes fail, reads skip pruning") {
+    val st = newStore()
+    val data = Seq((1, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+      .toDF("id", "ts")
+    st.create("tz", data.schema, Some(PartitionSpec("ts", "day")))
+    st.append("tz", data, 1000L)
+    val key = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "Asia/Tokyo") // table was created under UTC
+      // writes in the wrong zone would record wrong wall-clock values: fail
+      val e = intercept[IllegalArgumentException](st.append("tz", data, 2000L))
+      assert(e.getMessage.contains("pinned partition zone"))
+      // reads stay correct by SKIPPING pruning, not by mis-pruning
+      val pred = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      assert(st.prunedFiles("tz", pred).size ==
+        st.dataFilesAsOf("tz", None).size)
+    } finally spark.conf.set(key, prior)
+    // back in the pinned zone: pruning active again
+    assert(st.prunedFiles("tz",
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).isEmpty)
+  }
+
   test("vacuum removes stale staging dirs and orphan files, nothing live") {
     val st = newStore()
     st.create("vc", Seq((1, "x")).toDF("id", "v").schema)
