@@ -36,8 +36,19 @@ final case class Snapshot(
     operation: String, // "append" | "replace" | "delete" | "update" | "overwrite" | "merge"
     files: Seq[DataFile],
     recordCount: Long,
-    summary: Map[String, String] = Map.empty) {
+    summary: Map[String, String] = Map.empty,
+    // Large file lists live in an immutable per-snapshot manifest file
+    // instead of inline in the log (Iceberg's manifest design): the log
+    // stays O(snapshots), not O(snapshots × files). `files` is empty on
+    // an unhydrated manifest-backed entry — go through
+    // [[SnapshotLog.hydrate]] (resolve/resolveVersion already do).
+    manifest: Option[String] = None,
+    storedFileCount: Int = -1) {
   def filePaths: Seq[String] = files.map(_.path)
+  /** File count without hydration (from the log entry for manifest-backed
+    * snapshots). */
+  def fileCount: Int = if (storedFileCount >= 0) storedFileCount else files.size
+  def hydrated: Boolean = manifest.isEmpty || files.nonEmpty || storedFileCount == 0
 }
 
 /** Append-only JSON commit log: `<tableDir>/snapshots.json`.
@@ -70,21 +81,47 @@ object SnapshotLog {
         finally in.close()
       val node = mapper.readTree(text)
       node.elements().asScala.map { e =>
-        Snapshot(
-          id = e.get("id").asLong(),
-          timestampMs = e.get("timestampMs").asLong(),
-          operation = e.get("operation").asText(),
-          files = e.get("files").elements().asScala.map(readFile).toSeq,
-          recordCount = e.get("recordCount").asLong(),
-          summary =
-            if (e.has("summary"))
-              e.get("summary").properties().asScala
-                .map(kv => kv.getKey -> kv.getValue.asText()).toMap
-            else Map.empty
-        )
+        val summary =
+          if (e.has("summary"))
+            e.get("summary").properties().asScala
+              .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+          else Map.empty[String, String]
+        if (e.has("manifest"))
+          Snapshot(
+            id = e.get("id").asLong(),
+            timestampMs = e.get("timestampMs").asLong(),
+            operation = e.get("operation").asText(),
+            files = Seq.empty, // hydrate on demand
+            recordCount = e.get("recordCount").asLong(),
+            summary = summary,
+            manifest = Some(e.get("manifest").asText()),
+            storedFileCount = e.get("fileCount").asInt())
+        else
+          Snapshot(
+            id = e.get("id").asLong(),
+            timestampMs = e.get("timestampMs").asLong(),
+            operation = e.get("operation").asText(),
+            files = e.get("files").elements().asScala.map(readFile).toSeq,
+            recordCount = e.get("recordCount").asLong(),
+            summary = summary)
       }.toSeq.sortBy(_.id)
     }
   }
+
+  /** Load a manifest-backed snapshot's file list (no-op when inline or
+    * already hydrated). */
+  def hydrate(fs: FileSystem, tableDir: HPath, s: Snapshot): Snapshot =
+    s.manifest match {
+      case Some(m) if !s.hydrated =>
+        val p = new HPath(new HPath(tableDir, ManifestDir), m)
+        val in = fs.open(p)
+        val text =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        val node = mapper.readTree(text)
+        s.copy(files = node.elements().asScala.map(readFile).toSeq)
+      case _ => s
+    }
 
   /** Pre-DataFile logs stored each file as a bare path string; read both
     * shapes so an existing warehouse keeps working after upgrade. */
@@ -99,15 +136,46 @@ object SnapshotLog {
             .map(kv => kv.getKey -> kv.getValue.asText()).toMap
         else Map.empty)
 
+  /** Directory (under the table dir) holding per-snapshot manifest files. */
+  val ManifestDir = "manifests"
+
+  /** File lists larger than this spill to a manifest file at commit; the
+    * log entry keeps only the reference + count. 64 keeps small tables'
+    * logs human-readable while a 100 TB table (~800k files) writes its
+    * list exactly once instead of into every later commit. */
+  val DefaultManifestThreshold: Int = 64
+
   def write(fs: FileSystem, tableDir: HPath, snapshots: Seq[Snapshot]): Unit = {
     fs.mkdirs(tableDir)
-    val json = mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(snapshots.sortBy(_.id))
+    // manifest-backed entries serialize as references, never inline —
+    // their (immutable) manifest files are not rewritten here
+    val entries = snapshots.sortBy(_.id).map { s =>
+      val base = scala.collection.mutable.LinkedHashMap[String, Any](
+        "id" -> s.id, "timestampMs" -> s.timestampMs,
+        "operation" -> s.operation, "recordCount" -> s.recordCount,
+        "summary" -> s.summary)
+      s.manifest match {
+        case Some(m) => base += ("manifest" -> m) += ("fileCount" -> s.fileCount)
+        case None    => base += ("files" -> s.files)
+      }
+      base
+    }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(entries)
     val tmp = new HPath(tableDir, s"snapshots.json.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     atomicReplace(fs, tmp, logPath(tableDir))
+  }
+
+  private def writeManifest(fs: FileSystem, tableDir: HPath, name: String,
+      files: Seq[DataFile]): Unit = {
+    val dir = new HPath(tableDir, ManifestDir)
+    fs.mkdirs(dir)
+    val json = mapper.writeValueAsString(files)
+    val out = fs.create(new HPath(dir, name), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Overwrite-rename `tmp` onto `dst`. [[FileContext]] rename with
@@ -153,18 +221,28 @@ object SnapshotLog {
       recordCount: Long,
       timestampMs: Long = System.currentTimeMillis(),
       replaceAll: Boolean = false,
-      summary: Map[String, String] = Map.empty): Snapshot =
+      summary: Map[String, String] = Map.empty,
+      manifestThreshold: Int = DefaultManifestThreshold): Snapshot =
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
       val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
       val prior = existing.lastOption
       val files =
         if (replaceAll) newFiles
-        else prior.map(_.files).getOrElse(Seq.empty) ++ newFiles
+        else prior.map(hydrate(fs, tableDir, _).files).getOrElse(Seq.empty) ++ newFiles
       val total =
         if (replaceAll) recordCount
         else prior.map(_.recordCount).getOrElse(0L) + recordCount
-      val snap = Snapshot(id, timestampMs, operation, files, total, summary)
+      val inline = Snapshot(id, timestampMs, operation, files, total, summary)
+      val snap =
+        if (files.size <= manifestThreshold) inline
+        else {
+          // spill the (large) list once, to an immutable manifest file;
+          // every later commit re-serializes only the reference
+          val name = s"manifest-$id-${java.util.UUID.randomUUID()}.json"
+          writeManifest(fs, tableDir, name, files)
+          inline.copy(manifest = Some(name), storedFileCount = files.size)
+        }
       write(fs, tableDir, existing :+ snap)
       snap
     }
@@ -209,14 +287,16 @@ object SnapshotLog {
     */
   def resolve(fs: FileSystem, tableDir: HPath, asOfMs: Option[Long]): Option[Snapshot] = {
     val all = read(fs, tableDir)
-    asOfMs match {
+    val hit = asOfMs match {
       case None     => all.lastOption
       case Some(ts) => all.filter(_.timestampMs <= ts).lastOption
     }
+    // hydrate ONLY the resolved snapshot — reads never pay for history
+    hit.map(hydrate(fs, tableDir, _))
   }
 
   /** Version travel: the snapshot with exactly this id
     * (`FOR SYSTEM_VERSION AS OF <snapshot-id>`). */
   def resolveVersion(fs: FileSystem, tableDir: HPath, snapshotId: Long): Option[Snapshot] =
-    read(fs, tableDir).find(_.id == snapshotId)
+    read(fs, tableDir).find(_.id == snapshotId).map(hydrate(fs, tableDir, _))
 }

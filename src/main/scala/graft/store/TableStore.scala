@@ -300,7 +300,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     import scala.jdk.CollectionConverters._
     val snaps = SnapshotLog.read(fs, tableDir(table))
     val rows = snaps.map(s => Row(s.id, new java.sql.Timestamp(s.timestampMs),
-      s.operation, s.files.size, s.recordCount))
+      s.operation, s.fileCount, s.recordCount))
     val sch = StructType(Seq(
       StructField("snapshot_id", LongType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false),
@@ -539,13 +539,24 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("stage-"))
       .filter(_.getModificationTime < olderThanMs)
       .foreach(st => fs.delete(st.getPath, true))
-    // orphaned data files (in data/ but in no snapshot's file list)
-    val referenced = SnapshotLog.read(fs, dir).flatMap(_.filePaths)
+    // orphaned data files (in data/ but in no snapshot's file list) —
+    // HYDRATE first: an unhydrated manifest-backed snapshot reports no
+    // files, which would misclassify its live data as orphans
+    val referenced = SnapshotLog.read(fs, dir)
+      .map(SnapshotLog.hydrate(fs, dir, _)).flatMap(_.filePaths)
       .map(TableStore.fileName).toSet
     val dd = dataDir(table)
     if (fs.exists(dd))
       fs.listStatus(dd).toSeq
         .filter(st => st.isFile && !referenced(st.getPath.getName))
+        .filter(_.getModificationTime < olderThanMs)
+        .foreach(st => fs.delete(st.getPath, false))
+    // manifest files a crashed commit wrote but never logged
+    val refManifests = SnapshotLog.read(fs, dir).flatMap(_.manifest).toSet
+    val md = new HPath(dir, SnapshotLog.ManifestDir)
+    if (fs.exists(md))
+      fs.listStatus(md).toSeq
+        .filter(st => st.isFile && !refManifests(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
         .foreach(st => fs.delete(st.getPath, false))
   }
@@ -555,7 +566,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     */
   def expire(table: String, olderThanMs: Long): Unit = {
     val dir = tableDir(table)
-    val all = SnapshotLog.read(fs, dir)
+    val all = SnapshotLog.read(fs, dir).map(SnapshotLog.hydrate(fs, dir, _))
     if (all.size <= 1) return
     val keep = all.filter(s => s.timestampMs >= olderThanMs) match {
       case Seq() => Seq(all.last)
@@ -565,6 +576,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val live = keep.flatMap(_.filePaths).toSet
     all.flatMap(_.filePaths).distinct.filterNot(live.contains).foreach { f =>
       fs.delete(new HPath(dir, f), false)
+    }
+    // manifests are one-per-snapshot: dropped snapshots' manifests go too
+    val keptManifests = keep.flatMap(_.manifest).toSet
+    all.flatMap(_.manifest).filterNot(keptManifests.contains).foreach { m =>
+      fs.delete(new HPath(new HPath(dir, SnapshotLog.ManifestDir), m), false)
     }
     SnapshotLog.write(fs, dir, keep)
   }

@@ -143,6 +143,29 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("expire and vacuum respect manifest-backed snapshots") {
+    val st = newStore()
+    st.create("mf", Seq((1, "x")).toDF("id", "v").schema)
+    st.append("mf", Seq((1, "a")).toDF("id", "v").coalesce(1), 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val dir = st.tableDir("mf")
+    val dataFiles = st.dataFilesAsOf("mf", None)
+    // force a manifest-backed second snapshot over the same data
+    SnapshotLog.commit(fs, dir, "replace", dataFiles, 1, 2000L,
+      replaceAll = true, manifestThreshold = 0)
+    val manifestDir = new HPath(dir, SnapshotLog.ManifestDir)
+    assert(fs.listStatus(manifestDir).length == 1)
+    // vacuum must NOT treat the manifest-referenced data file as orphan
+    st.vacuum("mf", olderThanMs = System.currentTimeMillis() + 60000)
+    assert(st.read("mf").count() == 1)
+    // expire the inline snapshot 1; manifest-backed snapshot 2 survives
+    st.expire("mf", olderThanMs = 1500L)
+    assert(st.read("mf").count() == 1)
+    assert(fs.listStatus(manifestDir).length == 1)
+    assert(st.history("mf").count() == 1)
+  }
+
   test("timestamp partition zone is pinned: mismatched writes fail, reads skip pruning") {
     val st = newStore()
     val data = Seq((1, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))

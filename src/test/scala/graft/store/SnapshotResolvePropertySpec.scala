@@ -100,6 +100,34 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
     assert(!fs.exists(lock)) // released after the commit
   }
 
+  test("large file lists spill to manifests and hydrate on resolve") {
+    val dir = new HPath(Files.createTempDirectory("graft-manifest").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    val files1 = (1 to 5).map(i => DataFile(s"data/a$i", i.toLong))
+    SnapshotLog.commit(fs, dir, "append", files1, 15, 100L,
+      manifestThreshold = 3)
+    // spilled: the log holds a reference + count, never the list
+    val logText = new String(fs.open(SnapshotLog.logPath(dir)).readAllBytes())
+    assert(logText.contains("manifest-1-") && !logText.contains("data/a1"))
+    val unhydrated = SnapshotLog.read(fs, dir).head
+    assert(unhydrated.files.isEmpty && unhydrated.fileCount == 5)
+    // resolve hydrates exactly the resolved snapshot
+    val resolved = SnapshotLog.resolve(fs, dir, None).get
+    assert(resolved.filePaths == files1.map(_.path))
+    assert(resolved.files.map(_.records) == Seq(1L, 2L, 3L, 4L, 5L))
+    // appends accumulate THROUGH the manifest-backed predecessor
+    val s2 = SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/b")), 1,
+      200L, manifestThreshold = 3)
+    assert(s2.filePaths == files1.map(_.path) :+ "data/b")
+    assert(s2.recordCount == 16)
+    // time travel to the first snapshot still hydrates it
+    assert(SnapshotLog.resolve(fs, dir, Some(150L)).get.filePaths.size == 5)
+    // small lists stay inline (threshold respected)
+    val s3 = SnapshotLog.commit(fs, dir, "replace", Seq(DataFile("data/c")), 1,
+      300L, replaceAll = true, manifestThreshold = 3)
+    assert(s3.manifest.isEmpty)
+  }
+
   test("summary round-trips through the JSON log") {
     val dir = new HPath(Files.createTempDirectory("graft-prop3").toUri)
     val fs = FileSystem.get(dir.toUri, conf)
