@@ -27,11 +27,86 @@ final class Engine(catalog: GraftCatalog) {
         TimeTravelRewriter.rewrite(cleaned)
       (asOf, version) match {
         case (Some(ms), _)  =>
-          pinnedQuery(stmt, (t, cond) => pinnedPruned(t, cond, Some(ms)))
+          metadataCount(stmt, t => catalog.store().recordCountAsOf(t, Some(ms)))
+            .getOrElse(
+              pinnedQuery(stmt, (t, cond) => pinnedPruned(t, cond, Some(ms))))
         case (_, Some(id))  =>
-          pinnedQuery(stmt, (t, _) => catalog.tableVersion(t, id))
-        case _              => prunedQuery(stmt)
+          metadataCount(stmt, t => catalog.store().recordCountVersion(t, id))
+            .getOrElse(pinnedQuery(stmt, (t, _) => catalog.tableVersion(t, id)))
+        case _              =>
+          metadataCount(stmt, t => catalog.store().recordCountAsOf(t, None))
+            .getOrElse(prunedQuery(stmt))
       }
+    }
+  }
+
+  /** `SELECT COUNT(*) FROM t` (bare relation, no WHERE/GROUP BY, optional
+    * alias and LIMIT ≥ 1) answers from the snapshot log's record count —
+    * O(1) log metadata instead of a table scan, the Iceberg/Impala
+    * stats-answered count. The reference's own demo question ("how many
+    * customers exist … based on system time …", `README.md:113-117`) hits
+    * exactly this shape, including under time travel: the count comes
+    * from the resolved snapshot's entry without touching a manifest or a
+    * data file. Record counts are maintained by every commit path
+    * (append deltas in-lock, COW totals from footers) and tested there.
+    * Any other query shape returns None and takes the normal path.
+    */
+  private def metadataCount(stmt: String,
+      countFor: String => Option[Long]): Option[DataFrame] = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val spark = catalog.spark
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
+
+    def unwrapLimit(p: LogicalPlan): LogicalPlan = p match {
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) if n >= 1 => child
+      case _ => p
+    }
+    def isCountAll(f: UnresolvedFunction): Boolean =
+      f.nameParts.map(norm) == Seq("count") && !f.isDistinct &&
+        f.filter.isEmpty && (f.arguments match {
+          case Seq(s: UnresolvedStar) => s.target.isEmpty
+          case Seq(Literal(v, _))     => v != null
+          case _                      => false
+        })
+
+    def answer(one: org.apache.spark.sql.catalyst.expressions.Expression,
+        u: UnresolvedRelation): Option[DataFrame] = {
+      val named: Option[String] = one match {
+        case UnresolvedAlias(f: UnresolvedFunction, _) if isCountAll(f) =>
+          Some("count(1)") // Spark's own output name for COUNT(*)
+        case Alias(f: UnresolvedFunction, name) if isCountAll(f) => Some(name)
+        case _ => None
+      }
+      for {
+        name <- named
+        table <- catalog.listTables()
+          .find(t => norm(t) == norm(u.multipartIdentifier.head))
+        n <- countFor(table)
+      } yield {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(n)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+    }
+
+    unwrapLimit(GraftSqlShim.parsePlan(spark, stmt)) match {
+      // the parser emits Project(count, rel); GROUP-BY-less aggregation
+      // only becomes Aggregate during analysis (GlobalAggregates) —
+      // match both for robustness
+      case Project(Seq(one), u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 1 =>
+        answer(one, u)
+      case Aggregate(Seq(), Seq(one), u: UnresolvedRelation, _)
+          if u.multipartIdentifier.size == 1 =>
+        answer(one, u)
+      case _ => None
     }
   }
 

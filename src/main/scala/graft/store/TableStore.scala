@@ -210,6 +210,26 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     SnapshotLog.resolve(fs, tableDir(table), asOfMs)
       .map(_.files).getOrElse(Seq.empty)
 
+  /** Record count of the snapshot AS OF `asOfMs` (latest when None) from
+    * the log entry alone — no manifest hydration, no data I/O. Powers
+    * metadata-answered `SELECT COUNT(*)`. None = no snapshot at that time. */
+  def recordCountAsOf(table: String, asOfMs: Option[Long]): Option[Long] = {
+    if (!exists(table)) return None
+    val all = SnapshotLog.read(fs, tableDir(table))
+    val hit = asOfMs match {
+      case None     => all.lastOption
+      case Some(ts) => all.filter(_.timestampMs <= ts).lastOption
+    }
+    hit.map(_.recordCount)
+  }
+
+  /** Record count of an exact snapshot id (None = unknown id, so callers
+    * fall back to the raising read path and keep its error contract). */
+  def recordCountVersion(table: String, snapshotId: Long): Option[Long] =
+    if (!exists(table)) None
+    else SnapshotLog.read(fs, tableDir(table))
+      .find(_.id == snapshotId).map(_.recordCount)
+
   /** Snapshot-id read (`FOR SYSTEM_VERSION AS OF`). Unknown ids raise —
     * silently returning empty would read as "no data at that version". */
   def readVersion(table: String, snapshotId: Long): DataFrame = {

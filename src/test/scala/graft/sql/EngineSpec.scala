@@ -147,6 +147,33 @@ class EngineSpec extends AnyFunSuite {
         "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
   }
 
+  test("bare COUNT(*) answers from snapshot metadata, no scan") {
+    val (_, engine) = fixture()
+    val df = engine.sql("SELECT COUNT(*) FROM items")
+    // O(1): the plan is a local relation — no file scan at all
+    assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(df.columns.toSeq == Seq("count(1)")) // Spark's own output name
+    assert(engine.run("SELECT COUNT(*) FROM items") == "[(3,)]")
+    assert(engine.run("SELECT COUNT(*) AS cnt FROM items LIMIT 5") == "[(3,)]")
+    assert(engine.sql("SELECT COUNT(*) AS cnt FROM items").columns.toSeq ==
+      Seq("cnt"))
+    // AS-OF counts come from the resolved snapshot's entry
+    assert(engine.run("SELECT COUNT(*) FROM items " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") == "[(2,)]")
+    assert(engine.run("SELECT COUNT(*) FROM items FOR SYSTEM_VERSION AS OF 1")
+      == "[(2,)]")
+  }
+
+  test("filtered or grouped COUNT still scans (metadata path declines)") {
+    val (_, engine) = fixture()
+    assert(engine.run("SELECT COUNT(*) FROM items WHERE id > 1") == "[(2,)]")
+    assert(engine.run("SELECT COUNT(DISTINCT id) FROM items") == "[(3,)]")
+    val scanned = engine.sql("SELECT COUNT(*) FROM items WHERE id > 1")
+    assert(!scanned.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+  }
+
   test("a RECURSIVE CTE named like a table keeps its self-reference") {
     val (_, engine) = fixture()
     // WITH RECURSIVE items: the self-reference inside the definition must
