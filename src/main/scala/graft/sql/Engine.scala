@@ -245,7 +245,10 @@ final class Engine(catalog: GraftCatalog) {
       else {
         val t = byName(norm(name))
         val store = catalog.store()
-        if (store.partitionSpec(t).isEmpty) None
+        // prunable via partition values OR logged column stats
+        val prunable = store.partitionSpec(t).isDefined ||
+          store.dataFilesAsOf(t, None).exists(_.stats.nonEmpty)
+        if (!prunable) None
         else scala.util.Try(
           store.readPruned(t, GraftSqlShim.column(cond))
             .queryExecution.analyzed).toOption

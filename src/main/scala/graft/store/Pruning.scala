@@ -204,6 +204,74 @@ object Pruning {
   }
 
   // -------------------------------------------------------------------
+  // ColRange ↔ serialized ColBounds (snapshot-log column metrics)
+  // -------------------------------------------------------------------
+
+  /** Longest string bound worth storing in the log; longer bounds are
+    * dropped (storing a truncated UPPER bound would be unsound). */
+  val MaxStoredStringBound = 64
+
+  /** Intersection of two sound descriptions of the SAME file's column:
+    * tightest bounds win per side, null-freedom from either side holds.
+    * Unbounded sides never loosen the other description — the reason
+    * merging stats with partition-derived ranges must intersect, not
+    * override. */
+  def intersect(a: ColRange, b: ColRange): ColRange = {
+    def tighter(x: Option[Any], y: Option[Any], keepGreater: Boolean): Option[Any] =
+      (x, y) match {
+        case (Some(p), Some(q)) =>
+          compare(p, q) match {
+            case Some(c) => if ((c >= 0) == keepGreater) Some(p) else Some(q)
+            case None    => Some(p)
+          }
+        case (Some(p), None) => Some(p)
+        case (None, q)       => q
+      }
+    ColRange(
+      min = tighter(a.min, b.min, keepGreater = true),
+      max = tighter(a.max, b.max, keepGreater = false),
+      hasNulls = a.hasNulls && b.hasNulls,
+      allNulls = a.allNulls || b.allNulls)
+  }
+
+  /** Range → log-serializable bounds. None = not worth storing (only the
+    * fully-unknown range with default null info). */
+  def toBounds(r: ColRange): Option[ColBounds] = {
+    def tagOf(v: Any): Option[String] = v match {
+      case _: Long    => Some("long")
+      case _: Double  => Some("double")
+      case s: String  => if (s.length <= MaxStoredStringBound) Some("string") else None
+      case _: Boolean => Some("boolean")
+      case _          => None
+    }
+    (r.min, r.max) match {
+      case (Some(mn), Some(mx)) =>
+        (tagOf(mn), tagOf(mx)) match {
+          case (Some(t1), Some(t2)) if t1 == t2 =>
+            Some(ColBounds(t1, Some(mn.toString), Some(mx.toString),
+              r.hasNulls, r.allNulls))
+          case _ => // unserializable bounds: keep the null info only
+            Some(ColBounds("none", None, None, r.hasNulls, r.allNulls))
+        }
+      case _ if r.allNulls || !r.hasNulls =>
+        Some(ColBounds("none", None, None, r.hasNulls, r.allNulls))
+      case _ => None
+    }
+  }
+
+  /** Serialized bounds → evaluator range (inverse of [[toBounds]]). */
+  def fromBounds(b: ColBounds): ColRange = {
+    def parse(s: String): Option[Any] = b.t match {
+      case "long"    => s.toLongOption
+      case "double"  => s.toDoubleOption
+      case "string"  => Some(s)
+      case "boolean" => s.toBooleanOption
+      case _         => None
+    }
+    ColRange(b.min.flatMap(parse), b.max.flatMap(parse), b.hasNulls, b.allNulls)
+  }
+
+  // -------------------------------------------------------------------
   // Parquet footer statistics → ColRanges
   // -------------------------------------------------------------------
 
@@ -214,9 +282,16 @@ object Pruning {
     * (exact for ASCII, the only string data the engine writes).
     */
   def footerRanges(fs: FileSystem, file: HPath): Map[String, ColRange] = {
-    import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, fs.getConf))
-    try {
+    try rangesFromReader(reader)
+    finally reader.close()
+  }
+
+  /** Ranges from an already-open reader (lets promote-time callers reuse
+    * the same footer read that supplies the row count). */
+  def rangesFromReader(reader: ParquetFileReader): Map[String, ColRange] = {
+    import scala.jdk.CollectionConverters._
+    {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val schema = reader.getFooter.getFileMetaData.getSchema
       val acc = scala.collection.mutable.HashMap.empty[String, ColRange]
@@ -246,7 +321,7 @@ object Pruning {
         }
       }
       acc.toMap
-    } finally reader.close()
+    }
   }
 
   private def mergeRanges(a: ColRange, b: ColRange): ColRange = {

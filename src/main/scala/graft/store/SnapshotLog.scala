@@ -6,6 +6,19 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
+/** Serialized per-column bounds of one data file (Iceberg's column
+  * metrics): `t` tags the value domain (`long`/`double`/`string`/
+  * `boolean`), bounds are stringified normalised values
+  * ([[Pruning.ColRange]]'s domain — dates as epoch days, timestamps as
+  * micros). Captured from the Parquet footer at promote time, so file
+  * skipping at query time needs NO storage I/O. */
+final case class ColBounds(
+    t: String,
+    min: Option[String],
+    max: Option[String],
+    hasNulls: Boolean = true,
+    allNulls: Boolean = false)
+
 /** One data file of a snapshot — the manifest-entry analogue.
   *
   * `path` is relative to the table root so a table directory can be
@@ -13,14 +26,16 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * `records` is the file's row count from its Parquet footer (`-1` =
   * unknown, for logs written before this field existed). `partition` maps
   * the table's partition source column to this file's partition value
-  * (Hive's `__HIVE_DEFAULT_PARTITION__` marker = NULL) — the metadata
+  * (Hive's `__HIVE_DEFAULT_PARTITION__` marker = NULL); `stats` holds
+  * per-column min/max bounds from the footer — together, the metadata
   * that lets the read path prune files without touching storage, which at
   * 100 TB is the difference between scanning a day and scanning the table.
   */
 final case class DataFile(
     path: String,
     records: Long = -1L,
-    partition: Map[String, String] = Map.empty)
+    partition: Map[String, String] = Map.empty,
+    stats: Map[String, ColBounds] = Map.empty)
 
 /** One committed table version.
   *
@@ -134,6 +149,20 @@ object SnapshotLog {
         if (e.has("partition"))
           e.get("partition").properties().asScala
             .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+        else Map.empty,
+      stats =
+        if (e.has("stats"))
+          e.get("stats").properties().asScala.map { kv =>
+            val b = kv.getValue
+            def opt(f: String): Option[String] =
+              if (b.has(f) && !b.get(f).isNull) Some(b.get(f).asText()) else None
+            kv.getKey -> ColBounds(
+              t = b.get("t").asText(),
+              min = opt("min"),
+              max = opt("max"),
+              hasNulls = !b.has("hasNulls") || b.get("hasNulls").asBoolean(),
+              allNulls = b.has("allNulls") && b.get("allNulls").asBoolean())
+          }.toMap
         else Map.empty)
 
   /** Directory (under the table dir) holding per-snapshot manifest files. */

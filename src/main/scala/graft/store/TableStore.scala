@@ -186,7 +186,21 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val target = new HPath(dataDir(table), name)
     if (!fs.rename(part, target))
       throw new java.io.IOException(s"rename failed: $part -> $target")
-    DataFile(s"data/$name", parquetRowCount(target), partition)
+    // ONE footer read yields both the row count and the per-column
+    // bounds; the bounds go into the snapshot log (Iceberg's column
+    // metrics), so file skipping at query time is pure log metadata
+    val (records, ranges) = footerMeta(target)
+    val stats = ranges.toSeq.sortBy(_._1).take(TableStore.MaxStatsColumns)
+      .flatMap { case (c, r) => Pruning.toBounds(r).map(c -> _) }.toMap
+    DataFile(s"data/$name", records, partition, stats)
+  }
+
+  /** Row count + column ranges from one footer open — metadata only. */
+  private def footerMeta(file: HPath): (Long, Map[String, Pruning.ColRange]) = {
+    val in = HadoopInputFile.fromPath(file, fs.getConf)
+    val reader = ParquetFileReader.open(in)
+    try (reader.getRecordCount, Pruning.rangesFromReader(reader))
+    finally reader.close()
   }
 
   /** Total record count from a Parquet file's footer — metadata only. */
@@ -271,25 +285,39 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def prunedFiles(table: String, predicate: Column,
       asOfMs: Option[Long] = None): Seq[DataFile] = {
     val files = dataFilesAsOf(table, asOfMs)
-    partitionSpecZone(table) match {
-      case None => files
-      // zone drifted since create: values and predicate literals live in
-      // different wall-clock frames — skip pruning (conservative, correct)
-      case Some((sp, specZone)) if zoneMismatch(table, sp, specZone) => files
-      case Some((sp, specZone)) =>
-        val sch = schema(table)
-        val srcType = sch.fields
-          .find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
-          .getOrElse(StringType)
-        val zone = specZone
-        val pe = analyzedPredicate(table, predicate)
-        files.filter { f =>
+    if (files.isEmpty) return files
+    // zone drifted since create: partition values and predicate literals
+    // live in different wall-clock frames — the partition dimension is
+    // skipped (conservative); stored column stats are zone-free
+    val partInfo = partitionSpecZone(table)
+      .filterNot { case (sp, z) => zoneMismatch(table, sp, z) }
+    if (partInfo.isEmpty && files.forall(_.stats.isEmpty)) return files
+    val sch = schema(table)
+    val srcType = partInfo.map { case (sp, _) =>
+      sch.fields.find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
+        .getOrElse(StringType)
+    }
+    val pe = analyzedPredicate(table, predicate)
+    files.filter { f =>
+      val partRanges: Map[String, Pruning.ColRange] = partInfo match {
+        case Some((sp, zone)) =>
           f.partition.get(sp.column) match {
-            case Some(v) => Pruning.mightMatch(pe,
-              Map(sp.column.toLowerCase -> sp.sourceRange(v, srcType, zone)))
-            case None => true // pre-spec file without partition value
+            case Some(v) =>
+              Map(sp.column.toLowerCase -> sp.sourceRange(v, srcType.get, zone))
+            case None => Map.empty // pre-spec file without partition value
           }
-        }
+        case None => Map.empty
+      }
+      val statRanges = f.stats.map { case (c, b) => c -> Pruning.fromBounds(b) }
+      // both describe the same file: intersect per column (an unbounded
+      // stats entry must never loosen a bounded partition-derived range)
+      val merged = (partRanges.keySet ++ statRanges.keySet).map { c =>
+        c -> ((partRanges.get(c), statRanges.get(c)) match {
+          case (Some(p), Some(s)) => Pruning.intersect(p, s)
+          case (p, s)             => p.orElse(s).get
+        })
+      }.toMap
+      Pruning.mightMatch(pe, merged)
     }
   }
 
@@ -345,9 +373,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val surviving = prunedFiles(table, predicate) // stage 1: partition prune
     val partCarried = dataFilesAsOf(table, None).diff(surviving)
     val pe = analyzedPredicate(table, predicate)
-    // footer reads are independent driver metadata ops: parallelize
+    // footer reads are independent driver metadata ops: parallelize;
+    // files with LOGGED stats were already bounds-pruned in stage 1
     val keep = TableStore.inParallel(surviving)(f =>
-      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
+      f.stats.nonEmpty ||
+        Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
     val (kept, dropped) = surviving.zip(keep).partition(_._2)
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
@@ -381,7 +411,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val partCarried = files.diff(surviving)
     val pe = analyzedPredicate(table, rangePred)
     val keep = TableStore.inParallel(surviving)(f =>
-      Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
+      f.stats.nonEmpty ||
+        Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
     val (kept, dropped) = surviving.zip(keep).partition(_._2)
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
@@ -619,6 +650,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 }
 
 object TableStore {
+  /** Cap on per-file column-stats entries in the snapshot log (wide
+    * tables keep the log bounded; columns beyond the cap fall back to
+    * footer reads when pruned against). */
+  val MaxStatsColumns = 32
+
   /** Synthetic directory column for hidden-partition writes. */
   private[store] val PartDirCol = "__gpart"
   /** Probe column holding `input_file_name()` during matched-file detection. */

@@ -143,6 +143,24 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("logged column stats prune unpartitioned tables with zero I/O") {
+    val st = newStore()
+    st.create("cs", Seq((1, "x")).toDF("id", "v").schema)
+    st.append("cs", Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1), 1000L)
+    st.append("cs", Seq((50, "c"), (51, "d")).toDF("id", "v").coalesce(1), 2000L)
+    val files = st.dataFilesAsOf("cs", None)
+    // promote captured bounds into the log
+    assert(files.forall(_.stats.get("id").exists(b =>
+      b.t == "long" && b.min.isDefined && b.max.isDefined)))
+    // prune by the logged bounds — no partition spec involved
+    val pruned = st.prunedFiles("cs", col("id") === 50)
+    assert(pruned.size == 1)
+    assert(pruned.head.stats("id").min.contains("50"))
+    // string bounds prune too
+    assert(st.prunedFiles("cs", col("v") === "zzz").isEmpty)
+    assert(st.prunedFiles("cs", col("v") === "a").size == 1)
+  }
+
   test("expire and vacuum respect manifest-backed snapshots") {
     val st = newStore()
     st.create("mf", Seq((1, "x")).toDF("id", "v").schema)
