@@ -1252,11 +1252,16 @@ object SparkEntry {
     * computing it once mirrors how a real pipeline stages its candidate
     * set, and the checkpoint makes reuse free. */
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
   private def sharedCandidatePairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir",
-      _ => Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
+    // keyed by sf-dir, validated by session IDENTITY and liveness: a
+    // cached frame's checkpoint blocks die with their SparkContext, so a
+    // stale entry must recompute, never resurface
+    pairCache.compute(dir, (_, cached) =>
+      if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped) cached
+      else (s, Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
+    )._2
 
   private def tempCatalog(s: SparkSession): GraftCatalog = {
     val wh = Files.createTempDirectory("graft-wh")

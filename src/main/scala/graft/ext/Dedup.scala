@@ -88,12 +88,21 @@ object Dedup {
     * executor-local by default, reliable (durable-directory, executor-loss
     * safe) when the conf names a checkpoint dir.
     */
+  // last dir THIS module passed to setCheckpointDir (SparkContext stores
+  // `<dir>/<uuid>`, so reading it back can never equal the raw conf value
+  // — comparing against it was a dead guard that re-set every call)
+  @volatile private var lastCheckpointDir: Option[String] = None
+
   private def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val out = spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) if dir.nonEmpty =>
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
-          spark.sparkContext.setCheckpointDir(dir)
+        if (!lastCheckpointDir.contains(dir)) synchronized {
+          if (!lastCheckpointDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            lastCheckpointDir = Some(dir)
+          }
+        }
         result.checkpoint(eager = true)
       case _ => result.localCheckpoint(true)
     }

@@ -245,12 +245,13 @@ final class Engine(catalog: GraftCatalog) {
       else {
         val t = byName(norm(name))
         val store = catalog.store()
-        // prunable via partition values OR logged column stats
+        // one log read serves both the prunability check and the prune
+        val files = store.dataFilesAsOf(t, None)
         val prunable = store.partitionSpec(t).isDefined ||
-          store.dataFilesAsOf(t, None).exists(_.stats.nonEmpty)
+          files.exists(_.stats.nonEmpty)
         if (!prunable) None
         else scala.util.Try(
-          store.readPruned(t, GraftSqlShim.column(cond))
+          store.readPrunedFrom(t, files, GraftSqlShim.column(cond))
             .queryExecution.analyzed).toOption
       }
 

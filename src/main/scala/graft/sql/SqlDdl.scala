@@ -60,9 +60,12 @@ object SqlDdl {
   private val DescribeHistory =
     "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  // column list captured whole; outer parens are stripped in code with a
+  // balance check (a regex's optional trailing `\)?` would eat the closing
+  // paren of DECIMAL(10,2))
   private val AlterAdd =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\s*" +
-      "\\(?(.+?)\\)?\\s*$").r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\s+" +
+      "(.+?)\\s*$").r
   private val AlterDrop =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
       "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
@@ -119,7 +122,7 @@ object SqlDdl {
       import catalog.spark.implicits._
       Some(rows.toDF("col_name", "data_type", "comment"))
     case AlterAdd(t, colsDef) =>
-      catalog.addColumns(t, parseSchema(colsDef))
+      catalog.addColumns(t, parseSchema(stripOuterParens(colsDef)))
       Some(empty(catalog))
     case AlterDrop(t, c) =>
       catalog.dropColumn(t, c)
@@ -174,6 +177,26 @@ object SqlDdl {
 
   private def empty(catalog: GraftCatalog): DataFrame =
     catalog.spark.emptyDataFrame
+
+  /** Strip ONE pair of outer parens only when they balance around the
+    * whole string — `(a INT, b DECIMAL(10,2))` → inner list, while
+    * `price DECIMAL(10,2)` stays untouched. */
+  private[sql] def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (!(t.startsWith("(") && t.endsWith(")"))) t
+    else {
+      var depth = 0
+      var closesAtEnd = true
+      for (i <- 0 until t.length) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0 && i < t.length - 1) closesAtEnd = false
+          case _ =>
+        }
+      }
+      if (closesAtEnd && depth == 0) t.substring(1, t.length - 1) else t
+    }
+  }
 
   /** Column definitions split at paren-depth 0 (DECIMAL(10,2) commas stay
     * inside their type). */

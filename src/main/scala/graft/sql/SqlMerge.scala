@@ -214,17 +214,27 @@ object SqlMerge {
     arms
   }
 
+  private val ClauseStart = "(?is)^\\s*(?:NOT\\s+)?MATCHED\\b.*".r.pattern
+
+  /** Split on WHEN keywords, then re-join pieces that do not start a real
+    * clause (`MATCHED`/`NOT MATCHED`) back onto their predecessor — the
+    * WHEN of a `CASE WHEN … END` inside an UPDATE SET or INSERT arm is
+    * expression text, not a clause boundary. */
   private def splitOnWhen(tail: String): Seq[String] = {
     var rest = tail
-    val out = Seq.newBuilder[String]
+    val raw = Seq.newBuilder[String]
     var continue = true
     while (continue) {
       SqlText.splitFirstTopLevel(rest, "WHEN") match {
-        case (head, Some(t)) => out += head; rest = t
-        case (head, None)    => out += head; continue = false
+        case (head, Some(t)) => raw += head; rest = t
+        case (head, None)    => raw += head; continue = false
       }
     }
-    out.result().filter(_.trim.nonEmpty)
+    raw.result().filter(_.trim.nonEmpty)
+      .foldLeft(Seq.empty[String]) { (acc, piece) =>
+        if (acc.isEmpty || ClauseStart.matcher(piece).matches()) acc :+ piece
+        else acc.init :+ (acc.last + " WHEN " + piece)
+      }
   }
 
   private def parseMatched(action: String, arms: Arms, table: String): Arms =

@@ -64,10 +64,21 @@ final case class PartitionSpec(column: String, transform: String) {
           dateSpan.map { case (lo, hi) =>
             ColRange(Some(lo.toEpochDay), Some(hi.toEpochDay - 1), hasNulls = false)
           }.getOrElse(ColRange(None, None))
-        case (_, TimestampType | TimestampNTZType) =>
+        case (_, TimestampType) =>
           dateSpan.map { case (lo, hi) =>
             val loUs = lo.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
             val hiUs = hi.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
+            ColRange(Some(loUs), Some(hiUs - 1), hasNulls = false)
+          }.getOrElse(ColRange(None, None))
+        case (_, TimestampNTZType) =>
+          // NTZ is a zone-FREE wall time: its internal micros are the
+          // local datetime read as UTC, and date_format renders the wall
+          // time unchanged — so the range must not shift by any zone
+          dateSpan.map { case (lo, hi) =>
+            val loUs = lo.atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli * 1000L
+            val hiUs = hi.atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli * 1000L
             ColRange(Some(loUs), Some(hiUs - 1), hasNulls = false)
           }.getOrElse(ColRange(None, None))
         case _ => ColRange(None, None)

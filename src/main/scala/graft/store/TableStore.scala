@@ -283,8 +283,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** The file list [[readWhere]] would scan (exposed for plan/pruning
     * assertions). */
   def prunedFiles(table: String, predicate: Column,
-      asOfMs: Option[Long] = None): Seq[DataFile] = {
-    val files = dataFilesAsOf(table, asOfMs)
+      asOfMs: Option[Long] = None): Seq[DataFile] =
+    pruneList(table, dataFilesAsOf(table, asOfMs), predicate)
+
+  /** Pruned relation over an ALREADY-FETCHED file list (the SQL-path
+    * splice prefetches the list for its prunability check — re-reading
+    * the log, and re-hydrating a manifest, on every query would double
+    * the hot path's metadata I/O). */
+  private[graft] def readPrunedFrom(table: String, files: Seq[DataFile],
+      predicate: Column): DataFrame =
+    readFileList(table, pruneList(table, files, predicate))
+
+  private def pruneList(table: String, files: Seq[DataFile],
+      predicate: Column): Seq[DataFile] = {
     if (files.isEmpty) return files
     // zone drifted since create: partition values and predicate literals
     // live in different wall-clock frames — the partition dimension is
@@ -373,10 +384,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val surviving = prunedFiles(table, predicate) // stage 1: partition prune
     val partCarried = dataFilesAsOf(table, None).diff(surviving)
     val pe = analyzedPredicate(table, predicate)
-    // footer reads are independent driver metadata ops: parallelize;
-    // files with LOGGED stats were already bounds-pruned in stage 1
+    // footer reads are independent driver metadata ops: parallelize.
+    // Skip a file's footer only when every column the predicate touches
+    // has LOGGED stats (then stage 1 already applied exactly these
+    // bounds); a referenced column beyond the stats cap or with dropped
+    // string bounds still gets the documented footer fallback.
+    val predCols = pe.references.map(_.name.toLowerCase).toSet
     val keep = TableStore.inParallel(surviving)(f =>
-      f.stats.nonEmpty ||
+      predCols.subsetOf(f.stats.keySet.map(_.toLowerCase)) ||
         Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
     val (kept, dropped) = surviving.zip(keep).partition(_._2)
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
@@ -410,8 +425,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val surviving = prunedFiles(table, rangePred)
     val partCarried = files.diff(surviving)
     val pe = analyzedPredicate(table, rangePred)
+    val rangeCols = pe.references.map(_.name.toLowerCase).toSet
     val keep = TableStore.inParallel(surviving)(f =>
-      f.stats.nonEmpty ||
+      rangeCols.subsetOf(f.stats.keySet.map(_.toLowerCase)) ||
         Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
     val (kept, dropped) = surviving.zip(keep).partition(_._2)
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))

@@ -268,6 +268,18 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("ALTER TABLE ev1 ADD COLUMN tag STRING"))
   }
 
+  test("ALTER TABLE ADD COLUMN handles parenthesized types and lists") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE ap (id INT)")
+    // the regression shape: a type whose own parens end the statement
+    eng.sql("ALTER TABLE ap ADD COLUMN price DECIMAL(10,2)")
+    eng.sql("ALTER TABLE ap ADD COLUMNS (tag VARCHAR(20), n BIGINT)")
+    assert(cat.store().schema("ap").fieldNames.toSeq ==
+      Seq("id", "price", "tag", "n"))
+    assert(cat.store().schema("ap")("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")

@@ -91,6 +91,19 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(eng.run("SELECT COUNT(*) FROM accounts") == "[(4,)]")
   }
 
+  test("CASE WHEN inside an arm is expression text, not a clause split") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, 5.0), (2, -5.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET
+        status = CASE WHEN s.amount > 0 THEN 'credit' ELSE 'debit' END,
+        balance = t.balance + s.amount""")
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(1, 105.0, 'credit'), (2, 45.0, 'debit'), (3, 75.0, 'open')]")
+  }
+
   test("malformed MERGE fails fast with a parse error") {
     val (_, eng) = fixture()
     seed(eng)
