@@ -60,6 +60,8 @@ object SqlDdl {
   private val DescribeHistory =
     "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val ShowPartitions =
+    "(?is)^\\s*SHOW\\s+PARTITIONS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   // column list captured whole; outer parens are stripped in code with a
   // balance check (a regex's optional trailing `\)?` would eat the closing
   // paren of DECIMAL(10,2))
@@ -130,6 +132,20 @@ object SqlDdl {
     case ShowTables() =>
       import catalog.spark.implicits._
       Some(catalog.listTables().toDF("tab_name"))
+    case ShowPartitions(t) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      val sp = catalog.store().partitionSpec(t).getOrElse(
+        throw new IllegalArgumentException(s"table $t is not partitioned"))
+      // pure snapshot-log metadata: values, file and row counts per
+      // partition of the CURRENT snapshot — no storage I/O
+      val rows = catalog.store().dataFilesAsOf(t, None)
+        .groupBy(_.partition.getOrElse(sp.column, ""))
+        .toSeq.sortBy(_._1)
+        .map { case (v, fsOfP) =>
+          (v, fsOfP.size, fsOfP.map(f => math.max(f.records, 0L)).sum)
+        }
+      import catalog.spark.implicits._
+      Some(rows.toDF("partition", "n_files", "n_records"))
     case Delete(t, cond) =>
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))

@@ -268,6 +268,17 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("ALTER TABLE ev1 ADD COLUMN tag STRING"))
   }
 
+  test("SHOW PARTITIONS lists values with file and row counts from the log") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE sp1 (id INT, d DATE) PARTITIONED BY (month(d))")
+    eng.sql("INSERT INTO sp1 VALUES (1, '2024-01-05'), (2, '2024-01-20'), (3, '2024-02-03')")
+    val out = eng.sql("SHOW PARTITIONS sp1").orderBy("partition").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(out == Seq(("2024-01", 2L), ("2024-02", 1L)))
+    eng.sql("CREATE TABLE sp2 (id INT)")
+    assertThrows[IllegalArgumentException](eng.sql("SHOW PARTITIONS sp2"))
+  }
+
   test("ALTER TABLE ADD COLUMN handles parenthesized types and lists") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ap (id INT)")
