@@ -242,6 +242,13 @@ object SnapshotLog {
     * means. Stale locks (crashed writer) are broken after
     * [[StaleLockMs]].
     */
+  /** Thrown when an optimistic commit finds the table advanced past the
+    * snapshot it was computed against — the caller must recompute from
+    * the new current snapshot and retry (Iceberg's commit-conflict
+    * contract for copy-on-write row-level operations). */
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   def commit(
       fs: FileSystem,
       tableDir: HPath,
@@ -251,9 +258,20 @@ object SnapshotLog {
       timestampMs: Long = System.currentTimeMillis(),
       replaceAll: Boolean = false,
       summary: Map[String, String] = Map.empty,
-      manifestThreshold: Int = DefaultManifestThreshold): Snapshot =
+      manifestThreshold: Int = DefaultManifestThreshold,
+      expectedLastId: Option[Long] = None): Snapshot =
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
+      // Optimistic concurrency for COW writers: the carried-file list was
+      // derived OUTSIDE this lock from a base snapshot; if another commit
+      // landed since, blindly replacing would silently drop its changes.
+      expectedLastId.foreach { base =>
+        val current = existing.map(_.id).maxOption.getOrElse(0L)
+        if (current != base)
+          throw new CommitConflictException(
+            s"table advanced from snapshot $base to $current while a " +
+              s"'$operation' was being prepared — recompute and retry")
+      }
       val id = existing.map(_.id).maxOption.getOrElse(0L) + 1L
       val prior = existing.lastOption
       val files =

@@ -379,10 +379,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * reads) → exact distributed probe (`input_file_name` over the
     * predicate-pushed scan, so only row groups that might match are read).
     */
-  private def matchedByPredicate(table: String,
+  private def matchedByPredicate(table: String, baseFiles: Seq[DataFile],
       predicate: Column): (Seq[DataFile], Seq[DataFile]) = {
-    val surviving = prunedFiles(table, predicate) // stage 1: partition prune
-    val partCarried = dataFilesAsOf(table, None).diff(surviving)
+    val surviving = pruneList(table, baseFiles, predicate) // stage 1: partition prune
+    val partCarried = baseFiles.diff(surviving)
     val pe = analyzedPredicate(table, predicate)
     // footer reads are independent driver metadata ops: parallelize.
     // Skip a file's footer only when every column the predicate touches
@@ -410,9 +410,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Same split for a key-based write (upsert/MERGE): footer-prune with
     * the key-space bounds of `updates` (one tiny agg job), then probe
     * candidates with a distributed semi-join on the keys. */
-  private def matchedByKeys(table: String, updates: DataFrame,
+  private def matchedByKeys(table: String, baseFiles: Seq[DataFile],
+      updates: DataFrame,
       keyCols: Seq[String]): (Seq[DataFile], Seq[DataFile]) = {
-    val files = dataFilesAsOf(table, None)
+    val files = baseFiles
     if (files.isEmpty) return (Seq.empty, Seq.empty)
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
@@ -422,7 +423,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       if (lo == null || hi == null) lit(true)
       else col(k) >= lit(lo) && col(k) <= lit(hi)
     }.reduce(_ && _)
-    val surviving = prunedFiles(table, rangePred)
+    val surviving = pruneList(table, files, rangePred)
     val partCarried = files.diff(surviving)
     val pe = analyzedPredicate(table, rangePred)
     val rangeCols = pe.references.map(_.name.toLowerCase).toSet
@@ -445,10 +446,16 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   }
 
   /** Commit `carried` by reference plus the rewritten `replacement` rows
-    * as fresh files — the file-granular COW commit. */
+    * as fresh files — the file-granular COW commit. OPTIMISTIC: the
+    * matched/carried split was computed outside the commit lock against
+    * `baseId`; if another writer advanced the table since, the commit
+    * throws [[SnapshotLog.CommitConflictException]] instead of silently
+    * dropping that writer's changes (Iceberg's conflict contract). The
+    * public row-level ops recompute and retry a bounded number of times. */
   private def cowCommit(table: String, operation: String,
       carried: Seq[DataFile], rewrittenCount: Int,
-      replacement: Option[DataFrame], timestampMs: Long): Snapshot = {
+      replacement: Option[DataFrame], timestampMs: Long,
+      baseId: Long): Snapshot = {
     val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
     val total = TableStore.inParallel(carried)(recordsOf(table, _)).sum +
       newFiles.map(_.records).sum
@@ -457,8 +464,24 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       summary = Map(
         "rewritten-files" -> rewrittenCount.toString,
         "carried-files" -> carried.size.toString,
-        "added-files" -> newFiles.size.toString))
+        "added-files" -> newFiles.size.toString),
+      expectedLastId = Some(baseId))
   }
+
+  /** Current snapshot (hydrated) + its id, the base a COW op computes
+    * against; id 0 = empty table. */
+  private def cowBase(table: String): (Long, Seq[DataFile]) = {
+    val snap = SnapshotLog.resolve(fs, tableDir(table), None)
+    (snap.map(_.id).getOrElse(0L), snap.map(_.files).getOrElse(Seq.empty))
+  }
+
+  /** Retry a COW op on commit conflict: each attempt recomputes its
+    * matched/carried split from the then-current snapshot. */
+  private def withCowRetry[T](attempts: Int = 3)(op: => T): T =
+    try op catch {
+      case _: SnapshotLog.CommitConflictException if attempts > 1 =>
+        withCowRetry(attempts - 1)(op)
+    }
 
   /** Copy-on-write row deletion: rewrite ONLY files containing matching
     * rows, dropping those rows; carry every other file by reference.
@@ -466,14 +489,17 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * predicate (e.g. `balance = 0` on a NULL balance) must keep the row,
     * so the kept-set filter coalesces NULL to false before negating. */
   def deleteWhere(table: String, predicate: Column,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val (matched, carried) = matchedByPredicate(table, predicate)
-    val replacement =
-      if (matched.isEmpty) None
-      else Some(readFileList(table, matched)
-        .filter(not(coalesce(predicate, lit(false)))))
-    cowCommit(table, "delete", carried, matched.size, replacement, timestampMs)
-  }
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = matchedByPredicate(table, baseFiles, predicate)
+      val replacement =
+        if (matched.isEmpty) None
+        else Some(readFileList(table, matched)
+          .filter(not(coalesce(predicate, lit(false)))))
+      cowCommit(table, "delete", carried, matched.size, replacement,
+        timestampMs, baseId)
+    }
 
   /** Copy-on-write UPDATE: rewrite only files containing matched rows.
     * SQL UPDATE semantics: the WHERE predicate and every SET right-hand
@@ -487,25 +513,29 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"unknown column '$n' in UPDATE $table")
     }
-    val (matched, carried) = cond match {
-      case Some(p) => matchedByPredicate(table, p)
-      case None    => (dataFilesAsOf(table, None), Seq.empty[DataFile])
-    }
-    val replacement =
-      if (matched.isEmpty) None
-      else {
-        val matchedPred = coalesce(cond.getOrElse(lit(true)), lit(false))
-        val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
-        Some(readFileList(table, matched).select(sch.fields.toIndexedSeq.map { f =>
-          byName.get(f.name.toLowerCase) match {
-            case Some(value) =>
-              when(matchedPred, value.cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*))
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = cond match {
+        case Some(p) => matchedByPredicate(table, baseFiles, p)
+        case None    => (baseFiles, Seq.empty[DataFile])
       }
-    cowCommit(table, "update", carried, matched.size, replacement, timestampMs)
+      val replacement =
+        if (matched.isEmpty) None
+        else {
+          val matchedPred = coalesce(cond.getOrElse(lit(true)), lit(false))
+          val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
+          Some(readFileList(table, matched).select(sch.fields.toIndexedSeq.map { f =>
+            byName.get(f.name.toLowerCase) match {
+              case Some(value) =>
+                when(matchedPred, value.cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*))
+        }
+      cowCommit(table, "update", carried, matched.size, replacement,
+        timestampMs, baseId)
+    }
   }
 
   /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
@@ -513,27 +543,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files containing a matched key are rewritten; prior snapshots keep
     * the old rows for time travel. */
   def upsert(table: String, updates: DataFrame, keyCols: Seq[String],
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val (matched, carried) = matchedByKeys(table, updates, keyCols)
-    val keys = updates.select(keyCols.map(col): _*).distinct()
-    val aligned = updates.select(schema(table).fieldNames.toIndexedSeq.map(col): _*)
-    val kept =
-      if (matched.isEmpty) aligned
-      else readFileList(table, matched).join(keys, keyCols, "left_anti")
-        .unionByName(aligned)
-    cowCommit(table, "overwrite", carried, matched.size, Some(kept), timestampMs)
-  }
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = matchedByKeys(table, baseFiles, updates, keyCols)
+      val keys = updates.select(keyCols.map(col): _*).distinct()
+      val aligned = updates.select(schema(table).fieldNames.toIndexedSeq.map(col): _*)
+      val kept =
+        if (matched.isEmpty) aligned
+        else readFileList(table, matched).join(keys, keyCols, "left_anti")
+          .unionByName(aligned)
+      cowCommit(table, "overwrite", carried, matched.size, Some(kept),
+        timestampMs, baseId)
+    }
 
   /** MERGE INTO core: `sourceKeys` drive matched-file detection; the
     * caller maps the matched files' rows to their replacement (update /
     * delete arms + not-matched inserts appended). */
   def merge(table: String, sourceKeys: DataFrame, keyCols: Seq[String],
       replace: DataFrame => DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val (matched, carried) = matchedByKeys(table, sourceKeys, keyCols)
-    val replacement = replace(readFileList(table, matched))
-    cowCommit(table, "merge", carried, matched.size, Some(replacement), timestampMs)
-  }
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = matchedByKeys(table, baseFiles, sourceKeys, keyCols)
+      val replacement = replace(readFileList(table, matched))
+      cowCommit(table, "merge", carried, matched.size, Some(replacement),
+        timestampMs, baseId)
+    }
 
   /** Schema evolution: append columns to the persisted schema. Existing
     * data files simply lack the new columns — Spark's by-name Parquet

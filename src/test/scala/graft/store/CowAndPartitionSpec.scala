@@ -143,6 +143,34 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("COW commits are optimistic: stale bases conflict, ops retry") {
+    val st = newStore()
+    st.create("oc", Seq((1, "x")).toDF("id", "v").schema)
+    st.append("oc", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    // commit-level guard: a commit computed against snapshot 0 must not
+    // silently replace snapshot 1's contents
+    intercept[SnapshotLog.CommitConflictException] {
+      SnapshotLog.commit(fs, st.tableDir("oc"), "delete", Seq.empty, 0L,
+        2000L, replaceAll = true, expectedLastId = Some(0L))
+    }
+    // two concurrent single-key deletes: whichever loses the race retries
+    // against the new base — NEITHER delete is lost
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { st.deleteWhere("oc", col("id") === 1, 3000L); () }
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { st.deleteWhere("oc", col("id") === 2, 3001L); () }
+      })
+      f1.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      f2.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    assert(st.read("oc").select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
   test("logged column stats prune unpartitioned tables with zero I/O") {
     val st = newStore()
     st.create("cs", Seq((1, "x")).toDF("id", "v").schema)
