@@ -43,6 +43,25 @@ object EventStreams {
   final case class SessionState(nSessions: Long, nEvents: Long, lastTsMs: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Streaming exact dedup — the streaming tier of the corpus dedup
+    * pipeline ([[graft.ext.Dedup.exactByContent]]'s twin): drop events
+    * whose normalized-content hash already appeared, with state BOUNDED
+    * by the watermark (`dropDuplicatesWithinWatermark` evicts keys once
+    * the watermark passes them — without it the seen-key state grows
+    * with the stream forever, the classic streaming-dedup OOM). Two
+    * occurrences far apart beyond the watermark may both survive — the
+    * documented trade every watermarked dedup makes; the batch operator
+    * is the exact backstop.
+    */
+  def dedupStream(events: DataFrame, contentCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("_content_hash",
+        xxhash64(graft.ext.TextAnalysis.normalize(col(contentCol))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   /** Stateful sessionization via mapGroupsWithState — the streaming twin
     * of `q_sessionize` (30-minute inactivity gap): per-user state is
     * (session count, event count, last event time), updated per

@@ -79,6 +79,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupStream drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF.toDF("event_id", "ts", "text")
+    val query = EventStreams.dedupStream(events, "text", "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), "hello world"),
+        (2L, ts("2024-01-01 10:05:00"), "HELLO   world!!"), // same normalized
+        (3L, ts("2024-01-01 10:10:00"), "different text")))
+      query.processAllAvailable()
+      // second micro-batch: duplicate across batches also dropped
+      input.addData(Seq(
+        (4L, ts("2024-01-01 10:20:00"), "hello world"),
+        (5L, ts("2024-01-01 10:30:00"), "fresh content")))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("appendStream commits one snapshot per micro-batch into the store") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new GraftCatalog(Files.createTempDirectory("graft-stream"), spark)
