@@ -44,7 +44,7 @@ object PlotDecider {
   /** 2-column truncation before plotting (`app-gradio.py:224-228`). */
   def truncateForPlot(df: DataFrame): DataFrame =
     if (df.columns.length <= 2) df
-    else df.select(df.columns.take(2).map(org.apache.spark.sql.functions.col): _*)
+    else df.select(df.columns.take(2).toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
 
   /** Serializable plot-spec (chart building itself is presentation, out of
     * engine scope — `app-gradio.py:230-252` maps 1:1 from this). */

@@ -291,6 +291,7 @@ object Pruning {
     * the same footer read that supplies the row count). */
   def rangesFromReader(reader: ParquetFileReader): Map[String, ColRange] = {
     import scala.jdk.CollectionConverters._
+    import scala.language.existentials
     {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val schema = reader.getFooter.getFileMetaData.getSchema
