@@ -58,7 +58,10 @@ final case class Snapshot(
     // an unhydrated manifest-backed entry — go through
     // [[SnapshotLog.hydrate]] (resolve/resolveVersion already do).
     manifest: Option[String] = None,
-    storedFileCount: Int = -1) {
+    storedFileCount: Int = -1,
+    // schema version current when this snapshot committed (-1 = unknown,
+    // pre-versioning logs → callers use the table's current schema)
+    schemaVersion: Int = -1) {
   def filePaths: Seq[String] = files.map(_.path)
   /** File count without hydration (from the log entry for manifest-backed
     * snapshots). */
@@ -101,6 +104,8 @@ object SnapshotLog {
             e.get("summary").properties().asScala
               .map(kv => kv.getKey -> kv.getValue.asText()).toMap
           else Map.empty[String, String]
+        val schemaV =
+          if (e.has("schemaVersion")) e.get("schemaVersion").asInt() else -1
         if (e.has("manifest"))
           Snapshot(
             id = e.get("id").asLong(),
@@ -110,7 +115,8 @@ object SnapshotLog {
             recordCount = e.get("recordCount").asLong(),
             summary = summary,
             manifest = Some(e.get("manifest").asText()),
-            storedFileCount = e.get("fileCount").asInt())
+            storedFileCount = e.get("fileCount").asInt(),
+            schemaVersion = schemaV)
         else
           Snapshot(
             id = e.get("id").asLong(),
@@ -118,7 +124,8 @@ object SnapshotLog {
             operation = e.get("operation").asText(),
             files = e.get("files").elements().asScala.map(readFile).toSeq,
             recordCount = e.get("recordCount").asLong(),
-            summary = summary)
+            summary = summary,
+            schemaVersion = schemaV)
       }.toSeq.sortBy(_.id)
     }
   }
@@ -183,6 +190,7 @@ object SnapshotLog {
         "id" -> s.id, "timestampMs" -> s.timestampMs,
         "operation" -> s.operation, "recordCount" -> s.recordCount,
         "summary" -> s.summary)
+      if (s.schemaVersion >= 0) base += ("schemaVersion" -> s.schemaVersion)
       s.manifest match {
         case Some(m) => base += ("manifest" -> m) += ("fileCount" -> s.fileCount)
         case None    => base += ("files" -> s.files)
@@ -259,7 +267,8 @@ object SnapshotLog {
       replaceAll: Boolean = false,
       summary: Map[String, String] = Map.empty,
       manifestThreshold: Int = DefaultManifestThreshold,
-      expectedLastId: Option[Long] = None): Snapshot =
+      expectedLastId: Option[Long] = None,
+      schemaVersion: Int = -1): Snapshot =
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
       // Optimistic concurrency for COW writers: the carried-file list was
@@ -280,7 +289,8 @@ object SnapshotLog {
       val total =
         if (replaceAll) recordCount
         else prior.map(_.recordCount).getOrElse(0L) + recordCount
-      val inline = Snapshot(id, timestampMs, operation, files, total, summary)
+      val inline = Snapshot(id, timestampMs, operation, files, total, summary,
+        schemaVersion = schemaVersion)
       val snap =
         if (files.size <= manifestThreshold) inline
         else {

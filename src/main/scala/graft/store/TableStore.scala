@@ -51,8 +51,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def create(table: String, schema: StructType,
       partition: Option[PartitionSpec] = None): Unit = {
     fs.mkdirs(dataDir(table))
-    // Persist the schema so an empty table is still readable.
+    // Persist the schema so an empty table is still readable; v1 starts
+    // the schema history (each ALTER appends a version, and snapshots
+    // record which version was current — so time travel renders the
+    // schema OF ITS TIME, Iceberg's schema-id contract).
     writeString(new HPath(tableDir(table), "schema.json"), schema.json)
+    writeString(schemaVersionPath(table, 1), schema.json)
     partition.foreach { sp =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(sp.column)),
         s"partition column '${sp.column}' not in schema of $table")
@@ -77,6 +81,28 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (fs.exists(p))
       DataType.fromJson(readString(p)).asInstanceOf[StructType]
     else spark.read.parquet(currentFiles(table): _*).schema
+  }
+
+  private def schemaVersionPath(table: String, v: Int): HPath =
+    new HPath(new HPath(tableDir(table), "schemas"), s"v$v.json")
+
+  /** Highest recorded schema version; 0 = table predates versioning. */
+  private def currentSchemaVersion(table: String): Int = {
+    val dir = new HPath(tableDir(table), "schemas")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
+      }.maxOption.getOrElse(0)
+  }
+
+  /** The schema a given snapshot committed under; falls back to the
+    * current schema for pre-versioning snapshots. */
+  private def schemaAt(table: String, snap: Snapshot): StructType = {
+    val p = schemaVersionPath(table, snap.schemaVersion)
+    if (snap.schemaVersion >= 1 && fs.exists(p))
+      DataType.fromJson(readString(p)).asInstanceOf[StructType]
+    else schema(table)
   }
 
   def partitionSpec(table: String): Option[PartitionSpec] =
@@ -123,7 +149,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     // stale prior count.
     SnapshotLog.commit(fs, tableDir(table), "append", moved,
       n, timestampMs, replaceAll = false,
-      summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString))
+      summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString),
+      schemaVersion = commitSchemaVersion(table))
   }
 
   /** Replace table contents (used by compaction and overwrite loads). */
@@ -134,7 +161,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val n = moved.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
-      summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString))
+      summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString),
+      schemaVersion = commitSchemaVersion(table))
   }
 
   /** Distributed Parquet write into a staging dir (partitioned by the
@@ -250,7 +278,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val snap = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"table $table has no snapshot id $snapshotId"))
-    readFileList(table, snap.files)
+    readFileListAs(table, snap.files, schemaAt(table, snap))
   }
 
   /** Latest-snapshot read; `asOfMs` = time travel. Snapshot resolution →
@@ -258,7 +286,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files of that version (no directory listing, no stale files).
     */
   def read(table: String, asOfMs: Option[Long] = None): DataFrame =
-    readFileList(table, dataFilesAsOf(table, asOfMs))
+    asOfMs match {
+      // latest read: always the CURRENT schema (evolution applies to all
+      // live data, Iceberg's current-read contract)
+      case None => readFileList(table, dataFilesAsOf(table, None))
+      // time travel: the schema of the resolved snapshot's time
+      case Some(_) =>
+        SnapshotLog.resolve(fs, tableDir(table), asOfMs) match {
+          case Some(snap) =>
+            readFileListAs(table, snap.files, schemaAt(table, snap))
+          case None => readFileList(table, Seq.empty)
+        }
+    }
 
   /** Predicate-scoped read with PARTITION PRUNING: files whose logged
     * partition value proves no row can match `predicate` are dropped from
@@ -349,9 +388,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
 
   private def readFileList(table: String, files: Seq[DataFile]): DataFrame =
+    readFileListAs(table, files, schema(table))
+
+  private def readFileListAs(table: String, files: Seq[DataFile],
+      sch: StructType): DataFrame =
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema(table))
-    else spark.read.schema(schema(table))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    else spark.read.schema(sch)
       .parquet(files.map(f => absPath(table, f.path).toString): _*)
 
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
@@ -465,7 +508,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         "rewritten-files" -> rewrittenCount.toString,
         "carried-files" -> carried.size.toString,
         "added-files" -> newFiles.size.toString),
-      expectedLastId = Some(baseId))
+      expectedLastId = Some(baseId),
+      schemaVersion = commitSchemaVersion(table))
   }
 
   /** Current snapshot (hydrated) + its id, the base a COW op computes
@@ -583,8 +627,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cols.fields.foreach(f => require(
       !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column '${f.name}' already exists in $table"))
-    writeString(new HPath(tableDir(table), "schema.json"),
-      StructType(cur.fields ++ cols.fields).json)
+    writeSchemaVersion(table, StructType(cur.fields ++ cols.fields))
   }
 
   /** Schema evolution: drop a column from the persisted schema. Data
@@ -599,8 +642,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       !sp.column.equalsIgnoreCase(name),
       s"cannot drop partition column '$name' of $table"))
     require(cur.fields.length > 1, s"cannot drop the last column of $table")
-    writeString(new HPath(tableDir(table), "schema.json"),
-      StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))).json)
+    writeSchemaVersion(table,
+      StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
+  }
+
+  /** Record a new current schema: archive it as the next version (and,
+    * for a pre-versioning table, first archive the old schema as v1 so
+    * existing snapshots keep a resolvable version). */
+  private def writeSchemaVersion(table: String, next: StructType): Unit = {
+    val cur = currentSchemaVersion(table)
+    if (cur == 0) writeString(schemaVersionPath(table, 1), schema(table).json)
+    val v = math.max(cur, 1) + 1
+    writeString(schemaVersionPath(table, v), next.json)
+    writeString(new HPath(tableDir(table), "schema.json"), next.json)
   }
 
   /** TRUNCATE: one `delete` snapshot with an empty file list — prior
@@ -609,7 +663,15 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       timestampMs: Long = System.currentTimeMillis()): Snapshot =
     SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
       timestampMs, replaceAll = true,
-      summary = Map("carried-files" -> "0", "added-files" -> "0"))
+      summary = Map("carried-files" -> "0", "added-files" -> "0"),
+      schemaVersion = commitSchemaVersion(table))
+
+  /** Version to stamp into a commit (-1 when the table predates schema
+    * versioning, keeping old logs byte-stable). */
+  private def commitSchemaVersion(table: String): Int = {
+    val v = currentSchemaVersion(table)
+    if (v == 0) -1 else v
+  }
 
   /** Bin-pack small files into ~targetBytes files; commit a `replace`
     * snapshot. Old files stay referenced by old snapshots (time travel

@@ -291,6 +291,23 @@ class SqlDdlSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DecimalType(10, 2))
   }
 
+  test("time travel renders the schema of its snapshot, not the current one") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE se (id INT)")
+    eng.sql("INSERT INTO se VALUES (1)")
+    eng.sql("ALTER TABLE se ADD COLUMN tag STRING")
+    eng.sql("INSERT INTO se VALUES (2, 'x')")
+    // latest: both columns
+    assert(cat.table("se").schema.fieldNames.toSeq == Seq("id", "tag"))
+    // snapshot 1 committed under schema v1: only `id`
+    assert(cat.tableVersion("se", 1L).schema.fieldNames.toSeq == Seq("id"))
+    assert(eng.run("SELECT * FROM se FOR SYSTEM_VERSION AS OF 1") == "[(1,)]")
+    // and dropping a column does not rewrite history either
+    eng.sql("ALTER TABLE se DROP COLUMN tag")
+    assert(cat.tableVersion("se", 2L).schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(cat.table("se").schema.fieldNames.toSeq == Seq("id"))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
