@@ -63,8 +63,9 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   }
 
   def createTable(name: String, schema: StructType,
-      partition: Option[PartitionSpec] = None): Unit = {
-    store().create(name, schema, partition)
+      partition: Option[PartitionSpec] = None,
+      sortBy: Seq[String] = Seq.empty): Unit = {
+    store().create(name, schema, partition, sortBy)
     registerView(name)
   }
 

@@ -37,6 +37,7 @@ object SqlDdl {
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
       "\\s*\\((.*?)\\)" +
       "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "\\s*(?:SORT(?:ED)?\\s+BY\\s*\\(([^)]*)\\))?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
@@ -99,10 +100,12 @@ object SqlDdl {
         catalog.append(t, df)
       }
       Some(empty(catalog))
-    case CreateTable(t, colsDef, partDef) =>
+    case CreateTable(t, colsDef, partDef, sortDef) =>
       if (!catalog.store().exists(t))
         catalog.createTable(t, parseSchema(colsDef),
-          Option(partDef).map(graft.store.PartitionSpec.parse))
+          Option(partDef).map(graft.store.PartitionSpec.parse),
+          Option(sortDef).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       Some(empty(catalog))
     case Insert(t, colList, valuesTail) =>
       insertValues(catalog, t, Option(colList), valuesTail)

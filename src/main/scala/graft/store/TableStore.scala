@@ -49,8 +49,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     fs.exists(SnapshotLog.logPath(tableDir(table)))
 
   def create(table: String, schema: StructType,
-      partition: Option[PartitionSpec] = None): Unit = {
+      partition: Option[PartitionSpec] = None,
+      sortBy: Seq[String] = Seq.empty): Unit = {
     fs.mkdirs(dataDir(table))
+    sortBy.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"sort column '$c' not in schema of $table"))
+    if (sortBy.nonEmpty)
+      writeString(new HPath(tableDir(table), "sort.json"),
+        sortBy.map(c => "\"" + c + "\"").mkString("[", ",", "]"))
     // Persist the schema so an empty table is still readable; v1 starts
     // the schema history (each ALTER appends a version, and snapshots
     // record which version was current — so time travel renders the
@@ -103,6 +109,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (snap.schemaVersion >= 1 && fs.exists(p))
       DataType.fromJson(readString(p)).asInstanceOf[StructType]
     else schema(table)
+  }
+
+  /** Declared sort order (empty = none). Sorted tables range-cluster
+    * their writes so per-file min/max bounds are tight and disjoint —
+    * a single-key DELETE then rewrites exactly one file. */
+  def sortOrder(table: String): Seq[String] = {
+    val p = new HPath(tableDir(table), "sort.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    }
   }
 
   def partitionSpec(table: String): Option[PartitionSpec] =
@@ -171,6 +190,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * partition values. */
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
+    // sorted tables: range-cluster the incoming rows (one shuffle) so
+    // each written file covers a tight, disjoint slice of the sort key —
+    // the difference between min/max pruning skipping most files and
+    // every file overlapping every predicate. Under a partition spec the
+    // clustering is within-partition only (partitionBy owns placement).
+    val sort = sortOrder(table)
+    val clustered =
+      if (sort.isEmpty) df
+      else if (partitionSpec(table).isDefined)
+        df.sortWithinPartitions(sort.map(col): _*)
+      else df.repartitionByRange(sort.map(col): _*)
+        .sortWithinPartitions(sort.map(col): _*)
     val parts: Seq[(HPath, Map[String, String])] = partitionSpecZone(table) match {
       case Some((sp, specZone)) =>
         require(!zoneMismatch(table, sp, specZone),
@@ -179,7 +210,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             s"$specZone (set spark.sql.session.timeZone to ${specZone.getId})")
         // hidden partitioning: the transform column exists only for the
         // write; data files keep the original schema
-        df.withColumn(TableStore.PartDirCol, sp.valueColumn)
+        clustered.withColumn(TableStore.PartDirCol, sp.valueColumn)
           .write.mode(SaveMode.Overwrite)
           .partitionBy(TableStore.PartDirCol).parquet(staging.toString)
         for {
@@ -191,7 +222,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
         } yield (p, Map(sp.column -> value))
       case None =>
-        df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        clustered.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         fs.listStatus(staging).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
           .map((_, Map.empty[String, String]))

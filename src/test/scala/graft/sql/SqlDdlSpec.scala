@@ -268,6 +268,14 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("ALTER TABLE ev1 ADD COLUMN tag STRING"))
   }
 
+  test("CREATE TABLE SORT BY records the sort order") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE so1 (id INT, v STRING) SORT BY (id) STORED AS ICEBERG")
+    assert(cat.store().sortOrder("so1") == Seq("id"))
+    eng.sql("INSERT INTO so1 VALUES (3, 'c'), (1, 'a'), (2, 'b')")
+    assert(eng.run("SELECT id FROM so1 ORDER BY id") == "[(1,), (2,), (3,)]")
+  }
+
   test("SHOW PARTITIONS lists values with file and row counts from the log") {
     val (_, eng) = fixture()
     eng.sql("CREATE TABLE sp1 (id INT, d DATE) PARTITIONED BY (month(d))")

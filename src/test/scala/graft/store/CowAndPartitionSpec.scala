@@ -143,6 +143,37 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("pd").select("id").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("sorted tables cluster writes: disjoint bounds, one-file deletes") {
+    val st = newStore()
+    val data = (1 to 400).map(i => (i, s"v$i")).toDF("id", "v")
+    st.create("srt", data.schema, sortBy = Seq("id"))
+    // at production scale AQE right-sizes the range shuffle's partitions
+    // (coalesced ranges stay disjoint); at 400 rows it would coalesce to
+    // ONE file, so pin it off to observe the multi-file invariant
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalesceKey)
+    val files =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        st.append("srt", data.repartition(4), 1000L)
+        st.dataFilesAsOf("srt", None)
+      } finally spark.conf.set(coalesceKey, prior)
+    assert(files.size > 1)
+    // range clustering: per-file id bounds are pairwise DISJOINT
+    val bounds = files.map { f =>
+      val b = f.stats("id")
+      (b.min.get.toLong, b.max.get.toLong)
+    }.sortBy(_._1)
+    assert(bounds.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"overlapping bounds: $bounds")
+    // a single-key delete therefore rewrites exactly one file
+    val snap = st.deleteWhere("srt", col("id") === 17, 2000L)
+    assert(snap.summary("rewritten-files") == "1")
+    assert(st.read("srt").count() == 399)
+  }
+
   test("COW commits are optimistic: stale bases conflict, ops retry") {
     val st = newStore()
     st.create("oc", Seq((1, "x")).toDF("id", "v").schema)
