@@ -61,6 +61,8 @@ object SqlDdl {
   private val DescribeHistory =
     "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val ShowDatabases =
+    "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
   private val ShowPartitions =
     "(?is)^\\s*SHOW\\s+PARTITIONS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   // column list captured whole; outer parens are stripped in code with a
@@ -135,6 +137,9 @@ object SqlDdl {
     case ShowTables() =>
       import catalog.spark.implicits._
       Some(catalog.listTables().toDF("tab_name"))
+    case ShowDatabases() =>
+      import catalog.spark.implicits._
+      Some(catalog.listDatabases().toDF("database_name"))
     case ShowPartitions(t) =>
       require(catalog.store().exists(t), s"table not found: $t")
       val sp = catalog.store().partitionSpec(t).getOrElse(
