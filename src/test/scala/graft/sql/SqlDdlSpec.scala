@@ -238,6 +238,7 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("DESCRIBE meta1") ==
       "[('id', 'int', ''), ('name', 'string', '')]")
     assert(eng.run("SHOW TABLES").contains("meta1"))
+    assert(eng.run("SHOW DATABASES").contains("default"))
   }
 
   test("DESCRIBE HISTORY lists snapshots like the Hue inspection") {
