@@ -88,19 +88,21 @@ object Dedup {
     * executor-local by default, reliable (durable-directory, executor-loss
     * safe) when the conf names a checkpoint dir.
     */
-  // last dir THIS module passed to setCheckpointDir (SparkContext stores
-  // `<dir>/<uuid>`, so reading it back can never equal the raw conf value
-  // — comparing against it was a dead guard that re-set every call)
-  @volatile private var lastCheckpointDir: Option[String] = None
+  // last (context, dir) THIS module passed to setCheckpointDir, keyed by
+  // application id: checkpoint dirs are per-SparkContext, so a restarted
+  // context must be set again. (Reading sc.getCheckpointDir back is a
+  // dead guard — Spark stores `<dir>/<uuid>`, never the raw conf value.)
+  @volatile private var lastCheckpointDir: Option[(String, String)] = None
 
   private def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val out = spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) if dir.nonEmpty =>
-        if (!lastCheckpointDir.contains(dir)) synchronized {
-          if (!lastCheckpointDir.contains(dir)) {
+        val key = (spark.sparkContext.applicationId, dir)
+        if (!lastCheckpointDir.contains(key)) synchronized {
+          if (!lastCheckpointDir.contains(key)) {
             spark.sparkContext.setCheckpointDir(dir)
-            lastCheckpointDir = Some(dir)
+            lastCheckpointDir = Some(key)
           }
         }
         result.checkpoint(eager = true)

@@ -69,7 +69,7 @@ object SqlDdl {
   // balance check (a regex's optional trailing `\)?` would eat the closing
   // paren of DECIMAL(10,2))
   private val AlterAdd =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\s+" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\b\\s*" +
       "(.+?)\\s*$").r
   private val AlterDrop =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
@@ -142,18 +142,11 @@ object SqlDdl {
       Some(catalog.listDatabases().toDF("database_name"))
     case ShowPartitions(t) =>
       require(catalog.store().exists(t), s"table not found: $t")
-      val sp = catalog.store().partitionSpec(t).getOrElse(
-        throw new IllegalArgumentException(s"table $t is not partitioned"))
-      // pure snapshot-log metadata: values, file and row counts per
-      // partition of the CURRENT snapshot — no storage I/O
-      val rows = catalog.store().dataFilesAsOf(t, None)
-        .groupBy(_.partition.getOrElse(sp.column, ""))
-        .toSeq.sortBy(_._1)
-        .map { case (v, fsOfP) =>
-          (v, fsOfP.size, fsOfP.map(f => math.max(f.records, 0L)).sum)
-        }
+      // snapshot-log metadata (footer fallback only for legacy entries
+      // with unknown counts — never reported as 0)
       import catalog.spark.implicits._
-      Some(rows.toDF("partition", "n_files", "n_records"))
+      Some(catalog.store().partitionSummary(t)
+        .toDF("partition", "n_files", "n_records"))
     case Delete(t, cond) =>
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))

@@ -268,7 +268,7 @@ object SnapshotLog {
       summary: Map[String, String] = Map.empty,
       manifestThreshold: Int = DefaultManifestThreshold,
       expectedLastId: Option[Long] = None,
-      schemaVersion: Int = -1): Snapshot =
+      schemaVersionOf: () => Int = () => -1): Snapshot =
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
       // Optimistic concurrency for COW writers: the carried-file list was
@@ -289,8 +289,10 @@ object SnapshotLog {
       val total =
         if (replaceAll) recordCount
         else prior.map(_.recordCount).getOrElse(0L) + recordCount
+      // evaluated INSIDE the lock: a racing ALTER (same lock) cannot
+      // change the version between here and the log write
       val inline = Snapshot(id, timestampMs, operation, files, total, summary,
-        schemaVersion = schemaVersion)
+        schemaVersion = schemaVersionOf())
       val snap =
         if (files.size <= manifestThreshold) inline
         else {
@@ -320,6 +322,12 @@ object SnapshotLog {
       try { fs.create(lock, false).close(); true }
       catch { case _: java.io.IOException => false }
     }
+
+  /** Run `f` under the table's advisory commit lock — shared by snapshot
+    * commits AND schema-version allocation, so an ALTER cannot interleave
+    * with a commit's version stamp. */
+  private[store] def withTableLock[T](fs: FileSystem, tableDir: HPath)(f: => T): T =
+    withCommitLock(fs, tableDir)(f)
 
   private def withCommitLock[T](fs: FileSystem, tableDir: HPath)(f: => T): T = {
     fs.mkdirs(tableDir)

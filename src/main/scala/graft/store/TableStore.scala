@@ -169,7 +169,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     SnapshotLog.commit(fs, tableDir(table), "append", moved,
       n, timestampMs, replaceAll = false,
       summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString),
-      schemaVersion = commitSchemaVersion(table))
+      schemaVersionOf = () => commitSchemaVersion(table))
   }
 
   /** Replace table contents (used by compaction and overwrite loads). */
@@ -181,7 +181,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
       summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString),
-      schemaVersion = commitSchemaVersion(table))
+      schemaVersionOf = () => commitSchemaVersion(table))
   }
 
   /** Distributed Parquet write into a staging dir (partitioned by the
@@ -190,6 +190,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * partition values. */
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
+    // ONE read of the partition metadata serves both the clustering
+    // decision and the staging branch (three fs round-trips per write
+    // otherwise, on every append/COW rewrite)
+    val specZone = partitionSpecZone(table)
     // sorted tables: range-cluster the incoming rows (one shuffle) so
     // each written file covers a tight, disjoint slice of the sort key —
     // the difference between min/max pruning skipping most files and
@@ -198,11 +202,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val sort = sortOrder(table)
     val clustered =
       if (sort.isEmpty) df
-      else if (partitionSpec(table).isDefined)
+      else if (specZone.isDefined)
         df.sortWithinPartitions(sort.map(col): _*)
       else df.repartitionByRange(sort.map(col): _*)
         .sortWithinPartitions(sort.map(col): _*)
-    val parts: Seq[(HPath, Map[String, String])] = partitionSpecZone(table) match {
+    val parts: Seq[(HPath, Map[String, String])] = specZone match {
       case Some((sp, specZone)) =>
         require(!zoneMismatch(table, sp, specZone),
           s"cannot write partitioned table $table: session time zone " +
@@ -340,15 +344,25 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     */
   def readWhere(table: String, predicate: Column,
       asOfMs: Option[Long] = None): DataFrame =
-    readFileList(table, prunedFiles(table, predicate, asOfMs)).filter(predicate)
+    readPruned(table, predicate, asOfMs).filter(predicate)
 
   /** Pruned relation WITHOUT the predicate applied — for callers that
     * keep their own Filter on top (the SQL-path plan splice): scans only
     * [[prunedFiles]]. Pruning is conservative, so wrapping this in the
     * original filter is always semantics-preserving. */
   def readPruned(table: String, predicate: Column,
-      asOfMs: Option[Long] = None): DataFrame =
-    readFileList(table, prunedFiles(table, predicate, asOfMs))
+      asOfMs: Option[Long] = None): DataFrame = asOfMs match {
+    case None =>
+      readFileList(table, prunedFiles(table, predicate, None))
+    // time travel: same snapshot-schema binding as read() — a pruned
+    // AS-OF read must not render a different schema than the unpruned one
+    case Some(_) =>
+      SnapshotLog.resolve(fs, tableDir(table), asOfMs) match {
+        case Some(snap) => readFileListAs(table,
+          pruneList(table, snap.files, predicate), schemaAt(table, snap))
+        case None => readFileList(table, Seq.empty)
+      }
+  }
 
   /** The file list [[readWhere]] would scan (exposed for plan/pruning
     * assertions). */
@@ -540,7 +554,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         "carried-files" -> carried.size.toString,
         "added-files" -> newFiles.size.toString),
       expectedLastId = Some(baseId),
-      schemaVersion = commitSchemaVersion(table))
+      schemaVersionOf = () => commitSchemaVersion(table))
   }
 
   /** Current snapshot (hydrated) + its id, the base a COW op computes
@@ -649,10 +663,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Schema evolution: append columns to the persisted schema. Existing
     * data files simply lack the new columns — Spark's by-name Parquet
     * resolution fills them with typed NULLs on read, so no data is
-    * rewritten (Iceberg ADD COLUMN semantics). NOTE: one current schema
-    * serves all snapshots, so time-travel reads also surface the new
-    * columns (as NULL) — a per-snapshot schema log is the Iceberg-exact
-    * refinement if ever needed. */
+    * rewritten (Iceberg ADD COLUMN semantics). Snapshots committed
+    * BEFORE the ALTER keep their recorded schema version, so time-travel
+    * reads render the schema of their time (see [[schemaAt]]). */
   def addColumns(table: String, cols: StructType): Unit = {
     val cur = schema(table)
     cols.fields.foreach(f => require(
@@ -672,6 +685,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     partitionSpec(table).foreach(sp => require(
       !sp.column.equalsIgnoreCase(name),
       s"cannot drop partition column '$name' of $table"))
+    require(!sortOrder(table).exists(_.equalsIgnoreCase(name)),
+      s"cannot drop sort column '$name' of $table (every write clusters by it)")
     require(cur.fields.length > 1, s"cannot drop the last column of $table")
     writeSchemaVersion(table,
       StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
@@ -679,13 +694,31 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   /** Record a new current schema: archive it as the next version (and,
     * for a pre-versioning table, first archive the old schema as v1 so
-    * existing snapshots keep a resolvable version). */
-  private def writeSchemaVersion(table: String, next: StructType): Unit = {
-    val cur = currentSchemaVersion(table)
-    if (cur == 0) writeString(schemaVersionPath(table, 1), schema(table).json)
-    val v = math.max(cur, 1) + 1
-    writeString(schemaVersionPath(table, v), next.json)
-    writeString(new HPath(tableDir(table), "schema.json"), next.json)
+    * existing snapshots keep a resolvable version). Runs under the
+    * table's commit lock, so concurrent ALTERs serialize (never sharing
+    * a version number) and a racing commit stamps either the old or the
+    * new version — never a torn one. */
+  private def writeSchemaVersion(table: String, next: StructType): Unit =
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val cur = currentSchemaVersion(table)
+      if (cur == 0) writeString(schemaVersionPath(table, 1), schema(table).json)
+      val v = math.max(cur, 1) + 1
+      writeString(schemaVersionPath(table, v), next.json)
+      writeString(new HPath(tableDir(table), "schema.json"), next.json)
+    }
+
+  /** SHOW PARTITIONS source: (value, files, records) per partition of
+    * the current snapshot — log metadata, with the footer fallback for
+    * legacy entries whose record count is unknown (never reported as 0). */
+  def partitionSummary(table: String): Seq[(String, Int, Long)] = {
+    val sp = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"table $table is not partitioned"))
+    dataFilesAsOf(table, None)
+      .groupBy(_.partition.getOrElse(sp.column, ""))
+      .toSeq.sortBy(_._1)
+      .map { case (v, fsOfP) =>
+        (v, fsOfP.size, TableStore.inParallel(fsOfP)(recordsOf(table, _)).sum)
+      }
   }
 
   /** TRUNCATE: one `delete` snapshot with an empty file list — prior
@@ -695,7 +728,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
       timestampMs, replaceAll = true,
       summary = Map("carried-files" -> "0", "added-files" -> "0"),
-      schemaVersion = commitSchemaVersion(table))
+      schemaVersionOf = () => commitSchemaVersion(table))
 
   /** Version to stamp into a commit (-1 when the table predates schema
     * versioning, keeping old logs byte-stable). */
