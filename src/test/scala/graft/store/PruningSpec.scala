@@ -147,6 +147,45 @@ class PruningSpec extends AnyFunSuite {
     assert(idp.sourceRange(PartitionSpec.NullPartition, StringType, zone).allNulls)
   }
 
+  test("PROPERTY: pruning is conservative — a file with a matching row is never pruned") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)).map(_.take(12))
+    val genLit = Gen.chooseNum(-60L, 60L)
+    val genPred: Gen[(String, Long)] = for {
+      op <- Gen.oneOf("=", "<", "<=", ">", ">=", "in", "or")
+      v <- genLit
+    } yield (op, v)
+    def toColumn(op: String, v: Long): org.apache.spark.sql.Column = op match {
+      case "="  => col("id") === v
+      case "<"  => col("id") < v
+      case "<=" => col("id") <= v
+      case ">"  => col("id") > v
+      case ">=" => col("id") >= v
+      case "in" => col("id").isin(v, v + 3, v - 7)
+      case "or" => col("id") === v || col("id") > v + 20
+    }
+    def rowMatches(op: String, v: Long, x: Long): Boolean = op match {
+      case "="  => x == v
+      case "<"  => x < v
+      case "<=" => x <= v
+      case ">"  => x > v
+      case ">=" => x >= v
+      case "in" => x == v || x == v + 3 || x == v - 7
+      case "or" => x == v || x > v + 20
+    }
+    val prop = Prop.forAll(genVals, genPred) { (vals, p) =>
+      val (op, v) = p
+      val range = ColRange(Some(vals.min), Some(vals.max), hasNulls = false)
+      val anyRowMatches = vals.exists(rowMatches(op, v, _))
+      val kept = might(toColumn(op, v), ranges("id" -> range))
+      // soundness: a file containing a matching row is NEVER pruned
+      !anyRowMatches || kept
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("PartitionSpec.parse accepts transform(col) and bare col") {
     assert(PartitionSpec.parse("day(ts)") == PartitionSpec("ts", "day"))
     assert(PartitionSpec.parse(" MONTH( o_orderdate ) ") ==
