@@ -292,26 +292,53 @@ final class VectorMeanAggregator
 
 final case class Candidate(score: Double, id: Long)
 
-/** Bounded min-heap top-k aggregator: partial aggregation keeps at most k
-  * candidates per partition (map-side combine), so the shuffle carries
-  * O(k · partitions) rows per group — the piece that makes broadcast-join
-  * ANN viable at 100 TB. */
+/** Bounded top-k aggregator over a sorted buffer: partial aggregation keeps
+  * at most k candidates per partition (map-side combine), so the shuffle
+  * carries O(k · partitions) rows per group — the piece that makes
+  * broadcast-join ANN viable at 100 TB. Rejection is one comparison;
+  * a qualifying row is a binary-search insert, never a re-sort. */
 final class TopKAggregator(k: Int)
     extends Aggregator[Candidate, Seq[Candidate], Seq[Candidate]] {
 
   override def zero: Seq[Candidate] = Vector.empty
 
+  // buf invariant: sorted by (-score, id); `last` is the current worst
+  private def beats(c: Candidate, w: Candidate): Boolean =
+    c.score > w.score || (c.score == w.score && c.id < w.id)
+
+  /** Binary-search insert preserving the sort invariant: O(log k)
+    * comparisons + one O(k) vector patch — no re-sort per row. */
+  private def insertSorted(buf: Seq[Candidate], c: Candidate): Seq[Candidate] = {
+    val v = buf.toVector
+    var lo = 0
+    var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beats(v(mid), c)) lo = mid + 1 else hi = mid
+    }
+    (v.take(lo) :+ c) ++ v.drop(lo)
+  }
+
   private def push(buf: Seq[Candidate], c: Candidate): Seq[Candidate] =
-    if (buf.size < k) (buf :+ c).sortBy(x => (-x.score, x.id))
-    else if (c.score > buf.last.score ||
-             (c.score == buf.last.score && c.id < buf.last.id))
-      (buf.dropRight(1) :+ c).sortBy(x => (-x.score, x.id))
-    else buf
+    if (buf.size < k) insertSorted(buf, c)
+    else if (beats(c, buf.last)) insertSorted(buf.dropRight(1), c)
+    else buf // common case: one comparison, zero allocation
 
   override def reduce(buf: Seq[Candidate], c: Candidate): Seq[Candidate] = push(buf, c)
 
-  override def merge(a: Seq[Candidate], b: Seq[Candidate]): Seq[Candidate] =
-    (a ++ b).sortBy(x => (-x.score, x.id)).take(k)
+  /** Linear two-pointer merge of two sorted buffers — O(k), not O(k log k). */
+  override def merge(a: Seq[Candidate], b: Seq[Candidate]): Seq[Candidate] = {
+    val out = Vector.newBuilder[Candidate]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(r: Seq[Candidate]): Seq[Candidate] = r
 
