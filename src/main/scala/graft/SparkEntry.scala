@@ -227,6 +227,21 @@ object SparkEntry {
         .orderBy(col("rflag"), col("lstatus"))
     }),
 
+    // A6 (beyond reference): exact percentiles — the distribution view a
+    // data-quality pipeline needs before clipping/outlier rules. Exact
+    // `percentile` (sort-based per group), not `percentile_approx`: the
+    // quartile fractions over whole-numbered quantities interpolate to
+    // exactly-representable doubles, so the DuckDB oracle hash-matches.
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          percentile(col("l_quantity"), lit(0.25)).as("qty_p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("qty_p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("qty_p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // =================================================================
     // §2.5 window functions (built-in; beyond-reference tier)
     // =================================================================
@@ -410,6 +425,19 @@ object SparkEntry {
       new Engine(cat).sql(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation_sv " +
           "FOR SYSTEM_VERSION AS OF 1 ORDER BY n_nationkey")
+    }),
+
+    // S2c: incremental append scan — only the files added between two
+    // snapshots are read (metadata file-set diff, delta-only I/O).
+    "q_tt_incremental" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_inc", nation.schema)
+      val v1 = cat.append("nation_inc", nation.filter(col("n_nationkey") < 13), 1000L)
+      cat.append("nation_inc", nation.filter(col("n_nationkey") >= 13), 2000L)
+      cat.readIncremental("nation_inc", fromId = v1.id)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }),
 
     // S1: latest-snapshot read = all appends.
@@ -908,6 +936,13 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
 
+    "q_percentiles" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+        |       quantile_cont(l_quantity, 0.75) AS qty_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1002,6 +1037,10 @@ object SparkEntry {
     "q_tt_version" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
+
+    "q_tt_incremental" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey >= 13 ORDER BY n_nationkey""".stripMargin,
 
     "q_tt_latest" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -98,6 +98,12 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def history(name: String): DataFrame = store().history(name)
 
+  /** Incremental append scan: rows added after snapshot `fromId` up to
+    * `toId` (None = current). See [[TableStore.readIncremental]]. */
+  def readIncremental(name: String, fromId: Long,
+      toId: Option[Long] = None): DataFrame =
+    store().readIncremental(name, fromId, toId)
+
   /** Copy-on-write MERGE-INTO analogue: see [[TableStore.upsert]]. */
   def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {

@@ -442,6 +442,58 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else spark.read.schema(sch)
       .parquet(files.map(f => absPath(table, f.path).toString): _*)
 
+  /** Incremental append scan (Iceberg's incremental read): rows ADDED
+    * after snapshot `fromId`, up to and including `toId` (None = current
+    * snapshot). Snapshot file lists are cumulative, so the increment is a
+    * pure metadata file-set diff and the scan reads ONLY the new files —
+    * a consumer keeping up with appends on a 100 TB table streams each
+    * delta, never re-reads the base. `fromId = 0` means "from the
+    * beginning". Raises if any snapshot inside the range is not an
+    * `append`: after a rewrite (delete/update/replace/merge) a file diff
+    * no longer means "added rows", and answering anyway would silently
+    * drop or double rows.
+    */
+  def readIncremental(table: String, fromId: Long,
+      toId: Option[Long] = None): DataFrame = {
+    val (added, to) = incrementalFiles(table, fromId, toId)
+    readFileListAs(table, added, schemaAt(table, to))
+  }
+
+  /** The (added files, target snapshot) a [[readIncremental]] scan covers
+    * — exposed so callers/tests can assert the delta-only read. */
+  def incrementalFiles(table: String, fromId: Long,
+      toId: Option[Long] = None): (Seq[DataFile], Snapshot) = {
+    val dir = tableDir(table)
+    val all = SnapshotLog.read(fs, dir)
+    def idx(id: Long, what: String): Int = {
+      val i = all.indexWhere(_.id == id)
+      require(i >= 0, s"table $table has no snapshot id $id ($what)")
+      i
+    }
+    val toIdx = toId match {
+      case Some(id) => idx(id, "toId")
+      case None =>
+        require(all.nonEmpty, s"table $table has no snapshots")
+        all.size - 1
+    }
+    val fromIdx = if (fromId == 0L) -1 else idx(fromId, "fromId")
+    require(fromIdx <= toIdx,
+      s"fromId $fromId is newer than toId ${all(toIdx).id} on $table")
+    val range = all.slice(fromIdx + 1, toIdx + 1)
+    range.filterNot(_.operation == "append") match {
+      case Seq() => ()
+      case bad => throw new IllegalArgumentException(
+        s"incremental read on $table crosses non-append snapshot(s) " +
+          bad.map(s => s"${s.id}:${s.operation}").mkString(", ") +
+          " — the file diff would not equal the added rows")
+    }
+    val to = SnapshotLog.hydrate(fs, dir, all(toIdx))
+    val base: Set[String] =
+      if (fromIdx < 0) Set.empty
+      else SnapshotLog.hydrate(fs, dir, all(fromIdx)).filePaths.toSet
+    (to.files.filterNot(f => base(f.path)), to)
+  }
+
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
   def history(table: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -51,6 +51,45 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read("t", None).count() == 15)
   }
 
+  test("incremental read returns only rows added after fromId, delta files only") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    val s1 = st.append("t", df(1 to 10), 1000L)
+    val s2 = st.append("t", df(11 to 15), 2000L)
+    val s3 = st.append("t", df(16 to 18), 3000L)
+    // (s1, s3] = appends 2 and 3
+    assert(st.readIncremental("t", s1.id).as[Int].collect().sorted.toSeq == (11 to 18))
+    // bounded range (s1, s2]
+    assert(st.readIncremental("t", s1.id, Some(s2.id))
+      .as[Int].collect().sorted.toSeq == (11 to 15))
+    // from the beginning
+    assert(st.readIncremental("t", 0L).count() == 18)
+    // the scan's file list is the metadata diff, not the full snapshot
+    val (delta, to) = st.incrementalFiles("t", s1.id, Some(s2.id))
+    assert(to.id == s2.id)
+    assert(delta.map(_.path).toSet ==
+      (s2.files.map(_.path).toSet -- s1.files.map(_.path).toSet))
+    assert(delta.map(_.records).sum == 5)
+  }
+
+  test("incremental read refuses to cross a non-append snapshot") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    val s1 = st.append("t", df(1 to 10), 1000L)
+    st.deleteWhere("t", org.apache.spark.sql.functions.col("id") === 3, 2000L)
+    val s3 = st.append("t", df(11 to 12), 3000L)
+    val ex = intercept[IllegalArgumentException] {
+      st.readIncremental("t", s1.id)
+    }
+    assert(ex.getMessage.contains("non-append"))
+    // a range that stays past the rewrite is still fine
+    assert(st.readIncremental("t", s3.id - 1, Some(s3.id))
+      .as[Int].collect().sorted.toSeq == (11 to 12))
+    // unknown ids and inverted ranges raise
+    intercept[IllegalArgumentException](st.readIncremental("t", 99L))
+    intercept[IllegalArgumentException](st.readIncremental("t", s3.id, Some(s1.id)))
+  }
+
   test("history lists every commit with record counts") {
     val st = newStore()
     st.create("t", df(1 to 1).schema)
