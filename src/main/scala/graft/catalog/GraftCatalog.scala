@@ -98,6 +98,18 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def history(name: String): DataFrame = store().history(name)
 
+  /** Remove crash debris (stale staging dirs, uncommitted data files,
+    * unlogged manifests) older than `olderThanMs`. Committed data is
+    * never touched. See [[TableStore.vacuum]]. */
+  def vacuum(name: String, olderThanMs: Long): Unit =
+    store().vacuum(name, olderThanMs)
+
+  /** Drop snapshots older than `olderThanMs` (the latest always
+    * survives) and delete files only they referenced. See
+    * [[TableStore.expire]]. */
+  def expireSnapshots(name: String, olderThanMs: Long): Unit =
+    store().expire(name, olderThanMs)
+
   /** Incremental append scan: rows added after snapshot `fromId` up to
     * `toId` (None = current). See [[TableStore.readIncremental]]. */
   def readIncremental(name: String, fromId: Long,

@@ -74,6 +74,16 @@ object SqlDdl {
   private val AlterDrop =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
       "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
+  // Maintenance statements (Delta's OPTIMIZE/VACUUM spelling; Iceberg
+  // users reach the same via rewrite_data_files / expire_snapshots
+  // procedures): OPTIMIZE bin-packs small files into a replace snapshot,
+  // VACUUM removes crash debris (staging dirs, uncommitted data files,
+  // unlogged manifests) older than the retention window.
+  private val Optimize =
+    "(?is)^\\s*OPTIMIZE\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+  private val Vacuum =
+    ("(?is)^\\s*VACUUM\\s+`?([A-Za-z_]\\w*)`?" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$").r
   private val Delete =
     "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
   // SET-tail captured whole; the WHERE split happens quote-aware in
@@ -147,6 +157,17 @@ object SqlDdl {
       import catalog.spark.implicits._
       Some(catalog.store().partitionSummary(t)
         .toDF("partition", "n_files", "n_records"))
+    case Optimize(t) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      catalog.compact(t)
+      Some(empty(catalog))
+    case Vacuum(t, retain) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      // Delta's default retention: 7 days. RETAIN 0 HOURS is allowed for
+      // tests/tooling, same as Delta with the safety check disabled.
+      val hours = Option(retain).map(_.toLong).getOrElse(168L)
+      catalog.vacuum(t, System.currentTimeMillis() - hours * 3600 * 1000)
+      Some(empty(catalog))
     case Delete(t, cond) =>
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))

@@ -317,6 +317,45 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(cat.table("se").schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("OPTIMIZE bin-packs files into a replace snapshot, same rows") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE op (id INT)")
+    eng.sql("INSERT INTO op VALUES (1), (2)")
+    eng.sql("INSERT INTO op VALUES (3)")
+    eng.sql("INSERT INTO op VALUES (4)")
+    val before = cat.store().currentFiles("op").size
+    assert(eng.run("OPTIMIZE op") == "[]") // maintenance: empty result set
+    val h = cat.history("op").collect().sortBy(_.getLong(0)).last
+    assert(h.getAs[String]("operation") == "replace")
+    assert(cat.store().currentFiles("op").size < before)
+    assert(eng.run("SELECT COUNT(*) FROM op") == "[(4,)]")
+    // prior snapshots still time-travel to their own contents
+    assert(eng.run("SELECT COUNT(*) FROM op FOR SYSTEM_VERSION AS OF 1") == "[(2,)]")
+  }
+
+  test("VACUUM removes uncommitted debris only; committed data survives") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE vc (id INT)")
+    eng.sql("INSERT INTO vc VALUES (1), (2)")
+    // plant crash debris: an orphan data file and a stale staging dir
+    val dir = cat.store().tableDir("vc")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(dir, "data/orphan.parquet")
+    fs.create(orphan, true).close()
+    val staging = new org.apache.hadoop.fs.Path(dir, "stage-dead")
+    fs.mkdirs(staging)
+    Thread.sleep(20) // modtimes must fall before the RETAIN-0 cutoff
+    assert(eng.run("VACUUM vc RETAIN 0 HOURS") == "[]")
+    assert(!fs.exists(orphan) && !fs.exists(staging))
+    assert(eng.run("SELECT COUNT(*) FROM vc") == "[(2,)]")
+    // default retention (7 days) keeps even planted debris
+    fs.create(orphan, true).close()
+    eng.sql("VACUUM vc")
+    assert(fs.exists(orphan))
+    // unknown table fails loudly
+    assertThrows[IllegalArgumentException](eng.sql("VACUUM nope"))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
