@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 here ONLY: the driver's DuckDB compare reads INT96 dumps as
+      // naive timestamps, matching the oracle's own naive values; micros
+      // dumps read as TIMESTAMP WITH TIME ZONE and hash-mismatch. The
+      // engine itself writes int64 micros (see TableStore/Bench/Smoke) —
+      // this governs just the correctness-dump files.
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,36 +27,47 @@ final class Engine(catalog: GraftCatalog) {
         TimeTravelRewriter.rewrite(cleaned)
       (asOf, version) match {
         case (Some(ms), _)  =>
-          metadataCount(stmt, t => catalog.store().recordCountAsOf(t, Some(ms)))
+          metadataAgg(stmt, t => catalog.store().snapshotMetaAsOf(t, Some(ms)))
             .getOrElse(
               pinnedQuery(stmt, (t, cond) => pinnedPruned(t, cond, Some(ms))))
         case (_, Some(id))  =>
-          metadataCount(stmt, t => catalog.store().recordCountVersion(t, id))
+          metadataAgg(stmt, t => catalog.store().snapshotMetaVersion(t, id))
             .getOrElse(pinnedQuery(stmt, (t, _) => catalog.tableVersion(t, id)))
         case _              =>
-          metadataCount(stmt, t => catalog.store().recordCountAsOf(t, None))
+          metadataAgg(stmt, t => catalog.store().snapshotMetaAsOf(t, None))
             .getOrElse(prunedQuery(stmt))
       }
     }
   }
 
-  /** `SELECT COUNT(*) FROM t` (bare relation, no WHERE/GROUP BY, optional
-    * alias and LIMIT ≥ 1) answers from the snapshot log's record count —
-    * O(1) log metadata instead of a table scan, the Iceberg/Impala
-    * stats-answered count. The reference's own demo question ("how many
-    * customers exist … based on system time …", `README.md:113-117`) hits
-    * exactly this shape, including under time travel: the count comes
-    * from the resolved snapshot's entry without touching a manifest or a
-    * data file. Record counts are maintained by every commit path
-    * (append deltas in-lock, COW totals from footers) and tested there.
-    * Any other query shape returns None and takes the normal path.
+  /** `SELECT COUNT(*) | MIN(c) | MAX(c) [, …] FROM t` (bare relation, no
+    * WHERE/GROUP BY, optional aliases and LIMIT ≥ 1) answers from snapshot
+    * metadata alone — the Iceberg/Impala stats-answered aggregate. COUNT
+    * comes from the snapshot entry's record count (O(1), no manifest
+    * hydration — the reference's own demo question `README.md:113-117`);
+    * MIN/MAX fold the per-file column bounds the log captured at promote
+    * time, so the reference's max-id continuation query
+    * (`append_iceberg.py:116`) costs log metadata, not a 100 TB scan.
+    *
+    * MIN/MAX is answered ONLY when every live file logged bounds for the
+    * column and the column is integral/date/timestamp: float/double stats
+    * are unsound in the presence of NaN (Spark orders NaN above all
+    * values; Parquet stats ignore that), and string bounds can be dropped
+    * by the log's length cap. Anything unanswerable — including a single
+    * stats-less legacy file — returns None and takes the scan path, so
+    * this is an optimization, never a semantics change. Output names,
+    * types, and nullability come from analyzing the SAME projection over
+    * an empty relation with the snapshot's schema (driver-only, no job) —
+    * the answer is byte-identical to what the scan would render.
     */
-  private def metadataCount(stmt: String,
-      countFor: String => Option[Long]): Option[DataFrame] = {
+  private def metadataAgg(stmt: String,
+      metaFor: String => Option[(org.apache.spark.sql.types.StructType, Long,
+        () => Seq[graft.store.DataFile])]): Option[DataFrame] = {
     import org.apache.spark.sql.GraftSqlShim
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.types._
     val spark = catalog.spark
     val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
@@ -66,48 +77,135 @@ final class Engine(catalog: GraftCatalog) {
       case _ => p
     }
     def isCountAll(f: UnresolvedFunction): Boolean =
-      f.nameParts.map(norm) == Seq("count") && !f.isDistinct &&
-        f.filter.isEmpty && (f.arguments match {
-          case Seq(s: UnresolvedStar) => s.target.isEmpty
-          case Seq(Literal(v, _))     => v != null
-          case _                      => false
-        })
+      !f.isDistinct && f.filter.isEmpty && (f.arguments match {
+        case Seq(s: UnresolvedStar) => s.target.isEmpty
+        case Seq(Literal(v, _))     => v != null
+        case _                      => false
+      })
 
-    def answer(one: org.apache.spark.sql.catalyst.expressions.Expression,
-        u: UnresolvedRelation): Option[DataFrame] = {
-      val named: Option[String] = one match {
-        case UnresolvedAlias(f: UnresolvedFunction, _) if isCountAll(f) =>
-          Some("count(1)") // Spark's own output name for COUNT(*)
-        case Alias(f: UnresolvedFunction, name) if isCountAll(f) => Some(name)
-        case _ => None
+    // What one projection item asks for; None = not metadata-answerable.
+    sealed trait Spec
+    case object CountStar extends Spec
+    final case class MinMax(isMin: Boolean, col: String) extends Spec
+    def classify(e: Expression): Option[Spec] = {
+      val fn = e match {
+        case UnresolvedAlias(f: UnresolvedFunction, _) => Some(f)
+        case Alias(f: UnresolvedFunction, _)           => Some(f)
+        case _                                         => None
       }
-      for {
-        name <- named
-        table <- catalog.listTables()
-          .find(t => norm(t) == norm(u.multipartIdentifier.head))
-        n <- countFor(table)
-      } yield {
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(
-          Seq(org.apache.spark.sql.Row(n)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(name,
-              org.apache.spark.sql.types.LongType, nullable = false))))
+      fn.flatMap { f =>
+        // function names resolve case-insensitively regardless of
+        // spark.sql.caseSensitive
+        f.nameParts.map(_.toLowerCase) match {
+          case Seq("count") if isCountAll(f) => Some(CountStar)
+          case Seq(mm @ ("min" | "max")) if !f.isDistinct && f.filter.isEmpty =>
+            f.arguments match {
+              case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+                Some(MinMax(mm == "min", a.nameParts.head))
+              case _ => None
+            }
+          case _ => None
+        }
       }
     }
+
+    val statsTypes: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, DateType, TimestampType)
+    def external(dt: DataType, v: Long): Any = dt match {
+      case ByteType     => v.toByte
+      case ShortType    => v.toShort
+      case IntegerType  => v.toInt
+      case LongType     => v
+      case DateType     =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+      case other => sys.error(s"unreachable stats type $other")
+    }
+
+    def answer(node: LogicalPlan, items: Seq[Expression],
+        u: UnresolvedRelation): Option[DataFrame] =
+      catalog.listTables()
+        .find(t => norm(t) == norm(u.multipartIdentifier.head))
+        .flatMap(metaFor).flatMap { case (sch, recordCount, filesThunk) =>
+          // files hydrate at most once, and never for a pure COUNT
+          lazy val files = filesThunk()
+          for {
+            specs <- { val cs = items.map(classify)
+                       if (cs.forall(_.isDefined)) Some(cs.flatten) else None }
+            values <- traverse(specs) {
+              case CountStar => Some(recordCount: Any)
+              case MinMax(isMin, colName) =>
+                for {
+                  field <- sch.fields.find(f => norm(f.name) == norm(colName))
+                  if statsTypes.contains(field.dataType)
+                  folded <- foldBounds(files, field.name.toLowerCase, isMin)
+                } yield folded.map(external(field.dataType, _)).orNull
+            }
+            // names/types/nullability from the real analyzer over an empty
+            // relation with the snapshot's schema — never from guesswork
+            probe <- scala.util.Try {
+              val emptyRel = SubqueryAlias(u.multipartIdentifier.head,
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  sch).queryExecution.analyzed)
+              GraftSqlShim.ofRows(spark, node.withNewChildren(Seq(emptyRel))).schema
+            }.toOption
+            if probe.length == values.length
+          } yield {
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(
+              Seq(org.apache.spark.sql.Row(values: _*)).asJava, probe)
+          }
+        }
 
     unwrapLimit(GraftSqlShim.parsePlan(spark, stmt)) match {
-      // the parser emits Project(count, rel); GROUP-BY-less aggregation
+      // the parser emits Project(aggs, rel); GROUP-BY-less aggregation
       // only becomes Aggregate during analysis (GlobalAggregates) —
       // match both for robustness
-      case Project(Seq(one), u: UnresolvedRelation)
-          if u.multipartIdentifier.size == 1 =>
-        answer(one, u)
-      case Aggregate(Seq(), Seq(one), u: UnresolvedRelation, _)
-          if u.multipartIdentifier.size == 1 =>
-        answer(one, u)
+      case p @ Project(items, u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 1 && items.nonEmpty =>
+        answer(p, items, u)
+      case a @ Aggregate(Seq(), items, u: UnresolvedRelation, _)
+          if u.multipartIdentifier.size == 1 && items.nonEmpty =>
+        answer(a, items, u)
       case _ => None
     }
+  }
+
+  /** Fold one side of the logged per-file bounds. Outer None = cannot
+    * answer (a file without bounds for the column); inner None = SQL NULL
+    * (no non-null values in any file — MIN/MAX ignore nulls). All-null
+    * files contribute nothing, exactly like the scan would. */
+  private def foldBounds(files: Seq[graft.store.DataFile], colLc: String,
+      isMin: Boolean): Option[Option[Long]] = {
+    var acc: Option[Long] = None
+    for (f <- files) {
+      f.stats.get(colLc) match {
+        case None => return None
+        case Some(b) =>
+          val r = graft.store.Pruning.fromBounds(b)
+          if (!r.allNulls) {
+            (if (isMin) r.min else r.max) match {
+              case Some(v: Long) =>
+                acc = Some(acc.fold(v)(a =>
+                  if (isMin) math.min(a, v) else math.max(a, v)))
+              case _ => return None
+            }
+          }
+      }
+    }
+    Some(acc)
+  }
+
+  /** Seq-of-Option traversal (all-or-nothing). */
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = Seq.newBuilder[B]
+    for (x <- xs) f(x) match {
+      case Some(b) => out += b
+      case None    => return None
+    }
+    Some(out.result())
   }
 
   /** Time-travel read of `t`, partition-pruned by the enclosing filter

@@ -307,6 +307,41 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else SnapshotLog.read(fs, tableDir(table))
       .find(_.id == snapshotId).map(_.recordCount)
 
+  /** Metadata for stats-answered aggregates: (schema of the resolved
+    * snapshot, record count, LAZY hydrated file list). The file thunk
+    * exists so a pure `COUNT(*)` never hydrates a manifest — only
+    * MIN/MAX answers touch the per-file stats. None = no snapshot
+    * resolves (callers fall back to the scan path and keep its
+    * semantics). A created-but-empty table resolves with count 0 and no
+    * files. */
+  def snapshotMetaAsOf(table: String, asOfMs: Option[Long])
+      : Option[(StructType, Long, () => Seq[DataFile])] = {
+    if (!exists(table)) return None
+    val dir = tableDir(table)
+    val all = SnapshotLog.read(fs, dir)
+    asOfMs match {
+      case None => all.lastOption match {
+        case None => Some((schema(table), 0L, () => Seq.empty))
+        case Some(s) => Some((schema(table), s.recordCount,
+          () => SnapshotLog.hydrate(fs, dir, s).files))
+      }
+      case Some(ts) => all.filter(_.timestampMs <= ts).lastOption.map(s =>
+        (schemaAt(table, s), s.recordCount,
+          () => SnapshotLog.hydrate(fs, dir, s).files))
+    }
+  }
+
+  /** Same, resolved by exact snapshot id. */
+  def snapshotMetaVersion(table: String, snapshotId: Long)
+      : Option[(StructType, Long, () => Seq[DataFile])] =
+    if (!exists(table)) None
+    else {
+      val dir = tableDir(table)
+      SnapshotLog.read(fs, dir).find(_.id == snapshotId).map(s =>
+        (schemaAt(table, s), s.recordCount,
+          () => SnapshotLog.hydrate(fs, dir, s).files))
+    }
+
   /** Snapshot-id read (`FOR SYSTEM_VERSION AS OF`). Unknown ids raise —
     * silently returning empty would read as "no data at that version". */
   def readVersion(table: String, snapshotId: Long): DataFrame = {

@@ -165,6 +165,66 @@ class EngineSpec extends AnyFunSuite {
       == "[(2,)]")
   }
 
+  test("bare MIN/MAX answer from logged file bounds, no scan") {
+    val (cat, engine) = fixture()
+    def isLocal(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val mx = engine.sql("SELECT MAX(id) FROM items")
+    assert(isLocal(mx))
+    assert(mx.columns.toSeq == Seq("max(id)")) // Spark's own output name
+    assert(engine.run("SELECT MAX(id) FROM items") == "[(3,)]")
+    // mixed projection: count from the snapshot entry, bounds from stats
+    val mixed = engine.sql("SELECT COUNT(*), MIN(id) AS lo, MAX(id) FROM items")
+    assert(isLocal(mixed))
+    assert(Engine.render(mixed.collect()) == "[(3, 1, 3)]")
+    // the max-id continuation query under time travel: the PINNED bounds
+    assert(engine.run("SELECT MAX(id) FROM items " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") == "[(2,)]")
+    assert(engine.run("SELECT MIN(id) FROM items FOR SYSTEM_VERSION AS OF 1")
+      == "[(1,)]")
+    // file-granular COW keeps the stats honest: delete the current max
+    cat.deleteWhere("items", org.apache.spark.sql.functions.col("id") === 3)
+    assert(engine.run("SELECT MAX(id) FROM items") == "[(2,)]")
+  }
+
+  test("MIN/MAX on unsound stat types falls back to the scan") {
+    val (_, engine) = fixture()
+    // string bounds may be length-capped in the log: must scan
+    val s = engine.sql("SELECT MAX(name) FROM items")
+    assert(!s.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(engine.run("SELECT MAX(name) FROM items") == "[('gamma',)]")
+  }
+
+  test("metadata MIN/MAX: date/timestamp values and null handling") {
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-engine"), spark)
+    cat.createDatabase("default")
+    val engine = new Engine(cat)
+    val df = Seq(
+      (1, Some(java.sql.Date.valueOf("2024-03-01")),
+        Some(java.sql.Timestamp.valueOf("2024-03-01 10:30:00"))),
+      (2, None: Option[java.sql.Date], None: Option[java.sql.Timestamp]),
+      (3, Some(java.sql.Date.valueOf("2023-12-31")),
+        Some(java.sql.Timestamp.valueOf("2024-07-04 23:59:59")))
+    ).toDF("id", "d", "ts")
+    cat.createTable("dt", df.schema)
+    cat.append("dt", df)
+    def isLocal(q: String) =
+      engine.sql(q).queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // nulls are ignored, exactly like the scan path
+    assert(isLocal("SELECT MIN(d), MAX(ts) FROM dt"))
+    assert(engine.run("SELECT MIN(d), MAX(ts) FROM dt") ==
+      "[(datetime.date(2023, 12, 31), datetime.datetime(2024, 7, 4, 23, 59, 59))]")
+    // all-null column renders SQL NULL from metadata
+    val nulls = Seq((1, None: Option[java.sql.Date])).toDF("id", "d")
+    cat.createTable("dn", nulls.schema)
+    cat.append("dn", nulls)
+    assert(isLocal("SELECT MAX(d) FROM dn"))
+    assert(engine.run("SELECT MAX(d) FROM dn") == "[(None,)]")
+  }
+
   test("filtered or grouped COUNT still scans (metadata path declines)") {
     val (_, engine) = fixture()
     assert(engine.run("SELECT COUNT(*) FROM items WHERE id > 1") == "[(2,)]")

@@ -256,12 +256,23 @@ class CowAndPartitionSpec extends AnyFunSuite {
       // writes in the wrong zone would record wrong wall-clock values: fail
       val e = intercept[IllegalArgumentException](st.append("tz", data, 2000L))
       assert(e.getMessage.contains("pinned partition zone"))
-      // reads stay correct by SKIPPING pruning, not by mis-pruning
       val pred = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      // column stats are zone-FREE (stored as instant micros): they may
+      // still prune soundly under the mismatched zone
+      assert(st.prunedFiles("tz", pred).isEmpty)
+      // but the zone-SENSITIVE partition dimension must be skipped: strip
+      // the stats (legacy/capped entries) and the wall-clock partition
+      // value alone must not prune under the wrong zone
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration())
+      val dir = st.tableDir("tz")
+      val stripped = SnapshotLog.read(fs, dir).map(s =>
+        s.copy(files = s.files.map(_.copy(stats = Map.empty))))
+      SnapshotLog.write(fs, dir, stripped)
       assert(st.prunedFiles("tz", pred).size ==
         st.dataFilesAsOf("tz", None).size)
     } finally spark.conf.set(key, prior)
-    // back in the pinned zone: pruning active again
+    // back in the pinned zone: partition-value pruning active again
     assert(st.prunedFiles("tz",
       col("ts") >= lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).isEmpty)
   }
