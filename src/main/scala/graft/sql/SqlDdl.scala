@@ -84,6 +84,12 @@ object SqlDdl {
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+`?([A-Za-z_]\\w*)`?" +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$").r
+  // Iceberg's stored-procedure spelling of the same maintenance ops
+  // (`CALL [catalog.]system.expire_snapshots(…)` — what the reference's
+  // Impala/Iceberg warehouse would run). Namespace qualifiers are
+  // accepted and ignored; arguments are positional or named (`=>`).
+  private val Call =
+    "(?is)^\\s*CALL\\s+(?:[A-Za-z_]\\w*\\s*\\.\\s*)*([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*$".r
   private val Delete =
     "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
   // SET-tail captured whole; the WHERE split happens quote-aware in
@@ -157,6 +163,9 @@ object SqlDdl {
       import catalog.spark.implicits._
       Some(catalog.store().partitionSummary(t)
         .toDF("partition", "n_files", "n_records"))
+    case Call(proc, argStr) =>
+      callProcedure(catalog, proc.toLowerCase, argStr)
+      Some(empty(catalog))
     case Optimize(t) =>
       require(catalog.store().exists(t), s"table not found: $t")
       catalog.compact(t)
@@ -191,6 +200,55 @@ object SqlDdl {
     * status = 'reset' WHERE balance >= 75` sets both columns from the
     * original balance. A NULL predicate matches no row.
     */
+  /** Iceberg-style maintenance procedures, mapped to the store ops:
+    * `expire_snapshots(table[, older_than])` → drop old snapshots + their
+    * exclusive files (default: older than 5 days, Iceberg's default);
+    * `rewrite_data_files(table)` → bin-pack compaction (OPTIMIZE);
+    * `remove_orphan_files(table[, older_than])` → uncommitted-debris
+    * cleanup (default: older than 3 days, Iceberg's default). Timestamps
+    * take the AS-OF literal forms (`TIMESTAMP '2024-01-01 00:00:00'`).
+    * Unknown procedures fail loudly — CALL is unambiguously ours. */
+  private def callProcedure(catalog: GraftCatalog, proc: String,
+      argStr: String): Unit = {
+    final case class Arg(name: Option[String], value: String)
+    val NamedArg = "(?s)^\\s*([A-Za-z_]\\w*)\\s*=>\\s*(.+?)\\s*$".r
+    val args = SqlText.splitTopLevel(argStr).map {
+      case NamedArg(n, v) => Arg(Some(n.toLowerCase), v)
+      case v              => Arg(None, v.trim)
+    }
+    require(args.forall(_.value.nonEmpty), s"empty argument in CALL $proc")
+    def arg(pos: Int, name: String): Option[String] =
+      args.find(_.name.contains(name)).map(_.value)
+        .orElse(args.lift(pos).filter(_.name.isEmpty).map(_.value))
+    val StrLit = "(?is)^'(.*)'$".r
+    val TsLit = "(?is)^(?:TIMESTAMP\\s+)?'(.*)'$".r
+    def tableArg: String = arg(0, "table") match {
+      case Some(StrLit(t)) =>
+        val name = t.replace("''", "'")
+        require(catalog.store().exists(name), s"table not found: $name")
+        name
+      case other => throw new IllegalArgumentException(
+        s"CALL $proc needs a table name string, got: ${other.getOrElse("nothing")}")
+    }
+    def olderThanMs(defaultAgeMs: Long): Long =
+      arg(1, "older_than") match {
+        case Some(TsLit(ts)) => TimeTravelRewriter.parseTimestampMs(ts)
+        case Some(other) => throw new IllegalArgumentException(
+          s"CALL $proc: cannot parse older_than: $other")
+        case None => System.currentTimeMillis() - defaultAgeMs
+      }
+    proc match {
+      case "expire_snapshots" =>
+        catalog.expireSnapshots(tableArg, olderThanMs(5L * 24 * 3600 * 1000))
+      case "rewrite_data_files" =>
+        catalog.compact(tableArg)
+      case "remove_orphan_files" =>
+        catalog.vacuum(tableArg, olderThanMs(3L * 24 * 3600 * 1000))
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure: CALL $other")
+    }
+  }
+
   private def updateWhere(catalog: GraftCatalog, table: String,
       setList: String, cond: Option[String]): Unit = {
     import org.apache.spark.sql.functions.expr

@@ -356,6 +356,38 @@ class SqlDdlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](eng.sql("VACUUM nope"))
   }
 
+  test("CALL procedures: Iceberg spellings of the maintenance ops") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE pc (id INT)")
+    eng.sql("INSERT INTO pc VALUES (1), (2)") // snapshot 1 at ~now
+    eng.sql("INSERT INTO pc VALUES (3)")      // snapshot 2
+    // rewrite_data_files == OPTIMIZE (namespace qualifiers ignored)
+    val before = cat.store().currentFiles("pc").size
+    assert(eng.run("CALL system.rewrite_data_files('pc')") == "[]")
+    assert(cat.store().currentFiles("pc").size < before)
+    assert(eng.run("SELECT COUNT(*) FROM pc") == "[(3,)]")
+    // expire_snapshots with an explicit cutoff drops all but the latest
+    assert(eng.run("CALL expire_snapshots(table => 'pc', " +
+      "older_than => TIMESTAMP '2100-01-01 00:00:00')") == "[]")
+    assert(cat.history("pc").count() == 1)
+    assert(eng.run("SELECT COUNT(*) FROM pc") == "[(3,)]")
+    // remove_orphan_files cleans planted debris when past the cutoff
+    val dir = cat.store().tableDir("pc")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(dir, "data/orphan.parquet")
+    fs.create(orphan, true).close()
+    Thread.sleep(20)
+    eng.sql("CALL remove_orphan_files('pc', TIMESTAMP '2100-01-01 00:00:00')")
+    assert(!fs.exists(orphan))
+    // defaults keep young files; unknown procedures and tables fail loudly
+    fs.create(orphan, true).close()
+    eng.sql("CALL remove_orphan_files('pc')") // 3-day default retention
+    assert(fs.exists(orphan))
+    assertThrows[IllegalArgumentException](eng.sql("CALL no_such_proc('pc')"))
+    assertThrows[IllegalArgumentException](
+      eng.sql("CALL rewrite_data_files('missing')"))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
