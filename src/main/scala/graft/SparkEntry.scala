@@ -427,6 +427,24 @@ object SparkEntry {
           "FOR SYSTEM_VERSION AS OF 1 ORDER BY n_nationkey")
     }),
 
+    // Sorted table read: SORT BY range-clusters writes so per-file
+    // min/max bounds are tight and disjoint — a key-range predicate
+    // prunes to the files covering that slice (readWhere re-applies the
+    // predicate in full; pruning is conservative). File-count assertions
+    // live in CowAndPartitionSpec; this verifies the pruned read's ROWS.
+    "q_sorted_prune" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_sorted", orders.schema, sortBy = Seq("o_orderkey"))
+      cat.append("orders_sorted", orders, 1000L)
+      cat.tableWhere("orders_sorted",
+          col("o_orderkey").between(4000, 8000))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S2c: incremental append scan — only the files added between two
     // snapshots are read (metadata file-set diff, delta-only I/O).
     "q_tt_incremental" -> ((s, dir) => {
@@ -1037,6 +1055,13 @@ object SparkEntry {
     "q_tt_version" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
+
+    "q_sorted_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 4000 AND 8000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_tt_incremental" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
