@@ -225,6 +225,36 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.run("SELECT MAX(d) FROM dn") == "[(None,)]")
   }
 
+  test("property: metadata MIN/MAX/COUNT ≡ scan answers for any append history") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val genBatch = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.option(Gen.choose(-1000, 1000))))
+    val genBatches = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genBatch))
+    var trial = 0
+    val prop = Prop.forAll(genBatches) { batches =>
+      trial += 1
+      val cat = new GraftCatalog(Files.createTempDirectory("graft-mm"), spark)
+      cat.createDatabase("default")
+      val engine = new Engine(cat)
+      val name = s"pt$trial" // temp views are session-global: unique per trial
+      cat.createTable(name, Seq((1, Option(1))).toDF("id", "v").schema)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val rows = b.zipWithIndex.map { case (v, j) => (i * 100 + j, v) }
+        cat.append(name, rows.toDF("id", "v"), 1000L * (i + 1))
+      }
+      val meta = engine.sql(s"SELECT MIN(v), MAX(v), COUNT(*) FROM $name")
+      val isLocal = meta.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val expected = cat.table(name)
+        .agg(min(col("v")), max(col("v")), count(lit(1))).head()
+      isLocal && meta.head() == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("filtered or grouped COUNT still scans (metadata path declines)") {
     val (_, engine) = fixture()
     assert(engine.run("SELECT COUNT(*) FROM items WHERE id > 1") == "[(2,)]")
