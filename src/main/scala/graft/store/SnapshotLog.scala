@@ -89,14 +89,34 @@ object SnapshotLog {
 
   def logPath(tableDir: HPath): HPath = new HPath(tableDir, "snapshots.json")
 
+  /** Writers replace the log via atomic overwrite-rename, but Hadoop's
+    * local ChecksumFileSystem renames the `.crc` sidecar as a SEPARATE
+    * operation — a reader polling the log (the incremental follower, a
+    * concurrent query) can catch the fresh json with the stale checksum.
+    * Transient by construction (the sidecar lands moments later; HDFS and
+    * object stores never throw it), so: bounded retry, then rethrow. */
+  private def readLogText(fs: FileSystem, p: HPath): String = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val in = fs.open(p)
+        try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def read(fs: FileSystem, tableDir: HPath): Seq[Snapshot] = {
     val p = logPath(tableDir)
     if (!fs.exists(p)) Seq.empty
     else {
-      val in = fs.open(p)
-      val text =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
+      val text = readLogText(fs, p)
       val node = mapper.readTree(text)
       node.elements().asScala.map { e =>
         val summary =

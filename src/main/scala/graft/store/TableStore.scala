@@ -477,6 +477,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else spark.read.schema(sch)
       .parquet(files.map(f => absPath(table, f.path).toString): _*)
 
+  /** Id of the current snapshot (None = no commits yet). One log read,
+    * no hydration. */
+  def currentSnapshotId(table: String): Option[Long] =
+    if (!exists(table)) None
+    else SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.id)
+
   /** Incremental append scan (Iceberg's incremental read): rows ADDED
     * after snapshot `fromId`, up to and including `toId` (None = current
     * snapshot). Snapshot file lists are cumulative, so the increment is a
