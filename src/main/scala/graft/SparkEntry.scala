@@ -623,6 +623,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Connected-components dedup clustering (Large-Star/Small-Star) over
+    // a deterministic, SQL-expressible duplicate graph: an edge links
+    // consecutive doc_ids whose n_chars fall in the same mod-5 bucket.
+    // The oracle computes the same components with a DIFFERENT algorithm
+    // (DuckDB islands-and-gaps windowing) — a full hash-match check of
+    // the distributed star-contraction against an independent method.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), (col("n_chars") % 5).as("_b"))
+      val edges = d.select(col("doc_id").as("id_a"), col("_b").as("_ba"))
+        .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(edges)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (rows-only check: sketch-based).
     // The candidate pair set is computed ONCE per sf-dir (checkpointed)
     // and shared with q_ngram_jaccard — the pipeline posture at 100 TB,
@@ -1139,6 +1161,19 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM documents) x
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // independent algorithm: islands-and-gaps windowing computes the same
+    // components the Spark side derives by Large-Star/Small-Star
+    // contraction (edges join consecutive doc_ids sharing n_chars % 5)
+    "q_dedup_clusters" ->
+      """WITH b AS (
+        |  SELECT doc_id, CASE WHEN lag(doc_id) OVER w = doc_id - 1
+        |                       AND lag(n_chars % 5) OVER w = n_chars % 5
+        |                      THEN 0 ELSE 1 END AS brk
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run FROM b)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY run) AS component
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_doc_stats" ->
       """SELECT doc_id,

@@ -330,6 +330,120 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws("\u0001", slice(tokens, i + lit(1), lit(n)))))
 
+  /** Distributed connected components over an undirected edge list, via
+    * alternating Large-Star / Small-Star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Input: `pairs` with columns (id_a, id_b). Output: (id, component),
+    * one row per node that appears in some edge, where `component` is the
+    * minimum id in the node's component (the component representative maps
+    * to itself). Nodes in no pair are absent — callers union singletons
+    * (see [[clusterDedup]]).
+    *
+    * Why star-contraction and not naive min-label propagation: propagation
+    * needs rounds proportional to the graph DIAMETER — a near-dup graph
+    * over a web crawl has long chains (doc A ~ B ~ C ~ …), so at 100 TB
+    * that is hundreds of shuffle rounds. Large-star/small-star contracts
+    * paths doubly-exponentially fast (O(log n) rounds in practice, a
+    * handful for any real graph). Each round is two hash-aggregate +
+    * broadcast-free equi-join stages over the edge list — shuffle volume
+    * stays proportional to |E|, which only shrinks as stars form. Each
+    * round is checkpointed ([[CheckpointDirConf]] selects local vs
+    * reliable) so the iterative plan's lineage stays O(1).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical directed edge list u > v, no self-loops, no duplicates
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // convergence signature: order-insensitive (count, hash-xor) — xor,
+    // not sum: full-range xxhash64 longs overflow an ANSI-mode sum
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = sig(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Large-Star: for each node u (over the symmetric neighbor view),
+      // attach every STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}).
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = und.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = und.filter(col("v") > col("u"))
+        .join(largeMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // Small-Star: edges already point large→small; for each u attach
+      // every small neighbor (and u itself) to m = min of its small
+      // neighbors.
+      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(smallMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      val next = checkpointIter(afterSmall)
+      val cur = sig(next)
+      edges.unpersist()
+      edges = next
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // at convergence every edge is (node, componentMin); representatives
+    // map to themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+  }
+
+  /** Checkpoint one iteration frame, honoring [[CheckpointDirConf]]. */
+  private def checkpointIter(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        val key = (spark.sparkContext.applicationId, dir)
+        if (!lastCheckpointDir.contains(key)) synchronized {
+          if (!lastCheckpointDir.contains(key)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            lastCheckpointDir = Some(key)
+          }
+        }
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
+  /** Cluster-aware dedup: one survivor (the minimum id) per connected
+    * component of the near-duplicate graph, all other rows kept as-is.
+    *
+    * This is the principled version of [[minhashDedup]]'s greedy pass:
+    * greedy keeps every LOCAL minimum (a doc that is never the greater id
+    * of a pair), so pairs (1,3),(2,3) keep both 1 and 2 even though all
+    * three are transitively duplicates. Component-based dedup keeps
+    * exactly one per cluster.
+    */
+  def clusterDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH bucket join (shuffle on
     * the 16-bit sketch), cosine verified per candidate pair. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,

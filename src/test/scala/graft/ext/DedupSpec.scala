@@ -173,4 +173,78 @@ class DedupSpec extends AnyFunSuite {
         "no checkpoint data written under the configured directory")
     } finally spark.conf.unset(Dedup.CheckpointDirConf)
   }
+
+  // ---- connected components (Large-Star/Small-Star) --------------------
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("id_a", "id_b")
+    Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+  }
+
+  /** Driver-side union-find — the independent reference implementation. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components labels a chain with its minimum") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connected components separates disjoint components") {
+    assert(cc(Seq((5L, 7L), (10L, 12L), (12L, 11L))) ==
+      Map(5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components merges transitively where greedy dedup cannot") {
+    // pairs (1,3),(2,3): greedy keeps both 1 and 2; components keep one
+    assert(cc(Seq((1L, 3L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connected components ignores self-loops, duplicates, and reversals") {
+    assert(cc(Seq((4L, 4L), (1L, 2L), (2L, 1L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("connected components on an empty edge list is empty") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("connected components contracts a 200-node path within the round cap") {
+    // a path is the worst case for min-label propagation (diameter = n);
+    // star contraction must finish it in O(log n) rounds
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components matches union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+    val prop = Prop.forAll(genEdges) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      real.isEmpty || cc(real) == unionFind(real)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("clusterDedup keeps exactly the component minima plus singletons") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterDedup(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L)) // one survivor for {1,2,3}; 4, 9 untouched
+  }
 }
