@@ -5,13 +5,15 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line to stdout and writes the
-  * same line to `SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the
-  * working directory) so the driver can parse it even if a build tool
-  * decorates stdout. A failed query records `-1` and lands in `"failed"`
-  * instead of masquerading as a fast green bar; one warmup query runs
-  * first so JIT/codegen warmup isn't billed to whichever query happens to
-  * be iterated first.
+  * `SPARK_GRAFT_SF_DIR`. The FULL per-query payload (both runs plus the
+  * min-of-runs map) goes to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json`); stdout gets only a COMPACT totals-only JSON line as
+  * the last line printed — the 61-query two-pass payload outgrew the
+  * driver's stdout tail capture, which starts mid-line and parses to
+  * null. A failed query records `-1` and lands in `"failed"` instead of
+  * masquerading as a fast green bar; one warmup query runs first so
+  * JIT/codegen warmup isn't billed to whichever query happens to be
+  * iterated first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,33 +43,61 @@ object Bench {
     // number cannot distinguish a regression from scheduler contention.
     // `value` stays the FIRST pass (comparable with earlier rounds);
     // `value_run2` + `runs` bound the noise.
-    def runAll(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        (name, if (ok) sec else -1.0, ok)
+    def timed(name: String)(body: => Unit): (String, Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { body; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
+    }
+    def runAll(): Seq[(String, Double, Boolean)] = {
+      val main = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        timed(name)(fn(spark, sfDir).count())
       }
+      // q_embed_ivf bills k-means + index write to a query named like a
+      // lookup; these sub-metrics keep probe-side regressions visible.
+      val idx = Files.createTempDirectory("graft-ivf-bench").toString
+      val build = timed("q_embed_ivf_build")(SparkEntry.ivfBuild(spark, sfDir, idx))
+      val probe = timed("q_embed_ivf_probe")(
+        SparkEntry.ivfProbeQuery(spark, sfDir, idx).count())
+      main :+ build :+ probe
+    }
     val results = runAll()
     val results2 = runAll()
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qs2 = results2.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // Min-of-two-runs per query: the round-over-round comparison basis —
+    // single samples have shown ±2× scheduler-contention swings on
+    // byte-identical code, and min-of-N discards exactly that noise.
+    val minByName = results.map(r => r._1 -> r).toMap
+    val resultsMin = results2.map { case (k, v2, ok2) =>
+      val (_, v1, ok1) = minByName(k)
+      if (ok1 && ok2) (k, math.min(v1, v2), true)
+      else if (ok1) (k, v1, true) else (k, v2, ok2)
+    }
     val failed = (results ++ results2).collect { case (k, _, false) => s""""$k"""" }
       .distinct.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val total2 = results2.collect { case (_, v, true) => v }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run2":$total2,""" +
-        s""""runs":[$total,$total2],"queries":$qs,"queries_run2":$qs2,""" +
+    def total(rs: Seq[(String, Double, Boolean)]): Double =
+      rs.collect { case (_, v, true) => v }.sum
+    val (t1, t2, tMin) = (total(results), total(results2), total(resultsMin))
+    val full =
+      s"""{"metric":"total","value":$t1,"unit":"sec","value_run2":$t2,""" +
+        s""""value_min":$tMin,"runs":[$t1,$t2],"queries":${jmap(results)},""" +
+        s""""queries_run2":${jmap(results2)},"queries_min":${jmap(resultsMin)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    Files.writeString(Paths.get(outPath), full + "\n")
+    // Compact totals-only line LAST on stdout — short enough that the
+    // driver's tail capture always contains its start.
+    val compact =
+      s"""{"metric":"total","value":$t1,"unit":"sec","value_run2":$t2,""" +
+        s""""value_min":$tMin,"n_queries":${results.size},"failed":$failed,""" +
+        s""""detail":"$outPath","sf":"$sfDir"}"""
     spark.stop()
+    println(compact)
     if ((results ++ results2).exists(!_._3)) sys.exit(1)
   }
 }

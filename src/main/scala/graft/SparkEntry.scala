@@ -731,13 +731,9 @@ object SparkEntry {
     // nearest lists' directories — file-level pruning, the vector-search
     // analogue of partition pruning (rows-only: sketch-based).
     "q_embed_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = firstVector(e)
       val idx = Files.createTempDirectory("graft-ivf").toString
-      Similarity.ivfWriteIndex(e, "vec_id", "embedding", idx,
-        nlist = 16, iters = 2)
-      Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, k = 10, nprobe = 6)
-        .withColumn("score", round(col("score"), 4))
+      ivfBuild(s, dir, idx)
+      ivfProbeQuery(s, dir, idx)
     }),
 
     // =================================================================
@@ -1372,4 +1368,22 @@ object SparkEntry {
   private def firstVector(embeddings: DataFrame): Array[Float] =
     embeddings.orderBy(col("vec_id")).limit(1)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** IVF index construction alone (k-means + partitioned index write).
+    * Split out of `q_embed_ivf` so the bench can bill build and probe
+    * separately — a probe-side regression must not hide behind index
+    * construction cost.
+    */
+  def ivfBuild(s: SparkSession, dir: String, idxDir: String): Unit =
+    Similarity.ivfWriteIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+      idxDir, nlist = 16, iters = 2)
+
+  /** IVF probe alone against an index previously written by [[ivfBuild]]:
+    * reads only the `nprobe` nearest lists' directories.
+    */
+  def ivfProbeQuery(s: SparkSession, dir: String, idxDir: String): DataFrame = {
+    val q = firstVector(t(s, dir, "embeddings"))
+    Similarity.ivfProbe(s, idxDir, "vec_id", "embedding", q, k = 10, nprobe = 6)
+      .withColumn("score", round(col("score"), 4))
+  }
 }
