@@ -145,8 +145,10 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   /** MERGE INTO core: see [[TableStore.merge]]. */
   def merge(name: String, sourceKeys: DataFrame, keyCols: Seq[String],
       replace: DataFrame => DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val snap = store().merge(name, sourceKeys, keyCols, replace, timestampMs)
+      timestampMs: Long = System.currentTimeMillis(),
+      rewriteAll: Boolean = false): Snapshot = {
+    val snap = store().merge(name, sourceKeys, keyCols, replace, timestampMs,
+      rewriteAll)
     registerView(name)
     snap
   }

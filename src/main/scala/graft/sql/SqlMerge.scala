@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 
 import graft.catalog.GraftCatalog
 
@@ -15,6 +15,7 @@ import graft.catalog.GraftCatalog
   * MERGE INTO t [AS a] USING <src table | (subquery)> [AS b] ON a.k = b.k [AND …]
   *   WHEN MATCHED THEN UPDATE SET col = expr, …   -- or: WHEN MATCHED THEN DELETE
   *   WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)  -- or: INSERT *
+  *   WHEN NOT MATCHED BY SOURCE THEN DELETE       -- or: UPDATE SET col = expr, …
   * }}}
   *
   * The ON condition must be a conjunction of target-column = source-column
@@ -23,11 +24,14 @@ import graft.catalog.GraftCatalog
   * [[graft.store.TableStore.merge]]: only target files containing a
   * matched key are rewritten; everything else is carried by reference —
   * at 100 TB a 1000-row MERGE touches a handful of files, not the table.
+  * A `BY SOURCE` arm forces a full rewrite: its affected rows can live in
+  * any file, exactly as in Iceberg's copy-on-write MERGE.
   *
-  * Cardinality caveat (documented, not checked — the check would cost an
-  * extra aggregation over the source): if several source rows match one
-  * target row, the target row is updated once per source row (duplicated),
-  * where strict engines raise a cardinality violation.
+  * Cardinality: when an UPDATE or DELETE matched arm is present and more
+  * than one source row matches the same target row, the statement raises
+  * a cardinality violation — the Impala/Iceberg contract — instead of
+  * silently duplicating the target row. Duplicate source keys that match
+  * nothing still insert one row each (standard NOT MATCHED behavior).
   */
 object SqlMerge {
 
@@ -45,7 +49,11 @@ object SqlMerge {
       updateSet: Option[Seq[(String, String)]], // None = no UPDATE arm
       matchedDelete: Boolean,
       insertCols: Option[Seq[String]],  // None = no INSERT arm
-      insertExprs: Option[Seq[String]]) // None with insertCols set = INSERT *
+      insertExprs: Option[Seq[String]], // None with insertCols set = INSERT *
+      bySourceSet: Option[Seq[(String, String)]] = None,
+      bySourceDelete: Boolean = false) {
+    def hasBySource: Boolean = bySourceDelete || bySourceSet.isDefined
+  }
 
   private def execute(catalog: GraftCatalog, rest: String): Unit = {
     val (targetClause, afterUsing) = SqlText.splitFirstTopLevel(rest, "USING")
@@ -85,8 +93,32 @@ object SqlMerge {
       val t = matchedDf.alias(tAlias)
       val s = sourceDf.alias(sAlias)
       val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
-      // target rows in rewritten files whose key has no source match: keep
-      val untouched = matchedDf.join(keysDistinct, targetKeyCols, "left_anti")
+      // Cardinality violation (Impala/Iceberg contract): an UPDATE/DELETE
+      // matched arm with several source rows hitting one target row must
+      // raise, not duplicate. One aggregation over the source keys, then
+      // a semi-join restricted to the rewritten files' rows — a target
+      // row matched more than once necessarily lives in a matched file.
+      if (arms.updateSet.isDefined || arms.matchedDelete) {
+        val dupKeys = sourceKeys.groupBy(targetKeyCols.map(col): _*)
+          .agg(count(lit(1)).as("__matches"))
+          .filter(col("__matches") > 1).drop("__matches")
+        if (!matchedDf.join(dupKeys, targetKeyCols, "left_semi").isEmpty)
+          throw new IllegalStateException(
+            s"MERGE INTO $target: a target row matches more than one " +
+              "source row (cardinality violation)")
+      }
+      // target rows in rewritten files whose key has no source match:
+      // kept as-is, unless a BY SOURCE arm rewrites or drops them
+      val notBySource = matchedDf.join(keysDistinct, targetKeyCols, "left_anti")
+      val unmatchedKept: Option[DataFrame] =
+        if (arms.bySourceDelete) None
+        else arms.bySourceSet match {
+          case Some(sets) =>
+            val byName = sets.map { case (n, v) => n.toLowerCase -> v }.toMap
+            Some(alignToSchema(notBySource.alias(tAlias), f =>
+              byName.get(f.toLowerCase).map(expr).getOrElse(expr(tgt(f)))))
+          case None => Some(alignToSchema(notBySource, col(_)))
+        }
       val updated: Option[DataFrame] = arms.updateSet.map { sets =>
         val byName = sets.map { case (n, v) => n.toLowerCase -> v }.toMap
         alignToSchema(t.join(s, joinCond, "inner"), f =>
@@ -111,9 +143,10 @@ object SqlMerge {
           Some(alignToSchema(
             matchedDf.join(keysDistinct, targetKeyCols, "left_semi"), col(_)))
         else updated
-      (Seq(Some(alignToSchema(untouched, col(_))), matchedKept, inserted)
-        .flatten.reduce(_ unionByName _))
-    })
+      val parts = Seq(unmatchedKept, matchedKept, inserted).flatten
+      if (parts.isEmpty) alignToSchema(matchedDf.limit(0), col(_))
+      else parts.reduce(_ unionByName _)
+    }, rewriteAll = arms.hasBySource)
     ()
   }
 
@@ -200,8 +233,12 @@ object SqlMerge {
     var arms = Arms(None, matchedDelete = false, None, None)
     splitOnWhen(tail).foreach { clause =>
       val Matched = "(?is)^\\s*MATCHED\\s+THEN\\s+(.*)$".r
+      val NotMatchedBySource =
+        "(?is)^\\s*NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+(.*)$".r
       val NotMatched = "(?is)^\\s*NOT\\s+MATCHED\\s+(?:BY\\s+TARGET\\s+)?THEN\\s+(.*)$".r
       clause match {
+        case NotMatchedBySource(action) =>
+          arms = parseBySource(action, arms, table)
         case NotMatched(action) => arms = parseInsert(action, arms, table)
         case Matched(action)    => arms = parseMatched(action, arms, table)
         case other => throw new IllegalArgumentException(
@@ -210,7 +247,8 @@ object SqlMerge {
       }
     }
     require(arms.updateSet.isDefined || arms.matchedDelete ||
-      arms.insertCols.isDefined, s"MERGE INTO $table has no effective arm")
+      arms.insertCols.isDefined || arms.hasBySource,
+      s"MERGE INTO $table has no effective arm")
     arms
   }
 
@@ -246,24 +284,45 @@ object SqlMerge {
       case u if u.matches("(?is)^UPDATE\\s+SET\\s+.*$") =>
         require(!arms.matchedDelete && arms.updateSet.isEmpty,
           s"MERGE INTO $table has more than one WHEN MATCHED arm")
-        val setList = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-        val sets = SqlText.splitTopLevel(setList).map { a =>
-          val eq = a.indexOf('=')
-          require(eq > 0, s"cannot parse MERGE SET assignment: '$a'")
-          val lhs = a.substring(0, eq).trim
-          // allow `t.col =` and `col =`
-          val name = lhs.substring(lhs.lastIndexOf('.') + 1)
-            .trim.stripPrefix("`").stripSuffix("`")
-          name -> a.substring(eq + 1).trim
-        }
-        val dups = sets.map(_._1.toLowerCase).groupBy(identity)
-          .collect { case (n, vs) if vs.size > 1 => n }
-        require(dups.isEmpty,
-          s"duplicate column(s) in MERGE SET: ${dups.mkString(", ")}")
-        arms.copy(updateSet = Some(sets))
+        arms.copy(updateSet = Some(parseSetList(
+          u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))))
       case other => throw new IllegalArgumentException(
         s"cannot parse WHEN MATCHED action: '$other'")
     }
+
+  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET …` — target
+    * rows whose key appears nowhere in the source (the Iceberg/Delta
+    * surface the reference's users sync dimension tables with). */
+  private def parseBySource(action: String, arms: Arms, table: String): Arms = {
+    require(!arms.hasBySource,
+      s"MERGE INTO $table has more than one WHEN NOT MATCHED BY SOURCE arm")
+    action.trim match {
+      case d if d.matches("(?is)^DELETE\\s*$") =>
+        arms.copy(bySourceDelete = true)
+      case u if u.matches("(?is)^UPDATE\\s+SET\\s+.*$") =>
+        arms.copy(bySourceSet = Some(parseSetList(
+          u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))))
+      case other => throw new IllegalArgumentException(
+        s"cannot parse WHEN NOT MATCHED BY SOURCE action: '$other'")
+    }
+  }
+
+  private def parseSetList(setList: String): Seq[(String, String)] = {
+    val sets = SqlText.splitTopLevel(setList).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"cannot parse MERGE SET assignment: '$a'")
+      val lhs = a.substring(0, eq).trim
+      // allow `t.col =` and `col =`
+      val name = lhs.substring(lhs.lastIndexOf('.') + 1)
+        .trim.stripPrefix("`").stripSuffix("`")
+      name -> a.substring(eq + 1).trim
+    }
+    val dups = sets.map(_._1.toLowerCase).groupBy(identity)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate column(s) in MERGE SET: ${dups.mkString(", ")}")
+    sets
+  }
 
   private def parseInsert(action: String, arms: Arms, table: String): Arms = {
     require(arms.insertCols.isEmpty,

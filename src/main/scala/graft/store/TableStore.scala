@@ -741,13 +741,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   /** MERGE INTO core: `sourceKeys` drive matched-file detection; the
     * caller maps the matched files' rows to their replacement (update /
-    * delete arms + not-matched inserts appended). */
+    * delete arms + not-matched inserts appended). `rewriteAll` skips the
+    * matched-file pruning and rewrites every file — required by
+    * `WHEN NOT MATCHED BY SOURCE` arms, whose affected rows can live in
+    * any file regardless of the source's key range. */
   def merge(table: String, sourceKeys: DataFrame, keyCols: Seq[String],
       replace: DataFrame => DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+      timestampMs: Long = System.currentTimeMillis(),
+      rewriteAll: Boolean = false): Snapshot =
     withCowRetry() {
       val (baseId, baseFiles) = cowBase(table)
-      val (matched, carried) = matchedByKeys(table, baseFiles, sourceKeys, keyCols)
+      val (matched, carried) =
+        if (rewriteAll) (baseFiles, Seq.empty[DataFile])
+        else matchedByKeys(table, baseFiles, sourceKeys, keyCols)
       val replacement = replace(readFileList(table, matched))
       cowCommit(table, "merge", carried, matched.size, Some(replacement),
         timestampMs, baseId)

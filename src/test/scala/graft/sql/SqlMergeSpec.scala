@@ -114,6 +114,72 @@ class SqlMergeSpec extends AnyFunSuite {
       eng.sql("MERGE INTO accounts t USING (VALUES (1)) s(id) ON t.id = s.id"))
   }
 
+  test("cardinality violation: two source rows matching one target raise") {
+    val (_, eng) = fixture()
+    seed(eng)
+    val e = intercept[IllegalStateException](
+      eng.sql("""MERGE INTO accounts t
+        USING (VALUES (2, 10.0), (2, 20.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET balance = s.amount"""))
+    assert(e.getMessage.contains("cardinality violation"))
+    // DELETE arm raises too (which duplicate wins is undefined otherwise)
+    intercept[IllegalStateException](
+      eng.sql("""MERGE INTO accounts t
+        USING (VALUES (3, 0.0), (3, 0.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE"""))
+    // nothing committed by the failed statements
+    assert(eng.run("SELECT COUNT(*) FROM accounts") == "[(3,)]")
+  }
+
+  test("duplicate source keys that match no target row still insert") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (7, 1.0), (7, 2.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET balance = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, balance) VALUES (s.id, s.amount)""")
+    // standard NOT MATCHED: one insert per source row
+    assert(eng.run("SELECT COUNT(*) FROM accounts WHERE id = 7") == "[(2,)]")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE drops source-absent rows") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, 111.0), (4, 4.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET balance = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, balance, status) VALUES (s.id, s.amount, 'new')
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(1, 111.0, 'open'), (4, 4.0, 'new')]")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET marks source-absent rows") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (2, 500.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(1, 100.0, 'stale'), (2, 50.0, 'open'), (3, 75.0, 'stale')]")
+  }
+
+  test("BY SOURCE UPDATE can reference target columns") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, 0.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET balance = t.balance * 2""")
+    assert(eng.run("SELECT id, balance FROM accounts ORDER BY id") ==
+      "[(1, 100.0), (2, 100.0), (3, 150.0)]")
+  }
+
   test("file-granular: merge carries unmatched files by reference") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE fg (id INT, v STRING)")
