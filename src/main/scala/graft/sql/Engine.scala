@@ -123,10 +123,19 @@ final class Engine(catalog: GraftCatalog) {
       case other => sys.error(s"unreachable stats type $other")
     }
 
+    // a bare name, or one qualified with the CURRENT database (the
+    // reference's `USE db` + `db.table` style) — foreign dbs decline
+    def tableRef(u: UnresolvedRelation): Option[String] =
+      u.multipartIdentifier match {
+        case Seq(one) => Some(one)
+        case Seq(db, tbl) if norm(db) == norm(catalog.database) => Some(tbl)
+        case _ => None
+      }
+
     def answer(node: LogicalPlan, items: Seq[Expression],
         u: UnresolvedRelation): Option[DataFrame] =
       catalog.listTables()
-        .find(t => norm(t) == norm(u.multipartIdentifier.head))
+        .find(t => tableRef(u).exists(r => norm(t) == norm(r)))
         .flatMap(metaFor).flatMap { case (sch, recordCount, filesThunk) =>
           // files hydrate at most once, and never for a pure COUNT
           lazy val files = filesThunk()
@@ -145,7 +154,7 @@ final class Engine(catalog: GraftCatalog) {
             // names/types/nullability from the real analyzer over an empty
             // relation with the snapshot's schema — never from guesswork
             probe <- scala.util.Try {
-              val emptyRel = SubqueryAlias(u.multipartIdentifier.head,
+              val emptyRel = SubqueryAlias(u.multipartIdentifier,
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   sch).queryExecution.analyzed)
@@ -164,10 +173,10 @@ final class Engine(catalog: GraftCatalog) {
       // only becomes Aggregate during analysis (GlobalAggregates) —
       // match both for robustness
       case p @ Project(items, u: UnresolvedRelation)
-          if u.multipartIdentifier.size == 1 && items.nonEmpty =>
+          if tableRef(u).isDefined && items.nonEmpty =>
         answer(p, items, u)
       case a @ Aggregate(Seq(), items, u: UnresolvedRelation, _)
-          if u.multipartIdentifier.size == 1 && items.nonEmpty =>
+          if tableRef(u).isDefined && items.nonEmpty =>
         answer(a, items, u)
       case _ => None
     }
@@ -238,9 +247,11 @@ final class Engine(catalog: GraftCatalog) {
     * shadows the base table for references *after* its definition
     * (`WITH items AS (…) SELECT … FROM items` reads the CTE), while the
     * definition body itself still reads — and pins — the base table;
-    * (c) a qualified name (`db.items`) that tail-matches a catalog table
-    * fails FAST instead of silently reading the current snapshot while
-    * the rest of the query is pinned.
+    * (c) a qualified name under the CURRENT database (`db.items` after
+    * `USE db` — the reference's own style, `append_iceberg.py:176`) pins
+    * like the bare name, while one under a FOREIGN database fails fast
+    * instead of silently reading the current snapshot while the rest of
+    * the query is pinned.
     */
   private def pinnedQuery(stmt: String,
       pinnedRead: (String,
@@ -294,24 +305,32 @@ final class Engine(catalog: GraftCatalog) {
     }
 
     def pinRel(u: UnresolvedRelation, shadowed: Set[String],
-        cond: Option[Expression]): LogicalPlan =
+        cond: Option[Expression]): LogicalPlan = {
+      // only the UNPRUNED pin is cached — a condition-pruned plan is a
+      // file subset and must never serve another reference
+      def pin(t: String): LogicalPlan = cond match {
+        case Some(c) => pinnedRead(t, Some(c)).queryExecution.analyzed
+        case None =>
+          pinned.getOrElseUpdate(t, pinnedRead(t, None).queryExecution.analyzed)
+      }
       u.multipartIdentifier match {
         case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>
-          val t = byName(norm(one))
-          // only the UNPRUNED pin is cached — a condition-pruned plan is a
-          // file subset and must never serve another reference
-          val p = cond match {
-            case Some(c) => pinnedRead(t, Some(c)).queryExecution.analyzed
-            case None =>
-              pinned.getOrElseUpdate(t, pinnedRead(t, None).queryExecution.analyzed)
-          }
-          SubqueryAlias(one, p)
+          SubqueryAlias(one, pin(byName(norm(one))))
+        // CTE names are single-part, so a qualified reference is never
+        // shadowed; one qualified with the CURRENT database resolves like
+        // the bare name (the reference's `USE db` + `db.table` style) and
+        // the alias keeps both parts so `db.table.col` references work
+        case Seq(db, tbl) if norm(db) == norm(catalog.database) &&
+            byName.contains(norm(tbl)) =>
+          SubqueryAlias(Seq(db, tbl), pin(byName(norm(tbl))))
         case parts if parts.size > 1 && byName.contains(norm(parts.last)) =>
           throw new IllegalArgumentException(
             s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
-              "reference catalog tables by bare name (USE the database first)")
+              s"'${parts.init.mkString(".")}' is not the current database " +
+              "(USE it first)")
         case _ => u
       }
+    }
     GraftSqlShim.ofRows(spark, go(GraftSqlShim.parsePlan(spark, stmt), Set.empty))
   }
 
@@ -334,23 +353,41 @@ final class Engine(catalog: GraftCatalog) {
     def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
     lazy val byName = catalog.listTables().map(t => norm(t) -> t).toMap
 
-    // Some(pruned analyzed plan) only for an unshadowed, partitioned
-    // catalog table whose filter analyzes against its schema; anything
-    // else → None → the relation resolves through its temp view as usual.
-    def pruned(name: String, cond: Expression,
-        shadowed: Set[String]): Option[LogicalPlan] =
-      if (shadowed(norm(name)) || !byName.contains(norm(name))) None
-      else {
-        val t = byName(norm(name))
-        val store = catalog.store()
-        // one log read serves both the prunability check and the prune
-        val files = store.dataFilesAsOf(t, None)
-        val prunable = store.partitionSpec(t).isDefined ||
-          files.exists(_.stats.nonEmpty)
-        if (!prunable) None
-        else scala.util.Try(
-          store.readPrunedFrom(t, files, GraftSqlShim.column(cond))
-            .queryExecution.analyzed).toOption
+    // The catalog table a relation refers to: a bare unshadowed name, or
+    // a name qualified with the CURRENT database (CTE names are
+    // single-part, so a qualified reference is never shadowed).
+    def resolveTable(u: UnresolvedRelation,
+        shadowed: Set[String]): Option[String] =
+      u.multipartIdentifier match {
+        case Seq(one) if !shadowed(norm(one)) => byName.get(norm(one))
+        case Seq(db, tbl) if norm(db) == norm(catalog.database) =>
+          byName.get(norm(tbl))
+        case _ => None
+      }
+
+    // Some(pruned analyzed plan) only for a partitioned catalog table
+    // whose filter analyzes against its schema; anything else → None →
+    // the relation resolves through its temp view as usual.
+    def pruned(t: String, cond: Expression): Option[LogicalPlan] = {
+      val store = catalog.store()
+      // one log read serves both the prunability check and the prune
+      val files = store.dataFilesAsOf(t, None)
+      val prunable = store.partitionSpec(t).isDefined ||
+        files.exists(_.stats.nonEmpty)
+      if (!prunable) None
+      else scala.util.Try(
+        store.readPrunedFrom(t, files, GraftSqlShim.column(cond))
+          .queryExecution.analyzed).toOption
+    }
+
+    // A current-db qualified relation resolves through its bare temp
+    // view, aliased with both parts so `db.table.col` references work.
+    def plainRel(u: UnresolvedRelation, shadowed: Set[String]): LogicalPlan =
+      u.multipartIdentifier match {
+        case Seq(db, tbl) if norm(db) == norm(catalog.database) &&
+            byName.contains(norm(tbl)) =>
+          SubqueryAlias(Seq(db, tbl), u.copy(multipartIdentifier = Seq(tbl)))
+        case _ => u
       }
 
     def go(plan: LogicalPlan, shadowed: Set[String]): LogicalPlan = plan match {
@@ -365,21 +402,21 @@ final class Engine(catalog: GraftCatalog) {
         w.copy(child = go(w.child, inScope), cteRelations = defs)
       case f: Filter =>
         val child = f.child match {
-          case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-            pruned(u.multipartIdentifier.head, f.condition, shadowed)
-              .map(SubqueryAlias(u.multipartIdentifier.head, _))
-              .getOrElse(u)
-          case sa @ SubqueryAlias(_, u: UnresolvedRelation)
-              if u.multipartIdentifier.size == 1 =>
-            pruned(u.multipartIdentifier.head, f.condition, shadowed)
+          case u: UnresolvedRelation =>
+            resolveTable(u, shadowed).flatMap(pruned(_, f.condition))
+              .map(SubqueryAlias(u.multipartIdentifier, _))
+              .getOrElse(plainRel(u, shadowed))
+          case sa @ SubqueryAlias(_, u: UnresolvedRelation) =>
+            resolveTable(u, shadowed).flatMap(pruned(_, f.condition))
               .map(p => sa.copy(child =
-                SubqueryAlias(u.multipartIdentifier.head, p)))
-              .getOrElse(sa)
+                SubqueryAlias(u.multipartIdentifier, p)))
+              .getOrElse(sa.copy(child = plainRel(u, shadowed)))
           case other => go(other, shadowed)
         }
         f.copy(child = child).transformExpressionsUp {
           case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))
         }
+      case u: UnresolvedRelation => plainRel(u, shadowed)
       case other =>
         other.mapChildren(go(_, shadowed)).transformExpressionsUp {
           case se: SubqueryExpression => se.withNewPlan(go(se.plan, shadowed))

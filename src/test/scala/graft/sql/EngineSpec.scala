@@ -140,11 +140,37 @@ class EngineSpec extends AnyFunSuite {
         "SELECT COUNT(*) FROM small") == "[(2,)]")
   }
 
-  test("AS OF with a qualified table name fails fast, not half-pinned") {
+  test("AS OF resolves a name qualified with the current database") {
+    val (_, engine) = fixture()
+    // the reference's own style: USE db, then db.table everywhere
+    assert(engine.run("SELECT COUNT(*) FROM default.items " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") == "[(2,)]")
+    // fully-qualified column references resolve through the 2-part alias
+    assert(engine.run("SELECT default.items.name FROM default.items " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01' ORDER BY id") ==
+      "[('alpha',), ('beta',)]")
+  }
+
+  test("AS OF with a FOREIGN-database name fails fast, not half-pinned") {
     val (_, engine) = fixture()
     assertThrows[IllegalArgumentException](
-      engine.sql("SELECT COUNT(*) FROM default.items " +
+      engine.sql("SELECT COUNT(*) FROM otherdb.items " +
         "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
+  }
+
+  test("current-database qualified names work on the plain SQL path") {
+    val (_, engine) = fixture()
+    // metadata-answered COUNT stays metadata-answered when qualified
+    val df = engine.sql("SELECT COUNT(*) FROM default.items")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(engine.run("SELECT COUNT(*) FROM default.items") == "[(3,)]")
+    // scan + WHERE (the pruning walk's Filter-over-relation case)
+    assert(engine.run("SELECT name FROM default.items WHERE id = 1") ==
+      "[('alpha',)]")
+    assert(engine.run(
+      "SELECT default.items.name FROM default.items ORDER BY id DESC LIMIT 1") ==
+      "[('gamma',)]")
   }
 
   test("bare COUNT(*) answers from snapshot metadata, no scan") {
