@@ -352,13 +352,14 @@ object Dedup {
     * reliable) so the iterative plan's lineage stays O(1).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // canonical directed edge list u > v, no self-loops, no duplicates
-    var edges = pairs
+    // canonical directed edge list u > v, no self-loops, no duplicates —
+    // checkpointed like every iteration frame: the seed must survive
+    // executor loss too when CheckpointDirConf selects reliable mode
+    var edges = checkpointIter(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // convergence signature: order-insensitive (count, hash-xor) — xor,
     // not sum: full-range xxhash64 longs overflow an ANSI-mode sum

@@ -174,6 +174,26 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset(Dedup.CheckpointDirConf)
   }
 
+  test("connected components honors reliable checkpointing for the SEED frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      // a single canonical edge converges in exactly one iteration, so the
+      // durable dir must hold TWO checkpointed frames: the seed + round 1.
+      // Before the fix the seed took localCheckpoint unconditionally and
+      // only one rdd-* directory appeared — an executor lost before round
+      // 1 completed would kill the job reliable mode promised to survive.
+      val out = Dedup.connectedComponents(Seq((2L, 1L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(2L -> 1L, 1L -> 1L))
+      def rddDirs(p: java.io.File): Int =
+        if (p.isDirectory && p.getName.startsWith("rdd-")) 1
+        else Option(p.listFiles()).map(_.map(rddDirs).sum).getOrElse(0)
+      val n = rddDirs(new java.io.File(dir))
+      assert(n >= 2, s"expected seed + iteration checkpoints, found $n rdd dirs")
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   // ---- connected components (Large-Star/Small-Star) --------------------
 
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
