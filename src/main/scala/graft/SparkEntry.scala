@@ -458,6 +458,32 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    // §2.10 + S2b composed: the DSv2 `graft-table` streaming source —
+    // two appends arrive as two micro-batches via spark.readStream over
+    // the incremental append scan (delta files only, offsets = snapshot
+    // ids); the streamed rows aggregate to exactly the source table's
+    // aggregate, proving exactly-once delivery end-to-end.
+    "q_stream_table" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_stream", orders.schema)
+      cat.append("orders_stream", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      val sink = "stream_sink_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val q = s.readStream.format("graft-table")
+        .option("warehouse", cat.warehouse.toString)
+        .option("table", "orders_stream").load()
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        cat.append("orders_stream", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S1: latest-snapshot read = all appends.
     "q_tt_latest" -> ((s, dir) => {
       val cat = tempCatalog(s)
@@ -1084,6 +1110,11 @@ object SparkEntry {
     "q_tt_incremental" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey >= 13 ORDER BY n_nationkey""".stripMargin,
+
+    "q_stream_table" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_tt_latest" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -104,7 +104,11 @@ object SnapshotLog {
         try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       } catch {
-        case e: org.apache.hadoop.fs.ChecksumException =>
+        // ChecksumException: LocalFS writes the .crc sidecar after the
+        // data rename. FileNotFound: the delete+rename replace window
+        // between our exists() check and open(). Both are transient.
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
           if (attempt >= 5) throw e
           Thread.sleep(20L * attempt)
       }
@@ -114,8 +118,13 @@ object SnapshotLog {
 
   def read(fs: FileSystem, tableDir: HPath): Seq[Snapshot] = {
     val p = logPath(tableDir)
-    if (!fs.exists(p)) Seq.empty
-    else {
+    // A commit replaces the log via delete + rename (Hadoop rename cannot
+    // overwrite), so there is a sub-millisecond window where the path does
+    // not exist. One short re-check keeps a racing reader from mistaking
+    // that window for "no commits yet"; a genuinely empty table only pays
+    // it when the table is truly empty (rare, and 20 ms).
+    if (!fs.exists(p)) { Thread.sleep(20L); if (!fs.exists(p)) return Seq.empty }
+    {
       val text = readLogText(fs, p)
       val node = mapper.readTree(text)
       node.elements().asScala.map { e =>

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.store.TableStore
+
+/** The DSv2 `graft-table` streaming source: snapshot tables as
+  * first-class `spark.readStream` sources over the incremental append
+  * scan — the table-as-stream direction the reference's append workflow
+  * implies (`/root/reference/append_iceberg.py:182-215`).
+  */
+class TableStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def mkWarehouse(): (String, TableStore) = {
+    val wh = Files.createTempDirectory("graft-wh").toUri.toString
+    (wh, new TableStore(new HPath(new HPath(wh), "default"), spark))
+  }
+
+  private def reader(wh: String, table: String) =
+    spark.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", table)
+
+  test("micro-batches deliver appends exactly once, in commit order") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 5).toDF("id"), 1000L)
+    val q = reader(wh, "ev").load().writeStream
+      .format("memory").queryName("tss_basic").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tss_basic").as[Int].collect().sorted.toSeq == (1 to 5))
+      st.append("ev", (6 to 9).toDF("id"), 2000L)
+      st.append("ev", (10 to 12).toDF("id"), 3000L)
+      q.processAllAvailable()
+      // every row exactly once — no re-read of the base on later batches
+      assert(spark.table("tss_basic").as[Int].collect().sorted.toSeq == (1 to 12))
+    } finally q.stop()
+  }
+
+  test("startAfterSnapshotId skips history before the cursor") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    val s1 = st.append("ev", (1 to 5).toDF("id"), 1000L)
+    st.append("ev", (6 to 8).toDF("id"), 2000L)
+    val q = reader(wh, "ev").option("startAfterSnapshotId", s1.id.toString)
+      .load().writeStream
+      .format("memory").queryName("tss_cursor").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tss_cursor").as[Int].collect().sorted.toSeq == (6 to 8))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes exactly-once after the committed offset") {
+    val (wh, st) = mkWarehouse()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 5).toDF("id"), 1000L)
+    val run1 = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q1 = reader(wh, "ev").load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => run1.add(r.getInt(0)))
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(run1.asScala.toSeq.sorted == (1 to 5))
+    } finally q1.stop()
+
+    st.append("ev", (6 to 9).toDF("id"), 2000L)
+    // Fresh collector, same checkpoint: only the NEW snapshot arrives —
+    // the committed offset (not startAfterSnapshotId=0) drives the resume.
+    val run2 = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q2 = reader(wh, "ev").load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => run2.add(r.getInt(0)))
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      assert(run2.asScala.toSeq.sorted == (6 to 9))
+    } finally q2.stop()
+  }
+
+  test("a rewrite snapshot inside the planned range fails the stream") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 5).toDF("id"), 1000L)
+    val q = reader(wh, "ev").load().writeStream
+      .format("memory").queryName("tss_rewrite").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      st.deleteWhere("ev", col("id") === 3, 2000L) // rewrite snapshot
+      st.append("ev", (6 to 7).toDF("id"), 3000L)
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("non-append")))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation composes on top of the source") {
+    val (wh, st) = mkWarehouse()
+    def batch(rows: Seq[(String, Int)]) =
+      rows.toDF("t", "v").select(to_timestamp($"t").as("ts"), $"v")
+    st.create("ev", batch(Seq(("2024-01-01 00:00:00", 0))).schema)
+    st.append("ev", batch(Seq(
+      ("2024-01-01 00:05:00", 1), ("2024-01-01 00:20:00", 2),
+      ("2024-01-01 01:10:00", 10))), 1000L)
+    val q = reader(wh, "ev").load()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(sum($"v").as("s"))
+      .writeStream.format("memory").queryName("tss_window")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      st.append("ev", batch(Seq(("2024-01-01 01:30:00", 20))), 2000L)
+      q.processAllAvailable()
+      val got = spark.table("tss_window")
+        .select(date_format($"window.start", "HH:mm").as("h"), $"s")
+        .as[(String, Long)].collect().groupBy(_._1)
+        // update mode re-emits a window per refinement — last write wins
+        .map { case (h, vs) => h -> vs.last._2 }
+      assert(got == Map("00:00" -> 3L, "01:00" -> 30L))
+    } finally q.stop()
+  }
+
+  test("schema evolution mid-history: old files null-fill added columns") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 3).toDF("id"), 1000L)
+    st.addColumns("ev", StructType(Seq(StructField("tag", StringType))))
+    st.append("ev", Seq((4, "x"), (5, "y")).toDF("id", "tag"), 2000L)
+    val q = reader(wh, "ev").load().writeStream
+      .format("memory").queryName("tss_evolve").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tss_evolve").as[(Int, Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1, None), (2, None), (3, None),
+        (4, Some("x")), (5, Some("y"))))
+    } finally q.stop()
+  }
+}
