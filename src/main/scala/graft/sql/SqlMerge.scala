@@ -1,7 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, count, expr, lit}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, count, expr, lit, when}
 
 import graft.catalog.GraftCatalog
 
@@ -10,13 +11,22 @@ import graft.catalog.GraftCatalog
   * reference's manual max-id-continuation append
   * (`/root/reference/append_iceberg.py:104-123`).
   *
-  * Supported shape (the Iceberg/Impala core):
+  * Supported shape (the Iceberg/Impala core, incl. conditional arms):
   * {{{
   * MERGE INTO t [AS a] USING <src table | (subquery)> [AS b] ON a.k = b.k [AND …]
-  *   WHEN MATCHED THEN UPDATE SET col = expr, …   -- or: WHEN MATCHED THEN DELETE
-  *   WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)  -- or: INSERT *
-  *   WHEN NOT MATCHED BY SOURCE THEN DELETE       -- or: UPDATE SET col = expr, …
+  *   WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, … | DELETE   -- repeatable
+  *   WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT …            -- repeatable
+  *   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET … -- repeatable
   * }}}
+  *
+  * Arms of each kind are evaluated IN STATEMENT ORDER and the first arm
+  * whose condition holds wins (Iceberg/Impala semantics); a row matching
+  * no arm is left untouched (or, for NOT MATCHED, not inserted). An
+  * unconditional arm must therefore be the last of its kind — anything
+  * after it would be unreachable and is rejected at parse time. Arm
+  * conditions may reference both sides (`t.v < s.v`); a `CASE WHEN`
+  * inside the arm's ACTION is fine, but not inside the arm's condition
+  * itself (the first top-level `THEN` ends the condition).
   *
   * The ON condition must be a conjunction of target-column = source-column
   * equalities (the key join Iceberg's copy-on-write MERGE requires for
@@ -27,11 +37,15 @@ import graft.catalog.GraftCatalog
   * A `BY SOURCE` arm forces a full rewrite: its affected rows can live in
   * any file, exactly as in Iceberg's copy-on-write MERGE.
   *
-  * Cardinality: when an UPDATE or DELETE matched arm is present and more
-  * than one source row matches the same target row, the statement raises
-  * a cardinality violation — the Impala/Iceberg contract — instead of
-  * silently duplicating the target row. Duplicate source keys that match
-  * nothing still insert one row each (standard NOT MATCHED behavior).
+  * Cardinality: when any matched arm is present and more than one source
+  * row matches the same target row, the statement raises a cardinality
+  * violation — the Impala/Iceberg contract — instead of silently
+  * duplicating the target row. The check is FOLDED INTO the rewrite job:
+  * a window count over the source keys feeds an `assert_true` guard on
+  * the arm-routing column, so no extra Spark action runs ahead of the
+  * rewrite and a violation aborts the job before anything commits.
+  * Duplicate source keys that match nothing still insert one row each
+  * (standard NOT MATCHED behavior).
   */
 object SqlMerge {
 
@@ -45,15 +59,19 @@ object SqlMerge {
       case _          => None
     }
 
+  /** A `WHEN MATCHED` / `WHEN NOT MATCHED BY SOURCE` arm:
+    * `sets = None` means DELETE. */
+  private final case class UpdateOrDeleteArm(
+      cond: Option[String], sets: Option[Seq[(String, String)]])
+
+  /** A `WHEN NOT MATCHED` arm: `cols = None` means `INSERT *`. */
+  private final case class InsertArm(cond: Option[String],
+      cols: Option[Seq[String]], exprs: Seq[String])
+
   private final case class Arms(
-      updateSet: Option[Seq[(String, String)]], // None = no UPDATE arm
-      matchedDelete: Boolean,
-      insertCols: Option[Seq[String]],  // None = no INSERT arm
-      insertExprs: Option[Seq[String]], // None with insertCols set = INSERT *
-      bySourceSet: Option[Seq[(String, String)]] = None,
-      bySourceDelete: Boolean = false) {
-    def hasBySource: Boolean = bySourceDelete || bySourceSet.isDefined
-  }
+      matched: Seq[UpdateOrDeleteArm],
+      inserts: Seq[InsertArm],
+      bySource: Seq[UpdateOrDeleteArm])
 
   private def execute(catalog: GraftCatalog, rest: String): Unit = {
     val (targetClause, afterUsing) = SqlText.splitFirstTopLevel(rest, "USING")
@@ -89,66 +107,104 @@ object SqlMerge {
       df.select(schema.fields.toIndexedSeq.map(f =>
         colFor(f.name).cast(f.dataType).as(f.name)): _*)
 
-    catalog.merge(target, sourceKeys, targetKeyCols, { matchedDf =>
-      val t = matchedDf.alias(tAlias)
-      val s = sourceDf.alias(sAlias)
-      val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
-      // Cardinality violation (Impala/Iceberg contract): an UPDATE/DELETE
-      // matched arm with several source rows hitting one target row must
-      // raise, not duplicate. One aggregation over the source keys, then
-      // a semi-join restricted to the rewritten files' rows — a target
-      // row matched more than once necessarily lives in a matched file.
-      if (arms.updateSet.isDefined || arms.matchedDelete) {
-        val dupKeys = sourceKeys.groupBy(targetKeyCols.map(col): _*)
-          .agg(count(lit(1)).as("__matches"))
-          .filter(col("__matches") > 1).drop("__matches")
-        if (!matchedDf.join(dupKeys, targetKeyCols, "left_semi").isEmpty)
-          throw new IllegalStateException(
-            s"MERGE INTO $target: a target row matches more than one " +
-              "source row (cardinality violation)")
+    // First-match-wins arm routing: 0 = no arm applies (row kept as-is /
+    // not inserted), i+1 = arm i. A null condition is "does not hold".
+    def route(conds: Seq[Option[String]]): Column =
+      conds.zipWithIndex.reverse.foldLeft(lit(0): Column) {
+        case (els, (c, i)) =>
+          when(c.map(expr).getOrElse(lit(true)), lit(i + 1)).otherwise(els)
       }
-      // target rows in rewritten files whose key has no source match:
-      // kept as-is, unless a BY SOURCE arm rewrites or drops them
-      val notBySource = matchedDf.join(keysDistinct, targetKeyCols, "left_anti")
-      val unmatchedKept: Option[DataFrame] =
-        if (arms.bySourceDelete) None
-        else arms.bySourceSet match {
-          case Some(sets) =>
-            val byName = sets.map { case (n, v) => n.toLowerCase -> v }.toMap
-            Some(alignToSchema(notBySource.alias(tAlias), f =>
-              byName.get(f.toLowerCase).map(expr).getOrElse(expr(tgt(f)))))
-          case None => Some(alignToSchema(notBySource, col(_)))
+
+    def applyArms(base: DataFrame, arms: Seq[UpdateOrDeleteArm],
+        armCol: Column, keep: String => Column): DataFrame = {
+      val deleteIdx = arms.zipWithIndex.collect {
+        case (a, i) if a.sets.isEmpty => i + 1
+      }
+      val routed = base.withColumn("__arm", armCol)
+      val kept =
+        if (deleteIdx.isEmpty) routed
+        else routed.filter(!col("__arm").isin(deleteIdx: _*))
+      alignToSchema(kept, f => {
+        val perArm = arms.zipWithIndex.collect {
+          case (a, i) if a.sets.isDefined =>
+            (i + 1, a.sets.get.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(f) => v
+            })
         }
-      val updated: Option[DataFrame] = arms.updateSet.map { sets =>
-        val byName = sets.map { case (n, v) => n.toLowerCase -> v }.toMap
-        alignToSchema(t.join(s, joinCond, "inner"), f =>
-          byName.get(f.toLowerCase).map(expr).getOrElse(expr(tgt(f))))
-      }
-      val inserted: Option[DataFrame] = arms.insertCols.map { cols =>
-        val notMatched = s.join(t, joinCond, "left_anti")
-        arms.insertExprs match {
-          case Some(exprs) =>
-            val byName = cols.map(_.toLowerCase).zip(exprs).toMap
-            alignToSchema(notMatched, f =>
-              byName.get(f.toLowerCase).map(expr)
-                .getOrElse(lit(null)))
-          case None => // INSERT *: source columns align by name
-            alignToSchema(notMatched, f => col(f))
-        }
-      }
-      val matchedKept =
-        if (arms.matchedDelete) None // matched rows dropped
-        else if (arms.updateSet.isEmpty)
-          // no matched arm: key-matched rows pass through unchanged
-          Some(alignToSchema(
-            matchedDf.join(keysDistinct, targetKeyCols, "left_semi"), col(_)))
-        else updated
-      val parts = Seq(unmatchedKept, matchedKept, inserted).flatten
-      if (parts.isEmpty) alignToSchema(matchedDf.limit(0), col(_))
-      else parts.reduce(_ unionByName _)
-    }, rewriteAll = arms.hasBySource)
+        perArm.collect { case (idx, Some(v)) => (idx, v) }
+          .foldRight(keep(f)) { case ((idx, v), els) =>
+            when(col("__arm") === lit(idx), expr(v)).otherwise(els)
+          }
+      })
+    }
+
+    try {
+      catalog.merge(target, sourceKeys, targetKeyCols, { matchedDf =>
+        val t = matchedDf.alias(tAlias)
+        val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
+        // target rows in rewritten files whose key has no source match:
+        // kept as-is, unless a BY SOURCE arm rewrites or drops them
+        val notBySource = matchedDf.join(keysDistinct, targetKeyCols, "left_anti")
+        val unmatchedKept: DataFrame =
+          if (arms.bySource.isEmpty) alignToSchema(notBySource, col(_))
+          else applyArms(notBySource.alias(tAlias), arms.bySource,
+            route(arms.bySource.map(_.cond)), f => expr(tgt(f)))
+        val matchedKept: DataFrame =
+          if (arms.matched.isEmpty)
+            // no matched arm: key-matched rows pass through unchanged
+            alignToSchema(
+              matchedDf.join(keysDistinct, targetKeyCols, "left_semi"), col(_))
+          else {
+            // Cardinality guard, fused into the rewrite: count source rows
+            // per key with a window (same key the join shuffles on), then
+            // weave an assert_true through the arm-routing column so every
+            // matched row — updated, deleted, or kept — evaluates it
+            // inside this one job. coalesce(NullType-cast, route) survives
+            // the optimizer because the guard is not a literal null.
+            val w = Window.partitionBy(
+              keyPairs.map { case (_, sk) => col(sk) }: _*)
+            val s = sourceDf.withColumn(
+              "__src_matches", count(lit(1)).over(w)).alias(sAlias)
+            val guard = assert_true(col("__src_matches") <= 1, lit(
+              s"MERGE INTO $target: a target row matches more than one " +
+                "source row (cardinality violation)"))
+            applyArms(t.join(s, joinCond, "inner"), arms.matched,
+              coalesce(guard.cast("int"), route(arms.matched.map(_.cond))),
+              f => expr(tgt(f)))
+          }
+        val inserted: Option[DataFrame] =
+          if (arms.inserts.isEmpty) None
+          else {
+            val s = sourceDf.alias(sAlias)
+            val notMatched = s.join(t, joinCond, "left_anti")
+              .withColumn("__arm", route(arms.inserts.map(_.cond)))
+              .filter(col("__arm") > 0)
+            Some(alignToSchema(notMatched, f =>
+              arms.inserts.zipWithIndex.foldRight(lit(null): Column) {
+                case ((arm, i), els) =>
+                  val v = arm.cols match {
+                    case None => col(f) // INSERT *: source columns align by name
+                    case Some(cs) => cs.map(_.toLowerCase).zip(arm.exprs).toMap
+                      .get(f.toLowerCase).map(expr).getOrElse(lit(null))
+                  }
+                  when(col("__arm") === lit(i + 1), v).otherwise(els)
+              }))
+          }
+        (Seq(unmatchedKept, matchedKept) ++ inserted).reduce(_ unionByName _)
+      }, rewriteAll = arms.bySource.nonEmpty)
+    } catch {
+      case e: Throwable if causeMessages(e).exists(
+          _.contains("cardinality violation")) =>
+        throw new IllegalStateException(
+          s"MERGE INTO $target: a target row matches more than one " +
+            "source row (cardinality violation)", e)
+    }
     ()
   }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(16).flatMap(e => Option(e.getMessage)).toSeq
 
   /** `name [AS a]` or `(subquery) [AS] a [(col, …)]` → (DataFrame, alias). */
   private def parseSource(catalog: GraftCatalog,
@@ -230,25 +286,41 @@ object SqlMerge {
 
   /** The WHEN … THEN … clauses after the first WHEN keyword. */
   private def parseWhenClauses(tail: String, table: String): Arms = {
-    var arms = Arms(None, matchedDelete = false, None, None)
+    val Matched = "(?is)^\\s*MATCHED\\s*(?:AND\\s+(.+))?$".r
+    val NotMatchedBySource =
+      "(?is)^\\s*NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s*(?:AND\\s+(.+))?$".r
+    val NotMatched =
+      "(?is)^\\s*NOT\\s+MATCHED\\s*(?:BY\\s+TARGET\\s*)?(?:AND\\s+(.+))?$".r
+    var arms = Arms(Seq.empty, Seq.empty, Seq.empty)
+    def reachable(kind: String, prior: Seq[Option[String]]): Unit =
+      require(prior.forall(_.isDefined),
+        s"MERGE INTO $table: an unconditional WHEN $kind arm must be the " +
+          "last of its kind (later arms would be unreachable)")
     splitOnWhen(tail).foreach { clause =>
-      val Matched = "(?is)^\\s*MATCHED\\s+THEN\\s+(.*)$".r
-      val NotMatchedBySource =
-        "(?is)^\\s*NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+(.*)$".r
-      val NotMatched = "(?is)^\\s*NOT\\s+MATCHED\\s+(?:BY\\s+TARGET\\s+)?THEN\\s+(.*)$".r
-      clause match {
-        case NotMatchedBySource(action) =>
-          arms = parseBySource(action, arms, table)
-        case NotMatched(action) => arms = parseInsert(action, arms, table)
-        case Matched(action)    => arms = parseMatched(action, arms, table)
+      val (head, actionOpt) = SqlText.splitFirstTopLevel(clause, "THEN")
+      require(actionOpt.isDefined,
+        s"cannot parse MERGE WHEN clause: 'WHEN ${clause.trim}'")
+      val action = actionOpt.get
+      head match {
+        case NotMatchedBySource(cond) =>
+          reachable("NOT MATCHED BY SOURCE", arms.bySource.map(_.cond))
+          arms = arms.copy(bySource = arms.bySource :+
+            parseUpdateOrDelete(Option(cond).map(_.trim), action,
+              "NOT MATCHED BY SOURCE"))
+        case NotMatched(cond) =>
+          reachable("NOT MATCHED", arms.inserts.map(_.cond))
+          arms = arms.copy(inserts = arms.inserts :+
+            parseInsert(Option(cond).map(_.trim), action, table))
+        case Matched(cond) =>
+          reachable("MATCHED", arms.matched.map(_.cond))
+          arms = arms.copy(matched = arms.matched :+
+            parseUpdateOrDelete(Option(cond).map(_.trim), action, "MATCHED"))
         case other => throw new IllegalArgumentException(
-          s"cannot parse MERGE WHEN clause: 'WHEN ${other.trim}' " +
-            "(conditional arms like WHEN MATCHED AND … are not supported)")
+          s"cannot parse MERGE WHEN clause: 'WHEN ${other.trim} THEN …'")
       }
     }
-    require(arms.updateSet.isDefined || arms.matchedDelete ||
-      arms.insertCols.isDefined || arms.hasBySource,
-      s"MERGE INTO $table has no effective arm")
+    require(arms.matched.nonEmpty || arms.inserts.nonEmpty ||
+      arms.bySource.nonEmpty, s"MERGE INTO $table has no effective arm")
     arms
   }
 
@@ -275,37 +347,18 @@ object SqlMerge {
       }
   }
 
-  private def parseMatched(action: String, arms: Arms, table: String): Arms =
+  /** `DELETE` or `UPDATE SET col = expr, …` (matched / BY SOURCE arms). */
+  private def parseUpdateOrDelete(cond: Option[String], action: String,
+      kind: String): UpdateOrDeleteArm =
     action.trim match {
       case d if d.matches("(?is)^DELETE\\s*$") =>
-        require(!arms.matchedDelete && arms.updateSet.isEmpty,
-          s"MERGE INTO $table has more than one WHEN MATCHED arm")
-        arms.copy(matchedDelete = true)
+        UpdateOrDeleteArm(cond, None)
       case u if u.matches("(?is)^UPDATE\\s+SET\\s+.*$") =>
-        require(!arms.matchedDelete && arms.updateSet.isEmpty,
-          s"MERGE INTO $table has more than one WHEN MATCHED arm")
-        arms.copy(updateSet = Some(parseSetList(
+        UpdateOrDeleteArm(cond, Some(parseSetList(
           u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))))
       case other => throw new IllegalArgumentException(
-        s"cannot parse WHEN MATCHED action: '$other'")
+        s"cannot parse WHEN $kind action: '$other'")
     }
-
-  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET …` — target
-    * rows whose key appears nowhere in the source (the Iceberg/Delta
-    * surface the reference's users sync dimension tables with). */
-  private def parseBySource(action: String, arms: Arms, table: String): Arms = {
-    require(!arms.hasBySource,
-      s"MERGE INTO $table has more than one WHEN NOT MATCHED BY SOURCE arm")
-    action.trim match {
-      case d if d.matches("(?is)^DELETE\\s*$") =>
-        arms.copy(bySourceDelete = true)
-      case u if u.matches("(?is)^UPDATE\\s+SET\\s+.*$") =>
-        arms.copy(bySourceSet = Some(parseSetList(
-          u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))))
-      case other => throw new IllegalArgumentException(
-        s"cannot parse WHEN NOT MATCHED BY SOURCE action: '$other'")
-    }
-  }
 
   private def parseSetList(setList: String): Seq[(String, String)] = {
     val sets = SqlText.splitTopLevel(setList).map { a =>
@@ -324,20 +377,19 @@ object SqlMerge {
     sets
   }
 
-  private def parseInsert(action: String, arms: Arms, table: String): Arms = {
-    require(arms.insertCols.isEmpty,
-      s"MERGE INTO $table has more than one WHEN NOT MATCHED arm")
+  private def parseInsert(cond: Option[String], action: String,
+      table: String): InsertArm = {
     val Star = "(?is)^INSERT\\s+\\*\\s*$".r
     val Full = "(?is)^INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*$".r
     action.trim match {
-      case Star() => arms.copy(insertCols = Some(Seq.empty), insertExprs = None)
+      case Star() => InsertArm(cond, None, Seq.empty)
       case Full(cols, exprs) =>
         val cs = SqlText.splitTopLevel(cols)
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
         val es = SqlText.splitTopLevel(exprs).map(_.trim)
         require(cs.length == es.length,
           s"MERGE INSERT: ${cs.length} columns but ${es.length} values")
-        arms.copy(insertCols = Some(cs), insertExprs = Some(es))
+        InsertArm(cond, Some(cs), es)
       case other => throw new IllegalArgumentException(
         s"cannot parse WHEN NOT MATCHED action: '$other'")
     }

@@ -180,6 +180,125 @@ class SqlMergeSpec extends AnyFunSuite {
       "[(1, 100.0), (2, 100.0), (3, 150.0)]")
   }
 
+  test("conditional matched arms: first match wins, in statement order") {
+    val (_, eng) = fixture()
+    seed(eng)
+    // id=1: amount<0 → DELETE; id=2: amount>=0 → second arm updates;
+    // id=3 untouched (no source row)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, -1.0), (2, 500.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED AND s.amount < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET balance = s.amount, status = 'merged'""")
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(2, 500.0, 'merged'), (3, 75.0, 'open')]")
+  }
+
+  test("matched row matching no conditional arm is kept unchanged") {
+    val (_, eng) = fixture()
+    seed(eng)
+    // "update if newer, else ignore": only id=2's source beats the target
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, 50.0), (2, 500.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED AND s.amount > t.balance THEN UPDATE SET balance = s.amount""")
+    assert(eng.run("SELECT id, balance FROM accounts ORDER BY id") ==
+      "[(1, 100.0), (2, 500.0), (3, 75.0)]")
+  }
+
+  test("ordered matched arms route each row to its first holding condition") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (1, 5.0), (2, 10.0), (3, 20.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN MATCHED AND s.amount <= 5.0 THEN UPDATE SET status = 'small'
+      WHEN MATCHED AND s.amount <= 10.0 THEN UPDATE SET status = 'medium'
+      WHEN MATCHED THEN UPDATE SET status = 'large', balance = s.amount""")
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(1, 100.0, 'small'), (2, 50.0, 'medium'), (3, 20.0, 'large')]")
+  }
+
+  test("conditional NOT MATCHED arms: unmatched rows failing every condition skip") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (7, 70.0), (8, -8.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN NOT MATCHED AND s.amount > 0 THEN
+        INSERT (id, balance, status) VALUES (s.id, s.amount, 'new')""")
+    // id=8 fails the insert condition → not inserted
+    assert(eng.run("SELECT id, balance, status FROM accounts WHERE id >= 7") ==
+      "[(7, 70.0, 'new')]")
+  }
+
+  test("conditional BY SOURCE arms: delete stale, mark the rest") {
+    val (_, eng) = fixture()
+    seed(eng)
+    eng.sql("""MERGE INTO accounts t
+      USING (VALUES (2, 500.0)) AS s(id, amount)
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.balance < 80.0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+    // id=3 (75.0) deleted; id=1 (100.0) marked; id=2 matched → untouched
+    assert(eng.run("SELECT id, balance, status FROM accounts ORDER BY id") ==
+      "[(1, 100.0, 'stale'), (2, 50.0, 'open')]")
+  }
+
+  test("cardinality violation raises under conditional arms too") {
+    val (_, eng) = fixture()
+    seed(eng)
+    val e = intercept[IllegalStateException](
+      eng.sql("""MERGE INTO accounts t
+        USING (VALUES (2, 10.0), (2, 20.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED AND s.amount > 1000.0 THEN DELETE"""))
+    assert(e.getMessage.contains("cardinality violation"))
+    assert(eng.run("SELECT COUNT(*) FROM accounts") == "[(3,)]")
+  }
+
+  test("an unconditional arm before another arm of its kind is rejected") {
+    val (_, eng) = fixture()
+    seed(eng)
+    val e = intercept[IllegalArgumentException](
+      eng.sql("""MERGE INTO accounts t
+        USING (VALUES (1, 1.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE
+        WHEN MATCHED AND s.amount > 0 THEN UPDATE SET balance = s.amount"""))
+    assert(e.getMessage.contains("unreachable"))
+  }
+
+  test("cardinality check is fused into the rewrite: no extra job") {
+    val (_, eng) = fixture()
+    seed(eng)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      eng.sql("""MERGE INTO accounts t
+        USING (VALUES (2, 500.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET balance = s.amount""")
+      // listener events are posted asynchronously: wait until the count
+      // stabilizes rather than reaching into the private listener bus
+      var last = -1
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // matched-file probe + one rewrite action (9 jobs with AQE's
+    // per-stage sub-jobs). The old separate cardinality pre-check ran a
+    // whole extra action (join + isEmpty ≈ 3 more AQE jobs) before the
+    // rewrite; lock today's count so it cannot creep back in.
+    assert(jobs.get() <= 9, s"MERGE ran ${jobs.get()} jobs; expected <= 9")
+  }
+
   test("file-granular: merge carries unmatched files by reference") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE fg (id INT, v STRING)")
