@@ -743,23 +743,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-pruned ANN (scale path; rows-only).
+    // LSH-pruned ANN (scale path). Oracle-checkable via planted
+    // neighbors: the corpus is augmented with 10 copies of the query
+    // vector shifted by 0.02·i along the all-ones direction, giving a
+    // KNOWN exact top-10 (query itself + 9 nearest plants, cosine gaps
+    // ≥ 0.05 — far above the ≈0.46 random background and any
+    // float/double noise). The pruned search must find them all in
+    // order; DuckDB recomputes the exact side independently, so a
+    // recall regression in the LSH probe fails the hash match.
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = firstVector(e)
-      Similarity.lshTopK(e, "vec_id", "embedding", q, k = 10,
-          numPlanes = 12, maxHammingProbe = 3)
-        .withColumn("score", round(col("score"), 4))
+      rankedIds(Similarity.lshTopK(embeddingsWithPlanted(s, e, q),
+        "vec_id", "embedding", q, k = 10, numPlanes = 12, maxHammingProbe = 3))
     }),
 
     // IVF-pruned ANN over a PERSISTED index: k-means centroids, data
     // parquet-partitioned by `_ivf_list`, probe reads only the nprobe
     // nearest lists' directories — file-level pruning, the vector-search
-    // analogue of partition pruning (rows-only: sketch-based).
+    // analogue of partition pruning. Same planted-neighbor oracle as
+    // q_embed_ann_lsh: the nprobe-pruned probe must recover the known
+    // exact top-10.
     "q_embed_ivf" -> ((s, dir) => {
       val idx = Files.createTempDirectory("graft-ivf").toString
       ivfBuild(s, dir, idx)
-      ivfProbeQuery(s, dir, idx)
+      rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
     // =================================================================
@@ -1320,6 +1328,46 @@ object SparkEntry {
         |         ORDER BY vec_id LIMIT 1)), 4) AS score
         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Planted-neighbor ANN oracles: DuckDB rebuilds the same augmented
+    // corpus (query + 0.02·i shifts at vec_ids 900001..900010) and
+    // recomputes the EXACT top-10 — the pruned LSH/IVF searches must
+    // recover it exactly, so the hash match doubles as a recall gate.
+    // Ranks only (no scores): the ≥0.05 cosine gaps make the order
+    // immune to float(Spark)-vs-double(DuckDB) arithmetic noise.
+    "q_embed_ann_lsh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |planted AS (
+        |  SELECT 900000 + i AS vec_id,
+        |         list_transform(q.qv, x -> x + 0.02 * i) AS v
+        |  FROM range(1, 11) t(i), q),
+        |alld AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM planted)
+        |SELECT rank, vec_id FROM (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY list_cosine_similarity(v, (SELECT qv FROM q))
+        |             DESC, vec_id) AS INTEGER) AS rank, vec_id
+        |  FROM alld) x
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_embed_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |planted AS (
+        |  SELECT 900000 + i AS vec_id,
+        |         list_transform(q.qv, x -> x + 0.02 * i) AS v
+        |  FROM range(1, 11) t(i), q),
+        |alld AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM planted)
+        |SELECT rank, vec_id FROM (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY list_cosine_similarity(v, (SELECT qv FROM q))
+        |             DESC, vec_id) AS INTEGER) AS rank, vec_id
+        |  FROM alld) x
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     "q_embed_topk_multi" ->
       """SELECT query_id, rank, neighbor_id, score FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1400,14 +1448,38 @@ object SparkEntry {
     embeddings.orderBy(col("vec_id")).limit(1)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** The ANN corpus with 10 planted nearest neighbors of `q` at vec_ids
+    * 900001..900010: `q + 0.02·i` element-wise, monotonically farther
+    * with ≥0.05 cosine gaps — a KNOWN exact top-10 an oracle can
+    * recompute, in the high-similarity regime ANN exists to serve
+    * (the random base corpus tops out at ≈0.46 pair cosine). */
+  private def embeddingsWithPlanted(s: SparkSession, e: DataFrame,
+      q: Array[Float]): DataFrame =
+    e.select("vec_id", "embedding").unionByName(
+      s.range(1, 11).select(
+        (lit(900000L) + col("id")).as("vec_id"),
+        transform(lit(q), x => x + col("id").cast("float") * lit(0.02f))
+          .as("embedding")))
+
+  /** Score-ordered (rank, vec_id) of an ANN result — id-level agreement
+    * with the exact top-k is the recall claim the oracle checks; scores
+    * are excluded so float-vs-double noise cannot blur the hash. */
+  private def rankedIds(topk: DataFrame): DataFrame =
+    topk.select(row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))).as("rank"),
+      col("vec_id")).orderBy(col("rank"))
+
   /** IVF index construction alone (k-means + partitioned index write).
     * Split out of `q_embed_ivf` so the bench can bill build and probe
     * separately — a probe-side regression must not hide behind index
-    * construction cost.
+    * construction cost. The index includes the planted oracle neighbors
+    * (10 rows — negligible against the corpus).
     */
-  def ivfBuild(s: SparkSession, dir: String, idxDir: String): Unit =
-    Similarity.ivfWriteIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
-      idxDir, nlist = 16, iters = 2)
+  def ivfBuild(s: SparkSession, dir: String, idxDir: String): Unit = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfWriteIndex(embeddingsWithPlanted(s, e, firstVector(e)),
+      "vec_id", "embedding", idxDir, nlist = 16, iters = 2)
+  }
 
   /** IVF probe alone against an index previously written by [[ivfBuild]]:
     * reads only the `nprobe` nearest lists' directories.
