@@ -543,6 +543,31 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // Partition-spec evolution (Iceberg contract): month(ts) files from
+    // before the ALTER keep their month values, year(ts) files after it
+    // record year values, and a cross-boundary pruned read stays correct
+    // over the mixed population — no data rewritten by the ALTER.
+    "q_partition_evolve" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      val cut = lit(ts("2000-01-01 00:00:00"))
+      cat.createTable("orders_evo", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      cat.append("orders_evo", orders.filter(col("o_orderdate") < cut)
+        .repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      cat.setPartitionSpec("orders_evo",
+        graft.store.PartitionSpec("o_orderdate", "year"))
+      cat.append("orders_evo", orders.filter(col("o_orderdate") >= cut)
+        .repartition(date_format(col("o_orderdate"), "yyyy")), 2000L)
+      val pred = col("o_orderdate") >= lit(ts("1999-11-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("2000-03-01 00:00:00"))
+      cat.tableWhere("orders_evo", pred)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
     // SQL MERGE INTO (file-granular COW): update matched keys, insert the
     // rest — the statement that replaces the reference's manual max-id
     // continuation append (`append_iceberg.py:104-123`).
@@ -1149,6 +1174,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
         |  AND o_orderdate < TIMESTAMP '2000-06-01'
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_partition_evolve" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-11-01'
+        |  AND o_orderdate < TIMESTAMP '2000-03-01'
         |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
 
     "q_sql_merge" ->

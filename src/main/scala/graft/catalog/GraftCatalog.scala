@@ -170,6 +170,10 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     registerView(name)
   }
 
+  /** ALTER TABLE SET PARTITION SPEC: see [[TableStore.setPartitionSpec]]. */
+  def setPartitionSpec(name: String, spec: graft.store.PartitionSpec): Unit =
+    store().setPartitionSpec(name, spec)
+
   /** TRUNCATE TABLE: see [[TableStore.truncate]]. */
   def truncate(name: String,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {

@@ -74,6 +74,12 @@ object SqlDdl {
   private val AlterDrop =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
       "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
+  // Iceberg partition-spec evolution (`ALTER TABLE t SET PARTITION SPEC
+  // (month(ts))`): new writes use the new transform, old files keep the
+  // values they were written with, pruning handles both per file.
+  private val AlterSetPartitionSpec =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+PARTITION\\s+" +
+      "SPEC\\s*\\((.+?)\\)\\s*$").r
   // Maintenance statements (Delta's OPTIMIZE/VACUUM spelling; Iceberg
   // users reach the same via rewrite_data_files / expire_snapshots
   // procedures): OPTIMIZE bin-packs small files into a replace snapshot,
@@ -144,6 +150,10 @@ object SqlDdl {
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
       import catalog.spark.implicits._
       Some(rows.toDF("col_name", "data_type", "comment"))
+    case AlterSetPartitionSpec(t, specDef) =>
+      require(catalog.store().exists(t), s"table not found: $t")
+      catalog.setPartitionSpec(t, graft.store.PartitionSpec.parse(specDef))
+      Some(empty(catalog))
     case AlterAdd(t, colsDef) =>
       catalog.addColumns(t, parseSchema(stripOuterParens(colsDef)))
       Some(empty(catalog))

@@ -141,6 +141,34 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Partition-spec evolution (`ALTER TABLE … SET PARTITION SPEC`):
+    * subsequent writes cluster and record values under the NEW transform;
+    * existing files keep the values they were written with — no data is
+    * rewritten, Iceberg's spec-evolution contract. Pruning stays correct
+    * across the mixed file population because it is per-file and
+    * conservative: an old file's value recorded under a different column
+    * simply yields no partition range (footer stats still apply), and a
+    * same-column value in the old transform's format fails the new
+    * transform's parse into `ColRange(None, None)` — "cannot bound, keep
+    * the file". The only cross-parse ambiguity, identity(date) vs
+    * day(date), denotes the same single-day range either way.
+    *
+    * A pinned zone outlives the evolution: the old files' wall-clock
+    * renderings were fixed at CREATE time, so the writer/pruner zone
+    * agreement must persist across spec changes. Runs under the table
+    * lock so concurrent ALTERs serialize against racing writes' spec
+    * reads. */
+  def setPartitionSpec(table: String, spec: PartitionSpec): Unit = {
+    require(schema(table).fieldNames.exists(_.equalsIgnoreCase(spec.column)),
+      s"partition column '${spec.column}' not in schema of $table")
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val zone = partitionSpecZone(table).map(_._2).getOrElse(sessionZone)
+      writeString(new HPath(tableDir(table), "partition.json"),
+        s"""{"column":"${spec.column}","transform":"${spec.transform}",""" +
+          s""""zone":"${zone.getId}"}""")
+    }
+  }
+
   /** Whether the partition column's rendered values depend on a zone AND
     * the current session zone disagrees with the table's pinned zone. */
   private def zoneMismatch(table: String, sp: PartitionSpec,

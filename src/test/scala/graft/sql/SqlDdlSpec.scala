@@ -288,6 +288,24 @@ class SqlDdlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](eng.sql("SHOW PARTITIONS sp2"))
   }
 
+  test("ALTER TABLE SET PARTITION SPEC evolves the spec; old files keep old values") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE pse (id INT, d DATE) PARTITIONED BY (d)")
+    eng.sql("INSERT INTO pse VALUES (1, '2024-02-14'), (2, '2024-02-15')")
+    eng.sql("ALTER TABLE pse SET PARTITION SPEC (month(d))")
+    assert(cat.store().partitionSpec("pse").contains(
+      graft.store.PartitionSpec("d", "month")))
+    eng.sql("INSERT INTO pse VALUES (3, '2024-03-10'), (4, '2024-03-20')")
+    assert(cat.store().dataFilesAsOf("pse", None)
+      .flatMap(_.partition.get("d")).toSet ==
+      Set("2024-02-14", "2024-02-15", "2024-03"))
+    // queries stay correct over the mixed files (prune path included)
+    assert(eng.run("SELECT count(*) FROM pse WHERE d >= '2024-03-01'") == "[(2,)]")
+    assert(eng.run("SELECT id FROM pse WHERE d = '2024-02-14'") == "[(1,)]")
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE pse SET PARTITION SPEC (month(nope))"))
+  }
+
   test("ALTER TABLE ADD COLUMN handles parenthesized types and lists") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ap (id INT)")

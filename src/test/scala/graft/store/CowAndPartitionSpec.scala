@@ -243,6 +243,60 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.history("mf").count() == 1)
   }
 
+  test("partition-spec evolution: identity→month, mixed files prune per their own values") {
+    val st = newStore()
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val schema = Seq((day("2024-01-01"), 1)).toDF("d", "value").schema
+    st.create("pe", schema, Some(PartitionSpec("d", "identity")))
+    // old regime: one file per DAY (identity values)
+    st.append("pe", Seq((day("2024-02-14"), 1)).toDF("d", "value"), 1000L)
+    st.append("pe", Seq((day("2024-02-15"), 2)).toDF("d", "value"), 2000L)
+    st.setPartitionSpec("pe", PartitionSpec("d", "month"))
+    // new regime: one file per MONTH
+    st.append("pe", Seq((day("2024-03-10"), 3), (day("2024-03-20"), 4))
+      .toDF("d", "value"), 3000L)
+    val files = st.dataFilesAsOf("pe", None)
+    assert(files.flatMap(_.partition.get("d")).toSet ==
+      Set("2024-02-14", "2024-02-15", "2024-03"))
+
+    // day-scoped predicate: the matching OLD file alone (identity value
+    // prunes exactly; the March month-file's range excludes February)
+    val febPruned = st.prunedFiles("pe", col("d") === lit(day("2024-02-14")))
+    assert(febPruned.flatMap(_.partition.get("d")).toSet == Set("2024-02-14"))
+    // March predicate: the NEW files alone — old identity values parse
+    // under their own format and fall outside the range
+    val marPruned = st.prunedFiles("pe", col("d") >= lit(day("2024-03-01")))
+    assert(marPruned.flatMap(_.partition.get("d")).toSet == Set("2024-03"))
+    // results stay correct across the mixed population
+    assert(st.readWhere("pe", col("d") >= lit(day("2024-03-01")))
+      .agg(sum(col("value"))).head().getLong(0) == 7L)
+    assert(st.readWhere("pe", col("d") === lit(day("2024-02-14"))).count() == 1)
+  }
+
+  test("partition-spec evolution preserves the pinned zone and validates the column") {
+    val st = newStore()
+    val data = Seq((1, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+      .toDF("id", "ts")
+    st.create("pz", data.schema, Some(PartitionSpec("ts", "day")))
+    st.append("pz", data, 1000L)
+    intercept[IllegalArgumentException](
+      st.setPartitionSpec("pz", PartitionSpec("nope", "month")))
+    st.setPartitionSpec("pz", PartitionSpec("ts", "month"))
+    val key = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(key)
+    try {
+      // the CREATE-time zone pin must survive the evolution: a write in a
+      // different session zone still fails instead of mixing wall clocks
+      spark.conf.set(key, "Asia/Tokyo")
+      val e = intercept[IllegalArgumentException](st.append("pz", data, 2000L))
+      assert(e.getMessage.contains("pinned partition zone"))
+    } finally spark.conf.set(key, prior)
+    // in the pinned zone, new writes record month values
+    st.append("pz", data, 3000L)
+    assert(st.dataFilesAsOf("pz", None).flatMap(_.partition.get("ts")).toSet ==
+      Set("2024-01-05", "2024-01"))
+  }
+
   test("timestamp partition zone is pinned: mismatched writes fail, reads skip pruning") {
     val st = newStore()
     val data = Seq((1, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
