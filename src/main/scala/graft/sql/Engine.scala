@@ -133,22 +133,41 @@ final class Engine(catalog: GraftCatalog) {
       }
 
     def answer(node: LogicalPlan, items: Seq[Expression],
-        u: UnresolvedRelation): Option[DataFrame] =
+        u: UnresolvedRelation, cond: Option[Expression]): Option[DataFrame] =
       catalog.listTables()
         .find(t => tableRef(u).exists(r => norm(t) == norm(r)))
-        .flatMap(metaFor).flatMap { case (sch, recordCount, filesThunk) =>
-          // files hydrate at most once, and never for a pure COUNT
+        .flatMap(t => metaFor(t).map((t, _)))
+        .flatMap { case (t, (sch, recordCount, filesThunk)) =>
+          // files hydrate at most once, and never for an unfiltered COUNT
           lazy val files = filesThunk()
+          // with a WHERE: only when the predicate exactly partitions the
+          // file population (partition-aligned — every file all-match or
+          // no-match) can counts and bounds fold over the matching files;
+          // any partial file, or an unanalyzable condition, declines to
+          // the scan path
+          lazy val included: Option[Seq[graft.store.DataFile]] = cond match {
+            case None => Some(files)
+            case Some(c) => scala.util.Try(catalog.store()
+                .exactMatchFiles(t, files, GraftSqlShim.column(c)))
+              .toOption.flatten
+          }
           for {
             specs <- { val cs = items.map(classify)
                        if (cs.forall(_.isDefined)) Some(cs.flatten) else None }
             values <- traverse(specs) {
-              case CountStar => Some(recordCount: Any)
+              case CountStar if cond.isEmpty => Some(recordCount: Any)
+              case CountStar => included.flatMap { inc =>
+                // every matching file needs a logged row count (-1 =
+                // pre-counting log entry: decline, never guess)
+                if (inc.forall(_.records >= 0)) Some(inc.map(_.records).sum: Any)
+                else None
+              }
               case MinMax(isMin, colName) =>
                 for {
                   field <- sch.fields.find(f => norm(f.name) == norm(colName))
                   if statsTypes.contains(field.dataType)
-                  folded <- foldBounds(files, field.name.toLowerCase, isMin)
+                  inc <- included
+                  folded <- foldBounds(inc, field.name.toLowerCase, isMin)
                 } yield folded.map(external(field.dataType, _)).orNull
             }
             // names/types/nullability from the real analyzer over an empty
@@ -158,7 +177,8 @@ final class Engine(catalog: GraftCatalog) {
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   sch).queryExecution.analyzed)
-              GraftSqlShim.ofRows(spark, node.withNewChildren(Seq(emptyRel))).schema
+              val child = cond.map(Filter(_, emptyRel)).getOrElse(emptyRel)
+              GraftSqlShim.ofRows(spark, node.withNewChildren(Seq(child))).schema
             }.toOption
             if probe.length == values.length
           } yield {
@@ -171,13 +191,20 @@ final class Engine(catalog: GraftCatalog) {
     unwrapLimit(GraftSqlShim.parsePlan(spark, stmt)) match {
       // the parser emits Project(aggs, rel); GROUP-BY-less aggregation
       // only becomes Aggregate during analysis (GlobalAggregates) —
-      // match both for robustness
+      // match both for robustness. A Filter between the projection and
+      // the relation is the partition-aligned-WHERE case.
       case p @ Project(items, u: UnresolvedRelation)
           if tableRef(u).isDefined && items.nonEmpty =>
-        answer(p, items, u)
+        answer(p, items, u, None)
+      case p @ Project(items, Filter(c, u: UnresolvedRelation))
+          if tableRef(u).isDefined && items.nonEmpty =>
+        answer(p, items, u, Some(c))
       case a @ Aggregate(Seq(), items, u: UnresolvedRelation, _)
           if tableRef(u).isDefined && items.nonEmpty =>
-        answer(a, items, u)
+        answer(a, items, u, None)
+      case a @ Aggregate(Seq(), items, Filter(c, u: UnresolvedRelation), _)
+          if tableRef(u).isDefined && items.nonEmpty =>
+        answer(a, items, u, Some(c))
       case _ => None
     }
   }

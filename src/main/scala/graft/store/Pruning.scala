@@ -80,6 +80,74 @@ object Pruning {
       case _ => true // unknown shape: keep the file
     }
 
+  /** `true` only when the ranges PROVE every row of the file satisfies
+    * the predicate — the dual of [[mightMatch]], and deliberately
+    * asymmetric with it: anything unrecognised degrades to `false`
+    * ("cannot prove"), never to a wrong all-match claim. Together the two
+    * sides classify a file as all-match / no-match / partial, which is
+    * what lets a partition-aligned `COUNT(*) WHERE …` be answered from
+    * per-file record counts with no scan: a file whose partition range
+    * lies entirely inside the predicate contributes its whole count,
+    * entirely outside contributes nothing, and any partial file declines
+    * the metadata answer. Null handling matters here where it did not in
+    * [[mightMatch]]: a row with a NULL operand fails a WHERE clause, so a
+    * file that may contain nulls can never be all-match for a comparison.
+    */
+  def mustMatchAll(pred: Expression, ranges: Map[String, ColRange]): Boolean =
+    pred match {
+      case Literal(true, BooleanType) => true
+      case And(l, r) => mustMatchAll(l, ranges) && mustMatchAll(r, ranges)
+      case Or(l, r)  => mustMatchAll(l, ranges) || mustMatchAll(r, ranges)
+      case cmp: BinaryComparison =>
+        comparisonAll(cmp, ranges)
+      case In(a, list) if list.forall(_.foldable) =>
+        // provable only for a constant file: min == max == a listed value
+        attrRange(a, ranges).exists(r => !r.hasNulls &&
+          list.exists(e => constValue(e).exists(v => pointRangeEq(r, v))))
+      case IsNull(a)      => attrRange(a, ranges).exists(_.allNulls)
+      case IsNotNull(a)   => attrRange(a, ranges).exists(r => !r.hasNulls)
+      case Not(IsNull(a)) => attrRange(a, ranges).exists(r => !r.hasNulls)
+      case Not(IsNotNull(a)) => attrRange(a, ranges).exists(_.allNulls)
+      case _ => false // unknown shape: cannot prove
+    }
+
+  private def comparisonAll(cmp: BinaryComparison,
+      ranges: Map[String, ColRange]): Boolean = {
+    val canon: Option[(Expression, Expression, String)] = (cmp.left, cmp.right) match {
+      case (a, c) if c.foldable && !a.foldable =>
+        Some((a, c, opName(cmp, flipped = false)))
+      case (c, a) if c.foldable && !a.foldable =>
+        Some((a, c, opName(cmp, flipped = true)))
+      case _ => None
+    }
+    canon.exists { case (attr, const, op) =>
+      (attrRange(attr, ranges), constValue(const)) match {
+        case (Some(r), Some(v)) => evalOpAll(op, r, v)
+        case _ => false
+      }
+    }
+  }
+
+  private def evalOpAll(op: String, r: ColRange, v: Any): Boolean = {
+    if (r.hasNulls) return false // null rows fail every comparison
+    def cmpMin = r.min.flatMap(m => compare(m, v))
+    def cmpMax = r.max.flatMap(m => compare(m, v))
+    op match {
+      case "=" | "<=>" => pointRangeEq(r, v)
+      case "<"  => cmpMax.exists(_ < 0)  // every value below v iff max < v
+      case "<=" => cmpMax.exists(_ <= 0)
+      case ">"  => cmpMin.exists(_ > 0)
+      case ">=" => cmpMin.exists(_ >= 0)
+      case _    => false
+    }
+  }
+
+  /** Both bounds known and equal to `v` (the file is constant at `v`). */
+  private def pointRangeEq(r: ColRange, v: Any): Boolean =
+    !r.hasNulls &&
+      r.min.exists(m => compare(m, v).contains(0)) &&
+      r.max.exists(m => compare(m, v).contains(0))
+
   /** Some(false) = provably no match; Some(true)/None = keep. */
   private def comparison(cmp: BinaryComparison,
       ranges: Map[String, ColRange]): Option[Boolean] = {

@@ -444,19 +444,29 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private def pruneList(table: String, files: Seq[DataFile],
       predicate: Column): Seq[DataFile] = {
     if (files.isEmpty) return files
+    val (hasPart, rangesOf) = fileRangeInfo(table)
+    if (!hasPart && files.forall(_.stats.isEmpty)) return files
+    val pe = analyzedPredicate(table, predicate)
+    files.filter(f => Pruning.mightMatch(pe, rangesOf(f)))
+  }
+
+  /** Per-file column ranges for the pruning/exactness evaluators: the
+    * partition-derived range (when the spec survives the zone check)
+    * intersected with the logged footer stats. Returns whether a live
+    * partition dimension exists plus the per-file range function. */
+  private def fileRangeInfo(table: String)
+      : (Boolean, DataFile => Map[String, Pruning.ColRange]) = {
     // zone drifted since create: partition values and predicate literals
     // live in different wall-clock frames — the partition dimension is
     // skipped (conservative); stored column stats are zone-free
     val partInfo = partitionSpecZone(table)
       .filterNot { case (sp, z) => zoneMismatch(table, sp, z) }
-    if (partInfo.isEmpty && files.forall(_.stats.isEmpty)) return files
     val sch = schema(table)
     val srcType = partInfo.map { case (sp, _) =>
       sch.fields.find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
         .getOrElse(StringType)
     }
-    val pe = analyzedPredicate(table, predicate)
-    files.filter { f =>
+    (partInfo.isDefined, { f =>
       val partRanges: Map[String, Pruning.ColRange] = partInfo match {
         case Some((sp, zone)) =>
           f.partition.get(sp.column) match {
@@ -469,14 +479,35 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       val statRanges = f.stats.map { case (c, b) => c -> Pruning.fromBounds(b) }
       // both describe the same file: intersect per column (an unbounded
       // stats entry must never loosen a bounded partition-derived range)
-      val merged = (partRanges.keySet ++ statRanges.keySet).map { c =>
+      (partRanges.keySet ++ statRanges.keySet).map { c =>
         c -> ((partRanges.get(c), statRanges.get(c)) match {
           case (Some(p), Some(s)) => Pruning.intersect(p, s)
           case (p, s)             => p.orElse(s).get
         })
       }.toMap
-      Pruning.mightMatch(pe, merged)
+    })
+  }
+
+  /** EXACT file classification under `predicate` — the metadata layer
+    * behind filtered `COUNT(*)`/`MIN`/`MAX` with no scan: Some(allMatch)
+    * when every file is provably all-match or no-match (a
+    * partition-aligned predicate over partition/stat ranges), None as
+    * soon as one file might match partially. Unlike [[pruneList]], which
+    * is conservative and always safe, callers may fold per-file record
+    * counts or bounds over the returned files ONLY because the
+    * classification is exact. */
+  private[graft] def exactMatchFiles(table: String, files: Seq[DataFile],
+      predicate: Column): Option[Seq[DataFile]] = {
+    if (files.isEmpty) return Some(Seq.empty)
+    val (_, rangesOf) = fileRangeInfo(table)
+    val pe = analyzedPredicate(table, predicate)
+    val out = Seq.newBuilder[DataFile]
+    for (f <- files) {
+      val ranges = rangesOf(f)
+      if (Pruning.mustMatchAll(pe, ranges)) out += f
+      else if (Pruning.mightMatch(pe, ranges)) return None // partial file
     }
+    Some(out.result())
   }
 
   /** Resolve `predicate` against the table schema so the pruning walker

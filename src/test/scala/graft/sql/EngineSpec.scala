@@ -281,13 +281,88 @@ class EngineSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
-  test("filtered or grouped COUNT still scans (metadata path declines)") {
+  test("partition-aligned filtered COUNT/MIN/MAX answer from metadata, no scan") {
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-engine"), spark)
+    cat.createDatabase("default")
+    val engine = new Engine(cat)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1, ts("2024-02-14 08:00:00")), (2, ts("2024-02-14 18:00:00")),
+      (3, ts("2024-02-15 09:00:00")),
+      (4, ts("2024-02-16 10:00:00")), (5, ts("2024-02-16 11:00:00")),
+      (6, ts("2024-02-16 12:00:00"))).toDF("id", "t")
+    cat.createTable("ev", rows.schema,
+      Some(graft.store.PartitionSpec("t", "day")))
+    cat.append("ev", rows.repartition(org.apache.spark.sql.functions
+      .date_format(org.apache.spark.sql.functions.col("t"), "yyyy-MM-dd")))
+    def isLocal(q: String) =
+      engine.sql(q).queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // day-scoped count: every file is all-in or all-out → O(files) metadata
+    val day = "SELECT COUNT(*) FROM ev WHERE t >= TIMESTAMP '2024-02-15 00:00:00'" +
+      " AND t < TIMESTAMP '2024-02-16 00:00:00'"
+    assert(isLocal(day))
+    assert(engine.run(day) == "[(1,)]")
+    val range = "SELECT COUNT(*) AS cnt FROM ev" +
+      " WHERE t >= TIMESTAMP '2024-02-15 00:00:00'"
+    assert(isLocal(range))
+    assert(engine.run(range) == "[(4,)]")
+    // bounds fold over the matching files only
+    val mm = "SELECT MIN(id), MAX(id) FROM ev" +
+      " WHERE t >= TIMESTAMP '2024-02-16 00:00:00'"
+    assert(isLocal(mm))
+    assert(engine.run(mm) == "[(4, 6)]")
+    // a predicate cutting through a day cannot be answered exactly from
+    // partition values — unless the file's actual stats settle it; force
+    // a straddle (the 02-14 file spans 08:00–18:00) → scan, still correct
+    val partial = "SELECT COUNT(*) FROM ev WHERE t >= TIMESTAMP '2024-02-14 12:00:00'"
+    assert(!isLocal(partial))
+    assert(engine.run(partial) == "[(5,)]")
+  }
+
+  test("property: partition-aligned filtered COUNT ≡ scan for any data and cut") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.col
+    val genRows = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 4), Gen.option(Gen.choose(0, 4)))))
+    var trial = 0
+    val prop = Prop.forAll(genRows, Gen.choose(0, 5), Gen.oneOf("=", ">=", "<")) {
+      (rows, cut, op) =>
+        trial += 1
+        val cat = new GraftCatalog(Files.createTempDirectory("graft-fc"), spark)
+        cat.createDatabase("default")
+        val engine = new Engine(cat)
+        val name = s"fct$trial"
+        val df = rows.zipWithIndex
+          .map { case ((p, v), i) => (i, p, v) }.toDF("id", "p", "v")
+        cat.createTable(name, df.schema,
+          Some(graft.store.PartitionSpec("p", "identity")))
+        // one file per partition value → identity-aligned predicates are
+        // always exactly classifiable (point ranges)
+        cat.append(name, df.repartition(col("p")))
+        val q = s"SELECT COUNT(*) FROM $name WHERE p $op $cut"
+        val meta = engine.sql(q)
+        val isLocal = meta.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        val expected = cat.table(name).filter(s"p $op $cut").count()
+        isLocal && meta.head().getLong(0) == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("unclassifiable or grouped COUNT still scans (metadata path declines)") {
     val (_, engine) = fixture()
+    // stats CAN settle this one exactly here (single-row files) — value
+    // first, plan shape covered by the partition-aligned tests
     assert(engine.run("SELECT COUNT(*) FROM items WHERE id > 1") == "[(2,)]")
     assert(engine.run("SELECT COUNT(DISTINCT id) FROM items") == "[(3,)]")
-    val scanned = engine.sql("SELECT COUNT(*) FROM items WHERE id > 1")
+    // a predicate the range evaluators cannot classify must take the scan
+    val scanned = engine.sql("SELECT COUNT(*) FROM items WHERE id % 2 = 1")
     assert(!scanned.queryExecution.optimizedPlan.collectLeaves().forall(
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(engine.run("SELECT COUNT(*) FROM items WHERE id % 2 = 1") == "[(2,)]")
   }
 
   test("a RECURSIVE CTE named like a table keeps its self-reference") {
