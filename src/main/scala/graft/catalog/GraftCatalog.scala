@@ -54,13 +54,22 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     else fs.listStatus(warehouse).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).sorted
 
-  def listTables(): Seq[String] = {
-    val dbDir = new HPath(warehouse, currentDb)
+  def listTables(): Seq[String] = listTablesIn(currentDb)
+
+  /** Tables of an arbitrary database — the catalog is keyed by
+    * (database, table), so a `db.table` reference never needs a `USE`
+    * (the reference keeps its PC-variant schema in its own database,
+    * `/root/reference/iceberg-PC.py:97`). */
+  def listTablesIn(db: String): Seq[String] = {
+    val dbDir = new HPath(warehouse, db)
     if (!fs.exists(dbDir)) Seq.empty
     else fs.listStatus(dbDir).toSeq.map(_.getPath)
       .filter(d => fs.exists(SnapshotLog.logPath(d)))
       .map(_.getName).sorted
   }
+
+  def databaseExists(name: String): Boolean =
+    fs.exists(new HPath(warehouse, name))
 
   def createTable(name: String, schema: StructType,
       partition: Option[PartitionSpec] = None,

@@ -27,14 +27,18 @@ final class Engine(catalog: GraftCatalog) {
         TimeTravelRewriter.rewrite(cleaned)
       (asOf, version) match {
         case (Some(ms), _)  =>
-          metadataAgg(stmt, t => catalog.store().snapshotMetaAsOf(t, Some(ms)))
-            .getOrElse(
-              pinnedQuery(stmt, (t, cond) => pinnedPruned(t, cond, Some(ms))))
+          metadataAgg(stmt,
+            (db, t) => catalog.store(db).snapshotMetaAsOf(t, Some(ms)))
+            .getOrElse(pinnedQuery(stmt,
+              (db, t, cond) => pinnedPruned(db, t, cond, Some(ms))))
         case (_, Some(id))  =>
-          metadataAgg(stmt, t => catalog.store().snapshotMetaVersion(t, id))
-            .getOrElse(pinnedQuery(stmt, (t, _) => catalog.tableVersion(t, id)))
+          metadataAgg(stmt,
+            (db, t) => catalog.store(db).snapshotMetaVersion(t, id))
+            .getOrElse(pinnedQuery(stmt,
+              (db, t, _) => catalog.store(db).readVersion(t, id)))
         case _              =>
-          metadataAgg(stmt, t => catalog.store().snapshotMetaAsOf(t, None))
+          metadataAgg(stmt,
+            (db, t) => catalog.store(db).snapshotMetaAsOf(t, None))
             .getOrElse(prunedQuery(stmt))
       }
     }
@@ -61,8 +65,8 @@ final class Engine(catalog: GraftCatalog) {
     * the answer is byte-identical to what the scan would render.
     */
   private def metadataAgg(stmt: String,
-      metaFor: String => Option[(org.apache.spark.sql.types.StructType, Long,
-        () => Seq[graft.store.DataFile])]): Option[DataFrame] = {
+      metaFor: (String, String) => Option[(org.apache.spark.sql.types.StructType,
+        Long, () => Seq[graft.store.DataFile])]): Option[DataFrame] = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
@@ -123,21 +127,26 @@ final class Engine(catalog: GraftCatalog) {
       case other => sys.error(s"unreachable stats type $other")
     }
 
-    // a bare name, or one qualified with the CURRENT database (the
-    // reference's `USE db` + `db.table` style) — foreign dbs decline
-    def tableRef(u: UnresolvedRelation): Option[String] =
+    // a bare name (current database), or one qualified with ANY existing
+    // database — the catalog is keyed by (db, table), per the reference's
+    // own multi-database layout (`iceberg-PC.py:97`)
+    def tableRef(u: UnresolvedRelation): Option[(String, String)] =
       u.multipartIdentifier match {
-        case Seq(one) => Some(one)
-        case Seq(db, tbl) if norm(db) == norm(catalog.database) => Some(tbl)
+        case Seq(one) =>
+          catalog.listTables().find(t => norm(t) == norm(one))
+            .map(catalog.database -> _)
+        case Seq(db, tbl) =>
+          catalog.listDatabases().find(d => norm(d) == norm(db))
+            .flatMap(realDb => catalog.listTablesIn(realDb)
+              .find(t => norm(t) == norm(tbl)).map(realDb -> _))
         case _ => None
       }
 
     def answer(node: LogicalPlan, items: Seq[Expression],
         u: UnresolvedRelation, cond: Option[Expression]): Option[DataFrame] =
-      catalog.listTables()
-        .find(t => tableRef(u).exists(r => norm(t) == norm(r)))
-        .flatMap(t => metaFor(t).map((t, _)))
-        .flatMap { case (t, (sch, recordCount, filesThunk)) =>
+      tableRef(u)
+        .flatMap { case (db, t) => metaFor(db, t).map((db, t, _)) }
+        .flatMap { case (db, t, (sch, recordCount, filesThunk)) =>
           // files hydrate at most once, and never for an unfiltered COUNT
           lazy val files = filesThunk()
           // with a WHERE: only when the predicate exactly partitions the
@@ -147,7 +156,7 @@ final class Engine(catalog: GraftCatalog) {
           // the scan path
           lazy val included: Option[Seq[graft.store.DataFile]] = cond match {
             case None => Some(files)
-            case Some(c) => scala.util.Try(catalog.store()
+            case Some(c) => scala.util.Try(catalog.store(db)
                 .exactMatchFiles(t, files, GraftSqlShim.column(c)))
               .toOption.flatten
           }
@@ -249,13 +258,13 @@ final class Engine(catalog: GraftCatalog) {
     * day-partitioned table scan the day, not the snapshot. Any analysis
     * hiccup falls back to the unpruned pinned read (the filter stays on
     * top, so pruning can only drop provably-unmatchable files). */
-  private def pinnedPruned(t: String,
+  private def pinnedPruned(db: String, t: String,
       cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       asOfMs: Option[Long]): DataFrame =
-    cond.filter(_ => catalog.store().partitionSpec(t).isDefined)
-      .flatMap(c => scala.util.Try(catalog.store().readPruned(t,
+    cond.filter(_ => catalog.store(db).partitionSpec(t).isDefined)
+      .flatMap(c => scala.util.Try(catalog.store(db).readPruned(t,
         org.apache.spark.sql.GraftSqlShim.column(c), asOfMs)).toOption)
-      .getOrElse(catalog.table(t, asOfMs))
+      .getOrElse(catalog.store(db).read(t, asOfMs))
 
   /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
     * The statement is PARSED and each [[UnresolvedRelation]] naming a
@@ -274,14 +283,16 @@ final class Engine(catalog: GraftCatalog) {
     * shadows the base table for references *after* its definition
     * (`WITH items AS (…) SELECT … FROM items` reads the CTE), while the
     * definition body itself still reads — and pins — the base table;
-    * (c) a qualified name under the CURRENT database (`db.items` after
-    * `USE db` — the reference's own style, `append_iceberg.py:176`) pins
-    * like the bare name, while one under a FOREIGN database fails fast
+    * (c) a qualified name resolves against ITS database — the current one
+    * (`db.items` after `USE db`, the reference's own style,
+    * `append_iceberg.py:176`) or any other existing database (the
+    * reference keeps its PC schema in a separate db, `iceberg-PC.py:97`)
+    * — while a name under a database that does not exist fails fast
     * instead of silently reading the current snapshot while the rest of
     * the query is pinned.
     */
   private def pinnedQuery(stmt: String,
-      pinnedRead: (String,
+      pinnedRead: (String, String,
         Option[org.apache.spark.sql.catalyst.expressions.Expression]) => DataFrame)
       : DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
@@ -335,26 +346,34 @@ final class Engine(catalog: GraftCatalog) {
         cond: Option[Expression]): LogicalPlan = {
       // only the UNPRUNED pin is cached — a condition-pruned plan is a
       // file subset and must never serve another reference
-      def pin(t: String): LogicalPlan = cond match {
-        case Some(c) => pinnedRead(t, Some(c)).queryExecution.analyzed
-        case None =>
-          pinned.getOrElseUpdate(t, pinnedRead(t, None).queryExecution.analyzed)
+      def pin(db: String, t: String): LogicalPlan = cond match {
+        case Some(c) => pinnedRead(db, t, Some(c)).queryExecution.analyzed
+        case None => pinned.getOrElseUpdate(s"$db.$t",
+          pinnedRead(db, t, None).queryExecution.analyzed)
       }
       u.multipartIdentifier match {
         case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>
-          SubqueryAlias(one, pin(byName(norm(one))))
+          SubqueryAlias(one, pin(catalog.database, byName(norm(one))))
         // CTE names are single-part, so a qualified reference is never
-        // shadowed; one qualified with the CURRENT database resolves like
-        // the bare name (the reference's `USE db` + `db.table` style) and
-        // the alias keeps both parts so `db.table.col` references work
-        case Seq(db, tbl) if norm(db) == norm(catalog.database) &&
-            byName.contains(norm(tbl)) =>
-          SubqueryAlias(Seq(db, tbl), pin(byName(norm(tbl))))
+        // shadowed; a qualified name resolves against ITS database —
+        // current or foreign — and the alias keeps both parts so
+        // `db.table.col` references work
+        case Seq(db, tbl) =>
+          catalog.listDatabases().find(d => norm(d) == norm(db))
+            .flatMap(realDb => catalog.listTablesIn(realDb)
+              .find(t => norm(t) == norm(tbl)).map(realDb -> _)) match {
+            case Some((realDb, t)) =>
+              SubqueryAlias(Seq(db, tbl), pin(realDb, t))
+            case None if byName.contains(norm(tbl)) =>
+              throw new IllegalArgumentException(
+                s"time travel cannot pin qualified name '$db.$tbl': " +
+                  s"database '$db' does not exist or has no such table")
+            case None => u
+          }
         case parts if parts.size > 1 && byName.contains(norm(parts.last)) =>
           throw new IllegalArgumentException(
             s"time travel cannot pin qualified name '${parts.mkString(".")}': " +
-              s"'${parts.init.mkString(".")}' is not the current database " +
-              "(USE it first)")
+              s"'${parts.init.mkString(".")}' is not a known database")
         case _ => u
       }
     }
@@ -380,23 +399,27 @@ final class Engine(catalog: GraftCatalog) {
     def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
     lazy val byName = catalog.listTables().map(t => norm(t) -> t).toMap
 
-    // The catalog table a relation refers to: a bare unshadowed name, or
-    // a name qualified with the CURRENT database (CTE names are
-    // single-part, so a qualified reference is never shadowed).
+    // The catalog table a relation refers to: a bare unshadowed name in
+    // the current database, or a name qualified with ANY existing
+    // database (CTE names are single-part, so a qualified reference is
+    // never shadowed).
     def resolveTable(u: UnresolvedRelation,
-        shadowed: Set[String]): Option[String] =
+        shadowed: Set[String]): Option[(String, String)] =
       u.multipartIdentifier match {
-        case Seq(one) if !shadowed(norm(one)) => byName.get(norm(one))
-        case Seq(db, tbl) if norm(db) == norm(catalog.database) =>
-          byName.get(norm(tbl))
+        case Seq(one) if !shadowed(norm(one)) =>
+          byName.get(norm(one)).map(catalog.database -> _)
+        case Seq(db, tbl) =>
+          catalog.listDatabases().find(d => norm(d) == norm(db))
+            .flatMap(realDb => catalog.listTablesIn(realDb)
+              .find(t => norm(t) == norm(tbl)).map(realDb -> _))
         case _ => None
       }
 
     // Some(pruned analyzed plan) only for a partitioned catalog table
     // whose filter analyzes against its schema; anything else → None →
     // the relation resolves through its temp view as usual.
-    def pruned(t: String, cond: Expression): Option[LogicalPlan] = {
-      val store = catalog.store()
+    def pruned(db: String, t: String, cond: Expression): Option[LogicalPlan] = {
+      val store = catalog.store(db)
       // one log read serves both the prunability check and the prune
       val files = store.dataFilesAsOf(t, None)
       val prunable = store.partitionSpec(t).isDefined ||
@@ -408,12 +431,20 @@ final class Engine(catalog: GraftCatalog) {
     }
 
     // A current-db qualified relation resolves through its bare temp
-    // view, aliased with both parts so `db.table.col` references work.
+    // view, aliased with both parts so `db.table.col` references work; a
+    // FOREIGN-db one has no temp view, so the latest snapshot's analyzed
+    // plan is spliced in directly.
     def plainRel(u: UnresolvedRelation, shadowed: Set[String]): LogicalPlan =
       u.multipartIdentifier match {
         case Seq(db, tbl) if norm(db) == norm(catalog.database) &&
             byName.contains(norm(tbl)) =>
           SubqueryAlias(Seq(db, tbl), u.copy(multipartIdentifier = Seq(tbl)))
+        case Seq(db, tbl) =>
+          resolveTable(u, shadowed) match {
+            case Some((realDb, t)) => SubqueryAlias(Seq(db, tbl),
+              catalog.store(realDb).read(t, None).queryExecution.analyzed)
+            case None => u
+          }
         case _ => u
       }
 
@@ -430,11 +461,13 @@ final class Engine(catalog: GraftCatalog) {
       case f: Filter =>
         val child = f.child match {
           case u: UnresolvedRelation =>
-            resolveTable(u, shadowed).flatMap(pruned(_, f.condition))
+            resolveTable(u, shadowed)
+              .flatMap { case (db, t) => pruned(db, t, f.condition) }
               .map(SubqueryAlias(u.multipartIdentifier, _))
               .getOrElse(plainRel(u, shadowed))
           case sa @ SubqueryAlias(_, u: UnresolvedRelation) =>
-            resolveTable(u, shadowed).flatMap(pruned(_, f.condition))
+            resolveTable(u, shadowed)
+              .flatMap { case (db, t) => pruned(db, t, f.condition) }
               .map(p => sa.copy(child =
                 SubqueryAlias(u.multipartIdentifier, p)))
               .getOrElse(sa.copy(child = plainRel(u, shadowed)))

@@ -158,6 +158,42 @@ class EngineSpec extends AnyFunSuite {
         "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
   }
 
+  test("foreign-database qualified names resolve across all SQL paths") {
+    val (cat, engine) = fixture() // default.items, ids 1..3
+    cat.createDatabase("pcdb")
+    // populate pcdb WITHOUT a USE: the catalog is keyed by (db, table)
+    val df = Seq((10, "x"), (11, "y")).toDF("pid", "pname")
+    cat.store("pcdb").create("products", df.schema)
+    cat.store("pcdb").append("products", df, 1000L)
+    cat.store("pcdb").append("products", Seq((12, "z")).toDF("pid", "pname"), 2000L)
+    def isLocal(q: String) =
+      engine.sql(q).queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // plain read + WHERE (the pruning walk), current database untouched
+    assert(engine.run("SELECT pname FROM pcdb.products WHERE pid = 11") ==
+      "[('y',)]")
+    assert(catalog_db(cat) == "default")
+    // metadata-answered aggregates stay metadata-answered when foreign
+    assert(isLocal("SELECT COUNT(*) FROM pcdb.products"))
+    assert(engine.run("SELECT COUNT(*) FROM pcdb.products") == "[(3,)]")
+    assert(engine.run("SELECT MAX(pid) FROM pcdb.products") == "[(12,)]")
+    // time travel pins the foreign table's snapshot (ms epoch 1000 = :01)
+    assert(engine.run("SELECT COUNT(*) FROM pcdb.products " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'") == "[(2,)]")
+    assert(engine.run("SELECT COUNT(*) FROM pcdb.products " +
+      "FOR SYSTEM_VERSION AS OF 1") == "[(2,)]")
+    // cross-database join
+    assert(engine.run("SELECT i.name, p.pname FROM items i " +
+      "JOIN pcdb.products p ON p.pid = i.id + 9 ORDER BY i.id") ==
+      "[('alpha', 'x'), ('beta', 'y'), ('gamma', 'z')]")
+    // a database that does not exist still fails fast under time travel
+    assertThrows[IllegalArgumentException](
+      engine.sql("SELECT COUNT(*) FROM nodb.items " +
+        "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01'"))
+  }
+
+  private def catalog_db(cat: GraftCatalog): String = cat.database
+
   test("current-database qualified names work on the plain SQL path") {
     val (_, engine) = fixture()
     // metadata-answered COUNT stays metadata-answered when qualified
