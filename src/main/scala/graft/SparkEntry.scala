@@ -707,6 +707,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MinHash banding + exact-Jaccard verification over a corpus with
+    // PLANTED near-duplicates an oracle can rebuild: each of the first
+    // 25 docs gets an 80%-token-prefix twin at doc_id+100000
+    // (jaccard ≈ 0.8, background pairs ≈ 0.02 at the verify scale).
+    // The banding must surface every planted pair and the verification
+    // scores must match DuckDB's recomputation from raw text — a full
+    // recall + scoring gate on the LSH path, while q_minhash_pairs
+    // keeps exercising the real corpus (rows-only, sketch-based).
+    "q_minhash_pairs_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+      val tk = TextAnalysis.tokens(col("text"))
+      val m = greatest(lit(3), floor(size(tk) * lit(4.0) / 5).cast("int"))
+      val variants = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tk, lit(1), m)).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(variants)
+      Dedup.minhashNearDuplicates(all, "doc_id", "text", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup candidates (rows-only). Radius 4 is the widest a
     // 64-bit sketch can shard (Dedup.MaxSimhashRadius) — looser
     // similarity goes through minhash banding instead.
@@ -726,6 +746,26 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, sharedCandidatePairs(s, dir), "doc_id", "text", n = 3)
         .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 4))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The same word-3-gram Jaccard scorer over a DETERMINISTIC pair set
+    // an oracle can rebuild: each of the first 25 docs paired with its
+    // own 60%-token prefix (planted at doc_id+100000). Prefix grams are
+    // a subset of the doc's grams, so every score is a nontrivial ratio
+    // DuckDB recomputes from the raw text — the scorer gets a full hash
+    // check while the LSH-candidate variant above stays sketch-based.
+    "q_ngram_jaccard_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+      val tk = TextAnalysis.tokens(col("text"))
+      val m = greatest(lit(3), floor(size(tk) * lit(3.0) / 5).cast("int"))
+      val variants = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tk, lit(1), m)).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(variants)
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b"))
+      Dedup.ngramJaccard(all, pairs, "doc_id", "text", n = 3)
+        .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 4))
+        .orderBy(col("id_a"))
     }),
 
     // Embedding-cosine near-dup via hyperplane LSH (rows-only). The
@@ -1413,6 +1453,62 @@ object SparkEntry {
         |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) x
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Planted-pair MinHash gate: DuckDB recomputes exact word-3-gram
+    // Jaccard for every planted (doc, 80%-prefix twin) pair and keeps
+    // those >= 0.5 — the banding must surface exactly that set with
+    // matching scores. Background pairs sit at ~0.02 at this scale, so
+    // the threshold separates cleanly.
+    "q_minhash_pairs_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tka
+        |  FROM documents WHERE doc_id < 25),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b, tka,
+        |         tka[1:greatest(3, CAST(floor(len(tka) * 4.0 / 5) AS INT))] AS tkb
+        |  FROM base),
+        |g AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN len(tka) < 3 THEN [array_to_string(tka, chr(1))]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tka)-2),
+        |        i -> array_to_string(tka[i:i+2], chr(1)))) END AS ga,
+        |    CASE WHEN len(tkb) < 3 THEN [array_to_string(tkb, chr(1))]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tkb)-2),
+        |        i -> array_to_string(tkb[i:i+2], chr(1)))) END AS gb
+        |  FROM pairs)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |         len(list_intersect(ga, gb))::DOUBLE
+        |           / len(list_distinct(ga || gb)) AS j
+        |  FROM g) x
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Word-3-gram Jaccard of each doc against its 60%-token prefix —
+    // DuckDB rebuilds the exact gram sets from raw text (the engine
+    // compares 64-bit gram hashes; identical unless a hash collision,
+    // none in this corpus).
+    "q_ngram_jaccard_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tka
+        |  FROM documents WHERE doc_id < 25),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, tka,
+        |         tka[1:greatest(3, CAST(floor(len(tka) * 3.0 / 5) AS INT))] AS tkb
+        |  FROM base),
+        |g AS (
+        |  SELECT id_a,
+        |    CASE WHEN len(tka) < 3 THEN [array_to_string(tka, chr(1))]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tka)-2),
+        |        i -> array_to_string(tka[i:i+2], chr(1)))) END AS ga,
+        |    CASE WHEN len(tkb) < 3 THEN [array_to_string(tkb, chr(1))]
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tkb)-2),
+        |        i -> array_to_string(tkb[i:i+2], chr(1)))) END AS gb
+        |  FROM pairs)
+        |SELECT id_a, id_a + 100000 AS id_b,
+        |  round(CASE WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0
+        |    ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb))
+        |    END, 4) AS ngram_jaccard
+        |FROM g ORDER BY id_a""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
