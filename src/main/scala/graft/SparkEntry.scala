@@ -768,20 +768,24 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
-    // Embedding-cosine near-dup via hyperplane LSH (rows-only). The
+    // Embedding-cosine near-dup via amplified hyperplane LSH. The
     // testdata embeddings are near-orthogonal random vectors (max pair
     // cosine ≈ 0.46), so near-duplicates are planted: each vec_id < 20
-    // gets a slightly-perturbed copy at id+100000 — the operator must
-    // find exactly those pairs, making the row count meaningful instead
-    // of vacuously zero.
+    // gets a slightly-perturbed copy at id+100000 (cosine 0.917–0.936).
+    // 12 tables × 6 planes put recall at the planted similarity ≈ 1, so
+    // the operator must surface ALL 20 planted pairs — and DuckDB
+    // recomputes their exact cosines from the same construction, making
+    // this a full recall + scoring oracle. Scores round to 3 decimals:
+    // every planted cosine sits ≥5e-5 from a 3-decimal boundary, far
+    // beyond the ~1e-7 float(engine)-vs-double(DuckDB) noise.
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planted = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.05f)).as("embedding"))
       Dedup.embeddingNearDuplicates(e.select("vec_id", "embedding").union(planted),
-          "vec_id", "embedding", threshold = 0.9, numPlanes = 8)
-        .withColumn("cosine", round(col("cosine"), 4))
+          "vec_id", "embedding", threshold = 0.9, numPlanes = 6, numTables = 12)
+        .withColumn("cosine", round(col("cosine"), 3))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1453,6 +1457,20 @@ object SparkEntry {
         |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) x
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Planted-pair embedding near-dup gate: the 20 perturbed copies are
+    // the ONLY pairs above the 0.9 threshold (background tops out at
+    // ≈0.46), so the amplified LSH must surface exactly this set with
+    // matching cosines.
+    "q_embed_neardup" ->
+      """SELECT id_a, id_b, round(list_cosine_similarity(orig, v), 3) AS cosine
+        |FROM (
+        |  SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        |         CAST(embedding AS DOUBLE[]) AS orig,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS v
+        |  FROM embeddings WHERE vec_id < 20) p
+        |WHERE list_cosine_similarity(orig, v) >= 0.9
+        |ORDER BY id_a""".stripMargin,
 
     // Planted-pair MinHash gate: DuckDB recomputes exact word-3-gram
     // Jaccard for every planted (doc, 80%-prefix twin) pair and keeps

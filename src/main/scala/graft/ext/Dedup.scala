@@ -449,20 +449,37 @@ object Dedup {
     * the 16-bit sketch), cosine verified per candidate pair. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, seed: Long = 42L,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1 (got $numTables)")
+    // LSH amplification: `numTables` independent plane sets (distinct
+    // seeds), candidates = bucket collisions in ANY table. One table of
+    // k planes catches a pair with probability p^k (p = 1 - angle/pi),
+    // which collapses fast as similarity drops toward the threshold;
+    // L tables lift recall to 1-(1-p^k)^L — the knob that makes a 0.9
+    // threshold reachable without abandoning pruning. Cost scales
+    // linearly in L (the candidate join stays banded per (table,
+    // bucket)); exact cosines still gate every emitted pair.
+    val tables = (0 until numTables).map(tb =>
+      struct(lit(tb).as("_table"),
+        GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed + tb)
+          .as("_bucket")))
     // persist before the cap — see minhashCandidatePairs
     val sk = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        GraftFunctions.hyperplaneLsh(col(vecCol), numPlanes, seed).as("_bucket"))
+        explode(array(tables: _*)).as("_tb"))
+      .select(col("_id"), col("_v"),
+        col("_tb._table").as("_table"), col("_tb._bucket").as("_bucket"))
       .persist()
-    val capped = capBuckets(sk, Seq("_bucket"), maxBucket)
-    val a = capped.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = capped.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
-    val pairs = a.join(b, Seq("_bucket"))
+    val capped = capBuckets(sk, Seq("_table", "_bucket"), maxBucket)
+    val a = capped.select(col("_table"), col("_bucket"),
+      col("_id").as("id_a"), col("_v").as("_va"))
+    val b = capped.select(col("_table"), col("_bucket"),
+      col("_id").as("id_b"), col("_v").as("_vb"))
+    val pairs = a.join(b, Seq("_table", "_bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", GraftFunctions.cosineSim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
+      .distinct() // a pair may collide in several tables: emit once
     materializeAndFree(pairs, sk)
   }
 }
