@@ -33,8 +33,25 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   @volatile private var currentDb: String = "default"
 
+  // forDatabase views skip temp-view registration: a bare-name view for
+  // a FOREIGN table would shadow the current database's table of the
+  // same name for every other query in the session
+  private var viewless: Boolean = false
+
   def store(db: String = currentDb): TableStore =
     new TableStore(new HPath(warehouse, db), spark)
+
+  /** A catalog view pinned to `db` for one statement's table operations
+    * (`INSERT INTO db.t …` without a `USE`). Shares the warehouse; does
+    * NOT touch this catalog's current database or the session's temp
+    * views. */
+  def forDatabase(db: String): GraftCatalog = {
+    require(databaseExists(db), s"database not found: $db")
+    val c = new GraftCatalog(warehouse, spark)
+    c.currentDb = db
+    c.viewless = true
+    c
+  }
 
   def createDatabase(name: String): Unit = {
     fs.mkdirs(new HPath(warehouse, name))
@@ -80,7 +97,8 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def dropTable(name: String): Unit = {
     store().drop(name)
-    spark.catalog.dropTempView(name)
+    // a foreign-db drop must not remove the current db's same-named view
+    if (!viewless) spark.catalog.dropTempView(name)
   }
 
   def append(name: String, df: DataFrame,
@@ -201,5 +219,5 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     * snapshot (the reference's default read, `README.md:75-79`).
     */
   def registerView(name: String): Unit =
-    table(name).createOrReplaceTempView(name)
+    if (!viewless) table(name).createOrReplaceTempView(name)
 }

@@ -29,56 +29,56 @@ object SqlDdl {
     "(?is)^\\s*CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*$".r
   private val UseDb = "(?is)^\\s*USE\\s+([A-Za-z_]\\w*)\\s*$".r
   private val DropTable =
-    "(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // cols group is LAZY so `) PARTITIONED BY SPEC (day(ts))` tails are
   // never swallowed into the column list; partition fragment allows one
   // nesting level for transform calls like day(ts)
   private val CreateTable =
-    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*\\((.*?)\\)" +
       "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "\\s*(?:SORT(?:ED)?\\s+BY\\s*\\(([^)]*)\\))?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
   private val Insert =
-    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
   // INSERT INTO t [(cols)] SELECT …/WITH … — the warehouse-ETL shape
   private val InsertSelect =
-    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?" +
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*(?:\\(([^)]*)\\))?\\s*((?:SELECT|WITH)\\b.+)$").r
   // CREATE TABLE t [PARTITIONED BY (spec)] [STORED AS x] AS SELECT …
   private val CreateTableAs =
-    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_]\\w*)`?" +
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+\\s*)?AS\\s+((?:SELECT|WITH)\\b.+)$").r
   private val Truncate =
-    "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Describe =
-    "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // Iceberg's snapshot-history inspection (`DESCRIBE HISTORY t` in
   // Impala/Spark-Iceberg; the reference inspects the same via Hue,
   // `README.md:94-98`)
   private val DescribeHistory =
-    "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
   private val ShowDatabases =
     "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
   private val ShowPartitions =
-    "(?is)^\\s*SHOW\\s+PARTITIONS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*SHOW\\s+PARTITIONS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // column list captured whole; outer parens are stripped in code with a
   // balance check (a regex's optional trailing `\)?` would eat the closing
   // paren of DECIMAL(10,2))
   private val AlterAdd =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+ADD\\s+COLUMNS?\\b\\s*" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+ADD\\s+COLUMNS?\\b\\s*" +
       "(.+?)\\s*$").r
   private val AlterDrop =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+DROP\\s+COLUMNS?\\s*" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+COLUMNS?\\s*" +
       "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
   // Iceberg partition-spec evolution (`ALTER TABLE t SET PARTITION SPEC
   // (month(ts))`): new writes use the new transform, old files keep the
   // values they were written with, pruning handles both per file.
   private val AlterSetPartitionSpec =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+PARTITION\\s+" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+PARTITION\\s+" +
       "SPEC\\s*\\((.+?)\\)\\s*$").r
   // Maintenance statements (Delta's OPTIMIZE/VACUUM spelling; Iceberg
   // users reach the same via rewrite_data_files / expire_snapshots
@@ -86,9 +86,9 @@ object SqlDdl {
   // VACUUM removes crash debris (staging dirs, uncommitted data files,
   // unlogged manifests) older than the retention window.
   private val Optimize =
-    "(?is)^\\s*OPTIMIZE\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    "(?is)^\\s*OPTIMIZE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Vacuum =
-    ("(?is)^\\s*VACUUM\\s+`?([A-Za-z_]\\w*)`?" +
+    ("(?is)^\\s*VACUUM\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$").r
   // Iceberg's stored-procedure spelling of the same maintenance ops
   // (`CALL [catalog.]system.expire_snapshots(…)` — what the reference's
@@ -97,12 +97,31 @@ object SqlDdl {
   private val Call =
     "(?is)^\\s*CALL\\s+(?:[A-Za-z_]\\w*\\s*\\.\\s*)*([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*$".r
   private val Delete =
-    "(?is)^\\s*DELETE\\s+FROM\\s+`?([A-Za-z_]\\w*)`?\\s+WHERE\\s+(.+?)\\s*$".r
+    "(?is)^\\s*DELETE\\s+FROM\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+WHERE\\s+(.+?)\\s*$".r
   // SET-tail captured whole; the WHERE split happens quote-aware in
   // updateWhere (a regex's non-greedy WHERE would match one inside a
   // string literal, e.g. an address containing the word WHERE)
   private val Update =
-    "(?is)^\\s*UPDATE\\s+`?([A-Za-z_]\\w*)`?\\s+SET\\s+(.+?)\\s*$".r
+    "(?is)^\\s*UPDATE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+(.+?)\\s*$".r
+
+  /** `db.table` → a catalog view pinned to `db` plus the bare table
+    * name; bare names (and ones qualified with the current database)
+    * stay on the session catalog. The write surface is therefore keyed
+    * by (database, table) like the read paths — `INSERT INTO db.t`
+    * needs no `USE`. */
+  private[sql] def resolved(catalog: GraftCatalog,
+      name: String): (GraftCatalog, String) =
+    name.split("\\.").toSeq
+      .map(_.trim.stripPrefix("`").stripSuffix("`")) match {
+      case Seq(t) => (catalog, t)
+      case Seq(db, t) if db.equalsIgnoreCase(catalog.database) => (catalog, t)
+      case Seq(db, t) =>
+        val real = catalog.listDatabases().find(_.equalsIgnoreCase(db))
+          .getOrElse(db) // forDatabase raises on a missing database
+        (catalog.forDatabase(real), t)
+      case _ => throw new IllegalArgumentException(
+        s"cannot resolve table name '$name'")
+    }
 
   /** Execute `stmt` if it is a DDL/DML statement; None = not ours, let
     * the query path handle it. Successful statements return an empty
@@ -114,51 +133,64 @@ object SqlDdl {
       catalog.createDatabase(db); Some(empty(catalog))
     case UseDb(db) =>
       catalog.use(db); Some(empty(catalog))
-    case DropTable(t) =>
-      catalog.dropTable(t); Some(empty(catalog))
-    case CreateTableAs(t, partDef, select) =>
-      if (!catalog.store().exists(t)) {
+    case DropTable(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      cat.dropTable(t); Some(empty(catalog))
+    case CreateTableAs(qn, partDef, select) =>
+      val (cat, t) = resolved(catalog, qn)
+      if (!cat.store().exists(t)) {
+        // the SELECT resolves in the SESSION's database context, only
+        // the write target is db-pinned
         val df = evalSelect(catalog, select)
-        catalog.createTable(t, df.schema,
+        cat.createTable(t, df.schema,
           Option(partDef).map(graft.store.PartitionSpec.parse))
-        catalog.append(t, df)
+        cat.append(t, df)
       }
       Some(empty(catalog))
-    case CreateTable(t, colsDef, partDef, sortDef) =>
-      if (!catalog.store().exists(t))
-        catalog.createTable(t, parseSchema(colsDef),
+    case CreateTable(qn, colsDef, partDef, sortDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      if (!cat.store().exists(t))
+        cat.createTable(t, parseSchema(colsDef),
           Option(partDef).map(graft.store.PartitionSpec.parse),
           Option(sortDef).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       Some(empty(catalog))
-    case Insert(t, colList, valuesTail) =>
-      insertValues(catalog, t, Option(colList), valuesTail)
+    case Insert(qn, colList, valuesTail) =>
+      val (cat, t) = resolved(catalog, qn)
+      insertValues(cat, t, Option(colList), valuesTail)
       Some(empty(catalog))
-    case InsertSelect(t, colList, select) =>
-      insertFrame(catalog, t, Option(colList), evalSelect(catalog, select))
+    case InsertSelect(qn, colList, select) =>
+      val (cat, t) = resolved(catalog, qn)
+      insertFrame(cat, t, Option(colList), evalSelect(catalog, select))
       Some(empty(catalog))
-    case Truncate(t) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      catalog.truncate(t)
+    case Truncate(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.truncate(t)
       Some(empty(catalog))
-    case DescribeHistory(t) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      Some(catalog.history(t))
-    case Describe(t) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      val rows = catalog.store().schema(t).fields.toIndexedSeq
+    case DescribeHistory(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      Some(cat.history(t))
+    case Describe(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      val rows = cat.store().schema(t).fields.toIndexedSeq
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
       import catalog.spark.implicits._
       Some(rows.toDF("col_name", "data_type", "comment"))
-    case AlterSetPartitionSpec(t, specDef) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      catalog.setPartitionSpec(t, graft.store.PartitionSpec.parse(specDef))
+    case AlterSetPartitionSpec(qn, specDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.setPartitionSpec(t, graft.store.PartitionSpec.parse(specDef))
       Some(empty(catalog))
-    case AlterAdd(t, colsDef) =>
-      catalog.addColumns(t, parseSchema(stripOuterParens(colsDef)))
+    case AlterAdd(qn, colsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      cat.addColumns(t, parseSchema(stripOuterParens(colsDef)))
       Some(empty(catalog))
-    case AlterDrop(t, c) =>
-      catalog.dropColumn(t, c)
+    case AlterDrop(qn, c) =>
+      val (cat, t) = resolved(catalog, qn)
+      cat.dropColumn(t, c)
       Some(empty(catalog))
     case ShowTables() =>
       import catalog.spark.implicits._
@@ -166,34 +198,39 @@ object SqlDdl {
     case ShowDatabases() =>
       import catalog.spark.implicits._
       Some(catalog.listDatabases().toDF("database_name"))
-    case ShowPartitions(t) =>
-      require(catalog.store().exists(t), s"table not found: $t")
+    case ShowPartitions(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
       // snapshot-log metadata (footer fallback only for legacy entries
       // with unknown counts — never reported as 0)
       import catalog.spark.implicits._
-      Some(catalog.store().partitionSummary(t)
+      Some(cat.store().partitionSummary(t)
         .toDF("partition", "n_files", "n_records"))
     case Call(proc, argStr) =>
       callProcedure(catalog, proc.toLowerCase, argStr)
       Some(empty(catalog))
-    case Optimize(t) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      catalog.compact(t)
+    case Optimize(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.compact(t)
       Some(empty(catalog))
-    case Vacuum(t, retain) =>
-      require(catalog.store().exists(t), s"table not found: $t")
+    case Vacuum(qn, retain) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
       // Delta's default retention: 7 days. RETAIN 0 HOURS is allowed for
       // tests/tooling, same as Delta with the safety check disabled.
       val hours = Option(retain).map(_.toLong).getOrElse(168L)
-      catalog.vacuum(t, System.currentTimeMillis() - hours * 3600 * 1000)
+      cat.vacuum(t, System.currentTimeMillis() - hours * 3600 * 1000)
       Some(empty(catalog))
-    case Delete(t, cond) =>
-      require(catalog.store().exists(t), s"table not found: $t")
-      catalog.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
+    case Delete(qn, cond) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
       Some(empty(catalog))
-    case Update(t, setTail) =>
+    case Update(qn, setTail) =>
+      val (cat, t) = resolved(catalog, qn)
       val (setList, cond) = SqlText.splitFirstTopLevel(setTail, "WHERE")
-      updateWhere(catalog, t, setList, cond)
+      updateWhere(cat, t, setList, cond)
       Some(empty(catalog))
     case _ => SqlMerge.tryExecute(catalog, stmt)
   }
@@ -232,11 +269,11 @@ object SqlDdl {
         .orElse(args.lift(pos).filter(_.name.isEmpty).map(_.value))
     val StrLit = "(?is)^'(.*)'$".r
     val TsLit = "(?is)^(?:TIMESTAMP\\s+)?'(.*)'$".r
-    def tableArg: String = arg(0, "table") match {
+    def tableArg: (GraftCatalog, String) = arg(0, "table") match {
       case Some(StrLit(t)) =>
-        val name = t.replace("''", "'")
-        require(catalog.store().exists(name), s"table not found: $name")
-        name
+        val (cat, name) = resolved(catalog, t.replace("''", "'"))
+        require(cat.store().exists(name), s"table not found: $name")
+        (cat, name)
       case other => throw new IllegalArgumentException(
         s"CALL $proc needs a table name string, got: ${other.getOrElse("nothing")}")
     }
@@ -249,11 +286,14 @@ object SqlDdl {
       }
     proc match {
       case "expire_snapshots" =>
-        catalog.expireSnapshots(tableArg, olderThanMs(5L * 24 * 3600 * 1000))
+        val (cat, t) = tableArg
+        cat.expireSnapshots(t, olderThanMs(5L * 24 * 3600 * 1000))
       case "rewrite_data_files" =>
-        catalog.compact(tableArg)
+        val (cat, t) = tableArg
+        cat.compact(t)
       case "remove_orphan_files" =>
-        catalog.vacuum(tableArg, olderThanMs(3L * 24 * 3600 * 1000))
+        val (cat, t) = tableArg
+        cat.vacuum(t, olderThanMs(3L * 24 * 3600 * 1000))
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: CALL $other")
     }

@@ -50,8 +50,10 @@ import graft.catalog.GraftCatalog
 object SqlMerge {
 
   private val Head = "(?is)^\\s*MERGE\\s+INTO\\s+(.+)$".r
+  // table side accepts a db-qualified name; the alias stays single-part
   private val NameAlias =
-    "(?is)^\\s*`?([A-Za-z_]\\w*)`?(?:\\s+(?:AS\\s+)?`?([A-Za-z_]\\w*)`?)?\\s*$".r
+    ("(?is)^\\s*(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "(?:\\s+(?:AS\\s+)?`?([A-Za-z_]\\w*)`?)?\\s*$").r
 
   def tryExecute(catalog: GraftCatalog, stmt: String): Option[DataFrame] =
     stmt match {
@@ -81,13 +83,15 @@ object SqlMerge {
     val (condText, whenTail) = SqlText.splitFirstTopLevel(afterOn.get, "WHEN")
     require(whenTail.isDefined, "MERGE INTO requires at least one WHEN clause")
 
-    val (target, tAlias) = targetClause match {
-      case NameAlias(n, a) => (n, Option(a).getOrElse(n))
+    val (tCat, target, tAlias) = targetClause match {
+      case NameAlias(qn, a) =>
+        val (cat, t) = SqlDdl.resolved(catalog, qn)
+        (cat, t, Option(a).getOrElse(t))
       case other => throw new IllegalArgumentException(
         s"cannot parse MERGE target: '${other.trim}'")
     }
-    require(catalog.store().exists(target), s"table not found: $target")
-    val schema = catalog.store().schema(target)
+    require(tCat.store().exists(target), s"table not found: $target")
+    val schema = tCat.store().schema(target)
 
     val (sourceDf, sAlias) = parseSource(catalog, sourceClause)
     val keyPairs = parseOnCondition(condText, tAlias, sAlias)
@@ -139,7 +143,7 @@ object SqlMerge {
     }
 
     try {
-      catalog.merge(target, sourceKeys, targetKeyCols, { matchedDf =>
+      tCat.merge(target, sourceKeys, targetKeyCols, { matchedDf =>
         val t = matchedDf.alias(tAlias)
         val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
         // target rows in rewritten files whose key has no source match:
@@ -227,9 +231,10 @@ object SqlMerge {
           s"MERGE source subquery needs an alias: '...$tail'")
       }
     } else trimmed match {
-      case NameAlias(n, a) =>
-        require(catalog.store().exists(n), s"table not found: $n")
-        (catalog.table(n), Option(a).getOrElse(n))
+      case NameAlias(qn, a) =>
+        val (cat, n) = SqlDdl.resolved(catalog, qn)
+        require(cat.store().exists(n), s"table not found: $n")
+        (cat.table(n), Option(a).getOrElse(n))
       case other => throw new IllegalArgumentException(
         s"cannot parse MERGE source: '${other.trim}'")
     }

@@ -288,6 +288,50 @@ class SqlDdlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](eng.sql("SHOW PARTITIONS sp2"))
   }
 
+  test("db-qualified DDL/DML writes route to their database without USE") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE DATABASE IF NOT EXISTS whse")
+    // full write lifecycle against whse.* while the session stays in default
+    eng.sql("CREATE TABLE whse.items (id INT, name STRING)")
+    eng.sql("INSERT INTO whse.items VALUES (1, 'a'), (2, 'b')")
+    eng.sql("UPDATE whse.items SET name = 'B' WHERE id = 2")
+    eng.sql("DELETE FROM whse.items WHERE id = 1")
+    eng.sql("ALTER TABLE whse.items ADD COLUMN note STRING")
+    assert(cat.database == "default")
+    assert(cat.store("whse").schema("items").fieldNames.toSeq ==
+      Seq("id", "name", "note"))
+    assert(eng.run("SELECT id, name FROM whse.items") == "[(2, 'B')]")
+    // MERGE INTO a foreign-db target
+    eng.sql("""MERGE INTO whse.items t USING (VALUES (2, 'bee'), (3, 'sea')) s(id, name)
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = s.name
+      WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""")
+    assert(eng.run("SELECT id, name FROM whse.items ORDER BY id") ==
+      "[(2, 'bee'), (3, 'sea')]")
+    // a same-named table in the CURRENT db is untouched throughout
+    eng.sql("CREATE TABLE items2 (id INT)")
+    eng.sql("INSERT INTO items2 VALUES (9)")
+    eng.sql("CREATE TABLE whse.items2 (id INT)")
+    eng.sql("INSERT INTO whse.items2 SELECT id + 1 FROM items2")
+    assert(eng.run("SELECT id FROM whse.items2") == "[(10,)]")
+    assert(eng.run("SELECT COUNT(*) FROM items2") == "[(1,)]")
+  }
+
+  test("INSERT SELECT into a foreign db reads the SELECT in the session context") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE DATABASE IF NOT EXISTS whse2")
+    eng.sql("CREATE TABLE src (id INT)")
+    eng.sql("INSERT INTO src VALUES (1), (2), (3)")
+    eng.sql("CREATE TABLE whse2.dst (id INT)")
+    // `src` must resolve in DEFAULT even though the write goes to whse2
+    eng.sql("INSERT INTO whse2.dst SELECT id * 10 FROM src WHERE id <= 2")
+    assert(eng.run("SELECT id FROM whse2.dst ORDER BY id") == "[(10,), (20,)]")
+    // DROP of the foreign table leaves the current db's views alone
+    eng.sql("DROP TABLE whse2.dst")
+    assert(cat.store("whse2").exists("dst") == false)
+    assert(eng.run("SELECT COUNT(*) FROM src") == "[(3,)]")
+  }
+
   test("ALTER TABLE SET PARTITION SPEC evolves the spec; old files keep old values") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE pse (id INT, d DATE) PARTITIONED BY (d)")
