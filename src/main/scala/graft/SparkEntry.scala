@@ -736,6 +736,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SimHash banding over a corpus with EXACT-duplicate twins planted
+    // at doc_id+100000 for the first 25 docs: identical text guarantees
+    // hamming 0 (recall is structural, not probabilistic — a 1-token
+    // edit can flip >4 of 64 bits, so near-identical twins can't give a
+    // deterministic expected set), while the ≈0.02-jaccard background
+    // guarantees no other pair sits within radius 4. The oracle derives
+    // the expected (pair, hamming=0) set from the documents table — a
+    // precision + plumbing gate; probabilistic radius behavior stays in
+    // q_simhash_pairs (rows-only).
+    "q_simhash_pairs_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+      val twins = docs.select((col("doc_id") + 100000).as("doc_id"),
+        col("text"))
+      Dedup.simhashNearDuplicates(docs.select("doc_id", "text")
+          .unionByName(twins), "doc_id", "text", maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // n-gram Jaccard verification over minhash-band candidates (rows-only).
     // Minhash bands shard by content at any similarity level, unlike
     // high-radius simhash chunks whose keyspace collapses. REUSES the
@@ -1457,6 +1475,14 @@ object SparkEntry {
         |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) x
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Exact-duplicate SimHash gate: identical twins are the only pairs
+    // within radius 4 of each other (background jaccard ≈0.02), and an
+    // identical token stream hashes to hamming 0 by construction.
+    "q_simhash_pairs_exact" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin,
 
     // Planted-pair embedding near-dup gate: the 20 perturbed copies are
     // the ONLY pairs above the 0.9 threshold (background tops out at
