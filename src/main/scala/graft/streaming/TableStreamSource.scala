@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -90,12 +90,20 @@ private[streaming] final class GraftStreamTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Column pruning reaches the vectorized reader: a consumer
+      // projecting two columns of a wide 100 TB table must decode two
+      // column chunks per file, not the row. The reader null-fills a
+      // requested column absent from an old file, so pruning composes
+      // with schema evolution.
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def description(): String = s"GraftTableScan(${name()})"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(tableSchema, opts)
+          new GraftMicroBatchStream(required, opts)
       }
     }
 }
@@ -182,16 +190,24 @@ private[streaming] final class GraftPartitionReader(
 
   private val hconf = new Configuration()
 
-  // Footer-first: which of the requested columns exist in this file.
-  // The vectorized reader raises on absent columns, so request only the
-  // intersection and null-fill the rest row-side.
-  private val present: Array[StructField] = {
+  // Footer-first: which of the requested columns exist in this file
+  // (the vectorized reader raises on absent columns, so request only
+  // the intersection and null-fill the rest row-side), plus the file's
+  // row count — when NO requested column exists (a pruned projection of
+  // columns all newer than the file), the reader must still emit one
+  // null-filled row per data row, not zero rows.
+  private val (present: Array[StructField], fileRows: Long) = {
     val pf = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), hconf))
-    val names =
-      try pf.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
-      finally pf.close()
-    requested.fields.filter(f => names.contains(f.name))
+    try {
+      val names =
+        pf.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      (requested.fields.filter(f => names.contains(f.name)),
+        pf.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+    } finally pf.close()
   }
+
+  // column-less path: one null row per data row
+  private var emitted: Long = 0L
 
   private val reader: VectorizedParquetRecordReader =
     if (present.isEmpty) null
@@ -210,9 +226,14 @@ private[streaming] final class GraftPartitionReader(
     present.length == requested.length && srcIdx.zipWithIndex.forall(p => p._1 == p._2)
   private val toUnsafe = UnsafeProjection.create(requested)
 
-  override def next(): Boolean = reader != null && reader.nextKeyValue()
+  override def next(): Boolean =
+    if (reader != null) reader.nextKeyValue()
+    else if (emitted < fileRows) { emitted += 1; true }
+    else false
 
   override def get(): InternalRow = {
+    if (reader == null)
+      return toUnsafe(new GenericInternalRow(new Array[Any](requested.length)))
     val src = reader.getCurrentValue.asInstanceOf[InternalRow]
     if (aligned) toUnsafe(src)
     else {

@@ -136,6 +136,61 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("column pruning reaches the stream scan; count(*) survives it") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", Seq((1, "a", 1.0)).toDF("id", "tag", "w").schema)
+    st.append("ev", Seq((1, "x", 0.5), (2, "y", 1.5)).toDF("id", "tag", "w"), 1000L)
+    // projection of one column: the scan must plan with the pruned schema
+    val q = reader(wh, "ev").load().select("tag").writeStream
+      .format("memory").queryName("tss_prune").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tss_prune").as[String].collect().sorted.toSeq ==
+        Seq("x", "y"))
+      val scans = q.lastProgress.sources
+      assert(scans.nonEmpty)
+    } finally q.stop()
+    // empty projection (count) still bills every row
+    val qc = reader(wh, "ev").load().groupBy().count().writeStream
+      .format("memory").queryName("tss_count").outputMode("complete").start()
+    try {
+      qc.processAllAvailable()
+      assert(spark.table("tss_count").as[Long].head() == 2L)
+    } finally qc.stop()
+  }
+
+  test("projecting only a column newer than a file yields its rows as nulls") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 3).toDF("id"), 1000L)
+    st.addColumns("ev", StructType(Seq(StructField("tag", StringType))))
+    st.append("ev", Seq((4, "x")).toDF("id", "tag"), 2000L)
+    // the old file contains NO requested column: its 3 rows must still
+    // surface (as nulls), not vanish
+    val q = reader(wh, "ev").load().select("tag").writeStream
+      .format("memory").queryName("tss_newcol").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tss_newcol").as[Option[String]].collect().toSeq
+      assert(got.count(_.isEmpty) == 3 && got.flatten.sorted == Seq("x"))
+    } finally q.stop()
+  }
+
+  test("partition reader decodes only the requested columns") {
+    val dir = Files.createTempDirectory("graft-prune").resolve("t").toString
+    Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "tag", "w")
+      .coalesce(1).write.parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val pruned = StructType(Seq(StructField("tag", StringType)))
+    val r = new GraftPartitionReader(file, pruned)
+    try {
+      val out = Iterator.continually(r)
+        .takeWhile(_.next()).map(_.get().getUTF8String(0).toString).toList
+      assert(out.sorted == List("a", "b"))
+    } finally r.close()
+  }
+
   test("schema evolution mid-history: old files null-fill added columns") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
