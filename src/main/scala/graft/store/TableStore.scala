@@ -542,6 +542,20 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (!exists(table)) None
     else SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.id)
 
+  /** (snapshotId, operation, fileCountDelta) per snapshot with id >
+    * `afterId`, in commit order — log-only, no manifest hydration. For
+    * append snapshots the cumulative file-count delta IS the number of
+    * files the snapshot added, which is what a rate-limited streaming
+    * reader budgets micro-batches with (rewrite deltas are meaningless,
+    * but streams fail on rewrite ranges before reading them). */
+  def snapshotSizesAfter(table: String, afterId: Long): Seq[(Long, String, Int)] = {
+    val all = SnapshotLog.read(fs, tableDir(table))
+    all.zip(0 +: all.map(_.fileCount))
+      .collect { case (s, prevCount) if s.id > afterId =>
+        (s.id, s.operation, math.max(0, s.fileCount - prevCount))
+      }
+  }
+
   /** Incremental append scan (Iceberg's incremental read): rows ADDED
     * after snapshot `fromId`, up to and including `toId` (None = current
     * snapshot). Snapshot file lists are cumulative, so the increment is a

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProj
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -45,7 +45,14 @@ import graft.store.TableStore
   *
   * Options: `warehouse` (required), `table` (required), `database`
   * (default `default`), `startAfterSnapshotId` (default 0 = from the
-  * beginning; only consulted when the checkpoint has no offset yet).
+  * beginning; only consulted when the checkpoint has no offset yet),
+  * `maxFilesPerTrigger` (admission control: a micro-batch ends at the
+  * last snapshot that keeps its added-file count within the cap — the
+  * first start against a deep backlog chunks into bounded batches
+  * instead of planning one giant catch-up batch; at least one snapshot
+  * always admits, so progress is guaranteed). `Trigger.AvailableNow`
+  * is supported: the stream drains everything committed at start-up —
+  * still rate-limited — then stops.
   *
   * Executor side, each partition is read with Spark's own
   * [[VectorizedParquetRecordReader]] (columnar, off-heap-capable), with
@@ -67,7 +74,8 @@ final class GraftTableSource extends TableProvider with DataSourceRegister {
 }
 
 private[streaming] final case class GraftStreamOptions(
-    warehouse: String, database: String, table: String, startAfter: Long) {
+    warehouse: String, database: String, table: String, startAfter: Long,
+    maxFilesPerTrigger: Option[Int]) {
   def store(spark: SparkSession): TableStore =
     new TableStore(new HPath(new HPath(warehouse), database), spark)
 }
@@ -77,8 +85,12 @@ private[streaming] object GraftStreamOptions {
     val m = props.asScala.map { case (k, v) => k.toLowerCase -> v }
     def req(k: String): String = m.getOrElse(k,
       throw new IllegalArgumentException(s"graft-table source requires option '$k'"))
+    val maxFiles = m.get("maxfilespertrigger").map(_.toInt)
+    maxFiles.foreach(n => require(n >= 1,
+      s"maxFilesPerTrigger must be >= 1 (got $n)"))
     GraftStreamOptions(req("warehouse"), m.getOrElse("database", "default"),
-      req("table"), m.get("startaftersnapshotid").map(_.toLong).getOrElse(0L))
+      req("table"), m.get("startaftersnapshotid").map(_.toLong).getOrElse(0L),
+      maxFiles)
   }
 }
 
@@ -127,7 +139,9 @@ private[streaming] object GraftOffset {
 }
 
 private[streaming] final class GraftMicroBatchStream(
-    tableSchema: StructType, opts: GraftStreamOptions) extends MicroBatchStream {
+    tableSchema: StructType, opts: GraftStreamOptions)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   // Driver-side only: re-resolved per call so a restarted driver (new
   // session) still plans correctly.
@@ -139,12 +153,62 @@ private[streaming] final class GraftMicroBatchStream(
   // and re-deliver the base on the next batch.
   @volatile private var maxSeen: Long = opts.startAfter
 
+  // Trigger.AvailableNow: everything committed at prepare time is the
+  // drain target; later commits wait for the next run.
+  @volatile private var availableNowTarget: Option[Long] = None
+
   override def initialOffset(): Offset = GraftOffset(opts.startAfter)
 
   override def latestOffset(): Offset = {
     val cur = store.currentSnapshotId(opts.table).getOrElse(maxSeen)
     if (cur > maxSeen) maxSeen = cur
     GraftOffset(maxSeen)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(store.currentSnapshotId(opts.table).getOrElse(opts.startAfter))
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Admission control: the batch ends at the last snapshot whose
+    * cumulative added-file count stays within the limit — so a deep
+    * backlog (first start against years of appends) chunks into bounded
+    * micro-batches instead of one giant catch-up plan. The first
+    * snapshot always admits (a single snapshot larger than the cap must
+    * still go through, or the stream stalls forever), matching the file
+    * source's maxFilesPerTrigger soft-cap semantics. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = GraftOffset.of(start).snapshotId
+    val unbounded = {
+      val cur = store.currentSnapshotId(opts.table).getOrElse(maxSeen)
+      if (cur > maxSeen) maxSeen = cur
+      availableNowTarget.fold(maxSeen)(math.min(maxSeen, _))
+    }
+    val cap = limit match {
+      case f: ReadMaxFiles => Some(f.maxFiles())
+      case _               => None // allAvailable / unrecognised: no cap
+    }
+    cap match {
+      case None => GraftOffset(unbounded)
+      case Some(maxFiles) =>
+        var end = from
+        var budget = maxFiles.toLong
+        var admitting = true
+        for ((id, _, added) <- store.snapshotSizesAfter(opts.table, from)
+             if admitting && id <= unbounded) {
+          // offsets are contiguous snapshot ranges: stop at the FIRST
+          // snapshot that busts the budget (skipping one would silently
+          // re-admit it via the range diff anyway)
+          if (end == from || added <= budget) { end = id; budget -= added }
+          else admitting = false
+        }
+        GraftOffset(math.max(end, from))
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -136,6 +136,40 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger chunks a deep backlog into bounded micro-batches") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    // 4 append snapshots of one file each, committed before the stream starts
+    (0 until 4).foreach(i => st.append("ev",
+      Seq(i * 10).toDF("id").coalesce(1), 1000L * (i + 1)))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = reader(wh, "ev").option("maxFilesPerTrigger", "1").load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) batches.add(n)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // the backlog drains one snapshot (one file) per batch, not in one go
+      assert(batches.asScala.toSeq == Seq(1, 1, 1, 1))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the committed backlog and stops") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 3).toDF("id"), 1000L)
+    st.append("ev", (4 to 5).toDF("id"), 2000L)
+    val q = reader(wh, "ev").option("maxFilesPerTrigger", "1").load().writeStream
+      .format("memory").queryName("tss_avnow").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      assert(spark.table("tss_avnow").as[Int].collect().sorted.toSeq == (1 to 5))
+    } finally q.stop()
+  }
+
   test("column pruning reaches the stream scan; count(*) survives it") {
     val (wh, st) = mkWarehouse()
     st.create("ev", Seq((1, "a", 1.0)).toDF("id", "tag", "w").schema)
