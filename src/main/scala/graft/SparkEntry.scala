@@ -568,6 +568,60 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // Metadata-answered COUNT with a partition-aligned WHERE: the month
+    // partitioning makes every file all-in or all-out for a month-range
+    // predicate, so the engine folds per-file record counts from the log
+    // — O(files) metadata, no scan (LocalRelation plan asserted in
+    // EngineSpec); DuckDB recomputes the count from the raw rows.
+    "q_meta_count_filtered" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mc", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      cat.append("orders_mc",
+        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      eng.sql("SELECT COUNT(*) AS cnt FROM orders_mc " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
+    }),
+
+    // Ordered conditional MERGE arms (first match wins): a negative
+    // amount deletes, a larger amount updates, positive unmatched rows
+    // insert — the "update if newer, else ignore" warehouse shape.
+    "q_sql_merge_cond" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE accounts_c (id INT, balance DOUBLE, status STRING)")
+      eng.sql("INSERT INTO accounts_c VALUES (1, 100.0, 'open'), " +
+        "(2, 50.0, 'open'), (3, 75.0, 'open')")
+      eng.sql("""MERGE INTO accounts_c AS t
+        USING (VALUES (1, -1.0), (2, 500.0), (4, 40.0)) AS s(id, amount)
+        ON t.id = s.id
+        WHEN MATCHED AND s.amount < 0 THEN DELETE
+        WHEN MATCHED AND s.amount > t.balance THEN
+          UPDATE SET balance = s.amount, status = 'raised'
+        WHEN NOT MATCHED AND s.amount > 0 THEN
+          INSERT (id, balance, status) VALUES (s.id, s.amount, 'new')""")
+      eng.sql("SELECT id, balance, status FROM accounts_c ORDER BY id")
+    }),
+
+    // Catalog keyed by (database, table): a dimension table lives in its
+    // own database (the reference's PC-variant layout, iceberg-PC.py:97)
+    // and joins against the current database with no USE.
+    "q_sql_multidb" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE DATABASE IF NOT EXISTS dimdb")
+      eng.sql("CREATE TABLE dimdb.plans_md (plan_id INT, plan_name STRING)")
+      eng.sql("INSERT INTO dimdb.plans_md VALUES (1, 'basic'), (2, 'pro')")
+      eng.sql("CREATE TABLE subs_md (sub_id INT, plan_id INT)")
+      eng.sql("INSERT INTO subs_md VALUES (10, 1), (11, 2), (12, 2)")
+      eng.sql("SELECT p.plan_name, COUNT(*) AS n FROM subs_md s " +
+        "JOIN dimdb.plans_md p ON s.plan_id = p.plan_id " +
+        "GROUP BY p.plan_name ORDER BY plan_name")
+    }),
+
     // SQL MERGE INTO (file-granular COW): update matched keys, insert the
     // rest — the statement that replaces the reference's manual max-id
     // continuation append (`append_iceberg.py:104-123`).
@@ -1246,6 +1300,22 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1999-11-01'
         |  AND o_orderdate < TIMESTAMP '2000-03-01'
         |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_meta_count_filtered" ->
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+        |  AND o_orderdate < TIMESTAMP '2000-06-01'""".stripMargin,
+
+    "q_sql_merge_cond" ->
+      """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES
+        |  (2, 500.0, 'raised'), (3, 75.0, 'open'), (4, 40.0, 'new'))
+        |  AS t(id, balance, status)
+        |ORDER BY id""".stripMargin,
+
+    "q_sql_multidb" ->
+      """SELECT plan_name, n FROM (VALUES ('basic', CAST(1 AS BIGINT)),
+        |  ('pro', CAST(2 AS BIGINT))) AS t(plan_name, n)
+        |ORDER BY plan_name""".stripMargin,
 
     "q_sql_merge" ->
       """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES
