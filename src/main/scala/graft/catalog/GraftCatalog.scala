@@ -102,8 +102,9 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   }
 
   def append(name: String, df: DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val snap = store().append(name, df, timestampMs)
+      timestampMs: Long = System.currentTimeMillis(),
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val snap = store().append(name, df, timestampMs, extraSummary)
     registerView(name)
     snap
   }

@@ -187,7 +187,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files (driver-side metadata reads, bytes never re-scanned).
     */
   def append(table: String, df: DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+      timestampMs: Long = System.currentTimeMillis(),
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     // Only the DELTA row count goes in: the cumulative recordCount is
@@ -196,9 +197,23 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     // stale prior count.
     SnapshotLog.commit(fs, tableDir(table), "append", moved,
       n, timestampMs, replaceAll = false,
-      summary = Map("added-files" -> moved.size.toString, "added-records" -> n.toString),
+      summary = Map("added-files" -> moved.size.toString,
+        "added-records" -> n.toString) ++ extraSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
   }
+
+  /** Highest streaming batch id `sinkId` has committed into this table
+    * (None = never). The snapshot log doubles as the streaming sink's
+    * commit log: a foreachBatch replay after a crash between the append
+    * and the checkpoint write finds its batch id already recorded and
+    * skips — exactly-once without a second storage system. */
+  def lastStreamingBatchId(table: String, sinkId: String): Option[Long] =
+    SnapshotLog.read(fs, tableDir(table)).reverseIterator
+      .flatMap(s => s.summary.get(TableStore.StreamingSinkKey)
+        .filter(_ == sinkId)
+        .flatMap(_ => s.summary.get(TableStore.StreamingBatchKey))
+        .flatMap(_.toLongOption))
+      .nextOption()
 
   /** Replace table contents (used by compaction and overwrite loads). */
   def overwrite(table: String, df: DataFrame,
@@ -1004,6 +1019,11 @@ object TableStore {
     * tables keep the log bounded; columns beyond the cap fall back to
     * footer reads when pruned against). */
   val MaxStatsColumns = 32
+
+  /** Snapshot-summary keys recording which streaming sink committed a
+    * snapshot and at which batch id (exactly-once replay detection). */
+  val StreamingSinkKey = "streaming-sink"
+  val StreamingBatchKey = "streaming-batch-id"
 
   /** Synthetic directory column for hidden-partition writes. */
   private[store] val PartDirCol = "__gpart"

@@ -108,7 +108,11 @@ object EventStreams {
   /** Micro-batch ingest into the snapshot store: every micro-batch is one
     * ACID append (= one snapshot), the streaming form of the reference's
     * incremental-append pattern. History/time-travel over the target
-    * table behave exactly as with batch loads.
+    * table behave exactly as with batch loads. Delivery is EXACTLY-ONCE:
+    * each snapshot records (sinkId, batchId) in its summary, so a batch
+    * replayed after a crash between the append and the checkpoint write
+    * finds its id already committed and no-ops (see
+    * [[appendBatchExactlyOnce]]).
     */
   def appendStream(catalog: GraftCatalog, table: String, events: DataFrame,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -117,7 +121,30 @@ object EventStreams {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { catalog.append(table, batch); () }
+        appendBatchExactlyOnce(catalog, table, checkpointDir, batch, batchId)
+        ()
       }
       .start()
+
+  /** Idempotent micro-batch append — the snapshot log doubles as the
+    * sink's commit log. foreachBatch is at-least-once: after a crash
+    * between a successful append and the checkpoint write, the engine
+    * re-delivers the same batch id. The summary-recorded
+    * (sinkId, batchId) pair turns the replay into a no-op, upgrading
+    * delivery to exactly-once with no second storage system. Returns
+    * whether a snapshot was committed. Batch ids are monotonic per
+    * checkpoint, so a single `>=` guard also covers empty (unrecorded)
+    * batches in between. */
+  def appendBatchExactlyOnce(catalog: GraftCatalog, table: String,
+      sinkId: String, batch: DataFrame, batchId: Long): Boolean = {
+    val store = catalog.store()
+    if (store.lastStreamingBatchId(table, sinkId).exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      catalog.append(table, batch, extraSummary = Map(
+        graft.store.TableStore.StreamingSinkKey -> sinkId,
+        graft.store.TableStore.StreamingBatchKey -> batchId.toString))
+      true
+    }
+  }
 }

@@ -103,6 +103,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("appendBatchExactlyOnce: a replayed batch id is a no-op") {
+    import spark.implicits._
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-eo"), spark)
+    cat.createDatabase("default")
+    val b0 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    cat.createTable("eo", b0.schema)
+    val sink = "ckpt-A"
+    assert(EventStreams.appendBatchExactlyOnce(cat, "eo", sink, b0, 0L))
+    // crash-replay of batch 0: the log already records (sink, 0) → no-op
+    assert(!EventStreams.appendBatchExactlyOnce(cat, "eo", sink, b0, 0L))
+    assert(cat.table("eo").count() == 2)
+    // next batch commits; a DIFFERENT sink's ids are independent
+    assert(EventStreams.appendBatchExactlyOnce(cat, "eo", sink,
+      Seq((3, "c")).toDF("id", "v"), 1L))
+    assert(EventStreams.appendBatchExactlyOnce(cat, "eo", "ckpt-B",
+      Seq((9, "z")).toDF("id", "v"), 0L))
+    assert(cat.table("eo").count() == 4)
+    assert(cat.store().lastStreamingBatchId("eo", sink).contains(1L))
+  }
+
   test("appendStream commits one snapshot per micro-batch into the store") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new GraftCatalog(Files.createTempDirectory("graft-stream"), spark)
