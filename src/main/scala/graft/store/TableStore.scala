@@ -557,17 +557,20 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (!exists(table)) None
     else SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.id)
 
-  /** (snapshotId, operation, fileCountDelta) per snapshot with id >
-    * `afterId`, in commit order — log-only, no manifest hydration. For
-    * append snapshots the cumulative file-count delta IS the number of
-    * files the snapshot added, which is what a rate-limited streaming
-    * reader budgets micro-batches with (rewrite deltas are meaningless,
-    * but streams fail on rewrite ranges before reading them). */
-  def snapshotSizesAfter(table: String, afterId: Long): Seq[(Long, String, Int)] = {
+  /** (snapshotId, operation, fileCountDelta, recordCountDelta) per
+    * snapshot with id > `afterId`, in commit order — log-only, no
+    * manifest hydration. For append snapshots the cumulative deltas ARE
+    * the files/rows the snapshot added, which is what a rate-limited
+    * streaming reader budgets micro-batches with (rewrite deltas are
+    * meaningless, but streams fail on rewrite ranges before reading
+    * them). */
+  def snapshotSizesAfter(table: String,
+      afterId: Long): Seq[(Long, String, Int, Long)] = {
     val all = SnapshotLog.read(fs, tableDir(table))
-    all.zip(0 +: all.map(_.fileCount))
-      .collect { case (s, prevCount) if s.id > afterId =>
-        (s.id, s.operation, math.max(0, s.fileCount - prevCount))
+    all.zip((0, 0L) +: all.map(s => (s.fileCount, s.recordCount)))
+      .collect { case (s, (prevFiles, prevRecords)) if s.id > afterId =>
+        (s.id, s.operation, math.max(0, s.fileCount - prevFiles),
+          math.max(0L, s.recordCount - prevRecords))
       }
   }
 

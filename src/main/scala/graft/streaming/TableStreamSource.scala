@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProj
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -75,7 +75,7 @@ final class GraftTableSource extends TableProvider with DataSourceRegister {
 
 private[streaming] final case class GraftStreamOptions(
     warehouse: String, database: String, table: String, startAfter: Long,
-    maxFilesPerTrigger: Option[Int]) {
+    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long]) {
   def store(spark: SparkSession): TableStore =
     new TableStore(new HPath(new HPath(warehouse), database), spark)
 }
@@ -88,9 +88,12 @@ private[streaming] object GraftStreamOptions {
     val maxFiles = m.get("maxfilespertrigger").map(_.toInt)
     maxFiles.foreach(n => require(n >= 1,
       s"maxFilesPerTrigger must be >= 1 (got $n)"))
+    val maxRows = m.get("maxrowspertrigger").map(_.toLong)
+    maxRows.foreach(n => require(n >= 1,
+      s"maxRowsPerTrigger must be >= 1 (got $n)"))
     GraftStreamOptions(req("warehouse"), m.getOrElse("database", "default"),
       req("table"), m.get("startaftersnapshotid").map(_.toLong).getOrElse(0L),
-      maxFiles)
+      maxFiles, maxRows)
   }
 }
 
@@ -165,9 +168,15 @@ private[streaming] final class GraftMicroBatchStream(
     GraftOffset(maxSeen)
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget =
@@ -176,12 +185,13 @@ private[streaming] final class GraftMicroBatchStream(
   override def reportLatestOffset(): Offset = latestOffset()
 
   /** Admission control: the batch ends at the last snapshot whose
-    * cumulative added-file count stays within the limit — so a deep
-    * backlog (first start against years of appends) chunks into bounded
-    * micro-batches instead of one giant catch-up plan. The first
-    * snapshot always admits (a single snapshot larger than the cap must
-    * still go through, or the stream stalls forever), matching the file
-    * source's maxFilesPerTrigger soft-cap semantics. */
+    * cumulative added-file AND added-row counts stay within the limits —
+    * so a deep backlog (first start against years of appends) chunks
+    * into bounded micro-batches instead of one giant catch-up plan. The
+    * first snapshot always admits (a single snapshot larger than the cap
+    * must still go through, or the stream stalls forever), matching the
+    * file source's maxFilesPerTrigger soft-cap semantics. Both budgets
+    * come from the log's cumulative counts — no manifest hydration. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = GraftOffset.of(start).snapshotId
     val unbounded = {
@@ -189,23 +199,31 @@ private[streaming] final class GraftMicroBatchStream(
       if (cur > maxSeen) maxSeen = cur
       availableNowTarget.fold(maxSeen)(math.min(maxSeen, _))
     }
-    val cap = limit match {
-      case f: ReadMaxFiles => Some(f.maxFiles())
-      case _               => None // allAvailable / unrecognised: no cap
+    def caps(l: ReadLimit): (Option[Long], Option[Long]) = l match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft(
+          (Option.empty[Long], Option.empty[Long])) { case ((f1, r1), (f2, r2)) =>
+          (Seq(f1, f2).flatten.minOption, Seq(r1, r2).flatten.minOption)
+        }
+      case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
+      case r: ReadMaxRows  => (None, Some(r.maxRows()))
+      case _               => (None, None) // allAvailable / unrecognised
     }
-    cap match {
-      case None => GraftOffset(unbounded)
-      case Some(maxFiles) =>
+    caps(limit) match {
+      case (None, None) => GraftOffset(unbounded)
+      case (fileCap, rowCap) =>
         var end = from
-        var budget = maxFiles.toLong
+        var fileBudget = fileCap.getOrElse(Long.MaxValue)
+        var rowBudget = rowCap.getOrElse(Long.MaxValue)
         var admitting = true
-        for ((id, _, added) <- store.snapshotSizesAfter(opts.table, from)
+        for ((id, _, files, rows) <- store.snapshotSizesAfter(opts.table, from)
              if admitting && id <= unbounded) {
           // offsets are contiguous snapshot ranges: stop at the FIRST
-          // snapshot that busts the budget (skipping one would silently
+          // snapshot that busts a budget (skipping one would silently
           // re-admit it via the range diff anyway)
-          if (end == from || added <= budget) { end = id; budget -= added }
-          else admitting = false
+          if (end == from || (files <= fileBudget && rows <= rowBudget)) {
+            end = id; fileBudget -= files; rowBudget -= rows
+          } else admitting = false
         }
         GraftOffset(math.max(end, from))
     }

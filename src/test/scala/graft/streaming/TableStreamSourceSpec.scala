@@ -156,6 +156,26 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger budgets batches by the log's row deltas") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    // three snapshots of 2 rows each; a 3-row budget admits exactly one
+    // snapshot per batch (the second would bust the remaining budget)
+    (0 until 3).foreach(i => st.append("ev",
+      Seq(i * 10, i * 10 + 1).toDF("id").coalesce(1), 1000L * (i + 1)))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = reader(wh, "ev").option("maxRowsPerTrigger", "3").load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) batches.add(n)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.asScala.toSeq == Seq(2, 2, 2))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the committed backlog and stops") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
