@@ -64,7 +64,18 @@ object Bench {
       val build = timed("q_embed_ivf_build")(SparkEntry.ivfBuild(spark, sfDir, idx))
       val probe = timed("q_embed_ivf_probe")(
         SparkEntry.ivfProbeQuery(spark, sfDir, idx).count())
-      main :+ build :+ probe
+      // q_stream_table's headline is mostly StreamingQuery lifecycle
+      // fixture; these sub-metrics keep the engine-work (drain) cost
+      // comparable round-over-round without the fixture noise.
+      val (fixSec, drainSec) =
+        try SparkEntry.streamTableSplit(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] q_stream_table split FAILED: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
+      main :+ build :+ probe :+
+        ("q_stream_table_fixture", fixSec, fixSec >= 0) :+
+        ("q_stream_table_drain", drainSec, drainSec >= 0)
     }
     val results = runAll()
     val results2 = runAll()

@@ -1733,4 +1733,37 @@ object SparkEntry {
     Similarity.ivfProbe(s, idxDir, "vec_id", "embedding", q, k = 10, nprobe = 6)
       .withColumn("score", round(col("score"), 4))
   }
+
+  /** Bench split for `q_stream_table`, whose headline is dominated by
+    * StreamingQuery lifecycle fixture (session/checkpoint start +
+    * teardown), not engine work: returns `(fixtureSec, drainSec)` where
+    * DRAIN is the time inside `processAllAvailable` — micro-batch
+    * planning (log diff) + per-file vectorized reads, the part that
+    * scales with data — and FIXTURE is everything else (table build,
+    * appends, query start/stop). Same workload as `q_stream_table`.
+    */
+  def streamTableSplit(s: SparkSession, dir: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var drainNs = 0L
+    def drained(body: => Unit): Unit = {
+      val d0 = System.nanoTime(); body; drainNs += System.nanoTime() - d0
+    }
+    val cat = tempCatalog(s)
+    val orders = t(s, dir, "orders")
+    cat.createTable("orders_stream_b", orders.schema)
+    cat.append("orders_stream_b", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+    val sink = "stream_bench_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val q = s.readStream.format("graft-table")
+      .option("warehouse", cat.warehouse.toString)
+      .option("table", "orders_stream_b").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      drained(q.processAllAvailable())
+      cat.append("orders_stream_b", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      drained(q.processAllAvailable())
+    } finally q.stop()
+    s.table(sink).count()
+    val totalNs = System.nanoTime() - t0
+    ((totalNs - drainNs) / 1e9, drainNs / 1e9)
+  }
 }

@@ -626,6 +626,59 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     (to.files.filterNot(f => base(f.path)), to)
   }
 
+  /** Incremental scan that SKIPS rewrite snapshots — the opt-in analogue
+    * of Iceberg's `streaming-skip-overwrite-snapshots`: per-append file
+    * deltas accumulate across the range, each measured against its
+    * predecessor snapshot's file set, so a streaming consumer resumes
+    * past a compaction/delete/update and receives ONLY genuine appends.
+    * Rows appended and then rewritten within the same range are
+    * delivered from their ORIGINAL files (still on disk until
+    * expire+vacuum); rewritten rows are never re-delivered — the stream
+    * stays an append feed, not a CDC feed.
+    */
+  def incrementalAppendFiles(table: String, fromId: Long,
+      toId: Option[Long] = None): (Seq[DataFile], Snapshot) = {
+    val dir = tableDir(table)
+    val all = SnapshotLog.read(fs, dir)
+    def idx(id: Long, what: String): Int = {
+      val i = all.indexWhere(_.id == id)
+      require(i >= 0, s"table $table has no snapshot id $id ($what)")
+      i
+    }
+    val toIdx = toId match {
+      case Some(id) => idx(id, "toId")
+      case None =>
+        require(all.nonEmpty, s"table $table has no snapshots")
+        all.size - 1
+    }
+    val fromIdx = if (fromId == 0L) -1 else idx(fromId, "fromId")
+    require(fromIdx <= toIdx,
+      s"fromId $fromId is newer than toId ${all(toIdx).id} on $table")
+    var prev: Set[String] =
+      if (fromIdx < 0) Set.empty
+      else SnapshotLog.hydrate(fs, dir, all(fromIdx)).filePaths.toSet
+    val adds = Seq.newBuilder[DataFile]
+    val seen = scala.collection.mutable.Set[String]()
+    var to: Snapshot = null
+    for (s <- all.slice(fromIdx + 1, toIdx + 1)) {
+      val hydrated = SnapshotLog.hydrate(fs, dir, s)
+      if (s.operation == "append")
+        for (f <- hydrated.files if !prev(f.path) && seen.add(f.path))
+          adds += f
+      prev = hydrated.filePaths.toSet
+      to = hydrated
+    }
+    (adds.result(),
+      if (to != null) to else SnapshotLog.hydrate(fs, dir, all(toIdx)))
+  }
+
+  /** Conservative metadata prune of an ARBITRARY file list (the
+    * streaming scan's per-batch added set) — the same partition-value +
+    * footer-stat walk [[readWhere]] uses, exposed for callers that
+    * manage their own file sets. */
+  private[graft] def pruneDataFiles(table: String, files: Seq[DataFile],
+      predicate: Column): Seq[DataFile] = pruneList(table, files, predicate)
+
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
   def history(table: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -13,9 +13,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReaderInit, VectorizedParquetRecordReader}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,6 +55,27 @@ import graft.store.TableStore
   * is supported: the stream drains everything committed at start-up —
   * still rate-limited — then stops.
   *
+  * `where` (a SQL predicate string) scopes the stream: each planned
+  * batch's added-file set is intersected with the snapshot log's
+  * partition-value + footer-stat pruning before any data I/O — a
+  * partition-scoped subscriber of a 100 TB append feed reads only its
+  * partition's delta files. File pruning is conservative, so pass the
+  * same predicate as a `.filter(...)` in the query for row-level
+  * exactness. The ScanBuilder also implements
+  * `SupportsPushDownFilters` with the same file-level semantics (every
+  * filter is returned as residual); note Spark's micro-batch planner
+  * (through 4.1) builds streaming scans without invoking pushdown, so
+  * the option is the operative path today and the interface is the
+  * forward-compatible one.
+  *
+  * `skipRewrites=true` (the `streaming-skip-overwrite-snapshots`
+  * analogue) lets the stream resume PAST rewrite snapshots
+  * (delete/update/replace/merge): batches deliver only genuine append
+  * deltas, each measured against its predecessor snapshot's file set
+  * ([[TableStore.incrementalAppendFiles]]); rewritten rows are never
+  * re-delivered. Default off — a rewrite inside a planned range then
+  * fails the query (see below).
+  *
   * Executor side, each partition is read with Spark's own
   * [[VectorizedParquetRecordReader]] (columnar, off-heap-capable), with
   * per-file schema reconciliation: a file written before an `ALTER TABLE
@@ -75,7 +97,8 @@ final class GraftTableSource extends TableProvider with DataSourceRegister {
 
 private[streaming] final case class GraftStreamOptions(
     warehouse: String, database: String, table: String, startAfter: Long,
-    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long]) {
+    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+    where: Option[String], skipRewrites: Boolean) {
   def store(spark: SparkSession): TableStore =
     new TableStore(new HPath(new HPath(warehouse), database), spark)
 }
@@ -93,7 +116,9 @@ private[streaming] object GraftStreamOptions {
       s"maxRowsPerTrigger must be >= 1 (got $n)"))
     GraftStreamOptions(req("warehouse"), m.getOrElse("database", "default"),
       req("table"), m.get("startaftersnapshotid").map(_.toLong).getOrElse(0L),
-      maxFiles, maxRows)
+      maxFiles, maxRows,
+      m.get("where").map(_.trim).filter(_.nonEmpty),
+      m.get("skiprewrites").exists(_.equalsIgnoreCase("true")))
   }
 }
 
@@ -105,22 +130,74 @@ private[streaming] final class GraftStreamTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       // Column pruning reaches the vectorized reader: a consumer
       // projecting two columns of a wide 100 TB table must decode two
       // column chunks per file, not the row. The reader null-fills a
       // requested column absent from an old file, so pruning composes
       // with schema evolution.
       private var required: StructType = tableSchema
+      private var accepted: Array[sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // File-level pruning only: accepted filters drop whole added files
+      // via log metadata in planInputPartitions; EVERY filter is
+      // returned residual because file pruning is conservative — the
+      // engine must still apply the row-level predicate.
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        accepted = filters.filter(f => StreamFilters.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[sources.Filter] = accepted
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"GraftTableScan(${name()})"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(required, opts)
+          new GraftMicroBatchStream(required, opts,
+            accepted.flatMap(StreamFilters.toColumn).toIndexedSeq)
       }
     }
+}
+
+/** DSv2 v1-`Filter` → `Column` conversion for the stream scan's
+  * file-level pruning. A `None` simply means "this filter doesn't
+  * prune" — conservative, never wrong. `And` may keep one convertible
+  * side (a weaker predicate prunes fewer files, still safe); under
+  * `Not`/`Or`-of-`Not` the children must convert EXACTLY, because
+  * weakening a negated child would strengthen the predicate and prune
+  * files that match. */
+private[streaming] object StreamFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b)             => a.orElse(b)
+    }
+    case Or(l, r)  => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c)    => exact(c).map(!_)
+    case _         => None
+  }
+
+  private def exact(f: Filter): Option[Column] = f match {
+    case And(l, r) => for { a <- exact(l); b <- exact(r) } yield a && b
+    case Or(l, r)  => for { a <- exact(l); b <- exact(r) } yield a || b
+    case Not(c)    => exact(c).map(!_)
+    case leaf      => toColumn(leaf)
+  }
 }
 
 /** Offsets are snapshot ids — monotonic per table, so offset ordering is
@@ -142,9 +219,17 @@ private[streaming] object GraftOffset {
 }
 
 private[streaming] final class GraftMicroBatchStream(
-    tableSchema: StructType, opts: GraftStreamOptions)
+    tableSchema: StructType, opts: GraftStreamOptions,
+    pushedPrune: Seq[org.apache.spark.sql.Column] = Seq.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // Driver-side file-pruning predicate: the `where` option AND any
+  // engine-pushed filters. Parsed once; a malformed `where` fails the
+  // stream at first planning, not silently.
+  private lazy val prunePredicate: Option[org.apache.spark.sql.Column] =
+    (opts.where.map(org.apache.spark.sql.functions.expr).toSeq ++ pushedPrune)
+      .reduceOption(_ && _)
 
   // Driver-side only: re-resolved per call so a restarted driver (new
   // session) still plans correctly.
@@ -235,8 +320,15 @@ private[streaming] final class GraftMicroBatchStream(
     if (to <= from) Array.empty
     else {
       val st = store
-      val (added, _) = st.incrementalFiles(opts.table, from, Some(to))
-      added.map(f => GraftFilePartition(
+      val (added, _) =
+        if (opts.skipRewrites) st.incrementalAppendFiles(opts.table, from, Some(to))
+        else st.incrementalFiles(opts.table, from, Some(to))
+      // Metadata file pruning BEFORE any data I/O: a partition-scoped
+      // subscriber plans only its partition's delta files. Conservative
+      // (the engine's residual filter keeps row-level exactness).
+      val planned = prunePredicate.fold(added)(p =>
+        st.pruneDataFiles(opts.table, added, p))
+      planned.map(f => GraftFilePartition(
         new HPath(st.tableDir(opts.table), f.path).toString): InputPartition).toArray
     }
   }
@@ -266,11 +358,23 @@ private[streaming] final case class GraftReaderFactory(schemaJson: String)
   * reconciles the file's columns onto the scan schema (null-filling
   * columns added after the file was written, dropping columns since
   * removed) — the same late-binding Iceberg does per data file.
+  *
+  * ONE footer open per file: the same [[ParquetFileReader]] serves the
+  * present-columns/row-count probe AND the vectorized read (via the
+  * footer-reuse `initialize`, [[GraftVectorizedReaderInit]]). The
+  * probe-then-`initialize(path, columns)` shape parsed every footer
+  * twice — at many-small-files streaming scale that doubles the
+  * per-batch metadata I/O.
   */
 private[streaming] final class GraftPartitionReader(
     path: String, requested: StructType) extends PartitionReader[InternalRow] {
 
   private val hconf = new Configuration()
+
+  private val pf: ParquetFileReader = {
+    GraftPartitionReader.footerOpens.incrementAndGet()
+    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), hconf))
+  }
 
   // Footer-first: which of the requested columns exist in this file
   // (the vectorized reader raises on absent columns, so request only
@@ -278,27 +382,33 @@ private[streaming] final class GraftPartitionReader(
   // row count — when NO requested column exists (a pruned projection of
   // columns all newer than the file), the reader must still emit one
   // null-filled row per data row, not zero rows.
-  private val (present: Array[StructField], fileRows: Long) = {
-    val pf = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), hconf))
-    try {
-      val names =
-        pf.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
-      (requested.fields.filter(f => names.contains(f.name)),
-        pf.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
-    } finally pf.close()
+  private val fileSchema = pf.getFooter.getFileMetaData.getSchema
+  private val present: Array[StructField] = {
+    val names = fileSchema.getFields.asScala.map(_.getName).toSet
+    requested.fields.filter(f => names.contains(f.name))
   }
+  private val fileRows: Long =
+    pf.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
 
   // column-less path: one null row per data row
   private var emitted: Long = 0L
 
   private val reader: VectorizedParquetRecordReader =
-    if (present.isEmpty) null
+    if (present.isEmpty) { pf.close(); null }
     else {
+      // Projection at the parquet layer: the open reader fetches only
+      // the requested columns' chunks, and the vectorized reader is
+      // initialized from the ALREADY-PARSED footer.
+      val requestedMsg = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        present.map(f => fileSchema.getType(Array(f.name): _*)): _*)
+      pf.setRequestedSchema(requestedMsg)
       // Files are always written by this engine (Spark 4, int64-micros
       // timestamps), so proleptic-Gregorian rebase is a no-op: CORRECTED.
       val r = new VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-      r.initialize(path, present.map(_.name).toList.asJava)
+      // closing `r` closes `pf` through the row-group wrapper
+      GraftVectorizedReaderInit.withFooter(r, fileSchema, requestedMsg, pf, fileRows)
       r
     }
 
@@ -333,4 +443,10 @@ private[streaming] final class GraftPartitionReader(
   }
 
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+private[streaming] object GraftPartitionReader {
+  /** Footer opens across all readers — the spec's observable that each
+    * streamed file costs exactly ONE footer parse. */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 }

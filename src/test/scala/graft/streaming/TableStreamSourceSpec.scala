@@ -245,6 +245,91 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("where option prunes non-matching partitions' delta files from each batch") {
+    val (wh, st) = mkWarehouse()
+    val schema = Seq(("a", 1)).toDF("k", "v").schema
+    st.create("ev", schema, Some(graft.store.PartitionSpec("k", "identity")))
+    // two partitions per append: the a-scoped stream must plan (and
+    // bill) only partition a's files — observable as source input rows
+    st.append("ev", Seq(("a", 1), ("a", 2), ("b", 10)).toDF("k", "v"), 1000L)
+    val q = reader(wh, "ev").option("where", "k = 'a'").load()
+      .filter($"k" === "a") // residual: file pruning is conservative
+      .writeStream.format("memory").queryName("tss_where")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      st.append("ev", Seq(("a", 3), ("b", 20), ("b", 30)).toDF("k", "v"), 2000L)
+      q.processAllAvailable()
+      assert(spark.table("tss_where").as[(String, Int)].collect().sorted.toSeq ==
+        Seq(("a", 1), ("a", 2), ("a", 3)))
+      // pruned at the FILE level: partition b's 3 rows never entered the
+      // scan (with no pruning, input rows would be 6)
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      assert(inputRows == 3, s"expected 3 source rows after pruning, got $inputRows")
+    } finally q.stop()
+  }
+
+  test("pushFilters prunes planned partitions; every filter stays residual") {
+    val (wh, st) = mkWarehouse()
+    val schema = Seq(("a", 1)).toDF("k", "v").schema
+    st.create("ev", schema, Some(graft.store.PartitionSpec("k", "identity")))
+    // one writer task → exactly one file per partition value
+    st.append("ev", Seq(("a", 1), ("a", 2), ("b", 10)).toDF("k", "v").coalesce(1), 1000L)
+    val latest = st.currentSnapshotId("ev").get
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", wh); opts.put("table", "ev")
+    val builder = new GraftStreamTable(schema, GraftStreamOptions(opts))
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("k", "a"))
+    val residual = builder
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(filters)
+    assert(residual.toSeq == filters.toSeq) // conservative: engine re-applies all
+    val stream = builder.build().toMicroBatchStream("unused")
+    val parts = stream.planInputPartitions(GraftOffset(0L), GraftOffset(latest))
+    assert(parts.length == 1, s"expected only partition a's file, got ${parts.length}")
+    // unfiltered builder plans both partitions' files
+    val all = new GraftStreamTable(schema, GraftStreamOptions(opts))
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toMicroBatchStream("unused")
+      .planInputPartitions(GraftOffset(0L), GraftOffset(latest))
+    assert(all.length == 2)
+  }
+
+  test("skipRewrites resumes past a compaction, delivering only append deltas") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", (1 to 1).toDF("id").schema)
+    st.append("ev", (1 to 5).toDF("id"), 1000L)
+    val q = reader(wh, "ev").option("skipRewrites", "true").load().writeStream
+      .format("memory").queryName("tss_skiprw").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      st.compact("ev") // rewrite snapshot — fatal without the option
+      st.append("ev", (6 to 8).toDF("id"), 3000L)
+      q.processAllAvailable()
+      // the compaction's rewritten base rows are NOT re-delivered; the
+      // post-compact append arrives normally
+      assert(spark.table("tss_skiprw").as[Int].collect().sorted.toSeq == (1 to 8))
+    } finally q.stop()
+  }
+
+  test("one footer open serves probe and vectorized read per streamed file") {
+    val dir = Files.createTempDirectory("graft-footer").resolve("t").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "tag").coalesce(1).write.parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val before = GraftPartitionReader.footerOpens.get()
+    val r = new GraftPartitionReader(file,
+      Seq((1, "a")).toDF("id", "tag").schema)
+    try {
+      val out = Iterator.continually(r)
+        .takeWhile(_.next()).map(_.get().getInt(0)).toList
+      assert(out.sorted == List(1, 2))
+    } finally r.close()
+    assert(GraftPartitionReader.footerOpens.get() - before == 1)
+  }
+
   test("schema evolution mid-history: old files null-fill added columns") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
