@@ -568,6 +568,46 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // Iceberg schema evolution, RENAME COLUMN: metadata-only — files
+    // written before the rename keep the old physical column name and
+    // one scan reconciles both populations onto the new name (no
+    // rewrite); time travel still renders the name of its snapshot.
+    "q_schema_rename" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_rn", nation.schema)
+      cat.append("nation_rn", nation.filter(col("n_nationkey") < 13), 1000L)
+      cat.renameColumn("nation_rn", "n_name", "nation_name")
+      cat.append("nation_rn", nation.filter(col("n_nationkey") >= 13)
+        .withColumnRenamed("n_name", "nation_name"), 2000L)
+      cat.table("nation_rn").select(col("n_nationkey"), col("nation_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Iceberg schema evolution, type widening: int → bigint is a schema
+    // version bump only; pre-widening int32 files up-cast at scan time
+    // (one aggregate spans both physical widths), and post-widening rows
+    // exceed the old range.
+    "q_schema_widen" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_w", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType))))
+      cat.append("orders_w", orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").as("price")), 1000L)
+      cat.widenColumn("orders_w", "k", org.apache.spark.sql.types.LongType)
+      cat.append("orders_w", orders.filter(col("o_orderkey") % 2 === 1)
+        .select((col("o_orderkey") + lit(5000000000L)).as("k"),
+          col("o_totalprice").as("price")), 2000L)
+      eng.sql("SELECT COUNT(*) AS cnt, MAX(k) AS max_k, SUM(k) AS sum_k " +
+        "FROM orders_w")
+    }),
+
     // Metadata-answered COUNT with a partition-aligned WHERE: the month
     // partitioning makes every file all-in or all-out for a month-range
     // predicate, so the engine folds per-file record counts from the log
@@ -1305,6 +1345,18 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
         |  AND o_orderdate < TIMESTAMP '2000-06-01'""".stripMargin,
+
+    "q_schema_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_schema_widen" ->
+      """SELECT count(*) AS cnt, CAST(MAX(k) AS BIGINT) AS max_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CASE WHEN o_orderkey % 2 = 1
+        |             THEN o_orderkey + 5000000000
+        |             ELSE o_orderkey END AS k
+        |      FROM orders)""".stripMargin,
 
     "q_sql_merge_cond" ->
       """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES

@@ -198,6 +198,20 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     registerView(name)
   }
 
+  /** ALTER TABLE RENAME COLUMN: see [[TableStore.renameColumn]]. */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    store().renameColumn(name, from, to)
+    registerView(name)
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE (widening): see
+    * [[TableStore.widenColumn]]. */
+  def widenColumn(name: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    store().widenColumn(name, column, to)
+    registerView(name)
+  }
+
   /** ALTER TABLE SET PARTITION SPEC: see [[TableStore.setPartitionSpec]]. */
   def setPartitionSpec(name: String, spec: graft.store.PartitionSpec): Unit =
     store().setPartitionSpec(name, spec)

@@ -74,6 +74,18 @@ object SqlDdl {
   private val AlterDrop =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+COLUMNS?\\s*" +
       "\\(?\\s*`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$").r
+  // Iceberg schema evolution: `ALTER TABLE t RENAME COLUMN a TO b` —
+  // metadata only; old data files keep the physical name and reads
+  // reconcile via the table's rename history.
+  private val AlterRename =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+RENAME\\s+COLUMN\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s+TO\\s+`?([A-Za-z_]\\w*)`?\\s*$").r
+  // Iceberg type widening: `ALTER TABLE t ALTER COLUMN c TYPE BIGINT`
+  // (int→long family, float→double); old files' narrower values up-cast
+  // at scan time.
+  private val AlterColType =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*$").r
   // Iceberg partition-spec evolution (`ALTER TABLE t SET PARTITION SPEC
   // (month(ts))`): new writes use the new transform, old files keep the
   // values they were written with, pruning handles both per file.
@@ -191,6 +203,16 @@ object SqlDdl {
     case AlterDrop(qn, c) =>
       val (cat, t) = resolved(catalog, qn)
       cat.dropColumn(t, c)
+      Some(empty(catalog))
+    case AlterRename(qn, from, to) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.renameColumn(t, from, to)
+      Some(empty(catalog))
+    case AlterColType(qn, c, tpe) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.widenColumn(t, c, parseType(tpe))
       Some(empty(catalog))
     case ShowTables() =>
       import catalog.spark.implicits._

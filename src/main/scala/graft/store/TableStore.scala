@@ -481,17 +481,32 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       sch.fields.find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
         .getOrElse(StringType)
     }
+    // Renamed columns: old files logged their stats/partition values
+    // under the physical name of their time — remap onto the current
+    // name so a predicate on the new name still prunes them.
+    val events = renameEvents(table)
+    val statRemap: Map[String, String] =
+      if (events.isEmpty) Map.empty
+      else sch.fields.toSeq.flatMap(f =>
+        aliasesOf(events, f.name).map(a => a.toLowerCase -> f.name.toLowerCase)).toMap
+    val partNames: Seq[String] = partInfo.toSeq.flatMap { case (sp, _) =>
+      sp.column +: (if (events.isEmpty) Seq.empty else aliasesOf(events, sp.column))
+    }
     (partInfo.isDefined, { f =>
       val partRanges: Map[String, Pruning.ColRange] = partInfo match {
         case Some((sp, zone)) =>
-          f.partition.get(sp.column) match {
+          partNames.iterator
+            .flatMap(n => f.partition.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(n) => v
+            }).nextOption() match {
             case Some(v) =>
               Map(sp.column.toLowerCase -> sp.sourceRange(v, srcType.get, zone))
             case None => Map.empty // pre-spec file without partition value
           }
         case None => Map.empty
       }
-      val statRanges = f.stats.map { case (c, b) => c -> Pruning.fromBounds(b) }
+      val statRanges = f.stats.map { case (c, b) =>
+        statRemap.getOrElse(c, c) -> Pruning.fromBounds(b) }
       // both describe the same file: intersect per column (an unbounded
       // stats entry must never loosen a bounded partition-derived range)
       (partRanges.keySet ++ statRanges.keySet).map { c =>
@@ -548,8 +563,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       sch: StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-    else spark.read.schema(sch)
-      .parquet(files.map(f => absPath(table, f.path).toString): _*)
+    else {
+      val paths = files.map(f => absPath(table, f.path).toString)
+      val events = renameEvents(table)
+      val aliased: Seq[(String, Seq[String])] =
+        if (events.isEmpty) Seq.empty
+        else sch.fields.toSeq.map(f => f.name -> aliasesOf(events, f.name))
+          .filter(_._2.nonEmpty)
+      if (aliased.isEmpty) spark.read.schema(sch).parquet(paths: _*)
+      else {
+        // Renamed columns: scan under ALL historical physical names
+        // (each at the current — possibly widened — type) and coalesce
+        // into the render name. Exactly one alias is non-absent per
+        // file because physical names are never reused; a rewritten
+        // (COW) file normalises to the current name on its way out.
+        val aliasFor = aliased.toMap
+        val union = StructType(sch.fields.flatMap(f =>
+          f +: aliasFor.getOrElse(f.name, Seq.empty)
+            .map(a => StructField(a, f.dataType, nullable = true))))
+        spark.read.schema(union).parquet(paths: _*)
+          .select(sch.fields.toIndexedSeq.map { f =>
+            aliasFor.get(f.name) match {
+              case Some(as) => coalesce((f.name +: as).map(col): _*).as(f.name)
+              case None     => col(f.name)
+            }
+          }: _*)
+      }
+    }
 
   /** Id of the current snapshot (None = no commits yet). One log read,
     * no hydration. */
@@ -914,6 +954,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cols.fields.foreach(f => require(
       !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column '${f.name}' already exists in $table"))
+    // any name in the rename chain must never come back: data files may
+    // still carry it, and rename reconciliation coalesces by name
+    // ([[readFileListAs]]) — a reused name would resurrect old data
+    cols.fields.foreach(f => require(
+      !renameEvents(table).exists(e =>
+        e._1.equalsIgnoreCase(f.name) || e._2.equalsIgnoreCase(f.name)),
+      s"column name '${f.name}' appears in $table's rename history " +
+        "and cannot be reused"))
     writeSchemaVersion(table, StructType(cur.fields ++ cols.fields))
   }
 
@@ -943,12 +991,117 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * new version — never a torn one. */
   private def writeSchemaVersion(table: String, next: StructType): Unit =
     SnapshotLog.withTableLock(fs, tableDir(table)) {
-      val cur = currentSchemaVersion(table)
-      if (cur == 0) writeString(schemaVersionPath(table, 1), schema(table).json)
-      val v = math.max(cur, 1) + 1
-      writeString(schemaVersionPath(table, v), next.json)
-      writeString(new HPath(tableDir(table), "schema.json"), next.json)
+      writeSchemaVersionLocked(table, next)
     }
+
+  // lock-free body, for callers already holding the table lock (the
+  // lock is a file and NOT reentrant)
+  private def writeSchemaVersionLocked(table: String, next: StructType): Unit = {
+    val cur = currentSchemaVersion(table)
+    if (cur == 0) writeString(schemaVersionPath(table, 1), schema(table).json)
+    val v = math.max(cur, 1) + 1
+    writeString(schemaVersionPath(table, v), next.json)
+    writeString(new HPath(tableDir(table), "schema.json"), next.json)
+  }
+
+  /** Rename events (oldest first) — the per-table column mapping that
+    * stands in for Iceberg's field ids: data files keep their physical
+    * column names forever, and reads reconcile a renamed column from
+    * ALL its historical names (sound because names are never reused —
+    * [[renameColumn]] and [[addColumns]] reject resurrecting one). */
+  private def renameEvents(table: String): Seq[(String, String)] = {
+    val p = new HPath(tableDir(table), "renames.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala
+        .map(e => (e.get("from").asText(), e.get("to").asText())).toSeq
+    }
+  }
+
+  /** Historical physical names a render-schema field may carry in data
+    * files written before its rename(s) — transitive over the event
+    * chain, matched case-insensitively, verbatim case returned. Works
+    * for any render schema (current or a time-travel snapshot's). */
+  private def aliasesOf(events: Seq[(String, String)], name: String): Seq[String] = {
+    val known = scala.collection.mutable.Set[String](name.toLowerCase)
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((f, t) <- events if known.contains(t.toLowerCase) && known.add(f.toLowerCase)) {
+        out += f; changed = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** `ALTER TABLE … RENAME COLUMN`: pure metadata — a new schema
+    * version plus a rename event; no data file is touched. Reads of any
+    * snapshot reconcile by the event chain ([[readFileListAs]]), so old
+    * files keep answering under the new name, and time travel renders
+    * the name OF ITS TIME via the snapshot's schema version. The
+    * partition/sort specs follow the rename (their values stay keyed by
+    * the logical column). */
+  def renameColumn(table: String, from: String, to: String): Unit =
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val cur = schema(table)
+      val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$from' in $table"))
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"column '$to' already exists in $table")
+      require(!renameEvents(table).exists(e =>
+        e._1.equalsIgnoreCase(to) || e._2.equalsIgnoreCase(to)),
+        s"cannot rename to '$to' in $table: the name appears in the " +
+          "rename history and data files may still carry it " +
+          "(physical names are never reused)")
+      writeSchemaVersionLocked(table, StructType(cur.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+      val events = renameEvents(table) :+ ((field.name, to))
+      writeString(new HPath(tableDir(table), "renames.json"),
+        events.map { case (f, t) =>
+          s"""{"from":${jsonStr(f)},"to":${jsonStr(t)}}"""
+        }.mkString("[", ",", "]"))
+      partitionSpecZone(table).foreach { case (sp, zone) =>
+        if (sp.column.equalsIgnoreCase(from))
+          writeString(new HPath(tableDir(table), "partition.json"),
+            s"""{"column":"$to","transform":"${sp.transform}",""" +
+              s""""zone":"${zone.getId}"}""")
+      }
+      val so = sortOrder(table)
+      if (so.exists(_.equalsIgnoreCase(from)))
+        writeString(new HPath(tableDir(table), "sort.json"),
+          so.map(c => if (c.equalsIgnoreCase(from)) to else c)
+            .map(jsonStr).mkString("[", ",", "]"))
+    }
+
+  /** Safe type widening (Iceberg's int→long / float→double evolution):
+    * the schema changes, data files keep their narrower physical type,
+    * and Spark 4's vectorized parquet reader up-casts at scan time.
+    * Logged bounds are already width-normalised ([[Pruning.normalise]]
+    * stores every integer family as long), so file skipping and
+    * metadata-answered MIN/MAX are unaffected. */
+  def widenColumn(table: String, name: String, to: DataType): Unit = {
+    val cur = schema(table)
+    val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' in $table"))
+    val ok = (field.dataType, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType, IntegerType)            => true
+      case (ByteType, ShortType)                          => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+    require(ok, s"cannot widen ${field.dataType.simpleString} column " +
+      s"'$name' to ${to.simpleString} (integer-family upcasts and " +
+      "float→double only)")
+    writeSchemaVersion(table, StructType(cur.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f)))
+  }
 
   /** SHOW PARTITIONS source: (value, files, records) per partition of
     * the current snapshot — log metadata, with the footer fallback for

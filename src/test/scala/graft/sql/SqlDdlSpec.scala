@@ -462,4 +462,88 @@ class SqlDdlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       eng.sql("ALTER TABLE ev3 DROP COLUMN d"))
   }
+
+  test("RENAME COLUMN: old files answer under the new name, no rewrite") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE rn (id INT, amount DOUBLE)")
+    eng.sql("INSERT INTO rn VALUES (1, 10.5), (2, 20.5)")
+    val filesBefore = cat.store().currentFiles("rn").toSet
+    eng.sql("ALTER TABLE rn RENAME COLUMN amount TO total")
+    // metadata-only: same physical files
+    assert(cat.store().currentFiles("rn").toSet == filesBefore)
+    // pre-rename rows reconcile onto the new name
+    assert(eng.run("SELECT total FROM rn WHERE id = 1") == "[(10.5,)]")
+    eng.sql("INSERT INTO rn VALUES (3, 30.5)")
+    // mixed old/new physical names in one scan
+    assert(eng.run("SELECT SUM(total) FROM rn") == "[(61.5,)]")
+    // predicates on the renamed column work across both populations
+    assert(eng.run("SELECT id FROM rn WHERE total > 15 ORDER BY id") ==
+      "[(2,), (3,)]")
+    // time travel renders the name OF ITS TIME
+    assert(cat.tableVersion("rn", 1L).schema.fieldNames.toSeq ==
+      Seq("id", "amount"))
+    assert(eng.run("SELECT amount FROM rn FOR SYSTEM_VERSION AS OF 1 " +
+      "WHERE id = 2") == "[(20.5,)]")
+    assert(cat.table("rn").schema.fieldNames.toSeq == Seq("id", "total"))
+    // chained rename keeps reconciling transitively
+    eng.sql("ALTER TABLE rn RENAME COLUMN total TO grand_total")
+    assert(eng.run("SELECT SUM(grand_total) FROM rn") == "[(61.5,)]")
+    // historical names can never be resurrected
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE rn RENAME COLUMN id TO amount"))
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE rn ADD COLUMN total STRING"))
+  }
+
+  test("RENAME COLUMN on the partition source keeps pruning effective") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE rp (k STRING, v INT) PARTITIONED BY (k)")
+    eng.sql("INSERT INTO rp VALUES ('a', 1), ('b', 2)")
+    eng.sql("ALTER TABLE rp RENAME COLUMN k TO region")
+    eng.sql("INSERT INTO rp VALUES ('a', 3), ('c', 4)")
+    // spec follows the rename; old files' partition values (logged under
+    // the old column) still prune against predicates on the NEW name
+    assert(cat.store().partitionSpec("rp").get.column == "region")
+    val pruned = cat.store().prunedFiles("rp",
+      org.apache.spark.sql.functions.col("region") === "a")
+    assert(pruned.nonEmpty)
+    assert(pruned.size < cat.store().currentFiles("rp").size)
+    assert(eng.run("SELECT SUM(v) FROM rp WHERE region = 'a'") == "[(4,)]")
+  }
+
+  test("ALTER COLUMN TYPE widens int to long; old int32 files stay readable") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE wd (id INT, n INT)")
+    eng.sql("INSERT INTO wd VALUES (1, 100), (2, 200)")
+    eng.sql("ALTER TABLE wd ALTER COLUMN n TYPE BIGINT")
+    assert(cat.store().schema("wd")("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a value beyond int range lands fine post-widening
+    eng.sql("INSERT INTO wd VALUES (3, 5000000000)")
+    // one scan spans int32-physical and int64-physical files
+    assert(eng.run("SELECT SUM(n) FROM wd") == "[(5000000300,)]")
+    assert(eng.run("SELECT n FROM wd WHERE id = 1") == "[(100,)]")
+    // metadata MAX over mixed-width bounds stays exact
+    assert(eng.run("SELECT MAX(n) FROM wd") == "[(5000000000,)]")
+    // narrowing and non-numeric changes are rejected
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE wd ALTER COLUMN n TYPE INT"))
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE wd ALTER COLUMN id TYPE STRING"))
+    // float → double is the other legal family
+    eng.sql("CREATE TABLE wf (x FLOAT)")
+    eng.sql("INSERT INTO wf VALUES (1.5)")
+    eng.sql("ALTER TABLE wf ALTER COLUMN x TYPE DOUBLE")
+    assert(eng.run("SELECT x FROM wf") == "[(1.5,)]")
+  }
+
+  test("rename then widen composes: old files under old name and width") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE rw (a INT)")
+    eng.sql("INSERT INTO rw VALUES (7)")
+    eng.sql("ALTER TABLE rw RENAME COLUMN a TO b")
+    eng.sql("ALTER TABLE rw ALTER COLUMN b TYPE BIGINT")
+    eng.sql("INSERT INTO rw VALUES (9000000000)")
+    assert(eng.run("SELECT SUM(b) FROM rw") == "[(9000000007,)]")
+  }
 }
