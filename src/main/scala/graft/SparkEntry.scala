@@ -568,6 +568,29 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // CLUSTERED BY … INTO n BUCKETS through SQL DDL: both sides of the
+    // hot join are written bucket-aligned on the join key, so the
+    // sort-merge join plans with NO shuffle exchange (plan-asserted in
+    // SqlDdlSpec) — at 100 TB, the fact table is read join-ready
+    // instead of reshuffled per query.
+    "q_bucket_join" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      cat.createTable("orders_bkt", orders.schema,
+        bucketBy = Some(("custkey", 8)))
+      cat.append("orders_bkt", orders, 1000L)
+      cat.createTable("cust_bkt", cust.schema, bucketBy = Some(("custkey", 8)))
+      cat.append("cust_bkt", cust, 2000L)
+      eng.sql("SELECT c_mktsegment, COUNT(*) AS cnt, " +
+        "ROUND(SUM(o_totalprice), 2) AS revenue " +
+        "FROM orders_bkt JOIN cust_bkt USING (custkey) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    }),
+
     // Iceberg schema evolution, RENAME COLUMN: metadata-only — files
     // written before the rename keep the old physical column name and
     // one scan reconciles both populations onto the new name (no
@@ -1345,6 +1368,12 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
         |  AND o_orderdate < TIMESTAMP '2000-06-01'""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_schema_rename" ->
       """SELECT n_nationkey, n_name AS nation_name FROM nation

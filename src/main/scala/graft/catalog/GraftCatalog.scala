@@ -90,12 +90,44 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def createTable(name: String, schema: StructType,
       partition: Option[PartitionSpec] = None,
-      sortBy: Seq[String] = Seq.empty): Unit = {
-    store().create(name, schema, partition, sortBy)
+      sortBy: Seq[String] = Seq.empty,
+      bucketBy: Option[(String, Int)] = None): Unit = {
+    bucketBy match {
+      case None =>
+        store().create(name, schema, partition, sortBy)
+      case Some((key, n)) =>
+        // CLUSTERED BY: storage delegates to a session-catalog bucketed
+        // parquet table at the store's data/ dir — the only write path
+        // that stamps bucket-file metadata, which is what lets two
+        // same-bucketed tables sort-merge join with NO exchange.
+        require(partition.isEmpty && sortBy.isEmpty,
+          s"CLUSTERED BY cannot combine with PARTITIONED BY / SORT BY on $name")
+        store().create(name, schema)
+        store().setBucketSpec(name, key, n)
+        val cn = bucketTableName(name)
+        spark.sql(s"DROP TABLE IF EXISTS `$cn`")
+        val cols = schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val loc = new HPath(store().tableDir(name), "data")
+        spark.sql(s"CREATE TABLE `$cn` ($cols) USING PARQUET " +
+          s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS " +
+          s"LOCATION '$loc'")
+    }
     registerView(name)
   }
 
+  /** Session-catalog identifier backing a bucketed table — keyed by
+    * warehouse+database so distinct warehouses never collide. */
+  private def bucketTableName(name: String): String = {
+    val h = Integer.toHexString((warehouse.toString + "/" + currentDb).hashCode)
+    s"graft_bkt_${h}_${currentDb}_$name"
+  }
+
+  def bucketSpec(name: String): Option[(String, Int)] = store().bucketSpec(name)
+
   def dropTable(name: String): Unit = {
+    if (store().bucketSpec(name).isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketTableName(name)}`")
     store().drop(name)
     // a foreign-db drop must not remove the current db's same-named view
     if (!viewless) spark.catalog.dropTempView(name)
@@ -104,7 +136,10 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def append(name: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    val snap = store().append(name, df, timestampMs, extraSummary)
+    val snap =
+      if (store().bucketSpec(name).isDefined)
+        store().appendBucketed(name, df, bucketTableName(name), timestampMs)
+      else store().append(name, df, timestampMs, extraSummary)
     registerView(name)
     snap
   }
@@ -116,9 +151,14 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
-  /** Latest view (default) or snapshot-pinned time travel. */
+  /** Latest view (default) or snapshot-pinned time travel. A bucketed
+    * table's latest read goes through the session catalog (bucket-aware
+    * scan → no-exchange joins); time-travel reads fall back to the
+    * snapshot log's plain file-list scan — correct, just unbucketed. */
   def table(name: String, asOfMs: Option[Long] = None): DataFrame =
-    store().read(name, asOfMs)
+    if (asOfMs.isEmpty && store().bucketSpec(name).isDefined)
+      spark.table(bucketTableName(name))
+    else store().read(name, asOfMs)
 
   /** Snapshot-id pinned read (`FOR SYSTEM_VERSION AS OF`). */
   def tableVersion(name: String, snapshotId: Long): DataFrame =

@@ -38,6 +38,7 @@ object SqlDdl {
       "\\s*\\((.*?)\\)" +
       "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "\\s*(?:SORT(?:ED)?\\s+BY\\s*\\(([^)]*)\\))?" +
+      "\\s*(?:CLUSTERED\\s+BY\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*INTO\\s+(\\d+)\\s+BUCKETS)?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
@@ -159,13 +160,14 @@ object SqlDdl {
         cat.append(t, df)
       }
       Some(empty(catalog))
-    case CreateTable(qn, colsDef, partDef, sortDef) =>
+    case CreateTable(qn, colsDef, partDef, sortDef, bucketCol, bucketN) =>
       val (cat, t) = resolved(catalog, qn)
       if (!cat.store().exists(t))
         cat.createTable(t, parseSchema(colsDef),
           Option(partDef).map(graft.store.PartitionSpec.parse),
           Option(sortDef).toSeq.flatMap(_.split(",").toSeq)
-            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+          Option(bucketCol).map(c => (c, bucketN.toInt)))
       Some(empty(catalog))
     case Insert(qn, colList, valuesTail) =>
       val (cat, t) = resolved(catalog, qn)

@@ -189,6 +189,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def append(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    requireNotBucketed(table, "staged append (route via the catalog)")
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     // Only the DELTA row count goes in: the cumulative recordCount is
@@ -219,6 +220,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def overwrite(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       operation: String = "replace"): Snapshot = {
+    requireNotBucketed(table, "overwrite/compaction")
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
@@ -837,8 +839,81 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Current snapshot (hydrated) + its id, the base a COW op computes
     * against; id 0 = empty table. */
   private def cowBase(table: String): (Long, Seq[DataFile]) = {
+    requireNotBucketed(table, "row-level rewrite")
     val snap = SnapshotLog.resolve(fs, tableDir(table), None)
     (snap.map(_.id).getOrElse(0L), snap.map(_.files).getOrElse(Seq.empty))
+  }
+
+  // -------------------------------------------------------------------
+  // Bucketed tables (CLUSTERED BY … INTO n BUCKETS)
+  // -------------------------------------------------------------------
+
+  /** Bucket layout of `table`: Some((key, numBuckets)). Bucketed tables
+    * delegate their storage to a session-catalog bucketed parquet table
+    * (Spark's bucket-aware scan exists only for catalog tables) at this
+    * store's `data/` dir — the layout for hot-join-key fact tables,
+    * where a co-located sort-merge join must plan with NO exchange.
+    * The snapshot log still records appends (history, metadata counts,
+    * time travel via plain file-list reads), but rewriting ops
+    * (DELETE/UPDATE/MERGE/OPTIMIZE/TRUNCATE) are rejected: a rewrite
+    * outside the catalog write path would break the bucket-file
+    * metadata invariant. */
+  def bucketSpec(table: String): Option[(String, Int)] = {
+    val p = new HPath(tableDir(table), "bucket.json")
+    if (!fs.exists(p)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      Some((node.get("column").asText(), node.get("buckets").asInt()))
+    }
+  }
+
+  private[graft] def setBucketSpec(table: String, key: String, n: Int): Unit = {
+    require(schema(table).fieldNames.exists(_.equalsIgnoreCase(key)),
+      s"bucket column '$key' not in schema of $table")
+    require(n >= 1, s"bucket count must be >= 1 (got $n)")
+    writeString(new HPath(tableDir(table), "bucket.json"),
+      s"""{"column":${jsonStr(key)},"buckets":$n}""")
+  }
+
+  private def requireNotBucketed(table: String, op: String): Unit =
+    require(bucketSpec(table).isEmpty,
+      s"$op is not supported on bucketed table $table " +
+        "(bucketed tables are append + scan only)")
+
+  /** Append into a bucketed table: the write MUST go through the
+    * session catalog (only catalog writes stamp bucket-file metadata),
+    * then the new files are committed to the snapshot log by directory
+    * diff so history and metadata-answered counts keep working.
+    * Concurrent appends to the same bucketed table are not supported
+    * (the diff must see only its own files) — matching the
+    * single-writer posture of Spark's own bucketed `saveAsTable`. */
+  private[graft] def appendBucketed(table: String, df: DataFrame,
+      catalogTable: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val (key, n) = bucketSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"table $table is not bucketed"))
+    val dir = dataDir(table)
+    val before: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).map(_.getPath.getName).toSet
+    df.write.mode(SaveMode.Append)
+      .bucketBy(n, key).sortBy(key)
+      .format("parquet").saveAsTable(catalogTable)
+    val added = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !before(p.getName))
+      .sortBy(_.toString)
+    val files = TableStore.inParallel(added) { p =>
+      val (records, ranges) = footerMeta(p)
+      val stats = ranges.toSeq.sortBy(_._1).take(TableStore.MaxStatsColumns)
+        .flatMap { case (c, r) => Pruning.toBounds(r).map(c -> _) }.toMap
+      DataFile(s"data/${p.getName}", records, Map.empty, stats)
+    }
+    val total = files.map(_.records).sum
+    SnapshotLog.commit(fs, tableDir(table), "append", files, total,
+      timestampMs, replaceAll = false,
+      summary = Map("added-files" -> files.size.toString,
+        "added-records" -> total.toString),
+      schemaVersionOf = () => commitSchemaVersion(table))
   }
 
   /** Retry a COW op on commit conflict: each attempt recomputes its
@@ -1120,11 +1195,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** TRUNCATE: one `delete` snapshot with an empty file list — prior
     * snapshots keep their files for time travel until `expire`. */
   def truncate(table: String,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    requireNotBucketed(table, "TRUNCATE")
     SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
       timestampMs, replaceAll = true,
       summary = Map("carried-files" -> "0", "added-files" -> "0"),
       schemaVersionOf = () => commitSchemaVersion(table))
+  }
 
   /** Version to stamp into a commit (-1 when the table predates schema
     * versioning, keeping old logs byte-stable). */

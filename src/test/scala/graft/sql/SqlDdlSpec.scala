@@ -537,6 +537,41 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT x FROM wf") == "[(1.5,)]")
   }
 
+  test("CREATE TABLE CLUSTERED BY: co-located SMJ with no exchange via SQL") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE facts (k INT, payload STRING) " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS")
+    eng.sql("CREATE TABLE dims (k INT, name STRING) " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS")
+    assert(cat.bucketSpec("facts").contains(("k", 4)))
+    // INSERT routes through the bucketed catalog write path
+    eng.sql("INSERT INTO facts VALUES " +
+      (1 to 400).map(i => s"(${i % 50}, 'p$i')").mkString(", "))
+    eng.sql("INSERT INTO dims VALUES " +
+      (0 until 50).map(k => s"($k, 'name$k')").mkString(", "))
+    // both sides bucket-aligned: the forced SMJ plans with NO exchange
+    val joined = spark.table("facts").hint("merge")
+      .join(spark.table("dims"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), "bucketed join still shuffles:\n" + plan)
+    assert(joined.count() == 400)
+    // the engine's SQL read path sees the same bucketed relation
+    assert(eng.run("SELECT COUNT(*) FROM facts WHERE k = 7") == "[(8,)]")
+    // appends land in the snapshot log too: history + metadata count
+    assert(eng.run("SELECT COUNT(*) FROM facts") == "[(400,)]")
+    assert(cat.history("facts").count() == 1L)
+    // rewriting ops are rejected on bucketed tables
+    assertThrows[IllegalArgumentException](
+      eng.sql("DELETE FROM facts WHERE k = 1"))
+    assertThrows[IllegalArgumentException](eng.sql("TRUNCATE TABLE facts"))
+    assertThrows[IllegalArgumentException](eng.sql("OPTIMIZE facts"))
+    // DROP removes both the store dir and the backing catalog table
+    eng.sql("DROP TABLE facts")
+    eng.sql("DROP TABLE dims")
+    assert(!cat.listTables().contains("facts"))
+  }
+
   test("rename then widen composes: old files under old name and width") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE rw (a INT)")
