@@ -314,6 +314,34 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("columns option narrows the SOURCE schema: the scan decodes only them") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", Seq((1, "a", 1.0)).toDF("id", "tag", "w").schema)
+    st.append("ev", Seq((1, "x", 0.5), (2, "y", 1.5)).toDF("id", "tag", "w"), 1000L)
+    val q = reader(wh, "ev").option("columns", "tag").load().writeStream
+      .format("memory").queryName("tss_cols").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tss_cols").schema.fieldNames.toSeq == Seq("tag"))
+      assert(spark.table("tss_cols").as[String].collect().sorted.toSeq ==
+        Seq("x", "y"))
+      // the MicroBatchScan itself outputs ONLY the requested column —
+      // Spark's planner never calls pruneColumns on streaming scans, so
+      // without the option the scan would carry all three
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { q.explain() }
+      val scanLine = out.toString.linesIterator
+        .find(_.contains("MicroBatchScan")).getOrElse("")
+      assert(scanLine.contains("tag#") && !scanLine.contains("id#") &&
+        !scanLine.contains("w#"), scanLine)
+    } finally q.stop()
+    // unknown column names fail at planning, not silently
+    val bad = intercept[Exception] {
+      reader(wh, "ev").option("columns", "nope").load()
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("one footer open serves probe and vectorized read per streamed file") {
     val dir = Files.createTempDirectory("graft-footer").resolve("t").toString
     Seq((1, "a"), (2, "b")).toDF("id", "tag").coalesce(1).write.parquet(dir)
