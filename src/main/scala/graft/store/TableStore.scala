@@ -1084,7 +1084,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * column names forever, and reads reconcile a renamed column from
     * ALL its historical names (sound because names are never reused —
     * [[renameColumn]] and [[addColumns]] reject resurrecting one). */
-  private def renameEvents(table: String): Seq[(String, String)] = {
+  private[graft] def renameEvents(table: String): Seq[(String, String)] = {
     val p = new HPath(tableDir(table), "renames.json")
     if (!fs.exists(p)) Seq.empty
     else {
@@ -1099,7 +1099,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files written before its rename(s) — transitive over the event
     * chain, matched case-insensitively, verbatim case returned. Works
     * for any render schema (current or a time-travel snapshot's). */
-  private def aliasesOf(events: Seq[(String, String)], name: String): Seq[String] = {
+  private[graft] def aliasesOf(events: Seq[(String, String)],
+      name: String): Seq[String] = {
     val known = scala.collection.mutable.Set[String](name.toLowerCase)
     val out = scala.collection.mutable.LinkedHashSet[String]()
     var changed = true

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroB
 import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReaderInit, VectorizedParquetRecordReader}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.store.TableStore
@@ -356,8 +356,20 @@ private[streaming] final class GraftMicroBatchStream(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(tableSchema.json)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Rename reconciliation for streamed files: a column renamed after
+    // a file was written appears in that file under a historical
+    // physical name — ship the alias chains so executors resolve
+    // per-file names the way the batch read path does.
+    val st = store
+    val events = st.renameEvents(opts.table)
+    val aliases: Map[String, Seq[String]] =
+      if (events.isEmpty) Map.empty
+      else tableSchema.fields.toSeq
+        .map(f => f.name -> st.aliasesOf(events, f.name))
+        .filter(_._2.nonEmpty).toMap
+    GraftReaderFactory(tableSchema.json, aliases)
+  }
 
   // Snapshot history IS the source's replay log and is retained by the
   // table's own vacuum policy — nothing extra to clean up per batch.
@@ -368,13 +380,14 @@ private[streaming] final class GraftMicroBatchStream(
 
 private[streaming] final case class GraftFilePartition(path: String) extends InputPartition
 
-private[streaming] final case class GraftReaderFactory(schemaJson: String)
+private[streaming] final case class GraftReaderFactory(schemaJson: String,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   @transient private lazy val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftFilePartition].path, schema)
+      partition.asInstanceOf[GraftFilePartition].path, schema, aliases)
 }
 
 /** Reads one data file with Spark's vectorized parquet reader and
@@ -390,7 +403,9 @@ private[streaming] final case class GraftReaderFactory(schemaJson: String)
   * per-batch metadata I/O.
   */
 private[streaming] final class GraftPartitionReader(
-    path: String, requested: StructType) extends PartitionReader[InternalRow] {
+    path: String, requested: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   private val hconf = new Configuration()
 
@@ -399,32 +414,46 @@ private[streaming] final class GraftPartitionReader(
     ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), hconf))
   }
 
-  // Footer-first: which of the requested columns exist in this file
-  // (the vectorized reader raises on absent columns, so request only
-  // the intersection and null-fill the rest row-side), plus the file's
-  // row count — when NO requested column exists (a pruned projection of
-  // columns all newer than the file), the reader must still emit one
-  // null-filled row per data row, not zero rows.
+  // Footer-first: which of the requested columns exist in this file —
+  // possibly under a HISTORICAL physical name when the column was
+  // renamed after the file was written — plus the file's row count.
+  // The vectorized reader raises on absent columns, so request only the
+  // intersection and null-fill the rest row-side; when NO requested
+  // column exists (a pruned projection of columns all newer than the
+  // file), the reader must still emit one null-filled row per data row,
+  // not zero rows.
   private val fileSchema = pf.getFooter.getFileMetaData.getSchema
-  private val present: Array[StructField] = {
-    val names = fileSchema.getFields.asScala.map(_.getName).toSet
-    requested.fields.filter(f => names.contains(f.name))
+  private val fileNames: Seq[String] =
+    fileSchema.getFields.asScala.map(_.getName).toSeq
+  // physical in-file name per requested field; null = absent
+  private val physical: Array[String] = requested.fields.map { f =>
+    (f.name +: aliases.getOrElse(f.name, Seq.empty)).iterator
+      .flatMap(n => fileNames.find(_.equalsIgnoreCase(n)))
+      .nextOption().orNull
   }
+  private val presentPhysical: Array[String] = physical.filter(_ != null)
   private val fileRows: Long =
     pf.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
 
   // column-less path: one null row per data row
   private var emitted: Long = 0L
 
+  // the Spark types the vectorized reader PRODUCES — for a file written
+  // before a type widening these are narrower than the render types,
+  // and get() up-casts row-side
+  private var srcTypes: Array[DataType] = Array.empty
+
   private val reader: VectorizedParquetRecordReader =
-    if (present.isEmpty) { pf.close(); null }
+    if (presentPhysical.isEmpty) { pf.close(); null }
     else {
       // Projection at the parquet layer: the open reader fetches only
       // the requested columns' chunks, and the vectorized reader is
       // initialized from the ALREADY-PARSED footer.
       val requestedMsg = new org.apache.parquet.schema.MessageType(
         fileSchema.getName,
-        present.map(f => fileSchema.getType(Array(f.name): _*)): _*)
+        presentPhysical.map(n => fileSchema.getType(Array(n): _*)): _*)
+      srcTypes = GraftVectorizedReaderInit.sparkSchemaOf(requestedMsg)
+        .fields.map(_.dataType)
       pf.setRequestedSchema(requestedMsg)
       // Files are always written by this engine (Spark 4, int64-micros
       // timestamps), so proleptic-Gregorian rebase is a no-op: CORRECTED.
@@ -435,10 +464,14 @@ private[streaming] final class GraftPartitionReader(
       r
     }
 
-  private val srcIdx: Array[Int] =
-    requested.fields.map(f => present.indexWhere(_.name == f.name))
+  // position of each requested field in the reader's output row
+  private val srcIdx: Array[Int] = {
+    var next = -1
+    physical.map { p => if (p == null) -1 else { next += 1; next } }
+  }
   private val aligned =
-    present.length == requested.length && srcIdx.zipWithIndex.forall(p => p._1 == p._2)
+    presentPhysical.length == requested.length &&
+      srcTypes.zip(requested.fields).forall(p => p._1 == p._2.dataType)
   private val toUnsafe = UnsafeProjection.create(requested)
 
   override def next(): Boolean =
@@ -458,12 +491,25 @@ private[streaming] final class GraftPartitionReader(
         val s = srcIdx(j)
         vals(j) =
           if (s < 0 || src.isNullAt(s)) null
-          else src.get(s, requested.fields(j).dataType)
+          else upcast(src.get(s, srcTypes(s)), srcTypes(s),
+            requested.fields(j).dataType)
         j += 1
       }
       toUnsafe(new GenericInternalRow(vals))
     }
   }
+
+  // the widening set [[graft.store.TableStore.widenColumn]] permits
+  private def upcast(v: Any, from: DataType, to: DataType): Any =
+    if (from == to) v
+    else (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) =>
+        v.asInstanceOf[Number].longValue()
+      case (ByteType | ShortType, IntegerType) => v.asInstanceOf[Number].intValue()
+      case (ByteType, ShortType)   => v.asInstanceOf[Number].shortValue()
+      case (FloatType, DoubleType) => v.asInstanceOf[Number].doubleValue()
+      case _                       => v
+    }
 
   override def close(): Unit = if (reader != null) reader.close()
 }

@@ -18,6 +18,17 @@ import org.apache.parquet.schema.MessageType
   * Closing the vectorized reader closes the wrapped file reader.
   */
 object GraftVectorizedReaderInit {
+
+  /** The Spark types the vectorized reader will PRODUCE for a requested
+    * parquet projection — the same converter `initialize` applies.
+    * Callers that up-cast row-side (type widening over old files) need
+    * the produced type, not the render type. */
+  def sparkSchemaOf(requestedSchema: MessageType): org.apache.spark.sql.types.StructType =
+    // default-flag converter (binary-as-string / int96 off, like the
+    // footer-reuse initialize's own internal config); the Configuration
+    // overload requires SQLConf keys a bare hadoop conf doesn't carry
+    new ParquetToSparkSchemaConverter().convert(requestedSchema)
+
   def withFooter(reader: VectorizedParquetRecordReader,
       fileSchema: MessageType, requestedSchema: MessageType,
       file: ParquetFileReader, totalRowCount: Long): Unit = {

@@ -358,6 +358,41 @@ class TableStreamSourceSpec extends AnyFunSuite {
     assert(GraftPartitionReader.footerOpens.get() - before == 1)
   }
 
+  test("renamed column streams correctly from pre-rename files") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", Seq((1, "a")).toDF("id", "tag").schema)
+    st.append("ev", Seq((1, "x"), (2, "y")).toDF("id", "tag"), 1000L)
+    st.renameColumn("ev", "tag", "label")
+    st.append("ev", Seq((3, "z")).toDF("id", "label"), 2000L)
+    // one stream spans files written under BOTH physical names — the
+    // old files must deliver values under the new name, not nulls
+    val q = reader(wh, "ev").load().writeStream
+      .format("memory").queryName("tss_rename").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tss_rename").as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1, "x"), (2, "y"), (3, "z")))
+    } finally q.stop()
+  }
+
+  test("widened column streams correctly from pre-widening int32 files") {
+    val (wh, st) = mkWarehouse()
+    st.create("ev", Seq((1, 100)).toDF("id", "n").schema) // n: INT
+    st.append("ev", Seq((1, 100), (2, 200)).toDF("id", "n"), 1000L)
+    st.widenColumn("ev", "n", org.apache.spark.sql.types.LongType)
+    st.append("ev", Seq((3L, 5000000000L)).toDF("id", "n")
+      .select(col("id").cast("int").as("id"), col("n")), 2000L)
+    val q = reader(wh, "ev").load().writeStream
+      .format("memory").queryName("tss_widen").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tss_widen").as[(Int, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1, 100L), (2, 200L), (3, 5000000000L)))
+    } finally q.stop()
+  }
+
   test("schema evolution mid-history: old files null-fill added columns") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
