@@ -568,6 +568,22 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // CALL rollback_to_snapshot: the current state reverts to an
+    // earlier snapshot's file list via a new commit — undone snapshots
+    // stay time-travelable, and the post-rollback read answers from the
+    // rolled-back file set only.
+    "q_sql_rollback" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_rb", orders.schema)
+      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      eng.sql("CALL rollback_to_snapshot('orders_rb', 1)")
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue " +
+        "FROM orders_rb")
+    }),
+
     // CLUSTERED BY … INTO n BUCKETS through SQL DDL: both sides of the
     // hot join are written bucket-aligned on the join key, so the
     // sort-merge join plans with NO shuffle exchange (plan-asserted in
@@ -1368,6 +1384,10 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
         |  AND o_orderdate < TIMESTAMP '2000-06-01'""".stripMargin,
+
+    "q_sql_rollback" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,

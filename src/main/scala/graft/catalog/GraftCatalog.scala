@@ -178,6 +178,22 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def expireSnapshots(name: String, olderThanMs: Long): Unit =
     store().expire(name, olderThanMs)
 
+  /** CALL rollback_to_snapshot: see [[TableStore.rollback]]. */
+  def rollback(name: String, snapshotId: Long,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().rollback(name, snapshotId, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** CALL rollback_to_timestamp: see [[TableStore.rollbackToTime]]. */
+  def rollbackToTime(name: String, asOfMs: Long,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().rollbackToTime(name, asOfMs, timestampMs)
+    registerView(name)
+    snap
+  }
+
   /** Incremental append scan: rows added after snapshot `fromId` up to
     * `toId` (None = current). See [[TableStore.readIncremental]]. */
   def readIncremental(name: String, fromId: Long,

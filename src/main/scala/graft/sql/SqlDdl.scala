@@ -66,6 +66,9 @@ object SqlDdl {
     "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
   private val ShowPartitions =
     "(?is)^\\s*SHOW\\s+PARTITIONS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  // Iceberg's `tbl$files` inspection: one row per current data file
+  private val ShowFiles =
+    "(?is)^\\s*SHOW\\s+FILES\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // column list captured whole; outer parens are stripped in code with a
   // balance check (a regex's optional trailing `\)?` would eat the closing
   // paren of DECIMAL(10,2))
@@ -222,6 +225,12 @@ object SqlDdl {
     case ShowDatabases() =>
       import catalog.spark.implicits._
       Some(catalog.listDatabases().toDF("database_name"))
+    case ShowFiles(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      Some(cat.store().filesMetadata(t)
+        .toDF("file_path", "record_count", "partition", "size_bytes"))
     case ShowPartitions(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
@@ -309,6 +318,19 @@ object SqlDdl {
         case None => System.currentTimeMillis() - defaultAgeMs
       }
     proc match {
+      case "rollback_to_snapshot" =>
+        val (cat, t) = tableArg
+        val id = arg(1, "snapshot_id").getOrElse(throw new IllegalArgumentException(
+          s"CALL $proc needs a snapshot id"))
+        cat.rollback(t, id.trim.toLong)
+      case "rollback_to_timestamp" =>
+        val (cat, t) = tableArg
+        val ms = arg(1, "timestamp") match {
+          case Some(TsLit(ts)) => TimeTravelRewriter.parseTimestampMs(ts)
+          case other => throw new IllegalArgumentException(
+            s"CALL $proc needs a timestamp, got: ${other.getOrElse("nothing")}")
+        }
+        cat.rollbackToTime(t, ms)
       case "expire_snapshots" =>
         val (cat, t) = tableArg
         cat.expireSnapshots(t, olderThanMs(5L * 24 * 3600 * 1000))

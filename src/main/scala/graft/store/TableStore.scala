@@ -1204,6 +1204,55 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  /** `CALL rollback_to_snapshot`: make an earlier snapshot's file list
+    * the CURRENT state via a new `rollback` commit. History is
+    * preserved — the undone snapshots stay time-travelable until
+    * `expire` reclaims them (Iceberg's rollback contract). The CURRENT
+    * schema keeps applying (schema is table metadata, not snapshot
+    * state): files resurface through the same rename/widen
+    * reconciliation as any read. A rollback is a rewrite for streaming
+    * purposes — a follower crossing it fails (or skips it under
+    * `skipRewrites`), never re-delivers. */
+  def rollback(table: String, snapshotId: Long,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    requireNotBucketed(table, "rollback")
+    val target = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no snapshot id $snapshotId"))
+    SnapshotLog.commit(fs, tableDir(table), "rollback", target.files,
+      target.recordCount, timestampMs, replaceAll = true,
+      summary = Map("rolled-back-to" -> snapshotId.toString,
+        "total-records" -> target.recordCount.toString),
+      schemaVersionOf = () => commitSchemaVersion(table))
+  }
+
+  /** `CALL rollback_to_timestamp`: rollback to the newest snapshot
+    * committed at or before `asOfMs`. */
+  def rollbackToTime(table: String, asOfMs: Long,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val target = SnapshotLog.read(fs, tableDir(table))
+      .filter(_.timestampMs <= asOfMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no snapshot at or before $asOfMs"))
+    rollback(table, target.id, timestampMs)
+  }
+
+  /** `SHOW FILES` inspection (Iceberg's `tbl$files` analogue): one row
+    * per current data file from the snapshot log — path, row count,
+    * partition value, on-disk bytes. Driver metadata only; the size
+    * probes run on the bounded parallel pool. */
+  def filesMetadata(table: String): Seq[(String, Long, String, Long)] = {
+    val files = dataFilesAsOf(table, None)
+    TableStore.inParallel(files) { f =>
+      val abs = absPath(table, f.path)
+      val bytes =
+        try fs.getFileStatus(abs).getLen
+        catch { case _: java.io.FileNotFoundException => -1L }
+      (f.path, recordsOf(table, f),
+        f.partition.map { case (k, v) => s"$k=$v" }.mkString(","), bytes)
+    }
+  }
+
   /** Version to stamp into a commit (-1 when the table predates schema
     * versioning, keeping old logs byte-stable). */
   private def commitSchemaVersion(table: String): Int = {

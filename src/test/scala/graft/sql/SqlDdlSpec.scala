@@ -572,6 +572,50 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(!cat.listTables().contains("facts"))
   }
 
+  test("CALL rollback_to_snapshot/timestamp: undone state, history preserved") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE rb (id INT)")
+    eng.sql("INSERT INTO rb VALUES (1), (2)")
+    eng.sql("INSERT INTO rb VALUES (3)")
+    assert(eng.run("SELECT COUNT(*) FROM rb") == "[(3,)]")
+    eng.sql("CALL rollback_to_snapshot('rb', 1)")
+    // current state is snapshot 1's again
+    assert(eng.run("SELECT COUNT(*) FROM rb") == "[(2,)]")
+    assert(eng.run("SELECT id FROM rb ORDER BY id") == "[(1,), (2,)]")
+    // the undone snapshot stays time-travelable (history preserved)
+    assert(eng.run("SELECT COUNT(*) FROM rb FOR SYSTEM_VERSION AS OF 2") ==
+      "[(3,)]")
+    val ops = cat.history("rb").orderBy("snapshot_id")
+      .collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops == Seq("append", "append", "rollback"))
+    // appends continue on top of the rolled-back state
+    eng.sql("INSERT INTO rb VALUES (9)")
+    assert(eng.run("SELECT COUNT(*) FROM rb") == "[(3,)]")
+    // rollback_to_timestamp resolves by commit time
+    val t1 = cat.history("rb").orderBy("snapshot_id").limit(1)
+      .collect()(0).getAs[java.sql.Timestamp]("committed_at")
+    val lit = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(t1)
+    eng.sql(s"CALL rollback_to_timestamp('rb', TIMESTAMP '$lit')")
+    assert(eng.run("SELECT COUNT(*) FROM rb") == "[(2,)]")
+    // unknown id fails loudly
+    assertThrows[IllegalArgumentException](
+      eng.sql("CALL rollback_to_snapshot('rb', 999)"))
+  }
+
+  test("SHOW FILES lists current data files with counts and sizes") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE sf (k STRING, v INT) PARTITIONED BY (k)")
+    eng.sql("INSERT INTO sf VALUES ('a', 1), ('a', 2), ('b', 3)")
+    val rows = eng.sql("SHOW FILES sf").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("record_count")).sum == 3L)
+    assert(rows.forall(_.getAs[Long]("size_bytes") > 0L))
+    val parts = rows.map(_.getAs[String]("partition")).toSet
+    assert(parts == Set("k=a", "k=b"))
+    assert(rows.forall(_.getAs[String]("file_path").startsWith("data/")))
+  }
+
   test("rename then widen composes: old files under old name and width") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE rw (a INT)")
