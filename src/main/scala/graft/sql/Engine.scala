@@ -176,7 +176,16 @@ final class Engine(catalog: GraftCatalog) {
                   field <- sch.fields.find(f => norm(f.name) == norm(colName))
                   if statsTypes.contains(field.dataType)
                   inc <- included
-                  folded <- foldBounds(inc, field.name.toLowerCase, isMin)
+                  folded <- {
+                    // a renamed column's old files logged their bounds
+                    // under the physical name of their time — fold over
+                    // the whole alias chain, like the read path does
+                    val st = catalog.store(db)
+                    val names = (field.name +:
+                      st.aliasesOf(st.renameEvents(t), field.name))
+                      .map(_.toLowerCase)
+                    foldBounds(inc, names, isMin)
+                  }
                 } yield folded.map(external(field.dataType, _)).orNull
             }
             // names/types/nullability from the real analyzer over an empty
@@ -222,11 +231,11 @@ final class Engine(catalog: GraftCatalog) {
     * answer (a file without bounds for the column); inner None = SQL NULL
     * (no non-null values in any file — MIN/MAX ignore nulls). All-null
     * files contribute nothing, exactly like the scan would. */
-  private def foldBounds(files: Seq[graft.store.DataFile], colLc: String,
-      isMin: Boolean): Option[Option[Long]] = {
+  private def foldBounds(files: Seq[graft.store.DataFile],
+      namesLc: Seq[String], isMin: Boolean): Option[Option[Long]] = {
     var acc: Option[Long] = None
     for (f <- files) {
-      f.stats.get(colLc) match {
+      namesLc.iterator.flatMap(f.stats.get).nextOption() match {
         case None => return None
         case Some(b) =>
           val r = graft.store.Pruning.fromBounds(b)

@@ -209,6 +209,18 @@ class EngineSpec extends AnyFunSuite {
       "[('gamma',)]")
   }
 
+  test("MAX over a renamed column stays metadata-answered across old files") {
+    val (cat, engine) = fixture() // default.items, ids 1..3
+    cat.renameColumn("items", "id", "item_id")
+    cat.append("items", Seq((9, "delta")).toDF("item_id", "name"), 2000L)
+    // old files logged bounds under 'id'; the fold walks the alias chain
+    val df = engine.sql("SELECT MAX(item_id) FROM items")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(engine.run("SELECT MAX(item_id) FROM items") == "[(9,)]")
+    assert(engine.run("SELECT MIN(item_id) FROM items") == "[(1,)]")
+  }
+
   test("bare COUNT(*) answers from snapshot metadata, no scan") {
     val (_, engine) = fixture()
     val df = engine.sql("SELECT COUNT(*) FROM items")
