@@ -601,6 +601,11 @@ class SqlDdlSpec extends AnyFunSuite {
     // unknown id fails loudly
     assertThrows[IllegalArgumentException](
       eng.sql("CALL rollback_to_snapshot('rb', 999)"))
+    // expire after rollback: the files the rollback resurrected are
+    // referenced by the surviving (latest) snapshot and must outlive
+    // the dropped history
+    eng.sql("CALL expire_snapshots('rb', TIMESTAMP '2100-01-01 00:00:00')")
+    assert(eng.run("SELECT id FROM rb ORDER BY id") == "[(1,), (2,)]")
   }
 
   test("SHOW FILES lists current data files with counts and sizes") {
