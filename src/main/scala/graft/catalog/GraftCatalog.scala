@@ -123,6 +123,25 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     s"graft_bkt_${h}_${currentDb}_$name"
   }
 
+  /** The backing catalog entry, re-created on demand: the session
+    * catalog is in-memory, so a NEW session opening an existing
+    * warehouse finds bucket.json but no catalog table — rebuilding it
+    * from the store's metadata makes bucketed tables durable across
+    * sessions (the data files carry the bucket ids; only the catalog
+    * row was session-scoped). */
+  private def ensureBucketTable(name: String, key: String, n: Int): String = {
+    val cn = bucketTableName(name)
+    if (!spark.catalog.tableExists(cn)) {
+      val cols = store().schema(name).fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val loc = new HPath(store().tableDir(name), "data")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$cn` ($cols) USING PARQUET " +
+        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS " +
+        s"LOCATION '$loc'")
+    }
+    cn
+  }
+
   def bucketSpec(name: String): Option[(String, Int)] = store().bucketSpec(name)
 
   def dropTable(name: String): Unit = {
@@ -136,10 +155,12 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def append(name: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    val snap =
-      if (store().bucketSpec(name).isDefined)
-        store().appendBucketed(name, df, bucketTableName(name), timestampMs)
-      else store().append(name, df, timestampMs, extraSummary)
+    val snap = store().bucketSpec(name) match {
+      case Some((key, n)) =>
+        store().appendBucketed(name, df, ensureBucketTable(name, key, n),
+          timestampMs)
+      case None => store().append(name, df, timestampMs, extraSummary)
+    }
     registerView(name)
     snap
   }
@@ -156,9 +177,10 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     * scan → no-exchange joins); time-travel reads fall back to the
     * snapshot log's plain file-list scan — correct, just unbucketed. */
   def table(name: String, asOfMs: Option[Long] = None): DataFrame =
-    if (asOfMs.isEmpty && store().bucketSpec(name).isDefined)
-      spark.table(bucketTableName(name))
-    else store().read(name, asOfMs)
+    (if (asOfMs.isEmpty) store().bucketSpec(name) else None) match {
+      case Some((key, n)) => spark.table(ensureBucketTable(name, key, n))
+      case None           => store().read(name, asOfMs)
+    }
 
   /** Snapshot-id pinned read (`FOR SYSTEM_VERSION AS OF`). */
   def tableVersion(name: String, snapshotId: Long): DataFrame =

@@ -566,6 +566,14 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("DELETE FROM facts WHERE k = 1"))
     assertThrows[IllegalArgumentException](eng.sql("TRUNCATE TABLE facts"))
     assertThrows[IllegalArgumentException](eng.sql("OPTIMIZE facts"))
+    // a "new session" (simulated by dropping the in-memory catalog row)
+    // finds bucket.json and rebuilds the backing table from store
+    // metadata — bucketed tables are durable across sessions
+    val backing = spark.sessionState.catalog.listTables("default")
+      .map(_.table).find(_.endsWith("_facts")).get
+    spark.sql(s"DROP TABLE `$backing`")
+    cat.registerView("facts") // what USE/session start does per table
+    assert(eng.run("SELECT COUNT(*) FROM facts WHERE k = 7") == "[(8,)]")
     // DROP removes both the store dir and the backing catalog table
     eng.sql("DROP TABLE facts")
     eng.sql("DROP TABLE dims")
