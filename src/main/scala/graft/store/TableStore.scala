@@ -764,8 +764,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
       if (statCand.isEmpty) Set.empty
-      else spark.read.schema(schema(table))
-        .parquet(statCand.map(f => absPath(table, f.path).toString): _*)
+      // the probe must read through rename reconciliation
+      // ([[readFileListAs]]) — a direct current-schema read would
+      // null-fill a renamed column in pre-rename files and the
+      // predicate would silently miss their rows
+      else readFileListAs(table, statCand, schema(table))
         .filter(predicate)
         .select(input_file_name()).distinct()
         .collect().map(r => TableStore.fileName(r.getString(0))).toSet
@@ -801,8 +804,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
       if (statCand.isEmpty) Set.empty
-      else spark.read.schema(schema(table))
-        .parquet(statCand.map(f => absPath(table, f.path).toString): _*)
+      // rename-reconciling read, same reasoning as matchedByPredicate
+      else readFileListAs(table, statCand, schema(table))
         .withColumn(TableStore.FileCol, input_file_name())
         .join(keys, keyCols, "left_semi")
         .select(TableStore.FileCol).distinct()

@@ -495,6 +495,25 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("ALTER TABLE rn ADD COLUMN total STRING"))
   }
 
+  test("DELETE/UPDATE/MERGE on a renamed column rewrite pre-rename files too") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE rn3 (id INT, amount DOUBLE)")
+    eng.sql("INSERT INTO rn3 VALUES (1, 10.5), (2, 20.5)") // pre-rename file(s)
+    eng.sql("ALTER TABLE rn3 RENAME COLUMN amount TO total")
+    eng.sql("INSERT INTO rn3 VALUES (3, 30.5)")
+    // the matched row lives in a PRE-rename file: the COW probe must
+    // read it through rename reconciliation, not null it away
+    eng.sql("DELETE FROM rn3 WHERE total = 20.5")
+    assert(eng.run("SELECT id FROM rn3 ORDER BY id") == "[(1,), (3,)]")
+    eng.sql("UPDATE rn3 SET total = 99.0 WHERE total < 15")
+    assert(eng.run("SELECT total FROM rn3 WHERE id = 1") == "[(99.0,)]")
+    // upsert keyed on the renamed column reaches old files as well
+    import spark.implicits._
+    cat.upsert("rn3", Seq((99.0, 100)).toDF("total", "id")
+      .select($"id", $"total"), Seq("total"))
+    assert(eng.run("SELECT id FROM rn3 WHERE total = 99.0") == "[(100,)]")
+  }
+
   test("RENAME COLUMN on the partition source keeps pruning effective") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE rp (k STRING, v INT) PARTITIONED BY (k)")
