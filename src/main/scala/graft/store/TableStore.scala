@@ -1188,8 +1188,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def partitionSummary(table: String): Seq[(String, Int, Long)] = {
     val sp = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"table $table is not partitioned"))
+    // old files logged their value under the partition column's name of
+    // their time — look up through the rename chain
+    val names = sp.column +: aliasesOf(renameEvents(table), sp.column)
     dataFilesAsOf(table, None)
-      .groupBy(_.partition.getOrElse(sp.column, ""))
+      .groupBy(f => names.iterator.flatMap(n =>
+        f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v })
+        .nextOption().getOrElse(""))
       .toSeq.sortBy(_._1)
       .map { case (v, fsOfP) =>
         (v, fsOfP.size, TableStore.inParallel(fsOfP)(recordsOf(table, _)).sum)

@@ -528,6 +528,10 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
     assert(pruned.size < cat.store().currentFiles("rp").size)
     assert(eng.run("SELECT SUM(v) FROM rp WHERE region = 'a'") == "[(4,)]")
+    // SHOW PARTITIONS merges old and new files' values across the rename
+    val parts = eng.sql("SHOW PARTITIONS rp").collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_records")).toMap
+    assert(parts == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
   test("ALTER COLUMN TYPE widens int to long; old int32 files stay readable") {
