@@ -1032,14 +1032,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cols.fields.foreach(f => require(
       !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column '${f.name}' already exists in $table"))
-    // any name in the rename chain must never come back: data files may
-    // still carry it, and rename reconciliation coalesces by name
-    // ([[readFileListAs]]) — a reused name would resurrect old data
+    // any name in the rename chain or drop tombstones must never come
+    // back: data files may still carry it, and by-name reads
+    // ([[readFileListAs]]) would resurrect the old data
     cols.fields.foreach(f => require(
       !renameEvents(table).exists(e =>
         e._1.equalsIgnoreCase(f.name) || e._2.equalsIgnoreCase(f.name)),
       s"column name '${f.name}' appears in $table's rename history " +
         "and cannot be reused"))
+    cols.fields.foreach(f => require(
+      !droppedNames(table).exists(_.equalsIgnoreCase(f.name)),
+      s"column name '${f.name}' was dropped from $table and cannot be " +
+        "reused (old data files still carry it)"))
     writeSchemaVersion(table, StructType(cur.fields ++ cols.fields))
   }
 
@@ -1047,18 +1051,38 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files keep the physical column; reads with the narrowed schema
     * never materialize it (column pruning at the scan). The partition
     * source column cannot be dropped. */
-  def dropColumn(table: String, name: String): Unit = {
-    val cur = schema(table)
-    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"no column '$name' in $table")
-    partitionSpec(table).foreach(sp => require(
-      !sp.column.equalsIgnoreCase(name),
-      s"cannot drop partition column '$name' of $table"))
-    require(!sortOrder(table).exists(_.equalsIgnoreCase(name)),
-      s"cannot drop sort column '$name' of $table (every write clusters by it)")
-    require(cur.fields.length > 1, s"cannot drop the last column of $table")
-    writeSchemaVersion(table,
-      StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
+  def dropColumn(table: String, name: String): Unit =
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val cur = schema(table)
+      val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in $table"))
+      partitionSpec(table).foreach(sp => require(
+        !sp.column.equalsIgnoreCase(name),
+        s"cannot drop partition column '$name' of $table"))
+      require(!sortOrder(table).exists(_.equalsIgnoreCase(name)),
+        s"cannot drop sort column '$name' of $table (every write clusters by it)")
+      require(cur.fields.length > 1, s"cannot drop the last column of $table")
+      writeSchemaVersionLocked(table,
+        StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
+      // tombstone the physical name: data files keep the column, and
+      // by-name reads would RESURRECT its values if the name ever came
+      // back (no Iceberg field ids to disambiguate) — so reuse is
+      // rejected in addColumns/renameColumn
+      writeString(new HPath(tableDir(table), "drops.json"),
+        (droppedNames(table) :+ field.name).map(jsonStr)
+          .mkString("[", ",", "]"))
+    }
+
+  /** Physical names dropped from this table's schema (tombstones — see
+    * [[dropColumn]]); empty for tables that never dropped a column. */
+  private def droppedNames(table: String): Seq[String] = {
+    val p = new HPath(tableDir(table), "drops.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    }
   }
 
   /** Record a new current schema: archive it as the next version (and,
@@ -1138,6 +1162,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         s"cannot rename to '$to' in $table: the name appears in the " +
           "rename history and data files may still carry it " +
           "(physical names are never reused)")
+      require(!droppedNames(table).exists(_.equalsIgnoreCase(to)),
+        s"cannot rename to '$to' in $table: the name was dropped and " +
+          "old data files still carry it")
       writeSchemaVersionLocked(table, StructType(cur.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
       val events = renameEvents(table) :+ ((field.name, to))

@@ -461,6 +461,12 @@ class SqlDdlSpec extends AnyFunSuite {
     eng.sql("CREATE TABLE ev3 (id INT, d DATE) PARTITIONED BY (month(d))")
     assertThrows[IllegalArgumentException](
       eng.sql("ALTER TABLE ev3 DROP COLUMN d"))
+    // a dropped name never comes back: old files still carry the
+    // physical column, and a by-name re-add would RESURRECT its values
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE ev2 ADD COLUMN v DOUBLE"))
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE ev2 RENAME COLUMN tag TO v"))
   }
 
   test("RENAME COLUMN: old files answer under the new name, no rewrite") {
