@@ -1028,6 +1028,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * BEFORE the ALTER keep their recorded schema version, so time-travel
     * reads render the schema of their time (see [[schemaAt]]). */
   def addColumns(table: String, cols: StructType): Unit = {
+    // a bucketed table's backing catalog entry has a fixed schema —
+    // evolving only the store metadata would desync the two
+    requireNotBucketed(table, "schema evolution")
     val cur = schema(table)
     cols.fields.foreach(f => require(
       !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
@@ -1051,7 +1054,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * files keep the physical column; reads with the narrowed schema
     * never materialize it (column pruning at the scan). The partition
     * source column cannot be dropped. */
-  def dropColumn(table: String, name: String): Unit =
+  def dropColumn(table: String, name: String): Unit = {
+    requireNotBucketed(table, "schema evolution")
     SnapshotLog.withTableLock(fs, tableDir(table)) {
       val cur = schema(table)
       val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -1072,6 +1076,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         (droppedNames(table) :+ field.name).map(jsonStr)
           .mkString("[", ",", "]"))
     }
+  }
 
   /** Physical names dropped from this table's schema (tombstones — see
     * [[dropColumn]]); empty for tables that never dropped a column. */
@@ -1150,7 +1155,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * the name OF ITS TIME via the snapshot's schema version. The
     * partition/sort specs follow the rename (their values stay keyed by
     * the logical column). */
-  def renameColumn(table: String, from: String, to: String): Unit =
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    requireNotBucketed(table, "schema evolution")
     SnapshotLog.withTableLock(fs, tableDir(table)) {
       val cur = schema(table)
       val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
@@ -1184,6 +1190,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           so.map(c => if (c.equalsIgnoreCase(from)) to else c)
             .map(jsonStr).mkString("[", ",", "]"))
     }
+  }
 
   /** Safe type widening (Iceberg's int→long / float→double evolution):
     * the schema changes, data files keep their narrower physical type,
@@ -1192,6 +1199,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * stores every integer family as long), so file skipping and
     * metadata-answered MIN/MAX are unaffected. */
   def widenColumn(table: String, name: String, to: DataType): Unit = {
+    requireNotBucketed(table, "schema evolution")
     val cur = schema(table)
     val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(s"no column '$name' in $table"))

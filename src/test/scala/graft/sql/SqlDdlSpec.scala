@@ -595,6 +595,12 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("DELETE FROM facts WHERE k = 1"))
     assertThrows[IllegalArgumentException](eng.sql("TRUNCATE TABLE facts"))
     assertThrows[IllegalArgumentException](eng.sql("OPTIMIZE facts"))
+    // so is schema evolution: the backing catalog entry's schema is
+    // fixed at creation, evolving store metadata alone would desync
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE facts ADD COLUMN extra STRING"))
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE facts RENAME COLUMN payload TO body"))
     // a "new session" (simulated by dropping the in-memory catalog row)
     // finds bucket.json and rebuilds the backing table from store
     // metadata — bucketed tables are durable across sessions
