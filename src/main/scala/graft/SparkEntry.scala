@@ -607,6 +607,42 @@ object SparkEntry {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
     }),
 
+    // bucket(16, key) partition transform (Iceberg's hash transform):
+    // point-key DELETE and SELECT touch 1/16th of the files from log
+    // metadata alone — the prune hashes the literal with the same
+    // murmur3 expression the write shuffled by (file-count-asserted in
+    // TransformSpec/SqlDdlSpec; at 100 TB this is what makes a key
+    // lookup or a single-key COW delete file-granular).
+    "q_bucket_prune" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"),
+          col("c_acctbal"))
+      cat.createTable("cust_bp", cust.schema,
+        Some(graft.store.PartitionSpec.parse("bucket(16, custkey)")))
+      cat.append("cust_bp", cust, 1000L)
+      eng.sql("DELETE FROM cust_bp WHERE custkey = 7")
+      eng.sql("SELECT custkey, c_name, ROUND(c_acctbal, 2) AS acctbal " +
+        "FROM cust_bp WHERE custkey IN (3, 7, 11, 42, 100) " +
+        "ORDER BY custkey")
+    }),
+
+    // truncate(w, key) partition transform: width-floored slots give
+    // range predicates real partition pruning (slot count asserted in
+    // TransformSpec) — the integer sibling of day()-style binning.
+    "q_truncate_prune" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      cat.createTable("orders_tr", orders.schema,
+        Some(graft.store.PartitionSpec.parse("truncate(10000, okey)")))
+      cat.append("orders_tr", orders, 1000L)
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+        "FROM orders_tr WHERE okey >= 5000 AND okey < 25000")
+    }),
+
     // Iceberg schema evolution, RENAME COLUMN: metadata-only — files
     // written before the rename keep the old physical column name and
     // one scan reconciles both populations onto the new name (no
@@ -1394,6 +1430,17 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_bucket_prune" ->
+      """SELECT c_custkey AS custkey, c_name,
+        |       round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_custkey IN (3, 11, 42, 100)
+        |ORDER BY custkey""".stripMargin,
+
+    "q_truncate_prune" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 25000""".stripMargin,
 
     "q_schema_rename" ->
       """SELECT n_nationkey, n_name AS nation_name FROM nation

@@ -88,65 +88,31 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def databaseExists(name: String): Boolean =
     fs.exists(new HPath(warehouse, name))
 
+  /** `bucketBy` (CLUSTERED BY … INTO n BUCKETS) maps onto the native
+    * `bucket(n, key)` partition transform: the store's staged write
+    * shuffles rows with Spark's own bucket-id expression and tags file
+    * names, and reads attach a `BucketSpec` so same-bucketed joins plan
+    * with NO exchange — no session-catalog entry, so bucketed tables
+    * keep schema evolution, COW rewrites, time travel and atomic
+    * commits like every other table. */
   def createTable(name: String, schema: StructType,
       partition: Option[PartitionSpec] = None,
       sortBy: Seq[String] = Seq.empty,
       bucketBy: Option[(String, Int)] = None): Unit = {
-    bucketBy match {
-      case None =>
-        store().create(name, schema, partition, sortBy)
+    val spec = bucketBy match {
+      case None => partition
       case Some((key, n)) =>
-        // CLUSTERED BY: storage delegates to a session-catalog bucketed
-        // parquet table at the store's data/ dir — the only write path
-        // that stamps bucket-file metadata, which is what lets two
-        // same-bucketed tables sort-merge join with NO exchange.
-        require(partition.isEmpty && sortBy.isEmpty,
-          s"CLUSTERED BY cannot combine with PARTITIONED BY / SORT BY on $name")
-        store().create(name, schema)
-        store().setBucketSpec(name, key, n)
-        val cn = bucketTableName(name)
-        spark.sql(s"DROP TABLE IF EXISTS `$cn`")
-        val cols = schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        val loc = new HPath(store().tableDir(name), "data")
-        spark.sql(s"CREATE TABLE `$cn` ($cols) USING PARQUET " +
-          s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS " +
-          s"LOCATION '$loc'")
+        require(partition.isEmpty,
+          s"CLUSTERED BY cannot combine with PARTITIONED BY on $name")
+        Some(PartitionSpec(key, "bucket", Some(n)))
     }
+    store().create(name, schema, spec, sortBy)
     registerView(name)
-  }
-
-  /** Session-catalog identifier backing a bucketed table — keyed by
-    * warehouse+database so distinct warehouses never collide. */
-  private def bucketTableName(name: String): String = {
-    val h = Integer.toHexString((warehouse.toString + "/" + currentDb).hashCode)
-    s"graft_bkt_${h}_${currentDb}_$name"
-  }
-
-  /** The backing catalog entry, re-created on demand: the session
-    * catalog is in-memory, so a NEW session opening an existing
-    * warehouse finds bucket.json but no catalog table — rebuilding it
-    * from the store's metadata makes bucketed tables durable across
-    * sessions (the data files carry the bucket ids; only the catalog
-    * row was session-scoped). */
-  private def ensureBucketTable(name: String, key: String, n: Int): String = {
-    val cn = bucketTableName(name)
-    if (!spark.catalog.tableExists(cn)) {
-      val cols = store().schema(name).fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      val loc = new HPath(store().tableDir(name), "data")
-      spark.sql(s"CREATE TABLE IF NOT EXISTS `$cn` ($cols) USING PARQUET " +
-        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS " +
-        s"LOCATION '$loc'")
-    }
-    cn
   }
 
   def bucketSpec(name: String): Option[(String, Int)] = store().bucketSpec(name)
 
   def dropTable(name: String): Unit = {
-    if (store().bucketSpec(name).isDefined)
-      spark.sql(s"DROP TABLE IF EXISTS `${bucketTableName(name)}`")
     store().drop(name)
     // a foreign-db drop must not remove the current db's same-named view
     if (!viewless) spark.catalog.dropTempView(name)
@@ -155,12 +121,7 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def append(name: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    val snap = store().bucketSpec(name) match {
-      case Some((key, n)) =>
-        store().appendBucketed(name, df, ensureBucketTable(name, key, n),
-          timestampMs)
-      case None => store().append(name, df, timestampMs, extraSummary)
-    }
+    val snap = store().append(name, df, timestampMs, extraSummary)
     registerView(name)
     snap
   }
@@ -172,15 +133,12 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
-  /** Latest view (default) or snapshot-pinned time travel. A bucketed
-    * table's latest read goes through the session catalog (bucket-aware
-    * scan → no-exchange joins); time-travel reads fall back to the
-    * snapshot log's plain file-list scan — correct, just unbucketed. */
+  /** Latest view (default) or snapshot-pinned time travel. Bucketed
+    * tables read bucket-aware straight from the snapshot log (see
+    * [[TableStore]]); time-travel reads of them fall back to a plain
+    * file-list scan — correct, just unbucketed. */
   def table(name: String, asOfMs: Option[Long] = None): DataFrame =
-    (if (asOfMs.isEmpty) store().bucketSpec(name) else None) match {
-      case Some((key, n)) => spark.table(ensureBucketTable(name, key, n))
-      case None           => store().read(name, asOfMs)
-    }
+    store().read(name, asOfMs)
 
   /** Snapshot-id pinned read (`FOR SYSTEM_VERSION AS OF`). */
   def tableVersion(name: String, snapshotId: Long): DataFrame =

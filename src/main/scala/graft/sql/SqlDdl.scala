@@ -38,7 +38,10 @@ object SqlDdl {
       "\\s*\\((.*?)\\)" +
       "\\s*(?:PARTITIONED\\s+BY\\s+(?:SPEC\\s+)?\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "\\s*(?:SORT(?:ED)?\\s+BY\\s*\\(([^)]*)\\))?" +
-      "\\s*(?:CLUSTERED\\s+BY\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*INTO\\s+(\\d+)\\s+BUCKETS)?" +
+      // Hive/Spark bucket syntax, with its optional in-bucket sort:
+      // CLUSTERED BY (k) [SORTED BY (s, …)] INTO n BUCKETS
+      "\\s*(?:CLUSTERED\\s+BY\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)" +
+      "\\s*(?:SORTED\\s+BY\\s*\\(([^)]*)\\)\\s*)?INTO\\s+(\\d+)\\s+BUCKETS)?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
@@ -163,12 +166,15 @@ object SqlDdl {
         cat.append(t, df)
       }
       Some(empty(catalog))
-    case CreateTable(qn, colsDef, partDef, sortDef, bucketCol, bucketN) =>
+    case CreateTable(qn, colsDef, partDef, sortDef, bucketCol, bucketSort, bucketN) =>
       val (cat, t) = resolved(catalog, qn)
       if (!cat.store().exists(t))
         cat.createTable(t, parseSchema(colsDef),
           Option(partDef).map(graft.store.PartitionSpec.parse),
-          Option(sortDef).toSeq.flatMap(_.split(",").toSeq)
+          // in-bucket SORTED BY and standalone SORT BY both land in the
+          // table's sort order (bucket writes sort within buckets)
+          (Option(sortDef).toSeq ++ Option(bucketSort).toSeq)
+            .flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
           Option(bucketCol).map(c => (c, bucketN.toInt)))
       Some(empty(catalog))

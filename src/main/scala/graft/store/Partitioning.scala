@@ -3,7 +3,7 @@ package graft.store
 import java.time.{LocalDate, ZoneId}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, date_format}
+import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod, substring}
 import org.apache.spark.sql.types._
 
 import graft.store.Pruning.ColRange
@@ -15,28 +15,61 @@ import graft.store.Pruning.ColRange
   * unpartitioned at demo scale); at 100 TB the spec is what bounds a
   * day-scoped query to a day's files.
   *
-  * Transforms: `identity`, `day`, `month`, `year`. Partition values are
-  * STRINGS as rendered into the write path's directory names
-  * (`yyyy-MM-dd` / `yyyy-MM` / `yyyy`), zero-padded so lexicographic order
-  * is chronological. [[sourceRange]] maps a value back to an inclusive
-  * min/max range of the SOURCE column, so partition pruning reuses the
-  * same conservative evaluator as footer-stats pruning
+  * Transforms: `identity`, `day`, `month`, `year`, plus Iceberg's two
+  * parameterized transforms `bucket(n, col)` and `truncate(w, col)`.
+  * Partition values are STRINGS as rendered into the write path's
+  * directory names (`yyyy-MM-dd` / `yyyy-MM` / `yyyy`, a bucket id,
+  * a floored multiple / string prefix), zero-padded where lexicographic
+  * order should be chronological. [[sourceRange]] maps a value back to an
+  * inclusive min/max range of the SOURCE column, so partition pruning
+  * reuses the same conservative evaluator as footer-stats pruning
   * ([[Pruning.mightMatch]]) — predicates stay on the source column, the
-  * transform stays hidden, which is exactly Iceberg's contract.
+  * transform stays hidden, which is exactly Iceberg's contract. `bucket`
+  * is the one transform a range cannot express; its point-lookup pruning
+  * goes through [[Pruning.mightMatchBucket]] instead (equality/IN
+  * predicates hash the literal with the same Murmur3 Spark's
+  * `HashPartitioning` uses at write time).
   */
-final case class PartitionSpec(column: String, transform: String) {
+final case class PartitionSpec(column: String, transform: String,
+    param: Option[Int] = None) {
   require(PartitionSpec.Transforms.contains(transform),
     s"unsupported partition transform: $transform " +
       s"(supported: ${PartitionSpec.Transforms.mkString(", ")})")
+  require(PartitionSpec.Parameterized.contains(transform) == param.isDefined,
+    s"transform $transform " +
+      (if (param.isDefined) "takes no parameter" else "needs a parameter"))
+  param.foreach(p => require(p >= 1,
+    s"$transform parameter must be >= 1 (got $p)"))
+
+  /** Key the partition value is recorded under in each [[DataFile]].
+    * Parameterized transforms qualify the key with transform+param so a
+    * later spec (different transform or width) can NEVER misread an old
+    * file's value — a `bucket(8)`-era value interpreted as a `bucket(16)`
+    * id would prune wrongly; a missing key just degrades to "keep". */
+  def partitionKey: String = param match {
+    case Some(p) => s"$column#$transform$p"
+    case None    => column
+  }
 
   /** Column expression computing the partition value at write time.
     * `date_format` uses the session time zone — [[sourceRange]] parses
-    * with the same zone, so write-side values and read-side ranges agree. */
-  def valueColumn: Column = transform match {
+    * with the same zone, so write-side values and read-side ranges agree.
+    * `bucket` reuses Spark's own bucket-id definition
+    * (`HashPartitioning.partitionIdExpression` = pmod(murmur3, n)) so the
+    * recorded value, the shuffle placement and the prune-side literal
+    * hash all agree; `truncate` needs the source type (int floor vs
+    * string prefix). */
+  def valueColumn(sourceType: DataType): Column = transform match {
     case "identity" => col(column).cast(StringType)
     case "day"      => date_format(col(column), "yyyy-MM-dd")
     case "month"    => date_format(col(column), "yyyy-MM")
     case "year"     => date_format(col(column), "yyyy")
+    case "bucket"   => pmod(hash(col(column)), lit(param.get)).cast(StringType)
+    case "truncate" => sourceType match {
+      case StringType => substring(col(column), 1, param.get)
+      case _ => // integral floor-to-multiple (Iceberg: v - (v mod w), positive mod)
+        (col(column) - pmod(col(column), lit(param.get))).cast(StringType)
+    }
   }
 
   /** Inclusive source-column range covered by one partition value, in
@@ -60,6 +93,20 @@ final case class PartitionSpec(column: String, transform: String) {
         case ("identity", _) =>
           val v = PartitionSpec.parseIdentity(value, sourceType)
           ColRange(v, v, hasNulls = false)
+        case ("bucket", _) =>
+          // a bucket id bounds nothing in source space; point lookups
+          // prune via Pruning.mightMatchBucket instead
+          ColRange(None, None)
+        case ("truncate", StringType) =>
+          val w = param.get
+          if (value.length < w) ColRange(Some(value), Some(value), hasNulls = false)
+          else // all strings with this prefix: [v, successor-of-last-char)
+            ColRange(Some(value), PartitionSpec.prefixUpperBound(value),
+              hasNulls = false)
+        case ("truncate", ByteType | ShortType | IntegerType | LongType) =>
+          // floored multiple of w: the file holds [v, v + w - 1]
+          val v = value.toLong
+          ColRange(Some(v), Some(v + param.get - 1), hasNulls = false)
         case (_, DateType) =>
           dateSpan.map { case (lo, hi) =>
             ColRange(Some(lo.toEpochDay), Some(hi.toEpochDay - 1), hasNulls = false)
@@ -88,10 +135,22 @@ final case class PartitionSpec(column: String, transform: String) {
 }
 
 object PartitionSpec {
-  val Transforms: Set[String] = Set("identity", "day", "month", "year")
+  val Transforms: Set[String] =
+    Set("identity", "day", "month", "year", "bucket", "truncate")
+  val Parameterized: Set[String] = Set("bucket", "truncate")
 
   /** Hive's null-partition directory marker, reused as the stored value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Inclusive-safe upper bound covering every string with prefix `p`:
+    * the prefix with its last char incremented is strictly above any
+    * p-prefixed string (UTF-16 order). None when the last char is
+    * U+FFFF (carry) — callers keep the max unbounded, which only
+    * loosens. */
+  private[store] def prefixUpperBound(p: String): Option[String] = {
+    if (p.isEmpty || p.last == '\uffff') None
+    else Some(p.init + (p.last + 1).toChar)
+  }
 
   private[store] def parseIdentity(value: String, dt: DataType): Option[Any] =
     try dt match {
@@ -103,14 +162,52 @@ object PartitionSpec {
       case _                      => None
     } catch { case _: Exception => None }
 
-  /** `PARTITIONED BY (day(ts))` / `(ts)` DDL fragment → spec. */
+  /** `PARTITIONED BY (day(ts))` / `(ts)` / `(bucket(16, k))` /
+    * `(truncate(4, s))` DDL fragment → spec. Parameterized transforms
+    * use Iceberg's argument order: (n, column). */
   def parse(fragment: String): PartitionSpec = {
     val F = "(?i)^\\s*(?:(identity|day|month|year)\\s*\\(\\s*)?`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$".r
+    val P = "(?i)^\\s*(bucket|truncate)\\s*\\(\\s*(\\d+)\\s*,\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*$".r
     fragment.trim match {
+      case P(tr, n, c) => PartitionSpec(c, tr.toLowerCase, Some(n.toInt))
       case F(null, c)  => PartitionSpec(c, "identity")
       case F(tr, c)    => PartitionSpec(c, tr.toLowerCase)
       case other => throw new IllegalArgumentException(
         s"cannot parse partition spec: '$other'")
     }
+  }
+
+  /** Column types a `bucket` transform accepts: exactly the types whose
+    * Murmur3 hash is stable and well-defined across writes (Iceberg
+    * likewise excludes float/double — NaN/-0.0 make hashing a trap). */
+  def bucketableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /** Column types `truncate` accepts (integral floor or string prefix). */
+  def truncatableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Validate a spec against the table schema (column exists + type is
+    * legal for the transform); returns the matched source type. */
+  def validateFor(spec: PartitionSpec, schema: StructType,
+      table: String): DataType = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(spec.column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition column '${spec.column}' not in schema of $table"))
+    spec.transform match {
+      case "bucket" => require(bucketableType(f.dataType),
+        s"bucket transform unsupported for ${f.dataType.sql} column " +
+          s"'${spec.column}' of $table")
+      case "truncate" => require(truncatableType(f.dataType),
+        s"truncate transform unsupported for ${f.dataType.sql} column " +
+          s"'${spec.column}' of $table")
+      case _ =>
+    }
+    f.dataType
   }
 }

@@ -80,6 +80,73 @@ object Pruning {
       case _ => true // unknown shape: keep the file
     }
 
+  /** Conservative bucket-transform pruning: `false` only when the
+    * predicate pins `column` to literal(s) whose bucket id provably
+    * differs from `fileBucket`. The id is computed with the SAME
+    * Catalyst expression the write path shuffles by
+    * (`pmod(Murmur3Hash(col), n)` — `HashPartitioning
+    * .partitionIdExpression`), evaluated over a literal cast to the
+    * column's type, so write placement and prune verdict cannot drift.
+    * Anything non-equality (ranges, IS NULL, unknown shapes) keeps the
+    * file. At 100 TB with `bucket(256, key)` this turns a point-key
+    * lookup into a 1/256th-of-the-files scan from log metadata alone. */
+  def mightMatchBucket(pred: Expression, column: String, srcType: DataType,
+      n: Int, fileBucket: Int): Boolean = {
+    def attrIs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(column)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.size == 1 && u.nameParts.head.equalsIgnoreCase(column)
+      // numeric-widening casts preserve the VALUE but not the hash —
+      // hashing happens on the source type, so only the bare attr counts
+      case _ => false
+    }
+    def litMatches(e: Expression): Boolean =
+      bucketIdOf(e, srcType, n).forall(_ == fileBucket)
+    pred match {
+      case And(l, r) =>
+        mightMatchBucket(l, column, srcType, n, fileBucket) &&
+          mightMatchBucket(r, column, srcType, n, fileBucket)
+      case Or(l, r) =>
+        mightMatchBucket(l, column, srcType, n, fileBucket) ||
+          mightMatchBucket(r, column, srcType, n, fileBucket)
+      case EqualTo(a, c) if attrIs(a) && c.foldable => litMatches(c)
+      case EqualTo(c, a) if attrIs(a) && c.foldable => litMatches(c)
+      case EqualNullSafe(a, c) if attrIs(a) && c.foldable => litMatches(c)
+      case EqualNullSafe(c, a) if attrIs(a) && c.foldable => litMatches(c)
+      case In(a, list) if attrIs(a) && list.forall(_.foldable) =>
+        list.exists(litMatches)
+      case InSet(a, set) if attrIs(a) =>
+        set.exists(v => v == null ||
+          bucketIdOf(Literal(v, a.dataType), srcType, n).forall(_ == fileBucket))
+      case _ => true
+    }
+  }
+
+  /** Bucket id of a foldable expression under `bucket(n, col: srcType)`:
+    * cast to the source type (hash is type-sensitive — Murmur3 of int 5
+    * ≠ long 5), then pmod(murmur3(seed 42), n), Spark's write-side
+    * placement. None = NULL / non-castable / eval failure (caller keeps
+    * the file). */
+  private[store] def bucketIdOf(e: Expression, srcType: DataType,
+      n: Int): Option[Int] =
+    try {
+      def zoneSensitive(dt: DataType): Boolean =
+        dt == TimestampType || dt == TimestampNTZType
+      val casted =
+        if (e.dataType == srcType) e
+        // a timestamp cast renders in SOME zone; guessing wrong here
+        // would mis-hash and prune a matching file — decline instead
+        else if (zoneSensitive(e.dataType) || zoneSensitive(srcType)) return None
+        else Cast(e, srcType, Some(java.time.ZoneOffset.UTC.getId))
+      if (!casted.foldable) return None
+      val v = casted.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      if (v == null) return None
+      val h = new Murmur3Hash(Seq(Literal(v, srcType)))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]
+      Some(((h % n) + n) % n)
+    } catch { case _: Exception => None }
+
   /** `true` only when the ranges PROVE every row of the file satisfies
     * the predicate — the dual of [[mightMatch]], and deliberately
     * asymmetric with it: anything unrecognised degrades to `false`

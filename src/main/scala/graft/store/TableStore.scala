@@ -64,14 +64,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     writeString(new HPath(tableDir(table), "schema.json"), schema.json)
     writeString(schemaVersionPath(table, 1), schema.json)
     partition.foreach { sp =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(sp.column)),
-        s"partition column '${sp.column}' not in schema of $table")
+      PartitionSpec.validateFor(sp, schema, table)
       // the session zone at CREATE time is pinned into the spec: timestamp
       // partition values are wall-clock renderings, so writer and pruner
       // must agree on one zone forever, not on whatever the session has
-      writeString(new HPath(tableDir(table), "partition.json"),
-        s"""{"column":"${sp.column}","transform":"${sp.transform}",""" +
-          s""""zone":"${sessionZone.getId}"}""")
+      writePartitionJson(table, sp, sessionZone)
     }
     if (SnapshotLog.read(fs, tableDir(table)).isEmpty)
       SnapshotLog.write(fs, tableDir(table), Seq.empty)
@@ -127,6 +124,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def partitionSpec(table: String): Option[PartitionSpec] =
     partitionSpecZone(table).map(_._1)
 
+  private def writePartitionJson(table: String, sp: PartitionSpec,
+      zone: ZoneId): Unit =
+    writeString(new HPath(tableDir(table), "partition.json"),
+      s"""{"column":"${sp.column}","transform":"${sp.transform}",""" +
+        sp.param.map(p => s""""param":$p,""").getOrElse("") +
+        s""""zone":"${zone.getId}"}""")
+
   /** Spec plus the zone its timestamp partition values are rendered in
     * (pinned at create; absent in pre-zone tables → session zone). */
   private def partitionSpecZone(table: String): Option[(PartitionSpec, ZoneId)] = {
@@ -136,8 +140,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
       val zone =
         if (node.has("zone")) ZoneId.of(node.get("zone").asText()) else sessionZone
+      val param = if (node.has("param")) Some(node.get("param").asInt()) else None
       Some((PartitionSpec(node.get("column").asText(),
-        node.get("transform").asText()), zone))
+        node.get("transform").asText(), param), zone))
     }
   }
 
@@ -159,23 +164,23 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * lock so concurrent ALTERs serialize against racing writes' spec
     * reads. */
   def setPartitionSpec(table: String, spec: PartitionSpec): Unit = {
-    require(schema(table).fieldNames.exists(_.equalsIgnoreCase(spec.column)),
-      s"partition column '${spec.column}' not in schema of $table")
+    PartitionSpec.validateFor(spec, schema(table), table)
     SnapshotLog.withTableLock(fs, tableDir(table)) {
       val zone = partitionSpecZone(table).map(_._2).getOrElse(sessionZone)
-      writeString(new HPath(tableDir(table), "partition.json"),
-        s"""{"column":"${spec.column}","transform":"${spec.transform}",""" +
-          s""""zone":"${zone.getId}"}""")
+      writePartitionJson(table, spec, zone)
     }
   }
 
   /** Whether the partition column's rendered values depend on a zone AND
-    * the current session zone disagrees with the table's pinned zone. */
+    * the current session zone disagrees with the table's pinned zone.
+    * Only the calendar transforms render wall-clock values; identity,
+    * bucket (internal-micros hash) and truncate are zone-free. */
   private def zoneMismatch(table: String, sp: PartitionSpec,
       specZone: ZoneId): Boolean = {
     val zoneSensitive = schema(table).fields
       .find(_.name.equalsIgnoreCase(sp.column))
-      .exists(f => f.dataType == TimestampType) && sp.transform != "identity"
+      .exists(f => f.dataType == TimestampType) &&
+      Set("day", "month", "year").contains(sp.transform)
     zoneSensitive && specZone != sessionZone
   }
 
@@ -189,7 +194,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def append(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    requireNotBucketed(table, "staged append (route via the catalog)")
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     // Only the DELTA row count goes in: the cumulative recordCount is
@@ -220,7 +224,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def overwrite(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
       operation: String = "replace"): Snapshot = {
-    requireNotBucketed(table, "overwrite/compaction")
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
@@ -251,16 +254,40 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         df.sortWithinPartitions(sort.map(col): _*)
       else df.repartitionByRange(sort.map(col): _*)
         .sortWithinPartitions(sort.map(col): _*)
-    val parts: Seq[(HPath, Map[String, String])] = specZone match {
+    // (staged part file, logged partition value, promoted-name builder)
+    val parts: Seq[(HPath, Map[String, String], String => String)] = specZone match {
       case Some((sp, specZone)) =>
         require(!zoneMismatch(table, sp, specZone),
           s"cannot write partitioned table $table: session time zone " +
             s"$sessionZone differs from the table's pinned partition zone " +
             s"$specZone (set spark.sql.session.timeZone to ${specZone.getId})")
+        val srcType = schema(table).fields
+          .find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
+          .getOrElse(StringType)
+        val isBucket = sp.transform == "bucket"
+        // bucket tables: cluster so bucket i's rows land together (one
+        // file per bucket), and sort (dir-col, key, …) so the writer's
+        // required partition-col ordering is already satisfied and each
+        // written file stays key-sorted — the read side declares that
+        // sort in its BucketSpec. The bucket ID itself is NEVER derived
+        // from shuffle placement: the dir value is the per-row
+        // pmod(murmur3(key), n) ([[PartitionSpec.valueColumn]] — the
+        // same expression HashPartitioning shuffles by), so a planner
+        // that elides or rearranges the repartition can cost extra
+        // files, never a wrong bucket tag.
         // hidden partitioning: the transform column exists only for the
         // write; data files keep the original schema
-        clustered.withColumn(TableStore.PartDirCol, sp.valueColumn)
-          .write.mode(SaveMode.Overwrite)
+        val withDir =
+          if (!isBucket)
+            clustered.withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
+          else {
+            val inBucketSort = (sp.column +: sort.filterNot(
+              _.equalsIgnoreCase(sp.column))).map(col)
+            df.repartition(sp.param.get, col(sp.column))
+              .withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
+              .sortWithinPartitions(col(TableStore.PartDirCol) +: inBucketSort: _*)
+          }
+        withDir.write.mode(SaveMode.Overwrite)
           .partitionBy(TableStore.PartDirCol).parquet(staging.toString)
         for {
           dir <- fs.listStatus(staging).toSeq.filter(_.isDirectory)
@@ -269,18 +296,21 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             dir.getPath.getName.stripPrefix(TableStore.PartDirCol + "="))
           p <- fs.listStatus(dir.getPath).toSeq.map(_.getPath)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-        } yield (p, Map(sp.column -> value))
+        } yield (p, Map(sp.partitionKey -> value),
+          if (isBucket) (_: String) =>
+            f"${UUID.randomUUID()}-b_${value.toInt}%05d.parquet"
+          else TableStore.defaultPromotedName)
       case None =>
         clustered.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         fs.listStatus(staging).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-          .map((_, Map.empty[String, String]))
+          .map((_, Map.empty[String, String], TableStore.defaultPromotedName))
     }
     // promote in parallel: rename + footer row count are independent
     // per-file metadata ops — serial promotion of a many-file commit
     // would make the DRIVER the bottleneck of a distributed write
-    val moved = TableStore.inParallel(parts) { case (p, part) =>
-      promoteOne(table, p, part)
+    val moved = TableStore.inParallel(parts) { case (p, part, nameFn) =>
+      promoteOne(table, p, part, nameFn)
     }
     // clean staging remnants (_SUCCESS, .crc)
     fs.delete(staging, true)
@@ -288,9 +318,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   }
 
   private def promoteOne(table: String, part: HPath,
-      partition: Map[String, String]): DataFile = {
+      partition: Map[String, String],
+      nameFn: String => String = TableStore.defaultPromotedName): DataFile = {
     fs.mkdirs(dataDir(table))
-    val name = s"${UUID.randomUUID()}-${part.getName}"
+    val name = nameFn(part.getName)
     val target = new HPath(dataDir(table), name)
     if (!fs.rename(part, target))
       throw new java.io.IOException(s"rename failed: $part -> $target")
@@ -462,9 +493,44 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       predicate: Column): Seq[DataFile] = {
     if (files.isEmpty) return files
     val (hasPart, rangesOf) = fileRangeInfo(table)
-    if (!hasPart && files.forall(_.stats.isEmpty)) return files
+    val bucketKeep = bucketChecker(table)
+    if (!hasPart && bucketKeep.isEmpty && files.forall(_.stats.isEmpty))
+      return files
     val pe = analyzedPredicate(table, predicate)
-    files.filter(f => Pruning.mightMatch(pe, rangesOf(f)))
+    files.filter(f => Pruning.mightMatch(pe, rangesOf(f)) &&
+      bucketKeep.forall(_(pe, f)))
+  }
+
+  /** Bucket-transform prune check: Some((pred, file) => keep) when the
+    * current spec is `bucket(n, col)`. A file's bucket id comes from its
+    * logged partition value under the spec-qualified key (old-spec files
+    * miss the key → conservative keep). */
+  private def bucketChecker(table: String)
+      : Option[(org.apache.spark.sql.catalyst.expressions.Expression,
+        DataFile) => Boolean] =
+    partitionSpec(table).filter(_.transform == "bucket").map { sp =>
+      val n = sp.param.get
+      val srcType = schema(table).fields
+        .find(_.name.equalsIgnoreCase(sp.column)).map(_.dataType)
+        .getOrElse(StringType)
+      val keys = specPartitionKeys(table, sp)
+      (pe, f) =>
+        keys.iterator.flatMap(k => f.partition.collectFirst {
+          case (pk, v) if pk.equalsIgnoreCase(k) => v
+        }).nextOption().flatMap(_.toIntOption) match {
+          case Some(b) => Pruning.mightMatchBucket(pe, sp.column, srcType, n, b)
+          case None    => true // pre-spec / other-spec file: keep
+        }
+    }
+
+  /** Spec-qualified partition keys a bucket file may be logged under —
+    * the current column name plus its historical physical names. */
+  private def specPartitionKeys(table: String,
+      sp: PartitionSpec): Seq[String] = {
+    val events = renameEvents(table)
+    val cols = sp.column +:
+      (if (events.isEmpty) Seq.empty else aliasesOf(events, sp.column))
+    cols.map(c => sp.copy(column = c).partitionKey)
   }
 
   /** Per-file column ranges for the pruning/exactness evaluators: the
@@ -491,8 +557,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       if (events.isEmpty) Map.empty
       else sch.fields.toSeq.flatMap(f =>
         aliasesOf(events, f.name).map(a => a.toLowerCase -> f.name.toLowerCase)).toMap
+    // parameterized transforms log values under spec-qualified keys
+    // (see PartitionSpec.partitionKey) so a later spec never misreads
+    // an old file's value; each historical column name gets its own key
     val partNames: Seq[String] = partInfo.toSeq.flatMap { case (sp, _) =>
-      sp.column +: (if (events.isEmpty) Seq.empty else aliasesOf(events, sp.column))
+      specPartitionKeys(table, sp)
     }
     (partInfo.isDefined, { f =>
       val partRanges: Map[String, Pruning.ColRange] = partInfo match {
@@ -532,12 +601,17 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       predicate: Column): Option[Seq[DataFile]] = {
     if (files.isEmpty) return Some(Seq.empty)
     val (_, rangesOf) = fileRangeInfo(table)
+    val bucketKeep = bucketChecker(table)
     val pe = analyzedPredicate(table, predicate)
     val out = Seq.newBuilder[DataFile]
     for (f <- files) {
       val ranges = rangesOf(f)
-      if (Pruning.mustMatchAll(pe, ranges)) out += f
-      else if (Pruning.mightMatch(pe, ranges)) return None // partial file
+      // provably-no-match first: a failed bucket check (literal hashes
+      // to a different bucket) is as exact as an out-of-range bound
+      if (Pruning.mightMatch(pe, ranges) && bucketKeep.forall(_(pe, f))) {
+        if (Pruning.mustMatchAll(pe, ranges)) out += f
+        else return None // partial file
+      }
     }
     Some(out.result())
   }
@@ -558,11 +632,39 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private def sessionZone: ZoneId =
     ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
 
-  private def readFileList(table: String, files: Seq[DataFile]): DataFrame =
-    readFileListAs(table, files, schema(table))
+  private def readFileList(table: String, files: Seq[DataFile]): DataFrame = {
+    // bucket(n, key) tables: attach the BucketSpec so the scan reports
+    // HashPartitioning(key, n) and same-bucketed joins plan shuffle-free.
+    // Engaged only when the WHOLE current file population was written
+    // under the CURRENT spec (qualified partition key present — an old
+    // bucket(8) file read as bucket(16) would break the partitioning
+    // claim, not just miss an optimization), every file name carries a
+    // parsable bucket tag, and the KEY itself was never renamed (old
+    // files would surface the key under another physical name, so the
+    // scan's key attribute — and the partitioning claim — would be
+    // null-poisoned; non-key renames keep it, their coalesce projection
+    // sits above the scan and preserves partitioning).
+    val bucketable = partitionSpec(table)
+      .filter(_.transform == "bucket")
+      .filter(_ => files.nonEmpty)
+      .filter { sp =>
+        val key = sp.partitionKey
+        aliasesOf(renameEvents(table), sp.column).isEmpty &&
+          files.forall(f => f.partition.exists(_._1.equalsIgnoreCase(key)) &&
+            TableStore.bucketIdFromName(TableStore.fileName(f.path)).isDefined)
+      }
+    val base = bucketable.map { sp => (paths: Seq[String], s: StructType) =>
+      org.apache.spark.sql.GraftSqlShim.bucketedParquetRead(spark, paths, s,
+        sp.param.get, sp.column,
+        sortCols = sp.column +: sortOrder(table).filterNot(
+          _.equalsIgnoreCase(sp.column)))
+    }
+    readFileListAs(table, files, schema(table), base)
+  }
 
   private def readFileListAs(table: String, files: Seq[DataFile],
-      sch: StructType): DataFrame =
+      sch: StructType,
+      base: Option[(Seq[String], StructType) => DataFrame] = None): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     else {
@@ -572,7 +674,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (events.isEmpty) Seq.empty
         else sch.fields.toSeq.map(f => f.name -> aliasesOf(events, f.name))
           .filter(_._2.nonEmpty)
-      if (aliased.isEmpty) spark.read.schema(sch).parquet(paths: _*)
+      def scan(s: StructType): DataFrame = base match {
+        case Some(b) => b(paths, s)
+        case None    => spark.read.schema(s).parquet(paths: _*)
+      }
+      if (aliased.isEmpty) scan(sch)
       else {
         // Renamed columns: scan under ALL historical physical names
         // (each at the current — possibly widened — type) and coalesce
@@ -583,7 +689,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         val union = StructType(sch.fields.flatMap(f =>
           f +: aliasFor.getOrElse(f.name, Seq.empty)
             .map(a => StructField(a, f.dataType, nullable = true))))
-        spark.read.schema(union).parquet(paths: _*)
+        scan(union)
           .select(sch.fields.toIndexedSeq.map { f =>
             aliasFor.get(f.name) match {
               case Some(as) => coalesce((f.name +: as).map(col): _*).as(f.name)
@@ -842,7 +948,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Current snapshot (hydrated) + its id, the base a COW op computes
     * against; id 0 = empty table. */
   private def cowBase(table: String): (Long, Seq[DataFile]) = {
-    requireNotBucketed(table, "row-level rewrite")
     val snap = SnapshotLog.resolve(fs, tableDir(table), None)
     (snap.map(_.id).getOrElse(0L), snap.map(_.files).getOrElse(Seq.empty))
   }
@@ -851,73 +956,21 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   // Bucketed tables (CLUSTERED BY … INTO n BUCKETS)
   // -------------------------------------------------------------------
 
-  /** Bucket layout of `table`: Some((key, numBuckets)). Bucketed tables
-    * delegate their storage to a session-catalog bucketed parquet table
-    * (Spark's bucket-aware scan exists only for catalog tables) at this
-    * store's `data/` dir — the layout for hot-join-key fact tables,
-    * where a co-located sort-merge join must plan with NO exchange.
-    * The snapshot log still records appends (history, metadata counts,
-    * time travel via plain file-list reads), but rewriting ops
-    * (DELETE/UPDATE/MERGE/OPTIMIZE/TRUNCATE) are rejected: a rewrite
-    * outside the catalog write path would break the bucket-file
-    * metadata invariant. */
-  def bucketSpec(table: String): Option[(String, Int)] = {
-    val p = new HPath(tableDir(table), "bucket.json")
-    if (!fs.exists(p)) None
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
-      Some((node.get("column").asText(), node.get("buckets").asInt()))
+  /** Bucket layout of `table`: Some((key, numBuckets)) when the
+    * partition spec is `bucket(n, key)` — the layout for hot-join-key
+    * fact tables, where a co-located sort-merge join must plan with NO
+    * exchange. Bucketing is a native partition transform: writes
+    * shuffle into n buckets with Spark's own bucket-id expression and
+    * promote files under Spark's `_NNNNN` name tag ([[writeStaged]]);
+    * reads attach a `BucketSpec` to a hand-built relation so the scan
+    * reports `HashPartitioning(key, n)` with no session-catalog entry
+    * ([[readFileList]]). Every store op — COW rewrites, compaction,
+    * schema evolution, time travel — works unchanged, because a rewrite
+    * routes through the same bucket-preserving staged write. */
+  def bucketSpec(table: String): Option[(String, Int)] =
+    partitionSpec(table).collect {
+      case sp if sp.transform == "bucket" => (sp.column, sp.param.get)
     }
-  }
-
-  private[graft] def setBucketSpec(table: String, key: String, n: Int): Unit = {
-    require(schema(table).fieldNames.exists(_.equalsIgnoreCase(key)),
-      s"bucket column '$key' not in schema of $table")
-    require(n >= 1, s"bucket count must be >= 1 (got $n)")
-    writeString(new HPath(tableDir(table), "bucket.json"),
-      s"""{"column":${jsonStr(key)},"buckets":$n}""")
-  }
-
-  private def requireNotBucketed(table: String, op: String): Unit =
-    require(bucketSpec(table).isEmpty,
-      s"$op is not supported on bucketed table $table " +
-        "(bucketed tables are append + scan only)")
-
-  /** Append into a bucketed table: the write MUST go through the
-    * session catalog (only catalog writes stamp bucket-file metadata),
-    * then the new files are committed to the snapshot log by directory
-    * diff so history and metadata-answered counts keep working.
-    * Concurrent appends to the same bucketed table are not supported
-    * (the diff must see only its own files) — matching the
-    * single-writer posture of Spark's own bucketed `saveAsTable`. */
-  private[graft] def appendBucketed(table: String, df: DataFrame,
-      catalogTable: String,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    val (key, n) = bucketSpec(table).getOrElse(
-      throw new IllegalArgumentException(s"table $table is not bucketed"))
-    val dir = dataDir(table)
-    val before: Set[String] =
-      if (!fs.exists(dir)) Set.empty
-      else fs.listStatus(dir).map(_.getPath.getName).toSet
-    df.write.mode(SaveMode.Append)
-      .bucketBy(n, key).sortBy(key)
-      .format("parquet").saveAsTable(catalogTable)
-    val added = fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !before(p.getName))
-      .sortBy(_.toString)
-    val files = TableStore.inParallel(added) { p =>
-      val (records, ranges) = footerMeta(p)
-      val stats = ranges.toSeq.sortBy(_._1).take(TableStore.MaxStatsColumns)
-        .flatMap { case (c, r) => Pruning.toBounds(r).map(c -> _) }.toMap
-      DataFile(s"data/${p.getName}", records, Map.empty, stats)
-    }
-    val total = files.map(_.records).sum
-    SnapshotLog.commit(fs, tableDir(table), "append", files, total,
-      timestampMs, replaceAll = false,
-      summary = Map("added-files" -> files.size.toString,
-        "added-records" -> total.toString),
-      schemaVersionOf = () => commitSchemaVersion(table))
-  }
 
   /** Retry a COW op on commit conflict: each attempt recomputes its
     * matched/carried split from the then-current snapshot. */
@@ -1028,9 +1081,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * BEFORE the ALTER keep their recorded schema version, so time-travel
     * reads render the schema of their time (see [[schemaAt]]). */
   def addColumns(table: String, cols: StructType): Unit = {
-    // a bucketed table's backing catalog entry has a fixed schema —
-    // evolving only the store metadata would desync the two
-    requireNotBucketed(table, "schema evolution")
     val cur = schema(table)
     cols.fields.foreach(f => require(
       !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
@@ -1055,7 +1105,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * never materialize it (column pruning at the scan). The partition
     * source column cannot be dropped. */
   def dropColumn(table: String, name: String): Unit = {
-    requireNotBucketed(table, "schema evolution")
     SnapshotLog.withTableLock(fs, tableDir(table)) {
       val cur = schema(table)
       val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -1156,7 +1205,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * partition/sort specs follow the rename (their values stay keyed by
     * the logical column). */
   def renameColumn(table: String, from: String, to: String): Unit = {
-    requireNotBucketed(table, "schema evolution")
     SnapshotLog.withTableLock(fs, tableDir(table)) {
       val cur = schema(table)
       val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
@@ -1180,9 +1228,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         }.mkString("[", ",", "]"))
       partitionSpecZone(table).foreach { case (sp, zone) =>
         if (sp.column.equalsIgnoreCase(from))
-          writeString(new HPath(tableDir(table), "partition.json"),
-            s"""{"column":"$to","transform":"${sp.transform}",""" +
-              s""""zone":"${zone.getId}"}""")
+          writePartitionJson(table, sp.copy(column = to), zone)
       }
       val so = sortOrder(table)
       if (so.exists(_.equalsIgnoreCase(from)))
@@ -1199,7 +1245,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * stores every integer family as long), so file skipping and
     * metadata-answered MIN/MAX are unaffected. */
   def widenColumn(table: String, name: String, to: DataType): Unit = {
-    requireNotBucketed(table, "schema evolution")
     val cur = schema(table)
     val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(s"no column '$name' in $table"))
@@ -1213,6 +1258,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     require(ok, s"cannot widen ${field.dataType.simpleString} column " +
       s"'$name' to ${to.simpleString} (integer-family upcasts and " +
       "float→double only)")
+    // murmur3(int 5) ≠ murmur3(long 5): widening the bucket column would
+    // silently desync new writes' placement from old files' — reject
+    partitionSpec(table).foreach(sp => require(
+      !(sp.transform == "bucket" && sp.column.equalsIgnoreCase(name)),
+      s"cannot widen bucket partition column '$name' of $table " +
+        "(the bucket hash is width-sensitive); drop the spec first"))
     writeSchemaVersion(table, StructType(cur.fields.map(f =>
       if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f)))
   }
@@ -1240,7 +1291,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * snapshots keep their files for time travel until `expire`. */
   def truncate(table: String,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    requireNotBucketed(table, "TRUNCATE")
     SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
       timestampMs, replaceAll = true,
       summary = Map("carried-files" -> "0", "added-files" -> "0"),
@@ -1258,7 +1308,6 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * `skipRewrites`), never re-delivers. */
   def rollback(table: String, snapshotId: Long,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
-    requireNotBucketed(table, "rollback")
     val target = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"table $table has no snapshot id $snapshotId"))
@@ -1413,6 +1462,20 @@ object TableStore {
     * alone identifies a file within a table. */
   private[store] def fileName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
+
+  /** Promoted data-file name for non-bucketed writes. The staged name is
+    * kept (uniqueness via the UUID prefix); bucket writes substitute a
+    * `_NNNNN`-tagged name instead. */
+  private[store] val defaultPromotedName: String => String =
+    staged => s"${UUID.randomUUID()}-$staged"
+
+  /** Bucket id a bucket-tagged data file carries in its name (Spark's
+    * `_NNNNN`-before-extension convention, `BucketingUtils`); None for
+    * untagged (pre-bucket-spec or dir-partitioned) files. */
+  private[store] def bucketIdFromName(name: String): Option[Int] = {
+    val m = ".*_(\\d+)(?:\\..*)?$".r
+    name match { case m(d) => d.toIntOption; case _ => None }
+  }
 
   /** Driver-side parallel map over independent per-file metadata ops
     * (footer reads, renames). Bounded pool; exceptions propagate. */

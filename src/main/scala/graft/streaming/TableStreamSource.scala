@@ -445,7 +445,7 @@ private[streaming] final class GraftPartitionReader(
 
   private val reader: VectorizedParquetRecordReader =
     if (presentPhysical.isEmpty) { pf.close(); null }
-    else {
+    else try {
       // Projection at the parquet layer: the open reader fetches only
       // the requested columns' chunks, and the vectorized reader is
       // initialized from the ALREADY-PARSED footer.
@@ -462,6 +462,12 @@ private[streaming] final class GraftPartitionReader(
       // closing `r` closes `pf` through the row-group wrapper
       GraftVectorizedReaderInit.withFooter(r, fileSchema, requestedMsg, pf, fileRows)
       r
+    } catch {
+      // until withFooter hands pf to the reader's row-group wrapper,
+      // nothing else owns the file handle — close it or leak it
+      case t: Throwable =>
+        try pf.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
     }
 
   // position of each requested field in the reader's output row

@@ -28,4 +28,27 @@ object GraftSqlShim {
     * partition pruning. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Parquet scan over an explicit file list WITH bucket metadata: a
+    * hand-built [[execution.datasources.HadoopFsRelation]] carrying a
+    * `BucketSpec`, so `FileSourceScanExec` groups the files by their
+    * `_NNNNN` name tags and reports `HashPartitioning(bucketCol, n)` —
+    * same-bucketed joins/aggregations plan with NO exchange, exactly
+    * like a catalog bucketed table, but driven from the snapshot log's
+    * file list (time-travel-able, no catalog entry to desync). Every
+    * listed file MUST carry a parsable bucket tag (the scan throws on
+    * untagged files); callers fall back to a plain read otherwise. */
+  def bucketedParquetRead(spark: SparkSession, paths: Seq[String],
+      schema: types.StructType, numBuckets: Int, bucketCol: String,
+      sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    val index = new InMemoryFileIndex(spark, paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map.empty, Some(schema), FileStatusCache.getOrCreate(spark))
+    val relation = HadoopFsRelation(index, new types.StructType(), schema,
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        numBuckets, Seq(bucketCol), sortCols)),
+      new parquet.ParquetFileFormat, Map.empty)(spark)
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      LogicalRelation(relation, isStreaming = false))
+  }
 }

@@ -32,6 +32,10 @@ object GraftVectorizedReaderInit {
   def withFooter(reader: VectorizedParquetRecordReader,
       fileSchema: MessageType, requestedSchema: MessageType,
       file: ParquetFileReader, totalRowCount: Long): Unit = {
+    // Loud cap, not a real limit: the engine's own writes bin-pack to
+    // ~128 MB files ([[graft.store.TableStore.compact]]) — row counts
+    // sit orders of magnitude under 2^31. A foreign >2B-row file fails
+    // here (the caller closes the handle) rather than overflowing.
     require(totalRowCount <= Int.MaxValue,
       s"file row count $totalRowCount exceeds a single reader's range")
     reader.initialize(fileSchema, requestedSchema,

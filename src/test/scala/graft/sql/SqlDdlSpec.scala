@@ -570,10 +570,11 @@ class SqlDdlSpec extends AnyFunSuite {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE facts (k INT, payload STRING) " +
       "CLUSTERED BY (k) INTO 4 BUCKETS")
+    // the standard Hive order with an in-bucket SORTED BY parses too
     eng.sql("CREATE TABLE dims (k INT, name STRING) " +
-      "CLUSTERED BY (k) INTO 4 BUCKETS")
+      "CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS")
     assert(cat.bucketSpec("facts").contains(("k", 4)))
-    // INSERT routes through the bucketed catalog write path
+    assert(cat.bucketSpec("dims").contains(("k", 4)))
     eng.sql("INSERT INTO facts VALUES " +
       (1 to 400).map(i => s"(${i % 50}, 'p$i')").mkString(", "))
     eng.sql("INSERT INTO dims VALUES " +
@@ -590,26 +591,33 @@ class SqlDdlSpec extends AnyFunSuite {
     // appends land in the snapshot log too: history + metadata count
     assert(eng.run("SELECT COUNT(*) FROM facts") == "[(400,)]")
     assert(cat.history("facts").count() == 1L)
-    // rewriting ops are rejected on bucketed tables
+    // point-key reads prune to bucket(k)'s files from log metadata alone
+    val pruned = cat.store().prunedFiles("facts",
+      org.apache.spark.sql.functions.col("k") === 7)
+    val all = cat.store().dataFilesAsOf("facts", None)
+    assert(all.size == 4, s"expected 4 bucket files, got ${all.size}")
+    assert(pruned.size == 1, s"bucket prune kept ${pruned.size} of ${all.size}")
+    // bucketing is a native partition transform now: COW rewrites and
+    // schema evolution work like on any other table
+    eng.sql("DELETE FROM facts WHERE k = 1")
+    assert(eng.run("SELECT COUNT(*) FROM facts") == "[(392,)]")
+    eng.sql("ALTER TABLE facts ADD COLUMN extra STRING")
+    eng.sql("ALTER TABLE facts RENAME COLUMN payload TO body")
+    assert(eng.run("SELECT COUNT(*) FROM facts WHERE body = 'p7'") == "[(1,)]")
+    // the rewrite preserved the bucket layout: join is still shuffle-free
+    val rejoined = spark.table("facts").hint("merge")
+      .join(spark.table("dims"), Seq("k"))
+    val plan2 = rejoined.queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"),
+      "bucketed join shuffles after COW rewrite:\n" + plan2)
+    // widening the bucket key is the one evolution that must fail loudly
+    // (the murmur3 placement is width-sensitive)
     assertThrows[IllegalArgumentException](
-      eng.sql("DELETE FROM facts WHERE k = 1"))
-    assertThrows[IllegalArgumentException](eng.sql("TRUNCATE TABLE facts"))
-    assertThrows[IllegalArgumentException](eng.sql("OPTIMIZE facts"))
-    // so is schema evolution: the backing catalog entry's schema is
-    // fixed at creation, evolving store metadata alone would desync
-    assertThrows[IllegalArgumentException](
-      eng.sql("ALTER TABLE facts ADD COLUMN extra STRING"))
-    assertThrows[IllegalArgumentException](
-      eng.sql("ALTER TABLE facts RENAME COLUMN payload TO body"))
-    // a "new session" (simulated by dropping the in-memory catalog row)
-    // finds bucket.json and rebuilds the backing table from store
-    // metadata — bucketed tables are durable across sessions
-    val backing = spark.sessionState.catalog.listTables("default")
-      .map(_.table).find(_.endsWith("_facts")).get
-    spark.sql(s"DROP TABLE `$backing`")
-    cat.registerView("facts") // what USE/session start does per table
-    assert(eng.run("SELECT COUNT(*) FROM facts WHERE k = 7") == "[(8,)]")
-    // DROP removes both the store dir and the backing catalog table
+      eng.sql("ALTER TABLE facts ALTER COLUMN k TYPE BIGINT"))
+    // a new session over the same warehouse reads bucket-aware with no
+    // catalog state to rebuild
+    val cat2 = new graft.catalog.GraftCatalog(cat.warehouse, spark)
+    assert(cat2.table("facts").filter("k = 7").count() == 8L)
     eng.sql("DROP TABLE facts")
     eng.sql("DROP TABLE dims")
     assert(!cat.listTables().contains("facts"))

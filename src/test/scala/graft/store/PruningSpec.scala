@@ -191,6 +191,11 @@ class PruningSpec extends AnyFunSuite {
     assert(PartitionSpec.parse(" MONTH( o_orderdate ) ") ==
       PartitionSpec("o_orderdate", "month"))
     assert(PartitionSpec.parse("region") == PartitionSpec("region", "identity"))
-    intercept[IllegalArgumentException](PartitionSpec.parse("bucket(7, id)"))
+    assert(PartitionSpec.parse("bucket(16, id)") ==
+      PartitionSpec("id", "bucket", Some(16)))
+    assert(PartitionSpec.parse(" TRUNCATE( 4 , name ) ") ==
+      PartitionSpec("name", "truncate", Some(4)))
+    intercept[IllegalArgumentException](PartitionSpec.parse("mod(7, id)"))
+    intercept[IllegalArgumentException](PartitionSpec.parse("bucket(id)"))
   }
 }
