@@ -55,8 +55,23 @@ object Bench {
       (name, if (ok) sec else -1.0, ok)
     }
     def runAll(): Seq[(String, Double, Boolean)] = {
-      val main = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        timed(name)(fn(spark, sfDir).count())
+      val main = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        SparkEntry.benchSplits.get(name) match {
+          // write-dominated entries: one execution, reported as the
+          // historical headline name PLUS _fixture/_query sub-metrics,
+          // so the read-path cost stays visible under the write noise
+          case Some(split) =>
+            try {
+              val (fixSec, qSec) = split.run(spark, sfDir)
+              Seq((name, fixSec + qSec, true),
+                (s"${name}_fixture", fixSec, true),
+                (s"${name}_query", qSec, true))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              Seq((name, -1.0, false))
+            }
+          case None => Seq(timed(name)(fn(spark, sfDir).count()))
+        }
       }
       // q_embed_ivf bills k-means + index write to a query named like a
       // lookup; these sub-metrics keep probe-side regressions visible.
@@ -92,20 +107,36 @@ object Bench {
     }
     val failed = (results ++ results2).collect { case (k, _, false) => s""""$k"""" }
       .distinct.mkString("[", ",", "]")
+    // Sub-metrics (_build/_probe/_fixture/_drain/_query) re-slice time
+    // already billed to their parent entry — the headline total counts
+    // TOP-LEVEL queries only, or splitting a query would change the
+    // total on byte-identical engine code.
+    def isSub(name: String): Boolean =
+      name.endsWith("_build") || name.endsWith("_probe") ||
+        name.endsWith("_fixture") || name.endsWith("_drain") ||
+        name.endsWith("_query")
     def total(rs: Seq[(String, Double, Boolean)]): Double =
-      rs.collect { case (_, v, true) => v }.sum
+      rs.collect { case (k, v, true) if !isSub(k) => v }.sum
     val (t1, t2, tMin) = (total(results), total(results2), total(resultsMin))
+    val nTop = results.count(r => !isSub(r._1))
     val full =
       s"""{"metric":"total","value":$t1,"unit":"sec","value_run2":$t2,""" +
         s""""value_min":$tMin,"runs":[$t1,$t2],"queries":${jmap(results)},""" +
         s""""queries_run2":${jmap(results2)},"queries_min":${jmap(resultsMin)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
-    // Compact totals-only line LAST on stdout — short enough that the
-    // driver's tail capture always contains its start.
+    // Compact line LAST on stdout, short enough that the driver's tail
+    // capture always contains its start. It embeds the per-query
+    // min-of-runs map (ms precision) — the round-over-round comparison
+    // basis must live in BENCH_rXX.json itself, not depend on
+    // bench_out.json surviving the round.
+    val minCompact = resultsMin
+      .map { case (k, v, _) => s""""$k":${math.rint(v * 1000) / 1000}""" }
+      .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$t1,"unit":"sec","value_run2":$t2,""" +
-        s""""value_min":$tMin,"n_queries":${results.size},"failed":$failed,""" +
+        s""""value_min":$tMin,"n_queries":$nTop,"n_entries":${results.size},""" +
+        s""""failed":$failed,"queries_min":$minCompact,""" +
         s""""detail":"$outPath","sf":"$sfDir"}"""
     spark.stop()
     println(compact)

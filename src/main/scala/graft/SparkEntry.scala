@@ -25,6 +25,141 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** A write-dominated benchmark entry split at its fixture/query seam,
+    * so `Bench` can time table-building and the read path separately
+    * (the read-path number is what must stay flat round-over-round; the
+    * fixture is a write benchmark in disguise). `queries` composes the
+    * SAME two functions, so the correctness surface and the bench split
+    * cannot drift. */
+  sealed trait BenchSplit {
+    def composed: (SparkSession, String) => DataFrame
+    /** (fixtureSec, querySec) — query timed over a full action. */
+    def run(s: SparkSession, dir: String): (Double, Double)
+  }
+
+  private def benchSplit[C](fix: (SparkSession, String) => C)(
+      q: C => DataFrame): BenchSplit = new BenchSplit {
+    def composed: (SparkSession, String) => DataFrame =
+      (s, dir) => q(fix(s, dir))
+    def run(s: SparkSession, dir: String): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val ctx = fix(s, dir)
+      val t1 = System.nanoTime()
+      q(ctx).count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+  }
+
+  /** The write-dominated entries, split: `Bench` reports each as
+    * `<name>` (fixture+query, the historical headline shape) plus
+    * `<name>_fixture` / `<name>_query` sub-metrics. Doc comments for
+    * each live at the `queries` entry. */
+  lazy val benchSplits: Map[String, BenchSplit] = Map(
+    "q_partition_evolve" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      val cut = lit(ts("2000-01-01 00:00:00"))
+      cat.createTable("orders_evo", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      cat.append("orders_evo", orders.filter(col("o_orderdate") < cut)
+        .repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      cat.setPartitionSpec("orders_evo",
+        graft.store.PartitionSpec("o_orderdate", "year"))
+      cat.append("orders_evo", orders.filter(col("o_orderdate") >= cut)
+        .repartition(date_format(col("o_orderdate"), "yyyy")), 2000L)
+      cat
+    } { cat =>
+      val pred = col("o_orderdate") >= lit(ts("1999-11-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("2000-03-01 00:00:00"))
+      cat.tableWhere("orders_evo", pred)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    },
+
+    "q_sql_rollback" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_rb", orders.schema)
+      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      eng.sql("CALL rollback_to_snapshot('orders_rb', 1)")
+      eng
+    } { eng =>
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue " +
+        "FROM orders_rb")
+    },
+
+    "q_bucket_join" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      cat.createTable("orders_bkt", orders.schema,
+        bucketBy = Some(("custkey", 8)))
+      cat.append("orders_bkt", orders, 1000L)
+      cat.createTable("cust_bkt", cust.schema, bucketBy = Some(("custkey", 8)))
+      cat.append("cust_bkt", cust, 2000L)
+      eng
+    } { eng =>
+      eng.sql("SELECT c_mktsegment, COUNT(*) AS cnt, " +
+        "ROUND(SUM(o_totalprice), 2) AS revenue " +
+        "FROM orders_bkt JOIN cust_bkt USING (custkey) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    },
+
+    "q_bucket_prune" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"),
+          col("c_acctbal"))
+      cat.createTable("cust_bp", cust.schema,
+        Some(graft.store.PartitionSpec.parse("bucket(16, custkey)")))
+      cat.append("cust_bp", cust, 1000L)
+      eng.sql("DELETE FROM cust_bp WHERE custkey = 7")
+      eng
+    } { eng =>
+      eng.sql("SELECT custkey, c_name, ROUND(c_acctbal, 2) AS acctbal " +
+        "FROM cust_bp WHERE custkey IN (3, 7, 11, 42, 100) " +
+        "ORDER BY custkey")
+    },
+
+    "q_truncate_prune" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      cat.createTable("orders_tr", orders.schema,
+        Some(graft.store.PartitionSpec.parse("truncate(10000, okey)")))
+      cat.append("orders_tr", orders, 1000L)
+      eng
+    } { eng =>
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+        "FROM orders_tr WHERE okey >= 5000 AND okey < 25000")
+    },
+
+    "q_meta_count_filtered" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mc", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      cat.append("orders_mc",
+        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      eng
+    } { eng =>
+      eng.sql("SELECT COUNT(*) AS cnt FROM orders_mc " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
+    })
+
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects; read nanos as long (session conf) and integer-divide
     * to micros — double math would lose precision at 1e18 nanos.
@@ -547,65 +682,20 @@ object SparkEntry {
     // before the ALTER keep their month values, year(ts) files after it
     // record year values, and a cross-boundary pruned read stays correct
     // over the mixed population — no data rewritten by the ALTER.
-    "q_partition_evolve" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val orders = t(s, dir, "orders")
-      val cut = lit(ts("2000-01-01 00:00:00"))
-      cat.createTable("orders_evo", orders.schema,
-        Some(graft.store.PartitionSpec("o_orderdate", "month")))
-      cat.append("orders_evo", orders.filter(col("o_orderdate") < cut)
-        .repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
-      cat.setPartitionSpec("orders_evo",
-        graft.store.PartitionSpec("o_orderdate", "year"))
-      cat.append("orders_evo", orders.filter(col("o_orderdate") >= cut)
-        .repartition(date_format(col("o_orderdate"), "yyyy")), 2000L)
-      val pred = col("o_orderdate") >= lit(ts("1999-11-01 00:00:00")) &&
-        col("o_orderdate") < lit(ts("2000-03-01 00:00:00"))
-      cat.tableWhere("orders_evo", pred)
-        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
-          month(col("o_orderdate")).cast("int").as("mo"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
-        .orderBy(col("yr"), col("mo"))
-    }),
+    "q_partition_evolve" -> benchSplits("q_partition_evolve").composed,
 
     // CALL rollback_to_snapshot: the current state reverts to an
     // earlier snapshot's file list via a new commit — undone snapshots
     // stay time-travelable, and the post-rollback read answers from the
     // rolled-back file set only.
-    "q_sql_rollback" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-      cat.createTable("orders_rb", orders.schema)
-      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
-      cat.append("orders_rb", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
-      eng.sql("CALL rollback_to_snapshot('orders_rb', 1)")
-      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue " +
-        "FROM orders_rb")
-    }),
+    "q_sql_rollback" -> benchSplits("q_sql_rollback").composed,
 
     // CLUSTERED BY … INTO n BUCKETS through SQL DDL: both sides of the
     // hot join are written bucket-aligned on the join key, so the
     // sort-merge join plans with NO shuffle exchange (plan-asserted in
     // SqlDdlSpec) — at 100 TB, the fact table is read join-ready
     // instead of reshuffled per query.
-    "q_bucket_join" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      cat.createTable("orders_bkt", orders.schema,
-        bucketBy = Some(("custkey", 8)))
-      cat.append("orders_bkt", orders, 1000L)
-      cat.createTable("cust_bkt", cust.schema, bucketBy = Some(("custkey", 8)))
-      cat.append("cust_bkt", cust, 2000L)
-      eng.sql("SELECT c_mktsegment, COUNT(*) AS cnt, " +
-        "ROUND(SUM(o_totalprice), 2) AS revenue " +
-        "FROM orders_bkt JOIN cust_bkt USING (custkey) " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
-    }),
+    "q_bucket_join" -> benchSplits("q_bucket_join").composed,
 
     // bucket(16, key) partition transform (Iceberg's hash transform):
     // point-key DELETE and SELECT touch 1/16th of the files from log
@@ -613,35 +703,12 @@ object SparkEntry {
     // murmur3 expression the write shuffled by (file-count-asserted in
     // TransformSpec/SqlDdlSpec; at 100 TB this is what makes a key
     // lookup or a single-key COW delete file-granular).
-    "q_bucket_prune" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey").as("custkey"), col("c_name"),
-          col("c_acctbal"))
-      cat.createTable("cust_bp", cust.schema,
-        Some(graft.store.PartitionSpec.parse("bucket(16, custkey)")))
-      cat.append("cust_bp", cust, 1000L)
-      eng.sql("DELETE FROM cust_bp WHERE custkey = 7")
-      eng.sql("SELECT custkey, c_name, ROUND(c_acctbal, 2) AS acctbal " +
-        "FROM cust_bp WHERE custkey IN (3, 7, 11, 42, 100) " +
-        "ORDER BY custkey")
-    }),
+    "q_bucket_prune" -> benchSplits("q_bucket_prune").composed,
 
     // truncate(w, key) partition transform: width-floored slots give
     // range predicates real partition pruning (slot count asserted in
     // TransformSpec) — the integer sibling of day()-style binning.
-    "q_truncate_prune" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
-      cat.createTable("orders_tr", orders.schema,
-        Some(graft.store.PartitionSpec.parse("truncate(10000, okey)")))
-      cat.append("orders_tr", orders, 1000L)
-      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
-        "FROM orders_tr WHERE okey >= 5000 AND okey < 25000")
-    }),
+    "q_truncate_prune" -> benchSplits("q_truncate_prune").composed,
 
     // Iceberg schema evolution, RENAME COLUMN: metadata-only — files
     // written before the rename keep the old physical column name and
@@ -688,18 +755,7 @@ object SparkEntry {
     // predicate, so the engine folds per-file record counts from the log
     // — O(files) metadata, no scan (LocalRelation plan asserted in
     // EngineSpec); DuckDB recomputes the count from the raw rows.
-    "q_meta_count_filtered" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-      cat.createTable("orders_mc", orders.schema,
-        Some(graft.store.PartitionSpec("o_orderdate", "month")))
-      cat.append("orders_mc",
-        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
-      eng.sql("SELECT COUNT(*) AS cnt FROM orders_mc " +
-        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' " +
-        "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
-    }),
+    "q_meta_count_filtered" -> benchSplits("q_meta_count_filtered").composed,
 
     // Ordered conditional MERGE arms (first match wins): a negative
     // amount deletes, a larger amount updates, positive unmatched rows
