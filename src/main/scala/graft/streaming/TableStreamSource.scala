@@ -55,13 +55,17 @@ import graft.store.TableStore
   * is supported: the stream drains everything committed at start-up —
   * still rate-limited — then stops.
   *
-  * `where` (a SQL predicate string) scopes the stream: each planned
-  * batch's added-file set is intersected with the snapshot log's
-  * partition-value + footer-stat pruning before any data I/O — a
-  * partition-scoped subscriber of a 100 TB append feed reads only its
-  * partition's delta files. File pruning is conservative, so pass the
-  * same predicate as a `.filter(...)` in the query for row-level
-  * exactness. `columns` (comma-separated) narrows the source schema so
+  * `where` (a SQL predicate string) scopes the stream EXACTLY: each
+  * planned batch's added-file set is first intersected with the
+  * snapshot log's partition-value + footer-stat pruning before any data
+  * I/O — a partition-scoped subscriber of a 100 TB append feed reads
+  * only its partition's delta files — and the same predicate is then
+  * applied ROW-LEVEL inside the partition reader (analyzed and bound on
+  * the driver, evaluated per row on executors), so a partially-matching
+  * file contributes only its matching rows and no repeated `.filter` is
+  * needed. A `where` column outside `columns` is decoded internally for
+  * the predicate and still excluded from the output schema.
+  * `columns` (comma-separated) narrows the source schema so
   * the vectorized reader decodes only those column chunks — a 2-column
   * consumer of a wide table pays 2 columns of I/O. The ScanBuilder also
   * implements `SupportsPushDownFilters` and
@@ -357,18 +361,50 @@ private[streaming] final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val st = store
+    // Row-level `where`: the same predicate that pruned files is
+    // analyzed (type coercion, resolution — a malformed predicate fails
+    // the stream here, loudly) against the scan schema EXTENDED with
+    // any predicate-only columns, then bound to positions so executors
+    // evaluate it with no session. The option alone is therefore exact:
+    // a partially-matching file contributes only its matching rows, and
+    // a predicate on a column outside `columns` still reads that column
+    // internally while emitting only the scan schema.
+    val (readSchema, boundPred) = prunePredicate match {
+      case None => (tableSchema, None)
+      case Some(p) =>
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        val spark = SparkSession.active
+        val safe = coalesce(p, lit(false)) // NULL predicate keeps no row
+        val full = st.schema(opts.table)
+        def analyzed(s: StructType) = {
+          val plan = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+            .filter(safe).queryExecution.analyzed
+          (plan.collectFirst { case f: LFilter => f.condition }.get,
+            plan.collectFirst { case f: LFilter => f.child.output }.get)
+        }
+        val (probeCond, _) = analyzed(full)
+        val refs = probeCond.references.map(_.name.toLowerCase).toSet
+        val extras = full.fields.filter(f => refs.contains(f.name.toLowerCase) &&
+          !tableSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        val es = StructType(tableSchema.fields ++ extras)
+        val (cond, out) = analyzed(es)
+        (es, Some(org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(cond, out)))
+    }
     // Rename reconciliation for streamed files: a column renamed after
     // a file was written appears in that file under a historical
     // physical name — ship the alias chains so executors resolve
     // per-file names the way the batch read path does.
-    val st = store
     val events = st.renameEvents(opts.table)
     val aliases: Map[String, Seq[String]] =
       if (events.isEmpty) Map.empty
-      else tableSchema.fields.toSeq
+      else readSchema.fields.toSeq
         .map(f => f.name -> st.aliasesOf(events, f.name))
         .filter(_._2.nonEmpty).toMap
-    GraftReaderFactory(tableSchema.json, aliases)
+    GraftReaderFactory(tableSchema.json, aliases, readSchema.json, boundPred)
   }
 
   // Snapshot history IS the source's replay log and is retained by the
@@ -381,13 +417,19 @@ private[streaming] final class GraftMicroBatchStream(
 private[streaming] final case class GraftFilePartition(path: String) extends InputPartition
 
 private[streaming] final case class GraftReaderFactory(schemaJson: String,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    readSchemaJson: String = null,
+    predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends PartitionReaderFactory {
   @transient private lazy val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  @transient private lazy val readSchema =
+    if (readSchemaJson == null) schema
+    else DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftFilePartition].path, schema, aliases)
+      partition.asInstanceOf[GraftFilePartition].path, schema, aliases,
+      readSchema, predicate)
 }
 
 /** Reads one data file with Spark's vectorized parquet reader and
@@ -404,8 +446,17 @@ private[streaming] final case class GraftReaderFactory(schemaJson: String,
   */
 private[streaming] final class GraftPartitionReader(
     path: String, requested: StructType,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    readSchemaOrNull: StructType = null,
+    predicate: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends PartitionReader[InternalRow] {
+
+  // The schema actually DECODED: the scan schema plus any
+  // predicate-only columns (`where` on a column outside `columns`) —
+  // always a prefix-extension of `requested`, so emitting a row is a
+  // prefix projection. The bound predicate's ordinals index this shape.
+  private val readSchema: StructType =
+    if (readSchemaOrNull == null) requested else readSchemaOrNull
 
   private val hconf = new Configuration()
 
@@ -425,8 +476,8 @@ private[streaming] final class GraftPartitionReader(
   private val fileSchema = pf.getFooter.getFileMetaData.getSchema
   private val fileNames: Seq[String] =
     fileSchema.getFields.asScala.map(_.getName).toSeq
-  // physical in-file name per requested field; null = absent
-  private val physical: Array[String] = requested.fields.map { f =>
+  // physical in-file name per read field; null = absent
+  private val physical: Array[String] = readSchema.fields.map { f =>
     (f.name +: aliases.getOrElse(f.name, Seq.empty)).iterator
       .flatMap(n => fileNames.find(_.equalsIgnoreCase(n)))
       .nextOption().orNull
@@ -470,40 +521,75 @@ private[streaming] final class GraftPartitionReader(
         throw t
     }
 
-  // position of each requested field in the reader's output row
+  // position of each read field in the reader's output row
   private val srcIdx: Array[Int] = {
     var next = -1
     physical.map { p => if (p == null) -1 else { next += 1; next } }
   }
   private val aligned =
-    presentPhysical.length == requested.length &&
-      srcTypes.zip(requested.fields).forall(p => p._1 == p._2.dataType)
+    presentPhysical.length == readSchema.length &&
+      srcTypes.zip(readSchema.fields).forall(p => p._1 == p._2.dataType)
   private val toUnsafe = UnsafeProjection.create(requested)
 
-  override def next(): Boolean =
+  // Executor-side predicate instance from the driver-bound expression
+  // (codegen with interpreted fallback; no session needed). The driver
+  // wrapped it in coalesce(pred, false), so eval never returns null.
+  private val rowPred = predicate.map(
+    org.apache.spark.sql.catalyst.expressions.Predicate.create)
+
+  private var current: InternalRow = _
+
+  private def advance(): Boolean =
     if (reader != null) reader.nextKeyValue()
     else if (emitted < fileRows) { emitted += 1; true }
     else false
 
-  override def get(): InternalRow = {
+  /** Current row in `readSchema` shape (reconciled: null-filled absent
+    * columns, widened narrow physical types). */
+  private def readRow(): InternalRow = {
     if (reader == null)
-      return toUnsafe(new GenericInternalRow(new Array[Any](requested.length)))
+      return new GenericInternalRow(new Array[Any](readSchema.length))
     val src = reader.getCurrentValue.asInstanceOf[InternalRow]
-    if (aligned) toUnsafe(src)
+    if (aligned) src
     else {
-      val vals = new Array[Any](requested.length)
+      val vals = new Array[Any](readSchema.length)
       var j = 0
-      while (j < requested.length) {
+      while (j < readSchema.length) {
         val s = srcIdx(j)
         vals(j) =
           if (s < 0 || src.isNullAt(s)) null
           else upcast(src.get(s, srcTypes(s)), srcTypes(s),
-            requested.fields(j).dataType)
+            readSchema.fields(j).dataType)
+        j += 1
+      }
+      new GenericInternalRow(vals)
+    }
+  }
+
+  /** `readSchema` row → scan-schema output (prefix projection). */
+  private def emitRow(row: InternalRow): InternalRow =
+    if (readSchema.length == requested.length) toUnsafe(row)
+    else {
+      val vals = new Array[Any](requested.length)
+      var j = 0
+      while (j < requested.length) {
+        vals(j) =
+          if (row.isNullAt(j)) null
+          else row.get(j, requested.fields(j).dataType)
         j += 1
       }
       toUnsafe(new GenericInternalRow(vals))
     }
+
+  override def next(): Boolean = {
+    while (advance()) {
+      val row = readRow()
+      if (rowPred.forall(_.eval(row))) { current = emitRow(row); return true }
+    }
+    false
   }
+
+  override def get(): InternalRow = current
 
   // the widening set [[graft.store.TableStore.widenColumn]] permits
   private def upcast(v: Any, from: DataType, to: DataType): Any =

@@ -269,6 +269,38 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("where option alone is row-exact on a partially-matching file") {
+    val (wh, st) = mkWarehouse()
+    val schema = Seq(("a", 1)).toDF("k", "v").schema
+    st.create("ev", schema)
+    // ONE file holding both matching and non-matching rows: file-level
+    // pruning cannot separate them, so exactness must come from the
+    // reader's row-level predicate — no residual .filter in the query
+    st.append("ev", Seq(("a", 1), ("b", 10), ("a", 2), ("b", 20))
+      .toDF("k", "v").coalesce(1), 1000L)
+    val q = reader(wh, "ev").option("where", "k = 'a'").load()
+      .writeStream.format("memory").queryName("tss_where_exact")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tss_where_exact").as[(String, Int)]
+        .collect().sorted.toSeq == Seq(("a", 1), ("a", 2)))
+    } finally q.stop()
+
+    // `where` on a column OUTSIDE `columns`: the reader decodes v
+    // internally for the predicate but emits only k
+    val q2 = reader(wh, "ev").option("where", "v >= 10")
+      .option("columns", "k").load()
+      .writeStream.format("memory").queryName("tss_where_extra")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.table("tss_where_extra")
+      assert(out.schema.fieldNames.toSeq == Seq("k"))
+      assert(out.as[String].collect().sorted.toSeq == Seq("b", "b"))
+    } finally q2.stop()
+  }
+
   test("pushFilters prunes planned partitions; every filter stays residual") {
     val (wh, st) = mkWarehouse()
     val schema = Seq(("a", 1)).toDF("k", "v").schema
