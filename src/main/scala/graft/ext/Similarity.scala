@@ -145,6 +145,29 @@ object Similarity {
     centroids
   }
 
+  /** Incremental index maintenance: assign `newVectors` to the
+    * PERSISTED centroids and append them under their lists — probes see
+    * them immediately, with recall identical to a same-centroid rebuild
+    * (assignment and probe both rank against the stored centroids, so
+    * an appended vector is always in a list its probe path considers).
+    *
+    * Staleness contract: centroids are NOT retrained on append. The
+    * index stays CORRECT under any drift — every vector sits in the
+    * list of its nearest stored centroid — but if the appended
+    * distribution drifts far from the trained one, lists grow
+    * unbalanced and probe I/O degrades toward scanning big lists;
+    * rebuild with [[ivfWriteIndex]] when imbalance shows (at 100 TB:
+    * appends are cheap daily maintenance, retraining is the scheduled
+    * compaction-scale job). Raises if `path` holds no index. */
+  def ivfAppend(newVectors: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val centroids = readCentroids(newVectors.sparkSession, path)
+    newVectors
+      .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
+      .repartition(col("_ivf_list"))
+      .write.mode("append").partitionBy("_ivf_list").parquet(path)
+  }
+
   /** Probe a persisted IVF index: rank the `nprobe` lists nearest the
     * query and read ONLY their directories (`basePath` keeps `_ivf_list`
     * resolvable). I/O scales with nprobe/nlist of the index, independent

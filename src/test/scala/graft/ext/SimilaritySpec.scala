@@ -103,6 +103,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.readCentroids(spark, idx).size == 8)
   }
 
+  test("ivfAppend: vectors added post-index are recalled by the probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, iters = 5)
+    // plant 5 near-duplicates of a query AFTER the index was built —
+    // an index that ignores appends would miss all of them
+    val q = clustered(45)._2
+    // tiny shifts: the planted five must sit closer to q than its own
+    // cluster's ±0.05-noise neighbors, or top-6 legitimately prefers those
+    val planted = (0 until 5).map(i =>
+      (900000L + i, q.map(x => x + 0.002f * (i + 1))))
+    Similarity.ivfAppend(planted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    val got = Similarity.ivfProbe(spark, idx, "vec_id", "embedding", q,
+      k = 6, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(planted.map(_._1).toSet.subsetOf(got),
+      s"appended vectors missed by probe: got $got")
+    // the append reused the stored centroids — not a retrain
+    assert(Similarity.readCentroids(spark, idx).size == 8)
+    // appending to a non-index fails loudly, no silent empty index
+    intercept[Exception](Similarity.ivfAppend(
+      planted.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      java.nio.file.Files.createTempDirectory("graft-noidx").toString))
+  }
+
   test("multi-query bounded-heap top-k matches brute force per query") {
     val queries = df.filter($"vec_id" < 2)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
