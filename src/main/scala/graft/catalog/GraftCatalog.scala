@@ -158,6 +158,11 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def expireSnapshots(name: String, olderThanMs: Long): Unit =
     store().expire(name, olderThanMs)
 
+  /** Fold old snapshots' inline file lists into manifests (log
+    * checkpointing). See [[TableStore.checkpointLog]]. */
+  def checkpointLog(name: String, olderThanMs: Long): Int =
+    store().checkpointLog(name, olderThanMs)
+
   /** CALL rollback_to_snapshot: see [[TableStore.rollback]]. */
   def rollback(name: String, snapshotId: Long,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {

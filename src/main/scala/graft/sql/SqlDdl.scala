@@ -340,6 +340,11 @@ object SqlDdl {
       case "expire_snapshots" =>
         val (cat, t) = tableArg
         cat.expireSnapshots(t, olderThanMs(5L * 24 * 3600 * 1000))
+      case "checkpoint_log" =>
+        // fold everything but the latest by default: checkpointing is
+        // pure metadata reshaping, so there is no retention to protect
+        val (cat, t) = tableArg
+        cat.checkpointLog(t, olderThanMs(0L))
       case "rewrite_data_files" =>
         val (cat, t) = tableArg
         cat.compact(t)

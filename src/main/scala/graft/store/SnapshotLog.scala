@@ -335,6 +335,38 @@ object SnapshotLog {
       snap
     }
 
+  /** Log checkpointing: fold the inline file lists of snapshots older
+    * than `olderThanMs` into immutable per-snapshot manifest files,
+    * leaving only O(1) references in the log. Every snapshot keeps its
+    * identity — id, commit time, counts, summary, schema version — so
+    * time travel anywhere in history is untouched; what changes is that
+    * a commit no longer re-serializes years of cumulative file lists
+    * (each commit rewrites the whole log file). With [[commit]]'s own
+    * spill-at-threshold this keeps a years-old table's log at
+    * O(live inline files + snapshots), and composed with
+    * [[graft.store.TableStore.expire]] at O(live files + recent
+    * snapshots). The LATEST snapshot is never folded — it is what every
+    * read resolves, and folding it would tax the hot path with an extra
+    * manifest read per query. Returns the number of entries folded. */
+  def checkpoint(fs: FileSystem, tableDir: HPath,
+      olderThanMs: Long): Int =
+    withCommitLock(fs, tableDir) {
+      val all = read(fs, tableDir)
+      var folded = 0
+      val next = all.zipWithIndex.map { case (s, i) =>
+        val isLatest = i == all.size - 1
+        if (!isLatest && s.timestampMs < olderThanMs &&
+            s.manifest.isEmpty && s.files.nonEmpty) {
+          val name = s"manifest-${s.id}-${java.util.UUID.randomUUID()}.json"
+          writeManifest(fs, tableDir, name, s.files)
+          folded += 1
+          s.copy(manifest = Some(name), storedFileCount = s.files.size)
+        } else s
+      }
+      if (folded > 0) write(fs, tableDir, next)
+      folded
+    }
+
   val LockTimeoutMs: Long = 30000
   val StaleLockMs: Long = 60000
 

@@ -1405,6 +1405,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         .foreach(st => fs.delete(st.getPath, false))
   }
 
+  /** Log checkpointing (see [[SnapshotLog.checkpoint]]): fold old
+    * snapshots' inline file lists into manifests so the log — rewritten
+    * whole on every commit — stays O(live inline files + snapshots)
+    * instead of O(snapshots × files). Pure metadata reshaping: every
+    * snapshot stays time-travelable with the same file list. */
+  def checkpointLog(table: String, olderThanMs: Long): Int =
+    SnapshotLog.checkpoint(fs, tableDir(table), olderThanMs)
+
   /** Drop snapshots older than `olderThanMs` (keeping the latest) and
     * delete data files no surviving snapshot references.
     */

@@ -659,6 +659,30 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT id FROM rb ORDER BY id") == "[(1,), (2,)]")
   }
 
+  test("CALL checkpoint_log folds history to manifests; reads unchanged") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE cl (id INT)")
+    eng.sql("INSERT INTO cl VALUES (1), (2)")
+    eng.sql("INSERT INTO cl VALUES (3)")
+    eng.sql("INSERT INTO cl VALUES (4)")
+    assert(eng.run("CALL checkpoint_log('cl')") == "[]")
+    val dir = cat.store().tableDir("cl")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = graft.store.SnapshotLog.read(fs, dir)
+    // all but the latest are folded to manifest references; the latest
+    // stays inline so the hot read path pays no extra I/O
+    assert(entries.init.forall(_.manifest.nonEmpty))
+    assert(entries.last.manifest.isEmpty)
+    // reads, time travel, history and metadata counts are unchanged
+    assert(eng.run("SELECT COUNT(*) FROM cl") == "[(4,)]")
+    assert(eng.run("SELECT COUNT(*) FROM cl FOR SYSTEM_VERSION AS OF 1") ==
+      "[(2,)]")
+    assert(cat.history("cl").count() == 3)
+    // appends keep working on the folded log
+    eng.sql("INSERT INTO cl VALUES (5)")
+    assert(eng.run("SELECT COUNT(*) FROM cl") == "[(5,)]")
+  }
+
   test("SHOW FILES lists current data files with counts and sizes") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE sf (k STRING, v INT) PARTITIONED BY (k)")

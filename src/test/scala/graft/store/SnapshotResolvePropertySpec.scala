@@ -45,6 +45,83 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("PROPERTY: checkpoint + expire preserve time travel inside retention") {
+    val genCut = Gen.choose(0L, 7000L)
+    val prop = Prop.forAll(genBatchSizes, genCut, genProbe) { (sizes, cut, probe) =>
+      // keep the java path around: HPath built from a directory URI keeps
+      // the trailing slash, so HPath.getName would be "" below
+      val jdir = Files.createTempDirectory("graft-ckpt")
+      val dir = new HPath(jdir.toUri)
+      val fs = FileSystem.get(dir.toUri, conf)
+      sizes.zipWithIndex.foreach { case (size, i) =>
+        SnapshotLog.commit(fs, dir, "append",
+          newFiles = (0 until size).map(j => DataFile(s"data/b$i-f$j")),
+          recordCount = size.toLong, timestampMs = 1000L * (i + 1))
+      }
+      // ground truth BEFORE any maintenance, at every snapshot boundary
+      val before = SnapshotLog.read(fs, dir).map(s =>
+        s.id -> SnapshotLog.resolveVersion(fs, dir, s.id).get.filePaths).toMap
+      val logBytes = fs.getFileStatus(SnapshotLog.logPath(dir)).getLen
+      // checkpoint: pure metadata reshaping — every snapshot must still
+      // resolve to the same file list, and the log must not grow
+      SnapshotLog.checkpoint(fs, dir, cut)
+      val afterCkpt = before.forall { case (id, paths) =>
+        SnapshotLog.resolveVersion(fs, dir, id).get.filePaths == paths
+      }
+      val logAfter = fs.getFileStatus(SnapshotLog.logPath(dir)).getLen
+      // idempotent: a second checkpoint folds nothing
+      val second = SnapshotLog.checkpoint(fs, dir, cut)
+      // time travel at an arbitrary instant matches the original history
+      val expected = sizes.zipWithIndex
+        .filter { case (_, i) => 1000L * (i + 1) <= probe }
+        .flatMap { case (size, i) => (0 until size).map(j => s"data/b$i-f$j") }
+      val travel = SnapshotLog.resolve(fs, dir, Some(probe))
+        .map(_.filePaths).getOrElse(Seq.empty)
+      // compose with expire: expire(cut) retains snapshots committed at
+      // or after cut (plus the latest), so AS OF probe is preserved
+      // exactly when the snapshot SERVING probe — newest commit <= probe
+      // — is retained. A probe inside the window can still be served by
+      // a pre-cut snapshot; that resolution is legitimately lost.
+      val store = new TableStore(new HPath(jdir.getParent.toUri),
+        graft.SharedSpark.spark)
+      store.expire(jdir.getFileName.toString, cut)
+      val servingT = sizes.indices.map(i => 1000L * (i + 1))
+        .filter(_ <= probe).lastOption
+      val travelKept = servingT match {
+        case Some(t) if t >= cut || t == 1000L * sizes.size =>
+          SnapshotLog.resolve(fs, dir, Some(probe))
+            .map(_.filePaths).getOrElse(Seq.empty) == expected
+        case _ => true // no serving snapshot, or it expired with cause
+      }
+      afterCkpt && logAfter <= logBytes && second == 0 && travel == expected &&
+        travelKept
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("checkpointed log: commits after the fold stay cheap and correct") {
+    val dir = new HPath(Files.createTempDirectory("graft-ckpt2").toUri)
+    val fs = FileSystem.get(dir.toUri, conf)
+    for (i <- 0 until 20)
+      SnapshotLog.commit(fs, dir, "append", Seq(DataFile(s"data/f$i")),
+        1L, 1000L * (i + 1))
+    val full = fs.getFileStatus(SnapshotLog.logPath(dir)).getLen
+    // fold everything but the latest: 19 entries become references
+    assert(SnapshotLog.checkpoint(fs, dir, Long.MaxValue) == 19)
+    val folded = fs.getFileStatus(SnapshotLog.logPath(dir)).getLen
+    // O(snapshots × files) inline lists -> O(snapshots) references
+    assert(folded < full / 2, s"log $full -> $folded bytes")
+    // the latest entry stayed inline (hot read path pays no manifest I/O)
+    assert(SnapshotLog.read(fs, dir).last.manifest.isEmpty)
+    // a commit on the folded log carries the full file set forward
+    val s = SnapshotLog.commit(fs, dir, "append", Seq(DataFile("data/new")),
+      1L, 30000L)
+    assert(s.fileCount == 21)
+    assert(SnapshotLog.resolve(fs, dir, None).get.filePaths.contains("data/f3"))
+  }
+
   test("commit ids increase monotonically and files accumulate") {
     val dir = new HPath(Files.createTempDirectory("graft-prop2").toUri)
     val fs = FileSystem.get(dir.toUri, conf)
