@@ -58,13 +58,20 @@ final case class PartitionSpec(column: String, transform: String,
     * (`HashPartitioning.partitionIdExpression` = pmod(murmur3, n)) so the
     * recorded value, the shuffle placement and the prune-side literal
     * hash all agree; `truncate` needs the source type (int floor vs
-    * string prefix). */
+    * string prefix). The bucket hash is taken over the column CAST TO THE
+    * TABLE SCHEMA TYPE: Murmur3 is width-sensitive (hash(5: Int) !=
+    * hash(5L)), and the store accepts narrower-typed appends into widened
+    * columns ([[TableStore.widenColumn]]) — hashing the frame's own type
+    * would tag such rows with bucket ids the prune side
+    * ([[Pruning.mightMatchBucket]], which hashes literals at the schema
+    * type) provably skips, silently dropping them from point lookups. */
   def valueColumn(sourceType: DataType): Column = transform match {
     case "identity" => col(column).cast(StringType)
     case "day"      => date_format(col(column), "yyyy-MM-dd")
     case "month"    => date_format(col(column), "yyyy-MM")
     case "year"     => date_format(col(column), "yyyy")
-    case "bucket"   => pmod(hash(col(column)), lit(param.get)).cast(StringType)
+    case "bucket"   =>
+      pmod(hash(col(column).cast(sourceType)), lit(param.get)).cast(StringType)
     case "truncate" => sourceType match {
       case StringType => substring(col(column), 1, param.get)
       case _ => // integral floor-to-multiple (Iceberg: v - (v mod w), positive mod)
@@ -144,11 +151,14 @@ object PartitionSpec {
 
   /** Inclusive-safe upper bound covering every string with prefix `p`:
     * the prefix with its last char incremented is strictly above any
-    * p-prefixed string (UTF-16 order). None when the last char is
-    * U+FFFF (carry) — callers keep the max unbounded, which only
-    * loosens. */
+    * p-prefixed string. None when the last char is at or above the
+    * surrogate range (U+D800): beyond it UTF-16 code-unit order (this
+    * bound) and the UTF-8/codepoint order of Parquet footer string stats
+    * diverge, so an incremented-char bound could tighten wrongly against
+    * footer min/max on supplementary characters (ADVICE r12). Callers
+    * treat None as an unbounded max, which only loosens. */
   private[store] def prefixUpperBound(p: String): Option[String] = {
-    if (p.isEmpty || p.last == '\uffff') None
+    if (p.isEmpty || p.last >= '\ud800') None
     else Some(p.init + (p.last + 1).toChar)
   }
 

@@ -115,7 +115,10 @@ object Pruning {
       case EqualNullSafe(c, a) if attrIs(a) && c.foldable => litMatches(c)
       case In(a, list) if attrIs(a) && list.forall(_.foldable) =>
         list.exists(litMatches)
-      case InSet(a, set) if attrIs(a) =>
+      // resolved attr only: `a.dataType` on an UnresolvedAttribute throws
+      // outside bucketIdOf's catch — an unresolved InSet (possible, since
+      // attrIs accepts unresolved inputs by design) must degrade to keep
+      case InSet(a: AttributeReference, set) if attrIs(a) =>
         set.exists(v => v == null ||
           bucketIdOf(Literal(v, a.dataType), srcType, n).forall(_ == fileBucket))
       case _ => true

@@ -134,6 +134,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Spec plus the zone its timestamp partition values are rendered in
     * (pinned at create; absent in pre-zone tables → session zone). */
   private def partitionSpecZone(table: String): Option[(PartitionSpec, ZoneId)] = {
+    migrateLegacyBucketJson(table)
     val p = new HPath(tableDir(table), "partition.json")
     if (!fs.exists(p)) None
     else {
@@ -143,6 +144,37 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       val param = if (node.has("param")) Some(node.get("param").asInt()) else None
       Some((PartitionSpec(node.get("column").asText(),
         node.get("transform").asText(), param), zone))
+    }
+  }
+
+  /** One-way migration of a pre-native-bucketing table: the retired
+    * CLUSTERED BY implementation recorded its layout in `bucket.json`
+    * (`{"column":k,"buckets":n}`) which nothing reads any more — without
+    * conversion such a table silently degrades to unpartitioned (reads
+    * stay correct via the file-list scan, but new appends write
+    * untagged files and the no-exchange join property is lost without
+    * warning). On first open convert it to the equivalent
+    * `bucket(n, k)` partition spec; the legacy data files keep working
+    * unchanged because they lack the qualified partition key, so both
+    * pruning and the BucketSpec guard ([[readFileList]]) conservatively
+    * ignore them until a COW rewrite or OPTIMIZE re-tags them. Runs
+    * under the table lock; the legacy file is renamed (not deleted) so
+    * a concurrent pre-migration reader's `fs.exists` race is harmless —
+    * both orderings end with partition.json present and bucket.json
+    * gone. */
+  private def migrateLegacyBucketJson(table: String): Unit = {
+    val legacy = new HPath(tableDir(table), "bucket.json")
+    if (!fs.exists(legacy)) return
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      if (fs.exists(legacy)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readString(legacy))
+        val spec = PartitionSpec(node.get("column").asText(), "bucket",
+          Some(node.get("buckets").asInt()))
+        if (!fs.exists(new HPath(tableDir(table), "partition.json")))
+          writePartitionJson(table, spec, sessionZone)
+        fs.rename(legacy, new HPath(tableDir(table), "bucket.json.migrated"))
+      }
     }
   }
 
@@ -283,7 +315,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           else {
             val inBucketSort = (sp.column +: sort.filterNot(
               _.equalsIgnoreCase(sp.column))).map(col)
-            df.repartition(sp.param.get, col(sp.column))
+            // shuffle on the SCHEMA-typed key so placement agrees with the
+            // dir value when the incoming frame's key is narrower (widened
+            // column): mismatch would be correct but one-file-per-bucket
+            // would degrade to one-file-per-(bucket, shuffle-partition)
+            df.repartition(sp.param.get, col(sp.column).cast(srcType))
               .withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
               .sortWithinPartitions(col(TableStore.PartDirCol) +: inBucketSort: _*)
           }

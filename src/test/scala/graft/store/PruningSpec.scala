@@ -84,6 +84,16 @@ class PruningSpec extends AnyFunSuite {
     assert(might(org.apache.spark.sql.functions.abs(col("id")) === 5, id10to20))
   }
 
+  test("mightMatchBucket keeps the file on an unresolved InSet") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.sql.types.IntegerType
+    // attrIs accepts unresolved attrs by design, but .dataType on one
+    // throws — the InSet arm must degrade to keep, not fail the query
+    val pred = InSet(UnresolvedAttribute("k"), Set[Any](1, 2))
+    assert(Pruning.mightMatchBucket(pred, "k", IntegerType, 8, 5))
+  }
+
   test("mixed numeric widths compare correctly") {
     val d = ranges("x" -> ColRange(Some(1.5), Some(2.5), hasNulls = false))
     assert(!might(col("x") === 3, d))   // int literal vs double stats

@@ -171,6 +171,67 @@ class TransformSpec extends AnyFunSuite {
     assert(!plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("bucket append hashes the key at the TABLE schema type, not the frame's") {
+    val st = store()
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // LONG-keyed bucket table, INT-typed incoming frame: legal (the store
+    // reads narrow physical files — widenColumn's contract), but Murmur3
+    // is width-sensitive, so placement must hash at the SCHEMA type or
+    // point-lookup pruning provably skips the rows it placed
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    st.create("tw", schema, Some(PartitionSpec("k", "bucket", Some(8))))
+    val narrow = (1 to 100).map(i => (i, s"p$i")).toDF("k", "v") // k: INT
+    st.append("tw", narrow)
+    for (f <- st.dataFilesAsOf("tw", None)) {
+      val logged = f.partition("k#bucket8").toInt
+      assert(TableStore.fileName(f.path).contains(f"_$logged%05d"))
+    }
+    for (key <- Seq(1L, 42L, 99L)) {
+      val hit = st.prunedFiles("tw", col("k") === key)
+      val want = Pruning.bucketIdOf(
+        org.apache.spark.sql.catalyst.expressions.Literal(key), LongType, 8).get
+      assert(hit.forall(_.partition("k#bucket8").toInt == want))
+      assert(st.readWhere("tw", col("k") === key).count() == 1L,
+        s"k=$key silently dropped by frame-typed bucket hash")
+    }
+  }
+
+  test("legacy bucket.json migrates to a bucket(n, key) partition spec on open") {
+    val st = store()
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 10, s"p$i")).toDF("k", "v")
+    st.create("tl", df.schema, None)
+    st.append("tl", df)
+    // plant the retired CLUSTERED BY implementation's metadata file
+    val dir = java.nio.file.Paths.get(st.tableDir("tl").toUri)
+    java.nio.file.Files.write(dir.resolve("bucket.json"),
+      """{"column":"k","buckets":4}""".getBytes("UTF-8"))
+    // opening the table converts it (one-way) to the native spec
+    assert(st.bucketSpec("tl") == Some(("k", 4)))
+    assert(java.nio.file.Files.exists(dir.resolve("partition.json")))
+    assert(!java.nio.file.Files.exists(dir.resolve("bucket.json")))
+    // new appends are tagged under the migrated spec; reads stay correct
+    // over the mixed (untagged legacy + tagged new) population
+    st.append("tl", df)
+    val files = st.dataFilesAsOf("tl", None)
+    assert(files.exists(_.partition.contains("k#bucket4")))
+    assert(files.exists(f => !f.partition.contains("k#bucket4")))
+    assert(st.readWhere("tl", col("k") === 3).count() ==
+      2 * df.filter($"k" === 3).count())
+  }
+
+  test("prefixUpperBound declines at the surrogate boundary") {
+    assert(PartitionSpec.prefixUpperBound("ab").contains("ac"))
+    assert(PartitionSpec.prefixUpperBound("").isEmpty)
+    // at or above U+D800 UTF-16 and UTF-8/codepoint orders diverge —
+    // an incremented bound could tighten wrongly against footer stats
+    assert(PartitionSpec.prefixUpperBound("a\ud800").isEmpty)
+    assert(PartitionSpec.prefixUpperBound("a￿").isEmpty)
+    assert(PartitionSpec.prefixUpperBound("a퟿").contains("a\ud800"))
+  }
+
   test("bucket table compaction re-buckets and re-engages bucket-aware reads") {
     val st = store()
     import spark.implicits._
