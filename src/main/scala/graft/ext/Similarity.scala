@@ -128,20 +128,49 @@ object Similarity {
       centroids)
   }
 
-  /** Persist an IVF index at `path`: data parquet-partitioned by
-    * `_ivf_list` (one directory per list — the probe's pruning unit) with
-    * the centroids stored alongside. Vectors are co-located per list via
-    * `repartition(_ivf_list)` before the write, so each list lands as a
-    * contiguous file set instead of tasks × lists fragments.
-    */
+  /** The IVF index is a SNAPSHOT-LOG STORE TABLE (`path` is a one-table
+    * warehouse holding table [[IndexTable]], identity-partitioned on
+    * `_ivf_list`) — not raw parquet. That buys the index the same
+    * transactional contract as every other table in the engine:
+    * appends commit atomically (a probe never observes a
+    * partially-visible append — files become readable only via the log
+    * commit, never per-task rename), a crashed rebuild leaves the
+    * previous index intact (overwrite stages first, commits last), and
+    * history/time-travel/vacuum work unchanged. Centroids ride each
+    * commit's summary map ([[CentroidsKey]]), so the (centroids, file
+    * set) pair changes atomically — a rebuild can never publish new
+    * centroids over old lists. nlist·dim floats ≈ 16 KB at the default
+    * shape; for indexes where nlist·dim outgrows a log entry (≫ 1 MB),
+    * promote centroids to their own store table and commit it first —
+    * probes ranking against slightly-stale centroids only lose recall,
+    * never correctness, because assignment rides the data commit. */
+  private val IndexTable = "ivf"
+  private val CentroidsKey = "ivf-centroids"
+
+  private def indexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.store.TableStore =
+    new graft.store.TableStore(new org.apache.hadoop.fs.Path(path), spark)
+
+  /** Persist an IVF index at `path`: a store table identity-partitioned
+    * by `_ivf_list` (one directory per list — the probe's pruning unit).
+    * Vectors are co-located per list via `repartition(_ivf_list)` before
+    * the write, so each list lands as a contiguous file set instead of
+    * tasks × lists fragments. Rebuild on an existing index is a
+    * `replace` commit: staged write first, log flip last — a concurrent
+    * probe reads either the old index or the new one, never a mix, and
+    * a crash mid-rebuild leaves the old index live. */
   def ivfWriteIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 16, iters: Int = 2,
       seed: Long = 42L): Seq[Array[Float]] = {
     val (indexed, centroids) =
       ivfIndex(embeddings, idCol, vecCol, nlist, seed, iters)
-    indexed.repartition(col("_ivf_list"))
-      .write.mode("overwrite").partitionBy("_ivf_list").parquet(path)
-    writeCentroids(embeddings.sparkSession, path, centroids)
+    val st = indexStore(embeddings.sparkSession, path)
+    val df = indexed.repartition(col("_ivf_list"))
+    if (!st.exists(IndexTable))
+      st.create(IndexTable, df.schema,
+        Some(graft.store.PartitionSpec("_ivf_list", "identity")))
+    st.overwrite(IndexTable, df,
+      extraSummary = Map(CentroidsKey -> centroidsJson(centroids)))
     centroids
   }
 
@@ -162,17 +191,25 @@ object Similarity {
   def ivfAppend(newVectors: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val centroids = readCentroids(newVectors.sparkSession, path)
-    newVectors
-      .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
-      .repartition(col("_ivf_list"))
-      .write.mode("append").partitionBy("_ivf_list").parquet(path)
+    val st = indexStore(newVectors.sparkSession, path)
+    // the append COMMIT is what publishes the rows: a crash after the
+    // staged write leaves orphan files no probe can see. Centroids are
+    // carried forward in the summary so every snapshot (incl. time
+    // travel) is self-describing.
+    st.append(IndexTable, newVectors
+        .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
+        .repartition(col("_ivf_list")),
+      extraSummary = Map(CentroidsKey -> centroidsJson(centroids)))
   }
 
   /** Probe a persisted IVF index: rank the `nprobe` lists nearest the
-    * query and read ONLY their directories (`basePath` keeps `_ivf_list`
-    * resolvable). I/O scales with nprobe/nlist of the index, independent
-    * of total index size — the property the in-memory `ivfTopK` row
-    * filter cannot give at 100 TB. */
+    * query and read ONLY their files — identity-partition pruning from
+    * log metadata (no directory listing, no footer opens for skipped
+    * lists). I/O scales with nprobe/nlist of the index, independent of
+    * total index size — the property the in-memory `ivfTopK` row filter
+    * cannot give at 100 TB. The snapshot resolve makes the probe
+    * transactional: it sees exactly one committed (centroids, file-set)
+    * pair even while a rebuild or append races it. */
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int = 4): DataFrame = {
@@ -180,36 +217,25 @@ object Similarity {
     val lists = centroids.zipWithIndex
       .map { case (c, i) => (cosine(query, c), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = lists.map(l => s"$path/_ivf_list=$l")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    require(dirs.nonEmpty, s"no probe lists exist under $path")
-    cosineTopK(spark.read.option("basePath", path).parquet(dirs: _*),
+    require(lists.nonEmpty, s"no probe lists in the index at $path")
+    cosineTopK(
+      indexStore(spark, path).readWhere(IndexTable,
+        col("_ivf_list").isin(lists: _*)),
       idCol, vecCol, query, k)
   }
 
-  private val CentroidsFile = "_ivf_centroids.json"
+  private def centroidsJson(centroids: Seq[Array[Float]]): String =
+    centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String, centroids: Seq[Array[Float]]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val json = centroids
-      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
+  /** Centroids of the CURRENT committed index snapshot. Raises loudly
+    * when `path` holds no committed index — a silent empty index would
+    * turn every probe into a wrong empty answer. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Array[Float]] = {
-    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val json =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    val json = indexStore(spark, path).currentSummary(IndexTable)
+      .getOrElse(CentroidsKey, throw new IllegalStateException(
+        s"no committed IVF index at $path (missing '$CentroidsKey' in the " +
+          "current snapshot summary) — build one with ivfWriteIndex"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     import scala.jdk.CollectionConverters._
     node.elements().asScala.map(arr =>

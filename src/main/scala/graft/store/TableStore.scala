@@ -255,12 +255,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Replace table contents (used by compaction and overwrite loads). */
   def overwrite(table: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis(),
-      operation: String = "replace"): Snapshot = {
+      operation: String = "replace",
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
-      summary = Map("added-files" -> moved.size.toString, "total-records" -> n.toString),
+      summary = Map("added-files" -> moved.size.toString,
+        "total-records" -> n.toString) ++ extraSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
@@ -740,6 +742,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def currentSnapshotId(table: String): Option[Long] =
     if (!exists(table)) None
     else SnapshotLog.read(fs, tableDir(table)).lastOption.map(_.id)
+
+  /** Summary map of the current snapshot (empty when no commits). Lets
+    * small index metadata (e.g. IVF centroids) ride the commit itself,
+    * so it changes atomically with the file set it describes. */
+  def currentSummary(table: String): Map[String, String] =
+    if (!exists(table)) Map.empty
+    else SnapshotLog.read(fs, tableDir(table)).lastOption
+      .map(_.summary).getOrElse(Map.empty)
 
   /** (snapshotId, operation, fileCountDelta, recordCountDelta) per
     * snapshot with id > `afterId`, in commit order — log-only, no

@@ -93,8 +93,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(recalls.forall(_ >= 0.9), s"recall@10 too low: $recalls")
     // the probe reads strictly fewer FILES than the whole index — I/O
-    // pruning, not row filtering
-    val allFiles = spark.read.parquet(idx).inputFiles.length
+    // pruning, not row filtering (the index is a store table now; its
+    // data files live under <warehouse>/ivf/data)
+    val allFiles = spark.read.parquet(s"$idx/ivf/data").inputFiles.length
     val probeFiles = Similarity.ivfProbe(spark, idx, "vec_id", "embedding",
       queries.head, k = 10, nprobe = 2).inputFiles.length
     assert(probeFiles > 0 && probeFiles < allFiles,
@@ -126,6 +127,39 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[Exception](Similarity.ivfAppend(
       planted.toDF("vec_id", "embedding"), "vec_id", "embedding",
       java.nio.file.Files.createTempDirectory("graft-noidx").toString))
+  }
+
+  test("IVF index is transactional: aborted appends invisible, rebuilds keep history") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-txn").toString
+    Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, iters = 2)
+    val q = clustered(45)._2
+    def probe(): Seq[Long] = Similarity.ivfProbe(spark, idx,
+      "vec_id", "embedding", q, k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val before = probe()
+    // a crashed append: data files land under data/ but the commit never
+    // happens — visibility comes from the snapshot log, so the probe
+    // result must be byte-identical (the raw-parquet design this
+    // replaced made such files visible per-task-rename)
+    (0 until 3).map(i => (800000L + i, q.map(x => x + 0.001f * (i + 1))))
+      .toDF("vec_id", "embedding")
+      .withColumn("_ivf_list", org.apache.spark.sql.functions.lit(7))
+      .write.mode("append").parquet(s"$idx/ivf/data")
+    assert(probe() == before, "probe observed files from an uncommitted append")
+    // a committed append IS visible — same planted vectors, via the log
+    Similarity.ivfAppend(
+      (0 until 3).map(i => (800000L + i, q.map(x => x + 0.001f * (i + 1))))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    assert(probe().toSet.intersect((800000L until 800003L).toSet).nonEmpty)
+    // rebuild is a `replace` commit on the same table: history keeps
+    // every version (vacuum/time-travel now work on the index for free)
+    Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, iters = 2)
+    val st = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(idx), spark)
+    assert(st.history("ivf").count() >= 3)
+    assert(probe() == before, "rebuild from the same corpus must restore the original result")
   }
 
   test("multi-query bounded-heap top-k matches brute force per query") {
