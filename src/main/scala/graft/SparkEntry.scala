@@ -145,6 +145,27 @@ object SparkEntry {
         "FROM orders_tr WHERE okey >= 5000 AND okey < 25000")
     },
 
+    "q_partition_prune" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_part", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      // co-locate each month in one task before the partitioned write, so
+      // the table lands as ~one file per month instead of tasks × months
+      cat.append("orders_part",
+        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      cat
+    } { cat =>
+      val pred = col("o_orderdate") >= lit(ts("2000-03-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("2000-06-01 00:00:00"))
+      cat.tableWhere("orders_part", pred)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    },
+
     "q_meta_count_filtered" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -660,23 +681,7 @@ object SparkEntry {
     // PlanShapeSpec; here the result is oracle-checked). The predicate
     // stays on the SOURCE column — the transform is hidden, as Iceberg
     // users expect for the reference's tables (`create_iceberg.py:119-148`).
-    "q_partition_prune" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val orders = t(s, dir, "orders")
-      cat.createTable("orders_part", orders.schema,
-        Some(graft.store.PartitionSpec("o_orderdate", "month")))
-      // co-locate each month in one task before the partitioned write, so
-      // the table lands as ~one file per month instead of tasks × months
-      cat.append("orders_part",
-        orders.repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
-      val pred = col("o_orderdate") >= lit(ts("2000-03-01 00:00:00")) &&
-        col("o_orderdate") < lit(ts("2000-06-01 00:00:00"))
-      cat.tableWhere("orders_part", pred)
-        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
-          month(col("o_orderdate")).cast("int").as("mo"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
-        .orderBy(col("yr"), col("mo"))
-    }),
+    "q_partition_prune" -> benchSplits("q_partition_prune").composed,
 
     // Partition-spec evolution (Iceberg contract): month(ts) files from
     // before the ALTER keep their month values, year(ts) files after it
@@ -845,6 +850,34 @@ object SparkEntry {
       eng.sql("UPDATE accounts SET balance = balance + 10, status = 'bonus' WHERE balance >= 75")
       eng.sql("DELETE FROM accounts WHERE balance = 0")
       eng.sql("SELECT id, balance, status FROM accounts ORDER BY id")
+    }),
+
+    // §2.11b maintenance surface end-to-end through the SQL engine:
+    // three append snapshots, then OPTIMIZE → VACUUM → CALL
+    // checkpoint_log → DESCRIBE HISTORY. The final history must still
+    // show every snapshot with its cumulative record count — OPTIMIZE
+    // adds one replace snapshot, VACUUM touches only crash debris, and
+    // checkpointing is pure metadata reshaping — so the
+    // (snapshot_id, operation, record_count) sequence is fully
+    // reconstructible by the oracle from the source rows alone.
+    "q_sql_maintenance" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_src", nation.schema)
+      cat.append("nation_src", nation, 1000L)
+      eng.sql("CREATE TABLE nation_maint STORED AS ICEBERG AS " +
+        "SELECT * FROM nation_src WHERE n_nationkey < 8")
+      eng.sql("INSERT INTO nation_maint SELECT * FROM nation_src " +
+        "WHERE n_nationkey >= 8 AND n_nationkey < 16")
+      eng.sql("INSERT INTO nation_maint SELECT * FROM nation_src " +
+        "WHERE n_nationkey >= 16")
+      eng.sql("OPTIMIZE nation_maint")
+      eng.sql("VACUUM nation_maint")
+      eng.sql("CALL checkpoint_log('nation_maint')")
+      eng.sql("DESCRIBE HISTORY nation_maint")
+        .select(col("snapshot_id"), col("operation"), col("record_count"))
+        .orderBy(col("snapshot_id"))
     }),
 
     // Warehouse-ETL surface: CTAS + INSERT INTO … SELECT + TRUNCATE — the
@@ -1448,6 +1481,19 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT 'replace' AS operation, count(*) AS record_count FROM orders",
+
+    "q_sql_maintenance" ->
+      """SELECT CAST(s.ord AS BIGINT) AS snapshot_id, s.op AS operation,
+        |       CAST(s.rc AS BIGINT) AS record_count
+        |FROM (
+        |  SELECT 1 AS ord, 'append' AS op,
+        |         (SELECT count(*) FROM nation WHERE n_nationkey < 8) AS rc
+        |  UNION ALL SELECT 2, 'append',
+        |         (SELECT count(*) FROM nation WHERE n_nationkey < 16)
+        |  UNION ALL SELECT 3, 'append', (SELECT count(*) FROM nation)
+        |  UNION ALL SELECT 4, 'replace', (SELECT count(*) FROM nation)
+        |) s
+        |ORDER BY snapshot_id""".stripMargin,
 
     "q_sql_ctas" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total

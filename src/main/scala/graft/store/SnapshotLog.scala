@@ -297,7 +297,8 @@ object SnapshotLog {
       summary: Map[String, String] = Map.empty,
       manifestThreshold: Int = DefaultManifestThreshold,
       expectedLastId: Option[Long] = None,
-      schemaVersionOf: () => Int = () => -1): Snapshot =
+      schemaVersionOf: () => Int = () => -1,
+      autoCheckpointThreshold: Int = AutoCheckpointInlineFiles): Snapshot =
     withCommitLock(fs, tableDir) {
       val existing = read(fs, tableDir)
       // Optimistic concurrency for COW writers: the carried-file list was
@@ -331,7 +332,20 @@ object SnapshotLog {
           writeManifest(fs, tableDir, name, files)
           inline.copy(manifest = Some(name), storedFileCount = files.size)
         }
-      write(fs, tableDir, existing :+ snap)
+      // Auto-checkpoint (Iceberg's commit-time metadata maintenance):
+      // when the inline file entries of SUPERSEDED snapshots exceed the
+      // threshold, fold them into manifests in the SAME log write, so a
+      // long-lived table's log stays O(live inline files + snapshots)
+      // without anyone ever issuing `CALL checkpoint_log`. The new
+      // (latest) snapshot is never folded — it serves every read.
+      val newLog = existing :+ snap
+      val oldInline = newLog.dropRight(1).iterator
+        .filter(_.manifest.isEmpty).map(_.files.size).sum
+      val finalLog =
+        if (oldInline > autoCheckpointThreshold)
+          foldEntries(fs, tableDir, newLog, Long.MaxValue)._1
+        else newLog
+      write(fs, tableDir, finalLog)
       snap
     }
 
@@ -352,20 +366,37 @@ object SnapshotLog {
       olderThanMs: Long): Int =
     withCommitLock(fs, tableDir) {
       val all = read(fs, tableDir)
-      var folded = 0
-      val next = all.zipWithIndex.map { case (s, i) =>
-        val isLatest = i == all.size - 1
-        if (!isLatest && s.timestampMs < olderThanMs &&
-            s.manifest.isEmpty && s.files.nonEmpty) {
-          val name = s"manifest-${s.id}-${java.util.UUID.randomUUID()}.json"
-          writeManifest(fs, tableDir, name, s.files)
-          folded += 1
-          s.copy(manifest = Some(name), storedFileCount = s.files.size)
-        } else s
-      }
+      val (next, folded) = foldEntries(fs, tableDir, all, olderThanMs)
       if (folded > 0) write(fs, tableDir, next)
       folded
     }
+
+  /** Superseded inline file entries a log may accumulate before a commit
+    * folds them automatically ([[commit]]). Sized so the fold amortizes:
+    * with the per-snapshot spill at [[DefaultManifestThreshold]], a log
+    * carries at most this many old inline entries + one inline latest —
+    * a few hundred JSON blobs, well under one filesystem block. */
+  val AutoCheckpointInlineFiles: Int = 256
+
+  /** Fold the inline file lists of non-latest snapshots older than
+    * `olderThanMs` into immutable manifest files. Pure reshaping of
+    * `all`; the caller (already under the commit lock) decides whether
+    * to write the result. Returns (new log, folded count). */
+  private def foldEntries(fs: FileSystem, tableDir: HPath,
+      all: Seq[Snapshot], olderThanMs: Long): (Seq[Snapshot], Int) = {
+    var folded = 0
+    val next = all.zipWithIndex.map { case (s, i) =>
+      val isLatest = i == all.size - 1
+      if (!isLatest && s.timestampMs < olderThanMs &&
+          s.manifest.isEmpty && s.files.nonEmpty) {
+        val name = s"manifest-${s.id}-${java.util.UUID.randomUUID()}.json"
+        writeManifest(fs, tableDir, name, s.files)
+        folded += 1
+        s.copy(manifest = Some(name), storedFileCount = s.files.size)
+      } else s
+    }
+    (next, folded)
+  }
 
   val LockTimeoutMs: Long = 30000
   val StaleLockMs: Long = 60000

@@ -122,6 +122,48 @@ class SnapshotResolvePropertySpec extends AnyFunSuite {
     assert(SnapshotLog.resolve(fs, dir, None).get.filePaths.contains("data/f3"))
   }
 
+  test("PROPERTY: auto-checkpoint keeps superseded inline entries bounded with no CALL") {
+    val thresh = 12
+    val prop = Prop.forAll(genBatchSizes, genProbe) { (sizes, probe) =>
+      val dir = new HPath(Files.createTempDirectory("graft-autockpt").toUri)
+      val fs = FileSystem.get(dir.toUri, conf)
+      sizes.zipWithIndex.foreach { case (size, i) =>
+        SnapshotLog.commit(fs, dir, "append",
+          newFiles = (0 until size).map(j => DataFile(s"data/b$i-f$j")),
+          recordCount = size.toLong, timestampMs = 1000L * (i + 1),
+          autoCheckpointThreshold = thresh)
+      }
+      val all = SnapshotLog.read(fs, dir)
+      // the commit path itself enforces the bound: after ANY commit, the
+      // non-latest snapshots carry at most `thresh` inline file entries
+      // (beyond it they were folded into manifests in the same write)
+      val oldInline = all.dropRight(1)
+        .collect { case s if s.manifest.isEmpty => s.files.size }.sum
+      // the latest snapshot is never folded by the auto path (it may
+      // still be manifest-backed via commit's own size spill at
+      // DefaultManifestThreshold — that spill is not a fold)
+      val latestInline = all.last.manifest.isEmpty ||
+        all.last.fileCount > SnapshotLog.DefaultManifestThreshold
+      // and the fold is pure metadata reshaping: every version still
+      // resolves to exactly its append prefix, time travel intact
+      val versionsIntact = all.forall { s =>
+        val i = (s.id - 1).toInt
+        SnapshotLog.resolveVersion(fs, dir, s.id).get.filePaths ==
+          sizes.take(i + 1).zipWithIndex
+            .flatMap { case (sz, b) => (0 until sz).map(j => s"data/b$b-f$j") }
+      }
+      val expected = sizes.zipWithIndex
+        .filter { case (_, i) => 1000L * (i + 1) <= probe }
+        .flatMap { case (size, i) => (0 until size).map(j => s"data/b$i-f$j") }
+      val travel = SnapshotLog.resolve(fs, dir, Some(probe))
+        .map(_.filePaths).getOrElse(Seq.empty)
+      oldInline <= thresh && latestInline && versionsIntact && travel == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("commit ids increase monotonically and files accumulate") {
     val dir = new HPath(Files.createTempDirectory("graft-prop2").toUri)
     val fs = FileSystem.get(dir.toUri, conf)

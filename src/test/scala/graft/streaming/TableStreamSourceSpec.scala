@@ -425,6 +425,36 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("where + columns compose across rename-then-widen on pre-evolution files") {
+    val (wh, st) = mkWarehouse()
+    // file 1 predates BOTH evolutions: physical column name "n", int32
+    st.create("ev", Seq((1, 100, "a")).toDF("id", "n", "tag").schema)
+    st.append("ev", Seq((1, 100, "x"), (2, 200, "y"), (3, 300, "z"))
+      .toDF("id", "n", "tag").coalesce(1), 1000L)
+    st.renameColumn("ev", "n", "amount")
+    st.widenColumn("ev", "amount", org.apache.spark.sql.types.LongType)
+    // file 2 is post-evolution: physical "amount", int64
+    st.append("ev", Seq((4, 5000000000L, "w")).toDF("id", "amount", "tag")
+      .select(col("id").cast("int").as("id"), col("amount"), col("tag")), 2000L)
+    // predicate on the CURRENT name, over a predicate-ONLY column (not
+    // in `columns`): the reader's row-level evaluation must bind it
+    // through the rename chain AND the widen on the pre-evolution file
+    // — the risky seam where the scan schema is extended with
+    // predicate-only columns — and stay row-exact (file 1 mixes
+    // matching and non-matching rows, so file pruning can't save it)
+    val q = reader(wh, "ev").option("where", "amount >= 200")
+      .option("columns", "id,tag").load()
+      .writeStream.format("memory").queryName("tss_where_evo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("tss_where_evo")
+      assert(out.schema.fieldNames.toSeq == Seq("id", "tag"))
+      assert(out.as[(Int, String)].collect().sortBy(_._1).toSeq ==
+        Seq((2, "y"), (3, "z"), (4, "w")))
+    } finally q.stop()
+  }
+
   test("schema evolution mid-history: old files null-fill added columns") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
