@@ -719,6 +719,27 @@ object SparkEntry {
     // written before the rename keep the old physical column name and
     // one scan reconciles both populations onto the new name (no
     // rewrite); time travel still renders the name of its snapshot.
+    // Iceberg schema evolution, ADD + DROP: the added column null-fills
+    // for pre-ADD files and carries real values after; the dropped
+    // column disappears from reads while old files still physically
+    // carry it (tombstoned — never re-addable). Both ALTERs are
+    // metadata-only: no file is rewritten, the oracle reconstructs the
+    // visible table from the source rows and the evolution boundary.
+    "q_schema_add_drop" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_ad", nation.schema)
+      cat.append("nation_ad", nation.filter(col("n_nationkey") < 13), 1000L)
+      eng.sql("ALTER TABLE nation_ad ADD COLUMN pop BIGINT")
+      cat.append("nation_ad", nation.filter(col("n_nationkey") >= 13)
+        .withColumn("pop", col("n_nationkey").cast("long") * 1000L), 2000L)
+      eng.sql("ALTER TABLE nation_ad DROP COLUMN n_regionkey")
+      cat.table("nation_ad")
+        .select(col("n_nationkey"), col("n_name"), col("pop"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "q_schema_rename" -> ((s, dir) => {
       val cat = tempCatalog(s)
       val nation = t(s, dir, "nation")
@@ -952,6 +973,29 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cluster RETENTION on top of the same deterministic duplicate
+    // graph: keep the highest-n_chars member per component (ties →
+    // lowest doc_id) with the cluster size — the "keep best, drop rest"
+    // step after near-dup clustering. One map-side-combining hash agg
+    // (no corpus-wide window sort); the oracle recomputes it with
+    // DuckDB's independent islands + row_number method.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = docs.select(col("doc_id"), (col("n_chars") % 5).as("_b"))
+      val edges = d.select(col("doc_id").as("id_a"), col("_b").as("_ba"))
+        .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
+          col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(edges)
+        .withColumnRenamed("id", "doc_id")
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      Dedup.canonicalPerCluster(labeled, "doc_id", "component", "n_chars")
+        .orderBy(col("component"))
     }),
 
     // MinHash+LSH near-dup candidate pairs (rows-only check: sketch-based).
@@ -1544,6 +1588,12 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 25000""".stripMargin,
 
+    "q_schema_add_drop" ->
+      """SELECT n_nationkey, n_name,
+        |       CASE WHEN n_nationkey >= 13
+        |            THEN CAST(n_nationkey * 1000 AS BIGINT) END AS pop
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     "q_schema_rename" ->
       """SELECT n_nationkey, n_name AS nation_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
@@ -1625,6 +1675,30 @@ object SparkEntry {
         |r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run FROM b)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY run) AS component
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // same islands-and-gaps components, then an independent per-cluster
+    // argmax (row_number, vs Spark's struct-max aggregation)
+    "q_dedup_canonical" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN lag(doc_id) OVER w = doc_id - 1
+        |               AND lag(n_chars % 5) OVER w = n_chars % 5
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |r AS (SELECT doc_id, n_chars, sum(brk) OVER (ORDER BY doc_id) AS run
+        |      FROM b),
+        |c AS (SELECT doc_id, n_chars,
+        |             min(doc_id) OVER (PARTITION BY run) AS component
+        |      FROM r)
+        |SELECT component, doc_id AS keep_id, n_chars AS keep_score,
+        |       cnt AS cluster_size
+        |FROM (
+        |  SELECT component, doc_id, n_chars,
+        |         count(*) OVER (PARTITION BY component) AS cnt,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "q_doc_stats" ->
       """SELECT doc_id,

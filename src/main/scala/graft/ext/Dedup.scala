@@ -412,6 +412,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster RETENTION: keep one canonical document per
+    * cluster — the highest-scoring member, ties broken to the lowest
+    * id — the "keep best, drop rest" step a training-data pipeline runs
+    * right after near-dup clustering (score = quality/length/recency as
+    * the pipeline defines it). `labeled` carries one row per document
+    * with its cluster label (e.g. [[connectedComponents]] output joined
+    * back); the result has one row per cluster:
+    * (componentCol, keep_id, keep_score, cluster_size).
+    *
+    * ONE hash aggregation with map-side combine: the (score, -id) max
+    * and the count both partially aggregate before the shuffle, so at
+    * 100 TB the shuffle carries one row per (partition × cluster) —
+    * never a corpus-wide window sort, which is the naive
+    * row_number()-per-cluster plan this replaces. */
+  def canonicalPerCluster(labeled: DataFrame, idCol: String,
+      componentCol: String, scoreCol: String): DataFrame =
+    labeled.groupBy(col(componentCol))
+      .agg(
+        // lexicographic struct max: highest score, then lowest id
+        // (unique ids make the full struct tie-free)
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("_m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col(componentCol), (-col("_m.negid")).as("keep_id"),
+        col("_m.s").as("keep_score"), col("cluster_size"))
+
   /** Checkpoint one iteration frame, honoring [[CheckpointDirConf]]. */
   private def checkpointIter(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

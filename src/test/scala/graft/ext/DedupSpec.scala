@@ -267,4 +267,15 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 9L)) // one survivor for {1,2,3}; 4, 9 untouched
   }
+
+  test("canonicalPerCluster keeps the highest score, ties to lowest id, with sizes") {
+    val labeled = Seq(
+      (1L, 10L, 1L), (2L, 30L, 1L), (3L, 30L, 1L), // max score 30, tie -> id 2
+      (7L, 5L, 7L) // singleton keeps itself
+    ).toDF("doc_id", "n_chars", "component")
+    val got = Dedup.canonicalPerCluster(labeled, "doc_id", "component", "n_chars")
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 30L, 3L), (7L, 7L, 5L, 1L)))
+  }
 }
