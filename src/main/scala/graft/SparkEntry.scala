@@ -998,6 +998,19 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    // Benchmark contamination (decontamination gate): corpus docs
+    // sharing any distinct 5-gram with the "eval set" (first 10 docs
+    // standing in for a benchmark). Broadcast gram join — the corpus
+    // never shuffles. The oracle recomputes gram sets independently in
+    // DuckDB (string slicing, different separator — only token
+    // sequences must agree), so every overlap count is hash-checked.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (rows-only check: sketch-based).
     // The candidate pair set is computed ONCE per sf-dir (checkpointed)
     // and shared with q_ngram_jaccard — the pipeline posture at 100 TB,
@@ -1675,6 +1688,20 @@ object SparkEntry {
         |r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run FROM b)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY run) AS component
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // independent gram computation: DuckDB list slicing over split
+    // tokens (space separator vs Spark's  — equality of token
+    // SEQUENCES is what both encode)
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+        |      FROM d, LATERAL UNNEST(generate_series(1, len(toks) - 4)) AS t(i)),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id < 10)
+        |SELECT dg.doc_id, bg.bench_id, count(*) AS overlap_grams
+        |FROM dg JOIN bg USING (gram)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same islands-and-gaps components, then an independent per-cluster
     // argmax (row_number, vs Spark's struct-max aggregation)

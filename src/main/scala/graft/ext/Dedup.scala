@@ -324,6 +324,35 @@ object Dedup {
       .select("id_a", "id_b", "ngram_jaccard")
   }
 
+  /** Benchmark CONTAMINATION detection: flag corpus documents sharing
+    * `minOverlap`+ distinct word n-grams with any benchmark/eval
+    * document — the decontamination gate a training-data pipeline runs
+    * before a corpus reaches a model (the GPT-3/PaLM n-gram-overlap
+    * check family). Returns one row per contaminated (doc_id, bench_id)
+    * pair with the distinct-gram overlap count.
+    *
+    * Scale posture: the benchmark side is an eval set — tiny by
+    * construction — so its exploded gram table is BROADCAST and the
+    * gram-equality join is a scan-local hash probe: the 100 TB corpus
+    * never shuffles. Grams are distinct-ed per document BEFORE the
+    * join, so a phrase repeated in one document cannot inflate its
+    * overlap count. Documents shorter than n tokens contribute their
+    * whole token sequence as one gram ([[shingles]]). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 5, minOverlap: Int = 1): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          explode(array_distinct(shingles(
+            TextAnalysis.tokens(col(text)), n))).as("_gram"))
+    grams(docs, idCol, textCol, "doc_id")
+      .join(broadcast(grams(benchmark, benchIdCol, benchTextCol, "bench_id")),
+        Seq("_gram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap_grams"))
+      .filter(col("overlap_grams") >= minOverlap)
+  }
+
   /** Word n-gram shingles from a token array (joined with the \\u0001 separator). */
   def shingles(tokens: Column, n: Int): Column =
     when(size(tokens) < n, array(concat_ws("\u0001", tokens)))

@@ -34,6 +34,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_contamination broadcasts the benchmark grams — the corpus never shuffles for the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p)
+  }
+
   test("q_topk_orders plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)

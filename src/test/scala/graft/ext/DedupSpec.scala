@@ -278,4 +278,21 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 30L, 3L), (7L, 7L, 5L, 1L)))
   }
+
+  test("contamination flags n-gram overlap with the benchmark, counts distinct grams") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-grams
+      (2L, "completely different words here entirely now"),
+      (3L, "quick brown fox quick brown fox quick brown fox"), // repeated phrase
+      (4L, "a b") // shorter than n: whole-doc gram, no match
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox runs")).toDF("bench_id", "text")
+    val got = Dedup.contamination(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares "the quick brown" + "quick brown fox" (2 distinct);
+    // doc 3 repeats "quick brown fox" but it counts ONCE; 2 and 4 clean
+    assert(got == Seq((1L, 100L, 2L), (3L, 100L, 1L)))
+  }
 }
