@@ -270,7 +270,40 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * table's spec when one exists), promote the part files into data/,
     * return their [[DataFile]] entries with footer row counts and
     * partition values. */
+  /** Reject frames whose columns cannot land in the table's schema —
+    * BEFORE any bytes are written. An unknown frame column (typo, stale
+    * rename, case slip) would otherwise write files the by-name read
+    * silently null-fills for the real column: a whole append of nulls
+    * with no error anywhere. Omitting schema columns stays legal
+    * (reads null-fill them — how pre-ADD writers keep working after
+    * schema evolution), and a narrower numeric frame type is legal
+    * (widened columns accept old-width writers; reads up-cast). */
+  private def validateAppendSchema(table: String, df: DataFrame): Unit = {
+    val sch = schema(table)
+    val known = sch.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      val dt = known.getOrElse(f.name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"cannot write to $table: frame column '${f.name}' is not in the " +
+            s"table schema (${sch.fieldNames.mkString(", ")}) — a by-name " +
+            "read would silently null-fill instead of surfacing the mismatch"))
+      val ok = f.dataType == dt || ((f.dataType, dt) match {
+        // the widening families the read path up-casts ([[widenColumn]])
+        case (ByteType | ShortType | IntegerType, LongType) => true
+        case (ByteType | ShortType, IntegerType) => true
+        case (ByteType, ShortType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      })
+      require(ok, s"cannot write to $table: frame column '${f.name}' has " +
+        s"type ${f.dataType.sql}, table schema has ${dt.sql} — cast the " +
+        "frame (only narrower-numeric writes into a widened column are " +
+        "implicit)")
+    }
+  }
+
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
+    validateAppendSchema(table, df)
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
     // ONE read of the partition metadata serves both the clustering
     // decision and the staging branch (three fs round-trips per write

@@ -84,12 +84,15 @@ class EnginePruningSpec extends AnyFunSuite {
     // row at t=5000 — AS-OF t=4000 must not see the second snapshot
     cat.createTable("evt", cat.store().schema("ev"),
       Some(graft.store.PartitionSpec("d", "month")))
+    // CAST the v literals: ANSI VALUES types 1.0 as DECIMAL(2,1), and
+    // the store (rightly) rejects decimal frames against a DOUBLE column
     cat.append("evt", s.sql(
-      "SELECT * FROM VALUES (1, DATE'2024-01-05', 1.0), " +
+      "SELECT id, d, CAST(v AS DOUBLE) AS v FROM VALUES " +
+        "(1, DATE'2024-01-05', 1.0), " +
         "(2, DATE'2024-02-03', 2.0), (4, DATE'2024-03-15', 4.0) " +
         "AS t(id, d, v)"), 1000L)
     cat.append("evt", s.sql(
-      "SELECT 5 AS id, DATE'2024-03-20' AS d, 9.0 AS v"), 5000L)
+      "SELECT 5 AS id, DATE'2024-03-20' AS d, CAST(9.0 AS DOUBLE) AS v"), 5000L)
     val asOfAll = eng.sql(
       "SELECT * FROM evt FOR SYSTEM_TIME AS OF '1970-01-01 00:00:04'")
     val asOfPruned = eng.sql(

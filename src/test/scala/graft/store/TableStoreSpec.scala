@@ -160,4 +160,28 @@ class TableStoreSpec extends AnyFunSuite {
     st.drop("t")
     assert(!st.exists("t"))
   }
+
+  test("append validates the frame against the table schema before writing") {
+    import org.apache.spark.sql.types._
+    val st = newStore()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("amount", DoubleType), StructField("tag", StringType)))
+    st.create("tv", schema)
+    // unknown column (typo): rejected loudly — a by-name read would
+    // otherwise null-fill 'tag' for the whole append with no error
+    val e1 = intercept[IllegalArgumentException](st.append("tv",
+      Seq((1L, 1.0, "a")).toDF("id", "amount", "tga")))
+    assert(e1.getMessage.contains("tga"))
+    // incompatible type (decimal into double): rejected — the parquet
+    // file would not be readable at the table type
+    val e2 = intercept[IllegalArgumentException](st.append("tv",
+      spark.sql("SELECT CAST(1 AS BIGINT) AS id, 1.5 AS amount, 'a' AS tag")))
+    assert(e2.getMessage.contains("amount"))
+    // narrower numeric (int into long) and omitted column: both legal
+    st.append("tv", Seq((1, 1.5)).toDF("id", "amount"), 1000L)
+    val got = st.read("tv").as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 1.5, None)))
+    // nothing was staged by the rejected writes: exactly one data file
+    assert(st.dataFilesAsOf("tv", None).size == 1)
+  }
 }
