@@ -1252,6 +1252,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Fingerprint CONTRACT gate with planted ground truth: identical
+    // twins (whitespace-normalized variants included — the fingerprint
+    // normalizes before hashing) must collide, and the first 25 real
+    // docs must all be pairwise distinct (injectivity on the sample —
+    // deterministic for the seeded corpus). The hash VALUES cannot be
+    // recomputed by DuckDB; equality structure can, which is exactly
+    // what a fingerprint promises.
+    "q_doc_fingerprint_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+        .select(col("doc_id"), col("text"))
+      // twin = same text with shuffled whitespace (normalization target)
+      val twins = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), lit(" "), lit("\t "))).as("text"))
+      val fp = docs.union(twins)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("_fp"))
+      val orig = fp.filter(col("doc_id") < 25)
+      val twin = fp.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id"), col("_fp").as("_fp_twin"))
+      val distinctFps = orig.select(countDistinct(col("_fp")).as("n"))
+      orig.join(twin, "doc_id")
+        .crossJoin(broadcast(distinctFps))
+        .select(col("doc_id"),
+          (col("_fp") === col("_fp_twin")).as("twin_match"),
+          (col("n") === lit(25)).as("injective_sample"))
+        .orderBy(col("doc_id"))
+    }),
+
     // =================================================================
     // North star: multimodal columns (decode layer STUBBED, plumbing real)
     // =================================================================
@@ -1774,6 +1801,12 @@ object SparkEntry {
     // per-language stopword hits, encoded as a zero-padded sortable
     // string because this DuckDB lacks struct greatest. floor(x*1e4+0.5)
     // emulates Spark's HALF_UP round.
+    // equality structure only — the expected table is reconstructible
+    // without knowing the hash: every twin matches, no sample collision
+    "q_doc_fingerprint_exact" ->
+      """SELECT doc_id, true AS twin_match, true AS injective_sample
+        |FROM documents WHERE doc_id < 25 ORDER BY doc_id""".stripMargin,
+
     "q_doc_fingerprint" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -212,16 +212,25 @@ object Similarity {
     * pair even while a rebuild or append races it. */
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Array[Float], k: Int,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = readCentroids(spark, path)
+      nprobe: Int = 4, asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val st = indexStore(spark, path)
+    // centroids and file set come from the SAME snapshot — current or
+    // pinned: an as-of probe ranks lists with the centroids of its time
+    // (a rebuild may have moved them), the store backing's time-travel
+    // dividend ("what did this query return before yesterday's append?")
+    val centroids = parseCentroids(asOfSnapshotId match {
+      case Some(id) => st.summaryVersion(IndexTable, id)
+      case None     => st.currentSummary(IndexTable)
+    }, path)
     val lists = centroids.zipWithIndex
       .map { case (c, i) => (cosine(query, c), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
     require(lists.nonEmpty, s"no probe lists in the index at $path")
-    cosineTopK(
-      indexStore(spark, path).readWhere(IndexTable,
-        col("_ivf_list").isin(lists: _*)),
-      idCol, vecCol, query, k)
+    val pred = col("_ivf_list").isin(lists: _*)
+    cosineTopK(asOfSnapshotId match {
+      case Some(id) => st.readWhereVersion(IndexTable, id, pred)
+      case None     => st.readWhere(IndexTable, pred)
+    }, idCol, vecCol, query, k)
   }
 
   private def centroidsJson(centroids: Seq[Array[Float]]): String =
@@ -231,11 +240,14 @@ object Similarity {
     * when `path` holds no committed index — a silent empty index would
     * turn every probe into a wrong empty answer. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Float]] =
+    parseCentroids(indexStore(spark, path).currentSummary(IndexTable), path)
+
+  private def parseCentroids(summary: Map[String, String],
       path: String): Seq[Array[Float]] = {
-    val json = indexStore(spark, path).currentSummary(IndexTable)
-      .getOrElse(CentroidsKey, throw new IllegalStateException(
-        s"no committed IVF index at $path (missing '$CentroidsKey' in the " +
-          "current snapshot summary) — build one with ivfWriteIndex"))
+    val json = summary.getOrElse(CentroidsKey, throw new IllegalStateException(
+      s"no committed IVF index at $path (missing '$CentroidsKey' in the " +
+        "snapshot summary) — build one with ivfWriteIndex"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     import scala.jdk.CollectionConverters._
     node.elements().asScala.map(arr =>

@@ -528,6 +528,26 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       asOfMs: Option[Long] = None): DataFrame =
     readPruned(table, predicate, asOfMs).filter(predicate)
 
+  /** Predicate-scoped SYSTEM_VERSION read: snapshot-id time travel WITH
+    * partition/stat pruning and the row filter applied — `readWhere`'s
+    * contract at a pinned version (e.g. probing an index table as of a
+    * snapshot before an append). Unknown ids raise like [[readVersion]]. */
+  def readWhereVersion(table: String, snapshotId: Long,
+      predicate: Column): DataFrame = {
+    val snap = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no snapshot id $snapshotId"))
+    readFileListAs(table, pruneList(table, snap.files, predicate),
+      schemaAt(table, snap)).filter(predicate)
+  }
+
+  /** Summary map of snapshot `snapshotId` (raises on unknown ids). */
+  def summaryVersion(table: String, snapshotId: Long): Map[String, String] =
+    SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table has no snapshot id $snapshotId"))
+      .summary
+
   /** Pruned relation WITHOUT the predicate applied — for callers that
     * keep their own Filter on top (the SQL-path plan splice): scans only
     * [[prunedFiles]]. Pruning is conservative, so wrapping this in the

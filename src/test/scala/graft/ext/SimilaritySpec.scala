@@ -148,10 +148,19 @@ class SimilaritySpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$idx/ivf/data")
     assert(probe() == before, "probe observed files from an uncommitted append")
     // a committed append IS visible — same planted vectors, via the log
+    val st0 = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(idx), spark)
+    val preAppendId = st0.currentSnapshotId("ivf").get
     Similarity.ivfAppend(
       (0 until 3).map(i => (800000L + i, q.map(x => x + 0.001f * (i + 1))))
         .toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
     assert(probe().toSet.intersect((800000L until 800003L).toSet).nonEmpty)
+    // as-of probe pins the pre-append snapshot: the planted vectors
+    // vanish and the original answer comes back — index time travel
+    val pinned = Similarity.ivfProbe(spark, idx, "vec_id", "embedding", q,
+      k = 5, nprobe = 2, asOfSnapshotId = Some(preAppendId))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pinned == before, s"as-of probe leaked post-snapshot vectors: $pinned")
     // rebuild is a `replace` commit on the same table: history keeps
     // every version (vacuum/time-travel now work on the index for free)
     Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
