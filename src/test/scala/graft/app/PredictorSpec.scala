@@ -106,4 +106,34 @@ class PredictorSpec extends AnyFunSuite {
     assert(r.answer.contains("SELECT no_such_column FROM customers"))
     assert(r.sql.isDefined && r.rendered.isEmpty)
   }
+
+  test("ChatSession: multi-turn history with in-place assistant updates") {
+    val (_, predictor) = fixture
+    val session = new ChatSession(predictor)
+    val states = Seq.newBuilder[Seq[ChatMessage]]
+    val r1 = session.ask(
+      "How many customers are subscribed to postpaid plans?", states += _)
+    // generator contract: [user, thinking] then the SAME slot rewritten
+    val s1 = states.result()
+    assert(s1.head.map(_.role) == Seq("user", "assistant"))
+    assert(s1.head.last.content == "\ud83e\udd14 Thinking...")
+    assert(s1.forall(_.size == 2), "stages must rewrite history[-1], not append")
+    assert(s1.last.last.content == r1.answer)
+    assert(session.history.size == 2)
+    // second turn appends a new pair; the first pair is untouched
+    val r2 = session.ask(
+      "SELECT customer_id FROM customers WHERE customer_id < 0")
+    assert(session.history.size == 4)
+    assert(session.history(1).content == r1.answer)
+    assert(session.history(3).content == r2.answer)
+    assert(session.history.map(_.role) ==
+      Seq("user", "assistant", "user", "assistant"))
+    assert(session.visiblePlot.isEmpty) // empty result: pane hidden
+    // plottable turn shows the pane; clear hides it and empties the chat
+    session.ask("SELECT plan_type, COUNT(*) AS cnt FROM plans " +
+      "GROUP BY plan_type ORDER BY plan_type")
+    assert(session.visiblePlot.isDefined)
+    session.clear()
+    assert(session.history.isEmpty && session.visiblePlot.isEmpty)
+  }
 }
