@@ -640,6 +640,41 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.10 streaming EXACT dedup, oracle-gated end-to-end: the second
+    // micro-batch re-delivers every even-keyed order (duplicate rows
+    // ACROSS batches), and `dedupStream`'s watermarked state must drop
+    // them — the streamed aggregate equals the plain `orders` aggregate
+    // exactly. The watermark delay exceeds the data's full date span,
+    // so no state evicts mid-run and the dedup is exact (the documented
+    // contract; production trades delay for bounded state).
+    "q_stream_dedup" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_sd", orders.schema)
+      cat.append("orders_sd", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val src = s.readStream.format("graft-table")
+        .option("warehouse", cat.warehouse.toString)
+        .option("table", "orders_sd").load()
+        .select(col("o_orderkey").cast("string").as("okey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          // the parquet dates surface as TIMESTAMP_NTZ; watermarks
+          // require the zoned type
+          col("o_orderdate").cast("timestamp").as("ts"))
+      val q = graft.streaming.EventStreams
+        .dedupStream(src, "okey", watermarkDelay = "87600 hours")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        cat.append("orders_sd", orders, 2000L) // evens re-delivered + odds
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S1: latest-snapshot read = all appends.
     "q_tt_latest" -> ((s, dir) => {
       val cat = tempCatalog(s)
@@ -1547,6 +1582,13 @@ object SparkEntry {
     "q_tt_incremental" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey >= 13 ORDER BY n_nationkey""".stripMargin,
+
+    // the dedup must reduce the re-delivered stream to exactly the
+    // source table's rows
+    "q_stream_dedup" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_stream_table" ->
       """SELECT o_orderstatus, count(*) AS cnt,
