@@ -1318,6 +1318,50 @@ object SparkEntry {
     // North star: multimodal columns (decode layer STUBBED, plumbing real)
     // =================================================================
 
+    // REAL full pixel decode, oracle-gated: complete constant-color
+    // 24-bit BMPs built per doc (dims/colors derived from doc_id), then
+    // BmpPixelStats walks every padded pixel row — no codec library,
+    // BI_RGB is pure byte arithmetic. Constant color makes the channel
+    // means exactly the planted values, so DuckDB reconstructs the
+    // whole result from doc_id alone.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.bmpPixelStats(
+            Multimodal.syntheticBmpContent(
+              (lit(4) + pmod(col("doc_id"), lit(5))).cast("int"),
+              (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"),
+              pmod(col("doc_id"), lit(256)).cast("int"),
+              pmod(col("doc_id") * 7, lit(256)).cast("int"),
+              pmod(col("doc_id") * 13, lit(256)).cast("int"))).as("px"))
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.n_pixels").as("n_pixels"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL full PCM sample decode, oracle-gated: complete 16-bit WAVs
+    // (every sample = a planted amplitude) decoded by WavPcmStats —
+    // rms and peak are exactly amplitude/2^15, bit-identical across
+    // engines.
+    "q_multimodal_pcm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.wavPcmStats(
+            Multimodal.syntheticWavPcmContent(
+              lit(16000),
+              (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"),
+              (lit(100) + pmod(col("doc_id") * 31, lit(1000))).cast("int"),
+              (lit(50) + pmod(col("doc_id"), lit(20))).cast("int"))).as("pcm"))
+        .select(col("doc_id"), col("pcm.n_samples").as("n_samples"),
+          round(col("pcm.rms"), 6).as("rms"),
+          round(col("pcm.peak"), 6).as("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Binary payload plumbing: byte length + md5 fingerprint of the
     // binary content (oracle-checkable on both engines).
     "q_multimodal_bytes" -> ((s, dir) => {
@@ -1843,6 +1887,23 @@ object SparkEntry {
     // per-language stopword hits, encoded as a zero-padded sortable
     // string because this DuckDB lacks struct greatest. floor(x*1e4+0.5)
     // emulates Spark's HALF_UP round.
+    "q_multimodal_pixels" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS height,
+        |  CAST((4 + doc_id % 5) * (2 + doc_id % 3) AS BIGINT) AS n_pixels,
+        |  round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+        |  round(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+        |  round(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_pcm" ->
+      """SELECT doc_id,
+        |  CAST((50 + doc_id % 20) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
+        |  round(CAST(100 + (doc_id * 31) % 1000 AS DOUBLE) / 32768, 6) AS rms,
+        |  round(CAST(100 + (doc_id * 31) % 1000 AS DOUBLE) / 32768, 6) AS peak
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
     // equality structure only — the expected table is reconstructible
     // without knowing the hash: every twin matches, no sample collision
     "q_doc_fingerprint_exact" ->

@@ -7,12 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (north-star extension).
   *
   * Image/audio/video payloads are opaque `binary` columns beside typed
-  * metadata. The Spark-side plumbing — schema, partitioning, batched
-  * decode shape — is real and tested; the actual media decode is STUBBED
-  * (no image/audio libraries in this container): `FakeDecoder` produces
-  * deterministic pseudo-metadata from the bytes so pipelines and tests
-  * exercise the full data flow. Swap `FakeDecoder` for a real codec
-  * binding (JNI/javacv) without touching any plan shape.
+  * metadata. What is REAL: the Spark-side plumbing (schema,
+  * partitioning, batched decode shape), container-HEADER parsing for
+  * PNG/JPEG/GIF/BMP/WAV, and FULL content decode for the codec-free
+  * containers — BI_RGB BMP pixel statistics and PCM WAV sample
+  * statistics ([[graft.functions.BmpPixelStats]] /
+  * [[graft.functions.WavPcmStats]] — pure byte arithmetic, oracle-gated
+  * end to end). What stays STUBBED, clearly labeled: decode of
+  * compression-based formats (PNG deflate, JPEG DCT, MP3, video
+  * codecs) — those need a codec binding (JNI/javacv) absent from this
+  * container; swap the labeled fakes for it without touching any plan
+  * shape.
   */
 object Multimodal {
 
@@ -83,11 +88,54 @@ object Multimodal {
   /** Crafted minimal WAV header (RIFF/fmt/data chunks, no sample
     * payload) — little-endian packing via column expressions, for
     * exercising the real audio decode end to end. */
-  def syntheticWavContent(sampleRate: Column, channels: Column,
-      bitsPerSample: Column, dataSize: Column): Column = {
-    def le(v: Column, bytes: Int) = concat((0 until bytes).map(i =>
+  /** Little-endian byte packing of an integral column — the shared
+    * primitive of every synthetic-container builder here. */
+  private def le(v: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
       unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))),
         2, "0"))): _*)
+
+  /** Repeat a binary chunk `times` times (empty for times <= 0) as pure
+    * column expressions — `sequence` would run DESCENDING for a
+    * non-positive bound, hence the guard. */
+  private def repeatBin(chunk: Column, times: Column): Column =
+    when(times <= 0, lit(Array.emptyByteArray))
+      .otherwise(aggregate(sequence(lit(1), times.cast("int")),
+        lit(Array.emptyByteArray), (acc, _) => concat(acc, chunk)))
+
+  /** A COMPLETE uncompressed 24-bit BMP (header + padded pixel rows) of
+    * one constant color — built entirely from column expressions, so a
+    * planted decode oracle can predict the pixel statistics exactly
+    * (constant color → means are the channel values themselves). */
+  def syntheticBmpContent(width: Column, height: Column,
+      r: Column, g: Column, b: Column): Column = {
+    val bgr = concat(le(b, 1), le(g, 1), le(r, 1))
+    val rowBytes = width * 3
+    val pad = pmod(lit(4) - pmod(rowBytes, lit(4)), lit(4))
+    val row = concat(repeatBin(bgr, width), repeatBin(le(lit(0), 1), pad))
+    val imageSize = (rowBytes + pad) * height
+    concat(
+      lit("BM".getBytes), le(imageSize + 54, 4), le(lit(0), 4), le(lit(54), 4),
+      le(lit(40), 4), le(width, 4), le(height, 4),
+      le(lit(1), 2), le(lit(24), 2), le(lit(0), 4), le(imageSize, 4),
+      le(lit(0), 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
+      repeatBin(row, height))
+  }
+
+  /** A COMPLETE 16-bit PCM WAV whose every sample is `amplitude`
+    * (non-negative int16): rms and peak are exactly amplitude/32768 —
+    * 2^15 divides exactly in binary, so the oracle recomputes them
+    * bit-identically. */
+  def syntheticWavPcmContent(sampleRate: Column, channels: Column,
+      amplitude: Column, nFrames: Column): Column = {
+    val totalSamples = nFrames * channels
+    concat(
+      syntheticWavContent(sampleRate, channels, lit(16), totalSamples * 2),
+      repeatBin(le(amplitude, 2), totalSamples))
+  }
+
+  def syntheticWavContent(sampleRate: Column, channels: Column,
+      bitsPerSample: Column, dataSize: Column): Column = {
     val byteRate = sampleRate * channels * bitsPerSample / 8
     val blockAlign = channels * bitsPerSample / 8
     concat(

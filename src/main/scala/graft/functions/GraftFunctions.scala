@@ -51,6 +51,18 @@ object GraftFunctions {
   def audioHeaderMeta(content: Column): Column =
     toCol(AudioHeaderMeta(toExpr(content)))
 
+  /** Full pixel decode of an uncompressed (BI_RGB 24/32-bit) BMP →
+    * `struct<width,height,n_pixels,mean_r,mean_g,mean_b>`, NULL for
+    * anything needing a real codec. */
+  def bmpPixelStats(content: Column): Column =
+    toCol(BmpPixelStats(toExpr(content)))
+
+  /** Full sample decode of a PCM (8/16-bit) WAV data chunk →
+    * `struct<n_samples,rms,peak>` with amplitudes normalized to
+    * [-1, 1]; NULL for non-PCM payloads. */
+  def wavPcmStats(content: Column): Column =
+    toCol(WavPcmStats(toExpr(content)))
+
   /** Register every custom function for SQL use on an existing session.
     * Same builder table as [[graft.GraftExtensions]] (the config-driven
     * `spark.sql.extensions` path). */

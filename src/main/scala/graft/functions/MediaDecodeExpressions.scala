@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** REAL full-content decode for the uncompressed media containers that
+  * need no codec library — the step beyond the header expressions
+  * ([[ImageHeaderMeta]]/[[AudioHeaderMeta]]): BI_RGB BMP pixel
+  * statistics and PCM WAV sample statistics, each a single scan-local
+  * pass over the payload bytes (no UDF ser/de, no driver involvement).
+  * Compressed formats (PNG's deflate, JPEG's DCT, MP3, video codecs)
+  * genuinely need a codec binding and keep the documented stub
+  * ([[graft.ext.Multimodal]]) — what this file removes is the stub
+  * label from the formats where "decode" is pure byte arithmetic.
+  */
+case class BmpPixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpPixelStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_pixel_stats"
+
+  def compute(bytes: Array[Byte]): InternalRow =
+    BmpPixelStats.decode(bytes) match {
+      case Some((w, h, n, r, g, b)) => InternalRow(w, h, n, r, g, b)
+      case None => null
+    }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bmppix", this, classOf[BmpPixelStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BmpPixelStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** (width, height, pixels, meanR, meanG, meanB) for an uncompressed
+    * (BI_RGB) 24- or 32-bit BMP; None for anything else (compressed
+    * BMPs, palettes, truncated payloads — decline, never guess).
+    * Negative header height = top-down row order; irrelevant to the
+    * order-insensitive statistics, but the magnitude is the row count.
+    * Row stride is padded to 4 bytes; 32-bit pixels are BGRA (alpha
+    * ignored), 24-bit are BGR. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Long, Double, Double, Double)] = {
+    if (b == null || b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
+      return None
+    val pixelOffset = le32(b, 10)
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (compression != 0 || (bpp != 24 && bpp != 32)) return None
+    if (width <= 0 || height <= 0 || pixelOffset < 54) return None
+    val bytesPerPixel = bpp / 8
+    val stride = ((width * bytesPerPixel) + 3) & ~3
+    val need = pixelOffset.toLong + stride.toLong * height
+    if (need > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var row = 0
+    while (row < height) {
+      var i = pixelOffset + row * stride
+      var colIdx = 0
+      while (colIdx < width) {
+        sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2)
+        i += bytesPerPixel
+        colIdx += 1
+      }
+      row += 1
+    }
+    val n = width.toLong * height
+    Some((width, height, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+}
+
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WavPcmStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_pcm_stats"
+
+  def compute(bytes: Array[Byte]): InternalRow =
+    WavPcmStats.decode(bytes) match {
+      case Some((n, rms, peak)) => InternalRow(n, rms, peak)
+      case None => null
+    }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wavpcm", this, classOf[WavPcmStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavPcmStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xFFFFFFFFL
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + 4 <= b.length && b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+      b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+  /** (sampleCount, rms, peak) over a PCM WAV's data chunk — amplitudes
+    * normalized to [-1, 1] (16-bit: /32768; 8-bit: unsigned, -128 then
+    * /128). Multi-channel samples count individually (rms/peak over the
+    * interleaved stream). None for non-WAV, non-PCM (format tag != 1),
+    * or unsupported widths. */
+  def decode(b: Array[Byte]): Option[(Long, Double, Double)] = {
+    if (b == null || b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var bits = 0; var fmtTag = -1
+    var dataOff = -1; var dataLen = 0L
+    var i = 12
+    while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        fmtTag = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmtTag != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val bytesPer = bits / 8
+    val end = math.min(b.length.toLong, dataOff + dataLen).toInt
+    val n = (end - dataOff) / bytesPer
+    if (n <= 0) return None
+    var sumSq = 0.0; var peak = 0.0
+    var p = dataOff
+    var k = 0
+    while (k < n) {
+      val v =
+        if (bits == 16) (le16(b, p).toShort).toDouble / 32768.0
+        else (u8(b, p) - 128).toDouble / 128.0
+      sumSq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      p += bytesPer
+      k += 1
+    }
+    Some((n.toLong, math.sqrt(sumSq / n), peak))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-content decode of the codec-free containers: BI_RGB BMP pixel
+  * statistics (24- and 32-bit, padded strides, top-down heights) and
+  * PCM WAV sample statistics (16- and 8-bit), against hand-packed
+  * byte buffers with known ground truth. Unrecognized/compressed
+  * payloads must decline (NULL), never guess.
+  */
+class MediaDecodeSpec extends AnyFunSuite {
+
+  private def le(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit =
+    (0 until bytes).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+
+  /** Hand-packed BMP: explicit pixels (row-major, top row first in the
+    * ARGUMENT; written bottom-up like a positive-height BMP). */
+  private def bmp(width: Int, height: Int, bpp: Int,
+      pixels: Seq[(Int, Int, Int)], topDown: Boolean = false): Array[Byte] = {
+    val bytesPer = bpp / 8
+    val stride = ((width * bytesPer) + 3) & ~3
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    le(out, 54L + stride * height, 4); le(out, 0, 4); le(out, 54, 4)
+    le(out, 40, 4); le(out, width, 4)
+    le(out, if (topDown) -height else height, 4)
+    le(out, 1, 2); le(out, bpp, 2); le(out, 0, 4); le(out, stride * height, 4)
+    le(out, 0, 4); le(out, 0, 4); le(out, 0, 4); le(out, 0, 4)
+    val rows = pixels.grouped(width).toSeq
+    val ordered = if (topDown) rows else rows.reverse
+    ordered.foreach { row =>
+      row.foreach { case (r, g, b) =>
+        out.write(b); out.write(g); out.write(r)
+        if (bytesPer == 4) out.write(0xAA) // alpha byte, must be ignored
+      }
+      (0 until stride - width * bytesPer).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  private def wav(bits: Int, samples: Seq[Int]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); le(out, 36L + samples.size * bytesPer, 4)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le(out, 16, 4)
+    le(out, 1, 2); le(out, 1, 2); le(out, 16000, 4)
+    le(out, 16000L * bytesPer, 4); le(out, bytesPer, 2); le(out, bits, 2)
+    out.write("data".getBytes); le(out, samples.size * bytesPer, 4)
+    samples.foreach(s => le(out, s.toLong & (if (bits == 16) 0xFFFF else 0xFF), bytesPer))
+    out.toByteArray
+  }
+
+  test("24-bit BMP with stride padding: exact means over explicit pixels") {
+    // 3x2, stride 12 (9 data + 3 pad) — padding must not enter the sums
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val got = BmpPixelStats.decode(bmp(3, 2, 24, px)).get
+    assert(got._1 == 3 && got._2 == 2 && got._3 == 6L)
+    assert(got._4 == px.map(_._1).sum / 6.0)
+    assert(got._5 == px.map(_._2).sum / 6.0)
+    assert(got._6 == px.map(_._3).sum / 6.0)
+  }
+
+  test("32-bit BMP ignores alpha; top-down height decodes identically") {
+    val px = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12))
+    val a = BmpPixelStats.decode(bmp(2, 2, 32, px)).get
+    val b = BmpPixelStats.decode(bmp(2, 2, 32, px, topDown = true)).get
+    assert(a == b)
+    assert(a._4 == (1 + 4 + 7 + 10) / 4.0)
+  }
+
+  test("compressed/palette/truncated BMPs decline") {
+    val ok = bmp(2, 2, 24, Seq.fill(4)((9, 9, 9)))
+    assert(BmpPixelStats.decode(ok).isDefined)
+    val rle = ok.clone(); rle(30) = 1 // BI_RLE8 compression tag
+    assert(BmpPixelStats.decode(rle).isEmpty)
+    assert(BmpPixelStats.decode(ok.take(53)).isEmpty)   // truncated header
+    assert(BmpPixelStats.decode(ok.take(60)).isEmpty)   // truncated pixels
+    val pal = ok.clone(); pal(28) = 8 // 8-bit palette bmp: needs color table
+    assert(BmpPixelStats.decode(pal).isEmpty)
+    assert(BmpPixelStats.decode(null).isEmpty)
+  }
+
+  test("16-bit PCM: rms/peak over signed samples, exact on powers of two") {
+    val got = WavPcmStats.decode(wav(16, Seq(16384, -16384, 16384, -16384))).get
+    assert(got._1 == 4L)
+    assert(got._2 == 0.5 && got._3 == 0.5) // |±2^14|/2^15 exactly
+    val silent = WavPcmStats.decode(wav(16, Seq(0, 0))).get
+    assert(silent._2 == 0.0 && silent._3 == 0.0)
+  }
+
+  test("8-bit PCM is unsigned around 128; non-PCM declines") {
+    val got = WavPcmStats.decode(wav(8, Seq(255, 1, 128, 128))).get
+    assert(got._1 == 4L)
+    assert(got._3 == 127.0 / 128.0) // peak from the 255 sample
+    val nonPcm = wav(16, Seq(1, 2)).clone()
+    nonPcm(20) = 3 // fmt tag = IEEE float
+    assert(WavPcmStats.decode(nonPcm).isEmpty)
+  }
+}
