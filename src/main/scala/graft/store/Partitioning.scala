@@ -15,8 +15,8 @@ import graft.store.Pruning.ColRange
   * unpartitioned at demo scale); at 100 TB the spec is what bounds a
   * day-scoped query to a day's files.
   *
-  * Transforms: `identity`, `day`, `month`, `year`, plus Iceberg's two
-  * parameterized transforms `bucket(n, col)` and `truncate(w, col)`.
+  * Transforms: `identity`, `hour`, `day`, `month`, `year`, plus Iceberg's
+  * two parameterized transforms `bucket(n, col)` and `truncate(w, col)`.
   * Partition values are STRINGS as rendered into the write path's
   * directory names (`yyyy-MM-dd` / `yyyy-MM` / `yyyy`, a bucket id,
   * a floored multiple / string prefix), zero-padded where lexicographic
@@ -67,6 +67,7 @@ final case class PartitionSpec(column: String, transform: String,
     * type) provably skips, silently dropping them from point lookups. */
   def valueColumn(sourceType: DataType): Column = transform match {
     case "identity" => col(column).cast(StringType)
+    case "hour"     => date_format(col(column), "yyyy-MM-dd-HH")
     case "day"      => date_format(col(column), "yyyy-MM-dd")
     case "month"    => date_format(col(column), "yyyy-MM")
     case "year"     => date_format(col(column), "yyyy")
@@ -114,6 +115,22 @@ final case class PartitionSpec(column: String, transform: String,
           // floored multiple of w: the file holds [v, v + w - 1]
           val v = value.toLong
           ColRange(Some(v), Some(v + param.get - 1), hasNulls = false)
+        case ("hour", TimestampType) =>
+          // one wall-clock hour in the table's pinned zone; atZone
+          // resolves DST gaps/overlaps the same way date_format's
+          // rendering zone does, so write values and ranges agree
+          val lo = java.time.LocalDateTime
+            .parse(value, PartitionSpec.HourFormat)
+          val loUs = lo.atZone(zone).toInstant.toEpochMilli * 1000L
+          val hiUs = lo.plusHours(1).atZone(zone).toInstant.toEpochMilli * 1000L
+          ColRange(Some(loUs), Some(hiUs - 1), hasNulls = false)
+        case ("hour", TimestampNTZType) =>
+          val lo = java.time.LocalDateTime
+            .parse(value, PartitionSpec.HourFormat)
+          val loUs = lo.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+          val hiUs = lo.plusHours(1)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+          ColRange(Some(loUs), Some(hiUs - 1), hasNulls = false)
         case (_, DateType) =>
           dateSpan.map { case (lo, hi) =>
             ColRange(Some(lo.toEpochDay), Some(hi.toEpochDay - 1), hasNulls = false)
@@ -143,7 +160,12 @@ final case class PartitionSpec(column: String, transform: String,
 
 object PartitionSpec {
   val Transforms: Set[String] =
-    Set("identity", "day", "month", "year", "bucket", "truncate")
+    Set("identity", "hour", "day", "month", "year", "bucket", "truncate")
+
+  /** Rendered `hour` partition value (`2024-03-09-23`); hour-granular, so
+    * unlike day/month/year it parses as a LocalDateTime, not a date. */
+  private[store] val HourFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
   val Parameterized: Set[String] = Set("bucket", "truncate")
 
   /** Hive's null-partition directory marker, reused as the stored value. */
@@ -176,7 +198,7 @@ object PartitionSpec {
     * `(truncate(4, s))` DDL fragment → spec. Parameterized transforms
     * use Iceberg's argument order: (n, column). */
   def parse(fragment: String): PartitionSpec = {
-    val F = "(?i)^\\s*(?:(identity|day|month|year)\\s*\\(\\s*)?`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$".r
+    val F = "(?i)^\\s*(?:(identity|hour|day|month|year)\\s*\\(\\s*)?`?([A-Za-z_]\\w*)`?\\s*\\)?\\s*$".r
     val P = "(?i)^\\s*(bucket|truncate)\\s*\\(\\s*(\\d+)\\s*,\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*$".r
     fragment.trim match {
       case P(tr, n, c) => PartitionSpec(c, tr.toLowerCase, Some(n.toInt))
@@ -216,6 +238,10 @@ object PartitionSpec {
       case "truncate" => require(truncatableType(f.dataType),
         s"truncate transform unsupported for ${f.dataType.sql} column " +
           s"'${spec.column}' of $table")
+      case "hour" => require(
+        f.dataType == TimestampType || f.dataType == TimestampNTZType,
+        s"hour transform needs a timestamp column; " +
+          s"'${spec.column}' of $table is ${f.dataType.sql}")
       case _ =>
     }
     f.dataType

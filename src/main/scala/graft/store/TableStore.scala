@@ -212,7 +212,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val zoneSensitive = schema(table).fields
       .find(_.name.equalsIgnoreCase(sp.column))
       .exists(f => f.dataType == TimestampType) &&
-      Set("day", "month", "year").contains(sp.transform)
+      Set("hour", "day", "month", "year").contains(sp.transform)
     zoneSensitive && specZone != sessionZone
   }
 

@@ -354,6 +354,37 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("vc", Some(1500L)).count() == 1)
   }
 
+  test("hour partition transform prunes to the hour's files from the partition value alone") {
+    val st = newStore()
+    val data = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-03-09 10:15:00")),
+      (2, java.sql.Timestamp.valueOf("2024-03-09 11:05:00")),
+      (3, java.sql.Timestamp.valueOf("2024-03-09 12:45:00"))).toDF("id", "ts")
+    st.create("hp", data.schema, Some(PartitionSpec("ts", "hour")))
+    st.append("hp", data, 1000L)
+    val files = st.dataFilesAsOf("hp", None)
+    assert(files.flatMap(_.partition.get("ts")).toSet ==
+      Set("2024-03-09-10", "2024-03-09-11", "2024-03-09-12"))
+    val pred =
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-09 11:00:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-09 12:00:00"))
+    // strip footer stats so only the hour partition value can prune
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val dir = st.tableDir("hp")
+    SnapshotLog.write(fs, dir, SnapshotLog.read(fs, dir).map(s =>
+      s.copy(files = s.files.map(_.copy(stats = Map.empty)))))
+    val kept = st.prunedFiles("hp", pred)
+    assert(kept.size == 1 &&
+      kept.head.partition.get("ts").contains("2024-03-09-11"))
+    assert(st.readWhere("hp", pred).select("id").as[Int].collect().toSeq ==
+      Seq(2))
+    // hour needs a timestamp: a DATE column is rejected at create
+    intercept[IllegalArgumentException](st.create("hd",
+      Seq((1, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "d").schema,
+      Some(PartitionSpec("d", "hour"))))
+  }
+
   test("null partition values land in the null partition and stay readable") {
     val st = newStore()
     val data = Seq((1, Option("ASIA")), (2, None), (3, Option("EUROPE")))

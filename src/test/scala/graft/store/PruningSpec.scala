@@ -151,6 +151,21 @@ class PruningSpec extends AnyFunSuite {
       Some(java.time.LocalDate.parse("2024-03-01").toEpochDay - 1),
       hasNulls = false))
 
+    val hour = PartitionSpec("ts", "hour")
+    val rh = hour.sourceRange("2024-02-29-13", TimestampType, zone)
+    val hlo = java.time.Instant.parse("2024-02-29T13:00:00Z").toEpochMilli * 1000L
+    val hhi = java.time.Instant.parse("2024-02-29T14:00:00Z").toEpochMilli * 1000L - 1
+    assert(rh == ColRange(Some(hlo), Some(hhi), hasNulls = false))
+    // hour ranges are zone-aware: the same value in Tokyo covers the
+    // wall-clock hour nine hours earlier in instant space
+    val rhT = hour.sourceRange("2024-02-29-13", TimestampType,
+      ZoneId.of("Asia/Tokyo"))
+    assert(rhT.min.contains(hlo - 9L * 3600L * 1000000L))
+    // NTZ: wall time read as UTC, no zone shift
+    assert(hour.sourceRange("2024-02-29-13",
+      org.apache.spark.sql.types.TimestampNTZType, ZoneId.of("Asia/Tokyo")) ==
+      ColRange(Some(hlo), Some(hhi), hasNulls = false))
+
     val idp = PartitionSpec("region", "identity")
     assert(idp.sourceRange("ASIA", StringType, zone) ==
       ColRange(Some("ASIA"), Some("ASIA"), hasNulls = false))
@@ -198,6 +213,7 @@ class PruningSpec extends AnyFunSuite {
 
   test("PartitionSpec.parse accepts transform(col) and bare col") {
     assert(PartitionSpec.parse("day(ts)") == PartitionSpec("ts", "day"))
+    assert(PartitionSpec.parse("HOUR(ts)") == PartitionSpec("ts", "hour"))
     assert(PartitionSpec.parse(" MONTH( o_orderdate ) ") ==
       PartitionSpec("o_orderdate", "month"))
     assert(PartitionSpec.parse("region") == PartitionSpec("region", "identity"))
