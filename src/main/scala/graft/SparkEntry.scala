@@ -166,6 +166,27 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     },
 
+    "q_zorder" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      cat.createTable("lineitem_z", li.schema)
+      // hash-scattered layout: every file spans both key ranges
+      cat.append("lineitem_z", li.repartition(8), 1000L)
+      // re-cluster on the Morton curve of the two probe dimensions;
+      // small target so the tiny test SF still yields a multi-file
+      // layout whose per-file bounds can actually skip
+      cat.zorder("lineitem_z", Seq("l_partkey", "l_suppkey"),
+        targetBytes = 256L * 1024)
+      eng
+    } { eng =>
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 2) AS rev, " +
+        "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem_z " +
+        "WHERE l_partkey BETWEEN 100 AND 600 AND l_suppkey BETWEEN 10 AND 60")
+    },
+
     "q_meta_count_filtered" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -749,6 +770,13 @@ object SparkEntry {
     // range predicates real partition pruning (slot count asserted in
     // TransformSpec) — the integer sibling of day()-style binning.
     "q_truncate_prune" -> benchSplits("q_truncate_prune").composed,
+
+    // OPTIMIZE … ZORDER BY (a, b): Morton-curve re-clustering so
+    // per-file min/max bounds are tight in BOTH probe dimensions and a
+    // 2-D box predicate skips most files from log metadata (skip ratio
+    // asserted in ZOrderSpec; here the rewritten table's answer is
+    // oracle-checked against the raw rows).
+    "q_zorder" -> benchSplits("q_zorder").composed,
 
     // Iceberg schema evolution, RENAME COLUMN: metadata-only — files
     // written before the rename keep the old physical column name and
@@ -1713,6 +1741,13 @@ object SparkEntry {
     "q_truncate_prune" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 25000""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 600
+        |  AND l_suppkey BETWEEN 10 AND 60""".stripMargin,
 
     "q_schema_add_drop" ->
       """SELECT n_nationkey, n_name,

@@ -271,6 +271,14 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
+  /** OPTIMIZE … ZORDER BY: see [[TableStore.zorder]]. */
+  def zorder(name: String, zcols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    val snap = store().zorder(name, zcols, targetBytes)
+    registerView(name)
+    snap
+  }
+
   /** Make `spark.sql("SELECT ... FROM <name>")` resolve to the latest
     * snapshot (the reference's default read, `README.md:75-79`).
     */

@@ -104,8 +104,11 @@ object SqlDdl {
   // procedures): OPTIMIZE bin-packs small files into a replace snapshot,
   // VACUUM removes crash debris (staging dirs, uncommitted data files,
   // unlogged manifests) older than the retention window.
+  // Optional ZORDER BY tail (Delta's spelling): re-cluster along the
+  // Morton curve of the named columns instead of plain bin-packing.
   private val Optimize =
-    "(?is)^\\s*OPTIMIZE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+    ("(?is)^\\s*OPTIMIZE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$").r
@@ -248,10 +251,12 @@ object SqlDdl {
     case Call(proc, argStr) =>
       callProcedure(catalog, proc.toLowerCase, argStr)
       Some(empty(catalog))
-    case Optimize(qn) =>
+    case Optimize(qn, zcols) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      cat.compact(t)
+      if (zcols == null) cat.compact(t)
+      else cat.zorder(t, zcols.split(",").map(_.trim.stripPrefix("`")
+        .stripSuffix("`")).filter(_.nonEmpty).toSeq)
       Some(empty(catalog))
     case Vacuum(qn, retain) =>
       val (cat, t) = resolved(catalog, qn)

@@ -1466,6 +1466,53 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     overwrite(table, df, operation = "replace")
   }
 
+  /** Z-order rewrite ([[ZOrder]]): re-cluster the table along the Morton
+    * curve of `zcols` so per-file min/max bounds are tight in EVERY
+    * z column and the existing stats pruning skips files for predicates
+    * on any subset of them. One bounded sample pass (rank boundaries) +
+    * one range-partitioning shuffle; commits a `replace` snapshot, so
+    * time travel to the pre-rewrite layout keeps working.
+    *
+    * Rejected loudly where another mechanism owns the layout: tables
+    * with a declared SORTED BY (the persistent sort re-clusters every
+    * write) and bucket-partitioned tables (hash placement). Other
+    * partition specs compose — the z sort survives into the per-value
+    * `partitionBy` write, clustering within each partition. */
+  def zorder(table: String, zcols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    require(zcols.nonEmpty && zcols.size <= ZOrder.MaxCols,
+      s"ZORDER BY takes 1..${ZOrder.MaxCols} columns (got ${zcols.size})")
+    val sch = schema(table)
+    val resolved = zcols.map(c => sch.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"z-order column '$c' not in schema of $table")))
+    resolved.foreach(f => require(ZOrder.supportedType(f.dataType),
+      s"z-order unsupported for ${f.dataType.sql} column '${f.name}' of $table"))
+    val sort = sortOrder(table)
+    require(sort.isEmpty,
+      s"cannot z-order $table: it declares SORTED BY (${sort.mkString(", ")})" +
+        " — the persistent sort re-clusters every write and would undo the" +
+        " z layout on the next append")
+    require(!partitionSpec(table).exists(_.transform == "bucket"),
+      s"cannot z-order $table: bucket hash placement owns its layout")
+    val names = resolved.map(_.name)
+    val rowCount = dataFilesAsOf(table, None).map(recordsOf(table, _)).sum
+    val totalBytes = currentFiles(table)
+      .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = read(table)
+    val bs = ZOrder.boundaries(df, names, rowCount)
+    val z = ZOrder.zvalue(names.map(c => ZOrder.rank(col(c), bs(c))))
+    val zc = "__graft_zorder"
+    val clustered = df.withColumn(zc, z)
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+    overwrite(table, clustered, operation = "replace",
+      extraSummary = Map("zorder-by" -> names.mkString(",")))
+  }
+
   /** Remove write debris a crashed job can leave behind: staging
     * directories and `data/` files referenced by NO snapshot (a write
     * that died between staging and commit). Only items last modified
