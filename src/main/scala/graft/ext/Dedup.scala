@@ -337,13 +337,18 @@ object Dedup {
     * never shuffles. Grams are distinct-ed per document BEFORE the
     * join, so a phrase repeated in one document cannot inflate its
     * overlap count. Documents shorter than n tokens contribute their
-    * whole token sequence as one gram ([[shingles]]). */
+    * whole token sequence as one gram (ShingleHashes' single-window
+    * case, mirroring [[shingles]]). Grams travel as 64-bit shingle
+    * hashes, not concatenated strings — same distinct-sequence
+    * semantics (collisions vanishingly rare and deterministic), ~an
+    * order of magnitude less explode/probe volume on the corpus side,
+    * which is the whole cost of this operator. */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 5, minOverlap: Int = 1): DataFrame = {
     def grams(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId),
-          explode(array_distinct(shingles(
+          explode(array_distinct(GraftFunctions.shingleHashes(
             TextAnalysis.tokens(col(text)), n))).as("_gram"))
     grams(docs, idCol, textCol, "doc_id")
       .join(broadcast(grams(benchmark, benchIdCol, benchTextCol, "bench_id")),
