@@ -271,6 +271,13 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
+  /** One-shot sort rewrite: see [[TableStore.sortRewrite]]. */
+  def sortRewrite(name: String, cols: Seq[String]): Snapshot = {
+    val snap = store().sortRewrite(name, cols)
+    registerView(name)
+    snap
+  }
+
   /** OPTIMIZE … ZORDER BY: see [[TableStore.zorder]]. */
   def zorder(name: String, zcols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): Snapshot = {

@@ -294,7 +294,10 @@ object SqlDdl {
   /** Iceberg-style maintenance procedures, mapped to the store ops:
     * `expire_snapshots(table[, older_than])` → drop old snapshots + their
     * exclusive files (default: older than 5 days, Iceberg's default);
-    * `rewrite_data_files(table)` → bin-pack compaction (OPTIMIZE);
+    * `rewrite_data_files(table[, strategy[, sort_order]])` → bin-pack
+    * compaction (OPTIMIZE) by default; `strategy => 'sort'` rewrites
+    * sorted — `sort_order => 'a, b'` linear, `'zorder(a, b)'` Morton
+    * ([[graft.store.ZOrder]]);
     * `remove_orphan_files(table[, older_than])` → uncommitted-debris
     * cleanup (default: older than 3 days, Iceberg's default). Timestamps
     * take the AS-OF literal forms (`TIMESTAMP '2024-01-01 00:00:00'`).
@@ -351,8 +354,34 @@ object SqlDdl {
         val (cat, t) = tableArg
         cat.checkpointLog(t, olderThanMs(0L))
       case "rewrite_data_files" =>
+        // Iceberg's strategies: binpack (default) compacts; sort takes a
+        // sort_order of either plain columns (linear rewrite) or
+        // Iceberg's `zorder(a, b)` spelling (Morton re-cluster)
         val (cat, t) = tableArg
-        cat.compact(t)
+        val strategy = arg(1, "strategy") match {
+          case Some(StrLit(s)) => s.toLowerCase
+          case Some(other) => throw new IllegalArgumentException(
+            s"CALL $proc: cannot parse strategy: $other")
+          case None => "binpack"
+        }
+        strategy match {
+          case "binpack" => cat.compact(t)
+          case "sort" =>
+            val order = arg(2, "sort_order") match {
+              case Some(StrLit(o)) => o.trim
+              case _ => throw new IllegalArgumentException(
+                s"CALL $proc: strategy 'sort' needs sort_order => '…'")
+            }
+            val Z = "(?is)^zorder\\s*\\((.+)\\)$".r
+            def cols(s: String) = s.split(",").map(_.trim.stripPrefix("`")
+              .stripSuffix("`")).filter(_.nonEmpty).toSeq
+            order match {
+              case Z(inner) => cat.zorder(t, cols(inner))
+              case plain    => cat.sortRewrite(t, cols(plain))
+            }
+          case other => throw new IllegalArgumentException(
+            s"CALL $proc: unknown strategy '$other' (binpack, sort)")
+        }
       case "remove_orphan_files" =>
         val (cat, t) = tableArg
         cat.vacuum(t, olderThanMs(3L * 24 * 3600 * 1000))

@@ -1466,6 +1466,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     overwrite(table, df, operation = "replace")
   }
 
+  /** One-shot linear sort rewrite (Iceberg's
+    * `rewrite_data_files(strategy => 'sort')`): range-partition + sort
+    * on `cols` so per-file bounds become tight and disjoint in the
+    * LEADING sort column (secondary columns only break ties — a
+    * multi-dimension probe wants [[zorder]] instead). Unlike a declared
+    * SORTED BY, this does not change how future writes cluster. */
+  def sortRewrite(table: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    require(cols.nonEmpty, "sort rewrite needs at least one column")
+    val sch = schema(table)
+    cols.foreach(c => require(sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"sort column '$c' not in schema of $table"))
+    require(sortOrder(table).isEmpty,
+      s"cannot sort-rewrite $table: it declares SORTED BY — every write" +
+        " already clusters on it")
+    require(!partitionSpec(table).exists(_.transform == "bucket"),
+      s"cannot sort-rewrite $table: bucket hash placement owns its layout")
+    val totalBytes = currentFiles(table)
+      .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val sorted = read(table)
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    overwrite(table, sorted, operation = "replace",
+      extraSummary = Map("sorted-by" -> cols.mkString(",")))
+  }
+
   /** Z-order rewrite ([[ZOrder]]): re-cluster the table along the Morton
     * curve of `zcols` so per-file min/max bounds are tight in EVERY
     * z column and the existing stats pruning skips files for predicates

@@ -136,5 +136,19 @@ class ZOrderSpec extends AnyFunSuite {
     // plain OPTIMIZE still bin-packs
     assert(eng.run("OPTIMIZE zs") == "[]")
     assert(cat.table("zs").count() == 256)
+
+    // Iceberg's procedure spelling of the same rewrites
+    assert(eng.run("CALL system.rewrite_data_files(table => 'zs', " +
+      "strategy => 'sort', sort_order => 'zorder(a, b)')") == "[]")
+    val snaps = SnapshotLog.read(fs, cat.store().tableDir("zs"))
+    assert(snaps.last.summary("zorder-by") == "a,b")
+    assert(eng.run("CALL system.rewrite_data_files(table => 'zs', " +
+      "strategy => 'sort', sort_order => 'a')") == "[]")
+    assert(SnapshotLog.read(fs, cat.store().tableDir("zs"))
+      .last.summary("sorted-by") == "a")
+    assert(cat.table("zs").count() == 256)
+    val bad = intercept[IllegalArgumentException](
+      eng.run("CALL rewrite_data_files(table => 'zs', strategy => 'shuffle')"))
+    assert(bad.getMessage.contains("unknown strategy"))
   }
 }
