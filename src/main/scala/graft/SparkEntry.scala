@@ -175,11 +175,17 @@ object SparkEntry {
       cat.createTable("lineitem_z", li.schema)
       // hash-scattered layout: every file spans both key ranges
       cat.append("lineitem_z", li.repartition(8), 1000L)
-      // re-cluster on the Morton curve of the two probe dimensions;
-      // small target so the tiny test SF still yields a multi-file
-      // layout whose per-file bounds can actually skip
+      // re-cluster on the Morton curve of the two probe dimensions.
+      // The file target scales WITH the input (~16 files at any SF):
+      // a fixed small target is the classic scale trap — at 10× data
+      // it would mean 10× the files, and file-count overhead would
+      // swamp the rewrite (measured: 33 s vs 8 s at sf1)
+      val srcBytes = org.apache.hadoop.fs.FileSystem.getLocal(
+          new org.apache.hadoop.conf.Configuration())
+        .getContentSummary(new org.apache.hadoop.fs.Path(
+          s"$dir/lineitem.parquet")).getLength
       cat.zorder("lineitem_z", Seq("l_partkey", "l_suppkey"),
-        targetBytes = 256L * 1024)
+        targetBytes = math.max(64L * 1024, srcBytes / 16))
       eng
     } { eng =>
       eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 2) AS rev, " +

@@ -27,6 +27,14 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =
     toCol(ShingleHashes(toExpr(tokens), n, seed))
 
+  /** Quantile rank of a value among sorted boundary values (external
+    * JVM representations; converted to Catalyst-internal once here) —
+    * the z-order layout helper. */
+  def quantileRank(c: Column, boundaries: Seq[Any]): Column =
+    toCol(QuantileRank(toExpr(c), boundaries.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst)
+      .toArray))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(toExpr(tokens), seed))

@@ -81,13 +81,16 @@ object ZOrder {
     }.toMap
   }
 
-  /** Rank of `c` among `bs`: the count of boundaries ≤ the value — a
-    * 255-way comparison over a literal array, evaluated natively (no
-    * UDF). Nulls rank 0, clustering at the low end like a NULLS FIRST
+  /** Rank of `c` among `bs`: the count of boundaries ≤ the value, via
+    * the codegen'd binary-search expression
+    * ([[graft.functions.QuantileRank]] — a higher-order `filter` over a
+    * literal array computes the same rank but runs its lambda
+    * interpreted per element, which dominated the whole rewrite at
+    * sf1). Nulls rank 0, clustering at the low end like a NULLS FIRST
     * sort. */
   def rank(c: Column, bs: Seq[Any]): Column =
     if (bs.isEmpty) lit(0)
-    else size(filter(array(bs.map(lit): _*), b => c >= b))
+    else coalesce(graft.functions.GraftFunctions.quantileRank(c, bs), lit(0))
 
   /** Interleave the rank bits: bit `b` of rank `i` lands at z-bit
     * `b·k + (k-1-i)`, so all columns' high bits outrank all columns' low
