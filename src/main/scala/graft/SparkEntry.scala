@@ -1297,6 +1297,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Fixed-window token chunking with overlap (context-length
+    // preprocessing for training/RAG): one codegen'd scan-local
+    // projection — sequence→transform→slice→posexplode, no shuffle.
+    // The oracle recomputes every window with DuckDB list slicing, so
+    // window boundaries, overlap and tail handling are all hash-checked.
+    "q_doc_chunks" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Cross-document boilerplate line removal (rows-only: reassembly
     // order + normalization are painful to mirror in SQL). Sentences
     // become pseudo-lines so the single-line test corpus exercises the
@@ -1994,6 +2005,19 @@ object SparkEntry {
         |  CASE WHEN substr(b, 1, 2) <> '00' THEN substr(b, 3) ELSE 'und' END AS pred_lang,
         |  TRUE AS has_fingerprint
         |FROM best ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |p AS (SELECT doc_id, toks,
+        |             CASE WHEN len(toks) <= 64 THEN 1
+        |                  ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT) END AS nc
+        |      FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |       CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_tokens,
+        |       array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
+        |FROM p, LATERAL UNNEST(generate_series(0, nc - 1)) AS t(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_boilerplate" ->
       """WITH split AS (

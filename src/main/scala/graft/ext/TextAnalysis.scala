@@ -97,6 +97,39 @@ object TextAnalysis {
   }
 
   /** Full stats frame for a documents table. */
+  /** Fixed-window token CHUNKING with overlap — the context-length
+    * preprocessing step every training/RAG pipeline runs before a
+    * tokenizer budget or an embedding model: one row per
+    * (document, window) with the window's text and token count.
+    *
+    * Windows start every `maxTokens - overlap` tokens; a document at or
+    * under the budget yields exactly one chunk, and the final window
+    * keeps the tail (it may be short — standard sliding-window
+    * semantics). Pure built-in expressions (sequence → transform →
+    * slice → posexplode), so the whole thing is one codegen'd
+    * scan-local projection: no shuffle, no UDF, scales embarrassingly —
+    * the output is ~(1/stride)× token volume regardless of corpus size.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1 (got $maxTokens)")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens) (got $overlap of $maxTokens)")
+    val stride = maxTokens - overlap
+    val n = size(col("_toks"))
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    docs
+      // tokenize ONCE per document; the per-window lambda only slices
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        k => slice(col("_toks"), k * lit(stride) + 1, lit(maxTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs

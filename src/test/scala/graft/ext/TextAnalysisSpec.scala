@@ -61,6 +61,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("chunk windows tokens with overlap; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // under budget
+      (3L, (1 to 9).map(i => s"t$i").mkString(" "))   // exact multiple
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // stride 3: doc 1 (10 toks) → ceil(9/3)=3 chunks at 1,4,7
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10")))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    // 9 toks: ceil(8/3)=3 chunks at 1,4,7 — the last is the short tail
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq ==
+      Seq((0, 4), (1, 4), (2, 3)))
+    // every token of every doc appears in at least one chunk
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, "doc_id", "text", 4, 4))
+      .getMessage.contains("overlap"))
+  }
+
   test("documentStats yields every column for downstream filters") {
     val stats = TextAnalysis.documentStats(
       Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
