@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.GraftCatalog
-import graft.ext.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Boilerplate, Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ingest.Ingest
 import graft.sql.Engine
@@ -1297,6 +1297,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split assignment: split is a pure
+    // function of xxhash64(key, seed) — stable across runs, leakage-
+    // free per key, append-invariant (new rows never reshuffle old
+    // assignments). The oracle checks the EQUALITY STRUCTURE the
+    // splitter promises (every key assigned to a real split; an
+    // independent re-assignment agrees); the fraction tolerances and
+    // group-key/append invariants are exact-asserted in SplitsSpec.
+    "q_split_assign" -> ((s, dir) => {
+      val keys = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id")
+      val a = Splits.assign(keys, "doc_id")
+      val b = Splits.assign(keys, "doc_id").withColumnRenamed("split", "split2")
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          col("split").isin("train", "validation", "test").as("assigned"),
+          (col("split") === col("split2")).as("stable"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-window token chunking with overlap (context-length
     // preprocessing for training/RAG): one codegen'd scan-local
     // projection — sequence→transform→slice→posexplode, no shuffle.
@@ -2005,6 +2024,10 @@ object SparkEntry {
         |  CASE WHEN substr(b, 1, 2) <> '00' THEN substr(b, 3) ELSE 'und' END AS pred_lang,
         |  TRUE AS has_fingerprint
         |FROM best ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, TRUE AS assigned, TRUE AS stable
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
