@@ -610,6 +610,24 @@ object SparkEntry {
           "FOR SYSTEM_VERSION AS OF 1 ORDER BY n_nationkey")
     }),
 
+    // Named snapshot ref (Iceberg tag): the tag pins the first append
+    // and time travel reads through it by NAME — the release-marker
+    // read (`FOR SYSTEM_VERSION AS OF '<tag>'`). Tag lifecycle +
+    // expire-protection invariants live in TagSpec; the tagged read's
+    // rows are oracle-checked here.
+    "q_tt_tag" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_tag", nation.schema)
+      cat.append("nation_tag", nation.filter(col("n_nationkey") < 13), 1000L)
+      eng.sql("ALTER TABLE nation_tag CREATE TAG v1")
+      cat.append("nation_tag", nation.filter(col("n_nationkey") >= 13), 2000L)
+      eng.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_tag " +
+          "FOR SYSTEM_VERSION AS OF 'v1' ORDER BY n_nationkey")
+    }),
+
     // Sorted table read: SORT BY range-clusters writes so per-file
     // min/max bounds are tight and disjoint — a key-range predicate
     // prunes to the files covering that slice (readWhere re-applies the
@@ -1677,6 +1695,10 @@ object SparkEntry {
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
 
     "q_tt_version" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
+
+    "q_tt_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
 

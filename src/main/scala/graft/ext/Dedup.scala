@@ -358,12 +358,6 @@ object Dedup {
       .filter(col("overlap_grams") >= minOverlap)
   }
 
-  /** Word n-gram shingles from a token array (joined with the \\u0001 separator). */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array(concat_ws("\u0001", tokens)))
-      .otherwise(transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws("\u0001", slice(tokens, i + lit(1), lit(n)))))
-
   /** Distributed connected components over an undirected edge list, via
     * alternating Large-Star / Small-Star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14).

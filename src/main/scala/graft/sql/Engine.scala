@@ -23,20 +23,29 @@ final class Engine(catalog: GraftCatalog) {
   def sql(raw: String): DataFrame = {
     val cleaned = SqlCleanup.clean(raw)
     SqlDdl.tryExecute(catalog, cleaned).getOrElse {
-      val TimeTravelRewriter.Rewritten(stmt, asOf, version) =
+      val TimeTravelRewriter.Rewritten(stmt, asOf, version, tag) =
         TimeTravelRewriter.rewrite(cleaned)
-      (asOf, version) match {
-        case (Some(ms), _)  =>
+      (asOf, version, tag) match {
+        case (Some(ms), _, _)  =>
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaAsOf(t, Some(ms)))
             .getOrElse(pinnedQuery(stmt,
               (db, t, cond) => pinnedPruned(db, t, cond, Some(ms))))
-        case (_, Some(id))  =>
+        case (_, Some(id), _)  =>
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaVersion(t, id))
             .getOrElse(pinnedQuery(stmt,
               (db, t, _) => catalog.store(db).readVersion(t, id)))
-        case _              =>
+        case (_, _, Some(tg))  =>
+          // tag → id resolved PER TABLE (a tag is table-scoped metadata;
+          // unknown tags fail loudly in resolveTag, never fall back)
+          metadataAgg(stmt,
+            (db, t) => catalog.store(db).snapshotMetaVersion(t,
+              catalog.store(db).resolveTag(t, tg)))
+            .getOrElse(pinnedQuery(stmt,
+              (db, t, _) => catalog.store(db).readVersion(t,
+                catalog.store(db).resolveTag(t, tg))))
+        case _                 =>
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaAsOf(t, None))
             .getOrElse(prunedQuery(stmt))

@@ -69,6 +69,19 @@ object SqlDdl {
     "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
   private val ShowPartitions =
     "(?is)^\\s*SHOW\\s+PARTITIONS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  // Named snapshot refs (Iceberg tags): CREATE pins a snapshot (default
+  // latest) under a name, DROP releases it, SHOW lists them. Tagged
+  // snapshots survive expire_snapshots and read via
+  // `FOR SYSTEM_VERSION AS OF '<tag>'`.
+  private val CreateTag =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+" +
+      "CREATE\\s+TAG\\s+`?([A-Za-z_][\\w.-]*)`?" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*$").r
+  private val DropTag =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+" +
+      "DROP\\s+TAG\\s+`?([A-Za-z_][\\w.-]*)`?\\s*$").r
+  private val ShowTags =
+    "(?is)^\\s*SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // Iceberg's `tbl$files` inspection: one row per current data file
   private val ShowFiles =
     "(?is)^\\s*SHOW\\s+FILES\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
@@ -240,6 +253,21 @@ object SqlDdl {
       import catalog.spark.implicits._
       Some(cat.store().filesMetadata(t)
         .toDF("file_path", "record_count", "partition", "size_bytes"))
+    case CreateTag(qn, name, ver) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().createTag(t, name, Option(ver).map(_.toLong))
+      Some(empty(catalog))
+    case DropTag(qn, name) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().dropTag(t, name)
+      Some(empty(catalog))
+    case ShowTags(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      Some(cat.store().tags(t).toSeq.sorted.toDF("tag", "snapshot_id"))
     case ShowPartitions(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")

@@ -30,26 +30,35 @@ object TimeTravelRewriter {
      "|VERSION\\s+AS\\s+OF)\\s+('([^']*)'|\"([^\"]*)\"|\\S+)").r
 
   final case class Rewritten(sql: String, asOfMs: Option[Long],
-      versionId: Option[Long] = None)
+      versionId: Option[Long] = None, versionTag: Option[String] = None)
 
   def rewrite(sql: String): Rewritten = {
     var asOf: Option[Long] = None
     var version: Option[Long] = None
+    var tag: Option[String] = None
     def lit(m: scala.util.matching.Regex.Match): String =
       Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(1))
     val noVersions = VersionClause.replaceAllIn(sql, m => {
       val v = lit(m).trim
-      require(v.matches("\\d+"), s"snapshot id must be numeric: '$v'")
-      version = Some(v.toLong)
+      val quoted = m.group(2) != null || m.group(3) != null
+      if (v.matches("\\d+")) version = Some(v.toLong)
+      else {
+        // Iceberg's ref travel: a QUOTED non-numeric version is a tag
+        // name (unquoted stays id-only, so a malformed id cannot be
+        // silently reinterpreted as a ref)
+        require(quoted && v.matches("[A-Za-z_][\\w.-]*"),
+          s"snapshot id must be numeric, or a quoted tag name: '$v'")
+        tag = Some(v)
+      }
       ""
     })
     val stripped = TimeClause.replaceAllIn(noVersions, m => {
       asOf = Some(parseTimestampMs(lit(m)))
       ""
     })
-    require(asOf.isEmpty || version.isEmpty,
+    require(Seq(asOf, version, tag).count(_.isDefined) <= 1,
       "cannot combine SYSTEM_TIME and SYSTEM_VERSION in one statement")
-    Rewritten(stripped, asOf, version)
+    Rewritten(stripped, asOf, version, tag)
   }
 
   /** Accepts 'YYYY-MM-DD HH:MI:SS[.fff]' (the prompt's required shape,

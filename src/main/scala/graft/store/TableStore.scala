@@ -1586,14 +1586,68 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def checkpointLog(table: String, olderThanMs: Long): Int =
     SnapshotLog.checkpoint(fs, tableDir(table), olderThanMs)
 
-  /** Drop snapshots older than `olderThanMs` (keeping the latest) and
-    * delete data files no surviving snapshot references.
+  /** Named snapshot refs (Iceberg TAGS): name → snapshot id, stored in
+    * `tags.json`. A tag pins history: [[expire]] keeps tagged snapshots
+    * (and their files) regardless of age, and time travel accepts a
+    * quoted tag name wherever a snapshot id is legal
+    * (`FOR SYSTEM_VERSION AS OF 'v1'`). Metadata-only — O(tags) bytes,
+    * independent of table size. */
+  def tags(table: String): Map[String, Long] = {
+    val p = new HPath(tableDir(table), "tags.json")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+  }
+
+  /** Tag a snapshot (default: the current one). Tags are immutable —
+    * re-pointing requires an explicit drop first, so a script cannot
+    * silently move a release marker. */
+  def createTag(table: String, name: String,
+      snapshotId: Option[Long] = None): Unit = {
+    require(name.matches("[A-Za-z_][\\w.-]*"), s"invalid tag name: '$name'")
+    val all = SnapshotLog.read(fs, tableDir(table))
+    require(all.nonEmpty, s"table $table has no snapshots to tag")
+    val id = snapshotId.getOrElse(all.last.id)
+    require(all.exists(_.id == id), s"table $table has no snapshot id $id")
+    val existing = tags(table)
+    require(!existing.contains(name),
+      s"tag '$name' already exists on $table (drop it first to re-point)")
+    writeTags(table, existing + (name -> id))
+  }
+
+  def dropTag(table: String, name: String): Unit = {
+    val existing = tags(table)
+    require(existing.contains(name), s"no tag '$name' on $table")
+    writeTags(table, existing - name)
+  }
+
+  /** The snapshot id a tag names; loud on unknown tags — a silent
+    * fallback to "latest" would turn a typo into a wrong-data read. */
+  def resolveTag(table: String, name: String): Long =
+    tags(table).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $table"))
+
+  private def writeTags(table: String, m: Map[String, Long]): Unit =
+    // names are validated identifiers: no JSON escaping needed
+    writeString(new HPath(tableDir(table), "tags.json"),
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+
+  /** Drop snapshots older than `olderThanMs` (keeping the latest and
+    * every TAGGED snapshot) and delete data files no surviving snapshot
+    * references.
     */
   def expire(table: String, olderThanMs: Long): Unit = {
     val dir = tableDir(table)
     val all = SnapshotLog.read(fs, dir).map(SnapshotLog.hydrate(fs, dir, _))
     if (all.size <= 1) return
-    val keep = all.filter(s => s.timestampMs >= olderThanMs) match {
+    val tagged = tags(table).values.toSet
+    val keep = all.filter(s =>
+        s.timestampMs >= olderThanMs || tagged(s.id)) match {
       case Seq() => Seq(all.last)
       case ks if ks.contains(all.last) => ks
       case ks => ks :+ all.last

@@ -71,9 +71,14 @@ class TimeTravelRewriterSpec extends AnyFunSuite {
     assert(q.versionId.contains(7L))
   }
 
-  test("non-numeric snapshot ids and mixed clauses are rejected") {
+  test("quoted non-numeric versions are tag refs; bare ones and mixed clauses are rejected") {
+    val tg = TimeTravelRewriter.rewrite(
+      "SELECT * FROM t FOR SYSTEM_VERSION AS OF 'v1.0'")
+    assert(tg.versionTag.contains("v1.0") && tg.versionId.isEmpty)
+    // unquoted non-numeric stays an error — a malformed id must not be
+    // silently reinterpreted as a ref name
     assertThrows[IllegalArgumentException](
-      TimeTravelRewriter.rewrite("SELECT * FROM t FOR SYSTEM_VERSION AS OF 'abc'"))
+      TimeTravelRewriter.rewrite("SELECT * FROM t FOR SYSTEM_VERSION AS OF abc"))
     assertThrows[IllegalArgumentException](
       TimeTravelRewriter.rewrite(
         "SELECT * FROM a FOR SYSTEM_TIME AS OF '2024-01-01' " +
