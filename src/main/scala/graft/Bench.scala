@@ -88,9 +88,17 @@ object Bench {
           System.err.println(s"[bench] q_stream_table split FAILED: ${e.getMessage}")
           (-1.0, -1.0)
         }
+      val (sdFixSec, sdDrainSec) =
+        try SparkEntry.streamDedupSplit(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] q_stream_dedup split FAILED: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
       main :+ build :+ probe :+
         ("q_stream_table_fixture", fixSec, fixSec >= 0) :+
-        ("q_stream_table_drain", drainSec, drainSec >= 0)
+        ("q_stream_table_drain", drainSec, drainSec >= 0) :+
+        ("q_stream_dedup_fixture", sdFixSec, sdFixSec >= 0) :+
+        ("q_stream_dedup_drain", sdDrainSec, sdDrainSec >= 0)
     }
     val results = runAll()
     val results2 = runAll()

@@ -2363,4 +2363,40 @@ object SparkEntry {
     val totalNs = System.nanoTime() - t0
     ((totalNs - drainNs) / 1e9, drainNs / 1e9)
   }
+
+  /** q_stream_dedup's fixture/drain seam, same accounting as
+    * [[streamTableSplit]]: drain = `processAllAvailable` time (delta
+    * planning + watermarked dedup state — the engine work that must
+    * stay flat round-over-round), fixture = table builds + stream
+    * lifecycle overhead. */
+  def streamDedupSplit(s: SparkSession, dir: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var drainNs = 0L
+    def drained(body: => Unit): Unit = {
+      val d0 = System.nanoTime(); body; drainNs += System.nanoTime() - d0
+    }
+    val cat = tempCatalog(s)
+    val orders = t(s, dir, "orders")
+    cat.createTable("orders_sdb", orders.schema)
+    cat.append("orders_sdb", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+    val sink = "stream_dedup_b_" +
+      java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val src = s.readStream.format("graft-table")
+      .option("warehouse", cat.warehouse.toString)
+      .option("table", "orders_sdb").load()
+      .select(col("o_orderkey").cast("string").as("okey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+    val q = graft.streaming.EventStreams
+      .dedupStream(src, "okey", watermarkDelay = "87600 hours")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      drained(q.processAllAvailable())
+      cat.append("orders_sdb", orders, 2000L)
+      drained(q.processAllAvailable())
+    } finally q.stop()
+    s.table(sink).count()
+    val totalNs = System.nanoTime() - t0
+    ((totalNs - drainNs) / 1e9, drainNs / 1e9)
+  }
 }
