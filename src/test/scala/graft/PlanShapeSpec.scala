@@ -90,6 +90,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pv.contains("*("), "lsh project fell out of codegen:\n" + pv)
   }
 
+  test("chunking and split assignment stay scan-local — no exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pc = graft.ext.TextAnalysis.chunk(docs, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("Exchange"), "chunking shuffles:\n" + pc)
+    val ps = graft.ext.Splits.assign(docs.select("doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), "split assignment shuffles:\n" + ps)
+  }
+
   test("no query plans a cartesian product at sf0.001") {
     // cartesian products are the canonical does-not-scale plan; the DDL
     // and store-backed queries mutate temp state, so check the pure ones

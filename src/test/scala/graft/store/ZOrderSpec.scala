@@ -94,6 +94,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(st.read("zt", Some(1500L)).count() == 64L * 64)
   }
 
+  test("z-order composes with hidden partitioning: dirs own placement, z owns within") {
+    val st = newStore()
+    val data = spark.range(3000).select(
+      (col("id") % 40).cast("int").as("a"),
+      ((col("id") / 40) % 50).cast("int").as("b"),
+      to_date(concat(lit("2024-0"),
+        (col("id") % 3 + 1).cast("string"), lit("-15"))).as("d"))
+    st.create("zp", data.schema, Some(PartitionSpec("d", "month")))
+    st.append("zp", data.repartition(6), 1000L)
+    st.zorder("zp", Seq("a", "b"), targetBytes = 4096)
+    val files = st.dataFilesAsOf("zp", None)
+    // every rewritten file still carries its month partition value
+    assert(files.forall(_.partition.contains("d")))
+    assert(files.flatMap(_.partition.get("d")).toSet ==
+      Set("2024-01", "2024-02", "2024-03"))
+    // partition pruning intact after the rewrite
+    val feb = st.prunedFiles("zp",
+      col("d") === lit(java.sql.Date.valueOf("2024-02-15")))
+    assert(feb.nonEmpty &&
+      feb.forall(_.partition.get("d").contains("2024-02")))
+    // rows exactly preserved
+    assert(st.read("zp").count() == 3000)
+    assert(st.read("zp").agg(sum(col("a")), sum(col("b"))).head() ==
+      data.agg(sum(col("a")), sum(col("b"))).head())
+  }
+
   test("z-order rejects layouts owned by other mechanisms") {
     val st = newStore()
     val df = Seq((1, "a")).toDF("id", "v")
