@@ -1334,6 +1334,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Contiguous token-budget sharding (corpus → ~equal-token shard
+    // files): distributed two-pass prefix sum — range shuffle, tiny
+    // per-partition totals to the driver, broadcast offsets, window per
+    // PARTITION (never a global single-task window). Every offset and
+    // shard cut is recomputed by DuckDB's global window — exact match.
+    "q_pack_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Splits.packShards(docs, "doc_id", "n_tokens", budget = 2000L)
+        .select(col("doc_id"), col("n_tokens"),
+          col("offset_in_corpus"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-window token chunking with overlap (context-length
     // preprocessing for training/RAG): one codegen'd scan-local
     // projection — sequence→transform→slice→posexplode, no shuffle.
@@ -2050,6 +2065,20 @@ object SparkEntry {
     "q_split_assign" ->
       """SELECT doc_id, TRUE AS assigned, TRUE AS stable
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(trim(lower(text)), ' ')) AS INT)
+        |               AS n_tokens
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, n_tokens,
+        |       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS offset_in_corpus,
+        |       CAST(floor(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         / 2000.0) AS BIGINT) AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks

@@ -94,7 +94,7 @@ object Dedup {
   // dead guard — Spark stores `<dir>/<uuid>`, never the raw conf value.)
   @volatile private var lastCheckpointDir: Option[(String, String)] = None
 
-  private def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
+  private[ext] def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val out = spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) if dir.nonEmpty =>

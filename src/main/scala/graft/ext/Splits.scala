@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/validation/test split assignment for training
@@ -50,4 +51,59 @@ object Splits {
         "validation" -> 0.01, "test" -> 0.01),
       seed: Long = 42L): DataFrame =
     df.withColumn("split", splitFor(col(keyCol), fractions, seed))
+
+  /** Contiguous token-budget SHARDING: walk the corpus in `orderCol`
+    * order, cut a new shard each time the running `weightCol` total
+    * crosses a multiple of `budget` — the deterministic corpus→shard
+    * packing a training run does before writing ~equal-token files.
+    * Adds `shard` (= floor(exclusive-prefix-sum / budget)) and
+    * `offset_in_corpus` (the exclusive prefix sum itself).
+    *
+    * The naive spelling — a window over global order with no partition
+    * key — plans a SINGLE-TASK sort at any scale. This is the
+    * distributed two-pass prefix sum instead: range-partition + sort by
+    * `orderCol` (one shuffle), take per-partition weight totals (a
+    * driver-side list of numPartitions longs — metadata, not data),
+    * broadcast their exclusive running offsets back as a literal
+    * decision chain, and add the within-partition running sum (a window
+    * keyed by partition id — every window group is one shard-sized
+    * partition, never the whole corpus). The result is materialized
+    * before the scratch frame unpersists, so the partition ids the
+    * offsets were computed against can never be re-sampled differently
+    * by a later job. */
+  def packShards(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // persist: the partition-total pass and the final pass must see the
+    // SAME range partitioning (RangePartitioner re-samples per job)
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = sorted.groupBy(col("_pid"))
+        .agg(sum(col(weightCol).cast("long")).as("_w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // exclusive running offset per partition id (tiny, driver-side)
+      val ids = totals.keys.toSeq.sorted
+      val offsets = ids.zip(ids.scanLeft(0L)((acc, p) => acc + totals(p)))
+        .toMap
+      val offsetExpr = ids.foldRight(lit(0L)) { (p, rest) =>
+        when(col("_pid") === p, lit(offsets(p))).otherwise(rest)
+      }
+      val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cumBefore = offsetExpr +
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L))
+      val out = sorted
+        .withColumn("offset_in_corpus", cumBefore)
+        .withColumn("shard", floor(col("offset_in_corpus") / budget))
+        .drop("_pid")
+      // materialize (reliable dir honored via Dedup.CheckpointDirConf)
+      // BEFORE the scratch frame unpersists — see the persist note above
+      Dedup.materializeAndFree(out, sorted)
+    } catch { case e: Throwable => sorted.unpersist(); throw e }
+  }
 }

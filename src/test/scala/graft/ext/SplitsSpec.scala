@@ -48,6 +48,39 @@ class SplitsSpec extends AnyFunSuite {
     assert(perKey == 1L)
   }
 
+  test("packShards: exact prefix sums and budget cuts on a known corpus") {
+    val df = Seq((1L, 3), (2L, 4), (3L, 2), (4L, 5), (5L, 1), (6L, 2))
+      .toDF("id", "w")
+    val got = Splits.packShards(df, "id", "w", budget = 5, numPartitions = 3)
+      .orderBy("id")
+      .select("id", "offset_in_corpus", "shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L),
+      (4L, 9L, 1L), (5L, 14L, 2L), (6L, 15L, 3L)))
+  }
+
+  test("packShards distributed prefix sum equals the single-window truth") {
+    // deterministic pseudo-random weights over an id space large enough
+    // to spread across many range partitions
+    val df = spark.range(5000)
+      .select(col("id"), (pmod(xxhash64(col("id")), lit(97)) + 1).as("w"))
+    val got = Splits.packShards(df, "id", "w", budget = 1000,
+      numPartitions = 16)
+    val naive = df.withColumn("offset_in_corpus",
+        coalesce(sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("id")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("shard", floor(col("offset_in_corpus") / 1000))
+    assert(got.select("id", "offset_in_corpus", "shard")
+      .exceptAll(naive.select("id", "offset_in_corpus", "shard")).isEmpty)
+    // ~equal-token shards: every shard except the last holds >= budget -
+    // max(w) and < budget + max(w) tokens
+    val sizes = got.groupBy("shard").agg(sum(col("w")).as("tok"))
+      .orderBy("shard").as[(Long, Long)].collect()
+    assert(sizes.init.forall { case (_, tok) =>
+      tok >= 1000 - 97 && tok <= 1000 + 97 }, sizes.mkString(","))
+  }
+
   test("degenerate configurations are rejected") {
     val df = spark.range(1).toDF("id")
     intercept[IllegalArgumentException](
