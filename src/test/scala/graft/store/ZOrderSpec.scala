@@ -120,6 +120,14 @@ class ZOrderSpec extends AnyFunSuite {
       data.agg(sum(col("a")), sum(col("b"))).head())
   }
 
+  test("z-order of an empty table commits an empty replace, not a crash") {
+    val st = newStore()
+    st.create("e", Seq((1, 2)).toDF("a", "b").schema)
+    val snap = st.zorder("e", Seq("a", "b"))
+    assert(snap.operation == "replace" && snap.recordCount == 0)
+    assert(st.read("e").count() == 0)
+  }
+
   test("z-order rejects layouts owned by other mechanisms") {
     val st = newStore()
     val df = Seq((1, "a")).toDF("id", "v")
