@@ -57,7 +57,9 @@ object Splits {
     * crosses a multiple of `budget` — the deterministic corpus→shard
     * packing a training run does before writing ~equal-token files.
     * Adds `shard` (= floor(exclusive-prefix-sum / budget)) and
-    * `offset_in_corpus` (the exclusive prefix sum itself).
+    * `offset_in_corpus` (the exclusive prefix sum itself). `orderCol`
+    * must be unique — the walk order, and therefore every offset, is
+    * undefined under ties.
     *
     * The naive spelling — a window over global order with no partition
     * key — plans a SINGLE-TASK sort at any scale. This is the
