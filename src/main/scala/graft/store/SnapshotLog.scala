@@ -35,7 +35,11 @@ final case class DataFile(
     path: String,
     records: Long = -1L,
     partition: Map[String, String] = Map.empty,
-    stats: Map[String, ColBounds] = Map.empty)
+    stats: Map[String, ColBounds] = Map.empty,
+    // per-column file-level bloom filters (bloom-indexed tables only;
+    // capped at [[BloomFilter.MaxBits]] — see [[BloomFilter]] for the
+    // two-tier design). Keyed by lowercased physical column name.
+    blooms: Map[String, ColBloom] = Map.empty)
 
 /** One committed table version.
   *
@@ -198,6 +202,15 @@ object SnapshotLog {
               max = opt("max"),
               hasNulls = !b.has("hasNulls") || b.get("hasNulls").asBoolean(),
               allNulls = b.has("allNulls") && b.get("allNulls").asBoolean())
+          }.toMap
+        else Map.empty,
+      blooms =
+        if (e.has("blooms"))
+          e.get("blooms").properties().asScala.map { kv =>
+            val b = kv.getValue
+            kv.getKey -> ColBloom(
+              t = b.get("t").asText(), k = b.get("k").asInt(),
+              m = b.get("m").asInt(), b = b.get("b").asText())
           }.toMap
         else Map.empty)
 

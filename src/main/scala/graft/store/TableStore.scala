@@ -121,6 +121,43 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Columns with bloom-filter indexing (empty = none). See
+    * [[BloomFilter]] for the two-tier design this enables: parquet
+    * row-group blooms built by the executors during every write, plus
+    * capped file-level blooms in the snapshot log for point-lookup file
+    * skipping with zero storage I/O. */
+  def bloomColumns(table: String): Seq[String] = {
+    val p = new HPath(tableDir(table), "bloom.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
+  /** Declare bloom-indexed columns (`ALTER TABLE … SET BLOOM FILTER
+    * (…)`). Applies to SUBSEQUENT writes — existing files gain filters
+    * when a COW rewrite or OPTIMIZE rewrites them (the Iceberg
+    * properties-change contract: metadata now, data lazily). An empty
+    * list drops the index. Atomic types only: a bloom hashes whole
+    * values, and nested/complex equality is not a point-lookup shape. */
+  def setBloomColumns(table: String, cols: Seq[String]): Unit = {
+    val sch = schema(table)
+    cols.foreach { c =>
+      val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' in $table"))
+      require(f.dataType.isInstanceOf[AtomicType],
+        s"cannot bloom-index '$c': ${f.dataType.sql} is not an atomic type")
+    }
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val p = new HPath(tableDir(table), "bloom.json")
+      if (cols.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+      else writeString(p,
+        cols.map(c => "\"" + c + "\"").mkString("[", ",", "]"))
+    }
+  }
+
   def partitionSpec(table: String): Option[PartitionSpec] =
     partitionSpecZone(table).map(_._1)
 
