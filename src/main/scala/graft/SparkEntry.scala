@@ -208,14 +208,20 @@ object SparkEntry {
         "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
     })
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long (session conf) and integer-divide
-    * to micros — double math would lose precision at 1e18 nanos.
+  /** events.parquet has shipped with ts as either TIMESTAMP(NANOS) —
+    * which Spark's parquet reader rejects unless nanos are read as long —
+    * or plain TIMESTAMP(MICROS). Handle both: if the read schema shows a
+    * long, integer-divide nanos to micros (double math would lose
+    * precision at 1e18 nanos); if it's already a timestamp, use as-is.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def ts(lit: String): java.sql.Timestamp =

@@ -147,7 +147,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     cols.foreach { c =>
       val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"no column '$c' in $table"))
-      require(f.dataType.isInstanceOf[AtomicType],
+      require(org.apache.spark.sql.GraftSqlShim.isAtomic(f.dataType),
         s"cannot bloom-index '$c': ${f.dataType.sql} is not an atomic type")
     }
     SnapshotLog.withTableLock(fs, tableDir(table)) {

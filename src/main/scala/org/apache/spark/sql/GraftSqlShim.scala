@@ -29,6 +29,13 @@ object GraftSqlShim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Whether a type is atomic (non-nested) — `AtomicType` itself is
+    * `private[sql]` in Spark 4, so the check has to live in this
+    * package. Used to validate bloom-filter index columns: a bloom
+    * hashes whole scalar values, so nested types are rejected. */
+  def isAtomic(dt: types.DataType): Boolean =
+    dt.isInstanceOf[types.AtomicType]
+
   /** Parquet scan over an explicit file list WITH bucket metadata: a
     * hand-built [[execution.datasources.HadoopFsRelation]] carrying a
     * `BucketSpec`, so `FileSourceScanExec` groups the files by their
