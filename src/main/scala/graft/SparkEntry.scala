@@ -145,6 +145,36 @@ object SparkEntry {
         "FROM orders_tr WHERE okey >= 5000 AND okey < 25000")
     },
 
+    "q_bloom_prune" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      cat.createTable("orders_bl", orders.schema)
+      eng.sql("ALTER TABLE orders_bl SET BLOOM FILTER (okey)")
+      // hash-scatter the key so every file's min/max spans the whole
+      // domain — the stats tier cannot prune a needle, only the bloom
+      // tier can. The file count scales WITH the input so each file
+      // stays under the log-tier row cap at any SF (a fixed count
+      // would silently lose the log filters at 10x the data).
+      val rows = orders.count()
+      val nFiles = math.max(4, math.ceil(rows / 8000.0).toInt)
+      cat.append("orders_bl", orders.repartition(nFiles, col("okey")), 1000L)
+      val needle = orders.agg(min(col("okey"))).head().getLong(0)
+      (cat, eng, needle)
+    } { case (cat, eng, needle) =>
+      // the pruning PROOF is part of the checked tuple: the needle must
+      // touch at most 2 of the files (1 real + FP headroom) and
+      // strictly fewer than all of them — a bloom tier that stopped
+      // skipping flips the boolean and fails the oracle hash-compare
+      val touched = cat.store()
+        .prunedFiles("orders_bl", col("okey") === needle).size
+      val total = cat.store().prunedFiles("orders_bl", lit(true)).size
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+          s"FROM orders_bl WHERE okey = $needle")
+        .withColumn("bloom_pruned", lit(touched <= 2 && touched < total))
+    },
+
     "q_partition_prune" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val orders = t(s, dir, "orders")
@@ -800,6 +830,16 @@ object SparkEntry {
     // range predicates real partition pruning (slot count asserted in
     // TransformSpec) — the integer sibling of day()-style binning.
     "q_truncate_prune" -> benchSplits("q_truncate_prune").composed,
+
+    // Bloom-filter file skipping (ALTER TABLE … SET BLOOM FILTER):
+    // point lookups on an UNSORTED high-cardinality key, where min/max
+    // bounds span the whole domain in every file. Two tiers: parquet
+    // row-group filters built by the executors during the write, plus
+    // capped per-file filters in the snapshot log so the file list
+    // prunes from metadata alone (file counts asserted in
+    // BloomFilterSpec; here the needle answer AND the skip proof are
+    // oracle-checked — `bloom_pruned` encodes "touched ≤ 2 of N files").
+    "q_bloom_prune" -> benchSplits("q_bloom_prune").composed,
 
     // OPTIMIZE … ZORDER BY (a, b): Morton-curve re-clustering so
     // per-file min/max bounds are tight in BOTH probe dimensions and a
@@ -1820,6 +1860,12 @@ object SparkEntry {
     "q_truncate_prune" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 25000""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
+        |       TRUE AS bloom_pruned
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
 
     "q_zorder" ->
       """SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev,

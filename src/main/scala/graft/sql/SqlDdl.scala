@@ -112,6 +112,18 @@ object SqlDdl {
   private val AlterSetPartitionSpec =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+PARTITION\\s+" +
       "SPEC\\s*\\((.+?)\\)\\s*$").r
+  // Bloom-filter point-lookup index (Iceberg's write.parquet.bloom-
+  // filter-enabled table property / Impala's PARQUET_BLOOM_FILTER
+  // spelling, reduced to one statement): SET declares the indexed
+  // columns for subsequent writes, DROP removes the index. Existing
+  // files gain filters when a COW rewrite or OPTIMIZE rewrites them —
+  // the metadata-now / data-lazily contract of every ALTER here.
+  private val AlterSetBloom =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+BLOOM\\s+" +
+      "FILTER\\s*\\(([^)]*)\\)\\s*$").r
+  private val AlterDropBloom =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
+      "FILTER\\s*$").r
   // Maintenance statements (Delta's OPTIMIZE/VACUUM spelling; Iceberg
   // users reach the same via rewrite_data_files / expire_snapshots
   // procedures): OPTIMIZE bin-packs small files into a replace snapshot,
@@ -222,6 +234,17 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       cat.setPartitionSpec(t, graft.store.PartitionSpec.parse(specDef))
+      Some(empty(catalog))
+    case AlterSetBloom(qn, colsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setBloomColumns(t, colsDef.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      Some(empty(catalog))
+    case AlterDropBloom(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setBloomColumns(t, Seq.empty)
       Some(empty(catalog))
     case AlterAdd(qn, colsDef) =>
       val (cat, t) = resolved(catalog, qn)

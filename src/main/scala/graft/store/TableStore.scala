@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Versioned-Parquet table with Iceberg-style snapshot semantics.
@@ -342,6 +342,26 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
     validateAppendSchema(table, df)
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
+    // bloom-indexed columns resolve once per write: the schema fields
+    // drive both the parquet row-group filters (write options, executor
+    // side) and the capped log-level filters ([[attachFileBlooms]])
+    val bloomFields: Seq[StructField] = {
+      val bc = bloomColumns(table)
+      if (bc.isEmpty) Seq.empty
+      else { val sch = schema(table)
+        bc.flatMap(c => sch.fields.find(_.name.equalsIgnoreCase(c))) }
+    }
+    // parquet-embedded row-group blooms: built by the executors during
+    // the write itself, consulted by parquet-mr inside every later scan
+    // whose pushed filter pins the column — the tier that stays fully
+    // distributed at 100 TB. Adaptive sizing keeps a small file's filter
+    // small without requiring an NDV estimate up front.
+    def bloomOpts(w: org.apache.spark.sql.DataFrameWriter[Row])
+        : org.apache.spark.sql.DataFrameWriter[Row] =
+      bloomFields.foldLeft(w) { (w2, f) =>
+        w2.option(s"parquet.bloom.filter.enabled#${f.name}", "true")
+          .option(s"parquet.bloom.filter.adaptive.enabled#${f.name}", "true")
+      }
     // ONE read of the partition metadata serves both the clustering
     // decision and the staging branch (three fs round-trips per write
     // otherwise, on every append/COW rewrite)
@@ -395,7 +415,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
               .withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
               .sortWithinPartitions(col(TableStore.PartDirCol) +: inBucketSort: _*)
           }
-        withDir.write.mode(SaveMode.Overwrite)
+        bloomOpts(withDir.write.mode(SaveMode.Overwrite))
           .partitionBy(TableStore.PartDirCol).parquet(staging.toString)
         for {
           dir <- fs.listStatus(staging).toSeq.filter(_.isDirectory)
@@ -409,7 +429,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             f"${UUID.randomUUID()}-b_${value.toInt}%05d.parquet"
           else TableStore.defaultPromotedName)
       case None =>
-        clustered.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        bloomOpts(clustered.write.mode(SaveMode.Overwrite))
+          .parquet(staging.toString)
         fs.listStatus(staging).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
           .map((_, Map.empty[String, String], TableStore.defaultPromotedName))
@@ -422,7 +443,74 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
     // clean staging remnants (_SUCCESS, .crc)
     fs.delete(staging, true)
-    moved
+    if (bloomFields.isEmpty) moved
+    else attachFileBlooms(table, moved, bloomFields)
+  }
+
+  /** Build the capped log-level bloom filters for freshly promoted
+    * files and attach them to their [[DataFile]] entries. One
+    * distributed job: read back only the files small enough to store a
+    * filter ([[BloomFilter.maxRows]]), hash each bloom column's values
+    * with the codegen'd `xxhash64` at the TABLE schema type (the probe
+    * re-hashes its literal at the same type), and fold per-file bit
+    * arrays. The shuffle and the driver collect are both metadata-sized
+    * by construction: ≤ [[BloomFilter.maxRows]] hashed longs per file
+    * in, ≤ 16 KiB per (file, column) out — files above the cap are
+    * skipped here and covered by their parquet-embedded row-group
+    * filters instead. */
+  private def attachFileBlooms(table: String, files: Seq[DataFile],
+      fields: Seq[StructField]): Seq[DataFile] = {
+    def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val eligible = files.flatMap(f =>
+      if (f.records < 0) None
+      else BloomFilter.bitsFor(f.records).map(bits => f -> bits))
+    if (eligible.isEmpty) return files
+    val bitsByName: Map[String, Int] =
+      eligible.map { case (f, bits) => leaf(f.path) -> bits }.toMap
+    val nonEmpty = eligible.collect { case (f, bits) if bits > 0 => f }
+    val k = BloomFilter.NumHashes
+    val n = fields.size
+    val built: Map[String, Seq[Array[Byte]]] =
+      if (nonEmpty.isEmpty) Map.empty
+      else {
+        val paths = nonEmpty.map(f => absPath(table, f.path).toString)
+        // null values must not set bits (a NULL never satisfies an
+        // equality probe) — xxhash64 alone would fold them at the seed
+        val hashCols = fields.map(f => when(col(f.name).isNotNull,
+          xxhash64(col(f.name).cast(f.dataType))))
+        val rows = spark.read.parquet(paths: _*)
+          .select(col("_metadata.file_path") +: hashCols: _*)
+        import spark.implicits._
+        rows.groupByKey(_.getString(0))
+          .mapGroups { (path, it) =>
+            val name = leaf(path)
+            val arrs = Array.fill(n)(
+              new Array[Byte](bitsByName.getOrElse(name, 0) / 8))
+            it.foreach { r =>
+              var i = 0
+              while (i < n) {
+                if (!r.isNullAt(i + 1))
+                  BloomFilter.add(arrs(i), k, r.getLong(i + 1))
+                i += 1
+              }
+            }
+            (name, arrs.toSeq)
+          }.collect().toMap
+      }
+    files.map { f =>
+      val name = leaf(f.path)
+      built.get(name) match {
+        case Some(arrs) => f.copy(blooms = fields.zip(arrs).map {
+          case (fd, bits) =>
+            fd.name.toLowerCase -> BloomFilter.encode(fd.dataType, k, bits)
+        }.toMap)
+        case None if bitsByName.contains(name) =>
+          // zero-row file (no group emitted): every probe provably absent
+          f.copy(blooms = fields.map(fd =>
+            fd.name.toLowerCase -> BloomFilter.emptyBloom(fd.dataType)).toMap)
+        case None => f // above the cap: parquet row-group tier owns it
+      }
+    }
   }
 
   private def promoteOne(table: String, part: HPath,
@@ -622,11 +710,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (files.isEmpty) return files
     val (hasPart, rangesOf) = fileRangeInfo(table)
     val bucketKeep = bucketChecker(table)
-    if (!hasPart && bucketKeep.isEmpty && files.forall(_.stats.isEmpty))
+    val bloomOf = bloomLookup(table, files)
+    if (!hasPart && bucketKeep.isEmpty && files.forall(_.stats.isEmpty) &&
+        bloomOf.isEmpty)
       return files
     val pe = analyzedPredicate(table, predicate)
     files.filter(f => Pruning.mightMatch(pe, rangesOf(f)) &&
-      bucketKeep.forall(_(pe, f)))
+      bucketKeep.forall(_(pe, f)) &&
+      bloomOf.forall(lk => BloomFilter.mightMatchBlooms(pe, lk(f))))
+  }
+
+  /** Per-file bloom lookup with rename reconciliation — old files
+    * logged their filters under the physical column name of their time,
+    * so probe names remap the same way [[fileRangeInfo]] remaps stats
+    * keys. None when no file in the list carries a filter (the common
+    * case skips the remap build entirely). */
+  private def bloomLookup(table: String, files: Seq[DataFile])
+      : Option[DataFile => String => Option[ColBloom]] = {
+    if (files.forall(_.blooms.isEmpty)) return None
+    val events = renameEvents(table)
+    val remap: Map[String, String] =
+      if (events.isEmpty) Map.empty
+      else schema(table).fields.toSeq.flatMap(f =>
+        aliasesOf(events, f.name).map(a =>
+          a.toLowerCase -> f.name.toLowerCase)).toMap
+    Some(f => name => f.blooms.collectFirst {
+      case (c, b) if remap.getOrElse(c, c) == name => b
+    })
   }
 
   /** Bucket-transform prune check: Some((pred, file) => keep) when the
@@ -730,13 +840,16 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (files.isEmpty) return Some(Seq.empty)
     val (_, rangesOf) = fileRangeInfo(table)
     val bucketKeep = bucketChecker(table)
+    val bloomOf = bloomLookup(table, files)
     val pe = analyzedPredicate(table, predicate)
     val out = Seq.newBuilder[DataFile]
     for (f <- files) {
       val ranges = rangesOf(f)
       // provably-no-match first: a failed bucket check (literal hashes
-      // to a different bucket) is as exact as an out-of-range bound
-      if (Pruning.mightMatch(pe, ranges) && bucketKeep.forall(_(pe, f))) {
+      // to a different bucket) and a bloom "no" (zero false negatives)
+      // are as exact as an out-of-range bound
+      if (Pruning.mightMatch(pe, ranges) && bucketKeep.forall(_(pe, f)) &&
+          bloomOf.forall(lk => BloomFilter.mightMatchBlooms(pe, lk(f)))) {
         if (Pruning.mustMatchAll(pe, ranges)) out += f
         else return None // partial file
       }
@@ -1260,6 +1373,15 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       writeString(new HPath(tableDir(table), "drops.json"),
         (droppedNames(table) :+ field.name).map(jsonStr)
           .mkString("[", ",", "]"))
+      // a dropped column's bloom index goes with it — later writes
+      // would otherwise fail the schema lookup for a ghost column
+      val bc = bloomColumns(table)
+      if (bc.exists(_.equalsIgnoreCase(name))) {
+        val rest = bc.filterNot(_.equalsIgnoreCase(name))
+        val p = new HPath(tableDir(table), "bloom.json")
+        if (rest.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+        else writeString(p, rest.map(jsonStr).mkString("[", ",", "]"))
+      }
     }
   }
 
@@ -1370,6 +1492,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       if (so.exists(_.equalsIgnoreCase(from)))
         writeString(new HPath(tableDir(table), "sort.json"),
           so.map(c => if (c.equalsIgnoreCase(from)) to else c)
+            .map(jsonStr).mkString("[", ",", "]"))
+      // the bloom index follows the rename too (bloom.json holds
+      // LOGICAL names; old files' filters stay keyed by their physical
+      // name and the probe remaps — [[bloomLookup]])
+      val bc = bloomColumns(table)
+      if (bc.exists(_.equalsIgnoreCase(from)))
+        writeString(new HPath(tableDir(table), "bloom.json"),
+          bc.map(c => if (c.equalsIgnoreCase(from)) to else c)
             .map(jsonStr).mkString("[", ",", "]"))
     }
   }
