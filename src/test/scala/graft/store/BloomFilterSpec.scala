@@ -252,6 +252,35 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(st.readWhere("big", col("k") === 5L).count() == 1)
   }
 
+  test("parquet tier materializes: row-group bloom filters in the footer") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val st = newStore()
+    st.create("t", Seq((1L, "a")).toDF("k", "v").schema)
+    st.setBloomColumns("t", Seq("k"))
+    st.append("t",
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(1),
+      1000L)
+    val in = HadoopInputFile.fromPath(
+      new HPath(st.currentFiles("t").head),
+      spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val rg = r.getRowGroups.get(0)
+      val byName = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // the write option must reach parquet-mr: the indexed column gets
+      // a filter (offset >= 0), the unindexed one must not
+      assert(byName("k").getBloomFilterOffset >= 0,
+        "no bloom filter written for indexed column k")
+      assert(byName("v").getBloomFilterOffset < 0,
+        "unindexed column v unexpectedly has a filter")
+      val bf = r.getBloomFilterDataReader(rg).readBloomFilter(byName("k"))
+      assert(bf != null, "footer filter for k is unreadable")
+    } finally r.close()
+  }
+
   test("time travel sees the filters of its snapshot") {
     val st = newStore()
     planted(st, "t")
