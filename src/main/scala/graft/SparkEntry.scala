@@ -1368,6 +1368,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic DOMAIN MIXING (Pile/Dolma-style source weights):
+    // keep each row with its language's configured probability, decided
+    // by a pure hash of the doc key — reproducible, append-invariant,
+    // scan-local. The oracle asserts the equality STRUCTURE per
+    // language (exact keep-all/drop-all at weights 1/0, tolerance-band
+    // acceptance at fractional weights, run-to-run stability, and
+    // subset invariance — the filtered corpus keeps exactly the same
+    // docs), which DuckDB can check without replicating the hash.
+    "q_domain_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.0)
+      def mix(d: DataFrame) =
+        Splits.domainMix(d, "lang", "doc_id", weights, defaultWeight = 0.25)
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("total"))
+      val kept = mix(docs).groupBy("lang").agg(count(lit(1)).as("kept"))
+      val kept2 = mix(docs).groupBy("lang")
+        .agg(count(lit(1)).as("kept2"))
+      val keptSubA = mix(docs).filter(col("doc_id") < 500).groupBy("lang")
+        .agg(count(lit(1)).as("sub_of_kept"))
+      val keptSubB = mix(docs.filter(col("doc_id") < 500)).groupBy("lang")
+        .agg(count(lit(1)).as("kept_of_sub"))
+      val w = typedLit(weights)
+      tot.join(kept, Seq("lang"), "left")
+        .join(kept2, Seq("lang"), "left")
+        .join(keptSubA, Seq("lang"), "left")
+        .join(keptSubB, Seq("lang"), "left")
+        .na.fill(0L, Seq("kept", "kept2", "sub_of_kept", "kept_of_sub"))
+        .select(col("lang"), col("total"),
+          when(col("lang") === "zh", col("kept") === col("total"))
+            .when(col("lang") === "es", col("kept") === 0)
+            .otherwise(abs(col("kept") / col("total") -
+              coalesce(w(col("lang")), lit(0.25))) < 0.18).as("mix_ok"),
+          (col("kept") === col("kept2")).as("stable"),
+          (col("sub_of_kept") === col("kept_of_sub")).as("invariant"))
+        .orderBy(col("lang"))
+    }),
+
     // Contiguous token-budget sharding (corpus → ~equal-token shard
     // files): distributed two-pass prefix sum — range shuffle, tiny
     // per-partition totals to the driver, broadcast offsets, window per
@@ -2105,6 +2142,11 @@ object SparkEntry {
     "q_split_assign" ->
       """SELECT doc_id, TRUE AS assigned, TRUE AS stable
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT lang, count(*) AS total, TRUE AS mix_ok, TRUE AS stable,
+        |       TRUE AS invariant
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_pack_shards" ->
       """WITH d AS (SELECT doc_id,

@@ -108,4 +108,45 @@ object Splits {
       Dedup.materializeAndFree(out, sorted)
     } catch { case e: Throwable => sorted.unpersist(); throw e }
   }
+
+  /** Default seed for [[domainMix]] — deliberately NOT [[assign]]'s
+    * seed. Both stages hash the same key; with a shared seed the mix's
+    * kept set would be exactly the low end of the same unit interval
+    * the splitter carves, so a 50% mix would land entirely inside the
+    * train split and validation/test would come out empty. Independent
+    * seeds make the two decisions independent. */
+  val MixSeed: Long = 1042L
+
+  /** Keep-decision for deterministic DOMAIN MIXING (the Pile/Dolma
+    * recipe: each source/language/domain contributes a configured
+    * fraction of its rows): keep a row iff
+    * `xxhash64(key, seed) mod Buckets < weight(domain) · Buckets`.
+    * A pure function of (key, seed) — same reproducibility contract as
+    * [[splitFor]]: stable across runs, append-invariant, leakage-safe
+    * by key, scan-local with no shuffle and no stored sample table.
+    * Weights are keep-probabilities in [0, 1]; domains absent from the
+    * map use `defaultWeight`. Weight 1.0 keeps every row exactly;
+    * weight 0.0 drops every row exactly. Up-weighting (> 1, i.e.
+    * repeating a domain) is a different operation — epoch replication —
+    * and is rejected here rather than silently truncated. */
+  def mixKeep(key: Column, domain: Column, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, seed: Long = MixSeed): Column = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "mix weights are keep-probabilities in [0, 1]")
+    val bucket = pmod(xxhash64(key, lit(seed)), lit(Buckets))
+    // thresholds resolve to long literals on the driver: the codegen'd
+    // per-row work is one hash + one decision chain over the (small)
+    // domain map — no float arithmetic per row, no join
+    val threshold = weights.foldLeft(lit(math.round(defaultWeight * Buckets))) {
+      case (rest, (d, w)) =>
+        when(domain === lit(d), lit(math.round(w * Buckets))).otherwise(rest)
+    }
+    bucket < threshold
+  }
+
+  /** The rows of `df` kept by [[mixKeep]] on (`keyCol`, `domainCol`). */
+  def domainMix(df: DataFrame, domainCol: String, keyCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: Long = MixSeed): DataFrame =
+    df.filter(mixKeep(col(keyCol), col(domainCol), weights, defaultWeight, seed))
 }

@@ -88,4 +88,49 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Splits.assign(df, "id", Seq("a" -> 1.0, "b" -> -0.1)))
   }
+
+  test("domain mix: exact at weights 0/1, within tolerance in between") {
+    val docs = spark.range(30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("dom"))
+    val kept = Splits.domainMix(docs, "dom", "id",
+      Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.0))
+    val counts = kept.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.getOrElse("0", 0L) == 10000L) // weight 1: keep ALL
+    assert(!counts.contains("2"))               // weight 0: keep NONE
+    assert(math.abs(counts("1") - 5000L) < 400, s"half=${counts("1")}")
+  }
+
+  test("domain mix is stable, append-invariant, and default-weighted") {
+    val docs = spark.range(5000)
+      .select(col("id"), lit("web").as("dom"))
+    def mix(d: org.apache.spark.sql.DataFrame) =
+      Splits.domainMix(d, "dom", "id", Map("books" -> 1.0),
+        defaultWeight = 0.3)
+    val a = mix(docs)
+    assert(a.exceptAll(mix(docs)).isEmpty) // pure function of (key, seed)
+    assert(math.abs(a.count() - 1500L) < 200)
+    // append-invariance: the kept subset of a larger corpus is exactly
+    // the kept set of the subset
+    val big = spark.range(50000).select(col("id"), lit("web").as("dom"))
+    assert(mix(big).filter(col("id") < 5000).exceptAll(a).isEmpty)
+  }
+
+  test("mix seed is independent of the split seed (no train-only bias)") {
+    // with a SHARED seed a 50% mix would keep exactly the low half of
+    // the unit interval — entirely inside train's [0, .98) — and the
+    // validation/test splits of the kept corpus would be EMPTY
+    val docs = spark.range(20000).select(col("id"), lit("web").as("dom"))
+    val kept = Splits.domainMix(docs, "dom", "id", Map("web" -> 0.5))
+    val splits = Splits.assign(kept, "id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(splits.getOrElse("validation", 0L) > 0)
+    assert(splits.getOrElse("test", 0L) > 0)
+  }
+
+  test("mix rejects up-weights above 1 (epoch replication is not sampling)") {
+    val df = spark.range(1).select(col("id"), lit("x").as("dom"))
+    intercept[IllegalArgumentException](
+      Splits.domainMix(df, "dom", "id", Map("x" -> 1.5)))
+  }
 }
