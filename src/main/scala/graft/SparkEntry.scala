@@ -1405,6 +1405,34 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // EPOCH REPLICATION (the ×2.5-style up-weighting half of a mixing
+    // recipe): every row emitted floor(w) times plus a deterministic
+    // hash-sampled fractional copy, with an epoch index — one scan, one
+    // explode, no per-epoch self-union. Oracle asserts the per-language
+    // structure: exact doubling at 2.0, identity at 1.0, tolerance at
+    // fractional weights, and the right epoch range.
+    "q_replicate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = Splits.replicate(docs, "lang", "doc_id",
+        Map("en" -> 2.0, "zh" -> 1.0, "es" -> 0.5), defaultWeight = 2.5)
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("total"))
+      val r = rep.groupBy("lang").agg(count(lit(1)).as("emitted"),
+        max(col("epoch")).as("max_epoch"))
+      tot.join(r, Seq("lang"), "left")
+        .select(col("lang"), col("total"),
+          when(col("lang") === "en", col("emitted") === col("total") * 2)
+            .when(col("lang") === "zh", col("emitted") === col("total"))
+            .when(col("lang") === "es",
+              abs(col("emitted") / col("total") - 0.5) < 0.18)
+            .otherwise(abs(col("emitted") / col("total") - 2.5) < 0.18)
+            .as("rep_ok"),
+          when(col("lang") === "en", col("max_epoch") === 1)
+            .when(col("lang") === "zh", col("max_epoch") === 0)
+            .when(col("lang") === "es", col("max_epoch") === 0)
+            .otherwise(col("max_epoch") === 2).as("epochs_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Contiguous token-budget sharding (corpus → ~equal-token shard
     // files): distributed two-pass prefix sum — range shuffle, tiny
     // per-partition totals to the driver, broadcast offsets, window per
@@ -2146,6 +2174,10 @@ object SparkEntry {
     "q_domain_mix" ->
       """SELECT lang, count(*) AS total, TRUE AS mix_ok, TRUE AS stable,
         |       TRUE AS invariant
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_replicate" ->
+      """SELECT lang, count(*) AS total, TRUE AS rep_ok, TRUE AS epochs_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_pack_shards" ->

@@ -149,4 +149,40 @@ object Splits {
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       seed: Long = MixSeed): DataFrame =
     df.filter(mixKeep(col(keyCol), col(domainCol), weights, defaultWeight, seed))
+
+  /** EPOCH REPLICATION — the other half of a mixing recipe (Dolma/LLaMA
+    * style: "books × 2.5" means every book appears twice and half of
+    * them a third time). Each row is emitted
+    * `floor(w) + (hash < frac(w) ? 1 : 0)` times, with an `epoch`
+    * column (0-based copy index) so downstream sharding can interleave
+    * epochs rather than concatenate them. The fractional copy is the
+    * SAME deterministic keep-decision as [[mixKeep]] (pure function of
+    * the key), so replication is stable and append-invariant too.
+    * Spark-first shape: a driver-built copy-count decision chain plus
+    * one `explode(sequence(...))` — scan-local row generation, no
+    * shuffle, no self-union per epoch (a w-way union would re-scan the
+    * corpus ceil(w) times at 100 TB; this scans once and amplifies in
+    * the task). Weights < 1 are accepted and reduce to [[domainMix]]
+    * (epoch 0 sampled at w). */
+  def replicate(df: DataFrame, domainCol: String, keyCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: Long = MixSeed): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "replication weights must be non-negative")
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(Buckets))
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val frac = math.round((w - whole) * Buckets)
+      lit(whole) + when(bucket < lit(frac), 1L).otherwise(0L)
+    }
+    val copies = weights.foldLeft(copiesFor(defaultWeight)) {
+      case (rest, (d, w)) =>
+        when(col(domainCol) === lit(d), copiesFor(w)).otherwise(rest)
+    }
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

@@ -133,4 +133,35 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Splits.domainMix(df, "dom", "id", Map("x" -> 1.5)))
   }
+
+  test("replicate: exact integer epochs, sampled fractional epoch") {
+    val docs = spark.range(10000)
+      .select(col("id"), (col("id") % 2).cast("string").as("dom"))
+    val rep = Splits.replicate(docs, "dom", "id",
+      Map("0" -> 2.0, "1" -> 2.5))
+    val counts = rep.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("0") == 10000L) // exactly x2 of the 5000 dom-0 rows
+    assert(math.abs(counts("1") - 12500L) < 400, s"x2.5=${counts("1")}")
+    // every dom-0 row appears at epochs 0 and 1, never 2
+    val epochs = rep.filter(col("dom") === "0").groupBy("id")
+      .agg(sort_array(collect_list(col("epoch"))).as("es"))
+      .select("es").distinct().as[Seq[Long]].collect()
+    assert(epochs.toSeq == Seq(Seq(0L, 1L)))
+    // dom-1 rows appear 2 or 3 times, and both multiplicities occur
+    val m1 = rep.filter(col("dom") === "1").groupBy("id").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(m1 == Set(2L, 3L))
+  }
+
+  test("replicate at w < 1 reduces to domainMix (same kept keys)") {
+    val docs = spark.range(5000).select(col("id"), lit("w").as("dom"))
+    val rep = Splits.replicate(docs, "dom", "id", Map("w" -> 0.4))
+    val mix = Splits.domainMix(docs, "dom", "id", Map("w" -> 0.4))
+    assert(rep.select("id").exceptAll(mix.select("id")).isEmpty)
+    assert(mix.select("id").exceptAll(rep.select("id")).isEmpty)
+    assert(rep.agg(max(col("epoch"))).head().getLong(0) == 0L)
+    // weight 0 drops the domain entirely
+    assert(Splits.replicate(docs, "dom", "id", Map("w" -> 0.0)).isEmpty)
+  }
 }
