@@ -64,6 +64,14 @@ object SpotBench {
           System.err.println(s"[spot] q_stream_table FAILED: ${e.getMessage}")
           Seq(("q_stream_table", -1.0))
         }
+      case name if SparkEntry.benchSplits.contains(name) =>
+        try {
+          val (fix, q) = SparkEntry.benchSplits(name).run(spark, sfDir)
+          Seq((s"${name}_fixture", fix), (s"${name}_query", q))
+        } catch { case e: Throwable =>
+          System.err.println(s"[spot] $name FAILED: ${e.getMessage}")
+          Seq((name, -1.0))
+        }
       case name =>
         Seq(timed(name)(SparkEntry.queries(name)(spark, sfDir).count()))
     }
