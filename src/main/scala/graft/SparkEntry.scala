@@ -1539,6 +1539,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL COMPRESSED-format pixel decode (PNG deflate / GIF LZW /
+    // JPEG DCT) via the JDK's javax.imageio — no external codec after
+    // all. Payloads are planted constant-color images encoded by the
+    // REAL encoders, decoded by ImagePixelStats inside the scan:
+    // lossless formats round-trip the planted channel means exactly
+    // (full-precision oracle columns), JPEG keeps exact dimensions and
+    // lands within the YCbCr rounding band (boolean).
+    "q_multimodal_compressed" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(2) + pmod(col("doc_id"), lit(3))).cast("int")
+      val r = pmod(col("doc_id"), lit(256)).cast("int")
+      val g = pmod(col("doc_id") * 7, lit(256)).cast("int")
+      val b = pmod(col("doc_id") * 13, lit(256)).cast("int")
+      docs.select(col("doc_id"),
+          imagePixelStats(imageEncodeConst("png", w, h, r, g, b)).as("png"),
+          imagePixelStats(imageEncodeConst("gif", w, h, r, g, b)).as("gif"),
+          imagePixelStats(imageEncodeConst("jpg", w, h, r, g, b)).as("jpg"))
+        .select(col("doc_id"),
+          col("png.width").as("width"), col("png.height").as("height"),
+          round(col("png.mean_r"), 6).as("mean_r"),
+          round(col("png.mean_g"), 6).as("mean_g"),
+          round(col("png.mean_b"), 6).as("mean_b"),
+          (col("gif.mean_r") === col("png.mean_r") &&
+            col("gif.mean_g") === col("png.mean_g") &&
+            col("gif.mean_b") === col("png.mean_b")).as("gif_exact"),
+          (col("jpg.width") === col("png.width") &&
+            col("jpg.height") === col("png.height") &&
+            abs(col("jpg.mean_r") - col("png.mean_r")) <= 3 &&
+            abs(col("jpg.mean_g") - col("png.mean_g")) <= 3 &&
+            abs(col("jpg.mean_b") - col("png.mean_b")) <= 3).as("jpeg_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL full PCM sample decode, oracle-gated: complete 16-bit WAVs
     // (every sample = a planted amplitude) decoded by WavPcmStats —
     // rms and peak are exactly amplitude/2^15, bit-identical across
@@ -2108,6 +2143,16 @@ object SparkEntry {
         |  round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
         |  round(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_compressed" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS height,
+        |  round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+        |  round(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+        |  round(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b,
+        |  TRUE AS gif_exact, TRUE AS jpeg_ok
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_pcm" ->

@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
   * Image/audio/video payloads are opaque `binary` columns beside typed
   * metadata. What is REAL: the Spark-side plumbing (schema,
   * partitioning, batched decode shape), container-HEADER parsing for
-  * PNG/JPEG/GIF/BMP/WAV, and FULL content decode for the codec-free
+  * PNG/JPEG/GIF/BMP/WAV, FULL content decode for the codec-free
   * containers — BI_RGB BMP pixel statistics and PCM WAV sample
   * statistics ([[graft.functions.BmpPixelStats]] /
-  * [[graft.functions.WavPcmStats]] — pure byte arithmetic, oracle-gated
-  * end to end). What stays STUBBED, clearly labeled: decode of
-  * compression-based formats (PNG deflate, JPEG DCT, MP3, video
-  * codecs) — those need a codec binding (JNI/javacv) absent from this
-  * container; swap the labeled fakes for it without touching any plan
-  * shape.
+  * [[graft.functions.WavPcmStats]] — pure byte arithmetic) — and FULL
+  * pixel decode of the COMPRESSED image formats (PNG deflate, JPEG
+  * DCT, GIF LZW) via the JDK's own `javax.imageio`
+  * ([[graft.functions.ImagePixelStats]]), all oracle-gated end to end.
+  * What stays STUBBED, clearly labeled: MP3 and video-codec decode —
+  * the JDK ships no codec for those; swap the labeled fakes for a
+  * binding (JNI/javacv) without touching any plan shape.
   */
 object Multimodal {
 
@@ -48,8 +49,9 @@ object Multimodal {
     * back to a deterministic content-hash STUB so pipelines over
     * non-image test payloads still flow; the `format` field says which
     * path produced the row (`png`/`jpeg`/`gif`/`bmp` vs `fake`).
-    * Full pixel decode (beyond header metadata) would need a codec
-    * binding and stays out of scope in this container.
+    * For full pixel decode of the compressed formats use
+    * [[decodeImagePixels]] (JDK `javax.imageio`) — header-only decode
+    * remains the cheap path when statistics aren't needed.
     */
   def decodeImageMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
     val real = graft.functions.GraftFunctions.imageHeaderMeta(col(contentCol))
@@ -76,6 +78,14 @@ object Multimodal {
       unhex(lit("0806000000")),       // bit depth 8, color type 6 (RGBA), ...
       unhex(lit("00000000")))         // (unchecked) CRC placeholder
   }
+
+  /** FULL pixel decode of any JDK-decodable image payload (PNG, JPEG,
+    * GIF, BMP): width/height/pixel count and per-channel means, NULL
+    * for undecodable bytes. Scan-local per-row decode — memory bounded
+    * by one decoded row buffer at a time, no UDF ser/de. */
+  def decodeImagePixels(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("image_pixels",
+      graft.functions.GraftFunctions.imagePixelStats(col(contentCol)))
 
   /** Audio decode: REAL WAV/RIFF header parsing (sample rate, channels,
     * bits, duration from the chunk list); non-WAV payloads yield a NULL

@@ -71,6 +71,21 @@ object GraftFunctions {
   def wavPcmStats(content: Column): Column =
     toCol(WavPcmStats(toExpr(content)))
 
+  /** Full pixel decode of any COMPRESSED image the JDK can read
+    * (PNG/JPEG/GIF/BMP via `javax.imageio`) →
+    * `struct<width,height,n_pixels,mean_r,mean_g,mean_b>`, NULL for
+    * undecodable bytes. */
+  def imagePixelStats(content: Column): Column =
+    toCol(ImagePixelStats(toExpr(content)))
+
+  /** Constant-color image payload in a real compressed container
+    * (`format`: png | jpg | gif | bmp) from `(w, h, r, g, b)` int
+    * columns — planted-oracle payload generation. */
+  def imageEncodeConst(format: String, w: Column, h: Column,
+      r: Column, g: Column, b: Column): Column =
+    toCol(ImageConstEncode(format, toExpr(
+      org.apache.spark.sql.functions.struct(w, h, r, g, b))))
+
   /** Register every custom function for SQL use on an existing session.
     * Same builder table as [[graft.GraftExtensions]] (the config-driven
     * `spark.sql.extensions` path). */

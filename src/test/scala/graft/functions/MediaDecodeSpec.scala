@@ -100,4 +100,49 @@ class MediaDecodeSpec extends AnyFunSuite {
     nonPcm(20) = 3 // fmt tag = IEEE float
     assert(WavPcmStats.decode(nonPcm).isEmpty)
   }
+
+  test("compressed decode: PNG/GIF round-trip constant color exactly") {
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val bytes = CompressedImageExpressions.encodeConst(fmt, 7, 5, 10, 200, 31)
+      val (w, h, n, r, g, b) = CompressedImageExpressions.decode(bytes).get
+      assert((w, h, n) == (7, 5, 35L), fmt)
+      assert((r, g, b) == (10.0, 200.0, 31.0), s"$fmt lossless round-trip")
+    }
+  }
+
+  test("compressed decode: JPEG dims exact, constant color within band") {
+    val bytes = CompressedImageExpressions.encodeConst("jpg", 16, 8, 60, 120, 180)
+    val (w, h, n, r, g, b) = CompressedImageExpressions.decode(bytes).get
+    assert((w, h, n) == (16, 8, 128L))
+    // constant color = pure DC coefficient; only YCbCr rounding moves it
+    assert(math.abs(r - 60) <= 3 && math.abs(g - 120) <= 3 &&
+      math.abs(b - 180) <= 3, s"jpeg drift r=$r g=$g b=$b")
+  }
+
+  test("compressed decode declines garbage, empty, and truncated bytes") {
+    assert(CompressedImageExpressions.decode(null).isEmpty)
+    assert(CompressedImageExpressions.decode(Array.emptyByteArray).isEmpty)
+    assert(CompressedImageExpressions.decode("not an image at all".getBytes).isEmpty)
+    val png = CompressedImageExpressions.encodeConst("png", 20, 20, 1, 2, 3)
+    assert(CompressedImageExpressions.decode(png.take(30)).isEmpty)
+  }
+
+  test("image_pixel_stats expression end to end over a DataFrame") {
+    val spark = graft.SharedSpark.spark
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5).select(
+      col("id"),
+      graft.functions.GraftFunctions.imageEncodeConst("png",
+        (lit(3) + col("id")).cast("int"), lit(4),
+        col("id").cast("int"), (col("id") * 2).cast("int"),
+        (col("id") * 3).cast("int")).as("content"))
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.imagePixelStats(col("content")).as("px"))
+      .select(col("id"), col("px.width"), col("px.mean_r"), col("px.mean_g"))
+      .orderBy("id").collect()
+    got.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getInt(1) == 3 + i)
+      assert(row.getDouble(2) == i.toDouble && row.getDouble(3) == 2.0 * i)
+    }
+  }
 }
