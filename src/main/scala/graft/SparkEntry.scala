@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.catalog.GraftCatalog
 import graft.ext.{Boilerplate, Dedup, Multimodal, Similarity, Splits, TextAnalysis}
@@ -24,6 +25,17 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings.parquet with the vector column pinned to array<float> —
+    * every vector expression expects float elements, and a regenerated
+    * testdata drop could plausibly ship doubles (the events table's
+    * timestamp type already drifted once). */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    if (e.schema("embedding").dataType == ArrayType(FloatType))
+      e
+    else e.withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 
   /** A write-dominated benchmark entry split at its fixture/query seam,
     * so `Bench` can time table-building and the read path separately
@@ -1233,7 +1245,7 @@ object SparkEntry {
     // every planted cosine sits ≥5e-5 from a 3-decimal boundary, far
     // beyond the ~1e-7 float(engine)-vs-double(DuckDB) noise.
     "q_embed_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val planted = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.05f)).as("embedding"))
@@ -1250,7 +1262,7 @@ object SparkEntry {
     // Brute-force cosine top-k for one query vector (rows-only; the
     // codegen'd CosineSimilarity expression + TakeOrderedAndProject).
     "q_embed_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = firstVector(e)
       Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
         .withColumn("score", round(col("score"), 4))
@@ -1258,7 +1270,7 @@ object SparkEntry {
 
     // Top-k for a set of query vectors via bounded-heap aggregation.
     "q_embed_topk_multi" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.cosineTopKForQueries(e, "vec_id", "embedding",
@@ -1275,7 +1287,7 @@ object SparkEntry {
     // order; DuckDB recomputes the exact side independently, so a
     // recall regression in the LSH probe fails the hash match.
     "q_embed_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = firstVector(e)
       rankedIds(Similarity.lshTopK(embeddingsWithPlanted(s, e, q),
         "vec_id", "embedding", q, k = 10, numPlanes = 12, maxHammingProbe = 3))
@@ -2530,7 +2542,7 @@ object SparkEntry {
     * (10 rows — negligible against the corpus).
     */
   def ivfBuild(s: SparkSession, dir: String, idxDir: String): Unit = {
-    val e = t(s, dir, "embeddings")
+    val e = emb(s, dir)
     Similarity.ivfWriteIndex(embeddingsWithPlanted(s, e, firstVector(e)),
       "vec_id", "embedding", idxDir, nlist = 16, iters = 2)
   }
@@ -2539,7 +2551,7 @@ object SparkEntry {
     * reads only the `nprobe` nearest lists' directories.
     */
   def ivfProbeQuery(s: SparkSession, dir: String, idxDir: String): DataFrame = {
-    val q = firstVector(t(s, dir, "embeddings"))
+    val q = firstVector(emb(s, dir))
     Similarity.ivfProbe(s, idxDir, "vec_id", "embedding", q, k = 10, nprobe = 6)
       .withColumn("score", round(col("score"), 4))
   }
