@@ -281,6 +281,39 @@ class BloomFilterSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("COW delete of a needle key rewrites exactly one file") {
+    val st = newStore()
+    planted(st, "t")
+    val before = st.prunedFiles("t", lit(true)).map(_.path).toSet
+    assert(before.size == 10)
+    // stage-1 prune of matchedByPredicate consults the blooms: only the
+    // one file containing the key is rewritten, nine carry by reference
+    st.deleteWhere("t", col("k") === 1237L, 5000L)
+    val after = st.prunedFiles("t", lit(true)).map(_.path).toSet
+    assert((before -- after).size == 1, "exactly one file rewritten")
+    assert((after -- before).size <= 1) // its (possibly empty) rewrite
+    assert(st.readWhere("t", col("k") === 1237L).count() == 0)
+    assert(st.read("t").count() == 1999)
+  }
+
+  test("OPTIMIZE materializes filters for files written before the index") {
+    val st = newStore()
+    st.create("t", Seq((0L, "x")).toDF("k", "v").schema)
+    // files written BEFORE the index exists carry no filters...
+    (0 until 3).foreach { a =>
+      val rows = (0L until 300L).filter(_ % 3 == a).map(k => (k, s"v$k"))
+      st.append("t", rows.toDF("k", "v").repartition(1), 1000L + a)
+    }
+    st.setBloomColumns("t", Seq("k"))
+    assert(st.prunedFiles("t", lit(true)).forall(_.blooms.isEmpty))
+    // ...and gain them when a rewrite rewrites them (the metadata-now /
+    // data-lazily contract): compact goes through the same write seam
+    st.compact("t")
+    val files = st.prunedFiles("t", lit(true))
+    assert(files.nonEmpty && files.forall(_.blooms.contains("k")))
+    assert(st.prunedFiles("t", col("k") === 5000L).isEmpty) // absent key
+  }
+
   test("time travel sees the filters of its snapshot") {
     val st = newStore()
     planted(st, "t")
