@@ -1417,6 +1417,28 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // LEAKAGE-SAFE SPLITTING keyed by dedup CLUSTER (The-Stack-style:
+    // near-duplicates of a test doc must never train) — the natural
+    // composition of the shared component labels with the hash splitter:
+    // the split key is the CLUSTER id, so every member of a duplicate
+    // cluster lands in one split by construction. The oracle rebuilds
+    // the clusters independently (DuckDB islands) and asserts the
+    // no-straddle structure per cluster.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.select(col("doc_id"))
+        .join(sharedChainLabels(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      Splits.assign(labeled, "component")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("members"),
+          (count_distinct(col("split")) === 1).as("no_straddle"),
+          max(col("split").isin("train", "validation", "test"))
+            .as("assigned"))
+        .orderBy(col("component"))
+    }),
+
     // EPOCH REPLICATION (the ×2.5-style up-weighting half of a mixing
     // recipe): every row emitted floor(w) times plus a deterministic
     // hash-sampled fractional copy, with an epoch index — one scan, one
@@ -2236,6 +2258,19 @@ object SparkEntry {
     "q_replicate" ->
       """SELECT lang, count(*) AS total, TRUE AS rep_ok, TRUE AS epochs_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      """WITH b AS (
+        |  SELECT doc_id, CASE WHEN lag(doc_id) OVER w = doc_id - 1
+        |                       AND lag(n_chars % 5) OVER w = n_chars % 5
+        |                      THEN 0 ELSE 1 END AS brk
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run FROM b),
+        |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY run) AS component
+        |      FROM r)
+        |SELECT component, count(*) AS members, TRUE AS no_straddle,
+        |       TRUE AS assigned
+        |FROM c GROUP BY component ORDER BY component""".stripMargin,
 
     "q_pack_shards" ->
       """WITH d AS (SELECT doc_id,

@@ -100,6 +100,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!ps.contains("Exchange"), "split assignment shuffles:\n" + ps)
   }
 
+  test("domain mix and epoch replication stay scan-local — no exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang")
+    val pm = graft.ext.Splits.domainMix(docs, "lang", "doc_id",
+        Map("en" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!pm.contains("Exchange"), "domain mix shuffles:\n" + pm)
+    val pr = graft.ext.Splits.replicate(docs, "lang", "doc_id",
+        Map("en" -> 2.5)).queryExecution.executedPlan.toString
+    assert(!pr.contains("Exchange"), "replication shuffles:\n" + pr)
+    assert(pr.contains("Generate"), "replication should explode in-task:\n" + pr)
+    // the hash decision compiles into whole-stage codegen ("*(n)"
+    // stage markers in this plan rendering), not a UDF
+    assert(pm.contains("*(1)"), pm)
+  }
+
   test("no query plans a cartesian product at sf0.001") {
     // cartesian products are the canonical does-not-scale plan; the DDL
     // and store-backed queries mutate temp state, so check the pure ones
