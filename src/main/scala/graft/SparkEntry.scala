@@ -1417,6 +1417,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Deterministic GLOBAL SHUFFLE (training-order randomization):
+    // pos = distributed rank of xxhash64(doc_id) — the two-pass prefix
+    // shape, never a single-task global sort. doc_ids are contiguous
+    // 0..n-1 in the corpus, so the shuffle must be a permutation of
+    // that range; the oracle asserts exactly that structure plus
+    // stability and genuine displacement, without knowing the hash.
+    "q_shuffle_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val a = Splits.shuffled(docs, "doc_id")
+      val b = Splits.shuffled(docs, "doc_id")
+        .withColumnRenamed("pos", "pos2")
+      a.join(b, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          (count_distinct(col("pos")) === count(lit(1)) &&
+            min(col("pos")) === 0 &&
+            max(col("pos")) === count(lit(1)) - 1).as("permutation"),
+          max(when(col("pos") =!= col("pos2"), 1L).otherwise(0L))
+            .as("unstable_rows"),
+          (max(when(col("pos") =!= col("doc_id"), 1L).otherwise(0L)) === 1L)
+            .as("displaced"))
+        .select(col("n"), col("permutation"),
+          (col("unstable_rows") === 0L).as("stable"), col("displaced"))
+    }),
+
     // LEAKAGE-SAFE SPLITTING keyed by dedup CLUSTER (The-Stack-style:
     // near-duplicates of a test doc must never train) — the natural
     // composition of the shared component labels with the hash splitter:
@@ -2258,6 +2282,11 @@ object SparkEntry {
     "q_replicate" ->
       """SELECT lang, count(*) AS total, TRUE AS rep_ok, TRUE AS epochs_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT count(*) AS n, TRUE AS permutation, TRUE AS stable,
+        |       TRUE AS displaced
+        |FROM documents""".stripMargin,
 
     "q_split_leakage_safe" ->
       """WITH b AS (

@@ -150,6 +150,53 @@ object Splits {
       seed: Long = MixSeed): DataFrame =
     df.filter(mixKeep(col(keyCol), col(domainCol), weights, defaultWeight, seed))
 
+  /** Default seed for [[shuffled]] — independent of [[MixSeed]] and the
+    * split seed for the same reason those are independent of each
+    * other: every stage hashing the same key must not correlate. */
+  val ShuffleSeed: Long = 7042L
+
+  /** Deterministic GLOBAL SHUFFLE — the training-order randomization a
+    * corpus gets before sharding (a model must not see documents in
+    * ingestion order). Position = rank of `xxhash64(key, seed)` (ties
+    * broken by the key), so the permutation is a pure function of the
+    * key set and seed: stable across runs and cluster layouts, and any
+    * contiguous slice of positions is an unbiased sample — which is
+    * what lets a training job resume mid-corpus reproducibly.
+    *
+    * The naive spelling — `row_number() OVER (ORDER BY hash)` — plans a
+    * SINGLE-TASK global sort at any scale. This is the same distributed
+    * two-pass shape as [[packShards]]: range-partition + sort by
+    * (hash, key) (one shuffle), per-partition row counts to the driver
+    * (metadata-sized), broadcast exclusive offsets back, add the
+    * within-partition row number. Materialized before the scratch frame
+    * unpersists so partition ids cannot be re-sampled differently. */
+  def shuffled(df: DataFrame, keyCol: String,
+      seed: Long = ShuffleSeed): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .withColumn("_h", xxhash64(col(keyCol), lit(seed)))
+      .repartitionByRange(parts, col("_h"), col(keyCol))
+      .sortWithinPartitions(col("_h"), col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = sorted.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ids = counts.keys.toSeq.sorted
+      val offsets = ids.zip(ids.scanLeft(0L)((a, p) => a + counts(p))).toMap
+      val offsetExpr = ids.foldRight(lit(0L)) { (p, rest) =>
+        when(col("_pid") === p, lit(offsets(p))).otherwise(rest)
+      }
+      val w = Window.partitionBy(col("_pid"))
+        .orderBy(col("_h"), col(keyCol))
+      val out = sorted
+        .withColumn("pos", offsetExpr + row_number().over(w) - 1)
+        .drop("_h", "_pid")
+      Dedup.materializeAndFree(out, sorted)
+    } catch { case e: Throwable => sorted.unpersist(); throw e }
+  }
+
   /** EPOCH REPLICATION — the other half of a mixing recipe (Dolma/LLaMA
     * style: "books × 2.5" means every book appears twice and half of
     * them a third time). Each row is emitted

@@ -154,6 +154,32 @@ class SplitsSpec extends AnyFunSuite {
     assert(m1 == Set(2L, 3L))
   }
 
+  test("shuffled: a stable permutation that differs from key order") {
+    val ids = spark.range(20000).toDF("id")
+    val a = Splits.shuffled(ids, "id")
+    val pos = a.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 20000L)) // exact permutation of 0..n-1
+    // pure function of (key set, seed): a re-run reproduces every position
+    val b = Splits.shuffled(ids, "id").withColumnRenamed("pos", "pos2")
+    assert(a.join(b, "id").filter(col("pos") =!= col("pos2")).isEmpty)
+    // and it genuinely shuffles: most keys move off their own rank
+    val moved = a.filter(col("pos") =!= col("id")).count()
+    assert(moved > 19000, s"only $moved of 20000 displaced")
+    // a different seed is a different permutation
+    val c = Splits.shuffled(ids, "id", seed = 1L).withColumnRenamed("pos", "pos3")
+    assert(a.join(c, "id").filter(col("pos") =!= col("pos3")).count() > 0)
+  }
+
+  test("shuffled equals the single-window truth on a known set") {
+    val ids = spark.range(500).toDF("id")
+    val got = Splits.shuffled(ids, "id").orderBy("pos")
+      .select("id").as[Long].collect().toSeq
+    val naive = ids
+      .withColumn("h", xxhash64(col("id"), lit(Splits.ShuffleSeed)))
+      .orderBy(col("h"), col("id")).select("id").as[Long].collect().toSeq
+    assert(got == naive)
+  }
+
   test("replicate at w < 1 reduces to domainMix (same kept keys)") {
     val docs = spark.range(5000).select(col("id"), lit("w").as("dom"))
     val rep = Splits.replicate(docs, "dom", "id", Map("w" -> 0.4))
