@@ -1220,6 +1220,38 @@ object SparkEntry {
     // a subset of the doc's grams, so every score is a nontrivial ratio
     // DuckDB recomputes from the raw text — the scorer gets a full hash
     // check while the LSH-candidate variant above stays sketch-based.
+    // EXACT substring-overlap pairs over the real corpus (Lee et al.
+    // verbatim-span dedup at window granularity): every shared 8-token
+    // run between any two docs, counted. Windows travel as shingle
+    // hashes; DuckDB rebuilds the distinct gram sets as strings and
+    // self-joins — full hash-match of the whole pair list.
+    "q_substring_pairs" -> ((s, dir) => {
+      Dedup.substringOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Planted-truth twin: doc_id+100000 carries the 60%-token prefix of
+    // its source (≥ 6 tokens), so the pair's shared-window count equals
+    // the twin's own distinct 5-token windows — every planted pair must
+    // surface with exactly that count (left join keeps recall failures
+    // visible as nulls).
+    "q_substring_pairs_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+      val tk = TextAnalysis.tokens(col("text"))
+      val m = greatest(lit(6), floor(size(tk) * lit(3.0) / 5).cast("int"))
+      val variants = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tk, lit(1), m)).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(variants)
+      val expected = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b"))
+      expected.join(
+          Dedup.substringOverlapPairs(all, "doc_id", "text", n = 5),
+          Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("shared_windows"))
+        .orderBy(col("id_a"))
+    }),
+
     "q_ngram_jaccard_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
       val tk = TextAnalysis.tokens(col("text"))
@@ -2462,6 +2494,37 @@ object SparkEntry {
     // DuckDB rebuilds the exact gram sets from raw text (the engine
     // compares 64-bit gram hashes; identical unless a hash collision,
     // none in this corpus).
+    "q_substring_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM d, LATERAL UNNEST(list_transform(
+        |    generate_series(1, len(t) - 7),
+        |    i -> array_to_string(t[i:i+7], chr(1)))) AS u(gram)
+        |  WHERE len(t) >= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       count(*) AS shared_windows
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_substring_pairs_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tka
+        |  FROM documents WHERE doc_id < 25),
+        |p AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |         tka[1:greatest(6, CAST(floor(len(tka) * 3.0 / 5) AS INT))]
+        |           AS tkb
+        |  FROM base)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_distinct(list_transform(
+        |    generate_series(1, len(tkb) - 4),
+        |    i -> array_to_string(tkb[i:i+4], chr(1))))) AS BIGINT)
+        |    AS shared_windows
+        |FROM p ORDER BY id_a""".stripMargin,
+
     "q_ngram_jaccard_exact" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tka

@@ -358,6 +358,42 @@ object Dedup {
       .filter(col("overlap_grams") >= minOverlap)
   }
 
+  /** EXACT substring-overlap pairs (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" notion, at window
+    * granularity): document pairs sharing at least `minWindows` runs of
+    * `n` consecutive tokens. MinHash answers "are these documents
+    * mostly the same"; this answers "do they share any long verbatim
+    * span" — the shape that catches quoted passages, licence blocks,
+    * and templated spam that document-level similarity misses.
+    *
+    * Shape at scale: every n-token window travels as its 64-bit shingle
+    * hash (the same hashed-shingle primitive as minhash — token strings
+    * never materialize), distinct-per-doc, then a key-equality SELF-join
+    * on the hash — never all-pairs. Windows shared by more than
+    * `maxDocsPerWindow` documents are dropped before the join with the
+    * same partial-agg + broadcast guard as the minhash hot-bucket cap:
+    * such windows are boilerplate (cross-doc line removal territory,
+    * [[Boilerplate]]), and joining them would square a hot key. */
+  def substringOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 50, minWindows: Int = 1,
+      maxDocsPerWindow: Int = DefaultMaxBucket): DataFrame = {
+    require(n >= 2, s"window size must be >= 2 tokens (got $n)")
+    val windows = df.select(col(idCol).as("_id"),
+      explode(array_distinct(GraftFunctions.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), n))).as("_w"))
+    val hot = windows.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") > maxDocsPerWindow)
+      .select(col("_w"))
+    val pruned = windows.join(broadcast(hot), Seq("_w"), "left_anti")
+    pruned.select(col("_id").as("id_a"), col("_w"))
+      .join(pruned.select(col("_id").as("id_b"), col("_w")), Seq("_w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minWindows)
+  }
+
   /** Distributed connected components over an undirected edge list, via
     * alternating Large-Star / Small-Star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14).

@@ -295,4 +295,26 @@ class DedupSpec extends AnyFunSuite {
     // doc 3 repeats "quick brown fox" but it counts ONCE; 2 and 4 clean
     assert(got == Seq((1L, 100L, 2L), (3L, 100L, 1L)))
   }
+
+  test("substringOverlapPairs finds shared token runs, caps hot windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zero alpha beta gamma delta nine"),      // shares 2 4-runs w/ 1
+      (3L, "totally different words here entirely"),
+      (4L, "alpha beta gamma delta epsilon zeta")    // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(docs, "doc_id", "text", n = 4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    // 1~2 share windows (alpha..delta) and (beta..epsilon)? no — doc 2's
+    // runs are zero-alpha-beta-gamma / alpha-beta-gamma-delta /
+    // beta-gamma-delta-nine: only alpha-beta-gamma-delta matches doc 1
+    assert(got == Seq((1L, 2L, 1L), (1L, 4L, 3L), (2L, 4L, 1L)))
+    // hot-window cap: a window in EVERY doc is boilerplate, not overlap
+    val spam = (1L to 30L).map(i => (i, s"shared spam run here unique$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringOverlapPairs(spam, "doc_id", "text",
+      n = 4, maxDocsPerWindow = 10)
+    assert(capped.isEmpty, "cap must drop the 30-doc window")
+  }
 }
