@@ -10,7 +10,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL pixel decode for the COMPRESSED image containers (PNG deflate,
   * JPEG DCT, GIF LZW) via `javax.imageio` — part of every JDK, so no
