@@ -1300,6 +1300,37 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // INT8 vector quantization (the 4x-smaller storage form embeddings
+    // ship at corpus scale): per-vector symmetric scale, codes in
+    // [-127, 127], scan-local expressions. The oracle asserts the two
+    // properties that make quantized storage usable: reconstruction
+    // error provably <= scale/2 per element on EVERY vector, and the
+    // planted known top-10 surviving search over dequantized vectors
+    // (planted cosine gaps >= 0.05 dwarf the <= 0.004 quantization
+    // noise, so recall must be exact).
+    "q_embed_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = firstVector(e)
+      val base = embeddingsWithPlanted(s, e, q)
+      val deq = base
+        .withColumn("_q8", Similarity.quantizeInt8(col("embedding")))
+        .withColumn("_deq", Similarity.dequantizeInt8(col("_q8")))
+      val errOk = deq.select(
+          (aggregate(zip_with(col("embedding"), col("_deq"),
+              (a, b) => abs(a - b)), lit(0.0f), (m, x) => greatest(m, x))
+            <= col("_q8.scale") * 0.5f * 1.000001f).as("ok"))
+        .agg(min(col("ok")).as("error_bound_ok"),
+          count(lit(1)).as("n_vectors"))
+      val planted = Similarity.cosineTopK(
+          deq.select(col("vec_id"), col("_deq").as("embedding")),
+          "vec_id", "embedding", q, 11)
+        .filter(col("vec_id") >= 900001L && col("vec_id") <= 900010L)
+        .agg((count(lit(1)) === 10).as("top10_preserved"))
+      errOk.crossJoin(planted)
+        .select(col("n_vectors"), col("error_bound_ok"),
+          col("top10_preserved"))
+    }),
+
     // Top-k for a set of query vectors via bounded-heap aggregation.
     "q_embed_topk_multi" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -2494,6 +2525,11 @@ object SparkEntry {
     // DuckDB rebuilds the exact gram sets from raw text (the engine
     // compares 64-bit gram hashes; identical unless a hash collision,
     // none in this corpus).
+    "q_embed_quantized" ->
+      """SELECT count(*) + 10 AS n_vectors, TRUE AS error_bound_ok,
+        |       TRUE AS top10_preserved
+        |FROM embeddings""".stripMargin,
+
     "q_substring_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

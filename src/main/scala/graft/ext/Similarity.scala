@@ -32,6 +32,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric INT8 quantization of a float vector — the 4×-smaller
+    * storage form a 100 TB embedding corpus actually ships. Per-vector
+    * scale `s = max|x| / 127`, codes `round(x/s)` in [-127, 127], so
+    * every element's reconstruction error is bounded by `s/2` — the
+    * property [[dequantizeInt8]] consumers rely on and the oracle
+    * asserts. Pure codegen'd column expressions (`aggregate` for the
+    * max-abs, `transform` for the codes): quantization is a scan-local
+    * projection, no UDF, no shuffle. Zero vectors quantize to scale 0 +
+    * all-zero codes (and dequantize back to exact zeros). */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0f),
+      (acc, x) => greatest(acc, abs(x)))
+    struct(
+      // Divide always promotes to double; the stored scale is float —
+      // the 4x-memory story only holds if the sidecar stays narrow
+      (maxAbs / 127.0f).cast("float").as("scale"),
+      // multiply-first (x·127/max, not x/(max/127)): the reciprocal
+      // form lands exact half-way codes at 63.49999…, rounding down
+      // and pushing reconstruction error just past the s/2 bound
+      transform(vec, x =>
+        when(maxAbs === 0.0f, lit(0))
+          .otherwise(round(x * 127.0f / maxAbs).cast("int"))
+          .cast("byte")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `codes · scale` back to float. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("float") * q.getField("scale"))
+
   /** Top-k for every row of a (small) query table. Queries are broadcast;
     * the per-partition heap bounds shuffle volume at k·partitions·queries
     * rows instead of rows·queries. */

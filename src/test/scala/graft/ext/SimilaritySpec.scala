@@ -185,4 +185,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("int8 quantization: codes in range, error <= scale/2, zeros exact") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(100.0f, -100.0f, 50.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (4L, Array(1e-8f, -1e-8f, 0.0f, 0.0f))) // denormal-ish
+    val df = vecs.toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val got = df
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("q")))
+      .select("vec_id", "embedding", "q.scale", "q.codes", "deq")
+      .as[(Long, Seq[Float], Float, Seq[Byte], Seq[Float])]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, orig, scale, codes, deq) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes")
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 * 1.000001f,
+          s"vec $id: |$o - $d| > ${scale / 2}")
+      }
+    }
+    val zero = got.find(_._1 == 3L).get
+    assert(zero._3 == 0.0f && zero._5.forall(_ == 0.0f)) // exact zeros back
+    // max-magnitude element always quantizes to +/-127 (full range used)
+    assert(got.find(_._1 == 2L).get._4.map(_.toInt).max == 127)
+  }
 }
