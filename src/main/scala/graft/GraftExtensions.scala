@@ -36,5 +36,8 @@ object GraftExtensions {
     "rolling_hash" -> (es => RollingHash(es.head, 1000003L, (1L << 61) - 1)),
     "hyperplane_lsh" -> (es => HyperplaneLsh(es.head, 16, 42L)),
     "image_header_meta" -> (es => ImageHeaderMeta(es.head)),
-    "audio_header_meta" -> (es => AudioHeaderMeta(es.head)))
+    "audio_header_meta" -> (es => AudioHeaderMeta(es.head)),
+    "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
+    "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
+    "image_pixel_stats" -> (es => ImagePixelStats(es.head)))
 }
