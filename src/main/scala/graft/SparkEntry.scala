@@ -1220,6 +1220,26 @@ object SparkEntry {
     // a subset of the doc's grams, so every score is a nontrivial ratio
     // DuckDB recomputes from the raw text — the scorer gets a full hash
     // check while the LSH-candidate variant above stays sketch-based.
+    // Extended PII scrub with a Luhn validity gate: plant a known
+    // card number (valid for even doc_ids, Luhn-INVALID for odd), a
+    // phone, and an IP into digit-free corpus text. The scrubbed text
+    // is exactly reconstructible: the valid card becomes <CARD>, the
+    // invalid digit run survives (the precision half of the contract —
+    // order ids and ISBNs must not be eaten), phone and IP always
+    // scrub.
+    "q_pii_extended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val card = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("4242-4242-4242-4242")).otherwise(lit("1234-5678-9012-3456"))
+      val planted = concat(col("text"), lit(" card "), card,
+        lit(" ip 10.1.2.3 call +1 555-123-4567"))
+      val (scrubbed, cards, phones, ips) =
+        TextAnalysis.scrubPiiExtended(planted)
+      docs.select(col("doc_id"), scrubbed.as("scrubbed"),
+          cards.as("n_cards"), phones.as("n_phones"), ips.as("n_ips"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT substring-overlap pairs over the real corpus (Lee et al.
     // verbatim-span dedup at window granularity): every shared 8-token
     // run between any two docs, counted. Windows travel as shingle
@@ -2529,6 +2549,18 @@ object SparkEntry {
       """SELECT count(*) + 10 AS n_vectors, TRUE AS error_bound_ok,
         |       TRUE AS top10_preserved
         |FROM embeddings""".stripMargin,
+
+    "q_pii_extended" ->
+      """SELECT doc_id,
+        |  text || ' card ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '<CARD>'
+        |         ELSE '1234-5678-9012-3456' END ||
+        |    ' ip <IP> call <PHONE>' AS scrubbed,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_cards,
+        |  CAST(1 AS INTEGER) AS n_phones,
+        |  CAST(1 AS INTEGER) AS n_ips
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
 
     "q_substring_pairs" ->
       """WITH d AS (

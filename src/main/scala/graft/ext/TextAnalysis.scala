@@ -96,6 +96,57 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("int"))
   }
 
+  // candidate card runs: 13-19 digits, optional single space/dash
+  // separators, not embedded in a longer digit run
+  private val CardPattern = "(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])"
+  // phones need an explicit separator or +country shape — a bare digit
+  // run must never match (that's the card/ID space)
+  // digit/dash lookarounds: a phone must not be carved out of the
+  // middle of a longer digit run (e.g. a non-Luhn card that survived
+  // the card pass)
+  private val PhonePattern =
+    "(?<![0-9-])(?:\\+[0-9]{1,3}[ -])?(?:\\([0-9]{2,4}\\)[ -]?)?" +
+      "[0-9]{3}-[0-9]{3,4}(?:-[0-9]{3,4})?(?![0-9-])"
+  private val Ipv4Pattern = "(?<![0-9.])(?:[0-9]{1,3}\\.){3}[0-9]{1,3}(?![0-9.])"
+
+  /** Luhn checksum over the digits of `s` — the validity gate that
+    * separates a real card number from an arbitrary digit run, as pure
+    * column expressions (reverse → positional double → digital-root →
+    * sum mod 10). Scrubbing every 16-digit run would eat order ids and
+    * ISBNs; scrubbing only Luhn-valid runs is the standard precision
+    * fix. */
+  def luhnValid(s: Column): Column = {
+    val digs = reverse(filter(split(s, ""), c => c.rlike("^[0-9]$")))
+    val contrib = zip_with(digs, sequence(lit(0), size(digs) - 1),
+      (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      })
+    size(digs) >= 13 && size(digs) <= 19 &&
+      aggregate(contrib, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** Extended PII scrub beyond [[scrubPii]]'s URLs/emails: Luhn-valid
+    * card numbers → `<CARD>` (invalid digit runs stay — see
+    * [[luhnValid]]), separator-shaped phone numbers → `<PHONE>`, IPv4
+    * addresses → `<IP>`. Returns (scrubbed, cards, phones, ips). All
+    * pure column expressions; the card pass extracts candidates and
+    * folds a literal `replace` over the Luhn-valid ones, since a regex
+    * replace cannot consult a checksum. */
+  def scrubPiiExtended(text: Column): (Column, Column, Column, Column) = {
+    val candidates = regexp_extract_all(text, lit(CardPattern), lit(0))
+    val validCards = filter(candidates, c => luhnValid(c))
+    val noCards = aggregate(validCards, text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    val noPhones = regexp_replace(noCards, PhonePattern, "<PHONE>")
+    val scrubbed = regexp_replace(noPhones, Ipv4Pattern, "<IP>")
+    (scrubbed,
+      size(validCards).cast("int"),
+      size(regexp_extract_all(noCards, lit(PhonePattern), lit(0))).cast("int"),
+      size(regexp_extract_all(noPhones, lit(Ipv4Pattern), lit(0))).cast("int"))
+  }
+
   /** Full stats frame for a documents table. */
   /** Fixed-window token CHUNKING with overlap — the context-length
     * preprocessing step every training/RAG pipeline runs before a

@@ -93,4 +93,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     val cols = stats.columns.toSet
     assert(Set("n_tokens", "quality", "pred_lang", "fingerprint").subsetOf(cols))
   }
+
+  test("luhnValid separates real card numbers from arbitrary digit runs") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("4242424242424242", true),   // the classic valid test card
+      ("4242-4242-4242-4242", true), // separators ignored
+      ("1234567890123456", false),  // fails the checksum
+      ("4242424242424241", false),  // one digit off
+      ("42424242", false),          // too short even if checksum passed
+      ("378282246310005", true))    // 15-digit Amex shape
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), TextAnalysis.luhnValid(col("s")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s) }
+  }
+
+  test("scrubPiiExtended: valid cards scrub, invalid runs survive") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "pay 4242-4242-4242-4242 or call +1 555-123-4567 at 10.0.0.1"),
+      (2L, "order 1234567890123456 shipped"), // Luhn-invalid: keep
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val (scrubbed, cards, phones, ips) =
+      TextAnalysis.scrubPiiExtended(col("text"))
+    val got = df.select(col("doc_id"), scrubbed, cards, phones, ips)
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 == "pay <CARD> or call <PHONE> at <IP>")
+    assert((got(0)._3, got(0)._4, got(0)._5) == (1, 1, 1))
+    assert(got(1)._2 == "order 1234567890123456 shipped") // untouched
+    assert((got(1)._3, got(1)._4, got(1)._5) == (0, 0, 0))
+    assert(got(2)._2 == "no pii here at all")
+  }
 }
