@@ -94,11 +94,19 @@ object Bench {
           System.err.println(s"[bench] q_stream_dedup split FAILED: ${e.getMessage}")
           (-1.0, -1.0)
         }
+      val (sjFixSec, sjDrainSec) =
+        try SparkEntry.streamJoinSplit(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] q_stream_join split FAILED: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
       main :+ build :+ probe :+
         ("q_stream_table_fixture", fixSec, fixSec >= 0) :+
         ("q_stream_table_drain", drainSec, drainSec >= 0) :+
         ("q_stream_dedup_fixture", sdFixSec, sdFixSec >= 0) :+
-        ("q_stream_dedup_drain", sdDrainSec, sdDrainSec >= 0)
+        ("q_stream_dedup_drain", sdDrainSec, sdDrainSec >= 0) :+
+        ("q_stream_join_fixture", sjFixSec, sjFixSec >= 0) :+
+        ("q_stream_join_drain", sjDrainSec, sjDrainSec >= 0)
     }
     val results = runAll()
     val results2 = runAll()

@@ -92,6 +92,34 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     },
 
+    // fixture = base builds + MV create + compaction + delta append;
+    // query = the INCREMENTAL REFRESH (delta scan + view-sized merge —
+    // the cost that must stay ∝ delta, not base) + the rendered read.
+    "q_mv_refresh" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mvb", orders.schema)
+      cat.append("orders_mvb", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      eng.sql("CREATE MATERIALIZED VIEW orders_mv AS " +
+        "SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total, " +
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
+        "avg(o_totalprice) AS mean " +
+        "FROM orders_mvb GROUP BY o_orderstatus")
+      eng.sql("OPTIMIZE orders_mvb")
+      cat.append("orders_mvb", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      (cat, eng)
+    } { case (cat, eng) =>
+      val status = eng.sql("REFRESH MATERIALIZED VIEW orders_mv").head()
+      require(status.getString(0).startsWith("incremental"),
+        s"expected an incremental refresh, got ${status.getString(0)}")
+      graft.store.MaterializedView.read(cat.store(), "orders_mv")
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("total"), 2).as("total"), col("lo"), col("hi"),
+          round(col("mean"), 2).as("mean"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -733,6 +761,41 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.10 stream-stream watermarked INNER join, oracle-gated: click →
+    // purchase attribution within a 1-hour window, per user. Two
+    // independent graft-table source streams join on user with the
+    // MANDATORY event-time range bound — the shape whose state stays
+    // O(lag window) on an unbounded stream (joinStreams rejects
+    // unbounded forms by construction). The watermark delay spans the
+    // fixture's whole time range, so no on-time row is dropped and the
+    // streamed join must equal the static join the oracle computes.
+    "q_stream_join" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val events = t(s, dir, "events")
+      cat.createTable("events_sj", events.schema)
+      cat.append("events_sj", events, 1000L)
+      def side(tpe: String, p: String): DataFrame =
+        s.readStream.format("graft-table")
+          .option("warehouse", cat.warehouse.toString)
+          .option("table", "events_sj").load()
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(p + "_user"),
+            col("ts").cast("timestamp").as(p + "_ts"),
+            col("value").as(p + "_value"))
+      val joined = graft.streaming.EventStreams.joinStreams(
+        side("click", "c"), side("purchase", "p"),
+        "c_user", "p_user", "c_ts", "p_ts",
+        lag = "1 hour", watermarkDelay = "720 hours")
+      val sink = "stream_join_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_user")).as("n_users"),
+        round(sum(col("p_value")), 2).as("purchase_total"))
+    }),
+
     // §2.10 streaming EXACT dedup, oracle-gated end-to-end: the second
     // micro-batch re-delivers every even-keyed order (duplicate rows
     // ACROSS batches), and `dedupStream`'s watermarked state must drop
@@ -1044,6 +1107,53 @@ object SparkEntry {
       eng.sql("DESCRIBE HISTORY nation_maint")
         .select(col("snapshot_id"), col("operation"), col("record_count"))
         .orderBy(col("snapshot_id"))
+    }),
+
+    // Incrementally-maintained materialized view (the CDW feature the
+    // reference leans on Impala/Iceberg for — pre-aggregated dashboard
+    // answers): create over half the base, compact the base (row-
+    // preserving replace MUST NOT force a rebuild), append the rest,
+    // REFRESH. The refresh scans ONLY the appended files (metadata
+    // file-set diff — a 100 TB base is never re-read; the incremental
+    // path is plan-asserted in MaterializedViewSpec) and merges two
+    // view-sized partial-aggregate frames. The oracle recomputes the
+    // same aggregate from scratch over the full base — the refreshed
+    // state must be indistinguishable from a cold rebuild.
+    "q_mv_refresh" -> benchSplits("q_mv_refresh").composed,
+
+    // Impala's stats surface (COMPUTE STATS / SHOW TABLE STATS): the
+    // row count comes from the snapshot log (zero data I/O) and the
+    // stats pass stamps the snapshot it covered — 'current' proves the
+    // staleness tracking sees the commit. SHOW COLUMN STATS' NDV path
+    // is oracle-gated separately in q_column_stats.
+    "q_table_stats" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_st", orders.schema)
+      cat.append("orders_st", orders, 1000L)
+      eng.sql("COMPUTE STATS orders_st")
+      eng.sql("SHOW TABLE STATS orders_st")
+        .select(col("row_count"), col("stats"))
+    }),
+
+    // Column stats in the EXACT verification mode (the HLL default is
+    // spec-asserted within tolerance in TableStatsSpec): per-column
+    // NDV + null counts from one aggregation pass must equal the
+    // oracle's own COUNT(DISTINCT …) ground truth.
+    "q_column_stats" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_cs", orders.schema)
+      cat.append("orders_cs", orders, 1000L)
+      val stats = graft.store.TableStats.compute(cat.store(), "orders_cs",
+        cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority"),
+        exactNdv = true)
+      import s.implicits._
+      stats.cols.map(c => (c.column, c.ndv, c.nullCount))
+        .toDF("col_name", "ndv", "null_count")
+        .orderBy(col("col_name"))
     }),
 
     // Warehouse-ETL surface: CTAS + INSERT INTO … SELECT + TRUNCATE — the
@@ -2015,8 +2125,44 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // the watermarked stream-stream join must equal the static
+    // time-range join
+    "q_stream_join" ->
+      """SELECT count(*) AS n_pairs, count(DISTINCT c.user_id) AS n_users,
+        |       round(sum(p.value), 2) AS purchase_total
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
     "q_tt_latest" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_table_stats" ->
+      "SELECT count(*) AS row_count, 'current' AS stats FROM orders",
+
+    "q_column_stats" ->
+      """SELECT 'o_orderkey' AS col_name, count(DISTINCT o_orderkey) AS ndv,
+        |       count(*) - count(o_orderkey) AS null_count FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(DISTINCT o_custkey),
+        |       count(*) - count(o_custkey) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus),
+        |       count(*) - count(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(DISTINCT o_orderpriority),
+        |       count(*) - count(o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    // the incrementally-refreshed view state must equal a from-scratch
+    // aggregate over the full base
+    "q_mv_refresh" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |       round(avg(o_totalprice), 2) AS mean
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_tt_history" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
@@ -2779,6 +2925,43 @@ object SparkEntry {
       cat.append("orders_stream_b", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
       drained(q.processAllAvailable())
     } finally q.stop()
+    s.table(sink).count()
+    val totalNs = System.nanoTime() - t0
+    ((totalNs - drainNs) / 1e9, drainNs / 1e9)
+  }
+
+  /** q_stream_join's fixture/drain seam, same accounting as
+    * [[streamTableSplit]]: drain = `processAllAvailable` over the
+    * watermarked stream-stream join (two-sided state buffering + the
+    * range-bounded matching — the engine work), fixture = table build +
+    * stream lifecycle. */
+  def streamJoinSplit(s: SparkSession, dir: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var drainNs = 0L
+    def drained(body: => Unit): Unit = {
+      val d0 = System.nanoTime(); body; drainNs += System.nanoTime() - d0
+    }
+    val cat = tempCatalog(s)
+    val events = t(s, dir, "events")
+    cat.createTable("events_sjb", events.schema)
+    cat.append("events_sjb", events, 1000L)
+    def side(tpe: String, p: String): DataFrame =
+      s.readStream.format("graft-table")
+        .option("warehouse", cat.warehouse.toString)
+        .option("table", "events_sjb").load()
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(p + "_user"),
+          col("ts").cast("timestamp").as(p + "_ts"),
+          col("value").as(p + "_value"))
+    val sink = "stream_join_b_" +
+      java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val q = graft.streaming.EventStreams.joinStreams(
+      side("click", "c"), side("purchase", "p"),
+      "c_user", "p_user", "c_ts", "p_ts",
+      lag = "1 hour", watermarkDelay = "720 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try drained(q.processAllAvailable()) finally q.stop()
     s.table(sink).count()
     val totalNs = System.nanoTime() - t0
     ((totalNs - drainNs) / 1e9, drainNs / 1e9)

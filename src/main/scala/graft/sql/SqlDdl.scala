@@ -57,6 +57,20 @@ object SqlDdl {
       "\\s*(?:STORED\\s+AS\\s+\\w+\\s*)?AS\\s+((?:SELECT|WITH)\\b.+)$").r
   private val Truncate =
     "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  // Incrementally-maintained materialized aggregate views
+  // ([[graft.store.MaterializedView]]): the stored SELECT is restricted
+  // to the mergeable shape `SELECT group-cols + count/sum/min/max/avg
+  // aliases FROM base GROUP BY group-cols` — exactly the dashboard
+  // aggregates the reference's LLM emits (`README.md:74-85`). REFRESH
+  // returns a one-row status frame (action taken + covered snapshot).
+  private val CreateMv =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+`?([A-Za-z_]\\w*)`?" +
+      "\\s+GROUP\\s+BY\\s+(.+?)\\s*$").r
+  private val RefreshMv =
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  private val DropMv =
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Describe =
     "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // Iceberg's snapshot-history inspection (`DESCRIBE HISTORY t` in
@@ -64,6 +78,22 @@ object SqlDdl {
   // `README.md:94-98`)
   private val DescribeHistory =
     "(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  // Impala's stats surface (`COMPUTE STATS t [(cols)]`, `SHOW TABLE
+  // STATS t`, `SHOW COLUMN STATS t`) plus the Spark spelling
+  // (`ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]`) — both
+  // route to [[graft.store.TableStats]].
+  private val ComputeStats =
+    ("(?is)^\\s*COMPUTE\\s+STATS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s*(?:\\(([^)]*)\\))?\\s*$").r
+  private val AnalyzeTable =
+    ("(?is)^\\s*ANALYZE\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s+COMPUTE\\s+STATISTICS" +
+      "(?:\\s+FOR\\s+(?:ALL\\s+COLUMNS|COLUMNS\\s+(.+?)))?\\s*$").r
+  private val ShowTableStats =
+    "(?is)^\\s*SHOW\\s+TABLE\\s+STATS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  private val ShowColumnStats =
+    "(?is)^\\s*SHOW\\s+COLUMN\\s+STATS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
   private val ShowDatabases =
     "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
@@ -156,6 +186,43 @@ object SqlDdl {
     * stay on the session catalog. The write surface is therefore keyed
     * by (database, table) like the read paths — `INSERT INTO db.t`
     * needs no `USE`. */
+  /** COMPUTE STATS / ANALYZE TABLE: one distributed stats pass (HLL
+    * NDV — Impala's own sketch; exact NDV is the programmatic
+    * verification mode on [[graft.store.TableStats.compute]]). */
+  private def computeStats(cat: GraftCatalog, t: String,
+      colsDef: Option[String]): Option[DataFrame] = {
+    val cols = colsDef.toSeq.flatMap(_.split(",").toSeq)
+      .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+    graft.store.TableStats.compute(cat.store(), t, cols)
+    Some(empty(cat))
+  }
+
+  // one SELECT item of the restricted MV grammar: an aggregate call
+  // with a mandatory alias, or a bare group column
+  private val MvAggItem =
+    "(?is)^\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+  private val MvBareItem = "(?is)^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
+
+  private def parseMvAggs(items: String,
+      groupCols: Seq[String]): Seq[graft.store.MaterializedView.AggSpec] = {
+    val specs = SqlText.splitTopLevel(items).flatMap {
+      case MvAggItem(f, arg, alias) =>
+        val in = arg.trim.stripPrefix("`").stripSuffix("`")
+        Some(graft.store.MaterializedView.AggSpec(f.toLowerCase,
+          if (in == "*") None else Some(in), alias))
+      case MvBareItem(c) =>
+        require(groupCols.exists(_.equalsIgnoreCase(c)),
+          s"non-aggregate SELECT column '$c' must appear in GROUP BY")
+        None
+      case other => throw new IllegalArgumentException(
+        s"materialized views support count/sum/min/max/avg with an AS " +
+          s"alias, or group columns — cannot maintain '${other.trim}' " +
+          "incrementally")
+    }
+    require(specs.nonEmpty, "materialized view needs at least one aggregate")
+    specs
+  }
+
   private[sql] def resolved(catalog: GraftCatalog,
       name: String): (GraftCatalog, String) =
     name.split("\\.").toSeq
@@ -219,6 +286,41 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.truncate(t)
       Some(empty(catalog))
+    case CreateMv(qn, items, base, groupBy) =>
+      val (cat, t) = resolved(catalog, qn)
+      val groupCols = groupBy.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      groupCols.foreach(c => require(c.matches("[A-Za-z_]\\w*"),
+        s"GROUP BY must list column names, got '$c'"))
+      val d = graft.store.MaterializedView.MvDef(base.trim, groupCols,
+        parseMvAggs(items, groupCols))
+      val rendered = graft.store.MaterializedView.create(cat.store(), t, d)
+      if (cat == catalog) rendered.createOrReplaceTempView(t)
+      Some(empty(catalog))
+    case RefreshMv(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      val action = graft.store.MaterializedView.refresh(cat.store(), t)
+      if (cat == catalog)
+        graft.store.MaterializedView.read(cat.store(), t)
+          .createOrReplaceTempView(t)
+      import catalog.spark.implicits._
+      val (what, id) = action match {
+        case graft.store.MaterializedView.UpToDate =>
+          ("up-to-date", graft.store.MaterializedView.watermark(cat.store(), t))
+        case graft.store.MaterializedView.Incremental(n, toId) =>
+          (s"incremental ($n delta files)", toId)
+        case graft.store.MaterializedView.FullRebuild(why, toId) =>
+          (s"full ($why)", toId)
+      }
+      Some(Seq((what, id)).toDF("refresh_action", "base_snapshot_id"))
+    case DropMv(ifExists, qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      if (cat.store().exists(t)) {
+        require(graft.store.MaterializedView.isMaterializedView(cat.store(), t),
+          s"$t is a table, not a materialized view — use DROP TABLE")
+        cat.dropTable(t)
+      } else require(ifExists != null, s"materialized view not found: $t")
+      Some(empty(catalog))
     case DescribeHistory(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
@@ -264,6 +366,40 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.widenColumn(t, c, parseType(tpe))
       Some(empty(catalog))
+    case ComputeStats(qn, colsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      computeStats(cat, t, Option(colsDef))
+    case AnalyzeTable(qn, colsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      computeStats(cat, t, Option(colsDef))
+    case ShowTableStats(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      val st = cat.store()
+      val files = st.filesMetadata(t)
+      val rows = st.recordCountAsOf(t, None).getOrElse(0L)
+      val staleness = graft.store.TableStats.readStats(st, t) match {
+        case None => "never computed"
+        case Some(s) if graft.store.TableStats.isStale(st, t, s) => "stale"
+        case Some(_) => "current"
+      }
+      Some(Seq((rows, files.size.toLong, files.map(_._4).sum, staleness))
+        .toDF("row_count", "file_count", "size_bytes", "stats"))
+    case ShowColumnStats(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      val s = graft.store.TableStats.readStats(cat.store(), t).getOrElse(
+        throw new IllegalArgumentException(
+          s"no stats for $t — run COMPUTE STATS $t first"))
+      Some(s.cols.map(c => (c.column, c.dataType, c.ndv, c.nullCount,
+          c.min.orNull, c.max.orNull,
+          c.avgLen.map(l => math.round(l * 100) / 100.0).getOrElse(-1.0)))
+        .toDF("column", "data_type", "ndv", "null_count",
+          "min_value", "max_value", "avg_len"))
     case ShowTables() =>
       import catalog.spark.implicits._
       Some(catalog.listTables().toDF("tab_name"))

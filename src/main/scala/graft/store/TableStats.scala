@@ -1,0 +1,142 @@
+package graft.store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Impala-style table/column statistics (`COMPUTE STATS` /
+  * `SHOW TABLE STATS` / `SHOW COLUMN STATS`) — the stats surface the
+  * reference's engine runs on (Impala plans every query the reference's
+  * LLM emits from exactly these numbers; `README.md:10-14` names the
+  * CDW/Impala stack).
+  *
+  * Scale posture: table-level stats (row count, file count, bytes) come
+  * straight from the snapshot log — zero data I/O. Column stats are ONE
+  * distributed aggregation pass over the table producing a
+  * columns-count-sized result: NDV is HyperLogLog++
+  * (`approx_count_distinct`, the same sketch Impala's own NDV uses) so
+  * the pass is a single map-side-combining aggregate with no
+  * per-column shuffle; `exactNdv = true` switches to exact
+  * `count(DISTINCT …)` for small tables and verification (the oracle
+  * path — one expand + shuffle, documented as the non-default). Null
+  * counts, min/max, and avg length ride the same pass. Results persist
+  * in `stats.json` beside the table's other metadata, stamped with the
+  * snapshot id they were computed at, so SHOW can mark staleness
+  * without recomputing.
+  */
+object TableStats {
+
+  final case class ColStat(column: String, dataType: String, ndv: Long,
+      nullCount: Long, min: Option[String], max: Option[String],
+      avgLen: Option[Double])
+
+  final case class Stats(snapshotId: Long, rowCount: Long,
+      cols: Seq[ColStat])
+
+  /** Columns a stats pass covers: atomic types only (nested/array/map
+    * values are not orderable point-lookup shapes — same rule as the
+    * bloom index). */
+  private def statableCols(schema: StructType,
+      requested: Seq[String]): Seq[StructField] = {
+    val all = schema.fields.filter(f =>
+      org.apache.spark.sql.GraftSqlShim.isAtomic(f.dataType)).toSeq
+    if (requested.isEmpty) all
+    else requested.map { c =>
+      all.find(_.name.equalsIgnoreCase(c)).getOrElse(throw
+        new IllegalArgumentException(s"cannot compute stats for '$c': " +
+          "not an atomic column of the table"))
+    }
+  }
+
+  /** Run the stats pass and persist the result. `cols` empty = every
+    * atomic column. */
+  def compute(store: TableStore, table: String,
+      cols: Seq[String] = Seq.empty, exactNdv: Boolean = false): Stats = {
+    val schema = store.schema(table)
+    val fields = statableCols(schema, cols)
+    val snapId = store.currentSnapshotId(table).getOrElse(0L)
+    val df = store.read(table)
+
+    // one flat aggregate row: [rowCount, (ndv, nulls, min, max, avgLen)*]
+    val aggs = count(lit(1)).as("_rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val ndv =
+        if (exactNdv) countDistinct(c)
+        else approx_count_distinct(c)
+      Seq(
+        ndv.as(s"ndv_${f.name}"),
+        count(lit(1)).minus(count(c)).as(s"nulls_${f.name}"),
+        min(c).cast("string").as(s"min_${f.name}"),
+        max(c).cast("string").as(s"max_${f.name}"),
+        (f.dataType match {
+          case StringType => avg(length(c)).cast("double")
+          case BinaryType => avg(length(c)).cast("double")
+          case _ => lit(null).cast("double")
+        }).as(s"len_${f.name}"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+    val colStats = fields.zipWithIndex.map { case (f, fi) =>
+      val base = 1 + fi * 5
+      ColStat(f.name, f.dataType.sql.toLowerCase,
+        row.getLong(base),
+        row.getLong(base + 1),
+        opt(base + 2), opt(base + 3),
+        if (row.isNullAt(base + 4)) None else Some(row.getDouble(base + 4)))
+    }
+    val stats = Stats(snapId, row.getLong(0), colStats)
+    write(store, table, stats)
+    stats
+  }
+
+  /** Stored stats, if COMPUTE STATS ever ran. `stale` when the table has
+    * committed past the stats' snapshot. */
+  def readStats(store: TableStore, table: String): Option[Stats] = {
+    val p = path(store, table)
+    if (!store.metaFs.exists(p)) None
+    else {
+      val in = store.metaFs.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      import scala.jdk.CollectionConverters._
+      Some(Stats(
+        node.get("snapshotId").asLong(),
+        node.get("rowCount").asLong(),
+        node.get("cols").elements().asScala.map { c =>
+          def field(n: String): Option[String] =
+            Option(c.get(n)).filterNot(_.isNull).map(_.asText())
+          ColStat(c.get("column").asText(), c.get("dataType").asText(),
+            c.get("ndv").asLong(), c.get("nullCount").asLong(),
+            field("min"), field("max"),
+            Option(c.get("avgLen")).filterNot(_.isNull).map(_.asDouble()))
+        }.toSeq))
+    }
+  }
+
+  def isStale(store: TableStore, table: String, s: Stats): Boolean =
+    store.currentSnapshotId(table).getOrElse(0L) != s.snapshotId
+
+  private def path(store: TableStore, table: String): HPath =
+    new HPath(store.tableDir(table), "stats.json")
+
+  private def write(store: TableStore, table: String, s: Stats): Unit = {
+    def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val cols = s.cols.map { c =>
+      s"""{"column":${q(c.column)},"dataType":${q(c.dataType)},""" +
+        s""""ndv":${c.ndv},"nullCount":${c.nullCount},""" +
+        s""""min":${c.min.map(q).getOrElse("null")},""" +
+        s""""max":${c.max.map(q).getOrElse("null")},""" +
+        s""""avgLen":${c.avgLen.map(_.toString).getOrElse("null")}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"snapshotId":${s.snapshotId},"rowCount":${s.rowCount},"cols":$cols}"""
+    val out = store.metaFs.create(path(store, table), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

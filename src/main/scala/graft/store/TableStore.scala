@@ -40,6 +40,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private val fs: FileSystem =
     root.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Filesystem handle for sibling metadata writers (materialized-view
+    * definitions live beside the table's own schema/partition json). */
+  private[store] def metaFs: FileSystem = fs
+
   def tableDir(table: String): HPath = new HPath(root, table)
   private def dataDir(table: String): HPath = new HPath(tableDir(table), "data")
   private def absPath(table: String, rel: String): HPath =
@@ -985,6 +989,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def readIncremental(table: String, fromId: Long,
       toId: Option[Long] = None): DataFrame = {
     val (added, to) = incrementalFiles(table, fromId, toId)
+    readFileListAs(table, added, schemaAt(table, to))
+  }
+
+  /** [[readIncremental]] via [[incrementalAppendFiles]]: tolerates
+    * row-preserving rewrite snapshots (compaction/sort/z-order) inside
+    * the range by delivering appended rows from their ORIGINAL files and
+    * never re-delivering rewritten ones. The caller is responsible for
+    * knowing the range's non-append snapshots preserve rows — a delete/
+    * update in range silently stays in the feed's already-delivered
+    * past (the documented append-feed contract). */
+  def readIncrementalAppends(table: String, fromId: Long,
+      toId: Option[Long] = None): DataFrame = {
+    val (added, to) = incrementalAppendFiles(table, fromId, toId)
     readFileListAs(table, added, schemaAt(table, to))
   }
 

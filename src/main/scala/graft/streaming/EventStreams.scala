@@ -62,6 +62,38 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_content_hash")
       .drop("_content_hash")
 
+  /** Watermarked stream-stream INNER join — the streaming twin of the
+    * batch key-equality join tier (`q_count_join_in` family): each side
+    * buffers its rows in the state store, and the mandatory event-time
+    * range (`rightTs` within `[leftTs, leftTs + lag]`) plus the two
+    * watermarks give Spark the eviction bound — a left row can stop
+    * waiting once the right watermark passes `leftTs + lag`, so state is
+    * O(rows inside the lag window), not O(stream). Without the range
+    * condition a stream-stream join must keep EVERY row forever; this
+    * operator makes the bounded shape the only expressible one.
+    *
+    * Both inputs must carry distinct column names (pre-rename on the
+    * caller side, the price of a clean joined schema); the join output
+    * works in append mode, so downstream windowed aggregation and the
+    * snapshot sink compose.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lag: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"rename the shared columns before joining: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $lag"),
+      "inner")
+  }
+
   /** Stateful sessionization via mapGroupsWithState — the streaming twin
     * of `q_sessionize` (30-minute inactivity gap): per-user state is
     * (session count, event count, last event time), updated per

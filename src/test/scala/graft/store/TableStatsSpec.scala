@@ -1,0 +1,104 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.store.{TableStats => TS}
+
+/** Impala-style COMPUTE STATS / SHOW STATS: one aggregation pass, HLL
+  * NDV by default (exact mode for verification), log-metadata table
+  * stats, persisted + staleness-stamped.
+  */
+class TableStatsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def fixture(): (graft.catalog.GraftCatalog, graft.sql.Engine) = {
+    val cat = new graft.catalog.GraftCatalog(
+      Files.createTempDirectory("graft-stats"), spark)
+    cat.createDatabase("default")
+    (cat, new graft.sql.Engine(cat))
+  }
+
+  private def people(n: Int) = (0 until n)
+    .map(i => (i, s"name$i", if (i % 4 == 0) null else s"c${i % 10}",
+      i * 1.5))
+    .toDF("id", "name", "city", "score")
+
+  test("exact stats: ndv, null counts, min/max, avg length, row count") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("p", people(1).schema)
+    cat.append("p", people(100), 1000L)
+    val s = TS.compute(st, "p", exactNdv = true)
+    assert(s.rowCount == 100L)
+    assert(s.snapshotId == st.currentSnapshotId("p").get)
+    val byCol = s.cols.map(c => c.column -> c).toMap
+    assert(byCol("id").ndv == 100 && byCol("id").nullCount == 0)
+    assert(byCol("id").min.contains("0") && byCol("id").max.contains("99"))
+    assert(byCol("city").ndv == 10 && byCol("city").nullCount == 25)
+    assert(byCol("name").avgLen.exists(l => l > 5 && l < 7))
+    assert(byCol("score").avgLen.isEmpty)
+
+    // persisted + fresh
+    val back = TS.readStats(st, "p").get
+    assert(back == s)
+    assert(!TS.isStale(st, "p", back))
+    // a new commit marks them stale
+    cat.append("p", people(10), 2000L)
+    assert(TS.isStale(st, "p", back))
+  }
+
+  test("approx NDV stays within 5% of exact at 10k distinct keys") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    val df = (0 until 10000).map(i => (i, i % 97)).toDF("k", "m")
+    cat.createTable("big", df.schema)
+    cat.append("big", df, 1000L)
+    val approx = TS.compute(st, "big").cols.map(c => c.column -> c.ndv).toMap
+    assert(math.abs(approx("k") - 10000L) <= 500)
+    assert(math.abs(approx("m") - 97L) <= 5)
+  }
+
+  test("column subset; unknown or non-atomic columns rejected") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("p", people(1).schema)
+    cat.append("p", people(20), 1000L)
+    val s = TS.compute(st, "p", cols = Seq("id", "city"), exactNdv = true)
+    assert(s.cols.map(_.column) == Seq("id", "city"))
+    intercept[IllegalArgumentException](TS.compute(st, "p", Seq("nope")))
+  }
+
+  test("SQL surface: COMPUTE STATS / ANALYZE TABLE / SHOW TABLE STATS / " +
+      "SHOW COLUMN STATS") {
+    val (cat, eng) = fixture()
+    cat.createTable("p", people(1).schema)
+    cat.append("p", people(50), 1000L)
+
+    // before compute: SHOW TABLE STATS works (log metadata), columns error
+    val pre = eng.sql("SHOW TABLE STATS p").head()
+    assert(pre.getLong(0) == 50L && pre.getString(3) == "never computed")
+    intercept[IllegalArgumentException](eng.sql("SHOW COLUMN STATS p"))
+
+    eng.sql("COMPUTE STATS p")
+    val post = eng.sql("SHOW TABLE STATS p").head()
+    assert(post.getString(3) == "current")
+    val cols = eng.sql("SHOW COLUMN STATS p").collect()
+    assert(cols.map(_.getString(0)).toSeq ==
+      Seq("id", "name", "city", "score"))
+    val city = cols.find(_.getString(0) == "city").get
+    assert(city.getLong(3) == 13L) // nulls: i%4==0 for i in 0..49
+    // stats go stale after another append, and Impala's column-scoped
+    // form recomputes just those columns
+    cat.append("p", people(50), 2000L)
+    assert(eng.sql("SHOW TABLE STATS p").head().getString(3) == "stale")
+    eng.sql("ANALYZE TABLE p COMPUTE STATISTICS FOR COLUMNS id, score")
+    val cols2 = eng.sql("SHOW COLUMN STATS p").collect()
+    assert(cols2.map(_.getString(0)).toSeq == Seq("id", "score"))
+    assert(eng.sql("SHOW TABLE STATS p").head().getString(3) == "current")
+  }
+}

@@ -54,6 +54,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("joinStreams: watermarked time-range join matches the static join; " +
+      "shared columns rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val cdf = clicks.toDF.toDF("c_user", "c_ts", "c_value")
+    val bdf = buys.toDF.toDF("p_user", "p_ts", "p_value")
+    val query = EventStreams
+      .joinStreams(cdf, bdf, "c_user", "p_user", "c_ts", "p_ts",
+        lag = "30 minutes", watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0)))
+      buys.addData(Seq(
+        (1L, ts("2024-01-01 10:20:00"), 10.0), // in range → pair
+        (1L, ts("2024-01-01 11:20:00"), 20.0), // beyond lag → no pair
+        (2L, ts("2024-01-01 09:50:00"), 30.0), // before the click → no pair
+        (3L, ts("2024-01-01 10:10:00"), 40.0))) // no matching click
+      query.processAllAvailable()
+      // a second micro-batch joins against buffered left-side state
+      buys.addData(Seq((2L, ts("2024-01-01 10:29:00"), 50.0)))
+      query.processAllAvailable()
+      val got = spark.table("join_out")
+        .select("c_user", "p_value").orderBy("c_user")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((1L, 10.0), (2L, 50.0)))
+    } finally query.stop()
+    // same column names on both sides would make the joined schema
+    // ambiguous — rejected up front
+    val bad = intercept[IllegalArgumentException](
+      EventStreams.joinStreams(cdf, cdf, "c_user", "c_user",
+        "c_ts", "c_ts"))
+    assert(bad.getMessage.contains("rename"))
+  }
+
   test("stateful sessionization counts inactivity gaps across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
