@@ -1121,6 +1121,34 @@ object SparkEntry {
     // state must be indistinguishable from a cold rebuild.
     "q_mv_refresh" -> benchSplits("q_mv_refresh").composed,
 
+    // Aggregate navigation (warehouse query rewrite): the engine answers
+    // a plain GROUP BY SELECT from a FRESH materialized view — rolling
+    // the view's (o_orderstatus, o_orderpriority) state up to
+    // o_orderstatus — instead of scanning the base. The `require`
+    // asserts the answer's input files live under the VIEW's directory
+    // (the 100 TB claim: the base is never read), and the oracle
+    // recomputes the same aggregate from the raw table — rewrite output
+    // must be indistinguishable from the scan.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_nav", orders.schema)
+      cat.append("orders_nav", orders, 1000L)
+      eng.sql("CREATE MATERIALIZED VIEW orders_nav_mv AS " +
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+        "sum(o_totalprice) AS total, avg(o_totalprice) AS mean " +
+        "FROM orders_nav GROUP BY o_orderstatus, o_orderpriority")
+      val answered = eng.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+        "sum(o_totalprice) AS total, avg(o_totalprice) AS mean " +
+        "FROM orders_nav GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      require(answered.inputFiles.nonEmpty &&
+        answered.inputFiles.forall(_.contains("/orders_nav_mv/")),
+        "expected the materialized view to answer the roll-up")
+      answered.select(col("o_orderstatus"), col("cnt"),
+        round(col("total"), 2).as("total"), round(col("mean"), 2).as("mean"))
+    }),
+
     // Impala's stats surface (COMPUTE STATS / SHOW TABLE STATS): the
     // row count comes from the snapshot log (zero data I/O) and the
     // stats pass stamps the snapshot it covered — 'current' proves the
@@ -2140,6 +2168,13 @@ object SparkEntry {
 
     "q_table_stats" ->
       "SELECT count(*) AS row_count, 'current' AS stats FROM orders",
+
+    // the view-answered roll-up must equal the scan's aggregate
+    "q_mv_rewrite" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       round(avg(o_totalprice), 2) AS mean
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_column_stats" ->
       """SELECT 'o_orderkey' AS col_name, count(DISTINCT o_orderkey) AS ndv,

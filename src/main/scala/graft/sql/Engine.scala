@@ -46,8 +46,12 @@ final class Engine(catalog: GraftCatalog) {
               (db, t, _) => catalog.store(db).readVersion(t,
                 catalog.store(db).resolveTag(t, tg))))
         case _                 =>
+          // metadata-answered first (O(1)), then aggregate navigation
+          // over a FRESH materialized view (O(view)), then the scan —
+          // each tier falls through when its soundness gates fail
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaAsOf(t, None))
+            .orElse(MvRewrite.tryRewrite(catalog, stmt))
             .getOrElse(prunedQuery(stmt))
       }
     }
