@@ -15,10 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same main would emit sf1000 on a real cluster.
   *
   * Usage: `runMain graft.GenData <outDir> [multiplier-vs-sf0.1]`.
-  * `events` is deliberately absent: the driver writes it as
-  * TIMESTAMP(NANOS) parquet, which Spark cannot produce (reads need the
-  * `nanosAsLong` legacy flag — see SparkEntry.events), and no heavy
-  * query reads it.
+  * `events` is generated as native TIMESTAMP_MICROS (the driver's copy
+  * is TIMESTAMP(NANOS), which Spark cannot produce — the
+  * `SparkEntry.events` reader normalizes both forms), so the streaming
+  * operators spot-bench at sf1 too.
   */
 object GenData {
   def main(args: Array[String]): Unit = {
@@ -122,6 +122,22 @@ object GenData {
         "as l_linestatus",
       "timestamp_millis(789004800000 + cast(pmod(hash(id, 'sd'), 2499) as bigint) * 86400000) " +
         "as l_shipdate"))
+
+    // events: one month of event-time, 1.5k users per 100k events, five
+    // types — the driver's measured sf0.1 distribution, but written as
+    // native TIMESTAMP_MICROS (the streaming operators' reader handles
+    // both this and the driver's nanos form)
+    val nEvents = n(100000, mult)
+    val nUsers = math.max(1L, nEvents / 67)
+    write("events", spark.range(nEvents).selectExpr(
+      "id as event_id",
+      // 2024-01-01 .. 2024-01-31, second granularity
+      "timestamp_millis(1704067200000 + cast(pmod(hash(id, 'ts'), 2592000) as bigint) * 1000) as ts",
+      s"pmod(hash(id, 'u'), ${nUsers}L) as user_id",
+      "element_at(array('click','view','purchase','signup','error'), " +
+        "cast(pmod(hash(id, 'et'), 5) + 1 as int)) as event_type",
+      "round(pmod(hash(id, 'v'), 1000000) / 1000000.0 * 560.0, 2) as value",
+      "concat('{\"k\": ', pmod(hash(id, 'pp'), 100), '}') as props"))
 
     // documents: 8–96 tokens drawn from the driver's ~31-word vocabulary
     // (same token-set/shingle statistics the minhash and jaccard paths

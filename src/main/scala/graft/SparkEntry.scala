@@ -771,9 +771,15 @@ object SparkEntry {
     // streamed join must equal the static join the oracle computes.
     "q_stream_join" -> ((s, dir) => {
       val cat = tempCatalog(s)
-      val events = t(s, dir, "events")
-      cat.createTable("events_sj", events.schema)
-      cat.append("events_sj", events, 1000L)
+      // the nanos-aware reader normalizes the driver's nanos form; the
+      // table stores ts as NTZ (int64 in every parquet output mode —
+      // an LTZ column under an INT96 writer would hand the stream
+      // source INT96 pages) and the stream casts back to the zoned
+      // type watermarks require, the same seam q_stream_dedup uses
+      val ev = events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      cat.createTable("events_sj", ev.schema)
+      cat.append("events_sj", ev, 1000L)
       def side(tpe: String, p: String): DataFrame =
         s.readStream.format("graft-table")
           .option("warehouse", cat.warehouse.toString)
@@ -2977,9 +2983,10 @@ object SparkEntry {
       val d0 = System.nanoTime(); body; drainNs += System.nanoTime() - d0
     }
     val cat = tempCatalog(s)
-    val events = t(s, dir, "events")
-    cat.createTable("events_sjb", events.schema)
-    cat.append("events_sjb", events, 1000L)
+    val ev = events(s, dir)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    cat.createTable("events_sjb", ev.schema)
+    cat.append("events_sjb", ev, 1000L)
     def side(tpe: String, p: String): DataFrame =
       s.readStream.format("graft-table")
         .option("warehouse", cat.warehouse.toString)

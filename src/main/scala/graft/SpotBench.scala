@@ -64,6 +64,14 @@ object SpotBench {
           System.err.println(s"[spot] q_stream_table FAILED: ${e.getMessage}")
           Seq(("q_stream_table", -1.0))
         }
+      case "q_stream_join" =>
+        try {
+          val (fix, drain) = SparkEntry.streamJoinSplit(spark, sfDir)
+          Seq(("q_stream_join_fixture", fix), ("q_stream_join_drain", drain))
+        } catch { case e: Throwable =>
+          System.err.println(s"[spot] q_stream_join FAILED: ${e.getMessage}")
+          Seq(("q_stream_join", -1.0))
+        }
       case name if SparkEntry.benchSplits.contains(name) =>
         try {
           val (fix, q) = SparkEntry.benchSplits(name).run(spark, sfDir)

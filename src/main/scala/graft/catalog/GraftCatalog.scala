@@ -291,4 +291,25 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     */
   def registerView(name: String): Unit =
     if (!viewless) table(name).createOrReplaceTempView(name)
+
+  /** Refresh every materialized view in this database (optionally only
+    * those over `base`) — the streaming-maintenance hook: call it from a
+    * `foreachBatch` sink after the base append and each micro-batch's
+    * rows reach the views incrementally (cost ∝ the batch, never the
+    * base — see [[graft.store.MaterializedView.refresh]]). Returns the
+    * action each view took. */
+  def refreshMaterializedViews(base: Option[String] = None)
+      : Map[String, graft.store.MaterializedView.RefreshAction] = {
+    val st = store()
+    listTables()
+      .filter(t => graft.store.MaterializedView.isMaterializedView(st, t))
+      .filter(t => base.forall(b =>
+        graft.store.MaterializedView.definition(st, t).base.equalsIgnoreCase(b)))
+      .map { t =>
+        val action = graft.store.MaterializedView.refresh(st, t)
+        if (!viewless)
+          graft.store.MaterializedView.read(st, t).createOrReplaceTempView(t)
+        t -> action
+      }.toMap
+  }
 }

@@ -20,8 +20,27 @@ final class Engine(catalog: GraftCatalog) {
 
   /** Parse-time hook order: cleanup → DDL/DML intercept → time-travel
     * rewrite → spark.sql. */
+  // Impala/Spark EXPLAIN parity: render the plan the engine would run —
+  // through EVERY tier (time travel, metadata-answered aggregates,
+  // materialized-view navigation), so EXPLAIN shows when a query is
+  // answered from a view or metadata instead of a scan.
+  private val ExplainStmt =
+    "(?is)^\\s*EXPLAIN\\s+(?:(EXTENDED|FORMATTED|CODEGEN|COST)\\s+)?((?:SELECT|WITH)\\b.+)$".r
+
   def sql(raw: String): DataFrame = {
     val cleaned = SqlCleanup.clean(raw)
+    cleaned match {
+      case ExplainStmt(mode, inner) =>
+        val planned = sql(inner)
+        val m = org.apache.spark.sql.execution.ExplainMode.fromString(
+          if (mode == null) "simple" else mode.toLowerCase)
+        import catalog.spark.implicits._
+        Seq(planned.queryExecution.explainString(m)).toDF("plan")
+      case _ => runStatement(cleaned)
+    }
+  }
+
+  private def runStatement(cleaned: String): DataFrame =
     SqlDdl.tryExecute(catalog, cleaned).getOrElse {
       val TimeTravelRewriter.Rewritten(stmt, asOf, version, tag) =
         TimeTravelRewriter.rewrite(cleaned)
@@ -55,7 +74,6 @@ final class Engine(catalog: GraftCatalog) {
             .getOrElse(prunedQuery(stmt))
       }
     }
-  }
 
   /** `SELECT COUNT(*) | MIN(c) | MAX(c) [, …] FROM t` (bare relation, no
     * WHERE/GROUP BY, optional aliases and LIMIT ≥ 1) answers from snapshot

@@ -18,8 +18,14 @@ import graft.store.MaterializedView.{AggSpec, MvDef}
   * Soundness gates, all of which must hold or the query falls through to
   * the scan path untouched:
   *   - the statement parses to the restricted shape
-  *     `SELECT items FROM t [WHERE pred] GROUP BY cols [ORDER BY cols]`
-  *     (single bare relation, no HAVING/LIMIT/joins);
+  *     `SELECT items FROM t [WHERE pred] GROUP BY cols [HAVING pred]
+  *     [ORDER BY cols] [LIMIT n]` (single bare relation, no joins) —
+  *     LIMIT matters because the reference's prompt appends "Limit the
+  *     number of results to {top_k}" to every question
+  *     (`app-gradio.py:134-141`), so top-k dashboards are the hottest
+  *     emitted shape; HAVING folds aggregate calls that repeat a SELECT
+  *     item onto that item's alias, then must reference only output
+  *     columns;
   *   - a materialized view on `t` is FRESH (its recorded base snapshot
   *     IS the base's current snapshot — a stale view never answers);
   *   - the query's group columns are a subset of the view's (re-grouping
@@ -29,7 +35,9 @@ import graft.store.MaterializedView.{AggSpec, MvDef}
   *     avg(x) re-derives from its (sum, count) state pair;
   *   - the WHERE predicate references only the view's GROUP BY columns
   *     (group-level filters commute with the re-aggregation; a filter on
-  *     any other column would need base rows the state no longer has).
+  *     any other column would need base rows the state no longer has) —
+  *     EXCEPT against a PARTIAL view, where the query's WHERE must spell
+  *     the view's own stored filter (already baked into the state).
   */
 object MvRewrite {
 
@@ -37,7 +45,9 @@ object MvRewrite {
     ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+`?([A-Za-z_]\\w*)`?" +
       "(?:\\s+WHERE\\s+(.+?))?" +
       "\\s+GROUP\\s+BY\\s+(.+?)" +
-      "(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*$").r
+      "(?:\\s+HAVING\\s+(.+?))?" +
+      "(?:\\s+ORDER\\s+BY\\s+(.+?))?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
   private val AggItem =
     "(?is)^\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val BareItem = "(?is)^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
@@ -53,7 +63,8 @@ object MvRewrite {
     * catalog's current database. None = not rewritable; run the scan. */
   def tryRewrite(catalog: GraftCatalog, stmt: String): Option[DataFrame] =
     stmt match {
-      case Shape(items, table, whereOpt, groupBy, orderOpt) =>
+      case Shape(items, table, whereOpt, groupBy, havingOpt, orderOpt,
+          limitOpt) =>
         for {
           parsed <- parseItems(items, groupBy)
           (queryGroups, queryAggs) = split(parsed)
@@ -61,14 +72,78 @@ object MvRewrite {
             case None => Some(Seq.empty[String])
             case Some(c) => whereRefs(catalog, c)
           }
+          having <- parseHaving(catalog, Option(havingOpt), parsed)
           sortKeys <- parseOrder(Option(orderOpt), parsed)
-          (mvName, d) <- candidates(catalog, table).find { case (_, d) =>
-            derivable(d, queryGroups, queryAggs, whereCols)
-          }
-        } yield answer(catalog, mvName, d, parsed,
-          Option(whereOpt), sortKeys)
+          (mvName, d, residual) <- candidates(catalog, table)
+            .iterator.flatMap { case (n, d) =>
+              if (derivable(d, queryGroups, queryAggs))
+                stateFilter(d, Option(whereOpt), whereCols)
+                  .map(res => (n, d, res))
+              else None
+            }.nextOption()
+        } yield answer(catalog, mvName, d, parsed, residual,
+          having, sortKeys, Option(limitOpt).map(_.toInt))
       case _ => None
     }
+
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** Whether this view can satisfy the query's WHERE, and with what
+    * residual filter over the STATE. Unfiltered view: any predicate on
+    * view group columns applies to state (it commutes with the merge).
+    * PARTIAL view (stored filter f): the query must spell the same
+    * predicate — the filter is already baked into the state, so the
+    * residual is empty; any other predicate (or none — the view is a
+    * subset of the base) cannot be answered. None = incompatible. */
+  private def stateFilter(d: MvDef, where: Option[String],
+      whereCols: Seq[String]): Option[Option[String]] = {
+    def onGroups = whereCols.forall(c =>
+      d.groupCols.exists(_.equalsIgnoreCase(c)))
+    d.filter match {
+      case None => if (onGroups) Some(where) else None
+      case Some(f) => where match {
+        case Some(w) if norm(w) == norm(f) => Some(None)
+        case _ => None
+      }
+    }
+  }
+
+  /** HAVING over the rewritten frame: aggregate calls that textually
+    * repeat a SELECT item fold to that item's alias (the common
+    * `HAVING count(*) > 5` spelling), then every remaining column
+    * reference must be an output column. None = unsupported; Some(None)
+    * = no HAVING. */
+  private def parseHaving(catalog: GraftCatalog, having: Option[String],
+      items: Seq[Item]): Option[Option[String]] = having match {
+    case None => Some(None)
+    case Some(h) =>
+      val folded = items.foldLeft(h) {
+        case (acc, AggItemSpec(a)) =>
+          val arg = a.input.map(java.util.regex.Pattern.quote)
+            .getOrElse("\\*")
+          acc.replaceAll(
+            s"(?i)\\b${a.func}\\s*\\(\\s*$arg\\s*\\)", a.alias)
+        case (acc, _) => acc
+      }
+      val outNames = items.map {
+        case GroupItem(c) => c.toLowerCase
+        case AggItemSpec(a) => a.alias.toLowerCase
+      }.toSet
+      // after folding, the predicate must be function-free over output
+      // columns — a residual aggregate call (e.g. HAVING count(*) when
+      // count(*) is not a SELECT item) cannot run over the rewritten
+      // frame and must fall through to the scan
+      try {
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+        val e = catalog.spark.sessionState.sqlParser.parseExpression(folded)
+        val hasFunc = e.collectFirst { case f: UnresolvedFunction => f }.isDefined
+        val refs = e.collect { case a: UnresolvedAttribute => a.name }
+        if (!hasFunc && refs.forall(r => outNames(r.toLowerCase)))
+          Some(Some(folded))
+        else None
+      } catch { case _: Exception => None }
+  }
 
   /** ORDER BY items must be output columns of the query (anything else
     * cannot resolve over the rewritten frame — fall through). None =
@@ -152,12 +227,9 @@ object MvRewrite {
     } catch { case _: Exception => None }
 
   private def derivable(d: MvDef, queryGroups: Seq[String],
-      queryAggs: Seq[AggSpec], whereCols: Seq[String]): Boolean = {
-    def hasGroup(c: String) = d.groupCols.exists(_.equalsIgnoreCase(c))
-    queryGroups.forall(hasGroup) &&
-      queryAggs.forall(a => stateSource(d, a).isDefined) &&
-      whereCols.forall(hasGroup)
-  }
+      queryAggs: Seq[AggSpec]): Boolean =
+    queryGroups.forall(c => d.groupCols.exists(_.equalsIgnoreCase(c))) &&
+      queryAggs.forall(a => stateSource(d, a).isDefined)
 
   /** The view agg whose state answers query agg `a`, if any. */
   private def stateSource(d: MvDef, a: AggSpec): Option[AggSpec] =
@@ -167,8 +239,8 @@ object MvRewrite {
   // ---- answering --------------------------------------------------
 
   private def answer(catalog: GraftCatalog, mvName: String, d: MvDef,
-      items: Seq[Item], where: Option[String],
-      sortKeys: Seq[Column]): DataFrame = {
+      items: Seq[Item], where: Option[String], having: Option[String],
+      sortKeys: Seq[Column], limit: Option[Int]): DataFrame = {
     val store = catalog.store()
     val state = store.read(mvName)
     val filtered = where.fold(state)(c => state.filter(expr(c)))
@@ -188,10 +260,13 @@ object MvRewrite {
     val grouped = filtered.groupBy(groups.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     // re-project to the query's item order
-    val out = grouped.select(items.map {
+    val projected = grouped.select(items.map {
       case GroupItem(c) => col(c)
       case AggItemSpec(a) => col(a.alias)
     }: _*)
-    if (sortKeys.isEmpty) out else out.orderBy(sortKeys: _*)
+    val afterHaving = having.fold(projected)(h => projected.filter(expr(h)))
+    val sorted =
+      if (sortKeys.isEmpty) afterHaving else afterHaving.orderBy(sortKeys: _*)
+    limit.fold(sorted)(sorted.limit)
   }
 }

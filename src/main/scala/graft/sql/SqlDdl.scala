@@ -66,9 +66,12 @@ object SqlDdl {
   private val CreateMv =
     ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+`?([A-Za-z_]\\w*)`?" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
       "\\s+GROUP\\s+BY\\s+(.+?)\\s*$").r
   private val RefreshMv =
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  private val ShowMvs =
+    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
   private val DropMv =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Describe =
@@ -286,14 +289,14 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.truncate(t)
       Some(empty(catalog))
-    case CreateMv(qn, items, base, groupBy) =>
+    case CreateMv(qn, items, base, whereDef, groupBy) =>
       val (cat, t) = resolved(catalog, qn)
       val groupCols = groupBy.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       groupCols.foreach(c => require(c.matches("[A-Za-z_]\\w*"),
         s"GROUP BY must list column names, got '$c'"))
       val d = graft.store.MaterializedView.MvDef(base.trim, groupCols,
-        parseMvAggs(items, groupCols))
+        parseMvAggs(items, groupCols), Option(whereDef).map(_.trim))
       val rendered = graft.store.MaterializedView.create(cat.store(), t, d)
       if (cat == catalog) rendered.createOrReplaceTempView(t)
       Some(empty(catalog))
@@ -313,6 +316,21 @@ object SqlDdl {
           (s"full ($why)", toId)
       }
       Some(Seq((what, id)).toDF("refresh_action", "base_snapshot_id"))
+    case ShowMvs() =>
+      import catalog.spark.implicits._
+      val st = catalog.store()
+      Some(catalog.listTables()
+        .filter(t => graft.store.MaterializedView.isMaterializedView(st, t))
+        .map { t =>
+          val d = graft.store.MaterializedView.definition(st, t)
+          val fresh = st.currentSnapshotId(d.base).contains(
+            graft.store.MaterializedView.watermark(st, t))
+          (t, d.base, d.groupCols.mkString(", "),
+            d.aggs.map(a => s"${a.func}(${a.input.getOrElse("*")}) AS ${a.alias}")
+              .mkString(", "),
+            if (fresh) "fresh" else "stale")
+        }.sorted
+        .toDF("view", "base_table", "group_by", "aggregates", "state"))
     case DropMv(ifExists, qn) =>
       val (cat, t) = resolved(catalog, qn)
       if (cat.store().exists(t)) {

@@ -41,8 +41,13 @@ object MaterializedView {
   final case class AggSpec(func: String, input: Option[String], alias: String)
 
   /** The view definition persisted as `mv.json` in the view's table dir
-    * (immutable after create, like an Iceberg view's stored SQL). */
-  final case class MvDef(base: String, groupCols: Seq[String], aggs: Seq[AggSpec])
+    * (immutable after create, like an Iceberg view's stored SQL).
+    * `filter` makes the view PARTIAL: only base rows satisfying the
+    * predicate contribute — applied identically to the initial build,
+    * every delta, and every rebuild, so the state is always "the
+    * aggregate of the filtered base". */
+  final case class MvDef(base: String, groupCols: Seq[String],
+      aggs: Seq[AggSpec], filter: Option[String] = None)
 
   sealed trait RefreshAction
   case object UpToDate extends RefreshAction
@@ -76,6 +81,15 @@ object MaterializedView {
     val outNames = d.groupCols ++ d.aggs.map(_.alias)
     require(outNames.map(_.toLowerCase).distinct.size == outNames.size,
       s"duplicate output column in ${outNames.mkString(", ")}")
+    // the filter must parse and resolve NOW — a typo surfacing only at
+    // refresh time would strand the view
+    d.filter.foreach { f =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.foreach(checkCol(_, "filter"))
+    }
 
     val baseId = store.currentSnapshotId(d.base).getOrElse(0L)
     val state = partialAgg(store.read(d.base), d)
@@ -149,7 +163,8 @@ object MaterializedView {
     * the full base (create / full rebuild) or just a delta (incremental)
     * — identical shape either way, which is what makes the merge a
     * plain aggregate over the union of two state frames. */
-  private def partialAgg(df: DataFrame, d: MvDef): DataFrame = {
+  private def partialAgg(raw: DataFrame, d: MvDef): DataFrame = {
+    val df = d.filter.fold(raw)(f => raw.filter(expr(f)))
     val aggs = d.aggs.flatMap { a =>
       a.func match {
         case "count" => Seq(a.input.fold(count(lit(1)))(c => count(col(c)))
@@ -211,7 +226,8 @@ object MaterializedView {
       s""""alias":${q(a.alias)}}""").mkString("[", ",", "]")
     val json = s"""{"base":${q(d.base)},""" +
       s""""groupCols":${d.groupCols.map(q).mkString("[", ",", "]")},""" +
-      s""""aggs":$aggs}"""
+      s""""aggs":$aggs,""" +
+      s""""filter":${d.filter.map(q).getOrElse("null")}}"""
     val out = store.metaFs.create(defPath(store, name), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -234,6 +250,8 @@ object MaterializedView {
         AggSpec(a.get("func").asText(),
           if (a.get("input").isNull) None else Some(a.get("input").asText()),
           a.get("alias").asText())
-      }.toSeq)
+      }.toSeq,
+      // absent in pre-filter definitions → unfiltered
+      filter = Option(node.get("filter")).filterNot(_.isNull).map(_.asText()))
   }
 }

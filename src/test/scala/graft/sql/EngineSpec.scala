@@ -32,6 +32,24 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.run("SELECT COUNT(*) FROM items") == "[(3,)]")
   }
 
+  test("EXPLAIN renders the plan the engine would run, through every " +
+      "tier") {
+    val (cat, engine) = fixture()
+    val plan = engine.sql("EXPLAIN SELECT name, count(*) AS c FROM items " +
+      "GROUP BY name").head().getString(0)
+    assert(plan.contains("Physical Plan"))
+    val formatted = engine.sql("EXPLAIN FORMATTED SELECT id FROM items " +
+      "WHERE id = 1").head().getString(0)
+    assert(formatted.contains("PushedFilters") || formatted.contains("Scan"))
+    // the plan reflects the tier that actually answers: a fresh MV's
+    // navigation shows the VIEW's files in the scan, not the base's
+    engine.sql("CREATE MATERIALIZED VIEW items_mv AS SELECT name, " +
+      "count(*) AS c FROM items GROUP BY name")
+    val viaMv = engine.sql("EXPLAIN SELECT name, count(*) AS c FROM items " +
+      "GROUP BY name").head().getString(0)
+    assert(viaMv.contains("items_mv"))
+  }
+
   test("AS OF reads the pinned snapshot") {
     val (_, engine) = fixture()
     assert(engine.run(

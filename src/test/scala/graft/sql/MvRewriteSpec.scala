@@ -97,6 +97,56 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(fresh.collect().map(_.getLong(1)).sum == 90L)
   }
 
+  test("HAVING and LIMIT rewrite: agg-call spelling folds to its alias; " +
+      "top-k dashboards answer from the view") {
+    val (cat, eng) = build()
+    val topk = eng.sql("SELECT grp, region, count(*) AS cnt, " +
+      "sum(amount) AS total FROM sales GROUP BY grp, region " +
+      "HAVING count(*) > 5 ORDER BY total DESC LIMIT 3")
+    assert(readsFrom(topk, "sales_mv"))
+    val want = cat.table("sales").groupBy($"grp", $"region")
+      .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"))
+      .filter($"cnt" > 5).orderBy($"total".desc).limit(3)
+      .collect().toSeq
+    assert(topk.collect().toSeq == want)
+    // HAVING count(*) derives even though cnt is not in the SELECT list?
+    // No — count(*) must be a SELECT item to fold; otherwise fall through.
+    assert(readsFrom(eng.sql("SELECT grp, sum(amount) AS total FROM sales " +
+      "GROUP BY grp HAVING count(*) > 5"), "sales"))
+  }
+
+  test("PARTIAL view: same-predicate queries answer from the view; " +
+      "other predicates (or none) scan") {
+    val (cat, eng) = fixture()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(60), 1000L)
+    eng.sql("CREATE MATERIALIZED VIEW big_mv AS SELECT grp, " +
+      "count(*) AS cnt, sum(amount) AS total FROM sales " +
+      "WHERE amount > 30 GROUP BY grp")
+    val q = "SELECT grp, count(*) AS cnt, sum(amount) AS total " +
+      "FROM sales WHERE amount > 30 GROUP BY grp ORDER BY grp"
+    val viaMv = eng.sql(q)
+    assert(readsFrom(viaMv, "big_mv"))
+    val want = cat.table("sales").filter($"amount" > 30).groupBy($"grp")
+      .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"))
+      .orderBy($"grp").collect().toSeq
+    assert(viaMv.collect().toSeq == want)
+    // refresh keeps the filter baked in
+    cat.append("sales", sales(30), 2000L)
+    eng.sql("REFRESH MATERIALIZED VIEW big_mv")
+    val refreshed = eng.sql(q)
+    assert(readsFrom(refreshed, "big_mv"))
+    val want2 = cat.table("sales").filter($"amount" > 30).groupBy($"grp")
+      .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"))
+      .orderBy($"grp").collect().toSeq
+    assert(refreshed.collect().toSeq == want2)
+    // a different predicate — or none — cannot use the partial state
+    assert(readsFrom(eng.sql("SELECT grp, count(*) AS cnt FROM sales " +
+      "WHERE amount > 40 GROUP BY grp"), "sales"))
+    assert(readsFrom(eng.sql("SELECT grp, count(*) AS cnt FROM sales " +
+      "GROUP BY grp"), "sales"))
+  }
+
   test("non-derivable shapes fall through: distinct aggs, unknown " +
       "order keys, missing group col in SELECT") {
     val (_, eng) = build()

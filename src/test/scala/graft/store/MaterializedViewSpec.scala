@@ -159,6 +159,56 @@ class MaterializedViewSpec extends AnyFunSuite {
       .getMessage.contains("not a materialized view"))
   }
 
+  test("streaming maintenance: a foreachBatch sink keeps views fresh, " +
+      "incrementally per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(10), 1000L)
+    MV.create(st, "mv_live", fullDef)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mv-stream").toString
+    val input = MemoryStream[(Int, String, Double, Option[Int])]
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    val q = input.toDF.toDF("id", "grp", "amount", "units")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.EventStreams
+          .appendBatchExactlyOnce(cat, "sales", ckpt, batch, id)
+        cat.refreshMaterializedViews(Some("sales")).foreach {
+          case (_, a) => actions += a.getClass.getSimpleName
+        }
+        ()
+      }.start()
+    try {
+      input.addData((100, "grp0", 5.0, Some(1)))
+      q.processAllAvailable()
+      input.addData((101, "grp1", 7.0, Some(2)), (102, "grp2", 9.0, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(actions.exists(_.startsWith("Incremental")))
+    assert(MV.plan(st, "mv_live") == MV.UpToDate)
+    assert(mvRows(st, "mv_live") == expected(st, "sales"))
+  }
+
+  test("SHOW MATERIALIZED VIEWS lists definitions with freshness") {
+    val (cat, eng) = fixture()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(12), 1000L)
+    eng.run("CREATE MATERIALIZED VIEW mv_a AS SELECT grp, count(*) AS cnt " +
+      "FROM sales GROUP BY grp")
+    val one = graft.sql.SqlDdl
+      .tryExecute(cat, "SHOW MATERIALIZED VIEWS").get.head()
+    assert(one.getString(0) == "mv_a" && one.getString(1) == "sales" &&
+      one.getString(4) == "fresh")
+    cat.append("sales", sales(3), 2000L)
+    val stale = graft.sql.SqlDdl
+      .tryExecute(cat, "SHOW MATERIALIZED VIEWS").get.head()
+    assert(stale.getString(4) == "stale")
+  }
+
   test("rejected definitions fail loudly") {
     val (cat, eng) = fixture()
     val st = cat.store()
