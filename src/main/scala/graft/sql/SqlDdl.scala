@@ -97,6 +97,9 @@ object SqlDdl {
   private val ShowColumnStats =
     "(?is)^\\s*SHOW\\s+COLUMN\\s+STATS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
 
+  private val ShowCreateTable =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+
   private val ShowTables = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
   private val ShowDatabases =
     "(?is)^\\s*SHOW\\s+(?:DATABASES|SCHEMAS)\\s*$".r
@@ -189,6 +192,54 @@ object SqlDdl {
     * stay on the session catalog. The write surface is therefore keyed
     * by (database, table) like the read paths — `INSERT INTO db.t`
     * needs no `USE`. */
+  /** `SHOW CREATE TABLE`: reconstruct runnable DDL from the stored
+    * metadata — for a materialized view, the stored SELECT itself. Every
+    * emitted statement round-trips through [[tryExecute]] (spec-asserted),
+    * which is what makes it a migration/debug tool rather than prose. */
+  private def showCreate(cat: GraftCatalog, t: String): String = {
+    val st = cat.store()
+    if (graft.store.MaterializedView.isMaterializedView(st, t)) {
+      val d = graft.store.MaterializedView.definition(st, t)
+      val items = (d.groupCols ++ d.aggs.map(a =>
+        s"${a.func}(${a.input.getOrElse("*")}) AS ${a.alias}")).mkString(", ")
+      s"CREATE MATERIALIZED VIEW $t AS SELECT $items FROM ${d.base}" +
+        d.filter.map(f => s" WHERE $f").getOrElse("") +
+        s" GROUP BY ${d.groupCols.mkString(", ")}"
+    } else {
+      val cols = st.schema(t).fields
+        .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+      def renderSpec(sp: graft.store.PartitionSpec): String = sp.transform match {
+        case "identity" => sp.column
+        case tf => sp.param.fold(s"$tf(${sp.column})")(p =>
+          s"$tf($p, ${sp.column})")
+      }
+      val bucket = st.bucketSpec(t)
+      val parts = st.partitionSpec(t)
+        // the bucket transform renders as CLUSTERED BY below, its
+        // canonical DDL spelling
+        .filterNot(_ => bucket.isDefined)
+        .map(sp => s"\nPARTITIONED BY SPEC (${renderSpec(sp)})")
+        .getOrElse("")
+      val sort = st.sortOrder(t) match {
+        case Seq() => ""
+        case s if bucket.isDefined => "" // rendered inside CLUSTERED BY
+        case s => s"\nSORT BY (${s.mkString(", ")})"
+      }
+      val clustered = bucket.map { case (k, n) =>
+        val inBucketSort = st.sortOrder(t) match {
+          case Seq() => ""
+          case s => s" SORTED BY (${s.mkString(", ")})"
+        }
+        s"\nCLUSTERED BY ($k)$inBucketSort INTO $n BUCKETS"
+      }.getOrElse("")
+      val blooms = st.bloomColumns(t)
+      val bloomDdl =
+        if (blooms.isEmpty) ""
+        else s";\nALTER TABLE $t SET BLOOM FILTER (${blooms.mkString(", ")})"
+      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl"
+    }
+  }
+
   /** COMPUTE STATS / ANALYZE TABLE: one distributed stats pass (HLL
     * NDV — Impala's own sketch; exact NDV is the programmatic
     * verification mode on [[graft.store.TableStats.compute]]). */
@@ -418,6 +469,11 @@ object SqlDdl {
           c.avgLen.map(l => math.round(l * 100) / 100.0).getOrElse(-1.0)))
         .toDF("column", "data_type", "ndv", "null_count",
           "min_value", "max_value", "avg_len"))
+    case ShowCreateTable(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      Some(Seq(showCreate(cat, t)).toDF("createtab_stmt"))
     case ShowTables() =>
       import catalog.spark.implicits._
       Some(catalog.listTables().toDF("tab_name"))

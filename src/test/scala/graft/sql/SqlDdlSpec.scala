@@ -221,6 +221,54 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT id, v, tag FROM b7") == "[(11, 3.0, None)]")
   }
 
+  test("SHOW CREATE TABLE round-trips: the emitted DDL recreates the " +
+      "table, its layout, and its index") {
+    val (cat, eng) = fixture()
+    def createOf(t: String): String =
+      eng.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    def replay(ddl: String): Unit =
+      ddl.split(";\n").foreach(s => eng.sql(s.trim))
+
+    // partitioned + bloom-indexed
+    eng.sql("CREATE TABLE evs (id BIGINT, d TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY SPEC (month(d))")
+    eng.sql("ALTER TABLE evs SET BLOOM FILTER (id)")
+    val ddl1 = createOf("evs")
+    assert(ddl1.contains("PARTITIONED BY SPEC (month(d))") &&
+      ddl1.contains("SET BLOOM FILTER (id)"))
+    eng.sql("DROP TABLE evs")
+    replay(ddl1)
+    assert(cat.store().partitionSpec("evs")
+      .contains(graft.store.PartitionSpec("d", "month")))
+    assert(cat.store().bloomColumns("evs") == Seq("id"))
+
+    // bucketed + in-bucket sort
+    eng.sql("CREATE TABLE fct (k BIGINT, v DOUBLE) " +
+      "CLUSTERED BY (k) SORTED BY (v) INTO 8 BUCKETS")
+    val ddl2 = createOf("fct")
+    assert(ddl2.contains("CLUSTERED BY (k) SORTED BY (v) INTO 8 BUCKETS"))
+    eng.sql("DROP TABLE fct")
+    replay(ddl2)
+    assert(cat.store().bucketSpec("fct").contains(("k", 8)))
+    assert(cat.store().sortOrder("fct") == Seq("v"))
+
+    // materialized view: the stored SELECT comes back verbatim-enough
+    // to replay
+    eng.sql("CREATE TABLE sales (grp STRING, amount DOUBLE)")
+    eng.sql("INSERT INTO sales VALUES ('a', 1.0), ('b', 2.0), ('a', 5.0)")
+    eng.sql("CREATE MATERIALIZED VIEW sales_mv AS SELECT grp, " +
+      "count(*) AS cnt, sum(amount) AS total FROM sales " +
+      "WHERE amount > 0.5 GROUP BY grp")
+    val ddl3 = createOf("sales_mv")
+    assert(ddl3.contains("WHERE amount > 0.5"))
+    eng.sql("DROP MATERIALIZED VIEW sales_mv")
+    replay(ddl3)
+    assert(graft.store.MaterializedView
+      .isMaterializedView(cat.store(), "sales_mv"))
+    assert(eng.run("SELECT grp, cnt FROM sales_mv ORDER BY grp") ==
+      "[('a', 2), ('b', 1)]")
+  }
+
   test("TRUNCATE TABLE empties the table but keeps time travel") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE tr (id INT)")

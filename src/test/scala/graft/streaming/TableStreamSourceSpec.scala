@@ -48,6 +48,31 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("INT96-written timestamp columns stream correctly (legacy writer " +
+      "sessions must not produce unreadable tables)") {
+    val (wh, st) = mkWarehouse()
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val rows = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-02-03 23:59:59")))
+        .toDF("id", "ts")
+      st.create("ev96", rows.schema)
+      st.append("ev96", rows, 1000L)
+      val q = reader(wh, "ev96").load().writeStream
+        .format("memory").queryName("tss_int96").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("tss_int96")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+          .sortBy(_._1).toSeq
+        assert(got == Seq((1L, "2024-01-01 10:00:00.0"),
+          (2L, "2024-02-03 23:59:59.0")))
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
   test("startAfterSnapshotId skips history before the cursor") {
     val (wh, st) = mkWarehouse()
     st.create("ev", (1 to 1).toDF("id").schema)
