@@ -22,7 +22,11 @@ final class Introspector(
   }
 
   /** One table's context block: DDL + sample rows (tab-separated, the
-    * LangChain table_info shape). */
+    * LangChain table_info shape). When `COMPUTE STATS` has run, a
+    * compact per-column stats line rides along — row counts, NDV, and
+    * value ranges ground the LLM's join-key and filter choices the same
+    * way they ground Impala's planner, at zero extra scan cost (the
+    * stats are read from the table's persisted `stats.json`). */
   def tableInfo(name: String): String = {
     val df = catalog.table(name)
     val ddlCols = df.schema.fields
@@ -32,13 +36,24 @@ final class Introspector(
     val sample = df.limit(sampleRows).collect()
     val header = df.columns.mkString("\t")
     val rows = sample.map(renderSampleRow).mkString("\n")
+    val stats = graft.store.TableStats.readStats(catalog.store(), name)
+      .map { s =>
+        val cols = s.cols.map { c =>
+          val range = (c.min, c.max) match {
+            case (Some(lo), Some(hi)) => s" range=[$lo, $hi]"
+            case _ => ""
+          }
+          s"${c.column}: ndv=${c.ndv} nulls=${c.nullCount}$range"
+        }.mkString("\n")
+        s"\n\n/*\nstats (${s.rowCount} rows):\n$cols\n*/"
+      }.getOrElse("")
     s"""$ddl
        |
        |/*
        |$sampleRows rows from $name table:
        |$header
        |$rows
-       |*/""".stripMargin
+       |*/""".stripMargin + stats
   }
 
   def tableInfo: String = tables.map(tableInfo).mkString("\n\n")

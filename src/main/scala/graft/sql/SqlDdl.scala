@@ -75,7 +75,7 @@ object SqlDdl {
   private val DropMv =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Describe =
-    "(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+    "(?is)^\\s*DESC(?:RIBE)?\\s+(EXTENDED\\s+|FORMATTED\\s+)?(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // Iceberg's snapshot-history inspection (`DESCRIBE HISTORY t` in
   // Impala/Spark-Iceberg; the reference inspects the same via Hue,
   // `README.md:94-98`)
@@ -394,11 +394,47 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       Some(cat.history(t))
-    case Describe(qn) =>
+    case Describe(ext, qn) =>
       val (cat, t) = resolved(catalog, qn)
-      require(cat.store().exists(t), s"table not found: $t")
-      val rows = cat.store().schema(t).fields.toIndexedSeq
+      val st = cat.store()
+      require(st.exists(t), s"table not found: $t")
+      val cols = st.schema(t).fields.toIndexedSeq
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
+      // DESCRIBE EXTENDED appends the layout/metadata section Spark's
+      // own DESCRIBE renders after a blank separator row
+      val rows = if (ext == null) cols else {
+        def specSql(sp: graft.store.PartitionSpec): String =
+          sp.transform match {
+            case "identity" => sp.column
+            case tf => sp.param.fold(s"$tf(${sp.column})")(p =>
+              s"$tf($p, ${sp.column})")
+          }
+        val meta = Seq.newBuilder[(String, String, String)]
+        meta += (("", "", ""))
+        meta += (("# Detailed Table Information", "", ""))
+        st.bucketSpec(t).foreach { case (k, n) =>
+          meta += (("Bucket Columns", k, s"$n buckets")) }
+        st.partitionSpec(t)
+          .filterNot(_ => st.bucketSpec(t).isDefined)
+          .foreach(sp => meta += (("Partition Spec", specSql(sp), "")))
+        if (st.sortOrder(t).nonEmpty)
+          meta += (("Sort Columns", st.sortOrder(t).mkString(", "), ""))
+        if (st.bloomColumns(t).nonEmpty)
+          meta += (("Bloom Filter Columns", st.bloomColumns(t).mkString(", "), ""))
+        meta += (("Row Count", st.recordCountAsOf(t, None)
+          .map(_.toString).getOrElse("unknown"), "from snapshot log"))
+        meta += (("Snapshot Id", st.currentSnapshotId(t)
+          .map(_.toString).getOrElse("none"), ""))
+        meta += (("Statistics", graft.store.TableStats.readStats(st, t) match {
+          case None => "never computed"
+          case Some(s) if graft.store.TableStats.isStale(st, t, s) => "stale"
+          case Some(_) => "current"
+        }, "COMPUTE STATS"))
+        if (graft.store.MaterializedView.isMaterializedView(st, t))
+          meta += (("Type", "MATERIALIZED VIEW",
+            graft.store.MaterializedView.definition(st, t).base))
+        cols ++ meta.result()
+      }
       import catalog.spark.implicits._
       Some(rows.toDF("col_name", "data_type", "comment"))
     case AlterSetPartitionSpec(qn, specDef) =>

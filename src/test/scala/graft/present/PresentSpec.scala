@@ -130,5 +130,15 @@ class PresentSpec extends AnyFunSuite {
     assert(info.contains("id\tname"))
     assert(info.contains("None")) // null sample renders Python-style
     assert(!info.contains("hidden"))
+    // no stats computed yet → no stats block
+    assert(!info.contains("stats ("))
+
+    // once COMPUTE STATS runs, the block rides along (no extra scan:
+    // read from the persisted stats.json)
+    graft.store.TableStats.compute(cat.store(), "items", exactNdv = true)
+    val withStats = intro.tableInfo
+    assert(withStats.contains("stats (2 rows):"))
+    assert(withStats.contains("id: ndv=2 nulls=0 range=[1, 2]"))
+    assert(withStats.contains("name: ndv=1 nulls=1"))
   }
 }

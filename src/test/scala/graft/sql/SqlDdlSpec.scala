@@ -221,6 +221,27 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT id, v, tag FROM b7") == "[(11, 3.0, None)]")
   }
 
+  test("DESCRIBE EXTENDED appends layout and stats metadata") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE evx (id BIGINT, d TIMESTAMP) " +
+      "PARTITIONED BY SPEC (day(d))")
+    eng.sql("INSERT INTO evx VALUES (1, '2024-01-01 10:00:00')")
+    eng.sql("ALTER TABLE evx SET BLOOM FILTER (id)")
+    // plain DESCRIBE: columns only, no metadata section
+    assert(!eng.sql("DESCRIBE evx").collect()
+      .exists(_.getString(0).startsWith("#")))
+    val ext = eng.sql("DESCRIBE EXTENDED evx").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext("Partition Spec") == "day(d)")
+    assert(ext("Bloom Filter Columns") == "id")
+    assert(ext("Row Count") == "1")
+    assert(ext("Statistics") == "never computed")
+    eng.sql("COMPUTE STATS evx")
+    assert(eng.sql("DESCRIBE EXTENDED evx").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("Statistics") == "current")
+  }
+
   test("SHOW CREATE TABLE round-trips: the emitted DDL recreates the " +
       "table, its layout, and its index") {
     val (cat, eng) = fixture()
