@@ -1146,12 +1146,13 @@ object SparkEntry {
         "sum(o_totalprice) AS total, avg(o_totalprice) AS mean " +
         "FROM orders_nav GROUP BY o_orderstatus, o_orderpriority")
       val answered = eng.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+        "count(DISTINCT o_orderpriority) AS nprio, " +
         "sum(o_totalprice) AS total, avg(o_totalprice) AS mean " +
         "FROM orders_nav GROUP BY o_orderstatus ORDER BY o_orderstatus")
       require(answered.inputFiles.nonEmpty &&
         answered.inputFiles.forall(_.contains("/orders_nav_mv/")),
         "expected the materialized view to answer the roll-up")
-      answered.select(col("o_orderstatus"), col("cnt"),
+      answered.select(col("o_orderstatus"), col("cnt"), col("nprio"),
         round(col("total"), 2).as("total"), round(col("mean"), 2).as("mean"))
     }),
 
@@ -2178,6 +2179,7 @@ object SparkEntry {
     // the view-answered roll-up must equal the scan's aggregate
     "q_mv_rewrite" ->
       """SELECT o_orderstatus, count(*) AS cnt,
+        |       count(DISTINCT o_orderpriority) AS nprio,
         |       round(sum(o_totalprice), 2) AS total,
         |       round(avg(o_totalprice), 2) AS mean
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -50,6 +50,12 @@ object MvRewrite {
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
   private val AggItem =
     "(?is)^\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+  // COUNT(DISTINCT x) where x is one of the VIEW's group columns is
+  // exactly derivable: the state holds one row per live group
+  // combination, so the distinct x's inside any coarser group are the
+  // distinct x's over those state rows — no distinct-state sketch needed
+  private val CountDistinctItem =
+    "(?is)^\\s*count\\s*\\(\\s*DISTINCT\\s+`?([A-Za-z_]\\w*)`?\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
   private val BareItem = "(?is)^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
   private val OrderItem =
     "(?is)^\\s*`?([A-Za-z_]\\w*)`?(?:\\s+(ASC|DESC))?\\s*$".r
@@ -122,8 +128,11 @@ object MvRewrite {
         case (acc, AggItemSpec(a)) =>
           val arg = a.input.map(java.util.regex.Pattern.quote)
             .getOrElse("\\*")
-          acc.replaceAll(
-            s"(?i)\\b${a.func}\\s*\\(\\s*$arg\\s*\\)", a.alias)
+          val callPat =
+            if (a.func == "count_distinct")
+              s"count\\s*\\(\\s*DISTINCT\\s+$arg\\s*\\)"
+            else s"${a.func}\\s*\\(\\s*$arg\\s*\\)"
+          acc.replaceAll(s"(?i)\\b$callPat", a.alias)
         case (acc, _) => acc
       }
       val outNames = items.map {
@@ -175,6 +184,8 @@ object MvRewrite {
       .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
     if (!groupCols.forall(_.matches("[A-Za-z_]\\w*"))) return None
     val parsed = SqlText.splitTopLevel(items).map {
+      case CountDistinctItem(in, alias) =>
+        Some(AggItemSpec(AggSpec("count_distinct", Some(in), alias)))
       case AggItem(f, arg, alias) =>
         val in = arg.trim.stripPrefix("`").stripSuffix("`")
         Some(AggItemSpec(AggSpec(f.toLowerCase,
@@ -227,9 +238,14 @@ object MvRewrite {
     } catch { case _: Exception => None }
 
   private def derivable(d: MvDef, queryGroups: Seq[String],
-      queryAggs: Seq[AggSpec]): Boolean =
-    queryGroups.forall(c => d.groupCols.exists(_.equalsIgnoreCase(c))) &&
-      queryAggs.forall(a => stateSource(d, a).isDefined)
+      queryAggs: Seq[AggSpec]): Boolean = {
+    def isGroup(c: String) = d.groupCols.exists(_.equalsIgnoreCase(c))
+    queryGroups.forall(isGroup) &&
+      queryAggs.forall {
+        case AggSpec("count_distinct", Some(in), _) => isGroup(in)
+        case a => stateSource(d, a).isDefined
+      }
+  }
 
   /** The view agg whose state answers query agg `a`, if any. */
   private def stateSource(d: MvDef, a: AggSpec): Option[AggSpec] =
@@ -246,6 +262,9 @@ object MvRewrite {
     val filtered = where.fold(state)(c => state.filter(expr(c)))
     val groups = items.collect { case GroupItem(c) => c }
     val aggCols: Seq[Column] = items.collect { case AggItemSpec(a) =>
+      if (a.func == "count_distinct")
+        countDistinct(col(a.input.get)).as(a.alias)
+      else {
       val src = stateSource(d, a).get
       a.func match {
         case "count" => sum(col(src.alias)).cast("long").as(a.alias)
@@ -255,6 +274,7 @@ object MvRewrite {
         case "avg" =>
           (sum(col(s"__mv_sum_${src.alias}")) /
             sum(col(s"__mv_cnt_${src.alias}"))).as(a.alias)
+      }
       }
     }
     val grouped = filtered.groupBy(groups.map(col): _*)

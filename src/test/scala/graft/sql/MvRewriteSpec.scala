@@ -147,11 +147,22 @@ class MvRewriteSpec extends AnyFunSuite {
       "GROUP BY grp"), "sales"))
   }
 
-  test("non-derivable shapes fall through: distinct aggs, unknown " +
-      "order keys, missing group col in SELECT") {
+  test("COUNT(DISTINCT group-col) derives exactly from state rows") {
+    val (cat, eng) = build()
+    val viaMv = eng.sql("SELECT grp, count(DISTINCT region) AS regions, " +
+      "count(*) AS cnt FROM sales GROUP BY grp ORDER BY grp")
+    assert(readsFrom(viaMv, "sales_mv"))
+    val want = cat.table("sales").groupBy($"grp")
+      .agg(countDistinct($"region").as("regions"), count(lit(1)).as("cnt"))
+      .orderBy($"grp").collect().toSeq
+    assert(viaMv.collect().toSeq == want)
+  }
+
+  test("non-derivable shapes fall through: distinct aggs on non-group " +
+      "cols, unknown order keys, missing group col in SELECT") {
     val (_, eng) = build()
     assert(readsFrom(eng.sql(
-      "SELECT grp, count(DISTINCT region) AS r FROM sales GROUP BY grp"),
+      "SELECT grp, count(DISTINCT id) AS r FROM sales GROUP BY grp"),
       "sales"))
     assert(readsFrom(eng.sql(
       "SELECT grp, count(*) AS cnt FROM sales GROUP BY grp ORDER BY max(id)"),
