@@ -41,10 +41,13 @@ import graft.store.MaterializedView.{AggSpec, MvDef}
   */
 object MvRewrite {
 
+  // GROUP BY is optional: a global `SELECT sum(x) AS s FROM t` merges
+  // the WHOLE state — the ungrouped dashboard total the metadata tier
+  // cannot answer (it covers only COUNT/MIN/MAX)
   private val Shape =
     ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+`?([A-Za-z_]\\w*)`?" +
       "(?:\\s+WHERE\\s+(.+?))?" +
-      "\\s+GROUP\\s+BY\\s+(.+?)" +
+      "(?:\\s+GROUP\\s+BY\\s+(.+?))?" +
       "(?:\\s+HAVING\\s+(.+?))?" +
       "(?:\\s+ORDER\\s+BY\\s+(.+?))?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
@@ -72,7 +75,7 @@ object MvRewrite {
       case Shape(items, table, whereOpt, groupBy, havingOpt, orderOpt,
           limitOpt) =>
         for {
-          parsed <- parseItems(items, groupBy)
+          parsed <- parseItems(items, Option(groupBy).getOrElse(""))
           (queryGroups, queryAggs) = split(parsed)
           whereCols <- Option(whereOpt) match {
             case None => Some(Seq.empty[String])
@@ -267,7 +270,10 @@ object MvRewrite {
       else {
       val src = stateSource(d, a).get
       a.func match {
-        case "count" => sum(col(src.alias)).cast("long").as(a.alias)
+        // coalesce: a GLOBAL merge over an empty state must render 0
+        // like the scan's COUNT would, not sum's NULL
+        case "count" =>
+          coalesce(sum(col(src.alias)), lit(0L)).cast("long").as(a.alias)
         case "sum" => sum(col(src.alias)).as(a.alias)
         case "min" => min(col(src.alias)).as(a.alias)
         case "max" => max(col(src.alias)).as(a.alias)

@@ -147,6 +147,18 @@ class MvRewriteSpec extends AnyFunSuite {
       "GROUP BY grp"), "sales"))
   }
 
+  test("GLOBAL (ungrouped) aggregates merge the whole state") {
+    val (cat, eng) = build()
+    val viaMv = eng.sql("SELECT count(*) AS cnt, sum(amount) AS total, " +
+      "avg(amount) AS mean, count(DISTINCT grp) AS groups FROM sales")
+    assert(readsFrom(viaMv, "sales_mv"))
+    val want = cat.table("sales")
+      .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"),
+        avg($"amount").as("mean"), countDistinct($"grp").as("groups"))
+      .collect().toSeq
+    assert(viaMv.collect().toSeq == want)
+  }
+
   test("COUNT(DISTINCT group-col) derives exactly from state rows") {
     val (cat, eng) = build()
     val viaMv = eng.sql("SELECT grp, count(DISTINCT region) AS regions, " +
