@@ -37,6 +37,12 @@ object SparkEntry {
     else e.withColumn("embedding", col("embedding").cast("array<float>"))
   }
 
+  /** Shared constants for the search/quality queries so the Spark entry
+    * and its generated oracle SQL (Search.bm25OracleSql / lmOracleSql)
+    * can only be parameterized together. */
+  private val bm25Terms = Seq("vector", "spark", "merge")
+  private val lmVocabCap = 1000
+
   /** A write-dominated benchmark entry split at its fixture/query seam,
     * so `Bench` can time table-building and the read path separately
     * (the read-path number is what must stay flat round-over-round; the
@@ -411,6 +417,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // J2 (SQL form): CORRELATED EXISTS through the SQL parser — the
+    // exact shape an NL→SQL model emits (the DataFrame left_semi twin
+    // is q_semi_join). Catalyst decorrelates to the same semi-join.
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_exq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_exq_orders")
+      s.sql("""SELECT c_custkey, c_name FROM v_exq_customer c
+              |WHERE EXISTS (SELECT 1 FROM v_exq_orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 300000.0)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Uncorrelated SCALAR subquery as a filter threshold. The threshold
+    // is max/2 — an EXACT double (power-of-two divide of one input
+    // value), so the comparison cannot flip on cross-engine FP drift
+    // the way an avg() threshold could.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_ssq_orders")
+      s.sql("""SELECT o_orderstatus, count(*) AS cnt
+              |FROM v_ssq_orders
+              |WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM v_ssq_orders)
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // =================================================================
     // §2.4 aggregations
     // =================================================================
@@ -484,6 +515,35 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("cnt"), col("qty"))
         .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    // A5b (beyond reference): full CUBE — all four grouping sets in one
+    // pass (Catalyst expands to a single Expand + hash agg, not four
+    // scans).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("rev"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    // A5c (beyond reference): explicit GROUPING SETS — two disjoint
+    // one-column sets (status totals ∪ priority totals) from ONE scan.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"), col("rev"))
+        .orderBy(col("status"), col("prio"))
     }),
 
     // A6 (beyond reference): exact percentiles — the distribution view a
@@ -570,6 +630,39 @@ object SparkEntry {
         .except(t(s, dir, "nation").filter(col("n_regionkey") === 4)
           .select(col("n_nationkey").as("key")))
         .orderBy(col("key"))
+    }),
+
+    // =================================================================
+    // §2.7b reshaping: PIVOT / UNPIVOT (beyond-reference tier)
+    // =================================================================
+
+    // PIVOT with an EXPLICIT value list — the values clause keeps the
+    // plan a single pass (Catalyst needs no distinct-values pre-query,
+    // which at 100 TB would be a second full scan).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("yr"),
+          coalesce(col("F"), lit(0.0)).as("f_total"),
+          coalesce(col("O"), lit(0.0)).as("o_total"),
+          coalesce(col("P"), lit(0.0)).as("p_total"))
+        .orderBy(col("yr"))
+    }),
+
+    // UNPIVOT (melt) back to long form — wide per-status counts become
+    // (yr, status, cnt) rows; scan-local Expand, no shuffle beyond the
+    // feeding aggregation.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("f_cnt"),
+          count(when(col("o_orderstatus") === "O", 1)).as("o_cnt"),
+          count(when(col("o_orderstatus") === "P", 1)).as("p_cnt"))
+        .unpivot(Array(col("yr")),
+          Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status", "cnt")
+        .orderBy(col("yr"), col("status"))
     }),
 
     // =================================================================
@@ -1589,6 +1682,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 top-k keyword retrieval over the REAL corpus: per-doc term
+    // frequencies are scan-local array expressions; corpus stats are a
+    // single broadcast row; top-k is TakeOrderedAndProject. The corpus
+    // itself never shuffles (Search.scala scale notes). Full DuckDB
+    // oracle replays the identical fixed-order arithmetic.
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.ext.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, 20)),
+
+    // Unigram-LM surprisal (CCNet-style statistical quality score): the
+    // corpus trains its own add-one-smoothed model (capped vocab →
+    // broadcastable at any corpus size); output = 20 most surprising
+    // documents — the OOD tail a curation pass reviews or drops.
+    "q_lm_surprisal" -> ((s, dir) =>
+      graft.ext.Search.lmSurprisal(t(s, dir, "documents"), "doc_id", "text",
+        20, lmVocabCap)),
+
     // Deterministic train/val/test split assignment: split is a pure
     // function of xxhash64(key, seed) — stable across runs, leakage-
     // free per key, append-invariant (new rows never reshuffle old
@@ -2031,6 +2141,55 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, prio""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2), 0.0) AS f_total,
+        |       coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2), 0.0) AS o_total,
+        |       coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2), 0.0) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |         count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |         count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, status, cnt FROM (
+        |  SELECT yr, 'f_cnt' AS status, f_cnt AS cnt FROM wide
+        |  UNION ALL SELECT yr, 'o_cnt', o_cnt FROM wide
+        |  UNION ALL SELECT yr, 'p_cnt', p_cnt FROM wide)
+        |ORDER BY yr, status""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_percentiles" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       quantile_cont(l_quantity, 0.25) AS qty_p25,
@@ -2441,6 +2600,10 @@ object SparkEntry {
         |       round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
         |             / length(text), 4) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_topk" -> graft.ext.Search.bm25OracleSql(bm25Terms, 20),
+
+    "q_lm_surprisal" -> graft.ext.Search.lmOracleSql(20, lmVocabCap),
 
     "q_doc_repetition" ->
       """SELECT doc_id,

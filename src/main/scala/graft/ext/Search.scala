@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus search / statistical quality scoring over the `documents`
+  * table shape (north-star extension — SURVEY.md §7.1 module 7; the
+  * reference's warehouse has no retrieval tier at all).
+  *
+  * Both operators are built so their arithmetic can be REPLAYED
+  * verbatim by the DuckDB oracle: tokenization is
+  * [[TextAnalysis.normalize]] + split-on-space (the same two
+  * regexp_replace calls exist in DuckDB), every score is a fixed-order
+  * IEEE-double expression, and ordering keys round before comparing so
+  * cross-engine last-bit drift in `avg()` cannot reorder the output.
+  *
+  * Scale posture (the part that must survive 100 TB):
+  *  - `bm25TopK`: per-document term frequencies are scan-local array
+  *    expressions (no explode, no shuffle); the corpus statistics
+  *    (N, avgdl, per-term document frequency) are ONE partially
+  *    aggregated single-row frame that is broadcast back, so the whole
+  *    query is scan → 1-row-agg → broadcast → TakeOrderedAndProject.
+  *    Nothing shuffles the corpus.
+  *  - `lmSurprisal`: one explode + token-count shuffle builds the
+  *    unigram model; the vocabulary is capped (`vocabCap`, default
+  *    50 k) via TakeOrderedAndProject so the model side is always
+  *    broadcastable regardless of corpus size; scoring is a broadcast
+  *    left join + one per-doc partial-avg shuffle. OOV mass is add-one
+  *    smoothing over the FULL token total, so the capped model is a
+  *    proper distribution, not a truncated one.
+  */
+object Search {
+
+  /** Sum columns left-to-right (fixed association so the oracle's
+    * `+` chain produces bit-identical doubles). */
+  private def chainSum(cols: Seq[org.apache.spark.sql.Column]) =
+    cols.reduceLeft(_ + _)
+
+  /** BM25 top-k retrieval for a constant bag of query terms.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene's +1 form —
+    * never negative, so a term in most documents dilutes rather than
+    * flips the ranking).
+    *
+    * Output: (idCol, score) — score rounded to 4 before the ordering
+    * key so the top-k cutoff is deterministic across engines; ties
+    * break on the id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be normalized (lowercase alnum): $terms")
+    val base = docs.select(col(idCol),
+      split(TextAnalysis.normalize(col(textCol)), " ").as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (term, i)) =>
+      df.withColumn(s"_tf$i",
+        size(filter(col("_toks"), x => x === lit(term))).cast("double"))
+    }
+    // Corpus stats: a single row (count, avg doc length, per-term doc
+    // frequency) — partial-aggregated, then broadcast back. This is the
+    // only non-scan-local work in the query.
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("_dl")).as("_avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"_tf$i") > 0).cast("double")).as(s"_df$i")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"_tf$i")
+      val idf = log((col("_n") - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }
+    // The final RENAMING projection is load-bearing: Project(Limit(Sort))
+    // plans as TakeOrderedAndProject (bounded per-partition heaps, O(k)
+    // memory), where a bare root limit leaves a global range-partitioned
+    // sort in the plan — the difference between O(k) and O(corpus) at
+    // 100 TB. Asserted in SearchSpec.
+    scored
+      .select(col(idCol), round(chainSum(perTerm), 4).as("_s"))
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("_s").as("score"))
+  }
+
+  /** The DuckDB replay of [[bm25TopK]] over table `documents`
+    * (kept HERE so the Spark expression and its oracle can only drift
+    * in one file). Emits the same fixed-order arithmetic; constants are
+    * written as the same source-level doubles Spark folds. */
+  def bm25OracleSql(terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(_toks, x -> x = '$t')) AS DOUBLE) AS _tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CAST(_tf$i > 0 AS DOUBLE)) AS _df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln((_n - _df$i + 0.5) / (_df$i + 0.5) + 1.0) * (_tf$i * ($k1 + 1.0)) / " +
+        s"(_tf$i + $k1 * ((1.0 - $b) + $b * _dl / _avgdl))"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS _toks
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, CAST(len(_toks) AS DOUBLE) AS _dl, $tfCols FROM toks
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS _n, avg(_dl) AS _avgdl, $dfCols FROM tf
+       |)
+       |SELECT doc_id, round($score, 4) AS score
+       |FROM tf CROSS JOIN stats
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Per-document unigram-LM surprisal (CCNet-style statistical
+    * quality scoring): build an add-one-smoothed unigram model from the
+    * corpus itself, score every document by its mean token surprisal
+    * −ln p(t), and return the `k` HIGHEST-surprisal documents — the
+    * out-of-distribution tail a curation pipeline inspects or drops
+    * (exp(nll) is the conventional per-doc perplexity; kept in log
+    * space so the oracle compares small stable numbers).
+    *
+    * p(t) = (c_t + 1) / (T + V + 1) for the top-`vocabCap` tokens,
+    * p(OOV) = 1 / (T + V + 1); T = total corpus tokens, V = |vocab|.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, vocabCap: Int = 50000): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"),
+      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
+    val counts = exploded.groupBy(col("_tok"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    // Model totals come from the FULL count frame; the broadcastable
+    // vocab is the top-V cut (TakeOrderedAndProject — never a full sort).
+    val vocab = counts.orderBy(col("_c").desc, col("_tok")).limit(vocabCap)
+    val stats = counts.agg(sum(col("_c")).as("_t"),
+      least(count(lit(1)), lit(vocabCap.toLong)).cast("double").as("_v"))
+    val surprisal = -log((coalesce(col("_c"), lit(0.0)) + lit(1.0)) /
+      (col("_t") + col("_v") + lit(1.0)))
+    exploded
+      .join(broadcast(vocab), Seq("_tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("_id"))
+      .agg(round(avg(surprisal), 4).as("nll"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("nll").desc, col("_id"))
+      .limit(k)
+      .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
+  }
+
+  /** DuckDB replay of [[lmSurprisal]] over table `documents`. */
+  def lmOracleSql(k: Int, vocabCap: Int = 50000): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS _tok
+       |  FROM documents
+       |), counts AS (
+       |  SELECT _tok, CAST(count(*) AS DOUBLE) AS _c FROM toks GROUP BY _tok
+       |), vocab AS (
+       |  SELECT _tok, _c FROM counts ORDER BY _c DESC, _tok LIMIT $vocabCap
+       |), stats AS (
+       |  SELECT sum(_c) AS _t,
+       |         CAST(least(count(*), $vocabCap) AS DOUBLE) AS _v
+       |  FROM counts
+       |)
+       |SELECT t.doc_id,
+       |       round(avg(-ln((coalesce(v._c, 0.0) + 1.0) / (s._t + s._v + 1.0))), 4) AS nll,
+       |       count(*) AS n_tokens
+       |FROM toks t LEFT JOIN vocab v ON t._tok = v._tok CROSS JOIN stats s
+       |GROUP BY t.doc_id
+       |ORDER BY nll DESC, t.doc_id LIMIT $k""".stripMargin
+}

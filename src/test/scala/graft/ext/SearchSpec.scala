@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---------------------------------------------------------------- bm25
+
+  test("bm25 ranks the term-dense short doc above a diluted long one") {
+    val d = docs(
+      1L -> "cat cat cat",
+      2L -> ("cat " + Seq.fill(200)("filler").mkString(" ")),
+      3L -> "dog dog dog dog",
+      4L -> "unrelated words entirely")
+    val got = Search.bm25TopK(d, "doc_id", "text", Seq("cat"), 10)
+      .as[(Long, Double)].collect()
+    // only the two cat docs score > 0
+    assert(got.takeWhile(_._2 > 0).map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.head._2 > got(1)._2, s"short dense doc must win: ${got.toSeq}")
+  }
+
+  test("bm25 multi-term score is the sum of per-term scores") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha alpha alpha",
+      3L -> "beta beta",
+      4L -> "delta")
+    val both = Search.bm25TopK(d, "doc_id", "text", Seq("alpha", "beta"), 10)
+      .as[(Long, Double)].collect().toMap
+    val a = Search.bm25TopK(d, "doc_id", "text", Seq("alpha"), 10)
+      .as[(Long, Double)].collect().toMap
+    val b = Search.bm25TopK(d, "doc_id", "text", Seq("beta"), 10)
+      .as[(Long, Double)].collect().toMap
+    // rounding happens at the output seam, so allow 1e-3 slack
+    assert(math.abs(both(1L) - (a(1L) + b(1L))) < 2e-3, s"$both $a $b")
+    assert(both(4L) == 0.0)
+  }
+
+  test("bm25 idf never goes negative (term in every doc still ranks)") {
+    val d = docs(1L -> "the the the", 2L -> "the", 3L -> "the word")
+    val got = Search.bm25TopK(d, "doc_id", "text", Seq("the"), 3)
+      .as[(Long, Double)].collect()
+    assert(got.forall(_._2 > 0), s"Lucene +1 idf must stay positive: ${got.toSeq}")
+  }
+
+  test("bm25 rejects un-normalized query terms") {
+    val d = docs(1L -> "x")
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(d, "doc_id", "text", Seq("Not Normalized!"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(d, "doc_id", "text", Seq.empty, 1)
+    }
+  }
+
+  test("bm25 plan: corpus never shuffles — stats row broadcast back") {
+    val d = docs(1L -> "a b", 2L -> "b c")
+    // Plan exactly as Verify/Bench consume it, with k < corpus rows —
+    // EliminateLimits drops a limit that covers the whole (tiny) input
+    // and leaves a plain Sort, which never happens at real row counts.
+    val plan = Search.bm25TopK(d, "doc_id", "text", Seq("b"), 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // top-k is TakeOrderedAndProject, not a global range-partitioned sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  // ---------------------------------------------------------- lmSurprisal
+
+  test("lm surprisal: rare-token docs score strictly above common-token docs") {
+    val common = (1L to 20L).map(i => i -> "common words repeated here")
+    val rare = Seq(100L -> "zyzzyva qwerty xylophone")
+    val got = Search.lmSurprisal(docs(common ++ rare: _*), "doc_id", "text",
+      5, vocabCap = 1000)
+      .as[(Long, Double, Long)].collect()
+    assert(got.head._1 == 100L, s"OOD doc must top the list: ${got.toSeq}")
+    assert(got.head._2 > got(1)._2)
+  }
+
+  test("lm surprisal: capped vocab pushes tail tokens to the OOV floor") {
+    // vocabCap=1 keeps only the most frequent token; every other token
+    // gets the identical OOV probability, so two docs of equally-rare
+    // tokens tie exactly.
+    val d = docs(
+      1L -> "top top top top",
+      2L -> "rarea rareb",
+      3L -> "rarec rared")
+    val got = Search.lmSurprisal(d, "doc_id", "text", 3, vocabCap = 1)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(2L) == got(3L), s"OOV docs must tie: $got")
+    assert(got(2L) > got(1L))
+  }
+
+  test("lm surprisal: n_tokens counts every token incl. OOV; k bounds rows") {
+    val d = docs(1L -> "a b c d e", 2L -> "a a")
+    val got = Search.lmSurprisal(d, "doc_id", "text", 1, vocabCap = 2)
+    assert(got.count() == 1)
+    val all = Search.lmSurprisal(d, "doc_id", "text", 10, vocabCap = 2)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(all == Map(1L -> 5L, 2L -> 2L))
+  }
+
+  test("lm surprisal plan: model joins broadcast; no sort-merge on tokens") {
+    val d = docs(1L -> "a b", 2L -> "b c")
+    val plan = Search.lmSurprisal(d, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("oracle SQL generators embed the configured parameters") {
+    val sql = Search.bm25OracleSql(Seq("cat", "dog"), 7, 1.2, 0.75)
+    assert(sql.contains("x -> x = 'cat'") && sql.contains("x -> x = 'dog'"))
+    assert(sql.contains("LIMIT 7"))
+    val lm = Search.lmOracleSql(9, 123)
+    assert(lm.contains("LIMIT 123") && lm.contains("LIMIT 9"))
+  }
+}
