@@ -1545,6 +1545,36 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-style semantic dedup (k-means cells + within-cell cosine
+    // gate). Plants are EXACT vector copies: identical vectors tie on
+    // every centroid score and the argmax tie-break is deterministic,
+    // so a twin can never straddle a cell boundary — the 20 planted
+    // pairs (cosine 1.0) are the complete answer (background cosine
+    // tops out at ~0.46, far under the 0.9 gate). Perturbed-plant
+    // recall and the cell-scoping trade are spec-tested (DedupSpec).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.semanticNearDuplicates(e.union(planted), "vec_id", "embedding",
+          threshold = 0.9, nlist = 8, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 3))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Distributed k-NN JOIN in exact mode (nprobe = nlist probes every
+    // IVF list, so the banded join IS brute-force k-NN — the
+    // verification baseline): for each of 5 query rows, the exact
+    // top-5 of the full corpus, DuckDB-recomputed. The ANN mode
+    // (nprobe < nlist) is spec-gated on recall vs this exact mode.
+    "q_knn_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val left = e.filter(col("vec_id") < 5)
+      Similarity.knnJoin(left, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // =================================================================
     // North star: similarity search
     // =================================================================
@@ -2863,6 +2893,29 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id < 20) p
         |WHERE list_cosine_similarity(orig, v) >= 0.9
         |ORDER BY id_a""".stripMargin,
+
+    // SemDeDup planted exact-copy gate: identical twins (cosine 1.0)
+    // are the only pairs >= 0.9; cell assignment cannot separate an
+    // exact copy from its original (deterministic argmax tie-break).
+    "q_semantic_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                    CAST(embedding AS DOUBLE[])), 3) AS cosine
+        |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
+
+    // Exact-mode distributed k-NN join: DuckDB recomputes the full
+    // brute-force ranking for the 5 query rows.
+    "q_knn_join" ->
+      """SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                             CAST(q.embedding AS DOUBLE[])) DESC,
+        |                      e.vec_id) AS INTEGER) AS rank,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Planted-pair MinHash gate: DuckDB recomputes exact word-3-gram
     // Jaccard for every planted (doc, 80%-prefix twin) pair and keeps

@@ -534,6 +534,56 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023):
+    * k-means cluster the embedding space (`nlist` clusters via
+    * [[Similarity.kmeansCentroids]] — per-round cost is one
+    * map-side-combining aggregation, vectors never shuffle), then gate
+    * exact cosine WITHIN each cluster only. Semantic duplicates are
+    * near-identical points, so they share a Voronoi cell almost surely;
+    * scoping the pair search to cells turns the corpus-wide O(n²)
+    * comparison into O(Σ cell²) ≈ n²/nlist — the published algorithm's
+    * core trade (cross-cell pairs are the documented recall cost, and
+    * `nlist` scales with corpus size to hold cell sizes flat).
+    *
+    * Same scale guards as the sketch-based paths: clusters above
+    * `maxCluster` are dropped from pairing via the partial-agg +
+    * broadcast-anti-join cap (a degenerate embedding cluster — e.g.
+    * boilerplate mapped to one point — cannot square the join), and the
+    * assigned frame persists only for the span of the self-join.
+    *
+    * Differs from [[embeddingNearDuplicates]] (hyperplane-LSH buckets,
+    * recall amplified by `numTables`): SemDeDup's buckets are LEARNED
+    * from the corpus, so one table of data-shaped cells replaces L
+    * random-plane tables — fewer candidate pairs at equal recall when
+    * the embedding space is clustered, which trained-encoder corpora
+    * are. Output: (id_a, id_b, cosine), id_a < id_b. */
+  def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 16, iters: Int = 2,
+      seed: Long = 42L, maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed)
+    val assigned = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_k", Similarity.nearestCentroid(col("_v"), centroids))
+      .persist()
+    val capped = capBuckets(assigned, Seq("_k"), maxCluster)
+    val a = capped.select(col("_k"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = capped.select(col("_k"), col("_id").as("id_b"), col("_v").as("_vb"))
+    val pairs = a.join(b, Seq("_k"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    materializeAndFree(pairs, assigned)
+  }
+
+  /** SemDeDup retention: one survivor per connected component of the
+    * [[semanticNearDuplicates]] graph (minimum id), everything else
+    * kept — composition with [[clusterDedup]]. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 16, iters: Int = 2,
+      seed: Long = 42L): DataFrame =
+    clusterDedup(df, idCol,
+      semanticNearDuplicates(df, idCol, vecCol, threshold, nlist, iters, seed))
+
   /** Embedding-cosine near-dup: hyperplane-LSH bucket join (shuffle on
     * the 16-bit sketch), cosine verified per candidate pair. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,

@@ -285,12 +285,70 @@ object Similarity {
   }
 
   /** Nearest-centroid id as a codegen-friendly expression: one cosine
-    * per centroid, argmax via `greatest` over (score, id) structs. */
-  private def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    * per centroid, argmax via `greatest` over (score, id) structs.
+    * Ties (e.g. two IDENTICAL vectors) resolve to the highest centroid
+    * id for both — deterministic, so exact-copy rows always land in the
+    * same cluster (the property [[Dedup.semanticNearDuplicates]]'s
+    * oracle leans on). */
+  private[ext] def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(GraftFunctions.cosineSim(vec, lit(c)).as("s"), lit(i).as("c"))
     }
     greatest(scored: _*).getField("c")
+  }
+
+  /** Distributed k-NN JOIN: for EVERY row of `left`, the `k` nearest
+    * rows of `right` by cosine — the batch retrieval shape (RAG corpus
+    * linking, embedding-based labeling, RETRO-style neighbor fetch)
+    * where BOTH sides are large, so neither is broadcast (that is
+    * [[cosineTopKForQueries]]'s regime, which collects the query side).
+    *
+    * Plan shape at 100 TB: `right` is assigned to its nearest of
+    * `nlist` k-means centroids (one scan-local codegen'd expression);
+    * each `left` row fans out to its `nprobe` nearest lists
+    * (scan-local, array expressions over broadcast-literal centroids).
+    * The only shuffle is a key-equality join on the list id — right
+    * ships once, left ships nprobe copies — and the per-query
+    * [[TopKAggregator]] bounds the post-join shuffle at
+    * O(k · partitions) rows per query via map-side combine. Nothing is
+    * ever all-pairs, and no vector set is collected to the driver.
+    *
+    * `nprobe = nlist` probes every list: the join becomes EXACT
+    * brute-force k-NN (the verification baseline — the correctness
+    * oracle runs this mode); `nprobe < nlist` is the ANN scale mode
+    * whose recall the spec gates against the exact mode. Output:
+    * (query_id, rank, neighbor_id, score). */
+  def knnJoin(left: DataFrame, lidCol: String, lvecCol: String,
+      right: DataFrame, ridCol: String, rvecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist] (got $nprobe)")
+    val centroids = kmeansCentroids(right, ridCol, rvecCol, nlist, iters, seed)
+    val r = right.select(col(ridCol).cast("long").as("id"), col(rvecCol).as("_rv"))
+      .withColumn("_list", nearestCentroid(col("_rv"), centroids))
+    // per-left-row probe lists: rank all centroids by cosine DESC and
+    // keep nprobe — array_sort orders (score, id) structs ascending, so
+    // reverse gives the descending head. Pure scan-local expressions.
+    val scoredLists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(GraftFunctions.cosineSim(col("_lv"), lit(c)).as("s"),
+        lit(i).as("c"))
+    }
+    val probes = slice(reverse(array_sort(array(scoredLists: _*))), 1, nprobe)
+    val l = left.select(col(lidCol).as("_qid"), col(lvecCol).as("_lv"))
+      .withColumn("_list", explode(transform(probes, p => p.getField("c"))))
+    val scored = l.join(r, Seq("_list"))
+      .select(col("_qid"),
+        GraftFunctions.cosineSim(col("_lv"), col("_rv")).as("score"),
+        col("id"))
+    val topk = new TopKAggregator(k)
+    scored.groupBy(col("_qid"))
+      .agg(udaf(topk, Encoders.product[Candidate])
+        .apply(col("score"), col("id")).as("neighbors"))
+      .select(col("_qid").as("query_id"),
+        posexplode(col("neighbors")).as(Seq("rank", "n")))
+      .select(col("query_id"), (col("rank") + 1).as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("score"))
   }
 
   /** IVF-pruned top-k: score only the `nprobe` lists nearest to the

@@ -136,6 +136,50 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semantic near-dup surfaces perturbed twins inside k-means cells") {
+    // 30 orthogonal one-hot docs (background cosine exactly 0) + tiny
+    // perturbed twins of the first 6: every twin must pair with its
+    // original, nothing else clears the gate
+    val base = (0 until 30).map { i =>
+      val v = Array.fill(32)(0.0f); v(i) = 1.0f; (i.toLong, v)
+    }
+    val twins = base.take(6).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.01f))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDuplicates(df, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4, iters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == base.take(6).map(p => (p._1, p._1 + 1000L)).toSet,
+      s"unexpected pair set: $pairs")
+  }
+
+  test("semanticDedup keeps one survivor (min id) per duplicate component") {
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(32)(0.0f); v(i) = 1.0f; (i.toLong, v)
+    }
+    val twins = base.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.95, nlist = 4, iters = 2)
+    assert(kept.count() == 20)
+    assert(kept.filter($"vec_id" >= 1000L).count() == 0,
+      "a twin survived over its lower-id original")
+  }
+
+  test("oversized semantic cells are capped out of pairing, not squared") {
+    // one degenerate cell: 12 identical vectors + 2 twins elsewhere;
+    // maxCluster = 8 must drop the hot cell's pairs entirely while the
+    // small cell still pairs
+    val hot = (0 until 12).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+    val cold = Seq((100L, Array(0.0f, 1.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.001f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDuplicates(df, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, iters = 2, maxCluster = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)), s"hot cell leaked pairs: $pairs")
+  }
+
   test("LSH scratch frames are unpersisted after each call") {
     Dedup.minhashNearDuplicates(nearDupDocs, "doc_id", "text", threshold = 0.5).count()
     Dedup.simhashNearDuplicates(nearDupDocs, "doc_id", "text", maxHamming = 2).count()

@@ -186,6 +186,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("knnJoin exact mode (nprobe = nlist) equals per-query brute force") {
+    val left = clusteredDf.filter($"vec_id" < 3)
+    val got = Similarity.knnJoin(left, "vec_id", "embedding",
+        clusteredDf, "vec_id", "embedding", k = 4, nlist = 4, nprobe = 4,
+        iters = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val expected = (0L until 3L).flatMap { qid =>
+      val qv = clustered.find(_._1 == qid).get._2
+      Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", qv, 4)
+        .select("vec_id").as[Long].collect().map(qid -> _)
+    }
+    assert(got == expected)
+  }
+
+  test("knnJoin ANN mode (nprobe < nlist) holds recall on clustered data") {
+    val left = clusteredDf.filter($"vec_id".isin(5L, 45L, 205L))
+    def neighbors(nprobe: Int): Map[Long, Set[Long]] =
+      Similarity.knnJoin(left, "vec_id", "embedding",
+          clusteredDf, "vec_id", "embedding", k = 10, nlist = 8,
+          nprobe = nprobe, iters = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = neighbors(8)
+    val ann = neighbors(2)
+    exact.foreach { case (q, truth) =>
+      val recall = truth.intersect(ann.getOrElse(q, Set.empty)).size / 10.0
+      assert(recall >= 0.9, s"query $q recall $recall")
+    }
+  }
+
   test("int8 quantization: codes in range, error <= scale/2, zeros exact") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
