@@ -1208,6 +1208,59 @@ object SparkEntry {
         .orderBy(col("snapshot_id"))
     }),
 
+    // Logical views (CREATE VIEW / views-over-views / OR REPLACE): the
+    // stored artifact is SELECT text re-evaluated per query, so the
+    // view tracks appends that land AFTER its creation — the oracle
+    // recomputes the final nested aggregate over the full base.
+    "q_sql_view" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_v", orders.schema)
+      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      eng.sql("CREATE VIEW v_open AS SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM orders_v WHERE o_totalprice > 100000")
+      eng.sql("CREATE VIEW v_by_status AS SELECT o_orderstatus, " +
+        "COUNT(*) AS cnt, SUM(o_totalprice) AS total FROM v_open " +
+        "GROUP BY o_orderstatus")
+      // the second half lands AFTER both views exist — text views must
+      // see it; a plan-pinned view would answer from half the base
+      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      eng.sql("SELECT o_orderstatus, cnt, total FROM v_by_status " +
+          "ORDER BY o_orderstatus")
+        .withColumn("total", round(col("total"), 2))
+    }),
+
+    // Write-audit-publish (Iceberg's `spark.wap.id` + publish_changes):
+    // a conf-gated INSERT stages the second half of the table
+    // invisibly — readers hold the committed count while the audit
+    // query sees committed + staged in place — then CALL
+    // publish_changes commits the staged files atomically (metadata
+    // only; the files were promoted at staging time). Every observable
+    // count is reconstructible from the source rows.
+    "q_wap" -> ((s, dir) => {
+      import s.implicits._
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_src", nation.schema)
+      cat.append("nation_src", nation, 1000L)
+      eng.sql("CREATE TABLE nation_wap STORED AS ICEBERG AS " +
+        "SELECT * FROM nation_src WHERE n_nationkey < 10")
+      def liveCount(): Long =
+        eng.sql("SELECT COUNT(*) FROM nation_wap").collect()(0).getLong(0)
+      val before = liveCount()
+      s.conf.set(graft.sql.SqlDdl.WapIdConf, "audit-1")
+      try eng.sql("INSERT INTO nation_wap SELECT * FROM nation_src " +
+        "WHERE n_nationkey >= 10")
+      finally s.conf.unset(graft.sql.SqlDdl.WapIdConf)
+      val whileStaged = liveCount()
+      val audit = cat.store().auditWap("nation_wap", "audit-1").count()
+      eng.sql("CALL publish_changes(table => 'nation_wap', wap_id => 'audit-1')")
+      Seq((before, whileStaged, audit, liveCount()))
+        .toDF("rows_before", "rows_while_staged", "rows_audit", "rows_after")
+    }),
+
     // Incrementally-maintained materialized view (the CDW feature the
     // reference leans on Impala/Iceberg for — pre-aggregated dashboard
     // answers): create over half the base, compact the base (row-
@@ -2450,6 +2503,21 @@ object SparkEntry {
     "q_sql_rollback" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    "q_sql_view" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // WAP: readers hold the committed half while a batch is staged;
+    // audit sees the union; publish makes them equal.
+    "q_wap" ->
+      """SELECT
+        |  (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS rows_before,
+        |  (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS rows_while_staged,
+        |  (SELECT count(*) FROM nation) AS rows_audit,
+        |  (SELECT count(*) FROM nation) AS rows_after""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,

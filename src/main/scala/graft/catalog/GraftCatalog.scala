@@ -112,6 +112,67 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
 
   def bucketSpec(name: String): Option[(String, Int)] = store().bucketSpec(name)
 
+  // ---- logical (virtual) views --------------------------------------
+  // `CREATE VIEW v AS SELECT …`: the stored artifact is the SELECT TEXT
+  // (`<warehouse>/<db>/_views.json`), re-evaluated at query time against
+  // the CURRENT table state — a view over a 100 TB table costs bytes of
+  // metadata and always reflects the latest snapshot (an evaluated-plan
+  // cache would pin the file list of creation time). Expansion happens
+  // at the Engine seam ([[graft.sql.Engine]]), so views compose with
+  // time travel, pruning, and metadata-answered aggregates beneath them.
+
+  private def viewsPath(db: String): HPath =
+    new HPath(new HPath(warehouse, db), "_views.json")
+
+  /** Stored view definitions (name → SELECT text) of `db`. */
+  def views(db: String = currentDb): Map[String, String] = {
+    val p = viewsPath(db)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  private def writeViews(db: String, vs: Map[String, String]): Unit = {
+    val p = viewsPath(db)
+    if (vs.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    vs.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def createView(name: String, select: String,
+      orReplace: Boolean = false): Unit = {
+    require(!store().exists(name),
+      s"cannot CREATE VIEW $name: a table with that name exists")
+    val vs = views()
+    require(orReplace || !vs.keys.exists(_.equalsIgnoreCase(name)),
+      s"view already exists: $name (use CREATE OR REPLACE VIEW)")
+    writeViews(currentDb,
+      vs.filterNot(_._1.equalsIgnoreCase(name)) + (name -> select))
+  }
+
+  def dropView(name: String, ifExists: Boolean = false): Unit = {
+    val vs = views()
+    val hit = vs.keys.find(_.equalsIgnoreCase(name))
+    require(ifExists || hit.isDefined, s"view not found: $name")
+    hit.foreach { n =>
+      writeViews(currentDb, vs - n)
+      if (!viewless) spark.catalog.dropTempView(n)
+    }
+  }
+
   def dropTable(name: String): Unit = {
     store().drop(name)
     // a foreign-db drop must not remove the current db's same-named view
@@ -129,6 +190,21 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   def overwrite(name: String, df: DataFrame,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
     val snap = store().overwrite(name, df, timestampMs)
+    registerView(name)
+    snap
+  }
+
+  /** Write-audit-publish: stage an append invisibly under `wapId`
+    * (readers keep seeing the committed snapshot — no view refresh). */
+  def stageWap(name: String, df: DataFrame, wapId: String,
+      timestampMs: Long = System.currentTimeMillis()): Unit =
+    store().stageWap(name, df, wapId, timestampMs)
+
+  /** Publish a staged WAP change set (atomic append commit of the
+    * already-promoted files). See [[TableStore.publishWap]]. */
+  def publishWap(name: String, wapId: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val snap = store().publishWap(name, wapId, timestampMs)
     registerView(name)
     snap
   }

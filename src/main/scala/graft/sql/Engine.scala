@@ -42,6 +42,7 @@ final class Engine(catalog: GraftCatalog) {
 
   private def runStatement(cleaned: String): DataFrame =
     SqlDdl.tryExecute(catalog, cleaned).getOrElse {
+      registerReferencedViews(cleaned, Set.empty)
       val TimeTravelRewriter.Rewritten(stmt, asOf, version, tag) =
         TimeTravelRewriter.rewrite(cleaned)
       (asOf, version, tag) match {
@@ -74,6 +75,41 @@ final class Engine(catalog: GraftCatalog) {
             .getOrElse(prunedQuery(stmt))
       }
     }
+
+  /** Logical-view expansion: for every stored view whose name appears in
+    * `stmt`, (re-)evaluate its SELECT text through the full engine seam
+    * and register the result as a temp view — so the plan always reads
+    * the CURRENT base snapshot (the stored artifact is text, never a
+    * pinned file list), and views-over-views resolve by recursion
+    * (`visiting` breaks definition cycles; Spark then raises its own
+    * not-found on the truly unresolvable name). Word-boundary matching
+    * over-approximates harmlessly: registering a view the query does not
+    * use costs one lazy plan, no job. */
+  private def registerReferencedViews(stmt: String,
+      visiting: Set[String]): Unit = {
+    val vs = catalog.views()
+    vs.foreach { case (name, defn) =>
+      val mentioned = java.util.regex.Pattern
+        .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+        .matcher(stmt).find()
+      if (mentioned && !visiting(name.toLowerCase)) {
+        registerReferencedViews(defn, visiting + name.toLowerCase)
+        val TimeTravelRewriter.Rewritten(body, asOf, version, tag) =
+          TimeTravelRewriter.rewrite(defn)
+        val df = (asOf, version, tag) match {
+          case (None, None, None) => prunedQuery(body)
+          case (Some(ms), _, _) =>
+            pinnedQuery(body, (db, t, cond) => pinnedPruned(db, t, cond, Some(ms)))
+          case (_, Some(id), _) =>
+            pinnedQuery(body, (db, t, _) => catalog.store(db).readVersion(t, id))
+          case (_, _, Some(tg)) =>
+            pinnedQuery(body, (db, t, _) => catalog.store(db).readVersion(t,
+              catalog.store(db).resolveTag(t, tg)))
+        }
+        df.createOrReplaceTempView(name)
+      }
+    }
+  }
 
   /** `SELECT COUNT(*) | MIN(c) | MAX(c) [, …] FROM t` (bare relation, no
     * WHERE/GROUP BY, optional aliases and LIMIT ≥ 1) answers from snapshot

@@ -72,6 +72,17 @@ object SqlDdl {
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val ShowMvs =
     "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
+  // Logical (virtual) views: stored SELECT text, re-evaluated per query
+  // at the Engine seam — the warehouse-standard CREATE VIEW surface
+  // (Impala/Spark both ship it; the reference's allow-listed
+  // `include_tables` would list views the same way).
+  private val CreateView =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+" +
+      "(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s+AS\\s+((?:SELECT|WITH)\\b.+)$").r
+  private val DropView =
+    "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  private val ShowViews = "(?is)^\\s*SHOW\\s+VIEWS\\s*$".r
   private val DropMv =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   private val Describe =
@@ -340,6 +351,21 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.truncate(t)
       Some(empty(catalog))
+    case CreateView(orReplace, qn, select) =>
+      val (cat, v) = resolved(catalog, qn)
+      // analysis-validate the body NOW (unknown tables/columns fail at
+      // CREATE, not at first read) — evaluation through the engine seam
+      // is lazy, no job runs
+      new Engine(cat).sql(select.trim).schema
+      cat.createView(v, select.trim, orReplace != null)
+      Some(empty(catalog))
+    case DropView(ifExists, qn) =>
+      val (cat, v) = resolved(catalog, qn)
+      cat.dropView(v, ifExists != null)
+      Some(empty(catalog))
+    case ShowViews() =>
+      import catalog.spark.implicits._
+      Some(catalog.views().toSeq.sorted.toDF("view", "definition"))
     case CreateMv(qn, items, base, whereDef, groupBy) =>
       val (cat, t) = resolved(catalog, qn)
       val groupCols = groupBy.split(",").toSeq
@@ -682,6 +708,17 @@ object SqlDdl {
       case "remove_orphan_files" =>
         val (cat, t) = tableArg
         cat.vacuum(t, olderThanMs(3L * 24 * 3600 * 1000))
+      case "publish_changes" =>
+        // Iceberg's WAP publish: commit the change set staged under
+        // wap_id (an atomic metadata-only append — the files were
+        // promoted at staging time)
+        val (cat, t) = tableArg
+        val id = arg(1, "wap_id") match {
+          case Some(StrLit(s)) => s.replace("''", "'")
+          case other => throw new IllegalArgumentException(
+            s"CALL $proc needs wap_id => '<id>', got: ${other.getOrElse("nothing")}")
+        }
+        cat.publishWap(t, id)
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: CALL $other")
     }
@@ -798,8 +835,19 @@ object SqlDdl {
       if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    catalog.append(table, aligned)
+    // Write-audit-publish (Iceberg's `spark.wap.id` contract): with the
+    // WAP conf set, every INSERT stages invisibly under that id — the
+    // audit job validates, then `CALL publish_changes(...)` commits.
+    catalog.spark.conf.getOption(WapIdConf).filter(_.nonEmpty) match {
+      case Some(wapId) => catalog.stageWap(table, aligned, wapId)
+      case None        => catalog.append(table, aligned)
+    }
   }
+
+  /** Session conf gating INSERTs into WAP staging (Iceberg's
+    * `spark.wap.id`). Set → writes stage under that id; unset → normal
+    * visible commits. */
+  val WapIdConf = "spark.graft.wap.id"
 
   /** Evaluate the SELECT/WITH body of CTAS / INSERT-SELECT through the
     * full engine seam, so time travel and partition pruning apply inside

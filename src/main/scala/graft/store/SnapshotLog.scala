@@ -41,6 +41,18 @@ final case class DataFile(
     // two-tier design). Keyed by lowercased physical column name.
     blooms: Map[String, ColBloom] = Map.empty)
 
+/** One STAGED (written, promoted, but unpublished) change set of the
+  * write-audit-publish workflow — Iceberg's `spark.wap.id` staged
+  * snapshot, kept in a sidecar instead of the commit log so the live
+  * snapshot chain never carries invisible state. `files` are the ADDED
+  * data files only (already promoted into `data/`); `recordCount` is
+  * their row total. */
+final case class WapEntry(
+    wapId: String,
+    timestampMs: Long,
+    files: Seq[DataFile],
+    recordCount: Long)
+
 /** One committed table version.
   *
   * Mirrors the observable Iceberg snapshot semantics the reference relies
@@ -313,6 +325,28 @@ object SnapshotLog {
       schemaVersionOf: () => Int = () => -1,
       autoCheckpointThreshold: Int = AutoCheckpointInlineFiles): Snapshot =
     withCommitLock(fs, tableDir) {
+      commitLocked(fs, tableDir, operation, newFiles, recordCount,
+        timestampMs, replaceAll, summary, manifestThreshold, expectedLastId,
+        schemaVersionOf, autoCheckpointThreshold)
+    }
+
+  /** [[commit]]'s body, for callers ALREADY holding the table lock
+    * (e.g. [[publishWap]], which must update the sidecar and the log
+    * under one acquisition — the lock is not reentrant). */
+  private def commitLocked(
+      fs: FileSystem,
+      tableDir: HPath,
+      operation: String,
+      newFiles: Seq[DataFile],
+      recordCount: Long,
+      timestampMs: Long,
+      replaceAll: Boolean,
+      summary: Map[String, String],
+      manifestThreshold: Int = DefaultManifestThreshold,
+      expectedLastId: Option[Long] = None,
+      schemaVersionOf: () => Int = () => -1,
+      autoCheckpointThreshold: Int = AutoCheckpointInlineFiles): Snapshot =
+    {
       val existing = read(fs, tableDir)
       // Optimistic concurrency for COW writers: the carried-file list was
       // derived OUTSIDE this lock from a base snapshot; if another commit
@@ -451,6 +485,83 @@ object SnapshotLog {
     try f
     finally fs.delete(lock, false)
   }
+
+  // -------------------------------------------------------------------
+  // Write-audit-publish (Iceberg's WAP workflow, `spark.wap.id`):
+  // staged changes live in a SIDECAR (`wap.json`), never in the commit
+  // log, so the main snapshot chain — reads, time travel, incremental
+  // diffs, COW bases — is untouched by definition. Publishing is an
+  // ordinary atomic append commit of the already-promoted files
+  // (metadata-only cherry-pick); discarding deletes the sidecar entry
+  // and lets vacuum reclaim the files. O(staged entries) bytes.
+  // -------------------------------------------------------------------
+
+  def wapPath(tableDir: HPath): HPath = new HPath(tableDir, "wap.json")
+
+  def readWap(fs: FileSystem, tableDir: HPath): Seq[WapEntry] = {
+    val p = wapPath(tableDir)
+    if (!fs.exists(p)) return Seq.empty
+    val node = mapper.readTree(readLogText(fs, p))
+    node.elements().asScala.map { e =>
+      WapEntry(
+        wapId = e.get("wapId").asText(),
+        timestampMs = e.get("timestampMs").asLong(),
+        files = e.get("files").elements().asScala.map(readFile).toSeq,
+        recordCount = e.get("recordCount").asLong())
+    }.toSeq
+  }
+
+  def writeWap(fs: FileSystem, tableDir: HPath, entries: Seq[WapEntry]): Unit = {
+    val p = wapPath(tableDir)
+    if (entries.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      entries.map(e => scala.collection.mutable.LinkedHashMap[String, Any](
+        "wapId" -> e.wapId, "timestampMs" -> e.timestampMs,
+        "recordCount" -> e.recordCount, "files" -> e.files)))
+    val tmp = new HPath(tableDir, s"wap.json.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    atomicReplace(fs, tmp, p)
+  }
+
+  /** Mutate the WAP sidecar under the table's commit lock (staging,
+    * publish, and discard all serialize against each other AND against
+    * snapshot commits). */
+  def updateWap(fs: FileSystem, tableDir: HPath)(
+      f: Seq[WapEntry] => Seq[WapEntry]): Unit =
+    withCommitLock(fs, tableDir) {
+      writeWap(fs, tableDir, f(readWap(fs, tableDir)))
+    }
+
+  /** Publish a staged WAP change set: ONE lock acquisition covers the
+    * log commit and the sidecar removal, so no concurrent writer can
+    * interleave. The staged files are already promoted under `data/` —
+    * publishing is a metadata-only append commit (Iceberg's
+    * `publish_changes` cherry-pick). Double publishes raise: the commit
+    * log is checked for a prior `wap.id` stamp, which also closes the
+    * tiny crash window between the log write and the sidecar update. */
+  def publishWap(fs: FileSystem, tableDir: HPath, wapId: String,
+      timestampMs: Long = System.currentTimeMillis(),
+      schemaVersionOf: () => Int = () => -1): Snapshot =
+    withCommitLock(fs, tableDir) {
+      if (read(fs, tableDir).exists(_.summary.get("wap.id").contains(wapId)))
+        throw new IllegalStateException(
+          s"WAP change set '$wapId' is already published in this table")
+      val entries = readWap(fs, tableDir)
+      val entry = entries.find(_.wapId == wapId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no staged WAP change set '$wapId' " +
+            s"(staged: ${entries.map(_.wapId).mkString(", ")})"))
+      val snap = commitLocked(fs, tableDir, "append", entry.files,
+        entry.recordCount, timestampMs, replaceAll = false,
+        summary = Map("wap.id" -> wapId,
+          "added-files" -> entry.files.size.toString,
+          "added-records" -> entry.recordCount.toString),
+        schemaVersionOf = schemaVersionOf)
+      writeWap(fs, tableDir, entries.filterNot(_.wapId == wapId))
+      snap
+    }
 
   /** Time travel: newest snapshot with commit time <= asOfMs
     * (`FOR SYSTEM_TIME AS OF`, `app-gradio.py:138`, `README.md:100-107`).

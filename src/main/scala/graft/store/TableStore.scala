@@ -280,6 +280,67 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  // -------------------------------------------------------------------
+  // Write-audit-publish (Iceberg's WAP workflow). A pipeline writes
+  // under a WAP id, an audit job validates the staged rows, and only an
+  // explicit publish makes them visible to readers — the pattern that
+  // keeps a bad batch out of a 100 TB production table without any
+  // copy: staging uses the normal distributed write, audit reads the
+  // staged files in place, publish is a metadata-only append commit.
+  // -------------------------------------------------------------------
+
+  /** Stage an append under `wapId` WITHOUT committing it: the files are
+    * written and promoted like any append (distributed write, footer
+    * stats, blooms), but land in the `wap.json` sidecar instead of the
+    * snapshot log — invisible to every read/time-travel/stream path
+    * until [[publishWap]]. Duplicate ids raise (a WAP id names ONE
+    * change set). */
+  def stageWap(table: String, df: DataFrame, wapId: String,
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
+    require(wapId.nonEmpty, "WAP id must be non-empty")
+    val moved = writeStaged(table, df)
+    val n = moved.map(_.records).sum
+    SnapshotLog.updateWap(fs, tableDir(table)) { entries =>
+      require(!entries.exists(_.wapId == wapId),
+        s"WAP id '$wapId' is already staged on $table")
+      entries :+ WapEntry(wapId, timestampMs, moved, n)
+    }
+  }
+
+  /** Currently staged (unpublished) WAP change sets. */
+  def wapEntries(table: String): Seq[WapEntry] =
+    SnapshotLog.readWap(fs, tableDir(table))
+
+  /** AUDIT read: the table as it WOULD look after publishing `wapId` —
+    * current snapshot plus the staged files, current schema. This is
+    * what a validation job queries (row counts, null ratios, dedup
+    * checks) before deciding to publish or discard. Plain reads remain
+    * pinned to the committed snapshot throughout. */
+  def auditWap(table: String, wapId: String): DataFrame = {
+    val entry = wapEntries(table).find(_.wapId == wapId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no staged WAP change set '$wapId' on $table"))
+    readFileList(table, dataFilesAsOf(table, None) ++ entry.files)
+  }
+
+  /** Publish a staged change set: one atomic append commit of the
+    * already-promoted files (see [[SnapshotLog.publishWap]] — log and
+    * sidecar update under a single lock; double publish raises). */
+  def publishWap(table: String, wapId: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    SnapshotLog.publishWap(fs, tableDir(table), wapId, timestampMs,
+      schemaVersionOf = () => commitSchemaVersion(table))
+
+  /** Discard a staged change set: the sidecar entry is removed now; the
+    * orphaned data files are reclaimed by the next [[vacuum]] (grace
+    * window applies — same debris contract as a crashed write). */
+  def discardWap(table: String, wapId: String): Unit =
+    SnapshotLog.updateWap(fs, tableDir(table)) { entries =>
+      require(entries.exists(_.wapId == wapId),
+        s"no staged WAP change set '$wapId' on $table")
+      entries.filterNot(_.wapId == wapId)
+    }
+
   /** Highest streaming batch id `sinkId` has committed into this table
     * (None = never). The snapshot log doubles as the streaming sink's
     * commit log: a foreachBatch replay after a crash between the append
@@ -1743,8 +1804,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     // orphaned data files (in data/ but in no snapshot's file list) —
     // HYDRATE first: an unhydrated manifest-backed snapshot reports no
     // files, which would misclassify its live data as orphans
-    val referenced = SnapshotLog.read(fs, dir)
-      .map(SnapshotLog.hydrate(fs, dir, _)).flatMap(_.filePaths)
+    val referenced = (SnapshotLog.read(fs, dir)
+      .map(SnapshotLog.hydrate(fs, dir, _)).flatMap(_.filePaths) ++
+      // staged-but-unpublished WAP files are live metadata, not debris —
+      // only discardWap (sidecar removal) hands them back to vacuum
+      SnapshotLog.readWap(fs, dir).flatMap(_.files).map(_.path))
       .map(TableStore.fileName).toSet
     val dd = dataDir(table)
     if (fs.exists(dd))

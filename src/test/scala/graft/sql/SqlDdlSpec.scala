@@ -774,4 +774,43 @@ class SqlDdlSpec extends AnyFunSuite {
     eng.sql("INSERT INTO rw VALUES (9000000000)")
     assert(eng.run("SELECT SUM(b) FROM rw") == "[(9000000007,)]")
   }
+
+  test("logical views: create, query tracks base appends, views-over-views, drop") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE vt (k STRING, n INT)")
+    eng.sql("INSERT INTO vt VALUES ('a', 1), ('b', 2)")
+    eng.sql("CREATE VIEW v_big AS SELECT k, n FROM vt WHERE n >= 2")
+    assert(eng.run("SELECT COUNT(*) FROM v_big") == "[(1,)]")
+    // a view is TEXT: it must see rows appended AFTER its creation
+    eng.sql("INSERT INTO vt VALUES ('c', 3)")
+    assert(eng.run("SELECT COUNT(*) FROM v_big") == "[(2,)]")
+    // views over views resolve recursively
+    eng.sql("CREATE VIEW v_sum AS SELECT SUM(n) AS total FROM v_big")
+    assert(eng.run("SELECT total FROM v_sum") == "[(5,)]")
+    // SHOW VIEWS lists both; definitions round-trip
+    val shown = eng.sql("SHOW VIEWS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.keySet == Set("v_big", "v_sum"))
+    assert(shown("v_big").contains("WHERE n >= 2"))
+    // persistence: a fresh catalog over the same warehouse sees them
+    val cat2 = new GraftCatalog(cat.warehouse, spark)
+    cat2.use("default")
+    assert(new Engine(cat2).run("SELECT COUNT(*) FROM v_big") == "[(2,)]")
+    // duplicate create raises; OR REPLACE redefines
+    assertThrows[IllegalArgumentException](
+      eng.sql("CREATE VIEW v_big AS SELECT k FROM vt"))
+    eng.sql("CREATE OR REPLACE VIEW v_big AS SELECT k, n FROM vt WHERE n >= 3")
+    assert(eng.run("SELECT COUNT(*) FROM v_big") == "[(1,)]")
+    // validation happens at CREATE: unknown table fails loudly
+    assertThrows[Exception](
+      eng.sql("CREATE VIEW v_bad AS SELECT * FROM no_such_table"))
+    // drop removes it from this engine AND from a fresh catalog
+    eng.sql("DROP VIEW v_sum")
+    assert(cat.views().keySet == Set("v_big"))
+    assertThrows[IllegalArgumentException](eng.sql("DROP VIEW v_sum"))
+    eng.sql("DROP VIEW IF EXISTS v_sum")
+    // a view cannot shadow a table
+    assertThrows[IllegalArgumentException](
+      eng.sql("CREATE VIEW vt AS SELECT k FROM vt"))
+  }
 }
