@@ -91,7 +91,7 @@ object Bench {
     }
     def runAll(): Seq[(String, Double, Boolean)] = {
       val main = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        SparkEntry.benchSplits.get(name) match {
+        val res = SparkEntry.benchSplits.get(name) match {
           // write-dominated entries: one execution, reported as the
           // historical headline name PLUS _fixture/_query sub-metrics,
           // so the read-path cost stays visible under the write noise
@@ -107,6 +107,12 @@ object Bench {
             }
           case None => Seq(timed(name)(fn(spark, sfDir).count()))
         }
+        // reclaim the entry's scratch warehouses OUTSIDE the timed body:
+        // ~300 accumulated fixture warehouses of dirty page cache and
+        // writeback otherwise tax every later entry's I/O (r14 measured
+        // a uniform ~1.2-1.4× inflation across the tail of the run)
+        SparkEntry.cleanScratchDirs()
+        res
       }
       // q_embed_ivf bills k-means + index write to a query named like a
       // lookup; these sub-metrics keep probe-side regressions visible.

@@ -140,6 +140,58 @@ object SparkEntry {
         "FROM orders_rb")
     },
 
+    // fixture = warehouse build + CTAS half + conf-gated staged INSERT
+    // (a write benchmark); query = audit scan + the metadata-only
+    // publish + the published read — the publish cost must stay flat
+    // regardless of batch size (zero data movement).
+    "q_wap" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_src", nation.schema)
+      cat.append("nation_src", nation, 1000L)
+      eng.sql("CREATE TABLE nation_wap STORED AS ICEBERG AS " +
+        "SELECT * FROM nation_src WHERE n_nationkey < 10")
+      def liveCount(): Long =
+        eng.sql("SELECT COUNT(*) FROM nation_wap").collect()(0).getLong(0)
+      val before = liveCount()
+      s.conf.set(graft.sql.SqlDdl.WapIdConf, "audit-1")
+      try eng.sql("INSERT INTO nation_wap SELECT * FROM nation_src " +
+        "WHERE n_nationkey >= 10")
+      finally s.conf.unset(graft.sql.SqlDdl.WapIdConf)
+      (s, cat, eng, before, liveCount())
+    } { case (s, cat, eng, before, whileStaged) =>
+      import s.implicits._
+      val audit = cat.store().auditWap("nation_wap", "audit-1").count()
+      eng.sql("CALL publish_changes(table => 'nation_wap', wap_id => 'audit-1')")
+      val after = eng.sql("SELECT COUNT(*) FROM nation_wap")
+        .collect()(0).getLong(0)
+      Seq((before, whileStaged, audit, after))
+        .toDF("rows_before", "rows_while_staged", "rows_audit", "rows_after")
+    },
+
+    // fixture = base + views + second append (writes); query = the
+    // nested-view read, re-evaluated from stored text against the
+    // now-doubled base.
+    "q_sql_view" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_v", orders.schema)
+      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      eng.sql("CREATE VIEW v_open AS SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM orders_v WHERE o_totalprice > 100000")
+      eng.sql("CREATE VIEW v_by_status AS SELECT o_orderstatus, " +
+        "COUNT(*) AS cnt, SUM(o_totalprice) AS total FROM v_open " +
+        "GROUP BY o_orderstatus")
+      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      eng
+    } { eng =>
+      eng.sql("SELECT o_orderstatus, cnt, total FROM v_by_status " +
+          "ORDER BY o_orderstatus")
+        .withColumn("total", round(col("total"), 2))
+    },
+
     "q_bucket_join" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1212,24 +1264,7 @@ object SparkEntry {
     // stored artifact is SELECT text re-evaluated per query, so the
     // view tracks appends that land AFTER its creation — the oracle
     // recomputes the final nested aggregate over the full base.
-    "q_sql_view" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-      cat.createTable("orders_v", orders.schema)
-      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
-      eng.sql("CREATE VIEW v_open AS SELECT o_orderkey, o_orderstatus, " +
-        "o_totalprice FROM orders_v WHERE o_totalprice > 100000")
-      eng.sql("CREATE VIEW v_by_status AS SELECT o_orderstatus, " +
-        "COUNT(*) AS cnt, SUM(o_totalprice) AS total FROM v_open " +
-        "GROUP BY o_orderstatus")
-      // the second half lands AFTER both views exist — text views must
-      // see it; a plan-pinned view would answer from half the base
-      cat.append("orders_v", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
-      eng.sql("SELECT o_orderstatus, cnt, total FROM v_by_status " +
-          "ORDER BY o_orderstatus")
-        .withColumn("total", round(col("total"), 2))
-    }),
+    "q_sql_view" -> benchSplits("q_sql_view").composed,
 
     // Write-audit-publish (Iceberg's `spark.wap.id` + publish_changes):
     // a conf-gated INSERT stages the second half of the table
@@ -1238,28 +1273,7 @@ object SparkEntry {
     // publish_changes commits the staged files atomically (metadata
     // only; the files were promoted at staging time). Every observable
     // count is reconstructible from the source rows.
-    "q_wap" -> ((s, dir) => {
-      import s.implicits._
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val nation = t(s, dir, "nation")
-      cat.createTable("nation_src", nation.schema)
-      cat.append("nation_src", nation, 1000L)
-      eng.sql("CREATE TABLE nation_wap STORED AS ICEBERG AS " +
-        "SELECT * FROM nation_src WHERE n_nationkey < 10")
-      def liveCount(): Long =
-        eng.sql("SELECT COUNT(*) FROM nation_wap").collect()(0).getLong(0)
-      val before = liveCount()
-      s.conf.set(graft.sql.SqlDdl.WapIdConf, "audit-1")
-      try eng.sql("INSERT INTO nation_wap SELECT * FROM nation_src " +
-        "WHERE n_nationkey >= 10")
-      finally s.conf.unset(graft.sql.SqlDdl.WapIdConf)
-      val whileStaged = liveCount()
-      val audit = cat.store().auditWap("nation_wap", "audit-1").count()
-      eng.sql("CALL publish_changes(table => 'nation_wap', wap_id => 'audit-1')")
-      Seq((before, whileStaged, audit, liveCount()))
-        .toDF("rows_before", "rows_while_staged", "rows_audit", "rows_after")
-    }),
+    "q_wap" -> benchSplits("q_wap").composed,
 
     // Incrementally-maintained materialized view (the CDW feature the
     // reference leans on Impala/Iceberg for — pre-aggregated dashboard
@@ -1358,7 +1372,7 @@ object SparkEntry {
     // S4/S5: CSV sink + source with inferSchema and corrective timestamp
     // cast (`telco_spark/append_telco_spark_iceberg.py:40-59` shape).
     "q_csv_roundtrip" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-csv").toString
+      val tmp = scratchDir("graft-csv").toString
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
@@ -1704,7 +1718,7 @@ object SparkEntry {
     // q_embed_ann_lsh: the nprobe-pruned probe must recover the known
     // exact top-10.
     "q_embed_ivf" -> ((s, dir) => {
-      val idx = Files.createTempDirectory("graft-ivf").toString
+      val idx = scratchDir("graft-ivf").toString
       ivfBuild(s, dir, idx)
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
@@ -3171,8 +3185,40 @@ object SparkEntry {
       }
     )._2
 
+  /** Scratch dirs created by query fixtures (temp warehouses, index
+    * dirs). Self-contained per entry, but a 143-entry two-pass bench
+    * that never reclaims them accumulates hundreds of fixture
+    * warehouses — dirty page cache, writeback, and inode churn that
+    * taxes every later entry's own I/O. [[cleanScratchDirs]] lets the
+    * bench reclaim them between entries (outside the timed body);
+    * Verify/tests keep the default leave-until-exit behavior. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
+  /** Delete every scratch dir registered by completed query fixtures.
+    * Call only BETWEEN entries: frames over a deleted warehouse cannot
+    * be re-evaluated. */
+  def cleanScratchDirs(): Unit = {
+    var d = scratchDirs.poll()
+    while (d != null) {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+      d = scratchDirs.poll()
+    }
+  }
+
   private def tempCatalog(s: SparkSession): GraftCatalog = {
-    val wh = Files.createTempDirectory("graft-wh")
+    val wh = scratchDir("graft-wh")
     val cat = new GraftCatalog(wh, s)
     cat.createDatabase("default")
     cat
