@@ -1266,6 +1266,35 @@ object SparkEntry {
     // recomputes the final nested aggregate over the full base.
     "q_sql_view" -> benchSplits("q_sql_view").composed,
 
+    // Iceberg-style metadata tables as SQL relations: `t$files`,
+    // `t$history`, `t$snapshots`, `t$partitions` join/aggregate like any
+    // table (the warehouse-ops shape SHOW statements can't compose).
+    // Every aggregated number is reconstructible from the source rows:
+    // per-file record counts must sum to the table, the snapshot chain
+    // is two appends, identity partitions carry the per-region counts.
+    "q_meta_tables" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_meta", nation.schema,
+        Some(graft.store.PartitionSpec("n_regionkey", "identity")))
+      cat.append("nation_meta", nation.filter(col("n_nationkey") < 10)
+        .repartition(col("n_regionkey")), 1000L)
+      cat.append("nation_meta", nation.filter(col("n_nationkey") >= 10)
+        .repartition(col("n_regionkey")), 2000L)
+      eng.sql("""
+        SELECT f.files_rows, h.n_snapshots, h.last_total,
+               p.n_partitions, p.partition_rows
+        FROM (SELECT SUM(record_count) AS files_rows
+              FROM `nation_meta$files`) f
+        CROSS JOIN (SELECT COUNT(*) AS n_snapshots,
+                           MAX(record_count) AS last_total
+                    FROM `nation_meta$history`) h
+        CROSS JOIN (SELECT COUNT(*) AS n_partitions,
+                           SUM(n_records) AS partition_rows
+                    FROM `nation_meta$partitions`) p""")
+    }),
+
     // Write-audit-publish (Iceberg's `spark.wap.id` + publish_changes):
     // a conf-gated INSERT stages the second half of the table
     // invisibly — readers hold the committed count while the audit
@@ -2523,6 +2552,17 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Metadata tables: every aggregate is reconstructible from the
+    // source rows (per-file counts sum to the table; two appends; one
+    // identity partition per region).
+    "q_meta_tables" ->
+      """SELECT
+        |  (SELECT count(*) FROM nation) AS files_rows,
+        |  CAST(2 AS BIGINT) AS n_snapshots,
+        |  (SELECT count(*) FROM nation) AS last_total,
+        |  (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_partitions,
+        |  (SELECT count(*) FROM nation) AS partition_rows""".stripMargin,
 
     // WAP: readers hold the committed half while a batch is staged;
     // audit sees the union; publish makes them equal.

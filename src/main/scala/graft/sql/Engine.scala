@@ -40,8 +40,9 @@ final class Engine(catalog: GraftCatalog) {
     }
   }
 
-  private def runStatement(cleaned: String): DataFrame =
-    SqlDdl.tryExecute(catalog, cleaned).getOrElse {
+  private def runStatement(raw0: String): DataFrame =
+    SqlDdl.tryExecute(catalog, raw0).getOrElse {
+      val cleaned = rewriteMetaTables(raw0)
       registerReferencedViews(cleaned, Set.empty)
       val TimeTravelRewriter.Rewritten(stmt, asOf, version, tag) =
         TimeTravelRewriter.rewrite(cleaned)
@@ -75,6 +76,40 @@ final class Engine(catalog: GraftCatalog) {
             .getOrElse(prunedQuery(stmt))
       }
     }
+
+  // Iceberg-style METADATA TABLES, SQL-composable: `` `t$files` ``,
+  // `` `t$history` ``, `` `t$snapshots` ``, `` `t$partitions` `` (backticks
+  // optional; Impala spells these tbl$files, Spark-Iceberg t.files). The
+  // SHOW statements render the same data as fixed result sets; the $-form
+  // joins/filters/aggregates like any relation — the warehouse-ops shape
+  // ("total bytes per partition", "commits that added the most rows").
+  private val MetaTableRef =
+    "(?i)`?((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)\\$(files|history|snapshots|partitions)`?".r
+
+  /** Replace metadata-table references with registered temp views built
+    * from snapshot-log metadata (no data I/O; `$files` stats file sizes
+    * on the bounded parallel pool). No-op for statements without `$`. */
+  private def rewriteMetaTables(stmt: String): String = {
+    if (!stmt.contains("$")) return stmt
+    MetaTableRef.replaceAllIn(stmt, m => {
+      val (cat, t) = SqlDdl.resolved(catalog, m.group(1))
+      require(cat.store().exists(t), s"table not found: ${m.group(1)}")
+      val kind = m.group(2).toLowerCase
+      val spark = catalog.spark
+      import spark.implicits._
+      val df = kind match {
+        case "files" => cat.store().filesMetadata(t)
+          .toDF("file_path", "record_count", "partition", "size_bytes")
+        case "history"   => cat.store().history(t)
+        case "snapshots" => cat.store().snapshotsMetadata(t)
+        case "partitions" => cat.store().partitionSummary(t)
+          .toDF("partition", "n_files", "n_records")
+      }
+      val view = s"${t}__meta_$kind"
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+  }
 
   /** Logical-view expansion: for every stored view whose name appears in
     * `stmt`, (re-)evaluate its SELECT text through the full engine seam

@@ -1154,6 +1154,31 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private[graft] def pruneDataFiles(table: String, files: Seq[DataFile],
       predicate: Column): Seq[DataFile] = pruneList(table, files, predicate)
 
+  /** `tbl$snapshots` metadata DataFrame (Iceberg's snapshots metadata
+    * table): one row per commit with its parent id and summary map —
+    * the SQL-composable form of [[history]] for warehouse ops queries
+    * ("which commits added the most rows", "find the last rewrite").
+    * Log metadata only, no hydration. */
+  def snapshotsMetadata(table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snaps = SnapshotLog.read(fs, tableDir(table))
+    val rows = snaps.zipWithIndex.map { case (s, i) =>
+      Row(s.id, if (i == 0) null else java.lang.Long.valueOf(snaps(i - 1).id),
+        new java.sql.Timestamp(s.timestampMs), s.operation, s.fileCount,
+        s.recordCount, s.summary)
+    }
+    val sch = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("data_files", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("summary", org.apache.spark.sql.types.MapType(
+        StringType, StringType), nullable = false)))
+    spark.createDataFrame(rows.asJava, sch)
+  }
+
   /** `tbl$history`-style metadata DataFrame (`README.md:94-98`). */
   def history(table: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -471,4 +471,28 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.run("SELECT id, name FROM items ORDER BY id LIMIT 2") ==
       "[(1, 'alpha'), (2, 'beta')]")
   }
+
+  test("metadata tables ($files/$history/$snapshots/$partitions) compose in SQL") {
+    val (cat, eng) = fixture()
+    // per-file record counts sum to the table; sizes are real
+    val f = eng.sql("SELECT SUM(record_count) AS rows, SUM(size_bytes) AS bytes " +
+      "FROM `items$files`").head()
+    assert(f.getLong(0) == 3L && f.getLong(1) > 0L)
+    // snapshot chain: parent ids link the two appends
+    val snaps = eng.sql("SELECT snapshot_id, parent_id, operation " +
+      "FROM `items$snapshots` ORDER BY snapshot_id").collect()
+    assert(snaps.length == 2)
+    assert(snaps(0).isNullAt(1) && snaps(1).getLong(1) == snaps(0).getLong(0))
+    assert(snaps.forall(_.getString(2) == "append"))
+    // summary map columns are queryable
+    assert(eng.sql("SELECT summary['added-records'] FROM `items$snapshots` " +
+      "WHERE snapshot_id = 2").head().getString(0) == "1")
+    // metadata tables JOIN like relations (the shape SHOW cannot do)
+    assert(eng.run("SELECT h.record_count FROM `items$history` h " +
+      "JOIN `items$snapshots` s ON h.snapshot_id = s.snapshot_id " +
+      "WHERE s.parent_id IS NULL") == "[(2,)]")
+    // partitions view requires a partitioned table — loud otherwise
+    assertThrows[IllegalArgumentException](
+      eng.sql("SELECT * FROM `items$partitions`").collect())
+  }
 }
