@@ -170,6 +170,39 @@ object SparkEntry {
         .toDF("rows_before", "rows_while_staged", "rows_audit", "rows_after")
     },
 
+    // fixture = warehouse + CTAS + two conf-routed branch commits
+    // (writes); query = the by-name branch read, the fast-forward
+    // publish (metadata-only commits), and the published read.
+    "q_branch" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_src_br", nation.schema)
+      cat.append("nation_src_br", nation, 1000L)
+      eng.sql("CREATE TABLE nation_br STORED AS ICEBERG AS " +
+        "SELECT * FROM nation_src_br WHERE n_nationkey < 10")
+      eng.sql("ALTER TABLE nation_br CREATE BRANCH etl")
+      s.conf.set(graft.sql.SqlDdl.BranchConf, "etl")
+      try {
+        eng.sql("INSERT INTO nation_br SELECT * FROM nation_src_br " +
+          "WHERE n_nationkey >= 10 AND n_nationkey < 20")
+        eng.sql("INSERT INTO nation_br SELECT * FROM nation_src_br " +
+          "WHERE n_nationkey >= 20")
+      } finally s.conf.unset(graft.sql.SqlDdl.BranchConf)
+      (s, cat, eng)
+    } { case (s, cat, eng) =>
+      import s.implicits._
+      def c(sql: String): Long = eng.sql(sql).collect()(0).getLong(0)
+      val mainRows = c("SELECT COUNT(*) FROM nation_br")
+      val branchRows =
+        c("SELECT COUNT(*) FROM nation_br FOR SYSTEM_VERSION AS OF 'etl'")
+      eng.sql("CALL fast_forward(table => 'nation_br', branch => 'etl')")
+      val after = c("SELECT COUNT(*) FROM nation_br")
+      val nSnapshots = cat.store().history("nation_br").count()
+      Seq((mainRows, branchRows, after, nSnapshots))
+        .toDF("rows_main", "rows_branch", "rows_after", "n_snapshots")
+    },
+
     // fixture = base + views + second append (writes); query = the
     // nested-view read, re-evaluated from stored text against the
     // now-doubled base.
@@ -1303,6 +1336,13 @@ object SparkEntry {
     // only; the files were promoted at staging time). Every observable
     // count is reconstructible from the source rows.
     "q_wap" -> benchSplits("q_wap").composed,
+
+    // Branches (Iceberg's writable refs): two conf-routed commits stage
+    // on a branch forked at the CTAS snapshot; `FOR SYSTEM_VERSION AS
+    // OF 'etl'` reads fork + branch as a unit while main holds its
+    // half; CALL fast_forward replays the branch commits as real
+    // snapshots under the ancestor rule.
+    "q_branch" -> benchSplits("q_branch").composed,
 
     // Incrementally-maintained materialized view (the CDW feature the
     // reference leans on Impala/Iceberg for — pre-aggregated dashboard
@@ -2563,6 +2603,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation) AS last_total,
         |  (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_partitions,
         |  (SELECT count(*) FROM nation) AS partition_rows""".stripMargin,
+
+    // Branches: main holds the CTAS half while two commits stage on the
+    // branch; the by-name read sees fork + both; fast-forward replays
+    // them as real snapshots (CTAS + 2 = 3).
+    "q_branch" ->
+      """SELECT
+        |  (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS rows_main,
+        |  (SELECT count(*) FROM nation) AS rows_branch,
+        |  (SELECT count(*) FROM nation) AS rows_after,
+        |  CAST(3 AS BIGINT) AS n_snapshots""".stripMargin,
 
     // WAP: readers hold the committed half while a batch is staged;
     // audit sees the union; publish makes them equal.

@@ -58,14 +58,21 @@ final class Engine(catalog: GraftCatalog) {
             .getOrElse(pinnedQuery(stmt,
               (db, t, _) => catalog.store(db).readVersion(t, id)))
         case (_, _, Some(tg))  =>
-          // tag → id resolved PER TABLE (a tag is table-scoped metadata;
-          // unknown tags fail loudly in resolveTag, never fall back)
+          // ref → resolved PER TABLE (table-scoped metadata; unknown
+          // names fail loudly in resolveTag, never fall back). A BRANCH
+          // name reads fork-point + branch commits as a unit; the
+          // namespaces are disjoint by construction (create-time check).
           metadataAgg(stmt,
-            (db, t) => catalog.store(db).snapshotMetaVersion(t,
-              catalog.store(db).resolveTag(t, tg)))
+            (db, t) =>
+              if (catalog.store(db).branchExists(t, tg)) None
+              else catalog.store(db).snapshotMetaVersion(t,
+                catalog.store(db).resolveTag(t, tg)))
             .getOrElse(pinnedQuery(stmt,
-              (db, t, _) => catalog.store(db).readVersion(t,
-                catalog.store(db).resolveTag(t, tg))))
+              (db, t, _) =>
+                if (catalog.store(db).branchExists(t, tg))
+                  catalog.store(db).readBranch(t, tg)
+                else catalog.store(db).readVersion(t,
+                  catalog.store(db).resolveTag(t, tg))))
         case _                 =>
           // metadata-answered first (O(1)), then aggregate navigation
           // over a FRESH materialized view (O(view)), then the scan —

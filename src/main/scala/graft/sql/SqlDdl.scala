@@ -129,6 +129,19 @@ object SqlDdl {
       "DROP\\s+TAG\\s+`?([A-Za-z_][\\w.-]*)`?\\s*$").r
   private val ShowTags =
     "(?is)^\\s*SHOW\\s+TAGS\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
+  // Branches (Iceberg's writable refs): fork at the current (or a
+  // named) snapshot, write to the branch via the session conf
+  // ([[BranchConf]]), read `FOR SYSTEM_VERSION AS OF '<branch>'`,
+  // publish with `CALL fast_forward(...)`.
+  private val CreateBranch =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+" +
+      "CREATE\\s+BRANCH\\s+`?([A-Za-z_][\\w.-]*)`?" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*$").r
+  private val DropBranch =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+" +
+      "DROP\\s+BRANCH\\s+`?([A-Za-z_][\\w.-]*)`?\\s*$").r
+  private val ShowBranches =
+    "(?is)^\\s*SHOW\\s+BRANCHES\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
   // Iceberg's `tbl$files` inspection: one row per current data file
   private val ShowFiles =
     "(?is)^\\s*SHOW\\s+FILES\\s+(?:IN\\s+|FROM\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$".r
@@ -563,6 +576,24 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       import catalog.spark.implicits._
       Some(cat.store().tags(t).toSeq.sorted.toDF("tag", "snapshot_id"))
+    case CreateBranch(qn, name, ver) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().createBranch(t, name, Option(ver).map(_.toLong))
+      Some(empty(catalog))
+    case DropBranch(qn, name) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().dropBranch(t, name)
+      Some(empty(catalog))
+    case ShowBranches(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      Some(cat.store().branches(t).toSeq.sortBy(_._1)
+        .map { case (n, b) => (n, b.baseSnapshotId, b.entries.size,
+          b.entries.map(_.recordCount).sum) }
+        .toDF("branch", "base_snapshot_id", "n_commits", "n_records"))
     case ShowPartitions(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
@@ -708,6 +739,17 @@ object SqlDdl {
       case "remove_orphan_files" =>
         val (cat, t) = tableArg
         cat.vacuum(t, olderThanMs(3L * 24 * 3600 * 1000))
+      case "fast_forward" =>
+        // Iceberg's fast_forward: main must still sit at the branch's
+        // fork point; branch commits replay in order, branch deleted
+        val (cat, t) = tableArg
+        val b = arg(1, "branch") match {
+          case Some(StrLit(s)) => s
+          case other => throw new IllegalArgumentException(
+            s"CALL $proc needs branch => '<name>', got: ${other.getOrElse("nothing")}")
+        }
+        cat.store().fastForward(t, b)
+        cat.registerView(t)
       case "publish_changes" =>
         // Iceberg's WAP publish: commit the change set staged under
         // wap_id (an atomic metadata-only append — the files were
@@ -838,9 +880,17 @@ object SqlDdl {
     // Write-audit-publish (Iceberg's `spark.wap.id` contract): with the
     // WAP conf set, every INSERT stages invisibly under that id — the
     // audit job validates, then `CALL publish_changes(...)` commits.
-    catalog.spark.conf.getOption(WapIdConf).filter(_.nonEmpty) match {
-      case Some(wapId) => catalog.stageWap(table, aligned, wapId)
-      case None        => catalog.append(table, aligned)
+    // The branch conf routes INSERTs onto a named branch the same way
+    // (Iceberg's `spark.wap.branch`); setting both is ambiguous.
+    val wap = catalog.spark.conf.getOption(WapIdConf).filter(_.nonEmpty)
+    val branch = catalog.spark.conf.getOption(BranchConf).filter(_.nonEmpty)
+    require(wap.isEmpty || branch.isEmpty,
+      s"both $WapIdConf and $BranchConf are set — writes cannot stage " +
+        "to a WAP id and a branch at once")
+    (wap, branch) match {
+      case (Some(wapId), _) => catalog.stageWap(table, aligned, wapId)
+      case (_, Some(b))     => catalog.store().appendToBranch(table, aligned, b)
+      case _                => catalog.append(table, aligned)
     }
   }
 
@@ -848,6 +898,10 @@ object SqlDdl {
     * `spark.wap.id`). Set → writes stage under that id; unset → normal
     * visible commits. */
   val WapIdConf = "spark.graft.wap.id"
+
+  /** Session conf routing INSERTs onto a branch (Iceberg's
+    * `spark.wap.branch`). The branch must exist. */
+  val BranchConf = "spark.graft.branch"
 
   /** Evaluate the SELECT/WITH body of CTAS / INSERT-SELECT through the
     * full engine seam, so time travel and partition pruning apply inside

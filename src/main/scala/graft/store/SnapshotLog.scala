@@ -53,6 +53,13 @@ final case class WapEntry(
     files: Seq[DataFile],
     recordCount: Long)
 
+/** One named branch: a fork point on the main chain plus an ordered
+  * list of staged append entries (each reuses the [[WapEntry]] shape —
+  * a branch IS a multi-commit WAP). */
+final case class Branch(
+    baseSnapshotId: Long,
+    entries: Seq[WapEntry])
+
 /** One committed table version.
   *
   * Mirrors the observable Iceberg snapshot semantics the reference relies
@@ -532,6 +539,98 @@ object SnapshotLog {
       f: Seq[WapEntry] => Seq[WapEntry]): Unit =
     withCommitLock(fs, tableDir) {
       writeWap(fs, tableDir, f(readWap(fs, tableDir)))
+    }
+
+  // -------------------------------------------------------------------
+  // Branches (Iceberg's writable refs): a named chain of staged append
+  // entries forked from a base snapshot, in a `branches.json` sidecar.
+  // Same design as WAP — the live snapshot chain never carries branch
+  // state — generalized to MULTIPLE ordered commits per name, readable
+  // as a unit (`FOR SYSTEM_VERSION AS OF '<branch>'`) and published by
+  // fast-forward when main has not moved past the fork point.
+  // -------------------------------------------------------------------
+
+  def branchesPath(tableDir: HPath): HPath = new HPath(tableDir, "branches.json")
+
+  def readBranches(fs: FileSystem, tableDir: HPath): Map[String, Branch] = {
+    val p = branchesPath(tableDir)
+    if (!fs.exists(p)) return Map.empty
+    val node = mapper.readTree(readLogText(fs, p))
+    node.properties().asScala.map { e =>
+      val b = e.getValue
+      e.getKey -> Branch(
+        baseSnapshotId = b.get("baseSnapshotId").asLong(),
+        entries = b.get("entries").elements().asScala.map { en =>
+          WapEntry(
+            wapId = en.get("wapId").asText(),
+            timestampMs = en.get("timestampMs").asLong(),
+            files = en.get("files").elements().asScala.map(readFile).toSeq,
+            recordCount = en.get("recordCount").asLong())
+        }.toSeq)
+    }.toMap
+  }
+
+  def writeBranches(fs: FileSystem, tableDir: HPath,
+      branches: Map[String, Branch]): Unit = {
+    val p = branchesPath(tableDir)
+    if (branches.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      scala.collection.immutable.ListMap(branches.toSeq.sortBy(_._1): _*)
+        .map { case (n, b) =>
+          n -> scala.collection.mutable.LinkedHashMap[String, Any](
+            "baseSnapshotId" -> b.baseSnapshotId,
+            "entries" -> b.entries.map(e =>
+              scala.collection.mutable.LinkedHashMap[String, Any](
+                "wapId" -> e.wapId, "timestampMs" -> e.timestampMs,
+                "recordCount" -> e.recordCount, "files" -> e.files)))
+        })
+    val tmp = new HPath(tableDir, s"branches.json.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    atomicReplace(fs, tmp, p)
+  }
+
+  /** Mutate the branch sidecar under the table's commit lock. */
+  def updateBranches(fs: FileSystem, tableDir: HPath)(
+      f: Map[String, Branch] => Map[String, Branch]): Unit =
+    withCommitLock(fs, tableDir) {
+      writeBranches(fs, tableDir, f(readBranches(fs, tableDir)))
+    }
+
+  /** Fast-forward main to a branch head: requires main's current
+    * snapshot to BE the branch's fork point (Iceberg's fast-forward
+    * ancestor rule — anything else needs a merge, which append-only
+    * branches deliberately do not model). Each branch entry becomes one
+    * real append commit in order, re-stamped at publish time
+    * (`timestampMs + index` — Iceberg's cherry-pick also re-stamps, and
+    * reusing branch-write times could interleave main's history
+    * non-monotonically, breaking time travel's prefix property), then
+    * the branch is deleted — all under ONE lock acquisition. */
+  def fastForward(fs: FileSystem, tableDir: HPath, branch: String,
+      timestampMs: Long = System.currentTimeMillis(),
+      schemaVersionOf: () => Int = () => -1): Seq[Snapshot] =
+    withCommitLock(fs, tableDir) {
+      val branches = readBranches(fs, tableDir)
+      val b = branches.getOrElse(branch, throw new IllegalArgumentException(
+        s"no branch '$branch' " +
+          s"(branches: ${branches.keys.toSeq.sorted.mkString(", ")})"))
+      val head = read(fs, tableDir).lastOption.map(_.id).getOrElse(0L)
+      if (head != b.baseSnapshotId)
+        throw new IllegalStateException(
+          s"cannot fast-forward '$branch': main advanced from its fork " +
+            s"point $head != ${b.baseSnapshotId} — rebase by creating a " +
+            "new branch from the current head")
+      val snaps = b.entries.zipWithIndex.map { case (e, i) =>
+        commitLocked(fs, tableDir, "append", e.files, e.recordCount,
+          timestampMs + i, replaceAll = false,
+          summary = Map("branch" -> branch,
+            "added-files" -> e.files.size.toString,
+            "added-records" -> e.recordCount.toString),
+          schemaVersionOf = schemaVersionOf)
+      }
+      writeBranches(fs, tableDir, branches - branch)
+      snaps
     }
 
   /** Publish a staged WAP change set: ONE lock acquisition covers the

@@ -341,6 +341,89 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       entries.filterNot(_.wapId == wapId)
     }
 
+  // -------------------------------------------------------------------
+  // Branches (Iceberg's writable refs): fork the table at its current
+  // snapshot, append to the branch invisibly (multi-commit WAP), read
+  // the branch as a unit, fast-forward main when validated. Shares the
+  // ref namespace with tags — a name resolves to exactly one of them.
+  // -------------------------------------------------------------------
+
+  def branches(table: String): Map[String, Branch] =
+    SnapshotLog.readBranches(fs, tableDir(table))
+
+  def branchExists(table: String, name: String): Boolean =
+    branches(table).keys.exists(_.equalsIgnoreCase(name))
+
+  /** Fork a branch at the current snapshot (or `atSnapshotId`). The
+    * name must be free in BOTH ref namespaces: a tag and a branch with
+    * one name would make `FOR SYSTEM_VERSION AS OF '<name>'` ambiguous. */
+  def createBranch(table: String, name: String,
+      atSnapshotId: Option[Long] = None): Unit = {
+    require(name.nonEmpty, "branch name must be non-empty")
+    require(!tags(table).keys.exists(_.equalsIgnoreCase(name)),
+      s"cannot create branch '$name': a tag with that name exists on $table")
+    val base = atSnapshotId.getOrElse(currentSnapshotId(table).getOrElse(0L))
+    if (atSnapshotId.isDefined)
+      require(SnapshotLog.resolveVersion(fs, tableDir(table), base).isDefined,
+        s"no snapshot id $base in $table")
+    SnapshotLog.updateBranches(fs, tableDir(table)) { bs =>
+      require(!bs.keys.exists(_.equalsIgnoreCase(name)),
+        s"branch already exists: $name")
+      bs + (name -> Branch(base, Seq.empty))
+    }
+  }
+
+  /** Drop a branch; its staged files become vacuum-reclaimable debris. */
+  def dropBranch(table: String, name: String): Unit =
+    SnapshotLog.updateBranches(fs, tableDir(table)) { bs =>
+      val hit = bs.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' on $table"))
+      bs - hit
+    }
+
+  /** Append to a branch: the normal distributed write + promote, with
+    * the commit recorded on the branch chain instead of the log — main
+    * readers never see it. Append-only by design: row-level ops on a
+    * branch would need merge semantics fast-forward cannot publish. */
+  def appendToBranch(table: String, df: DataFrame, name: String,
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
+    val moved = writeStaged(table, df)
+    val n = moved.map(_.records).sum
+    SnapshotLog.updateBranches(fs, tableDir(table)) { bs =>
+      val key = bs.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' on $table"))
+      val b = bs(key)
+      bs + (key -> b.copy(entries = b.entries :+
+        WapEntry(s"$key-${b.entries.size}", timestampMs, moved, n)))
+    }
+  }
+
+  /** Read a branch as a unit: the fork-point snapshot's files plus
+    * every branch entry's files, current schema. This is what
+    * `FOR SYSTEM_VERSION AS OF '<branch>'` resolves to. */
+  def readBranch(table: String, name: String): DataFrame = {
+    val bs = branches(table)
+    val b = bs.keys.find(_.equalsIgnoreCase(name)).map(bs).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    val base =
+      if (b.baseSnapshotId == 0L) Seq.empty
+      else SnapshotLog.resolveVersion(fs, tableDir(table), b.baseSnapshotId)
+        .map(_.files).getOrElse(Seq.empty)
+    readFileList(table, base ++ b.entries.flatMap(_.files))
+  }
+
+  /** Fast-forward main to the branch head (see
+    * [[SnapshotLog.fastForward]] — ancestor rule enforced, entries
+    * become real commits in order, branch deleted, one lock). */
+  def fastForward(table: String, name: String,
+      timestampMs: Long = System.currentTimeMillis()): Seq[Snapshot] = {
+    val bs = branches(table)
+    val key = bs.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    SnapshotLog.fastForward(fs, tableDir(table), key, timestampMs,
+      schemaVersionOf = () => commitSchemaVersion(table))
+  }
+
   /** Highest streaming batch id `sinkId` has committed into this table
     * (None = never). The snapshot log doubles as the streaming sink's
     * commit log: a foreachBatch replay after a crash between the append
@@ -1833,7 +1916,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .map(SnapshotLog.hydrate(fs, dir, _)).flatMap(_.filePaths) ++
       // staged-but-unpublished WAP files are live metadata, not debris —
       // only discardWap (sidecar removal) hands them back to vacuum
-      SnapshotLog.readWap(fs, dir).flatMap(_.files).map(_.path))
+      SnapshotLog.readWap(fs, dir).flatMap(_.files).map(_.path) ++
+      // same for un-merged branch commits: dropBranch releases them
+      SnapshotLog.readBranches(fs, dir).values
+        .flatMap(_.entries).flatMap(_.files).map(_.path))
       .map(TableStore.fileName).toSet
     val dd = dataDir(table)
     if (fs.exists(dd))
@@ -1889,6 +1975,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val existing = tags(table)
     require(!existing.contains(name),
       s"tag '$name' already exists on $table (drop it first to re-point)")
+    // tags and branches share the AS-OF ref namespace
+    require(!branchExists(table, name),
+      s"cannot create tag '$name': a branch with that name exists on $table")
     writeTags(table, existing + (name -> id))
   }
 
@@ -1918,7 +2007,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val dir = tableDir(table)
     val all = SnapshotLog.read(fs, dir).map(SnapshotLog.hydrate(fs, dir, _))
     if (all.size <= 1) return
-    val tagged = tags(table).values.toSet
+    // tagged snapshots are pinned; so are branch FORK POINTS — expiring
+    // a base would silently hollow out every read of its branch
+    val tagged = tags(table).values.toSet ++
+      branches(table).values.map(_.baseSnapshotId)
     val keep = all.filter(s =>
         s.timestampMs >= olderThanMs || tagged(s.id)) match {
       case Seq() => Seq(all.last)
