@@ -1792,6 +1792,84 @@ object SparkEntry {
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
+    // Deterministic EXACT-k per-stratum sampling (eval-set
+    // construction: exactly k docs per language): bounded-heap ranks by
+    // key hash, so cost is O(k·partitions·strata) regardless of
+    // stratum skew. The oracle checks the exact-count contract per
+    // stratum; stability is asserted by re-running.
+    "q_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val s1 = Splits.stratifiedSampleExact(docs, "lang", "doc_id", k = 30)
+      val s2 = Splits.stratifiedSampleExact(docs, "lang", "doc_id", k = 30)
+      val stable = s1.select("doc_id").except(s2.select("doc_id")).count() == 0 &&
+        s1.count() == s2.count()
+      s1.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("_n")), "lang")
+        .select(col("lang"), col("n_sampled"),
+          least(lit(30L), col("_n")).as("expected"),
+          (col("n_sampled") === least(lit(30L), col("_n"))).as("exact_k"),
+          lit(stable).as("stable"))
+        .orderBy(col("lang"))
+    }),
+
+    // =================================================================
+    // Flagship COMPOSED pipeline: the C4/FineWeb-style cleaning recipe
+    // end-to-end from the engine's own operators — language gate →
+    // Gopher quality gates (token count, alpha ratio, duplicate-line
+    // ratio) → exact content dedup (normalized-hash, first writer
+    // wins; 5 planted exact copies must vanish) → near-dup cluster
+    // retention on the shared CC labels → PII scrub → corpus stats.
+    // Every stage's survivor count AND the order-independent signature
+    // of the final scrubbed corpus are reconstructed by DuckDB from
+    // the documented rules alone. Plan shape: each gate is a
+    // scan-local filter, dedup is one hash shuffle, retention one
+    // hash agg + semi-join — the whole recipe is four shuffles
+    // regardless of corpus size.
+    "q_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+      val docs = base.union(base.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      val nTotal = docs.count()
+      val en = docs.filter(col("lang") === "en")
+      val nLang = en.count()
+      val (dupLine, _) = TextAnalysis.repetitionStats(col("text"))
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val quality = en
+        .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
+        .filter(alpha >= 0.82)
+        .filter(dupLine <= 0.3)
+      val nQuality = quality.count()
+      // the dedup output feeds three consumers (count, retention agg,
+      // semi-join) — persist for the span of the stage, as a real
+      // pipeline would checkpoint between stages, then free
+      val uniq = Dedup.exactByContent(quality, "text", "doc_id").persist()
+      val (nUnique, row) =
+        try {
+          val nUnique = uniq.count()
+          val labeled = uniq
+            .join(sharedChainLabels(s, dir), Seq("doc_id"), "left")
+            .withColumn("_comp", coalesce(col("component"), col("doc_id")))
+          val winners = labeled.groupBy(col("_comp"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val fin = labeled.join(winners, Seq("doc_id"), "left_semi")
+          val (scrubbed, _, _) = TextAnalysis.scrubPii(col("text"))
+          (nUnique, fin
+            .select(md5(scrubbed).as("_m"),
+              TextAnalysis.tokenCount(col("text")).as("_ntok"))
+            .agg(count(lit(1)).as("n_final"),
+              sum(col("_ntok")).cast("long").as("total_tokens"),
+              md5(concat_ws("", sort_array(collect_list(col("_m")))))
+                .as("corpus_md5"))
+            .head())
+        } finally uniq.unpersist()
+      Seq((nTotal, nLang, nQuality, nUnique, row.getLong(0),
+          row.getLong(1), row.getString(2)))
+        .toDF("n_total", "n_lang", "n_quality", "n_unique", "n_final",
+          "total_tokens", "corpus_md5")
+    }),
+
     // =================================================================
     // North star: text analysis
     // =================================================================
@@ -2592,6 +2670,67 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, least(30, count(*)) AS n_sampled,
+        |       least(30, count(*)) AS expected,
+        |       TRUE AS exact_k, TRUE AS stable
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Composed pipeline: DuckDB re-runs the full recipe independently —
+    // its own windows for components, row_number for dedup, regex
+    // mirrors for the gates and the scrub.
+    "q_pipeline" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT * REPLACE (doc_id + 100000 AS doc_id)
+        |  FROM documents WHERE doc_id < 5
+        |),
+        |en AS (SELECT * FROM docs WHERE lang = 'en'),
+        |q AS (
+        |  SELECT * FROM en
+        |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+        |          BETWEEN 20 AND 100000
+        |    AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text) >= 0.82
+        |    AND (CASE WHEN len(string_split(text, chr(10))) <= 1 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        |              / len(string_split(text, chr(10))) END) <= 0.3
+        |),
+        |u AS (
+        |  SELECT * FROM (
+        |    SELECT q.*, row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1
+        |),
+        |b AS (SELECT doc_id, CASE WHEN lag(doc_id) OVER w = doc_id - 1
+        |       AND lag(n_chars % 5) OVER w = n_chars % 5 THEN 0 ELSE 1 END AS brk
+        |      FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |r AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run FROM b),
+        |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY run) AS component
+        |      FROM r),
+        |lab AS (SELECT u.*, coalesce(c.component, u.doc_id) AS component
+        |        FROM u LEFT JOIN c USING (doc_id)),
+        |fin AS (SELECT * FROM (
+        |  SELECT lab.*, min(doc_id) OVER (PARTITION BY component) AS keep
+        |  FROM lab) WHERE doc_id = keep)
+        |SELECT
+        | (SELECT count(*) FROM docs) AS n_total,
+        | (SELECT count(*) FROM en) AS n_lang,
+        | (SELECT count(*) FROM q) AS n_quality,
+        | (SELECT count(*) FROM u) AS n_unique,
+        | (SELECT count(*) FROM fin) AS n_final,
+        | (SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END) AS BIGINT)
+        |  FROM fin) AS total_tokens,
+        | (SELECT md5(string_agg(m, '' ORDER BY m)) FROM
+        |   (SELECT md5(regexp_replace(regexp_replace(text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS m
+        |    FROM fin)) AS corpus_md5""".stripMargin,
 
     // Metadata tables: every aggregate is reconstructible from the
     // source rows (per-file counts sum to the table; two appends; one

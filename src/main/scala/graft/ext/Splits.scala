@@ -52,6 +52,38 @@ object Splits {
       seed: Long = 42L): DataFrame =
     df.withColumn("split", splitFor(col(keyCol), fractions, seed))
 
+  /** Deterministic EXACT-k PER-STRATUM sample — the eval-set
+    * construction shape ("exactly 1000 held-out docs per language"),
+    * where [[domainMix]]'s probabilistic keep gives only EXPECTED
+    * counts. Rows rank within their stratum by `xxhash64(key, seed)`
+    * and the k smallest win: stable across runs (pure key function)
+    * and uniform over the stratum.
+    *
+    * Scale shape: the naive `row_number() OVER (PARTITION BY stratum
+    * ORDER BY hash)` hauls every stratum's FULL population through a
+    * sort — one hot stratum is one giant task. This uses the bounded
+    * [[TopKAggregator]] instead: each partition ships at most k
+    * candidates per stratum into the shuffle (map-side combine), so
+    * cost is O(k · partitions · strata), independent of stratum skew.
+    * Hash ranks are compared as doubles — above 2^53 two adjacent
+    * hashes can tie and fall to the id tiebreak, which only perturbs
+    * WHICH uniform sample is chosen, never determinism or exactness
+    * of k. Returns the sampled rows (all original columns). */
+  def stratifiedSampleExact(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val topk = new TopKAggregator(k)
+    val scored = df.select(col(strataCol).as("_st"),
+      // negate: the aggregator keeps the HIGHEST scores = smallest hashes
+      (-xxhash64(col(idCol), lit(seed)).cast("double")).as("score"),
+      col(idCol).cast("long").as("id"))
+    val picks = scored.groupBy(col("_st"))
+      .agg(udaf(topk, org.apache.spark.sql.Encoders.product[Candidate])
+        .apply(col("score"), col("id")).as("_ns"))
+      .select(col("_st").as(strataCol), explode(col("_ns.id")).as(idCol))
+    df.join(picks, Seq(strataCol, idCol), "left_semi")
+  }
+
   /** Contiguous token-budget SHARDING: walk the corpus in `orderCol`
     * order, cut a new shard each time the running `weightCol` total
     * crosses a multiple of `budget` — the deterministic corpus→shard

@@ -190,4 +190,28 @@ class SplitsSpec extends AnyFunSuite {
     // weight 0 drops the domain entirely
     assert(Splits.replicate(docs, "dom", "id", Map("w" -> 0.0)).isEmpty)
   }
+
+  test("stratifiedSampleExact: exact k per stratum, skew-proof, stable, window-truth") {
+    // one hot stratum (900 rows), one normal (90), one under k (4)
+    val rows = (0 until 900).map(i => (i.toLong, "hot")) ++
+      (1000 until 1090).map(i => (i.toLong, "mid")) ++
+      (2000 until 2004).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("id", "st")
+    val got = Splits.stratifiedSampleExact(df, "st", "id", k = 20, seed = 7L)
+    val counts = got.groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("hot" -> 20L, "mid" -> 20L, "tiny" -> 4L))
+    // stable: same seed → identical set
+    val again = Splits.stratifiedSampleExact(df, "st", "id", k = 20, seed = 7L)
+    assert(got.select("id").except(again.select("id")).isEmpty)
+    // a different seed draws a different uniform sample
+    val other = Splits.stratifiedSampleExact(df, "st", "id", k = 20, seed = 8L)
+    assert(other.select("id").except(got.select("id")).count() > 0)
+    // single-truth equivalence: the bounded-heap picks exactly the
+    // window-ranked k smallest hashes per stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("st")).orderBy(xxhash64(col("id"), lit(7L)), col("id"))
+    val naive = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20).select("id").as[Long].collect().toSet
+    assert(got.select("id").as[Long].collect().toSet == naive)
+  }
 }
