@@ -193,6 +193,7 @@ object SqlDdl {
   // Morton curve of the named columns instead of plain bin-packing.
   private val Optimize =
     ("(?is)^\\s*OPTIMIZE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
@@ -222,7 +223,11 @@ object SqlDdl {
     * which is what makes it a migration/debug tool rather than prose. */
   private def showCreate(cat: GraftCatalog, t: String): String = {
     val st = cat.store()
-    if (graft.store.MaterializedView.isMaterializedView(st, t)) {
+    val asView = cat.views().find(_._1.equalsIgnoreCase(t))
+    if (asView.isDefined) {
+      val (v, defn) = asView.get
+      s"CREATE VIEW $v AS $defn"
+    } else if (graft.store.MaterializedView.isMaterializedView(st, t)) {
       val d = graft.store.MaterializedView.definition(st, t)
       val items = (d.groupCols ++ d.aggs.map(a =>
         s"${a.func}(${a.input.getOrElse("*")}) AS ${a.alias}")).mkString(", ")
@@ -436,6 +441,16 @@ object SqlDdl {
     case Describe(ext, qn) =>
       val (cat, t) = resolved(catalog, qn)
       val st = cat.store()
+      // logical views describe through their evaluated schema
+      cat.views().find(_._1.equalsIgnoreCase(t)).foreach { case (v, defn) =>
+        import catalog.spark.implicits._
+        val cols = new Engine(cat).sql(defn).schema.fields.toIndexedSeq
+          .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
+        val rows = if (ext == null) cols
+          else cols ++ Seq(("", "", ""), ("# Detailed Table Information", "", ""),
+            ("Type", "VIEW", ""), ("View Text", defn, ""))
+        return Some(rows.toDF("col_name", "data_type", "comment"))
+      }
       require(st.exists(t), s"table not found: $t")
       val cols = st.schema(t).fields.toIndexedSeq
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
@@ -546,7 +561,9 @@ object SqlDdl {
           "min_value", "max_value", "avg_len"))
     case ShowCreateTable(qn) =>
       val (cat, t) = resolved(catalog, qn)
-      require(cat.store().exists(t), s"table not found: $t")
+      require(cat.store().exists(t) ||
+        cat.views().keys.exists(_.equalsIgnoreCase(t)),
+        s"table not found: $t")
       import catalog.spark.implicits._
       Some(Seq(showCreate(cat, t)).toDF("createtab_stmt"))
     case ShowTables() =>
@@ -605,12 +622,22 @@ object SqlDdl {
     case Call(proc, argStr) =>
       callProcedure(catalog, proc.toLowerCase, argStr)
       Some(empty(catalog))
-    case Optimize(qn, zcols) =>
+    case Optimize(qn, whereDef, zcols) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      if (zcols == null) cat.compact(t)
-      else cat.zorder(t, zcols.split(",").map(_.trim.stripPrefix("`")
-        .stripSuffix("`")).filter(_.nonEmpty).toSeq)
+      require(whereDef == null || zcols == null,
+        "OPTIMIZE … WHERE composes with bin-packing only — a scoped " +
+          "z-order would interleave two layout owners")
+      if (zcols != null)
+        cat.zorder(t, zcols.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty).toSeq)
+      else if (whereDef != null) {
+        // partition-scoped bin-pack: only files the predicate might
+        // touch are rewritten (Delta's OPTIMIZE WHERE)
+        cat.store().compactWhere(t,
+          org.apache.spark.sql.functions.expr(whereDef.trim))
+        cat.registerView(t)
+      } else cat.compact(t)
       Some(empty(catalog))
     case Vacuum(qn, retain) =>
       val (cat, t) = resolved(catalog, qn)
@@ -718,7 +745,19 @@ object SqlDdl {
             s"CALL $proc: cannot parse strategy: $other")
           case None => "binpack"
         }
+        // Iceberg's where => '<predicate>': scope the rewrite to the
+        // files the predicate might touch (named arg only)
+        val whereArg = args.find(_.name.contains("where")).map(_.value) match {
+          case Some(StrLit(w)) => Some(w.replace("''", "'"))
+          case Some(other) => throw new IllegalArgumentException(
+            s"CALL $proc: cannot parse where: $other")
+          case None => None
+        }
         strategy match {
+          case "binpack" if whereArg.isDefined =>
+            cat.store().compactWhere(t,
+              org.apache.spark.sql.functions.expr(whereArg.get))
+            cat.registerView(t)
           case "binpack" => cat.compact(t)
           case "sort" =>
             val order = arg(2, "sort_order") match {

@@ -1819,6 +1819,34 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     overwrite(table, df, operation = "replace")
   }
 
+  /** PARTITION-SCOPED compaction (Iceberg's
+    * `rewrite_data_files(where => …)`): bin-pack ONLY the files the
+    * predicate might touch — partition values + logged stats pick them
+    * from metadata (conservative: a partially-matching file is
+    * rewritten whole, which is row-preserving and so always safe) —
+    * and carry everything else by reference. At 100 TB this is the
+    * difference between compacting yesterday's partition and rewriting
+    * the table; the COW retry makes it safe to run beside writers. */
+  def compactWhere(table: String, predicate: Column,
+      targetBytes: Long = 128L * 1024 * 1024,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val matched = pruneList(table, baseFiles, predicate)
+      val carried = baseFiles.diff(matched)
+      val replacement =
+        if (matched.isEmpty) None
+        else {
+          val bytes = matched.map(f =>
+            try fs.getFileStatus(absPath(table, f.path)).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }).sum
+          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          Some(readFileList(table, matched).coalesce(n))
+        }
+      cowCommit(table, "replace", carried, matched.size, replacement,
+        timestampMs, baseId)
+    }
+
   /** One-shot linear sort rewrite (Iceberg's
     * `rewrite_data_files(strategy => 'sort')`): range-partition + sort
     * on `cols` so per-file bounds become tight and disjoint in the

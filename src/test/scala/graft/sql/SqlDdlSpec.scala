@@ -775,6 +775,30 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT SUM(b) FROM rw") == "[(9000000007,)]")
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matched partition's files") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE oc (k STRING, n INT) PARTITIONED BY SPEC (k)")
+    (1 to 4).foreach(i => eng.sql(s"INSERT INTO oc VALUES ('a', $i), ('b', $i)"))
+    val st = cat.store()
+    val before = st.dataFilesAsOf("oc", None)
+    assert(before.count(_.partition.values.exists(_ == "a")) == 4)
+    eng.sql("OPTIMIZE oc WHERE k = 'a'")
+    val after = st.dataFilesAsOf("oc", None)
+    // the matched partition bin-packed to one file; the other carried
+    // BY REFERENCE (identical paths — zero rewrite amplification)
+    assert(after.count(_.partition.values.exists(_ == "a")) == 1)
+    assert(after.filter(_.partition.values.exists(_ == "b")).map(_.path).toSet
+      == before.filter(_.partition.values.exists(_ == "b")).map(_.path).toSet)
+    // row-preserving
+    assert(eng.run("SELECT COUNT(*) FROM oc") == "[(8,)]")
+    assert(eng.run("SELECT SUM(n) FROM oc WHERE k = 'a'") == "[(10,)]")
+    // the CALL spelling scopes the same way
+    eng.sql("CALL rewrite_data_files(table => 'oc', where => 'k = ''b''')")
+    val after2 = st.dataFilesAsOf("oc", None)
+    assert(after2.count(_.partition.values.exists(_ == "b")) == 1)
+    assert(eng.run("SELECT COUNT(*) FROM oc") == "[(8,)]")
+  }
+
   test("logical views: create, query tracks base appends, views-over-views, drop") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE vt (k STRING, n INT)")
@@ -812,5 +836,14 @@ class SqlDdlSpec extends AnyFunSuite {
     // a view cannot shadow a table
     assertThrows[IllegalArgumentException](
       eng.sql("CREATE VIEW vt AS SELECT k FROM vt"))
+    // DESCRIBE and SHOW CREATE TABLE understand views
+    val desc = eng.sql("DESCRIBE v_big").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc == Seq(("k", "string"), ("n", "int")))
+    val descExt = eng.sql("DESCRIBE EXTENDED v_big").collect()
+      .map(_.getString(0))
+    assert(descExt.contains("View Text"))
+    val ddl = eng.sql("SHOW CREATE TABLE v_big").head().getString(0)
+    assert(ddl == "CREATE VIEW v_big AS SELECT k, n FROM vt WHERE n >= 3")
   }
 }
