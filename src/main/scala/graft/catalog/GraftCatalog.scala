@@ -159,8 +159,31 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     val vs = views()
     require(orReplace || !vs.keys.exists(_.equalsIgnoreCase(name)),
       s"view already exists: $name (use CREATE OR REPLACE VIEW)")
-    writeViews(currentDb,
-      vs.filterNot(_._1.equalsIgnoreCase(name)) + (name -> select))
+    // Reject definition cycles NOW (a cycle can only form via OR
+    // REPLACE, because a fresh CREATE validates against views that
+    // cannot yet mention it): at query time the expansion's cycle
+    // guard would silently evaluate the stale pre-replace body instead
+    // of erroring — a wrong-result class, not a crash class. Word-
+    // boundary mention matching over-approximates; a false positive is
+    // a loud create-time error, never a wrong answer.
+    val next = vs.filterNot(_._1.equalsIgnoreCase(name)) + (name -> select)
+    def mentions(text: String, v: String): Boolean =
+      java.util.regex.Pattern
+        .compile("(?i)\\b" + java.util.regex.Pattern.quote(v) + "\\b")
+        .matcher(text).find()
+    def reaches(from: String, target: String,
+        seen: Set[String]): Boolean =
+      next.exists { case (v, defn) =>
+        v.equalsIgnoreCase(from) && next.keys.exists(n =>
+          mentions(defn, n) &&
+            (n.equalsIgnoreCase(target) ||
+              (!seen(n.toLowerCase) &&
+                reaches(n, target, seen + n.toLowerCase))))
+      }
+    require(!reaches(name, name, Set(name.toLowerCase)),
+      s"cannot CREATE OR REPLACE VIEW $name: the definition would form " +
+        "a view cycle")
+    writeViews(currentDb, next)
   }
 
   def dropView(name: String, ifExists: Boolean = false): Unit = {

@@ -846,4 +846,31 @@ class SqlDdlSpec extends AnyFunSuite {
     val ddl = eng.sql("SHOW CREATE TABLE v_big").head().getString(0)
     assert(ddl == "CREATE VIEW v_big AS SELECT k, n FROM vt WHERE n >= 3")
   }
+
+  test("view cycles are rejected at CREATE, not silently staled at read") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE ct (n INT)")
+    eng.sql("INSERT INTO ct VALUES (1)")
+    eng.sql("CREATE VIEW va AS SELECT n FROM ct")
+    eng.sql("CREATE VIEW vb AS SELECT n FROM va")
+    // replacing va with a body that reads vb would close the loop
+    val e = intercept[IllegalArgumentException](
+      eng.sql("CREATE OR REPLACE VIEW va AS SELECT n FROM vb"))
+    assert(e.getMessage.contains("cycle"))
+    // the original chain still answers
+    assert(eng.run("SELECT n FROM vb") == "[(1,)]")
+  }
+
+  test("a view definition may pin time travel; readers see the pinned snapshot") {
+    val (_, eng) = fixture()
+    eng.sql("CREATE TABLE tv (n INT)")
+    eng.sql("INSERT INTO tv VALUES (1), (2)")   // snapshot 1
+    eng.sql("INSERT INTO tv VALUES (3)")        // snapshot 2
+    eng.sql("CREATE VIEW tv_v1 AS SELECT COUNT(*) AS cnt FROM tv " +
+      "FOR SYSTEM_VERSION AS OF 1")
+    assert(eng.run("SELECT cnt FROM tv_v1") == "[(2,)]")
+    // appends after view creation don't leak into the pinned body
+    eng.sql("INSERT INTO tv VALUES (4)")
+    assert(eng.run("SELECT cnt FROM tv_v1") == "[(2,)]")
+  }
 }
