@@ -115,6 +115,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pm.contains("*(1)"), pm)
   }
 
+  test("semantic dedup and knn join stay key-equality — never all-pairs") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ps = graft.ext.Dedup.semanticNearDuplicates(vecs, "vec_id",
+        "embedding", threshold = 0.9, nlist = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct"), "semantic dedup all-pairs:\n" + ps)
+    val left = vecs.filter(col("vec_id") < 3)
+    val pk = graft.ext.Similarity.knnJoin(left, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!pk.contains("CartesianProduct"), "knn join all-pairs:\n" + pk)
+    assert(!pk.contains("BroadcastNestedLoopJoin"),
+      "knn join degenerated to nested-loop:\n" + pk)
+    // the per-query heap partially aggregates before the shuffle
+    assert(pk.contains("partial_"), "knn join skips map-side combine:\n" + pk)
+  }
+
   test("no query plans a cartesian product at sf0.001") {
     // cartesian products are the canonical does-not-scale plan; the DDL
     // and store-backed queries mutate temp state, so check the pure ones

@@ -82,6 +82,26 @@ class BranchSpec extends AnyFunSuite {
       eng.sql("SELECT * FROM r FOR SYSTEM_VERSION AS OF 'nope'").collect())
   }
 
+  test("branch reads reconcile schema evolution; fast-forward still lands") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    eng.sql("CREATE TABLE se (id INT)")
+    eng.sql("INSERT INTO se VALUES (1)")
+    eng.sql("ALTER TABLE se CREATE BRANCH dev")
+    st.appendToBranch("se", Seq(2).toDF("id"), "dev")
+    // metadata-only evolution does NOT move the snapshot head, so the
+    // branch stays fast-forwardable; its pre-ALTER files null-fill the
+    // new column exactly like main's do
+    eng.sql("ALTER TABLE se ADD COLUMN v STRING")
+    val br = st.readBranch("se", "dev")
+    assert(br.columns.toSeq == Seq("id", "v"))
+    assert(br.count() == 2 && br.where("v IS NULL").count() == 2)
+    st.fastForward("se", "dev")
+    assert(eng.run("SELECT COUNT(*) FROM se") == "[(2,)]")
+    eng.sql("INSERT INTO se VALUES (3, 'x')")
+    assert(eng.run("SELECT COUNT(*) FROM se WHERE v = 'x'") == "[(1,)]")
+  }
+
   test("vacuum keeps branch files until dropBranch; expire keeps the fork point") {
     val (cat, eng) = fixture()
     val st = cat.store()
