@@ -37,6 +37,7 @@ object GraftExtensions {
     "hyperplane_lsh" -> (es => HyperplaneLsh(es.head, 16, 42L)),
     "image_header_meta" -> (es => ImageHeaderMeta(es.head)),
     "audio_header_meta" -> (es => AudioHeaderMeta(es.head)),
+    "video_header_meta" -> (es => VideoHeaderMeta(es.head)),
     "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
     "image_pixel_stats" -> (es => ImagePixelStats(es.head)))

@@ -2280,6 +2280,31 @@ object SparkEntry {
           col("audio_meta.duration_ms").as("duration_ms"),
           col("audio_meta.format").as("format"))
         .orderBy(col("asset_id"))
+    }),
+
+    // REAL video container-header decode: structurally real MP4 boxes
+    // (ftyp/moov/mvhd/trak/tkhd, 16.16-fixed dims, timescale-1000
+    // duration) for even assets, AVI RIFF/hdrl/avih for odd — the box
+    // walk must recover exactly the planted dimensions and durations
+    // (frame/codec decode stays a labeled stub; containers don't need
+    // codecs).
+    "q_multimodal_video" -> ((s, dir) => {
+      val w = (pmod(col("asset_id"), lit(640)) + 16).cast("int")
+      val h = (pmod(col("asset_id"), lit(360)) + 9).cast("int")
+      val durMs = (pmod(col("asset_id"), lit(9973)) + 40) * 100
+      val frames = pmod(col("asset_id"), lit(250)) + 1
+      val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id",
+          "text", "video", "source")
+        .withColumn("content", when(pmod(col("asset_id"), lit(2)) === 0,
+            Multimodal.syntheticMp4Content(w, h, durMs))
+          .otherwise(Multimodal.syntheticAviContent(w, h, lit(40000L), frames)))
+      Multimodal.decodeVideoMeta(assets)
+        .select(col("asset_id"),
+          col("video_meta.width").as("width"),
+          col("video_meta.height").as("height"),
+          col("video_meta.duration_ms").as("duration_ms"),
+          col("video_meta.format").as("format"))
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -3363,7 +3388,18 @@ object SparkEntry {
         |             CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
         |             (doc_id % 997 + 1) * 64 AS data_size
         |      FROM documents) a
-        |ORDER BY asset_id""".stripMargin
+        |ORDER BY asset_id""".stripMargin,
+
+    // planted container metadata: mp4 duration = the planted ms value
+    // (timescale 1000); avi duration = 40000 us/frame * frames / 1000
+    "q_multimodal_video" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 360 + 9 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9973 + 40) * 100
+        |       ELSE 40 * (doc_id % 250 + 1) END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format
+        |FROM documents ORDER BY asset_id""".stripMargin
   )
 
   // -------------------------------------------------------------------

@@ -105,6 +105,11 @@ object Multimodal {
       unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))),
         2, "0"))): _*)
 
+  private def be(v: Column, bytes: Int): Column =
+    concat((0 until bytes).reverse.map(i =>
+      unhex(lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))),
+        2, "0"))): _*)
+
   /** Repeat a binary chunk `times` times (empty for times <= 0) as pure
     * column expressions — `sequence` would run DESCENDING for a
     * non-positive bound, hence the guard. */
@@ -142,6 +147,78 @@ object Multimodal {
     concat(
       syntheticWavContent(sampleRate, channels, lit(16), totalSamples * 2),
       repeatBin(le(amplitude, 2), totalSamples))
+  }
+
+  /** A minimal but STRUCTURALLY REAL MP4 (ISO BMFF): `ftyp` + `moov`
+    * containing a v0 `mvhd` (timescale 1000 → duration field IS
+    * milliseconds) and one video `trak`/`tkhd` with 16.16-fixed
+    * dimensions — pure column expressions, so the box-walking decoder
+    * ([[graft.functions.VideoHeaderMeta]]) is exercised end to end
+    * with byte-exact expectations. */
+  def syntheticMp4Content(width: Column, height: Column,
+      durationMs: Column): Column = {
+    val zero4 = be(lit(0), 4)
+    val mvhdPayload = concat(
+      zero4,                      // version 0 + flags
+      zero4, zero4,               // creation, modification
+      be(lit(1000L), 4),          // timescale: 1000 ticks/s
+      be(durationMs, 4),          // duration in ticks == ms
+      be(lit(0x00010000L), 4),    // rate 1.0
+      be(lit(0x0100L), 2),        // volume 1.0
+      be(lit(0), 2),              // reserved
+      repeatBin(zero4, lit(2)),   // reserved (8)
+      repeatBin(zero4, lit(9)),   // matrix (36)
+      repeatBin(zero4, lit(6)),   // predefined (24)
+      be(lit(2L), 4))             // next track id
+    val mvhd = concat(be(lit(108L), 4), lit("mvhd".getBytes), mvhdPayload)
+    val tkhdPayload = concat(
+      zero4,                      // version 0 + flags
+      zero4, zero4,               // creation, modification
+      be(lit(1L), 4),             // track id
+      zero4,                      // reserved
+      be(durationMs, 4),          // duration
+      repeatBin(zero4, lit(2)),   // reserved (8)
+      be(lit(0), 2), be(lit(0), 2), // layer, alternate group
+      be(lit(0), 2), be(lit(0), 2), // volume, reserved
+      repeatBin(zero4, lit(9)),   // matrix (36)
+      concat(be(width, 2), be(lit(0), 2)),  // width  16.16
+      concat(be(height, 2), be(lit(0), 2))) // height 16.16
+    val tkhd = concat(be(lit(92L), 4), lit("tkhd".getBytes), tkhdPayload)
+    val trak = concat(be(lit(100L), 4), lit("trak".getBytes), tkhd)
+    val moov = concat(be(lit(216L), 4), lit("moov".getBytes), mvhd, trak)
+    val ftyp = concat(be(lit(16L), 4), lit("ftyp".getBytes),
+      lit("isom".getBytes), zero4)
+    concat(ftyp, moov)
+  }
+
+  /** A minimal structurally real AVI: RIFF + `LIST hdrl` + `avih` main
+    * header (µs-per-frame, total frames, dimensions — little-endian),
+    * for the RIFF half of the video-header decoder. */
+  def syntheticAviContent(width: Column, height: Column,
+      usPerFrame: Column, totalFrames: Column): Column = {
+    val avihPayload = concat(
+      le(usPerFrame, 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
+      le(totalFrames, 4), le(lit(0), 4), le(lit(1), 4), le(lit(0), 4),
+      le(width, 4), le(height, 4), repeatBin(le(lit(0), 4), lit(4)))
+    concat(lit("RIFF".getBytes), le(lit(80L), 4), lit("AVI ".getBytes),
+      lit("LIST".getBytes), le(lit(68L), 4), lit("hdrl".getBytes),
+      lit("avih".getBytes), le(lit(56L), 4), avihPayload)
+  }
+
+  /** Video decode: REAL container-header parsing for MP4/AVI
+    * (dimensions + duration from the actual box/chunk bytes); payloads
+    * in an unrecognized container fall back to the labeled
+    * deterministic stub (`format = 'fake'`) — frame/codec decode needs
+    * bindings the JDK doesn't ship (SURVEY §8). */
+  def decodeVideoMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val real = graft.functions.GraftFunctions.videoHeaderMeta(col(contentCol))
+    val h = xxhash64(col(contentCol))
+    val fake = struct(
+      (pmod(h, lit(1280)) + 160).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(720)) + 90).cast("int").as("height"),
+      (pmod(shiftright(h, 32), lit(600000L)) + 1000L).as("duration_ms"),
+      lit("fake").as("format"))
+    df.withColumn("video_meta", coalesce(real, fake))
   }
 
   def syntheticWavContent(sampleRate: Column, channels: Column,

@@ -59,6 +59,12 @@ object GraftFunctions {
   def audioHeaderMeta(content: Column): Column =
     toCol(AudioHeaderMeta(toExpr(content)))
 
+  /** MP4/AVI container-header decode of a binary column →
+    * `struct<width,height,duration_ms,format>`, NULL when
+    * unrecognized (codec-level frame decode stays stubbed — SURVEY §8). */
+  def videoHeaderMeta(content: Column): Column =
+    toCol(VideoHeaderMeta(toExpr(content)))
+
   /** Full pixel decode of an uncompressed (BI_RGB 24/32-bit) BMP →
     * `struct<width,height,n_pixels,mean_r,mean_g,mean_b>`, NULL for
     * anything needing a real codec. */

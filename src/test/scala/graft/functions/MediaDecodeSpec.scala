@@ -145,4 +145,74 @@ class MediaDecodeSpec extends AnyFunSuite {
       assert(row.getDouble(2) == i.toDouble && row.getDouble(3) == 2.0 * i)
     }
   }
+
+  // hand-packed MP4: ftyp + moov(mvhd v0/v1 + trak/tkhd) — ground truth
+  // independent of the column-expression generator
+  private def be(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit =
+    (0 until bytes).reverse.foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+
+  private def mp4(width: Int, height: Int, durationMs: Long,
+      v1: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    be(out, 16, 4); out.write("ftypisom".getBytes); be(out, 0, 4)
+    val mvhdPayload = if (!v1) 100 else 112
+    val moovSize = 8 + (8 + mvhdPayload) + 100
+    be(out, moovSize, 4); out.write("moov".getBytes)
+    be(out, 8 + mvhdPayload, 4); out.write("mvhd".getBytes)
+    if (!v1) {
+      be(out, 0, 4); be(out, 0, 4); be(out, 0, 4)
+      be(out, 1000, 4); be(out, durationMs, 4)
+    } else {
+      out.write(1); out.write(0); out.write(0); out.write(0) // version 1
+      be(out, 0, 8); be(out, 0, 8)                           // 64-bit times
+      be(out, 1000, 4); be(out, durationMs, 8)
+    }
+    be(out, 0x00010000L, 4); be(out, 0x0100, 2); be(out, 0, 2)
+    (0 until (8 + 36 + 24) / 4).foreach(_ => be(out, 0, 4)); be(out, 2, 4)
+    be(out, 100, 4); out.write("trak".getBytes)
+    be(out, 92, 4); out.write("tkhd".getBytes)
+    (0 until 5).foreach(_ => be(out, 0, 4)); be(out, durationMs, 4)
+    (0 until 2).foreach(_ => be(out, 0, 4)); (0 until 4).foreach(_ => be(out, 0, 2))
+    (0 until 9).foreach(_ => be(out, 0, 4))
+    be(out, width.toLong << 16, 4); be(out, height.toLong << 16, 4)
+    out.toByteArray
+  }
+
+  test("MP4 box walk: v0 and v1 mvhd durations, 16.16 tkhd dims") {
+    assert(VideoHeaderMeta.decode(mp4(640, 360, 123400L))
+      .contains((640, 360, 123400L, "mp4")))
+    assert(VideoHeaderMeta.decode(mp4(1920, 1080, 98765L, v1 = true))
+      .contains((1920, 1080, 98765L, "mp4")))
+    // truncated and garbage containers decline, never throw
+    assert(VideoHeaderMeta.decode(mp4(640, 360, 5000L).take(40)).isEmpty)
+    assert(VideoHeaderMeta.decode("not a video".getBytes).isEmpty)
+    assert(VideoHeaderMeta.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthetic MP4/AVI columns round-trip through the decoder exactly") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.SharedSpark.spark
+    val df = spark.range(1, 7).select(col("id"))
+      .withColumn("content", when(col("id") % 2 === 0,
+          graft.ext.Multimodal.syntheticMp4Content(
+            (col("id") + 100).cast("int"), (col("id") + 50).cast("int"),
+            col("id") * 1000))
+        .otherwise(graft.ext.Multimodal.syntheticAviContent(
+          (col("id") + 100).cast("int"), (col("id") + 50).cast("int"),
+          lit(40000L), col("id") * 25)))
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.videoHeaderMeta(col("content")).as("v"))
+      .select(col("id"), col("v.width"), col("v.height"),
+        col("v.duration_ms"), col("v.format"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == id + 100 && r.getInt(2) == id + 50)
+      if (id % 2 == 0) {
+        assert(r.getLong(3) == id * 1000 && r.getString(4) == "mp4")
+      } else {
+        assert(r.getLong(3) == 40000L * (id * 25) / 1000 && r.getString(4) == "avi")
+      }
+    }
+  }
 }
