@@ -1792,6 +1792,21 @@ object SparkEntry {
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
+    // Verbatim-span REMOVAL (Lee et al. ExactSubstr — the excision half
+    // of q_substring_pairs' detection): every 8-token window shared
+    // across >= 2 docs survives only in its minimum-id owner; all other
+    // docs have those token spans excised and re-join single-spaced.
+    // DuckDB re-runs the complete algorithm — window keys, owners,
+    // per-doc removal sets, reconstruction — and compares the md5 of
+    // every reconstructed document on the REAL corpus.
+    "q_verbatim_scrub" -> ((s, dir) => {
+      Dedup.removeVerbatimSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 8)
+        .select(col("doc_id"), col("removed_spans"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic EXACT-k per-stratum sampling (eval-set
     // construction: exactly k docs per language): bounded-heap ranks by
     // key hash, so cost is O(k·partitions·strata) regardless of
@@ -2695,6 +2710,32 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_verbatim_scrub" ->
+      """WITH base AS (SELECT doc_id, text,
+        |                     string_split_regex(trim(text), '\s+') AS tk
+        |              FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos,
+        |             array_to_string(tk[i:i+7], chr(1)) AS wkey
+        |      FROM base, LATERAL UNNEST(generate_series(1, len(tk) - 8 + 1)) AS t(i)),
+        |stats AS (SELECT wkey, min(doc_id) AS owner
+        |          FROM (SELECT DISTINCT doc_id, wkey FROM w) GROUP BY wkey
+        |          HAVING count(*) >= 2),
+        |marks AS (SELECT w.doc_id, list(DISTINCT pos) AS starts
+        |          FROM w JOIN stats USING (wkey) WHERE w.doc_id <> stats.owner
+        |          GROUP BY w.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(len(m.starts), 0) AS INTEGER) AS removed_spans,
+        |  md5(CASE WHEN m.starts IS NULL THEN b.text
+        |      -- coalesce: DuckDB's array_to_string([]) is NULL, but a
+        |      -- fully-duplicated doc legitimately reduces to ''
+        |      ELSE coalesce(array_to_string(
+        |        [b.tk[i] FOR i IN generate_series(1, len(b.tk))
+        |         IF len(list_filter(m.starts,
+        |              s -> s <= i - 1 AND i - 1 < s + 8)) = 0],
+        |        ' '), '') END) AS clean_md5
+        |FROM base b LEFT JOIN marks m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT lang, least(30, count(*)) AS n_sampled,

@@ -394,6 +394,67 @@ object Dedup {
       .filter(col("shared_windows") >= minWindows)
   }
 
+  /** VERBATIM-SPAN REMOVAL (the second half of Lee et al.'s ExactSubstr
+    * dedup — [[substringOverlapPairs]] detects, this EXCISES): every
+    * n-token window that appears in ≥ `minDocs` distinct documents is
+    * removed from all but its canonical owner (the minimum doc id), so
+    * one copy of a quoted passage / licence block survives corpus-wide
+    * and the rest of each document is untouched.
+    *
+    * Shape at 100 TB: one row per (doc, window-start) carrying a
+    * 64-bit window hash (tokens never leave their doc), one partial-agg
+    * shuffle for per-window (doc-count, owner), one key-equality join
+    * back, and a per-doc `collect_set` of removal starts — the
+    * reconstruction is a scan-local higher-order expression over the
+    * doc's own tokens. Windows duplicated across more than
+    * `maxDocsPerWindow` docs are boilerplate and excised NOWHERE by
+    * this pass (route them through [[Boilerplate]] removal — excising
+    * a window present in half the corpus from everyone but one doc is
+    * never the intent of span dedup).
+    *
+    * Tokens are whitespace runs of the ORIGINAL text (case preserved —
+    * the output must still read as the document); a document with
+    * removals is re-joined single-spaced, an untouched document passes
+    * through byte-identical. Adds `clean_text` + `removed_spans`. */
+  def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2,
+      maxDocsPerWindow: Int = DefaultMaxBucket): DataFrame = {
+    require(n >= 2, s"window size must be >= 2 tokens (got $n)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val wins = df.select(col(idCol).as("_id"), toks.as("_tk"))
+      .filter(size(col("_tk")) >= n)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), size(col("_tk")) - n),
+        i => xxhash64(concat_ws("\u0001", slice(col("_tk"), i + 1, lit(n))))))
+        .as(Seq("_pos", "_w")))
+      .persist()
+    val marks =
+      try {
+        val stats = wins.select(col("_id"), col("_w")).distinct()
+          .groupBy(col("_w"))
+          .agg(count(lit(1)).as("_docs"), min(col("_id")).as("_owner"))
+          .filter(col("_docs") >= minDocs && col("_docs") <= maxDocsPerWindow)
+        materializeAndFree(
+          wins.join(stats, "_w")
+            .where(col("_id") =!= col("_owner"))
+            .groupBy(col("_id"))
+            .agg(collect_set(col("_pos")).as("_starts")),
+          wins)
+      } catch { case e: Throwable => wins.unpersist(); throw e }
+    df.join(marks.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("_starts").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(
+              transform(toks, (tok, i) =>
+                when(!exists(col("_starts"),
+                  s => s <= i && i < s + n), tok)),
+              x => x.isNotNull), " ")))
+      .withColumn("removed_spans", coalesce(size(col("_starts")), lit(0)))
+      .drop("_starts")
+  }
+
   /** Distributed connected components over an undirected edge list, via
     * alternating Large-Star / Small-Star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14).

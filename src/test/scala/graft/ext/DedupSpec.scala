@@ -180,6 +180,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)), s"hot cell leaked pairs: $pairs")
   }
 
+  test("removeVerbatimSpans excises shared runs from non-owners only") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"prefix words here $shared suffix words"),
+      (3L, "completely unrelated text with enough tokens to stand alone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeVerbatimSpans(docs, "doc_id", "text", n = 10)
+      .orderBy("doc_id").collect()
+    // the canonical owner (minimum id) keeps the passage byte-identical
+    assert(out(0).getAs[String]("clean_text") == s"alpha $shared omega")
+    assert(out(0).getAs[Int]("removed_spans") == 0)
+    // every other doc loses exactly the shared tokens
+    assert(out(1).getAs[String]("clean_text") == "prefix words here suffix words")
+    assert(out(1).getAs[Int]("removed_spans") == 1)
+    // untouched docs pass through byte-identical
+    assert(out(2).getAs[String]("clean_text") == out(2).getAs[String]("text"))
+    assert(out(2).getAs[Int]("removed_spans") == 0)
+  }
+
   test("LSH scratch frames are unpersisted after each call") {
     Dedup.minhashNearDuplicates(nearDupDocs, "doc_id", "text", threshold = 0.5).count()
     Dedup.simhashNearDuplicates(nearDupDocs, "doc_id", "text", maxHamming = 2).count()
