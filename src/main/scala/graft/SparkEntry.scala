@@ -1792,6 +1792,21 @@ object SparkEntry {
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
+    // QUANTIZED IVF (FAISS IVF-SQ8 analogue): the index stores int8
+    // codes + per-vector scales (4x smaller probe I/O); the probe
+    // detects the layout from the commit summary and dequantizes
+    // scan-locally. Reconstruction error <= scale/2 per element is far
+    // below the planted 0.05 cosine gaps, so the SAME exact top-10
+    // must come back — the oracle is identical to the float index's.
+    "q_embed_ivf_q8" -> ((s, dir) => {
+      val idx = scratchDir("graft-ivfq").toString
+      val e = emb(s, dir)
+      Similarity.ivfWriteIndexQuantized(
+        embeddingsWithPlanted(s, e, firstVector(e)),
+        "vec_id", "embedding", idx, nlist = 16, iters = 2)
+      rankedIds(ivfProbeQuery(s, dir, idx))
+    }),
+
     // Verbatim-span REMOVAL (Lee et al. ExactSubstr — the excision half
     // of q_substring_pairs' detection): every 8-token window shared
     // across >= 2 docs survives only in its minimum-id owner; all other
@@ -3221,6 +3236,25 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q_embed_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |planted AS (
+        |  SELECT 900000 + i AS vec_id,
+        |         list_transform(q.qv, x -> x + 0.02 * i) AS v
+        |  FROM range(1, 11) t(i), q),
+        |alld AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM planted)
+        |SELECT rank, vec_id FROM (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY list_cosine_similarity(v, (SELECT qv FROM q))
+        |             DESC, vec_id) AS INTEGER) AS rank, vec_id
+        |  FROM alld) x
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // quantized index must recover the same exact top-10 (quantization
+    // noise ~0.004 cosine vs planted gaps >= 0.05)
+    "q_embed_ivf_q8" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 1),
         |planted AS (

@@ -176,6 +176,7 @@ object Similarity {
     * never correctness, because assignment rides the data commit. */
   private val IndexTable = "ivf"
   private val CentroidsKey = "ivf-centroids"
+  private val QuantizedKey = "ivf-quantized"
 
   private def indexStore(spark: org.apache.spark.sql.SparkSession,
       path: String): graft.store.TableStore =
@@ -204,6 +205,37 @@ object Similarity {
     centroids
   }
 
+  /** QUANTIZED IVF index (FAISS's IVF-SQ8 analogue): same k-means
+    * lists and transactional store backing as [[ivfWriteIndex]], but
+    * the stored vectors are [[quantizeInt8]] codes + a per-vector
+    * scale — the index is ~4× smaller on disk AND in probe I/O, which
+    * at corpus scale is the difference between a probe that reads
+    * 400 GB of lists and one that reads 100 GB. [[ivfProbe]] detects
+    * the quantized layout from the commit summary and dequantizes
+    * scan-locally inside the probe projection; reconstruction error is
+    * bounded at scale/2 per element ([[quantizeInt8]]), far below any
+    * meaningful cosine gap, so recall is indistinguishable from the
+    * float index on separated data (oracle-gated with planted
+    * neighbors). */
+  def ivfWriteIndexQuantized(embeddings: DataFrame, idCol: String,
+      vecCol: String, path: String, nlist: Int = 16, iters: Int = 2,
+      seed: Long = 42L): Seq[Array[Float]] = {
+    val (indexed, centroids) =
+      ivfIndex(embeddings, idCol, vecCol, nlist, seed, iters)
+    val st = indexStore(embeddings.sparkSession, path)
+    val df = indexed
+      .select(col(idCol), quantizeInt8(col(vecCol)).as("_q8"),
+        col("_ivf_list"))
+      .repartition(col("_ivf_list"))
+    if (!st.exists(IndexTable))
+      st.create(IndexTable, df.schema,
+        Some(graft.store.PartitionSpec("_ivf_list", "identity")))
+    st.overwrite(IndexTable, df,
+      extraSummary = Map(CentroidsKey -> centroidsJson(centroids),
+        QuantizedKey -> "true"))
+    centroids
+  }
+
   /** Incremental index maintenance: assign `newVectors` to the
     * PERSISTED centroids and append them under their lists — probes see
     * them immediately, with recall identical to a same-centroid rebuild
@@ -220,16 +252,25 @@ object Similarity {
     * compaction-scale job). Raises if `path` holds no index. */
   def ivfAppend(newVectors: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val centroids = readCentroids(newVectors.sparkSession, path)
     val st = indexStore(newVectors.sparkSession, path)
+    val summary = st.currentSummary(IndexTable)
+    val centroids = parseCentroids(summary, path)
+    val quantized = summary.get(QuantizedKey).contains("true")
+    val assigned = newVectors
+      .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
+    // a quantized index quantizes its appends too — the layout is a
+    // table property, not a per-write choice
+    val payload =
+      if (quantized) assigned.select(col(idCol),
+        quantizeInt8(col(vecCol)).as("_q8"), col("_ivf_list"))
+      else assigned
     // the append COMMIT is what publishes the rows: a crash after the
     // staged write leaves orphan files no probe can see. Centroids are
     // carried forward in the summary so every snapshot (incl. time
     // travel) is self-describing.
-    st.append(IndexTable, newVectors
-        .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
-        .repartition(col("_ivf_list")),
-      extraSummary = Map(CentroidsKey -> centroidsJson(centroids)))
+    st.append(IndexTable, payload.repartition(col("_ivf_list")),
+      extraSummary = Map(CentroidsKey -> centroidsJson(centroids)) ++
+        (if (quantized) Map(QuantizedKey -> "true") else Map.empty))
   }
 
   /** Probe a persisted IVF index: rank the `nprobe` lists nearest the
@@ -248,19 +289,27 @@ object Similarity {
     // pinned: an as-of probe ranks lists with the centroids of its time
     // (a rebuild may have moved them), the store backing's time-travel
     // dividend ("what did this query return before yesterday's append?")
-    val centroids = parseCentroids(asOfSnapshotId match {
+    val summary = asOfSnapshotId match {
       case Some(id) => st.summaryVersion(IndexTable, id)
       case None     => st.currentSummary(IndexTable)
-    }, path)
+    }
+    val centroids = parseCentroids(summary, path)
     val lists = centroids.zipWithIndex
       .map { case (c, i) => (cosine(query, c), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
     require(lists.nonEmpty, s"no probe lists in the index at $path")
     val pred = col("_ivf_list").isin(lists: _*)
-    cosineTopK(asOfSnapshotId match {
+    val raw = asOfSnapshotId match {
       case Some(id) => st.readWhereVersion(IndexTable, id, pred)
       case None     => st.readWhere(IndexTable, pred)
-    }, idCol, vecCol, query, k)
+    }
+    // quantized layout (ivfWriteIndexQuantized): dequantize inside the
+    // probe projection — scan-local, codegen'd, only the pruned lists
+    val frame =
+      if (summary.get(QuantizedKey).contains("true"))
+        raw.withColumn(vecCol, dequantizeInt8(col("_q8")))
+      else raw
+    cosineTopK(frame, idCol, vecCol, query, k)
   }
 
   private def centroidsJson(centroids: Seq[Array[Float]]): String =

@@ -186,6 +186,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("quantized IVF (SQ8): float-index recall, codes-only storage, quantized appends") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-q8").toString
+    Similarity.ivfWriteIndexQuantized(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, iters = 5)
+    val q = clustered(45)._2
+    val truth = Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfProbe(spark, idx, "vec_id", "embedding", q,
+      k = 10, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(truth.intersect(got).size >= 9,
+      s"quantization cost recall: ${truth.intersect(got).size}/10")
+    // the stored rows are int8 codes + scale, never raw floats — the
+    // 4x-probe-I/O claim rests on this schema
+    val st = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(idx), spark)
+    val cols = st.read("ivf").columns.toSeq
+    assert(cols.contains("_q8") && !cols.contains("embedding"), cols.toString)
+    // appends pass through the same quantized layout transparently
+    val planted = (0 until 3).map(i =>
+      (700000L + i, q.map(x => x + 0.001f * (i + 1))))
+    Similarity.ivfAppend(planted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    val got2 = Similarity.ivfProbe(spark, idx, "vec_id", "embedding", q,
+      k = 4, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(planted.map(_._1).toSet.subsetOf(got2), s"missed appends: $got2")
+  }
+
   test("knnJoin exact mode (nprobe = nlist) equals per-query brute force") {
     val left = clusteredDf.filter($"vec_id" < 3)
     val got = Similarity.knnJoin(left, "vec_id", "embedding",
