@@ -400,6 +400,53 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("score"))
   }
 
+  /** [[knnJoin]] against a PERSISTED index ([[ivfWriteIndex]] or the
+    * quantized [[ivfWriteIndexQuantized]]): the k-means training and
+    * the corpus-side list assignment are amortized across every join —
+    * the train-once/join-many shape of a production retrieval system.
+    * Left rows fan out to their nprobe nearest stored centroids and
+    * key-equality join the index rows (dequantized scan-locally when
+    * the layout is SQ8); the bounded per-query heap caps post-join
+    * volume exactly like the in-memory form. */
+  def knnJoinWithIndex(left: DataFrame, lidCol: String, lvecCol: String,
+      path: String, idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = left.sparkSession
+    val st = indexStore(spark, path)
+    val summary = st.currentSummary(IndexTable)
+    val centroids = parseCentroids(summary, path)
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, nlist=${centroids.size}] (got $nprobe)")
+    val raw = st.read(IndexTable)
+    val r0 =
+      if (summary.get(QuantizedKey).contains("true"))
+        raw.withColumn("_rv", dequantizeInt8(col("_q8")))
+      else raw.withColumnRenamed(
+        raw.columns.find(c => c != idCol && c != "_ivf_list" && c != "_q8")
+          .getOrElse(throw new IllegalStateException(
+            s"cannot find the vector column of the index at $path")), "_rv")
+    val r = r0.select(col(idCol).cast("long").as("id"), col("_rv"),
+      col("_ivf_list").as("_list"))
+    val scoredLists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(GraftFunctions.cosineSim(col("_lv"), lit(c)).as("s"),
+        lit(i).as("c"))
+    }
+    val probes = slice(reverse(array_sort(array(scoredLists: _*))), 1, nprobe)
+    val l = left.select(col(lidCol).as("_qid"), col(lvecCol).as("_lv"))
+      .withColumn("_list", explode(transform(probes, p => p.getField("c"))))
+    val scored = l.join(r, Seq("_list"))
+      .select(col("_qid"),
+        GraftFunctions.cosineSim(col("_lv"), col("_rv")).as("score"),
+        col("id"))
+    val topk = new TopKAggregator(k)
+    scored.groupBy(col("_qid"))
+      .agg(udaf(topk, Encoders.product[Candidate])
+        .apply(col("score"), col("id")).as("neighbors"))
+      .select(col("_qid").as("query_id"),
+        posexplode(col("neighbors")).as(Seq("rank", "n")))
+      .select(col("query_id"), (col("rank") + 1).as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 6).as("score"))
+  }
+
   /** IVF-pruned top-k: score only the `nprobe` lists nearest to the
     * query. Exact ranking within the probed lists (IVF-flat). */
   def ivfTopK(indexed: DataFrame, centroids: Seq[Array[Float]],

@@ -244,6 +244,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinWithIndex amortizes training: float and SQ8 indexes both serve joins") {
+    val left = clusteredDf.filter($"vec_id".isin(5L, 45L, 205L))
+    def truth(qid: Long): Set[Long] = {
+      val qv = clustered.find(_._1 == qid).get._2
+      Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", qv, 10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    Seq(false, true).foreach { quantized =>
+      val idx = java.nio.file.Files.createTempDirectory("graft-knn-idx").toString
+      if (quantized)
+        Similarity.ivfWriteIndexQuantized(clusteredDf, "vec_id", "embedding",
+          idx, nlist = 8, iters = 5)
+      else
+        Similarity.ivfWriteIndex(clusteredDf, "vec_id", "embedding", idx,
+          nlist = 8, iters = 5)
+      val got = Similarity.knnJoinWithIndex(left, "vec_id", "embedding",
+          idx, "vec_id", k = 10, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      got.foreach { case (q, ns) =>
+        val recall = truth(q).intersect(ns).size / 10.0
+        assert(recall >= 0.9, s"quantized=$quantized query $q recall $recall")
+      }
+    }
+  }
+
   test("int8 quantization: codes in range, error <= scale/2, zeros exact") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
