@@ -126,28 +126,31 @@ object VideoHeaderMeta {
   // -- AVI / RIFF -------------------------------------------------------
 
   private def decodeAvi(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
-    // chunk walk at the top level: find LIST/hdrl, then avih inside
-    var i = 12
-    while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "LIST") && tag(b, i + 8, "hdrl")) {
+    // chunk walk at the top level: find LIST/hdrl, then avih inside.
+    // All cursor math in Long — a malformed u32 chunk size must end the
+    // walk (return None), never wrap an Int into a negative index
+    // (fuzz-gated in MediaDecodeSpec).
+    var i = 12L
+    while (i >= 0 && i + 8 <= b.length) {
+      val size = le32(b, i.toInt + 4)
+      if (tag(b, i.toInt, "LIST") && tag(b, i.toInt + 8, "hdrl")) {
         var j = i + 12
-        val end = math.min(b.length.toLong, i + 8 + size).toInt
-        while (j + 8 <= end) {
-          val csize = le32(b, j + 4)
-          if (tag(b, j, "avih") && j + 8 + 40 <= b.length) {
-            val usPerFrame = le32(b, j + 8)
-            val totalFrames = le32(b, j + 8 + 16)
-            val w = le32(b, j + 8 + 32).toInt
-            val h = le32(b, j + 8 + 36).toInt
+        val end = math.min(b.length.toLong, i + 8 + size)
+        while (j >= 0 && j + 8 <= end) {
+          val csize = le32(b, j.toInt + 4)
+          if (tag(b, j.toInt, "avih") && j + 8 + 40 <= b.length) {
+            val usPerFrame = le32(b, j.toInt + 8)
+            val totalFrames = le32(b, j.toInt + 16 + 8)
+            val w = le32(b, j.toInt + 8 + 32).toInt
+            val h = le32(b, j.toInt + 8 + 36).toInt
             if (w <= 0 || h <= 0) return None
             return Some((w, h, usPerFrame * totalFrames / 1000L, "avi"))
           }
-          j += 8 + csize.toInt + (csize.toInt & 1)
+          j += 8L + csize + (csize & 1L)
         }
         return None
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     None
   }

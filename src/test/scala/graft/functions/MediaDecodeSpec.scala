@@ -189,6 +189,22 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(VideoHeaderMeta.decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("video decoder never throws on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(99)
+    (0 until 2000).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      // seed plausible magic in some iterations to reach the walkers
+      if (i % 3 == 0 && len >= 12) {
+        Array[Byte]('f', 't', 'y', 'p').copyToArray(b, 4)
+      } else if (i % 3 == 1 && len >= 12) {
+        Array[Byte]('R', 'I', 'F', 'F').copyToArray(b, 0)
+        Array[Byte]('A', 'V', 'I', ' ').copyToArray(b, 8)
+      }
+      VideoHeaderMeta.decode(b) // must return, never throw
+    }
+  }
+
   test("synthetic MP4/AVI columns round-trip through the decoder exactly") {
     import org.apache.spark.sql.functions._
     val spark = graft.SharedSpark.spark

@@ -103,6 +103,35 @@ class WapSpec extends AnyFunSuite {
     assert(st.read("t").count() == 1) // committed data untouched
   }
 
+  test("concurrent stages, appends, and publishes serialize — nothing lost") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("c", Seq((0, "x")).toDF("id", "v").schema)
+    cat.append("c", Seq((0, "base")).toDF("id", "v"))
+    // 4 threads: two stage+publish distinct WAP ids, two append directly;
+    // the table lock must serialize every metadata mutation — final
+    // count = base + 2 staged + 2 direct, history intact
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        if (i <= 2) {
+          st.stageWap("c", Seq((i, s"wap$i")).toDF("id", "v"), s"w$i")
+          st.publishWap("c", s"w$i")
+        } else {
+          st.append("c", Seq((i, s"direct$i")).toDF("id", "v"))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(st.read("c").count() == 5)
+    assert(st.wapEntries("c").isEmpty)
+    val hist = st.history("c").collect()
+    assert(hist.length == 5) // create-append + 2 publishes + 2 appends
+    // cumulative record counts are strictly increasing — no lost commit
+    val counts = hist.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    assert(counts.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("SQL surface: conf-gated INSERT staging + CALL publish_changes") {
     val (cat, engine) = fixture()
     engine.run("CREATE TABLE w (id INT, v STRING) STORED AS ICEBERG")
