@@ -126,6 +126,36 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // fixture = CTAS + append + COW update + COW delete + compaction
+    // (all writes); query = the change-data-feed scan itself — reading
+    // the row-level changelog back is the cost that must stay ∝ the
+    // commits' own footprint (the compaction snapshot is skipped from
+    // metadata alone via its rows-preserved marker).
+    "q_cdc_changes" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("cdc_src", orders.schema)
+      cat.append("cdc_src", orders, 1000L)
+      eng.sql("CREATE TABLE cdc_t STORED AS ICEBERG AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM cdc_src " +
+        "WHERE o_orderkey % 3 = 0")                                // snap 1
+      eng.sql("INSERT INTO cdc_t SELECT o_orderkey, o_custkey, " +
+        "o_totalprice FROM cdc_src WHERE o_orderkey % 3 = 1")      // snap 2
+      eng.sql("UPDATE cdc_t SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 7 = 0")                                // snap 3
+      eng.sql("DELETE FROM cdc_t WHERE o_orderkey % 5 = 0")        // snap 4
+      eng.sql("OPTIMIZE cdc_t")                                    // snap 5
+      eng
+    } { eng =>
+      eng.sql("CALL table_changes('cdc_t')")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("_change_type").as("change_type"),
+          col("_commit_snapshot_id").as("commit_id"))
+        .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1063,6 +1093,16 @@ object SparkEntry {
     // record year values, and a cross-boundary pruned read stays correct
     // over the mixed population — no data rewritten by the ALTER.
     "q_partition_evolve" -> benchSplits("q_partition_evolve").composed,
+
+    // Change-data-feed scan (Iceberg changelog / Delta CDF via
+    // CALL table_changes): appends surface as tagged 'insert' rows from
+    // a metadata-only file diff; COW update/delete commits recover
+    // their net row-level changes by diffing ONLY the files each commit
+    // touched; the trailing compaction emits nothing. Snapshot ids are
+    // sequential per table, so the oracle reconstructs the exact feed —
+    // including the update's delete+insert pair and the
+    // deleted-after-update prices — from the source rows alone.
+    "q_cdc_changes" -> benchSplits("q_cdc_changes").composed,
 
     // CALL rollback_to_snapshot: the current state reverts to an
     // earlier snapshot's file list via a new commit — undone snapshots
@@ -2719,6 +2759,36 @@ object SparkEntry {
     "q_sql_rollback" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // the full change feed, reconstructed from the source rows: two
+    // insert batches (snapshots 1/2), the UPDATE's delete+insert pair
+    // (snapshot 3, post-image price +1), the DELETE's rows (snapshot 4,
+    // with the post-update price where both predicates hit), and
+    // NOTHING from the compaction (snapshot 5)
+    "q_cdc_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice AS price, 'insert' AS change_type,
+        |         1 AS commit_id FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'insert', 2
+        |  FROM base WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1, 'insert', 3
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END, 'delete', 4
+        |  FROM base WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey, round(price, 2) AS price, change_type,
+        |       CAST(commit_id AS BIGINT) AS commit_id
+        |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
 
     "q_sql_view" ->
       """SELECT o_orderstatus, count(*) AS cnt,

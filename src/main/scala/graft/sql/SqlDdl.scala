@@ -620,8 +620,8 @@ object SqlDdl {
       Some(cat.store().partitionSummary(t)
         .toDF("partition", "n_files", "n_records"))
     case Call(proc, argStr) =>
-      callProcedure(catalog, proc.toLowerCase, argStr)
-      Some(empty(catalog))
+      Some(callProcedure(catalog, proc.toLowerCase, argStr)
+        .getOrElse(empty(catalog)))
     case Optimize(qn, whereDef, zcols) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
@@ -682,9 +682,15 @@ object SqlDdl {
     * `remove_orphan_files(table[, older_than])` → uncommitted-debris
     * cleanup (default: older than 3 days, Iceberg's default). Timestamps
     * take the AS-OF literal forms (`TIMESTAMP '2024-01-01 00:00:00'`).
-    * Unknown procedures fail loudly — CALL is unambiguously ours. */
+    * Unknown procedures fail loudly — CALL is unambiguously ours.
+    *
+    * Most procedures are side effects (return None → empty result
+    * frame); `table_changes(table[, start_snapshot_id[,
+    * end_snapshot_id]])` — Delta's CDF table-valued function spelled as
+    * a procedure — returns the row-level change feed
+    * ([[graft.store.TableStore.readChanges]]). */
   private def callProcedure(catalog: GraftCatalog, proc: String,
-      argStr: String): Unit = {
+      argStr: String): Option[DataFrame] = {
     final case class Arg(name: Option[String], value: String)
     val NamedArg = "(?s)^\\s*([A-Za-z_]\\w*)\\s*=>\\s*(.+?)\\s*$".r
     val args = SqlText.splitTopLevel(argStr).map {
@@ -713,6 +719,17 @@ object SqlDdl {
         case None => System.currentTimeMillis() - defaultAgeMs
       }
     proc match {
+      case "table_changes" =>
+        // Delta's CDF reader (`table_changes(t, start[, end])`) over the
+        // store's changelog scan: row-level insert/delete rows tagged
+        // with their commit. Snapshot-id bounds, same contract as
+        // readChanges: start is EXCLUSIVE (0 = from the beginning),
+        // end inclusive (omitted = current).
+        val (cat, t) = tableArg
+        val from = arg(1, "start_snapshot_id")
+          .map(_.trim.toLong).getOrElse(0L)
+        val to = arg(2, "end_snapshot_id").map(_.trim.toLong)
+        return Some(cat.store().readChanges(t, from, to))
       case "rollback_to_snapshot" =>
         val (cat, t) = tableArg
         val id = arg(1, "snapshot_id").getOrElse(throw new IllegalArgumentException(
@@ -803,6 +820,7 @@ object SqlDdl {
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: CALL $other")
     }
+    None
   }
 
   private def updateWhere(catalog: GraftCatalog, table: String,

@@ -472,7 +472,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           s"cannot write to $table: frame column '${f.name}' is not in the " +
             s"table schema (${sch.fieldNames.mkString(", ")}) — a by-name " +
             "read would silently null-fill instead of surfacing the mismatch"))
-      val ok = f.dataType == dt || ((f.dataType, dt) match {
+      // nullability-insensitive: a frame read back from Parquet marks
+      // nested array/map element types nullable no matter how the table
+      // declared them, and a COW rewrite writes exactly such a frame
+      val ok = org.apache.spark.sql.GraftSqlShim
+        .sameTypeIgnoringNullability(f.dataType, dt) || ((f.dataType, dt) match {
         // the widening families the read path up-casts ([[widenColumn]])
         case (ByteType | ShortType | IntegerType, LongType) => true
         case (ByteType | ShortType, IntegerType) => true
@@ -1230,6 +1234,102 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       if (to != null) to else SnapshotLog.hydrate(fs, dir, all(toIdx)))
   }
 
+  /** Change-data-feed scan (Iceberg's changelog scan / Delta's CDF):
+    * the ROW-LEVEL changes each snapshot in `(fromId, toId]` committed,
+    * tagged `_change_type` ('insert' | 'delete'), `_commit_snapshot_id`
+    * and `_commit_timestamp`. `fromId = 0` means "from the beginning".
+    *
+    * Per-snapshot cost is proportional to the commit's own footprint,
+    * never the table's:
+    *  - `append` — the added files scan directly as 'insert' rows; pure
+    *    metadata file-set diff, no shuffle (same walk as
+    *    [[readIncremental]]).
+    *  - row-preserving rewrites (compaction / sort / z-order, marked
+    *    `rows-preserved` in the commit summary) — skipped from metadata
+    *    alone: the row multiset is unchanged by contract.
+    *  - COW `delete`/`update`/`merge`/`overwrite`/unmarked `replace`/
+    *    `rollback` — the net change is recovered from ONLY the files
+    *    the commit touched (file-granular COW carries everything else
+    *    by reference): rows in removed-but-not-added files minus rows
+    *    in added files = 'delete', and vice versa = 'insert'. Two
+    *    `exceptAll`s = one hash shuffle over the touched files' rows.
+    *    An UPDATE therefore surfaces as a delete+insert pair in the
+    *    same commit — Iceberg's net-changes contract (Delta's
+    *    update_preimage/postimage split needs row lineage the Parquet
+    *    files don't carry).
+    *
+    * All reads render under the schema AT `toId` ([[schemaAt]] +
+    * rename-chain coalescing in [[readFileListAs]]), so a feed crossing
+    * schema evolution stays union-compatible. MapType columns cannot be
+    * compared by `exceptAll` (Spark set-op limitation) — a COW diff on
+    * such a table is rejected loudly rather than answered wrongly. */
+  def readChanges(table: String, fromId: Long,
+      toId: Option[Long] = None): DataFrame = {
+    val dir = tableDir(table)
+    val all = SnapshotLog.read(fs, dir)
+    def idx(id: Long, what: String): Int = {
+      val i = all.indexWhere(_.id == id)
+      require(i >= 0, s"table $table has no snapshot id $id ($what)")
+      i
+    }
+    val toIdx = toId match {
+      case Some(id) => idx(id, "toId")
+      case None =>
+        require(all.nonEmpty, s"table $table has no snapshots")
+        all.size - 1
+    }
+    val fromIdx = if (fromId == 0L) -1 else idx(fromId, "fromId")
+    require(fromIdx <= toIdx,
+      s"fromId $fromId is newer than toId ${all(toIdx).id} on $table")
+    val sch = schemaAt(table, all(toIdx))
+    val metaFree = sch.fields.forall(f => !TableStore.hasMapType(f.dataType))
+    def tagged(df: DataFrame, ct: String, s: Snapshot): DataFrame =
+      df.select(sch.fieldNames.toIndexedSeq.map(col) ++ Seq(
+        lit(ct).as("_change_type"),
+        lit(s.id).as("_commit_snapshot_id"),
+        lit(new java.sql.Timestamp(s.timestampMs)).as("_commit_timestamp")
+      ): _*)
+    var prev: Seq[DataFile] =
+      if (fromIdx < 0) Seq.empty
+      else SnapshotLog.hydrate(fs, dir, all(fromIdx)).files
+    val parts = Seq.newBuilder[DataFrame]
+    for (raw <- all.slice(fromIdx + 1, toIdx + 1)) {
+      val s = SnapshotLog.hydrate(fs, dir, raw)
+      val prevPaths = prev.map(_.path).toSet
+      val curPaths = s.filePaths.toSet
+      val added = s.files.filterNot(f => prevPaths(f.path))
+      val removed = prev.filterNot(f => curPaths(f.path))
+      if (s.summary.get(TableStore.RowsPreservedKey).contains("true")) {
+        () // layout-only rewrite: row multiset unchanged by contract
+      } else if (s.operation == "append") {
+        if (added.nonEmpty)
+          parts += tagged(readFileListAs(table, added, sch), "insert", s)
+      } else if (added.nonEmpty || removed.nonEmpty) {
+        require(metaFree,
+          s"change feed on $table crosses a row-rewriting snapshot " +
+            s"(${s.id}:${s.operation}) and the schema contains a MAP " +
+            "column — Spark set operations cannot compare maps, so the " +
+            "row-level diff cannot be computed")
+        val addedDf = readFileListAs(table, added, sch)
+        val removedDf = readFileListAs(table, removed, sch)
+        if (removed.nonEmpty)
+          parts += tagged(removedDf.exceptAll(addedDf), "delete", s)
+        if (added.nonEmpty)
+          parts += tagged(addedDf.exceptAll(removedDf), "insert", s)
+      }
+      prev = s.files
+    }
+    val outSchema = StructType(sch.fields ++ Array(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_snapshot_id", LongType, nullable = false),
+      StructField("_commit_timestamp", TimestampType, nullable = false)))
+    parts.result() match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      case ps => ps.reduce(_.unionByName(_))
+    }
+  }
+
   /** Conservative metadata prune of an ARBITRARY file list (the
     * streaming scan's per-batch added set) — the same partition-value +
     * footer-stat walk [[readWhere]] uses, exposed for callers that
@@ -1366,7 +1466,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private def cowCommit(table: String, operation: String,
       carried: Seq[DataFile], rewrittenCount: Int,
       replacement: Option[DataFrame], timestampMs: Long,
-      baseId: Long): Snapshot = {
+      baseId: Long, extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
     val total = TableStore.inParallel(carried)(recordsOf(table, _)).sum +
       newFiles.map(_.records).sum
@@ -1375,7 +1475,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       summary = Map(
         "rewritten-files" -> rewrittenCount.toString,
         "carried-files" -> carried.size.toString,
-        "added-files" -> newFiles.size.toString),
+        "added-files" -> newFiles.size.toString) ++ extraSummary,
       expectedLastId = Some(baseId),
       schemaVersionOf = () => commitSchemaVersion(table))
   }
@@ -1816,7 +1916,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     // at 100 TB a full shuffle to rewrite a table is the difference
     // between an I/O-bound rewrite and doubling cluster network traffic
     val df = read(table).coalesce(numFiles)
-    overwrite(table, df, operation = "replace")
+    overwrite(table, df, operation = "replace",
+      extraSummary = Map(TableStore.RowsPreservedKey -> "true"))
   }
 
   /** PARTITION-SCOPED compaction (Iceberg's
@@ -1844,7 +1945,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           Some(readFileList(table, matched).coalesce(n))
         }
       cowCommit(table, "replace", carried, matched.size, replacement,
-        timestampMs, baseId)
+        timestampMs, baseId,
+        extraSummary = Map(TableStore.RowsPreservedKey -> "true"))
     }
 
   /** One-shot linear sort rewrite (Iceberg's
@@ -1871,7 +1973,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     overwrite(table, sorted, operation = "replace",
-      extraSummary = Map("sorted-by" -> cols.mkString(",")))
+      extraSummary = Map("sorted-by" -> cols.mkString(","),
+        TableStore.RowsPreservedKey -> "true"))
   }
 
   /** Z-order rewrite ([[ZOrder]]): re-cluster the table along the Morton
@@ -1918,7 +2021,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .sortWithinPartitions(zc)
       .drop(zc)
     overwrite(table, clustered, operation = "replace",
-      extraSummary = Map("zorder-by" -> names.mkString(",")))
+      extraSummary = Map("zorder-by" -> names.mkString(","),
+        TableStore.RowsPreservedKey -> "true"))
   }
 
   /** Remove write debris a crashed job can leave behind: staging
@@ -2080,6 +2184,23 @@ object TableStore {
     * snapshot and at which batch id (exactly-once replay detection). */
   val StreamingSinkKey = "streaming-sink"
   val StreamingBatchKey = "streaming-batch-id"
+
+  /** Snapshot-summary marker a layout-only rewrite (compaction, sort,
+    * z-order) sets so the change feed ([[TableStore.readChanges]]) can
+    * skip it from metadata alone — the commit rewrote files but by
+    * contract did not change the row multiset. Absent on pre-marker
+    * logs: the feed then falls back to the row-level diff, which is
+    * correct (empty) for those commits, just not free. */
+  val RowsPreservedKey = "rows-preserved"
+
+  /** Whether `dt` contains a MapType anywhere — Spark set operations
+    * (the change feed's COW diff) cannot compare maps. */
+  private[store] def hasMapType(dt: DataType): Boolean = dt match {
+    case _: MapType       => true
+    case s: StructType    => s.fields.exists(f => hasMapType(f.dataType))
+    case a: ArrayType     => hasMapType(a.elementType)
+    case _                => false
+  }
 
   /** Synthetic directory column for hidden-partition writes. */
   private[store] val PartDirCol = "__gpart"

@@ -36,6 +36,16 @@ object GraftSqlShim {
   def isAtomic(dt: types.DataType): Boolean =
     dt.isInstanceOf[types.AtomicType]
 
+  /** Structural type equality with ALL nullability flags ignored
+    * (top-level and nested `containsNull`/`valueContainsNull`) —
+    * `DataType.equalsIgnoreNullability` is `private[sql]` in Spark 4.
+    * Used by the append-schema gate: a frame read back from Parquet
+    * marks nested element/value types nullable regardless of how the
+    * table declared them, and rejecting that difference would break
+    * every COW rewrite of an array/map column. */
+  def sameTypeIgnoringNullability(a: types.DataType, b: types.DataType): Boolean =
+    types.DataType.equalsIgnoreNullability(a, b)
+
   /** Parquet scan over an explicit file list WITH bucket metadata: a
     * hand-built [[execution.datasources.HadoopFsRelation]] carrying a
     * `BucketSpec`, so `FileSourceScanExec` groups the files by their
