@@ -156,6 +156,37 @@ object SparkEntry {
         .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
     },
 
+    // fixture = base build + MV create + delta append (writes); query =
+    // the INCREMENTAL sketch refresh + rendered read. The deltas'
+    // visitor ids OVERLAP the base's — the case where adding counts
+    // would double-count and only a mergeable sketch (HLL union) or a
+    // rescan answers. Cardinality (≤200/group) keeps the DataSketches
+    // sketch in its exact coupon range, so the estimate EQUALS the true
+    // distinct count and DuckDB can check it by value.
+    "q_mv_approx_distinct" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val visits = t(s, dir, "orders")
+        .select((col("o_custkey") % 200).cast("int").as("visitor"),
+          col("o_orderstatus").as("status"),
+          col("o_orderkey"))
+      cat.createTable("visits_nd", visits.drop("o_orderkey").schema)
+      cat.append("visits_nd",
+        visits.filter(col("o_orderkey") % 3 =!= 0).drop("o_orderkey"), 1000L)
+      eng.sql("CREATE MATERIALIZED VIEW orders_nd AS SELECT status, " +
+        "approx_count_distinct(visitor) AS nd, count(*) AS cnt " +
+        "FROM visits_nd GROUP BY status")
+      cat.append("visits_nd",
+        visits.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey"), 2000L)
+      (cat, eng)
+    } { case (cat, eng) =>
+      val status = eng.sql("REFRESH MATERIALIZED VIEW orders_nd").head()
+      require(status.getString(0).startsWith("incremental"),
+        s"expected an incremental refresh, got ${status.getString(0)}")
+      graft.store.MaterializedView.read(cat.store(), "orders_nd")
+        .orderBy(col("status"))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1103,6 +1134,13 @@ object SparkEntry {
     // including the update's delete+insert pair and the
     // deleted-after-update prices — from the source rows alone.
     "q_cdc_changes" -> benchSplits("q_cdc_changes").composed,
+
+    // APPROX_COUNT_DISTINCT in a materialized view: NDV state is a
+    // mergeable DataSketches HLL sketch, refreshed INCREMENTALLY across
+    // an overlapping delta (sketch union — adding counts would
+    // double-count). At the fixture's cardinality the sketch is in its
+    // exact coupon range, so the oracle checks the estimate by value.
+    "q_mv_approx_distinct" -> benchSplits("q_mv_approx_distinct").composed,
 
     // CALL rollback_to_snapshot: the current state reverts to an
     // earlier snapshot's file list via a new commit — undone snapshots
@@ -2759,6 +2797,15 @@ object SparkEntry {
     "q_sql_rollback" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // the view over the FULL base after the incremental refresh: per
+    // status, the true distinct (visitor cardinality ≤ 200 keeps the
+    // HLL sketch exact) and the plain row count
+    "q_mv_approx_distinct" ->
+      """SELECT o_orderstatus AS status,
+        |       count(DISTINCT o_custkey % 200) AS nd,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     // the full change feed, reconstructed from the source rows: two
     // insert batches (snapshots 1/2), the UPDATE's delete+insert pair

@@ -52,7 +52,8 @@ object MvRewrite {
       "(?:\\s+ORDER\\s+BY\\s+(.+?))?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
   private val AggItem =
-    "(?is)^\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    ("(?is)^\\s*(count|sum|min|max|avg|approx_count_distinct)\\s*\\(\\s*" +
+      "(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$").r
   // COUNT(DISTINCT x) where x is one of the VIEW's group columns is
   // exactly derivable: the state holds one row per live group
   // combination, so the distinct x's inside any coarser group are the
@@ -280,6 +281,14 @@ object MvRewrite {
         case "avg" =>
           (sum(col(s"__mv_sum_${src.alias}")) /
             sum(col(s"__mv_cnt_${src.alias}"))).as(a.alias)
+        // HLL sketches of the view's (finer) groups union into the
+        // sketch of any coarser group — same mergeability the refresh
+        // path relies on, so the estimate equals a direct scan's
+        case "approx_count_distinct" =>
+          // coalesce: a GLOBAL union over an empty state renders 0 like
+          // the scan's APPROX_COUNT_DISTINCT, not null
+          coalesce(hll_sketch_estimate(hll_union_agg(col(src.alias))),
+            lit(0L)).as(a.alias)
       }
       }
     }

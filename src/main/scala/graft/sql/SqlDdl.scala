@@ -283,7 +283,8 @@ object SqlDdl {
   // one SELECT item of the restricted MV grammar: an aggregate call
   // with a mandatory alias, or a bare group column
   private val MvAggItem =
-    "(?is)^\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    ("(?is)^\\s*(count|sum|min|max|avg|approx_count_distinct)\\s*\\(\\s*" +
+      "(\\*|`?[A-Za-z_]\\w*`?)\\s*\\)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$").r
   private val MvBareItem = "(?is)^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
 
   private def parseMvAggs(items: String,
@@ -298,9 +299,9 @@ object SqlDdl {
           s"non-aggregate SELECT column '$c' must appear in GROUP BY")
         None
       case other => throw new IllegalArgumentException(
-        s"materialized views support count/sum/min/max/avg with an AS " +
-          s"alias, or group columns — cannot maintain '${other.trim}' " +
-          "incrementally")
+        s"materialized views support count/sum/min/max/avg/" +
+          s"approx_count_distinct with an AS alias, or group columns — " +
+          s"cannot maintain '${other.trim}' incrementally")
     }
     require(specs.nonEmpty, "materialized view needs at least one aggregate")
     specs

@@ -54,7 +54,8 @@ object MaterializedView {
   final case class Incremental(deltaFiles: Int, toId: Long) extends RefreshAction
   final case class FullRebuild(reason: String, toId: Long) extends RefreshAction
 
-  private val Funcs = Set("count", "sum", "min", "max", "avg")
+  private val Funcs =
+    Set("count", "sum", "min", "max", "avg", "approx_count_distinct")
   private def sumCol(a: AggSpec) = s"__mv_sum_${a.alias}"
   private def cntCol(a: AggSpec) = s"__mv_cnt_${a.alias}"
 
@@ -175,6 +176,12 @@ object MaterializedView {
         case "avg" => Seq(
           sum(col(a.input.get).cast("double")).as(sumCol(a)),
           count(col(a.input.get)).as(cntCol(a)))
+        // NDV as a DataSketches HLL sketch (binary state): sketches of
+        // disjoint deltas UNION into the sketch of the union — the
+        // mergeability exact COUNT(DISTINCT) lacks, which is why it is
+        // the one distinct form an incremental view can maintain
+        case "approx_count_distinct" =>
+          Seq(hll_sketch_agg(col(a.input.get)).as(a.alias))
       }
     }
     df.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -194,6 +201,8 @@ object MaterializedView {
         case "max" => Seq(max(col(a.alias)).as(a.alias))
         case "avg" => Seq(sum(col(sumCol(a))).as(sumCol(a)),
           sum(col(cntCol(a))).as(cntCol(a)))
+        case "approx_count_distinct" =>
+          Seq(hll_union_agg(col(a.alias)).as(a.alias))
       }
     }
     // sum() widens int→long and promotes long→decimal? No: Spark's sum
@@ -209,6 +218,8 @@ object MaterializedView {
   private def render(state: DataFrame, d: MvDef): DataFrame = {
     val cols = d.groupCols.map(col) ++ d.aggs.map { a =>
       if (a.func == "avg") (col(sumCol(a)) / col(cntCol(a))).as(a.alias)
+      else if (a.func == "approx_count_distinct")
+        hll_sketch_estimate(col(a.alias)).as(a.alias)
       else col(a.alias)
     }
     state.select(cols: _*)
