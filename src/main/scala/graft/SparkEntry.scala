@@ -187,6 +187,30 @@ object SparkEntry {
         .orderBy(col("status"))
     },
 
+    // fixture = the sorted fact build (a write benchmark in disguise);
+    // query = the DYNAMIC-FILE-PRUNING join — the dim side's keys are
+    // collected (metadata-sized) and probe the fact's per-file min/max
+    // bounds, so the scan touches only files whose range admits a dim
+    // key. Plan shape + file-count asserts live in
+    // DynamicFilePruningSpec; here the oracle checks the join's VALUES.
+    "q_dfp_join" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      cat.createTable("li_dfp", li.schema, sortBy = Seq("l_orderkey"))
+      cat.append("li_dfp", li, 1000L)
+      (cat, t(s, dir, "orders")
+        .filter(col("o_orderkey").between(1000, 2000))
+        .select(col("o_orderkey"), col("o_orderstatus")))
+    } { case (cat, dim) =>
+      cat.joinPruned("li_dfp", "l_orderkey", dim, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1141,6 +1165,13 @@ object SparkEntry {
     // double-count). At the fixture's cardinality the sketch is in its
     // exact coupon range, so the oracle checks the estimate by value.
     "q_mv_approx_distinct" -> benchSplits("q_mv_approx_distinct").composed,
+
+    // Dynamic file pruning (join-driven skipping): the selective dim's
+    // collected keys probe the sorted fact's per-file min/max bounds —
+    // the scan reads only the files whose range admits a dim key, then
+    // the broadcast join and aggregation run normally. Values must
+    // equal the plain join's (pruning is conservative).
+    "q_dfp_join" -> benchSplits("q_dfp_join").composed,
 
     // CALL rollback_to_snapshot: the current state reverts to an
     // earlier snapshot's file list via a new commit — undone snapshots
@@ -2806,6 +2837,14 @@ object SparkEntry {
         |       count(DISTINCT o_custkey % 200) AS nd,
         |       count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    "q_dfp_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the full change feed, reconstructed from the source rows: two
     // insert batches (snapshots 1/2), the UPDATE's delete+insert pair

@@ -326,6 +326,30 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
       asOfMs: Option[Long] = None): DataFrame =
     store().readWhere(name, predicate, asOfMs)
 
+  /** Dynamic-file-pruning join: inner-join snapshot table `fact` to the
+    * (selective) `dim` frame, scanning only the fact files whose
+    * metadata — partition values, min/max stats, bucket ids, blooms —
+    * admits one of the dim's join keys ([[TableStore.filesForKeys]]).
+    * The dim side's DISTINCT keys are collected on the driver, so the
+    * prune only engages when the key set is metadata-sized: past
+    * `maxKeys` the plain join runs instead (same result, no collect
+    * blow-up — mirroring broadcast-join thresholds). The dim frame is
+    * broadcast in both paths; a selective dim that survives the cap is
+    * by construction broadcast-sized. */
+  def joinPruned(fact: String, factKey: String, dim: DataFrame,
+      dimKey: String, maxKeys: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val collected = dim.select(col(dimKey)).distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    // null dim keys never equi-join: drop them from the probe set (an
+    // all-null dim correctly prunes to an empty fact scan)
+    val keys = collected.filter(_ != null)
+    val factDf =
+      if (collected.size > maxKeys) store().read(fact)
+      else store().readForKeys(fact, factKey, keys)
+    factDf.join(broadcast(dim), factDf(factKey) === dim(dimKey), "inner")
+  }
+
   /** ALTER TABLE ADD COLUMNS: see [[TableStore.addColumns]]. */
   def addColumns(name: String, cols: StructType): Unit = {
     store().addColumns(name, cols)

@@ -849,6 +849,34 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       asOfMs: Option[Long] = None): Seq[DataFile] =
     pruneList(table, dataFilesAsOf(table, asOfMs), predicate)
 
+  /** Dynamic file pruning (the join-driven skipping Databricks calls
+    * DFP): the files a scan for rows whose `keyCol` is one of `keys`
+    * must touch. The key set becomes an IN predicate, so EVERY metadata
+    * tier the static prune consults fires per key: partition values,
+    * per-file min/max stats (tight on sorted/z-ordered layouts), bucket
+    * ids (each key hashes to one bucket), and log-level bloom filters
+    * (point probes — the needle tier). At 100 TB this turns "scan the
+    * fact table to join 50 dim rows" into "scan the handful of files
+    * whose metadata admits one of 50 keys"; keys come from a
+    * driver-collected dim side, so callers must keep the set
+    * metadata-sized ([[graft.catalog.GraftCatalog.joinPruned]] enforces
+    * a cap and falls back to the plain join beyond it). */
+  def filesForKeys(table: String, keyCol: String,
+      keys: Seq[Any]): Seq[DataFile] = {
+    val sch = schema(table)
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+      s"join-prune column '$keyCol' not in schema of $table")
+    if (keys.isEmpty) return Seq.empty
+    pruneList(table, dataFilesAsOf(table, None),
+      col(keyCol).isin(keys: _*))
+  }
+
+  /** The relation over exactly [[filesForKeys]]'s files — no row filter
+    * (the caller's join keeps only matching rows; pruning is
+    * conservative, so the composition is semantics-preserving). */
+  def readForKeys(table: String, keyCol: String, keys: Seq[Any]): DataFrame =
+    readFileList(table, filesForKeys(table, keyCol, keys))
+
   /** Pruned relation over an ALREADY-FETCHED file list (the SQL-path
     * splice prefetches the list for its prunability check — re-reading
     * the log, and re-hydrating a manifest, on every query would double
