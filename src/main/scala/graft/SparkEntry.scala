@@ -1363,6 +1363,23 @@ object SparkEntry {
     // Row-level write surface (Iceberg DELETE/UPDATE analogues): insert,
     // update matched rows, delete matched rows — each one snapshot —
     // then read back. Oracle recomputes the surviving rows.
+    // CHECK constraints end-to-end through the SQL engine: ADD guards
+    // every later write inside the write job itself — the violating
+    // INSERT fails (counted, not committed), NULL passes per the SQL
+    // standard, and the surviving rows are exactly the valid inserts.
+    "q_sql_constraint" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE lim (id INT, qty DOUBLE)")
+      eng.sql("ALTER TABLE lim ADD CONSTRAINT qty_nonneg CHECK (qty >= 0)")
+      eng.sql("INSERT INTO lim VALUES (1, 5.0), (2, 0.0), (3, NULL)")
+      val rejected =
+        try { eng.sql("INSERT INTO lim VALUES (4, -1.0), (5, 9.0)"); 0 }
+        catch { case _: Exception => 1 }
+      eng.sql("SELECT id, qty FROM lim ORDER BY id")
+        .withColumn("rejected_writes", lit(rejected))
+    }),
+
     "q_sql_row_ops" -> ((s, dir) => {
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -3075,6 +3092,13 @@ object SparkEntry {
         |  (4, 'Pro', 99.0, DATE '2025-03-01'))
         |  AS t(plan_id, plan_name, monthly_fee, launch_date)
         |ORDER BY plan_id""".stripMargin,
+
+    // only the constraint-passing inserts survive (the whole violating
+    // batch rolls back — (5, 9.0) rides with (4, -1.0)); NULL passes
+    "q_sql_constraint" ->
+      """SELECT id, CAST(qty AS DOUBLE) AS qty, 1 AS rejected_writes
+        |FROM (VALUES (1, 5.0), (2, 0.0), (3, NULL)) AS t(id, qty)
+        |ORDER BY id""".stripMargin,
 
     "q_sql_row_ops" ->
       """SELECT id, CAST(balance AS DOUBLE) AS balance, status FROM (VALUES

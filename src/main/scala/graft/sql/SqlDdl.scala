@@ -184,6 +184,15 @@ object SqlDdl {
   private val AlterDropBloom =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
       "FILTER\\s*$").r
+  // Delta's CHECK constraints: ADD validates existing rows first, then
+  // every subsequent write enforces the expression per row inside the
+  // write job itself (violating writes fail BEFORE any commit).
+  private val AlterAddConstraint =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+ADD\\s+CONSTRAINT\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s+CHECK\\s*\\((.+)\\)\\s*$").r
+  private val AlterDropConstraint =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+CONSTRAINT\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s*$").r
   // Maintenance statements (Delta's OPTIMIZE/VACUUM spelling; Iceberg
   // users reach the same via rewrite_data_files / expire_snapshots
   // procedures): OPTIMIZE bin-packs small files into a replace snapshot,
@@ -265,7 +274,10 @@ object SqlDdl {
       val bloomDdl =
         if (blooms.isEmpty) ""
         else s";\nALTER TABLE $t SET BLOOM FILTER (${blooms.mkString(", ")})"
-      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl"
+      val ckDdl = st.checkConstraints(t).map { case (n, e) =>
+        s";\nALTER TABLE $t ADD CONSTRAINT $n CHECK ($e)"
+      }.mkString
+      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl"
     }
   }
 
@@ -507,6 +519,16 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       cat.store().setBloomColumns(t, Seq.empty)
+      Some(empty(catalog))
+    case AlterAddConstraint(qn, name, exprDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().addCheckConstraint(t, name, exprDef.trim)
+      Some(empty(catalog))
+    case AlterDropConstraint(qn, name) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().dropCheckConstraint(t, name)
       Some(empty(catalog))
     case AlterAdd(qn, colsDef) =>
       val (cat, t) = resolved(catalog, qn)

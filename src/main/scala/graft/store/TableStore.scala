@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, concat, input_file_name, lit, max, min, not, struct, to_json, when, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Versioned-Parquet table with Iceberg-style snapshot semantics.
@@ -491,8 +491,105 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
-  private def writeStaged(table: String, df: DataFrame): Seq[DataFile] = {
-    validateAppendSchema(table, df)
+  // ---- CHECK constraints -------------------------------------------
+
+  /** Declared CHECK constraints: (name, boolean SQL expression) pairs
+    * from `constraints.json`. SQL CHECK semantics: a row VIOLATES only
+    * when the expression evaluates FALSE — NULL (unknown) passes, like
+    * Delta's CHECK constraints and the SQL standard. */
+  def checkConstraints(table: String): Seq[(String, String)] = {
+    val p = new HPath(tableDir(table), "constraints.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(e =>
+        (e.get("name").asText(), e.get("expr").asText())).toSeq
+    }
+  }
+
+  private def writeConstraints(table: String,
+      cks: Seq[(String, String)]): Unit = {
+    val p = new HPath(tableDir(table), "constraints.json")
+    if (cks.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+    else writeString(p, cks.map { case (n, e) =>
+      s"""{"name":${jsonStr(n)},"expr":${jsonStr(e)}}"""
+    }.mkString("[", ",", "]"))
+  }
+
+  /** Column names a constraint expression references (for the
+    * drop/rename guards — a constraint must never silently dangle). */
+  private def constraintRefs(exprText: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprText).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: the expression
+    * must analyze against the schema, and — like Delta — EXISTING rows
+    * are validated first (one distributed scan; the limit(1) probe
+    * short-circuits at the first violation), so a constraint can never
+    * be born already broken. Enforcement afterwards is inline in every
+    * write ([[writeStaged]]): a per-row guard expression in the write
+    * job itself, no extra pass over the data. */
+  def addCheckConstraint(table: String, name: String,
+      exprText: String): Unit = {
+    require(name.matches("[A-Za-z_]\\w*"),
+      s"constraint name '$name' must be an identifier")
+    require(!checkConstraints(table).exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists on $table")
+    val sch = schema(table)
+    constraintRefs(exprText).foreach(c =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"CHECK constraint '$name' references unknown column '$c' of $table"))
+    val cond = org.apache.spark.sql.functions.expr(exprText)
+    val violated = read(table).filter(not(coalesce(cond, lit(true))))
+      .limit(1).collect()
+    require(violated.isEmpty,
+      s"cannot add CHECK constraint '$name' to $table: existing row " +
+        s"violates ($exprText): ${violated.headOption.getOrElse("")}")
+    writeConstraints(table, checkConstraints(table) :+ ((name, exprText)))
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name`. */
+  def dropCheckConstraint(table: String, name: String): Unit = {
+    val cks = checkConstraints(table)
+    require(cks.exists(_._1.equalsIgnoreCase(name)),
+      s"no constraint '$name' on $table")
+    writeConstraints(table, cks.filterNot(_._1.equalsIgnoreCase(name)))
+  }
+
+  /** Per-row constraint guard woven into the write job: each row
+    * evaluates every CHECK inside an `assert_true` filter that always
+    * passes — a violating row fails the WRITE (before any commit), and
+    * clean data costs one expression eval per row, never a second scan.
+    * Frames legally omitting schema columns evaluate them as NULL (what
+    * the table will hold), via typed-null augmentation dropped before
+    * the write. */
+  private def constraintGuarded(table: String, df: DataFrame): DataFrame = {
+    val cks = checkConstraints(table)
+    if (cks.isEmpty) return df
+    val present = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val aug = schema(table).fields
+      .filterNot(f => present(f.name.toLowerCase))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val guard = cks.map { case (n, ex) =>
+      coalesce(org.apache.spark.sql.functions.assert_true(
+        coalesce(org.apache.spark.sql.functions.expr(ex), lit(true)),
+        concat(lit(s"CHECK constraint '$n' violated on $table " +
+          s"($ex) by row: "),
+          to_json(struct(df.columns.toIndexedSeq.map(col): _*)))),
+        lit(true))
+    }.reduce(_ && _)
+    aug.filter(guard).select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
+  private def writeStaged(table: String, df0: DataFrame): Seq[DataFile] = {
+    validateAppendSchema(table, df0)
+    val df = constraintGuarded(table, df0)
     val staging = new HPath(tableDir(table), s"stage-${UUID.randomUUID()}")
     // bloom-indexed columns resolve once per write: the schema fields
     // drive both the parquet row-group filters (write options, executor
@@ -1677,6 +1774,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         s"cannot drop partition column '$name' of $table"))
       require(!sortOrder(table).exists(_.equalsIgnoreCase(name)),
         s"cannot drop sort column '$name' of $table (every write clusters by it)")
+      checkConstraints(table).foreach { case (ck, ex) =>
+        require(!constraintRefs(ex).exists(_.equalsIgnoreCase(name)),
+          s"cannot drop column '$name' of $table: CHECK constraint " +
+            s"'$ck' ($ex) references it — drop the constraint first")
+      }
       require(cur.fields.length > 1, s"cannot drop the last column of $table")
       writeSchemaVersionLocked(table,
         StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
@@ -1791,6 +1893,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       require(!droppedNames(table).exists(_.equalsIgnoreCase(to)),
         s"cannot rename to '$to' in $table: the name was dropped and " +
           "old data files still carry it")
+      // constraint expressions store the column NAME as text — a rename
+      // would silently dangle them, so it is rejected loudly (drop the
+      // constraint, rename, re-add under the new name)
+      checkConstraints(table).foreach { case (ck, ex) =>
+        require(!constraintRefs(ex).exists(_.equalsIgnoreCase(from)),
+          s"cannot rename column '$from' of $table: CHECK constraint " +
+            s"'$ck' ($ex) references it — drop the constraint first")
+      }
       writeSchemaVersionLocked(table, StructType(cur.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
       val events = renameEvents(table) :+ ((field.name, to))
