@@ -69,6 +69,38 @@ object SparkEntry {
     }
   }
 
+  /** The CDC oracle fixture, in both serving modes: `storedFeed=false`
+    * recovers each COW commit's changes by diffing the files it touched;
+    * `storedFeed=true` ENABLEs the change feed first, so the commits
+    * materialize their diffs as change files and the scan reads those.
+    * Identical oracle either way — the two paths must be value-equal. */
+  private def cdcChangesSplit(storedFeed: Boolean): BenchSplit =
+    benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("cdc_src", orders.schema)
+      cat.append("cdc_src", orders, 1000L)
+      eng.sql("CREATE TABLE cdc_t STORED AS ICEBERG AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM cdc_src " +
+        "WHERE o_orderkey % 3 = 0")                                // snap 1
+      if (storedFeed) eng.sql("ALTER TABLE cdc_t ENABLE CHANGE FEED")
+      eng.sql("INSERT INTO cdc_t SELECT o_orderkey, o_custkey, " +
+        "o_totalprice FROM cdc_src WHERE o_orderkey % 3 = 1")      // snap 2
+      eng.sql("UPDATE cdc_t SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 7 = 0")                                // snap 3
+      eng.sql("DELETE FROM cdc_t WHERE o_orderkey % 5 = 0")        // snap 4
+      eng.sql("OPTIMIZE cdc_t")                                    // snap 5
+      eng
+    } { eng =>
+      eng.sql("CALL table_changes('cdc_t')")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("_change_type").as("change_type"),
+          col("_commit_snapshot_id").as("commit_id"))
+        .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
+    }
+
   /** The write-dominated entries, split: `Bench` reports each as
     * `<name>` (fixture+query, the historical headline shape) plus
     * `<name>_fixture` / `<name>_query` sub-metrics. Doc comments for
@@ -131,30 +163,14 @@ object SparkEntry {
     // the row-level changelog back is the cost that must stay ∝ the
     // commits' own footprint (the compaction snapshot is skipped from
     // metadata alone via its rows-preserved marker).
-    "q_cdc_changes" -> benchSplit { (s, dir) =>
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-      cat.createTable("cdc_src", orders.schema)
-      cat.append("cdc_src", orders, 1000L)
-      eng.sql("CREATE TABLE cdc_t STORED AS ICEBERG AS " +
-        "SELECT o_orderkey, o_custkey, o_totalprice FROM cdc_src " +
-        "WHERE o_orderkey % 3 = 0")                                // snap 1
-      eng.sql("INSERT INTO cdc_t SELECT o_orderkey, o_custkey, " +
-        "o_totalprice FROM cdc_src WHERE o_orderkey % 3 = 1")      // snap 2
-      eng.sql("UPDATE cdc_t SET o_totalprice = o_totalprice + 1 " +
-        "WHERE o_orderkey % 7 = 0")                                // snap 3
-      eng.sql("DELETE FROM cdc_t WHERE o_orderkey % 5 = 0")        // snap 4
-      eng.sql("OPTIMIZE cdc_t")                                    // snap 5
-      eng
-    } { eng =>
-      eng.sql("CALL table_changes('cdc_t')")
-        .select(col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("price"),
-          col("_change_type").as("change_type"),
-          col("_commit_snapshot_id").as("commit_id"))
-        .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
-    },
+    "q_cdc_changes" -> cdcChangesSplit(storedFeed = false),
+
+    // same contract served from MATERIALIZED change files (ENABLE
+    // CHANGE FEED before the COW commits): each rewrite wrote its own
+    // row-level diff at commit time, so the feed scan reads cdc files
+    // at cost ∝ |changes| instead of re-diffing the touched files —
+    // the values must be indistinguishable from the diff path's.
+    "q_cdc_stored" -> cdcChangesSplit(storedFeed = true),
 
     // fixture = base build + MV create + delta append (writes); query =
     // the INCREMENTAL sketch refresh + rendered read. The deltas'
@@ -1158,6 +1174,12 @@ object SparkEntry {
     // including the update's delete+insert pair and the
     // deleted-after-update prices — from the source rows alone.
     "q_cdc_changes" -> benchSplits("q_cdc_changes").composed,
+
+    // the SAME changelog served from materialized change files (ENABLE
+    // CHANGE FEED): each COW commit wrote its row-level diff at commit
+    // time, the scan reads those files at cost ∝ |changes| — and the
+    // oracle cannot tell the difference (value-identical by contract).
+    "q_cdc_stored" -> benchSplits("q_cdc_stored").composed,
 
     // APPROX_COUNT_DISTINCT in a materialized view: NDV state is a
     // mergeable DataSketches HLL sketch, refreshed INCREMENTALLY across
@@ -2869,6 +2891,33 @@ object SparkEntry {
     // with the post-update price where both predicates hit), and
     // NOTHING from the compaction (snapshot 5)
     "q_cdc_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice AS price, 'insert' AS change_type,
+        |         1 AS commit_id FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'insert', 2
+        |  FROM base WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1, 'insert', 3
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END, 'delete', 4
+        |  FROM base WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey, round(price, 2) AS price, change_type,
+        |       CAST(commit_id AS BIGINT) AS commit_id
+        |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
+
+    // stored change files must be value-indistinguishable from the
+    // diff path — the oracle is deliberately the SAME reconstruction
+    "q_cdc_stored" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_orderkey % 3 IN (0, 1)),

@@ -184,6 +184,12 @@ object SqlDdl {
   private val AlterDropBloom =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
       "FILTER\\s*$").r
+  // Delta's enableChangeDataFeed: COW commits materialize their
+  // row-level diff as change files, so the change feed reads at cost
+  // ∝ |changes| instead of re-diffing the touched files.
+  private val AlterChangeFeed =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+(ENABLE|DISABLE)\\s+" +
+      "CHANGE\\s+FEED\\s*$").r
   // Delta's CHECK constraints: ADD validates existing rows first, then
   // every subsequent write enforces the expression per row inside the
   // write job itself (violating writes fail BEFORE any commit).
@@ -519,6 +525,11 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       cat.store().setBloomColumns(t, Seq.empty)
+      Some(empty(catalog))
+    case AlterChangeFeed(qn, onOff) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setChangeFeed(t, onOff.equalsIgnoreCase("ENABLE"))
       Some(empty(catalog))
     case AlterAddConstraint(qn, name, exprDef) =>
       val (cat, t) = resolved(catalog, qn)

@@ -1429,6 +1429,29 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       } else if (s.operation == "append") {
         if (added.nonEmpty)
           parts += tagged(readFileListAs(table, added, sch), "insert", s)
+      } else if (s.summary.contains(TableStore.CdcDirKey)) {
+        // materialized change files (change feed was enabled at commit
+        // time): serve the commit at cost ∝ |changes| — no re-diff of
+        // the touched files. Rename-aware by-name alignment to the
+        // target schema, same contract as the data-file read.
+        val cdc = spark.read.parquet(
+          new HPath(tableDir(table), s.summary(TableStore.CdcDirKey)).toString)
+        val have = cdc.schema.fieldNames.map(_.toLowerCase).toSet
+        val events = renameEvents(table)
+        val aligned = cdc.select(sch.fields.toIndexedSeq.map { f =>
+          val names = (f.name +: aliasesOf(events, f.name))
+            .filter(n => have(n.toLowerCase))
+          names match {
+            case Seq()  => lit(null).cast(f.dataType).as(f.name)
+            case Seq(n) => col(n).cast(f.dataType).as(f.name)
+            case ns => coalesce(ns.map(col): _*).cast(f.dataType).as(f.name)
+          }
+        } :+ col(TableStore.ChangeTypeCol): _*)
+        parts += aligned.select(sch.fieldNames.toIndexedSeq.map(col) ++ Seq(
+          col(TableStore.ChangeTypeCol),
+          lit(s.id).as("_commit_snapshot_id"),
+          lit(new java.sql.Timestamp(s.timestampMs)).as("_commit_timestamp")
+        ): _*)
       } else if (added.nonEmpty || removed.nonEmpty) {
         require(metaFree,
           s"change feed on $table crosses a row-rewriting snapshot " +
@@ -1589,20 +1612,68 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * dropping that writer's changes (Iceberg's conflict contract). The
     * public row-level ops recompute and retry a bounded number of times. */
   private def cowCommit(table: String, operation: String,
-      carried: Seq[DataFile], rewrittenCount: Int,
+      carried: Seq[DataFile], matched: Seq[DataFile],
       replacement: Option[DataFrame], timestampMs: Long,
       baseId: Long, extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
     val total = TableStore.inParallel(carried)(recordsOf(table, _)).sum +
       newFiles.map(_.records).sum
+    val cdcSummary = writeChangeFiles(table, matched, newFiles, extraSummary)
     SnapshotLog.commit(fs, tableDir(table), operation, carried ++ newFiles,
       total, timestampMs, replaceAll = true,
       summary = Map(
-        "rewritten-files" -> rewrittenCount.toString,
+        "rewritten-files" -> matched.size.toString,
         "carried-files" -> carried.size.toString,
-        "added-files" -> newFiles.size.toString) ++ extraSummary,
+        "added-files" -> newFiles.size.toString) ++ extraSummary ++ cdcSummary,
       expectedLastId = Some(baseId),
       schemaVersionOf = () => commitSchemaVersion(table))
+  }
+
+  /** Materialized change files (Delta CDF's design): when the table's
+    * change feed is enabled, a COW commit writes its own row-level diff
+    * — 'delete' rows from the removed files minus the rewrite, 'insert'
+    * rows vice versa — as Parquet under `cdc/<uuid>/` BEFORE the log
+    * commit, and records the directory in the commit summary. The diff
+    * reads only the files this commit touched (one extra job ∝ the
+    * rewrite, the price Delta pays too); [[readChanges]] then serves
+    * the commit from the stored files at cost ∝ |changes| instead of
+    * re-diffing. Skipped for row-preserving rewrites (nothing to
+    * record) and map-typed schemas (set ops cannot compare maps — the
+    * read-side diff rejects those too, so behavior stays consistent). */
+  private def writeChangeFiles(table: String, matched: Seq[DataFile],
+      newFiles: Seq[DataFile],
+      extraSummary: Map[String, String]): Map[String, String] = {
+    if (!changeFeedEnabled(table)) return Map.empty
+    if (extraSummary.get(TableStore.RowsPreservedKey).contains("true"))
+      return Map.empty
+    if (matched.isEmpty && newFiles.isEmpty) return Map.empty
+    val sch = schema(table)
+    if (sch.fields.exists(f => TableStore.hasMapType(f.dataType)))
+      return Map.empty
+    val removedDf = readFileListAs(table, matched, sch)
+    val addedDf = readFileListAs(table, newFiles, sch)
+    val changes = removedDf.exceptAll(addedDf)
+      .withColumn(TableStore.ChangeTypeCol, lit("delete"))
+      .unionByName(addedDf.exceptAll(removedDf)
+        .withColumn(TableStore.ChangeTypeCol, lit("insert")))
+    val rel = s"cdc/${UUID.randomUUID()}"
+    changes.write.mode(SaveMode.Overwrite)
+      .parquet(new HPath(tableDir(table), rel).toString)
+    Map(TableStore.CdcDirKey -> rel)
+  }
+
+  /** Whether the table materializes change files at COW commits
+    * (`cdc.json`, Delta's `enableChangeDataFeed` analogue). */
+  def changeFeedEnabled(table: String): Boolean =
+    fs.exists(new HPath(tableDir(table), "cdc.json"))
+
+  /** Enable/disable the materialized change feed. Commits BEFORE the
+    * enable have no stored change files — [[readChanges]] falls back to
+    * the file-pair diff for them, so history stays readable either way. */
+  def setChangeFeed(table: String, enabled: Boolean): Unit = {
+    val p = new HPath(tableDir(table), "cdc.json")
+    if (enabled) writeString(p, """{"enabled":true}""")
+    else if (fs.exists(p)) fs.delete(p, false)
   }
 
   /** Current snapshot (hydrated) + its id, the base a COW op computes
@@ -1654,7 +1725,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (matched.isEmpty) None
         else Some(readFileList(table, matched)
           .filter(not(coalesce(predicate, lit(false)))))
-      cowCommit(table, "delete", carried, matched.size, replacement,
+      cowCommit(table, "delete", carried, matched, replacement,
         timestampMs, baseId)
     }
 
@@ -1690,7 +1761,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             }
           }: _*))
         }
-      cowCommit(table, "update", carried, matched.size, replacement,
+      cowCommit(table, "update", carried, matched, replacement,
         timestampMs, baseId)
     }
   }
@@ -1710,7 +1781,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (matched.isEmpty) aligned
         else readFileList(table, matched).join(keys, keyCols, "left_anti")
           .unionByName(aligned)
-      cowCommit(table, "overwrite", carried, matched.size, Some(kept),
+      cowCommit(table, "overwrite", carried, matched, Some(kept),
         timestampMs, baseId)
     }
 
@@ -1730,7 +1801,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (rewriteAll) (baseFiles, Seq.empty[DataFile])
         else matchedByKeys(table, baseFiles, sourceKeys, keyCols)
       val replacement = replace(readFileList(table, matched))
-      cowCommit(table, "merge", carried, matched.size, Some(replacement),
+      cowCommit(table, "merge", carried, matched, Some(replacement),
         timestampMs, baseId)
     }
 
@@ -2082,7 +2153,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
           Some(readFileList(table, matched).coalesce(n))
         }
-      cowCommit(table, "replace", carried, matched.size, replacement,
+      cowCommit(table, "replace", carried, matched, replacement,
         timestampMs, baseId,
         extraSummary = Map(TableStore.RowsPreservedKey -> "true"))
     }
@@ -2205,6 +2276,17 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         .filter(st => st.isFile && !refManifests(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
         .foreach(st => fs.delete(st.getPath, false))
+    // cdc dirs a crashed (or conflict-retried) COW wrote but never
+    // committed — the change-file analogue of orphaned data files
+    val refCdc = SnapshotLog.read(fs, dir)
+      .flatMap(_.summary.get(TableStore.CdcDirKey))
+      .map(p => new HPath(dir, p).getName).toSet
+    val cd = new HPath(dir, "cdc")
+    if (fs.exists(cd))
+      fs.listStatus(cd).toSeq
+        .filter(st => st.isDirectory && !refCdc(st.getPath.getName))
+        .filter(_.getModificationTime < olderThanMs)
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Log checkpointing (see [[SnapshotLog.checkpoint]]): fold old
@@ -2296,6 +2378,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     all.flatMap(_.manifest).filterNot(keptManifests.contains).foreach { m =>
       fs.delete(new HPath(new HPath(dir, SnapshotLog.ManifestDir), m), false)
     }
+    // so do their materialized change files (one cdc dir per commit)
+    val keptIds = keep.map(_.id).toSet
+    all.filterNot(s => keptIds(s.id))
+      .flatMap(_.summary.get(TableStore.CdcDirKey))
+      .foreach(d => fs.delete(new HPath(dir, d), true))
     SnapshotLog.write(fs, dir, keep)
   }
 
@@ -2330,6 +2417,12 @@ object TableStore {
     * logs: the feed then falls back to the row-level diff, which is
     * correct (empty) for those commits, just not free. */
   val RowsPreservedKey = "rows-preserved"
+
+  /** Summary key recording the `cdc/<uuid>` directory of a commit's
+    * materialized change files ([[TableStore.writeChangeFiles]]). */
+  val CdcDirKey = "cdc-dir"
+  /** The change-type tag column of the change feed ('insert'|'delete'). */
+  val ChangeTypeCol = "_change_type"
 
   /** Whether `dt` contains a MapType anywhere — Spark set operations
     * (the change feed's COW diff) cannot compare maps. */

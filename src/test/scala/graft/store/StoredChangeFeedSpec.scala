@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Materialized change files (Delta CDF's stored design): with the
+  * change feed ENABLED, every COW commit writes its own row-level diff
+  * under `cdc/<uuid>/` and the feed serves those files directly — same
+  * values as the diff fallback, cost ∝ |changes|. Expire and vacuum
+  * reclaim change files with their snapshots.
+  */
+class StoredChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def newStore(): TableStore =
+    new TableStore(new HPath(Files.createTempDirectory("graft-scdc").toUri), spark)
+
+  private def feedRows(st: TableStore, t: String, from: Long = 0L) =
+    st.readChanges(t, from)
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_snapshot_id"))
+      .as[(Int, Double, String, Long)].collect().toSeq.sorted
+
+  test("enabled feed: COW commits record cdc dirs and the feed reads THEM") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("id", "v"), 1000L)
+    st.updateWhere("t", Seq("v" -> (col("v") * 10)), Some(col("id") === 2), 2000L)
+    st.deleteWhere("t", col("id") === 3, 3000L)
+
+    // both COW commits carry a cdc-dir marker
+    val snaps = st.snapshotsMetadata("t")
+      .select(col("snapshot_id"), col("summary"))
+      .collect().map(r => r.getLong(0) ->
+        r.getMap[String, String](1).get(TableStore.CdcDirKey)).toMap
+    assert(snaps(2L).isDefined && snaps(3L).isDefined && snaps(1L).isEmpty)
+
+    // the feed's COW rows come from the stored cdc files, not data files
+    val cowFeed = st.readChanges("t", 1L)
+    assert(cowFeed.inputFiles.nonEmpty &&
+      cowFeed.inputFiles.forall(_.contains("/cdc/")),
+      s"expected cdc-backed scan, got ${cowFeed.inputFiles.toSeq}")
+
+    assert(feedRows(st, "t") == Seq(
+      (1, 1.0, "insert", 1L), (2, 2.0, "delete", 2L), (2, 2.0, "insert", 1L),
+      (2, 20.0, "insert", 2L), (3, 3.0, "delete", 3L), (3, 3.0, "insert", 1L)))
+  }
+
+  test("stored path equals the diff fallback exactly") {
+    def run(enabled: Boolean): Seq[(Int, Double, String, Long)] = {
+      val st = newStore()
+      st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+      if (enabled) st.setChangeFeed("t", enabled = true)
+      st.append("t", (1 to 30).map(i => (i, i * 1.0)).toDF("id", "v"), 1000L)
+      st.upsert("t", Seq((5, 500.0), (31, 31.0)).toDF("id", "v"),
+        Seq("id"), 2000L)
+      st.deleteWhere("t", col("id") % 7 === 0, 3000L)
+      feedRows(st, "t")
+    }
+    assert(run(enabled = true) == run(enabled = false))
+  }
+
+  test("pre-enable history still answers via the fallback diff") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.append("t", Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), 1000L)
+    st.deleteWhere("t", col("id") === 1, 2000L) // no feed yet → no cdc dir
+    st.setChangeFeed("t", enabled = true)
+    st.deleteWhere("t", col("id") === 2, 3000L) // stored
+    assert(feedRows(st, "t") == Seq(
+      (1, 1.0, "delete", 2L), (1, 1.0, "insert", 1L),
+      (2, 2.0, "delete", 3L), (2, 2.0, "insert", 1L)))
+  }
+
+  test("expire reclaims dropped snapshots' change files; vacuum reclaims orphans") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), 1000L)
+    st.deleteWhere("t", col("id") === 1, 2000L)
+    st.append("t", Seq((3, 3.0)).toDF("id", "v"), 3000L)
+    val fs = st.metaFs
+    val cdcRoot = new HPath(st.tableDir("t"), "cdc")
+    assert(fs.listStatus(cdcRoot).length == 1)
+    // expire everything older than the last snapshot: the delete commit
+    // (and its cdc dir) goes
+    st.expire("t", 3000L)
+    assert(!fs.exists(cdcRoot) || fs.listStatus(cdcRoot).isEmpty)
+
+    // orphan: a cdc dir no snapshot references (crashed COW)
+    fs.mkdirs(new HPath(cdcRoot, "deadbeef"))
+    st.vacuum("t", System.currentTimeMillis() + 1000)
+    assert(!fs.exists(new HPath(cdcRoot, "deadbeef")))
+  }
+
+  test("compaction under an enabled feed stays silent and unmaterialized") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", (1 to 10).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(3), 1000L)
+    st.compact("t")
+    val fs = st.metaFs
+    assert(!fs.exists(new HPath(st.tableDir("t"), "cdc")))
+    assert(st.readChanges("t", 1L).count() == 0)
+  }
+}
