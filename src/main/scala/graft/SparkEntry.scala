@@ -1040,6 +1040,43 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Streaming CDC through the DSv2 source (readChangeFeed=true): the
+    // stream delivers row-level insert/delete changes — the append
+    // batch from data files, the COW delete from its MATERIALIZED
+    // change files — and the memory sink accumulates exactly the same
+    // feed the batch oracle reconstructs. The fixture's UPDATE/DELETE
+    // land AFTER the stream starts, so micro-batch planning (not a
+    // catch-up scan) is what's proven.
+    "q_stream_cdc" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("orders_cdc", orders.schema)
+      cat.store().setChangeFeed("orders_cdc", enabled = true)
+      cat.append("orders_cdc", orders.filter(col("o_orderkey") % 3 === 0), 1000L)
+      val sink = "cdc_sink_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val q = s.readStream.format("graft-table")
+        .option("warehouse", cat.warehouse.toString)
+        .option("table", "orders_cdc")
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        eng.sql("UPDATE orders_cdc SET o_totalprice = o_totalprice + 1 " +
+          "WHERE o_orderkey % 7 = 0")
+        eng.sql("DELETE FROM orders_cdc WHERE o_orderkey % 5 = 0")
+        eng.sql("OPTIMIZE orders_cdc")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("_change_type").as("change_type"),
+          col("_commit_snapshot_id").as("commit_id"))
+        .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
+    }),
+
     // §2.10 stream-stream watermarked INNER join, oracle-gated: click →
     // purchase attribution within a 1-hour window, per user. Two
     // independent graft-table source streams join on user with the
@@ -2910,6 +2947,32 @@ object SparkEntry {
         |  SELECT o_orderkey,
         |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
         |              ELSE o_totalprice END, 'delete', 4
+        |  FROM base WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey, round(price, 2) AS price, change_type,
+        |       CAST(commit_id AS BIGINT) AS commit_id
+        |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
+
+    // the streamed change feed: one insert batch (snapshot 1), the
+    // UPDATE's delete+insert pair (snapshot 2), the DELETE's rows
+    // (snapshot 3, post-update price where both hit), nothing from the
+    // trailing OPTIMIZE
+    "q_stream_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice AS price, 'insert' AS change_type,
+        |         1 AS commit_id FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 2
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1, 'insert', 2
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END, 'delete', 3
         |  FROM base WHERE o_orderkey % 5 = 0)
         |SELECT o_orderkey, round(price, 2) AS price, change_type,
         |       CAST(commit_id AS BIGINT) AS commit_id

@@ -1478,6 +1478,63 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** The FILE-level plan of a change scan over `(fromId, toId]` — the
+    * streaming CDC source's planner ([[graft.streaming]]): every file a
+    * change batch must read, each tagged with how to interpret it.
+    * Returns (absolutePath, storedType, changeType, commitId,
+    * commitTsMs): `storedType=true` marks a materialized change file
+    * (carries its own `_change_type` column); append commits' data
+    * files come back `storedType=false, changeType="insert"`.
+    * Layout-only rewrites contribute nothing. A COW commit WITHOUT
+    * stored change files raises — per-file partitions cannot compute a
+    * distributed diff, so streaming CDC requires `ENABLE CHANGE FEED`
+    * before row-rewriting commits (Delta's streaming-CDF contract; the
+    * batch [[readChanges]] keeps the diff fallback). */
+  private[graft] def changeFilePlan(table: String, fromId: Long,
+      toId: Long): Seq[(String, Boolean, String, Long, Long)] = {
+    val dir = tableDir(table)
+    val all = SnapshotLog.read(fs, dir)
+    def idx(id: Long, what: String): Int = {
+      val i = all.indexWhere(_.id == id)
+      require(i >= 0, s"table $table has no snapshot id $id ($what)")
+      i
+    }
+    val toIdx = idx(toId, "toId")
+    val fromIdx = if (fromId == 0L) -1 else idx(fromId, "fromId")
+    require(fromIdx <= toIdx,
+      s"fromId $fromId is newer than toId $toId on $table")
+    var prev: Set[String] =
+      if (fromIdx < 0) Set.empty
+      else SnapshotLog.hydrate(fs, dir, all(fromIdx)).filePaths.toSet
+    val out = Seq.newBuilder[(String, Boolean, String, Long, Long)]
+    for (raw <- all.slice(fromIdx + 1, toIdx + 1)) {
+      val s = SnapshotLog.hydrate(fs, dir, raw)
+      val curPaths = s.filePaths.toSet
+      if (s.summary.get(TableStore.RowsPreservedKey).contains("true")) {
+        ()
+      } else if (s.operation == "append") {
+        for (f <- s.files if !prev(f.path))
+          out += ((absPath(table, f.path).toString, false, "insert",
+            s.id, s.timestampMs))
+      } else if (s.summary.contains(TableStore.CdcDirKey)) {
+        val cd = new HPath(dir, s.summary(TableStore.CdcDirKey))
+        if (fs.exists(cd))
+          for (st <- fs.listStatus(cd)
+               if st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += ((st.getPath.toString, true, null, s.id, s.timestampMs))
+      } else if (curPaths != prev) {
+        throw new IllegalStateException(
+          s"streaming change feed on $table crosses row-rewriting " +
+            s"snapshot ${s.id}:${s.operation} with no stored change " +
+            "files — run ALTER TABLE … ENABLE CHANGE FEED before " +
+            "row-level writes to stream their changes (the batch " +
+            "table_changes() reader can still diff this history)")
+      }
+      prev = curPaths
+    }
+    out.result()
+  }
+
   /** Conservative metadata prune of an ARBITRARY file list (the
     * streaming scan's per-batch added set) — the same partition-value +
     * footer-stat walk [[readWhere]] uses, exposed for callers that

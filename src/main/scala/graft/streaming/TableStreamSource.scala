@@ -96,6 +96,11 @@ final class GraftTableSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val o = GraftStreamOptions(options.asCaseSensitiveMap())
     val full = o.store(SparkSession.active).schema(o.table)
+    // CDC mode: the table schema plus the change-feed tag columns —
+    // `columns`/`where` narrowing is a plain-feed concern (validated
+    // apart in GraftStreamOptions)
+    if (o.changeFeed)
+      return StructType(full.fields ++ GraftStreamOptions.CdcTagFields)
     // `columns` narrows the SOURCE schema itself (table-schema order),
     // so the vectorized reader decodes only those column chunks. Like
     // `where`, this is the operative projection path: Spark's
@@ -123,12 +128,21 @@ private[streaming] final case class GraftStreamOptions(
     warehouse: String, database: String, table: String, startAfter: Long,
     maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
     where: Option[String], skipRewrites: Boolean,
-    columns: Option[Seq[String]]) {
+    columns: Option[Seq[String]], changeFeed: Boolean) {
   def store(spark: SparkSession): TableStore =
     new TableStore(new HPath(new HPath(warehouse), database), spark)
 }
 
 private[streaming] object GraftStreamOptions {
+  import org.apache.spark.sql.types.{StringType, TimestampType, StructField}
+
+  /** The change-feed tag columns appended to the table schema in CDC
+    * mode (`readChangeFeed=true`) — same names as the batch feed. */
+  val CdcTagFields: Array[StructField] = Array(
+    StructField(TableStore.ChangeTypeCol, StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false),
+    StructField("_commit_timestamp", TimestampType, nullable = false))
+
   def apply(props: util.Map[String, String]): GraftStreamOptions = {
     val m = props.asScala.map { case (k, v) => k.toLowerCase -> v }
     def req(k: String): String = m.getOrElse(k,
@@ -139,13 +153,23 @@ private[streaming] object GraftStreamOptions {
     val maxRows = m.get("maxrowspertrigger").map(_.toLong)
     maxRows.foreach(n => require(n >= 1,
       s"maxRowsPerTrigger must be >= 1 (got $n)"))
+    val cdc = m.get("readchangefeed").exists(_.equalsIgnoreCase("true"))
+    if (cdc) {
+      // CDC rows carry semantics per commit — narrowing or filtering
+      // them per file would break delete/insert pairing, and
+      // skipRewrites contradicts the whole point
+      Seq("where", "columns", "skiprewrites").filter(m.contains).foreach(k =>
+        throw new IllegalArgumentException(
+          s"option '$k' is not supported with readChangeFeed=true"))
+    }
     GraftStreamOptions(req("warehouse"), m.getOrElse("database", "default"),
       req("table"), m.get("startaftersnapshotid").map(_.toLong).getOrElse(0L),
       maxFiles, maxRows,
       m.get("where").map(_.trim).filter(_.nonEmpty),
       m.get("skiprewrites").exists(_.equalsIgnoreCase("true")),
       m.get("columns").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .filter(_.nonEmpty))
+        .filter(_.nonEmpty),
+      cdc)
   }
 }
 
@@ -345,7 +369,15 @@ private[streaming] final class GraftMicroBatchStream(
     val from = GraftOffset.of(start).snapshotId
     val to = GraftOffset.of(end).snapshotId
     if (to <= from) Array.empty
-    else {
+    else if (opts.changeFeed) {
+      // CDC batch: appended data files ('insert') + stored change files
+      // per COW commit — the per-commit plan [[TableStore.changeFilePlan]]
+      // raises on COW history without stored change files
+      store.changeFilePlan(opts.table, from, to).map {
+        case (path, stored, ct, id, ts) =>
+          GraftCdcPartition(path, stored, ct, id, ts): InputPartition
+      }.toArray
+    } else {
       val st = store
       val (added, _) =
         if (opts.skipRewrites) st.incrementalAppendFiles(opts.table, from, Some(to))
@@ -362,6 +394,16 @@ private[streaming] final class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val st = store
+    if (opts.changeFeed) {
+      val base = st.schema(opts.table)
+      val events = st.renameEvents(opts.table)
+      val aliases: Map[String, Seq[String]] =
+        if (events.isEmpty) Map.empty
+        else base.fields.toSeq
+          .map(f => f.name -> st.aliasesOf(events, f.name))
+          .filter(_._2.nonEmpty).toMap
+      return GraftCdcReaderFactory(base.json, aliases)
+    }
     // Row-level `where`: the same predicate that pruned files is
     // analyzed (type coercion, resolution — a malformed predicate fails
     // the stream here, loudly) against the scan schema EXTENDED with
@@ -415,6 +457,62 @@ private[streaming] final class GraftMicroBatchStream(
 }
 
 private[streaming] final case class GraftFilePartition(path: String) extends InputPartition
+
+/** One file of a CDC micro-batch: a data file of an append commit
+  * (`storedType=false`, every row tagged `changeType`) or a
+  * materialized change file (`storedType=true`, the file carries its
+  * own `_change_type` column). */
+private[streaming] final case class GraftCdcPartition(path: String,
+    storedType: Boolean, changeType: String, commitId: Long,
+    commitTs: Long) extends InputPartition
+
+/** CDC reader: delegates the parquet work (vectorized read, rename
+  * aliases, schema reconciliation) to [[GraftPartitionReader]] and
+  * appends the commit tag columns — constants for the whole partition
+  * except `_change_type` of stored files, which rides in the file. */
+private[streaming] final case class GraftCdcReaderFactory(
+    tableSchemaJson: String,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.types.StringType
+  @transient private lazy val tableSchema =
+    DataType.fromJson(tableSchemaJson).asInstanceOf[StructType]
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdcPartition]
+    val innerSchema =
+      if (p.storedType)
+        StructType(tableSchema.fields :+
+          org.apache.spark.sql.types.StructField(
+            TableStore.ChangeTypeCol, StringType, nullable = false))
+      else tableSchema
+    val inner = new GraftPartitionReader(p.path, innerSchema, aliases)
+    val n = tableSchema.length
+    val outSchema = StructType(tableSchema.fields ++
+      GraftStreamOptions.CdcTagFields)
+    val toUnsafe = UnsafeProjection.create(outSchema)
+    val tagType = org.apache.spark.unsafe.types.UTF8String
+      .fromString(p.changeType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val row = inner.get()
+        val vals = new Array[Any](n + 3)
+        var i = 0
+        while (i < n) {
+          vals(i) = if (row.isNullAt(i)) null
+            else row.get(i, tableSchema.fields(i).dataType)
+          i += 1
+        }
+        vals(n) = if (p.storedType) row.get(n, StringType) else tagType
+        vals(n + 1) = p.commitId
+        vals(n + 2) = p.commitTs * 1000L // epoch micros
+        toUnsafe(new GenericInternalRow(vals))
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
 
 private[streaming] final case class GraftReaderFactory(schemaJson: String,
     aliases: Map[String, Seq[String]] = Map.empty,
