@@ -227,6 +227,36 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     },
 
+    // fixture = base build + MV create + COW delete + COW update (all
+    // writes); query = the RETRACTION refresh — the change feed
+    // partial-aggregates with a ±1 sign and merges into the view state
+    // (cost ∝ the changes, base never re-read) — plus the rendered
+    // read. The require proves the delta path ran, not a rebuild.
+    "q_mv_retract" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      cat.createTable("orders_ret", orders.schema)
+      cat.append("orders_ret", orders, 1000L)
+      eng.sql("CREATE MATERIALIZED VIEW mv_ret AS SELECT o_orderstatus, " +
+        "count(*) AS cnt, sum(o_totalprice) AS total, " +
+        "avg(o_totalprice) AS mean FROM orders_ret GROUP BY o_orderstatus")
+      eng.sql("DELETE FROM orders_ret WHERE o_orderkey % 4 = 0")
+      eng.sql("UPDATE orders_ret SET o_totalprice = o_totalprice + 2 " +
+        "WHERE o_orderkey % 9 = 0")
+      (cat, eng)
+    } { case (cat, eng) =>
+      val status = eng.sql("REFRESH MATERIALIZED VIEW mv_ret").head()
+      require(status.getString(0).startsWith("incremental-retract"),
+        s"expected a retraction refresh, got ${status.getString(0)}")
+      graft.store.MaterializedView.read(cat.store(), "mv_ret")
+        .select(col("o_orderstatus").as("status"), col("cnt"),
+          round(col("total"), 2).as("total"),
+          round(col("mean"), 2).as("mean"))
+        .orderBy(col("status"))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1224,6 +1254,13 @@ object SparkEntry {
     // double-count). At the fixture's cardinality the sketch is in its
     // exact coupon range, so the oracle checks the estimate by value.
     "q_mv_approx_distinct" -> benchSplits("q_mv_approx_distinct").composed,
+
+    // Retraction-based incremental view maintenance: a DELETE + UPDATE
+    // on the base refresh the count/sum/avg view FROM THE CHANGE FEED
+    // (±1-signed partial aggregate merged into state) instead of a full
+    // rebuild — the require in the fixture proves the delta path ran,
+    // the oracle recomputes the post-mutation aggregate from scratch.
+    "q_mv_retract" -> benchSplits("q_mv_retract").composed,
 
     // Dynamic file pruning (join-driven skipping): the selective dim's
     // collected keys probe the sorted fact's per-file min/max bounds —
@@ -2913,6 +2950,18 @@ object SparkEntry {
         |       count(DISTINCT o_custkey % 200) AS nd,
         |       count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // recompute the view's answer from scratch over the mutated base:
+    // %4 keys deleted first, then the update applies to the remainder
+    "q_mv_retract" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 2
+        |              ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 0)
+        |SELECT o_orderstatus AS status, count(*) AS cnt,
+        |       round(sum(p), 2) AS total, round(avg(p), 2) AS mean
+        |FROM cur GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     "q_dfp_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

@@ -275,7 +275,14 @@ object MvRewrite {
         // like the scan's COUNT would, not sum's NULL
         case "count" =>
           coalesce(sum(col(src.alias)), lit(0L)).cast("long").as(a.alias)
-        case "sum" => sum(col(src.alias)).as(a.alias)
+        case "sum" =>
+          // retraction-era state keeps a non-null input count beside
+          // each sum: a group whose non-null inputs were all retracted
+          // must render NULL (the scan's sum), not the zeroed state
+          if (state.columns.exists(_.equalsIgnoreCase(s"__mv_cnt_${src.alias}")))
+            when(sum(col(s"__mv_cnt_${src.alias}")) > 0,
+              sum(col(src.alias))).otherwise(lit(null)).as(a.alias)
+          else sum(col(src.alias)).as(a.alias)
         case "min" => min(col(src.alias)).as(a.alias)
         case "max" => max(col(src.alias)).as(a.alias)
         case "avg" =>

@@ -426,6 +426,8 @@ object SqlDdl {
           ("up-to-date", graft.store.MaterializedView.watermark(cat.store(), t))
         case graft.store.MaterializedView.Incremental(n, toId) =>
           (s"incremental ($n delta files)", toId)
+        case graft.store.MaterializedView.IncrementalRetract(toId) =>
+          ("incremental-retract (change feed)", toId)
         case graft.store.MaterializedView.FullRebuild(why, toId) =>
           (s"full ($why)", toId)
       }

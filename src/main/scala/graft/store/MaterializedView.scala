@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   *     streaming source uses), partial-aggregate the delta, and merge
   *     two small frames — cost scales with the delta and the view, a
   *     100 TB base is never re-read;
-  *   - any row-changing snapshot (delete/update/merge/overwrite/
-  *     truncate/rollback) → FULL rebuild, because merged extrema and
-  *     sums cannot retract rows.
+  *   - row-changing snapshots (delete/update/merge/overwrite/
+  *     truncate/rollback) → INCREMENTAL RETRACTION when every aggregate
+  *     supports subtraction (count/sum/avg): the base's change feed
+  *     ([[TableStore.readChanges]]) partial-aggregates with a ±1 sign
+  *     and merges like any delta — cost ∝ the changes, the 100 TB base
+  *     still never re-reads. Extrema and sketches cannot retract (a
+  *     removed max needs the runner-up), so their views FULL-rebuild.
   *
   * The base snapshot each state version covers rides the MV commit's
   * summary (`mv-base-snapshot`), so state and watermark change
@@ -53,11 +57,21 @@ object MaterializedView {
   case object UpToDate extends RefreshAction
   final case class Incremental(deltaFiles: Int, toId: Long) extends RefreshAction
   final case class FullRebuild(reason: String, toId: Long) extends RefreshAction
+  /** Row-changing history processed as RETRACTIONS from the change feed
+    * — delta-sized, no base re-read (see [[plan]] for when it engages). */
+  final case class IncrementalRetract(toId: Long) extends RefreshAction
 
   private val Funcs =
     Set("count", "sum", "min", "max", "avg", "approx_count_distinct")
+  /** Aggregates a DELETE can be subtracted out of — extrema and
+    * sketches cannot retract (a removed max needs the runner-up). */
+  private val Retractable = Set("count", "sum", "avg")
   private def sumCol(a: AggSpec) = s"__mv_sum_${a.alias}"
   private def cntCol(a: AggSpec) = s"__mv_cnt_${a.alias}"
+  /** Hidden per-group live-row count: lets a retraction refresh DROP a
+    * group whose last row was deleted (a zero-summed ghost group would
+    * otherwise render rows a scan never produces). */
+  private val NRowsCol = "__mv_nrows"
 
   /** Create the view: validates the definition against the base schema,
     * computes the initial state from the base's CURRENT snapshot, and
@@ -114,9 +128,22 @@ object MaterializedView {
     val rowChanging = newer.collect {
       case (id, op, _, _) if op != "append" && op != "replace" => s"$id:$op"
     }
-    if (rowChanging.nonEmpty)
-      FullRebuild("row-changing snapshot(s) " + rowChanging.mkString(", "), toId)
-    else {
+    if (rowChanging.nonEmpty) {
+      // retraction path: every aggregate must support subtraction, the
+      // persisted state must carry the live-row/non-null counts (a
+      // pre-upgrade state rebuilds once and gains them), and the base's
+      // schema must be diffable (no maps — readChanges' limitation)
+      val stateCols = store.schema(name).fieldNames.map(_.toLowerCase).toSet
+      val upgraded = stateCols.contains(NRowsCol) &&
+        d.aggs.filter(_.func == "sum")
+          .forall(a => stateCols.contains(cntCol(a).toLowerCase))
+      val diffable = !store.schema(d.base).fields
+        .exists(f => TableStore.hasMapType(f.dataType))
+      if (d.aggs.forall(a => Retractable(a.func)) && upgraded && diffable)
+        IncrementalRetract(toId)
+      else FullRebuild(
+        "row-changing snapshot(s) " + rowChanging.mkString(", "), toId)
+    } else {
       val (files, to) = store.incrementalAppendFiles(d.base, lastId, Some(toId))
       Incremental(files.size, to.id)
     }
@@ -135,6 +162,19 @@ object MaterializedView {
         store.overwrite(name, merged,
           extraSummary = Map("mv-base-snapshot" -> toId.toString,
             "mv-refresh" -> "incremental"))
+        a
+      case a @ IncrementalRetract(toId) =>
+        // the change feed over (watermark, toId] — inserts add,
+        // deletes subtract, an UPDATE's pair nets out; cost ∝ the
+        // changes (stored change files) or the commits' touched files
+        // (diff fallback), never the base
+        val feed = store.readChanges(d.base, watermark(store, name),
+          Some(toId))
+        val merged = mergeStates(store.read(name),
+          partialAggSigned(feed, d), d)
+        store.overwrite(name, merged,
+          extraSummary = Map("mv-base-snapshot" -> toId.toString,
+            "mv-refresh" -> "incremental-retract"))
         a
       case a @ FullRebuild(_, toId) =>
         store.overwrite(name, partialAgg(store.readVersion(d.base, toId), d),
@@ -170,7 +210,11 @@ object MaterializedView {
       a.func match {
         case "count" => Seq(a.input.fold(count(lit(1)))(c => count(col(c)))
           .as(a.alias))
-        case "sum" => Seq(sum(col(a.input.get)).as(a.alias))
+        // sum keeps a non-null input count beside it: after a
+        // retraction empties a group's non-null inputs, the render must
+        // produce NULL (the scan's sum over all-null rows), not 0
+        case "sum" => Seq(sum(col(a.input.get)).as(a.alias),
+          count(col(a.input.get)).as(cntCol(a)))
         case "min" => Seq(min(col(a.input.get)).as(a.alias))
         case "max" => Seq(max(col(a.input.get)).as(a.alias))
         case "avg" => Seq(
@@ -183,7 +227,35 @@ object MaterializedView {
         case "approx_count_distinct" =>
           Seq(hll_sketch_agg(col(a.input.get)).as(a.alias))
       }
+    } :+ count(lit(1)).as(NRowsCol)
+    df.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The retraction delta: the change feed's rows partial-aggregate
+    * with a ±1 sign ('insert' adds, 'delete' subtracts), producing the
+    * SAME state shape as [[partialAgg]] — so the merge is the ordinary
+    * state merge, and an UPDATE (delete+insert pair) nets to its true
+    * effect. Only called when every aggregate is [[Retractable]]. */
+  private def partialAggSigned(feed: DataFrame, d: MvDef): DataFrame = {
+    val df = d.filter.fold(feed)(f => feed.filter(expr(f)))
+    val sign = when(col(TableStore.ChangeTypeCol) === "delete", -1L)
+      .otherwise(1L)
+    def signedCount(in: Option[String]) = in match {
+      case None    => sum(sign)
+      case Some(c) => sum(when(col(c).isNotNull, sign).otherwise(0L))
     }
+    val aggs = d.aggs.flatMap { a =>
+      a.func match {
+        case "count" => Seq(signedCount(a.input).as(a.alias))
+        case "sum" => Seq(sum(col(a.input.get) * sign).as(a.alias),
+          signedCount(a.input).as(cntCol(a)))
+        case "avg" => Seq(
+          sum(col(a.input.get).cast("double") * sign).as(sumCol(a)),
+          signedCount(a.input).as(cntCol(a)))
+        case other => throw new IllegalStateException(
+          s"aggregate '$other' is not retractable") // plan() prevents this
+      }
+    } :+ sum(sign).as(NRowsCol)
     df.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -196,7 +268,8 @@ object MaterializedView {
     val merges = d.aggs.flatMap { a =>
       a.func match {
         case "count" => Seq(sum(col(a.alias)).as(a.alias))
-        case "sum" => Seq(sum(col(a.alias)).as(a.alias))
+        case "sum" => Seq(sum(col(a.alias)).as(a.alias),
+          sum(col(cntCol(a))).as(cntCol(a)))
         case "min" => Seq(min(col(a.alias)).as(a.alias))
         case "max" => Seq(max(col(a.alias)).as(a.alias))
         case "avg" => Seq(sum(col(sumCol(a))).as(sumCol(a)),
@@ -204,22 +277,31 @@ object MaterializedView {
         case "approx_count_distinct" =>
           Seq(hll_union_agg(col(a.alias)).as(a.alias))
       }
-    }
+    } :+ sum(col(NRowsCol)).as(NRowsCol)
     // sum() widens int→long and promotes long→decimal? No: Spark's sum
     // over LongType stays LongType; re-select to the stored state types
     // so repeated refreshes cannot drift the schema.
+    // The zero-rows filter drops groups a retraction emptied — for
+    // append-only merges it never fires (counts only grow).
     val merged = old.unionByName(delta)
       .groupBy(d.groupCols.map(col): _*).agg(merges.head, merges.tail: _*)
+      .filter(col(NRowsCol) > 0)
     val target = old.schema
     merged.select(target.fields.map(f => col(f.name).cast(f.dataType)
       .as(f.name)).toIndexedSeq: _*)
   }
 
   private def render(state: DataFrame, d: MvDef): DataFrame = {
+    val have = state.schema.fieldNames.map(_.toLowerCase).toSet
     val cols = d.groupCols.map(col) ++ d.aggs.map { a =>
       if (a.func == "avg") (col(sumCol(a)) / col(cntCol(a))).as(a.alias)
       else if (a.func == "approx_count_distinct")
         hll_sketch_estimate(col(a.alias)).as(a.alias)
+      else if (a.func == "sum" && have(cntCol(a).toLowerCase))
+        // a retraction can empty a group's non-null inputs while other
+        // rows keep the group alive: the scan's sum is NULL then, not 0
+        when(col(cntCol(a)) > 0, col(a.alias))
+          .otherwise(lit(null)).as(a.alias)
       else col(a.alias)
     }
     state.select(cols: _*)

@@ -1,0 +1,140 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.store.{MaterializedView => MV}
+
+/** Retraction-based incremental view maintenance: when every aggregate
+  * supports subtraction (count/sum/avg), a DELETE/UPDATE on the base
+  * refreshes the view from the CHANGE FEED — inserts add, deletes
+  * subtract, emptied groups drop — instead of a full rebuild. Extrema
+  * keep the rebuild path (a removed max needs the runner-up).
+  */
+class MvRetractionSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def fixture(): (graft.catalog.GraftCatalog, graft.sql.Engine) = {
+    val cat = new graft.catalog.GraftCatalog(
+      Files.createTempDirectory("graft-mvr"), spark)
+    cat.createDatabase("default")
+    (cat, new graft.sql.Engine(cat))
+  }
+
+  private def sales(n: Int): DataFrame = (0 until n)
+    .map(i => (i, s"grp${i % 3}", i * 1.5,
+      if (i % 5 == 0) null else java.lang.Double.valueOf(i * 2.0)))
+    .toDF("id", "grp", "amount", "bonus")
+
+  private def retractableDef(base: String) = MV.MvDef(base, Seq("grp"), Seq(
+    MV.AggSpec("count", None, "cnt"),
+    MV.AggSpec("sum", Some("amount"), "total"),
+    MV.AggSpec("sum", Some("bonus"), "bonus_total"),
+    MV.AggSpec("avg", Some("amount"), "mean")))
+
+  private def expected(st: TableStore, base: String) =
+    st.read(base).groupBy($"grp")
+      .agg(count(lit(1)).as("cnt"), sum($"amount").as("total"),
+        sum($"bonus").as("bonus_total"), avg($"amount").as("mean"))
+      .orderBy($"grp").collect().toSeq
+
+  private def rendered(st: TableStore, name: String) =
+    MV.read(st, name).orderBy($"grp").collect().toSeq
+
+  test("DELETE refreshes by retraction — delta-sized, exact, summary-tagged") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(60), 1000L)
+    MV.create(st, "mv_r", retractableDef("sales"))
+    st.deleteWhere("sales", col("id") % 4 === 0)
+    MV.plan(st, "mv_r") match {
+      case MV.IncrementalRetract(_) => ()
+      case other => fail(s"expected IncrementalRetract, got $other")
+    }
+    MV.refresh(st, "mv_r")
+    assert(st.currentSummary("mv_r")("mv-refresh") == "incremental-retract")
+    assert(rendered(st, "mv_r") == expected(st, "sales"))
+  }
+
+  test("UPDATE nets its delete+insert pair through the feed") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(30), 1000L)
+    MV.create(st, "mv_u", retractableDef("sales"))
+    eng.sql("UPDATE sales SET amount = amount + 100 WHERE id % 3 = 1")
+    assert(MV.refresh(st, "mv_u").isInstanceOf[MV.IncrementalRetract])
+    assert(rendered(st, "mv_u") == expected(st, "sales"))
+  }
+
+  test("a group emptied by deletion DROPS from the view (no ghost rows)") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(30), 1000L)
+    MV.create(st, "mv_g", retractableDef("sales"))
+    st.deleteWhere("sales", col("grp") === "grp1")
+    MV.refresh(st, "mv_g")
+    val grps = MV.read(st, "mv_g").select($"grp").as[String].collect().toSet
+    assert(grps == Set("grp0", "grp2"))
+    assert(rendered(st, "mv_g") == expected(st, "sales"))
+  }
+
+  test("retracting every non-null input of a sum renders NULL like a scan") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    // grp0 = ids 0,3,6,...: bonus is null for id%5==0 → delete the rest
+    cat.append("sales", sales(30), 1000L)
+    MV.create(st, "mv_n", retractableDef("sales"))
+    st.deleteWhere("sales", col("grp") === "grp0" && col("bonus").isNotNull)
+    MV.refresh(st, "mv_n")
+    assert(rendered(st, "mv_n") == expected(st, "sales"))
+    val grp0 = MV.read(st, "mv_n").filter($"grp" === "grp0").head()
+    assert(grp0.isNullAt(grp0.fieldIndex("bonus_total")))
+  }
+
+  test("extrema still force the rebuild; works through the SQL surface") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(30), 1000L)
+    eng.sql("CREATE MATERIALIZED VIEW mv_x AS SELECT grp, " +
+      "max(amount) AS hi, count(*) AS cnt FROM sales GROUP BY grp")
+    eng.sql("DELETE FROM sales WHERE id % 2 = 0")
+    val status = eng.sql("REFRESH MATERIALIZED VIEW mv_x").head().getString(0)
+    assert(status.startsWith("full"))
+
+    eng.sql("CREATE MATERIALIZED VIEW mv_y AS SELECT grp, " +
+      "sum(amount) AS total, count(*) AS cnt FROM sales GROUP BY grp")
+    eng.sql("DELETE FROM sales WHERE id % 3 = 0")
+    val s2 = eng.sql("REFRESH MATERIALIZED VIEW mv_y").head().getString(0)
+    assert(s2.startsWith("incremental-retract"))
+    val got = eng.sql("SELECT grp, total, cnt FROM mv_y ORDER BY grp")
+      .collect().toSeq
+    val want = st.read("sales").groupBy($"grp")
+      .agg(sum($"amount").as("total"), count(lit(1)).as("cnt"))
+      .orderBy($"grp").collect().toSeq
+    assert(got == want)
+  }
+
+  test("retraction composes with the STORED change feed and later appends") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    st.setChangeFeed("sales", enabled = true)
+    cat.append("sales", sales(40), 1000L)
+    MV.create(st, "mv_s", retractableDef("sales"))
+    st.deleteWhere("sales", col("id") < 10)
+    cat.append("sales", sales(50).filter($"id" >= 40), 2000L)
+    st.updateWhere("sales", Seq("amount" -> lit(7.5)), Some(col("id") === 20))
+    MV.refresh(st, "mv_s")
+    assert(rendered(st, "mv_s") == expected(st, "sales"))
+  }
+}
