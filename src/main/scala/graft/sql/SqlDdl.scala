@@ -50,6 +50,12 @@ object SqlDdl {
   private val InsertSelect =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*(?:\\(([^)]*)\\))?\\s*((?:SELECT|WITH)\\b.+)$").r
+  // INSERT OVERWRITE [TABLE] t [(cols)] SELECT … — Spark's own
+  // content-replacing insert: one `replace` snapshot, time travel keeps
+  // the previous contents
+  private val InsertOverwrite =
+    ("(?is)^\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s*(?:\\(([^)]*)\\))?\\s*((?:SELECT|WITH)\\b.+)$").r
   // CREATE TABLE t [PARTITIONED BY (spec)] [STORED AS x] AS SELECT …
   private val CreateTableAs =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
@@ -382,6 +388,16 @@ object SqlDdl {
     case InsertSelect(qn, colList, select) =>
       val (cat, t) = resolved(catalog, qn)
       insertFrame(cat, t, Option(colList), evalSelect(catalog, select))
+      Some(empty(catalog))
+    case InsertOverwrite(qn, colList, select) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      require(catalog.spark.conf.getOption(WapIdConf).forall(_.isEmpty) &&
+        catalog.spark.conf.getOption(BranchConf).forall(_.isEmpty),
+        "INSERT OVERWRITE cannot stage to a WAP id or branch — it " +
+          "replaces the table's visible contents")
+      cat.overwrite(t,
+        alignFrame(cat, t, Option(colList), evalSelect(catalog, select)))
       Some(empty(catalog))
     case Truncate(qn) =>
       val (cat, t) = resolved(catalog, qn)
@@ -758,14 +774,41 @@ object SqlDdl {
       case "table_changes" =>
         // Delta's CDF reader (`table_changes(t, start[, end])`) over the
         // store's changelog scan: row-level insert/delete rows tagged
-        // with their commit. Snapshot-id bounds, same contract as
-        // readChanges: start is EXCLUSIVE (0 = from the beginning),
-        // end inclusive (omitted = current).
+        // with their commit. Snapshot-id bounds (start EXCLUSIVE, 0 =
+        // beginning; end inclusive, omitted = current) or Delta's
+        // timestamp spelling: `start_timestamp => TIMESTAMP '…'`
+        // selects commits AT or AFTER the instant, `end_timestamp`
+        // commits at-or-before.
         val (cat, t) = tableArg
-        val from = arg(1, "start_snapshot_id")
-          .map(_.trim.toLong).getOrElse(0L)
-        val to = arg(2, "end_snapshot_id").map(_.trim.toLong)
-        return Some(cat.store().readChanges(t, from, to))
+        val st = cat.store()
+        def tsOf(name: String): Option[Long] =
+          args.find(_.name.contains(name)).map(_.value).map {
+            case TsLit(ts) => TimeTravelRewriter.parseTimestampMs(ts)
+            case other => throw new IllegalArgumentException(
+              s"CALL $proc: cannot parse $name: $other")
+          }
+        val startTs = tsOf("start_timestamp")
+        val endTs = tsOf("end_timestamp")
+        val from = (arg(1, "start_snapshot_id").map(_.trim.toLong), startTs)
+          match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            s"CALL $proc: give start_snapshot_id OR start_timestamp, not both")
+          // exclusive start: everything committed BEFORE the instant is
+          // the baseline, commits at/after it are the feed
+          case (None, Some(ts)) =>
+            st.snapshotIdAtOrBefore(t, ts - 1).getOrElse(0L)
+          case (id, None) => id.getOrElse(0L)
+        }
+        val to = (arg(2, "end_snapshot_id").map(_.trim.toLong), endTs) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            s"CALL $proc: give end_snapshot_id OR end_timestamp, not both")
+          case (None, Some(ts)) =>
+            Some(st.snapshotIdAtOrBefore(t, ts).getOrElse(
+              throw new IllegalArgumentException(
+                s"CALL $proc: no commit of $t at or before end_timestamp")))
+          case (id, None) => id
+        }
+        return Some(st.readChanges(t, from, to))
       case "rollback_to_snapshot" =>
         val (cat, t) = tableArg
         val id = arg(1, "snapshot_id").getOrElse(throw new IllegalArgumentException(
@@ -952,8 +995,11 @@ object SqlDdl {
     * positional mapping onto the (optional) column list, casts to the
     * declared types, typed NULLs for unnamed columns. Serves both
     * `INSERT … VALUES` and `INSERT … SELECT`. */
-  private def insertFrame(catalog: GraftCatalog, table: String,
-      colList: Option[String], raw: DataFrame): Unit = {
+  /** Name/cast alignment of an INSERT's frame onto the table schema:
+    * the optional column list names the frame's columns, casts apply to
+    * declared types, unnamed columns become typed NULLs. */
+  private def alignFrame(catalog: GraftCatalog, table: String,
+      colList: Option[String], raw: DataFrame): DataFrame = {
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
     val targetCols = colList.map(_.split(",").toSeq
@@ -966,10 +1012,15 @@ object SqlDdl {
         s"${raw.schema.length} values per row")
     val named = raw.toDF(targetCols: _*)
     // cast to declared types; unnamed columns become typed NULLs
-    val aligned = named.select(schema.fields.toIndexedSeq.map { f =>
+    named.select(schema.fields.toIndexedSeq.map { f =>
       if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  private def insertFrame(catalog: GraftCatalog, table: String,
+      colList: Option[String], raw: DataFrame): Unit = {
+    val aligned = alignFrame(catalog, table, colList, raw)
     // Write-audit-publish (Iceberg's `spark.wap.id` contract): with the
     // WAP conf set, every INSERT stages invisibly under that id — the
     // audit job validates, then `CALL publish_changes(...)` commits.

@@ -442,14 +442,26 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       timestampMs: Long = System.currentTimeMillis(),
       operation: String = "replace",
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    // change-feed parity for full overwrites (INSERT OVERWRITE, index
+    // rebuilds): the previous content is the "removed" side of the
+    // diff. Layout-only rewrites pass the rows-preserved marker and
+    // skip inside writeChangeFiles, same as the COW path.
+    val prevFiles = SnapshotLog.resolve(fs, tableDir(table), None)
+      .map(_.files).getOrElse(Seq.empty)
     val moved = writeStaged(table, df)
     val n = moved.map(_.records).sum
+    val cdcSummary = writeChangeFiles(table, prevFiles, moved, extraSummary)
     SnapshotLog.commit(fs, tableDir(table), operation, moved, n, timestampMs,
       replaceAll = true,
       summary = Map("added-files" -> moved.size.toString,
-        "total-records" -> n.toString) ++ extraSummary,
+        "total-records" -> n.toString) ++ extraSummary ++ cdcSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
   }
+
+  /** Newest snapshot committed at or before `tsMs` (time-travel
+    * resolution exposed for timestamp-bounded change scans). */
+  def snapshotIdAtOrBefore(table: String, tsMs: Long): Option[Long] =
+    SnapshotLog.resolve(fs, tableDir(table), Some(tsMs)).map(_.id)
 
   /** Distributed Parquet write into a staging dir (partitioned by the
     * table's spec when one exists), promote the part files into data/,

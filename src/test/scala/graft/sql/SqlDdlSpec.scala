@@ -873,4 +873,60 @@ class SqlDdlSpec extends AnyFunSuite {
     eng.sql("INSERT INTO tv VALUES (4)")
     assert(eng.run("SELECT cnt FROM tv_v1") == "[(2,)]")
   }
+
+  test("INSERT OVERWRITE replaces contents in one snapshot; time travel keeps the old") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE iow (id INT, s STRING)")
+    eng.sql("INSERT INTO iow VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT OVERWRITE iow SELECT id + 10, s FROM iow WHERE id = 1")
+    assert(eng.run("SELECT id, s FROM iow ORDER BY id") == "[(11, 'a')]")
+    // the pre-overwrite contents stay time-travelable
+    assert(cat.store().readVersion("iow", 1L).count() == 2)
+    // column-subset form null-fills like INSERT INTO
+    eng.sql("INSERT OVERWRITE iow (id) SELECT 99")
+    assert(eng.run("SELECT id, s FROM iow") == "[(99, None)]")
+    // overwrite cannot stage invisibly
+    spark.conf.set(SqlDdl.WapIdConf, "wap1")
+    try intercept[IllegalArgumentException](
+      eng.sql("INSERT OVERWRITE iow SELECT 1, 'x'"))
+    finally spark.conf.unset(SqlDdl.WapIdConf)
+  }
+
+  test("table_changes timestamp bounds resolve to commit instants") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE tc (id INT)")
+    val st = cat.store()
+    import spark.implicits._
+    st.append("tc", Seq(1).toDF("id"), 1000L)
+    st.append("tc", Seq(2).toDF("id"), 2000L)
+    st.append("tc", Seq(3).toDF("id"), 3000L)
+    def ids(call: String): Seq[Int] =
+      eng.sql(call).select("id").as[Int].collect().toSeq.sorted
+    // start_timestamp is inclusive (commits AT or after the instant)
+    assert(ids("CALL table_changes('tc', " +
+      "start_timestamp => TIMESTAMP '1970-01-01 00:00:02')") == Seq(2, 3))
+    // end_timestamp caps at-or-before
+    assert(ids("CALL table_changes('tc', " +
+      "start_timestamp => TIMESTAMP '1970-01-01 00:00:01', " +
+      "end_timestamp => TIMESTAMP '1970-01-01 00:00:02')") == Seq(1, 2))
+    // mixing id and timestamp forms for the same bound is rejected
+    intercept[IllegalArgumentException](
+      eng.sql("CALL table_changes('tc', start_snapshot_id => 1, " +
+        "start_timestamp => TIMESTAMP '1970-01-01 00:00:01')"))
+  }
+
+  test("INSERT OVERWRITE with the change feed enabled materializes its diff") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE iow2 (id INT)")
+    eng.sql("INSERT INTO iow2 VALUES (1), (2), (3)")
+    eng.sql("ALTER TABLE iow2 ENABLE CHANGE FEED")
+    eng.sql("INSERT OVERWRITE iow2 SELECT id FROM iow2 WHERE id >= 2")
+    import spark.implicits._
+    val feed = eng.sql("CALL table_changes('iow2', 1)")
+      .select($"id", $"_change_type").as[(Int, String)].collect().toSeq.sorted
+    assert(feed == Seq((1, "delete")))
+    // and it came from stored change files, not a re-diff
+    val cdcBacked = eng.sql("CALL table_changes('iow2', 1)")
+    assert(cdcBacked.inputFiles.forall(_.contains("/cdc/")))
+  }
 }
