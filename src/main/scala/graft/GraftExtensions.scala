@@ -40,5 +40,6 @@ object GraftExtensions {
     "video_header_meta" -> (es => VideoHeaderMeta(es.head)),
     "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
-    "image_pixel_stats" -> (es => ImagePixelStats(es.head)))
+    "image_pixel_stats" -> (es => ImagePixelStats(es.head)),
+    "image_dhash" -> (es => ImageDHash(es.head)))
 }

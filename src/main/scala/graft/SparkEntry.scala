@@ -2412,6 +2412,50 @@ object SparkEntry {
     // BI_RGB is pure byte arithmetic. Constant color makes the channel
     // means exactly the planted values, so DuckDB reconstructs the
     // whole result from doc_id alone.
+    // Image near-dup dedup: perceptual dHash (integer-deterministic
+    // 9×8 luma comparison grid) + the same pigeonhole-banded hamming
+    // join text simhash uses. 300 planted images in 3 families × 2
+    // one-bit variants across PNG/BMP/GIF containers: same-variant
+    // pairs collide at hamming 0 (C(50,2)·2 per family), cross-variant
+    // at hamming 1 (50·50), families sit ≥31 bits apart — so the pair
+    // census is fully reconstructible by the oracle from the counts.
+    "q_image_dedup" -> ((s, dir) => {
+      import java.awt.image.BufferedImage
+      import java.io.ByteArrayOutputStream
+      import javax.imageio.ImageIO
+      def img(format: String)(lum: (Int, Int) => Int): Array[Byte] = {
+        val b = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = lum(x, y) & 0xFF
+          b.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val out = new ByteArrayOutputStream()
+        require(ImageIO.write(b, format, out), s"no writer for $format")
+        out.toByteArray
+      }
+      val base: Seq[(Int, Int) => Int] = Seq(
+        (x, _) => x * 10,                         // rising rows: all bits
+        (_, y) => y * 10,                         // flat rows: no bits
+        (x, y) => if ((x + y) % 2 == 0) 0 else 100) // checkerboard
+      val tweak: Seq[(Int, Int) => Int] = Seq(
+        (x, y) => if (y == 2 && x == 8) 0 else x * 10,   // clears bit 23
+        (x, y) => if (y == 5 && x == 8) 255 else y * 10, // sets bit 47
+        (x, y) => if (y == 1 && x == 8) 0 else (if ((x + y) % 2 == 0) 0 else 100))
+      val formats = Seq("png", "bmp", "gif")
+      val rows = (0 until 300).map { id =>
+        val fam = id % 3
+        val lum = if ((id / 3) % 2 == 0) base(fam) else tweak(fam)
+        (id, img(formats(id % formats.size))(lum))
+      }
+      import s.implicits._
+      val pairs = graft.ext.Dedup.imageNearDuplicates(
+        rows.toDF("id", "content").repartition(8), "id", "content",
+        maxHamming = 3)
+      pairs.groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    }),
+
     "q_multimodal_pixels" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
       docs.select(col("doc_id"),
@@ -3391,6 +3435,15 @@ object SparkEntry {
     // per-language stopword hits, encoded as a zero-padded sortable
     // string because this DuckDB lacks struct greatest. floor(x*1e4+0.5)
     // emulates Spark's HALF_UP round.
+    // the planted families make the census arithmetic: per family,
+    // same-variant pairs collide at hamming 0 (2 · C(50,2) = 2450) and
+    // cross-variant at hamming 1 (50 · 50 = 2500); ×3 families
+    "q_image_dedup" ->
+      """SELECT hamming, n_pairs FROM (VALUES
+        |  (0, CAST(7350 AS BIGINT)), (1, CAST(7500 AS BIGINT)))
+        |  AS t(hamming, n_pairs)
+        |ORDER BY hamming""".stripMargin,
+
     "q_multimodal_pixels" ->
       """SELECT doc_id,
         |  CAST(4 + doc_id % 5 AS INTEGER) AS width,

@@ -268,14 +268,39 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("_id"),
+        GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol)), seed)
+          .as("_sh")),
+      maxHamming, maxBucket)
+
+  /** Image near-dup candidates: 64-bit perceptual dHash per image (an
+    * integer-deterministic 9×8 luminance comparison grid — re-encodes
+    * and small edits land a few bits apart), banded exactly like text
+    * simhash. Rows with undecodable payloads drop out (NULL hash). */
+  def imageNearDuplicates(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("_id"),
+        GraftFunctions.imageDHash(col(bytesCol)).as("_sh"))
+        .filter(col("_sh").isNotNull),
+      maxHamming, maxBucket)
+
+  /** The shared hamming-radius self-join: a 64-bit sketch column banded
+    * into `maxHamming + 1` chunks (pigeonhole-complete for the radius —
+    * a fixed split would silently miss pairs past its width), candidates
+    * by chunk-key equality, verified by popcount of the xor. The sketch
+    * (one long) rides the join on both sides — 8 bytes, verification is
+    * free. `sk` must have columns `_id` and `_sh`. */
+  private def hammingNearDuplicates(sk: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxSimhashRadius,
       s"maxHamming must be in [0, $MaxSimhashRadius] (got $maxHamming): " +
-        "64-bit simhash banding cannot shard wider radii — use minhash " +
+        "64-bit banding cannot shard wider radii — use minhash " +
         "candidates for looser similarity")
     val chunks = maxHamming + 1
-    val sk = df.select(col(idCol).as("_id"),
-      GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol)), seed).as("_sh"))
     val chunkStructs = chunkBounds(chunks).zipWithIndex.map { case ((lo, hi), i) =>
       val width = hi - lo
       val mask = if (width == 64) -1L else (1L << width) - 1L

@@ -68,6 +68,52 @@ object CompressedImageExpressions {
     Some((w, h, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  /** 64-bit difference hash (dHash) of any ImageIO-decodable payload:
+    * nearest-neighbor resample to a 9×8 integer-luminance grid, then
+    * bit `y*8+x` = lum(x,y) < lum(x+1,y). Near-duplicate images (crops,
+    * re-encodes, small edits) land within a few bits of hamming
+    * distance — the image analogue of text simhash, feeding the same
+    * pigeonhole-banded near-dup join. Every step is integer arithmetic
+    * on our own resample (no Graphics2D scaler), so the hash is
+    * deterministic across JVMs for lossless formats. */
+  def dhash(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 8) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(b))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    // 9×8 luminance grid by nearest-neighbor index mapping
+    val lum = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = math.min(h - 1, gy * h / 8)
+      var gx = 0
+      while (gx < 9) {
+        val sx = math.min(w - 1, gx * w / 9)
+        val p = img.getRGB(sx, sy)
+        // integer ITU-R 601 luma — deterministic, no float rounding
+        lum(gy)(gx) = (((p >>> 16) & 0xFF) * 299 + ((p >>> 8) & 0xFF) * 587 +
+          (p & 0xFF) * 114) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(y)(x) < lum(y)(x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(hash)
+  }
+
   /** Encode a constant-color image of the packed `(width, height, r, g,
     * b)` struct in `format` ("png" | "jpg" | "gif" | "bmp") — the
     * deterministic planted payload the decode oracle predicts exactly
@@ -109,6 +155,37 @@ case class ImagePixelStats(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = $ref.compute($c);
       |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `image_dhash(content)` — 64-bit perceptual difference hash of any
+  * ImageIO-decodable payload; NULL for undecodable bytes. Feed to the
+  * pigeonhole-banded hamming join ([[graft.ext.Dedup
+  * .hammingNearDuplicates]]) for image near-dup detection. */
+case class ImageDHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dhash"
+
+  def compute(bytes: Array[Byte]): Any =
+    CompressedImageExpressions.dhash(bytes) match {
+      case Some(h) => h
+      case None    => null
+    }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imgdh", this, classOf[ImageDHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Object r$$ = $ref.compute($c);
+      |${ev.isNull} = r$$ == null;
+      |if (!${ev.isNull}) ${ev.value} = ((Long) r$$).longValue();
       |""".stripMargin)
   }
 

@@ -84,6 +84,11 @@ object GraftFunctions {
   def imagePixelStats(content: Column): Column =
     toCol(ImagePixelStats(toExpr(content)))
 
+  /** 64-bit perceptual difference hash (dHash) of an ImageIO-decodable
+    * binary column; NULL for undecodable bytes. */
+  def imageDHash(content: Column): Column =
+    toCol(ImageDHash(toExpr(content)))
+
   /** Constant-color image payload in a real compressed container
     * (`format`: png | jpg | gif | bmp) from `(w, h, r, g, b)` int
     * columns — planted-oracle payload generation. */

@@ -512,6 +512,11 @@ object SqlDdl {
           meta += (("Sort Columns", st.sortOrder(t).mkString(", "), ""))
         if (st.bloomColumns(t).nonEmpty)
           meta += (("Bloom Filter Columns", st.bloomColumns(t).mkString(", "), ""))
+        st.checkConstraints(t).foreach { case (n, e) =>
+          meta += (("Check Constraint", n, s"CHECK ($e)")) }
+        if (st.changeFeedEnabled(t))
+          meta += (("Change Feed", "enabled",
+            "COW commits materialize change files"))
         meta += (("Row Count", st.recordCountAsOf(t, None)
           .map(_.toString).getOrElse("unknown"), "from snapshot log"))
         meta += (("Snapshot Id", st.currentSnapshotId(t)
