@@ -2195,6 +2195,17 @@ object SparkEntry {
       graft.ext.Search.lmSurprisal(t(s, dir, "documents"), "doc_id", "text",
         20, lmVocabCap)),
 
+    // DSIR-style importance weighting (Xie et al., NeurIPS'23 —
+    // deterministic ranking core): target = the corpus's own 'en'
+    // slice, raw = everything; per-doc weight = mean log-likelihood
+    // ratio of two shared-vocab unigram models; output = the 20 most
+    // target-like documents. One aggregation per model + a broadcast
+    // scoring join — the data-selection shape that scales to a corpus
+    // build.
+    "q_dsir_select" -> ((s, dir) =>
+      graft.ext.Search.dsirImportance(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", 20, lmVocabCap)),
+
     // Deterministic train/val/test split assignment: split is a pure
     // function of xxhash64(key, seed) — stable across runs, leakage-
     // free per key, append-invariant (new rows never reshuffle old
@@ -3411,6 +3422,9 @@ object SparkEntry {
     "q_bm25_topk" -> graft.ext.Search.bm25OracleSql(bm25Terms, 20),
 
     "q_lm_surprisal" -> graft.ext.Search.lmOracleSql(20, lmVocabCap),
+
+    "q_dsir_select" ->
+      graft.ext.Search.dsirOracleSql("lang = 'en'", 20, lmVocabCap),
 
     "q_doc_repetition" ->
       """SELECT doc_id,

@@ -153,6 +153,80 @@ object Search {
       .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
   }
 
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23, reduced to its deterministic ranking core): fit two
+    * add-one-smoothed unigram models — the TARGET distribution over the
+    * documents matching `targetPred`, the RAW distribution over the
+    * whole corpus — on a shared top-`vocabCap` vocabulary from the raw
+    * counts, score every document by its mean per-token log-likelihood
+    * ratio log p_target(t) − log p_raw(t), and return the `k` most
+    * target-like documents. Positive weight = "looks like the target
+    * domain"; the full DSIR adds Gumbel-noise resampling on top of
+    * exactly this weight, which a caller can do with one extra column.
+    *
+    * Scale posture: both models are ONE aggregation over the token
+    * explosion; the vocab cut broadcasts (top-V via
+    * TakeOrderedAndProject, never a full sort), and the scoring pass is
+    * the same broadcast-join-over-tokens shape as [[lmSurprisal]] — no
+    * shuffle grows with corpus size beyond the token count itself. */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, k: Int,
+      vocabCap: Int = 50000): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"), targetPred.as("_tgt"),
+      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
+    val rawCounts = exploded.groupBy(col("_tok"))
+      .agg(count(lit(1)).cast("double").as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).cast("double").as("_ct"))
+    val vocab = rawCounts.orderBy(col("_cr").desc, col("_tok")).limit(vocabCap)
+    val stats = rawCounts.agg(
+      sum(col("_cr")).as("_tr"),
+      sum(col("_ct")).as("_tt"),
+      least(count(lit(1)), lit(vocabCap.toLong)).cast("double").as("_v"))
+    val ratio =
+      log((coalesce(col("_ct"), lit(0.0)) + lit(1.0)) /
+        (col("_tt") + col("_v") + lit(1.0))) -
+      log((coalesce(col("_cr"), lit(0.0)) + lit(1.0)) /
+        (col("_tr") + col("_v") + lit(1.0)))
+    exploded
+      .join(broadcast(vocab), Seq("_tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("_id"))
+      .agg(round(avg(ratio), 4).as("weight"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("weight").desc, col("_id"))
+      .limit(k)
+      .select(col("_id").as(idCol), col("weight"), col("n_tokens"))
+  }
+
+  /** DuckDB replay of [[dsirImportance]] over table `documents`;
+    * `targetSql` is the predicate in SQL (e.g. "lang = 'en'"). */
+  def dsirOracleSql(targetSql: String, k: Int,
+      vocabCap: Int = 50000): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetSql) AS _tgt,
+       |         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS _tok
+       |  FROM documents
+       |), counts AS (
+       |  SELECT _tok, CAST(count(*) AS DOUBLE) AS _cr,
+       |         CAST(sum(CASE WHEN _tgt THEN 1 ELSE 0 END) AS DOUBLE) AS _ct
+       |  FROM toks GROUP BY _tok
+       |), vocab AS (
+       |  SELECT _tok, _cr, _ct FROM counts ORDER BY _cr DESC, _tok LIMIT $vocabCap
+       |), stats AS (
+       |  SELECT sum(_cr) AS _tr, sum(_ct) AS _tt,
+       |         CAST(least(count(*), $vocabCap) AS DOUBLE) AS _v
+       |  FROM counts
+       |)
+       |SELECT t.doc_id,
+       |       round(avg(
+       |         ln((coalesce(v._ct, 0.0) + 1.0) / (s._tt + s._v + 1.0)) -
+       |         ln((coalesce(v._cr, 0.0) + 1.0) / (s._tr + s._v + 1.0))), 4) AS weight,
+       |       count(*) AS n_tokens
+       |FROM toks t LEFT JOIN vocab v ON t._tok = v._tok CROSS JOIN stats s
+       |GROUP BY t.doc_id
+       |ORDER BY weight DESC, t.doc_id LIMIT $k""".stripMargin
+
   /** DuckDB replay of [[lmSurprisal]] over table `documents`. */
   def lmOracleSql(k: Int, vocabCap: Int = 50000): String =
     s"""WITH toks AS (

@@ -125,5 +125,51 @@ class SearchSpec extends AnyFunSuite {
     assert(sql.contains("LIMIT 7"))
     val lm = Search.lmOracleSql(9, 123)
     assert(lm.contains("LIMIT 123") && lm.contains("LIMIT 9"))
+    val ds = Search.dsirOracleSql("lang = 'x'", 9, 123)
+    assert(ds.contains("lang = 'x'") && ds.contains("LIMIT 9"))
+  }
+
+  // ------------------------------------------------------ dsirImportance
+
+  private def langDocs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "lang", "text")
+
+  test("dsir: docs sharing the target's vocabulary rank above off-domain docs") {
+    // target = 'code' docs; doc 10 is unlabeled but code-flavored, doc
+    // 11 unlabeled prose-flavored — the weight must separate them
+    val d = langDocs(
+      (1L, "code", "def fn return class import def return"),
+      (2L, "code", "class import def return fn fn"),
+      (3L, "prose", "the cat sat on the mat and slept"),
+      (4L, "prose", "rain fell on the quiet town all day"),
+      (10L, "?", "def class import return"),
+      (11L, "?", "the cat and the town"))
+    val got = Search.dsirImportance(d, "doc_id", "text",
+      col("lang") === "code", 10, vocabCap = 1000)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(10L) > got(11L),
+      s"code-flavored doc must out-weight prose: $got")
+    // in-target docs carry positive weight, off-domain negative
+    assert(got(1L) > 0 && got(3L) < 0, s"sign separation: $got")
+  }
+
+  test("dsir: k bounds rows, ordering is weight-desc then id") {
+    val d = langDocs(
+      (1L, "t", "alpha beta"), (2L, "t", "alpha beta"),
+      (3L, "o", "gamma delta"))
+    val top = Search.dsirImportance(d, "doc_id", "text",
+      col("lang") === "t", 2, vocabCap = 100)
+      .as[(Long, Double, Long)].collect()
+    assert(top.length == 2 && top.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
+  test("dsir plan: model joins broadcast; top-k plans TakeOrdered") {
+    val d = langDocs((1L, "t", "a b"), (2L, "o", "b c"))
+    val plan = Search.dsirImportance(d, "doc_id", "text",
+      col("lang") === "t", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 }
