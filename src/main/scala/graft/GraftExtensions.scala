@@ -41,5 +41,6 @@ object GraftExtensions {
     "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
     "image_pixel_stats" -> (es => ImagePixelStats(es.head)),
-    "image_dhash" -> (es => ImageDHash(es.head)))
+    "image_dhash" -> (es => ImageDHash(es.head)),
+    "audio_energy_hash" -> (es => AudioEnergyHash(es.head)))
 }

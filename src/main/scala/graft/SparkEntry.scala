@@ -2467,6 +2467,47 @@ object SparkEntry {
         .orderBy(col("hamming"))
     }),
 
+    // Audio near-dup dedup: 65-frame integer energy-envelope hash +
+    // the same banded hamming join. 300 planted PCM clips in 3
+    // envelope families × 2 one-bit variants: same census arithmetic
+    // as q_image_dedup (gain invariance is spec-covered — an 8-bit
+    // doubled ramp would clip, so the oracle fixture keeps unit gain).
+    "q_audio_dedup" -> ((s, dir) => {
+      def wav(env: Int => Int, gain: Int): Array[Byte] = {
+        val samples = Array.tabulate(130)(k => (128 + env(k / 2) * gain).toByte)
+        val out = new java.io.ByteArrayOutputStream()
+        def ascii(str: String): Unit = out.write(str.getBytes("US-ASCII"))
+        def le32(v: Int): Unit =
+          Seq(v, v >> 8, v >> 16, v >> 24).foreach(b => out.write(b & 0xFF))
+        def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        ascii("RIFF"); le32(36 + samples.length); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(8000)
+        le16(1); le16(8)
+        ascii("data"); le32(samples.length); out.write(samples)
+        out.toByteArray
+      }
+      val base: Seq[Int => Int] = Seq(
+        i => i,                       // rising: all 64 bits
+        _ => 10,                      // flat: no bits
+        i => (i % 2) * 50)            // alternating: 32 bits
+      val tweak: Seq[Int => Int] = Seq(
+        i => if (i == 64) 0 else i,
+        i => if (i == 64) 99 else 10,
+        i => if (i == 64) 99 else (i % 2) * 50)
+      val rows = (0 until 300).map { id =>
+        val fam = id % 3
+        val env = if ((id / 3) % 2 == 0) base(fam) else tweak(fam)
+        (id, wav(env, gain = 1))
+      }
+      import s.implicits._
+      graft.ext.Dedup.audioNearDuplicates(
+        rows.toDF("id", "content").repartition(8), "id", "content",
+        maxHamming = 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    }),
+
     "q_multimodal_pixels" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
       docs.select(col("doc_id"),
@@ -3449,6 +3490,15 @@ object SparkEntry {
     // per-language stopword hits, encoded as a zero-padded sortable
     // string because this DuckDB lacks struct greatest. floor(x*1e4+0.5)
     // emulates Spark's HALF_UP round.
+    // identical census arithmetic to q_image_dedup: per family,
+    // same-variant pairs at hamming 0 (2 · C(50,2) = 2450) and
+    // cross-variant at hamming 1 (50 · 50 = 2500); ×3 families
+    "q_audio_dedup" ->
+      """SELECT hamming, n_pairs FROM (VALUES
+        |  (0, CAST(7350 AS BIGINT)), (1, CAST(7500 AS BIGINT)))
+        |  AS t(hamming, n_pairs)
+        |ORDER BY hamming""".stripMargin,
+
     // the planted families make the census arithmetic: per family,
     // same-variant pairs collide at hamming 0 (2 · C(50,2) = 2450) and
     // cross-variant at hamming 1 (50 · 50 = 2500); ×3 families

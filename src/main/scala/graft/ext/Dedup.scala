@@ -288,6 +288,19 @@ object Dedup {
         .filter(col("_sh").isNotNull),
       maxHamming, maxBucket)
 
+  /** Audio near-dup candidates: 64-bit energy-envelope fingerprint per
+    * PCM clip (65-frame integer envelope — re-encodes and gain changes
+    * keep the shape), banded like text simhash. Non-PCM or too-short
+    * payloads drop out (NULL hash). */
+  def audioNearDuplicates(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("_id"),
+        GraftFunctions.audioEnergyHash(col(bytesCol)).as("_sh"))
+        .filter(col("_sh").isNotNull),
+      maxHamming, maxBucket)
+
   /** The shared hamming-radius self-join: a 64-bit sketch column banded
     * into `maxHamming + 1` chunks (pigeonhole-complete for the radius —
     * a fixed split would silently miss pairs past its width), candidates

@@ -89,6 +89,11 @@ object GraftFunctions {
   def imageDHash(content: Column): Column =
     toCol(ImageDHash(toExpr(content)))
 
+  /** 64-bit energy-envelope fingerprint of a PCM WAV binary column;
+    * NULL for non-PCM payloads or sub-65-sample clips. */
+  def audioEnergyHash(content: Column): Column =
+    toCol(AudioEnergyHash(toExpr(content)))
+
   /** Constant-color image payload in a real compressed container
     * (`format`: png | jpg | gif | bmp) from `(w, h, r, g, b)` int
     * columns — planted-oracle payload generation. */

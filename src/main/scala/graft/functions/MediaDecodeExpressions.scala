@@ -143,25 +143,8 @@ object WavPcmStats {
     * interleaved stream). None for non-WAV, non-PCM (format tag != 1),
     * or unsupported widths. */
   def decode(b: Array[Byte]): Option[(Long, Double, Double)] = {
-    if (b == null || b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
-      return None
-    var bits = 0; var fmtTag = -1
-    var dataOff = -1; var dataLen = 0L
-    var i = 12
-    while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-        fmtTag = le16(b, i + 8)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
-        dataOff = i + 8
-        dataLen = size
-      }
-      i += 8 + size.toInt + (size.toInt & 1)
-    }
-    if (fmtTag != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val (dataOff, end, bits) = pcmLayout(b).getOrElse(return None)
     val bytesPer = bits / 8
-    val end = math.min(b.length.toLong, dataOff + dataLen).toInt
     val n = (end - dataOff) / bytesPer
     if (n <= 0) return None
     var sumSq = 0.0; var peak = 0.0
@@ -179,4 +162,94 @@ object WavPcmStats {
     }
     Some((n.toLong, math.sqrt(sumSq / n), peak))
   }
+
+  /** The RIFF chunk walk shared by stats and the energy hash:
+    * (dataOffset, dataEnd, bitsPerSample) of a PCM 8/16-bit WAV. */
+  private[functions] def pcmLayout(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var bits = 0; var fmtTag = -1
+    var dataOff = -1; var dataLen = 0L
+    var i = 12
+    while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        fmtTag = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmtTag != 1 || dataOff < 0 || (bits != 8 && bits != 16)) None
+    else Some((dataOff, math.min(b.length.toLong, dataOff + dataLen).toInt, bits))
+  }
+
+  /** 64-bit energy-envelope fingerprint (the audio analogue of image
+    * dHash): the PCM stream splits into 65 equal frames, each frame's
+    * energy is the INTEGER sum of absolute sample amplitudes, and bit
+    * `i` = energy(i) < energy(i+1). Re-encodes at a different bit depth
+    * or amplitude scale keep the envelope's SHAPE, so near-duplicate
+    * clips land a few hamming bits apart — feed to
+    * [[graft.ext.Dedup.hammingNearDuplicates]]. None for non-PCM
+    * payloads or clips shorter than 65 samples (no envelope to hash). */
+  def energyHash(b: Array[Byte]): Option[Long] = {
+    val (dataOff, end, bits) = pcmLayout(b).getOrElse(return None)
+    val bytesPer = bits / 8
+    val n = (end - dataOff) / bytesPer
+    if (n < 65) return None
+    val energy = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val from = f * n / 65
+      val until = (f + 1) * n / 65
+      var k = from
+      var e = 0L
+      while (k < until) {
+        val p = dataOff + k * bytesPer
+        e += (if (bits == 16) math.abs(le16(b, p).toShort.toInt)
+              else math.abs(u8(b, p) - 128))
+        k += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i) < energy(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+}
+
+/** `audio_energy_hash(content)` — 64-bit energy-envelope fingerprint of
+  * a PCM WAV; NULL for non-PCM payloads or sub-65-sample clips. */
+case class AudioEnergyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_energy_hash"
+
+  def compute(bytes: Array[Byte]): Any =
+    WavPcmStats.energyHash(bytes) match {
+      case Some(h) => h
+      case None    => null
+    }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("audioeh", this, classOf[AudioEnergyHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Object r$$ = $ref.compute($c);
+      |${ev.isNull} = r$$ == null;
+      |if (!${ev.isNull}) ${ev.value} = ((Long) r$$).longValue();
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
