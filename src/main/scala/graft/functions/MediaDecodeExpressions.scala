@@ -170,17 +170,21 @@ object WavPcmStats {
       return None
     var bits = 0; var fmtTag = -1
     var dataOff = -1; var dataLen = 0L
-    var i = 12
+    // Long cursor + unsigned size arithmetic: a crafted chunk size with
+    // the top bit set would otherwise step the Int cursor BACKWARDS
+    // (negative-index read) or loop — the walk must always advance ≥ 8
+    var i = 12L
     while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-        fmtTag = le16(b, i + 8)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
-        dataOff = i + 8
+      val ii = i.toInt
+      val size = le32(b, ii + 4) // unsigned 32-bit, ≥ 0
+      if (tag(b, ii, "fmt ") && i + 24 <= b.length) {
+        fmtTag = le16(b, ii + 8)
+        bits = le16(b, ii + 22)
+      } else if (tag(b, ii, "data")) {
+        dataOff = ii + 8
         dataLen = size
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (fmtTag != 1 || dataOff < 0 || (bits != 8 && bits != 16)) None
     else Some((dataOff, math.min(b.length.toLong, dataOff + dataLen).toInt, bits))

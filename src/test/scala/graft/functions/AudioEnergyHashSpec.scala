@@ -63,6 +63,27 @@ class AudioEnergyHashSpec extends AnyFunSuite {
     assert(pairs == Seq((1, 2, 1), (3, 4, 1)))
   }
 
+  test("RIFF walk never throws or loops on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(101)
+    (0 until 2000).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (i % 2 == 0 && len >= 12) {
+        Array[Byte]('R', 'I', 'F', 'F').copyToArray(b, 0)
+        Array[Byte]('W', 'A', 'V', 'E').copyToArray(b, 8)
+      }
+      WavPcmStats.energyHash(b) // must return, never throw
+      WavPcmStats.decode(b)
+    }
+    // the adversarial shapes specifically: top-bit chunk sizes must not
+    // step the cursor backwards into a negative-index read
+    val evil = wav(flat).clone()
+    evil(16) = 0xF0.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte // fmt size = ~4G
+    WavPcmStats.energyHash(evil)
+    WavPcmStats.decode(evil)
+  }
+
   test("audio_energy_hash registers as a SQL function") {
     GraftFunctions.register(spark)
     Seq((1, wav(flatTweak))).toDF("id", "content")
