@@ -2182,21 +2182,42 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (v == 0) -1 else v
   }
 
-  /** Bin-pack small files into ~targetBytes files; commit a `replace`
-    * snapshot. Old files stay referenced by old snapshots (time travel
-    * keeps working) until `expire`.
+  /** Bin-pack the UNDER-SIZED files into ~targetBytes files; commit a
+    * `replace` snapshot carrying already-compliant files by reference.
+    * Old files stay referenced by old snapshots (time travel keeps
+    * working) until `expire`.
     */
-  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
-    val files = currentFiles(table)
-    val totalBytes = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
-    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // coalesce, not repartition: merging small files needs no shuffle —
-    // at 100 TB a full shuffle to rewrite a table is the difference
-    // between an I/O-bound rewrite and doubling cluster network traffic
-    val df = read(table).coalesce(numFiles)
-    overwrite(table, df, operation = "replace",
-      extraSummary = Map(TableStore.RowsPreservedKey -> "true"))
-  }
+  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val sized = baseFiles.map(f => f ->
+        (try fs.getFileStatus(absPath(table, f.path)).getLen
+         catch { case _: java.io.FileNotFoundException => 0L }))
+      // Iceberg's binpack contract: only the UNDER-SIZED tail rewrites,
+      // files already at/above target carry by reference — OPTIMIZE on
+      // a 100 TB table whose steady state is target-sized touches only
+      // the small files of recent appends, never the table
+      val (small, compliant) = sized.partition(_._2 < targetBytes)
+      val carried = compliant.map(_._1)
+      val replacement =
+        if (small.size <= 1) None // one small file gains nothing rewritten
+        else {
+          val bytes = small.map(_._2).sum
+          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          // coalesce, not repartition: merging small files needs no
+          // shuffle — at 100 TB a full shuffle to rewrite a table is
+          // the difference between an I/O-bound rewrite and doubling
+          // cluster network traffic
+          Some(readFileList(table, small.map(_._1)).coalesce(n))
+        }
+      // always commits (even a no-op rewrite) so maintenance scripts
+      // see their OPTIMIZE in DESCRIBE HISTORY
+      val kept = if (replacement.isEmpty) carried ++ small.map(_._1) else carried
+      cowCommit(table, "replace", kept,
+        if (replacement.isEmpty) Seq.empty else small.map(_._1),
+        replacement, System.currentTimeMillis(), baseId,
+        extraSummary = Map(TableStore.RowsPreservedKey -> "true"))
+    }
 
   /** PARTITION-SCOPED compaction (Iceberg's
     * `rewrite_data_files(where => …)`): bin-pack ONLY the files the

@@ -148,6 +148,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MAP"))
   }
 
+  test("binpack compaction rewrites ONLY under-sized files; compliant files carry") {
+    val st = newStore()
+    st.create("t", Seq(1).toDF("id").schema)
+    st.append("t", (1 to 5000).toDF("id").coalesce(1), 1000L)   // "big" file
+    st.append("t", Seq(5001).toDF("id"), 2000L)                 // small
+    st.append("t", Seq(5002).toDF("id"), 3000L)                 // small
+    val files = st.currentSnapshotId("t")
+      .map(_ => st.currentFiles("t")).get
+    assert(files.size == 3)
+    val bigPath = files.maxBy(p => st.metaFs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p)).getLen)
+    val bigLen = st.metaFs.getFileStatus(
+      new org.apache.hadoop.fs.Path(bigPath)).getLen
+    // target below the big file's size: only the two small files rewrite
+    st.compact("t", targetBytes = bigLen)
+    val after = st.currentFiles("t")
+    assert(after.contains(bigPath), "compliant file must carry by reference")
+    assert(after.size == 2, s"two small files must binpack into one: $after")
+    assert(st.read("t").count() == 5002)
+    // compact again: nothing under-sized left → metadata-only commit
+    val before2 = st.currentFiles("t").toSet
+    st.compact("t", targetBytes = 10L)
+    assert(st.currentFiles("t").toSet == before2)
+  }
+
   test("bounds validate like the incremental scan") {
     val st = newStore()
     st.create("t", Seq(1).toDF("id").schema)
