@@ -15,7 +15,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "cosine_similarity", "l2_norm", "minhash_signature", "shingle_hashes",
       "simhash64", "rolling_hash", "hyperplane_lsh", "image_header_meta",
       "audio_header_meta", "video_header_meta", "bmp_pixel_stats", "wav_pcm_stats",
-      "image_pixel_stats"))
+      "image_pixel_stats", "image_dhash", "audio_energy_hash"))
   }
 
   test("builders construct valid expressions") {
