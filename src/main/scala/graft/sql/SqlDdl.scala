@@ -218,7 +218,11 @@ object SqlDdl {
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
-      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$").r
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(?:\\s+(DRY\\s+RUN))?\\s*$").r
+  // Delta's RESTORE: the rollback procedures as a first-class statement
+  private val Restore =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+TO\\s+" +
+      "(?:(?:SYSTEM_)?VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*$").r
   // Iceberg's stored-procedure spelling of the same maintenance ops
   // (`CALL [catalog.]system.expire_snapshots(…)` — what the reference's
   // Impala/Iceberg warehouse would run). Namespace qualifiers are
@@ -696,13 +700,29 @@ object SqlDdl {
         cat.registerView(t)
       } else cat.compact(t)
       Some(empty(catalog))
-    case Vacuum(qn, retain) =>
+    case Vacuum(qn, retain, dryRun) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       // Delta's default retention: 7 days. RETAIN 0 HOURS is allowed for
       // tests/tooling, same as Delta with the safety check disabled.
       val hours = Option(retain).map(_.toLong).getOrElse(168L)
-      cat.vacuum(t, System.currentTimeMillis() - hours * 3600 * 1000)
+      val cutoff = System.currentTimeMillis() - hours * 3600 * 1000
+      if (dryRun != null) {
+        // Delta's VACUUM … DRY RUN: list what WOULD be reclaimed,
+        // touch nothing
+        import catalog.spark.implicits._
+        Some(cat.store().vacuumDryRun(t, cutoff)
+          .map { case (p, kind) => (p, kind) }
+          .toDF("path", "kind").orderBy(col("kind"), col("path")))
+      } else {
+        cat.vacuum(t, cutoff)
+        Some(empty(catalog))
+      }
+    case Restore(qn, version, ts) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      if (version != null) cat.rollback(t, version.toLong)
+      else cat.rollbackToTime(t, TimeTravelRewriter.parseTimestampMs(ts))
       Some(empty(catalog))
     case Delete(qn, cond) =>
       val (cat, t) = resolved(catalog, qn)

@@ -2332,14 +2332,27 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * same grace-window contract as Iceberg's orphan-file removal. Committed
     * data is never touched (that is [[expire]]'s job).
     */
-  def vacuum(table: String, olderThanMs: Long): Unit = {
+  def vacuum(table: String, olderThanMs: Long): Unit =
+    vacuumTargets(table, olderThanMs).foreach { case (p, kind) =>
+      fs.delete(p, kind == "staging-dir" || kind == "cdc-dir")
+    }
+
+  /** `VACUUM … DRY RUN`: the (path, kind) list [[vacuum]] WOULD
+    * reclaim, touching nothing. */
+  def vacuumDryRun(table: String, olderThanMs: Long): Seq[(String, String)] =
+    vacuumTargets(table, olderThanMs)
+      .map { case (p, kind) => (p.toString, kind) }
+
+  private def vacuumTargets(table: String,
+      olderThanMs: Long): Seq[(HPath, String)] = {
     val dir = tableDir(table)
-    if (!fs.exists(dir)) return
+    if (!fs.exists(dir)) return Seq.empty
+    val out = Seq.newBuilder[(HPath, String)]
     // stale staging dirs
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("stage-"))
       .filter(_.getModificationTime < olderThanMs)
-      .foreach(st => fs.delete(st.getPath, true))
+      .foreach(st => out += ((st.getPath, "staging-dir")))
     // orphaned data files (in data/ but in no snapshot's file list) —
     // HYDRATE first: an unhydrated manifest-backed snapshot reports no
     // files, which would misclassify its live data as orphans
@@ -2357,7 +2370,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       fs.listStatus(dd).toSeq
         .filter(st => st.isFile && !referenced(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
-        .foreach(st => fs.delete(st.getPath, false))
+        .foreach(st => out += ((st.getPath, "data-file")))
     // manifest files a crashed commit wrote but never logged
     val refManifests = SnapshotLog.read(fs, dir).flatMap(_.manifest).toSet
     val md = new HPath(dir, SnapshotLog.ManifestDir)
@@ -2365,7 +2378,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       fs.listStatus(md).toSeq
         .filter(st => st.isFile && !refManifests(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
-        .foreach(st => fs.delete(st.getPath, false))
+        .foreach(st => out += ((st.getPath, "manifest")))
     // cdc dirs a crashed (or conflict-retried) COW wrote but never
     // committed — the change-file analogue of orphaned data files
     val refCdc = SnapshotLog.read(fs, dir)
@@ -2376,7 +2389,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       fs.listStatus(cd).toSeq
         .filter(st => st.isDirectory && !refCdc(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach(st => out += ((st.getPath, "cdc-dir")))
+    out.result()
   }
 
   /** Log checkpointing (see [[SnapshotLog.checkpoint]]): fold old

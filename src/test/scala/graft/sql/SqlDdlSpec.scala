@@ -915,6 +915,38 @@ class SqlDdlSpec extends AnyFunSuite {
         "start_timestamp => TIMESTAMP '1970-01-01 00:00:01')"))
   }
 
+  test("VACUUM DRY RUN lists would-be reclaims without touching them; " +
+      "RESTORE rolls back by version and timestamp") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE vr (id INT)")
+    eng.sql("INSERT INTO vr VALUES (1), (2)")
+    val st = cat.store()
+    // plant debris: an orphan data file and a stale staging dir
+    val dir = st.tableDir("vr")
+    val fsys = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fsys.create(new org.apache.hadoop.fs.Path(dir, "data/orphan.parquet"), true).close()
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(dir, "stage-deadbeef"))
+    import spark.implicits._
+    val dry = eng.sql("VACUUM vr RETAIN 0 HOURS DRY RUN")
+      .select($"kind").as[String].collect().toSeq.sorted
+    assert(dry == Seq("data-file", "staging-dir"), s"dry run: $dry")
+    // nothing was deleted
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(dir, "data/orphan.parquet")))
+    eng.sql("VACUUM vr RETAIN 0 HOURS")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(dir, "data/orphan.parquet")))
+    assert(eng.sql("VACUUM vr RETAIN 0 HOURS DRY RUN").count() == 0)
+
+    // RESTORE: Delta's statement spelling of the rollback procedures
+    eng.sql("INSERT INTO vr VALUES (3)")
+    eng.sql("RESTORE TABLE vr TO VERSION AS OF 1")
+    assert(eng.run("SELECT count(*) AS c FROM vr") == "[(2,)]")
+    val t2 = st.snapshotsMetadata("vr")
+      .filter($"snapshot_id" === 2L).select($"committed_at")
+      .as[java.sql.Timestamp].head()
+    eng.sql(s"RESTORE vr TO TIMESTAMP AS OF '$t2'")
+    assert(eng.run("SELECT count(*) AS c FROM vr") == "[(3,)]")
+  }
+
   test("INSERT OVERWRITE with the change feed enabled materializes its diff") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE iow2 (id INT)")
