@@ -100,6 +100,41 @@ class StoredChangeFeedSpec extends AnyFunSuite {
     assert(!fs.exists(new HPath(cdcRoot, "deadbeef")))
   }
 
+  test("concurrent COW writers with the feed enabled: both commit, the " +
+      "feed records both, retried attempts leave only vacuumable orphans") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", (1 to 40).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(4), 1000L)
+    // two deletes on disjoint predicates racing: the COW retry replays
+    // the loser against the winner's snapshot
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try st.deleteWhere("t", col("id") <= 5)
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try st.deleteWhere("t", col("id") > 35)
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(errs.isEmpty, s"concurrent deletes failed: ${errs.toArray.toSeq}")
+    assert(st.read("t").count() == 30)
+    // the feed sees exactly the ten deleted rows, five per commit
+    val feed = st.readChanges("t", 1L)
+      .select(col("id"), col("_change_type"), col("_commit_snapshot_id"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(feed.size == 10 && feed.forall(_._2 == "delete"))
+    assert(feed.map(_._1).sorted == ((1 to 5) ++ (36 to 40)))
+    assert(feed.map(_._3).distinct.sorted == Seq(2L, 3L))
+    // any cdc dir from an aborted first attempt is unreferenced debris
+    // that vacuum reclaims; the two committed dirs survive
+    st.vacuum("t", System.currentTimeMillis() + 1000)
+    val fs = st.metaFs
+    val cdcRoot = new HPath(st.tableDir("t"), "cdc")
+    assert(fs.listStatus(cdcRoot).length == 2)
+    assert(st.readChanges("t", 1L).count() == 10) // feed intact post-vacuum
+  }
+
   test("compaction under an enabled feed stays silent and unmaterialized") {
     val st = newStore()
     st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
