@@ -135,6 +135,22 @@ class StoredChangeFeedSpec extends AnyFunSuite {
     assert(st.readChanges("t", 1L).count() == 10) // feed intact post-vacuum
   }
 
+  test("feeds crossing a RENAME render old change files under the new name") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), 1000L)
+    st.deleteWhere("t", col("id") === 1, 2000L) // cdc files carry "v"
+    st.renameColumn("t", "v", "val")
+    st.append("t", Seq((3, 3.0)).toDF("id", "val"), 3000L)
+    st.deleteWhere("t", col("id") === 2, 4000L) // cdc files carry "val"
+    val feed = st.readChanges("t", 0L)
+      .select(col("id"), col("val"), col("_change_type"))
+      .as[(Int, Double, String)].collect().toSeq.sorted
+    assert(feed == Seq((1, 1.0, "delete"), (1, 1.0, "insert"),
+      (2, 2.0, "delete"), (2, 2.0, "insert"), (3, 3.0, "insert")))
+  }
+
   test("compaction under an enabled feed stays silent and unmaterialized") {
     val st = newStore()
     st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
