@@ -2029,6 +2029,24 @@ object SparkEntry {
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
+    // PRODUCT QUANTIZATION ANN (FAISS PQ + ADC): the corpus stores m
+    // small codes per vector (4·D/m× under float), the query scores by
+    // m table lookups per row (built-in element_at arithmetic inside
+    // whole-stage codegen — the vectors never load during selection),
+    // and exact cosine re-ranks only the candidate set. The planted
+    // 0.02-gap neighbors dominate both the ADC candidates and the
+    // refined ordering, so the SAME exact top-10 comes back and the
+    // oracle is identical to the IVF index's.
+    "q_embed_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val all = embeddingsWithPlanted(s, e, firstVector(e))
+      val cb = Similarity.pqTrain(all, "vec_id", "embedding",
+        m = 4, ksub = 16, iters = 2)
+      val enc = Similarity.pqEncode(all, "embedding", cb)
+      rankedIds(Similarity.pqTopKAdc(enc, "vec_id", "embedding",
+        firstVector(e), cb, k = 10, refine = 100))
+    }),
+
     // Verbatim-span REMOVAL (Lee et al. ExactSubstr — the excision half
     // of q_substring_pairs' detection): every 8-token window shared
     // across >= 2 docs survives only in its minimum-id owner; all other
@@ -3713,6 +3731,26 @@ object SparkEntry {
     // quantized index must recover the same exact top-10 (quantization
     // noise ~0.004 cosine vs planted gaps >= 0.05)
     "q_embed_ivf_q8" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |planted AS (
+        |  SELECT 900000 + i AS vec_id,
+        |         list_transform(q.qv, x -> x + 0.02 * i) AS v
+        |  FROM range(1, 11) t(i), q),
+        |alld AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM planted)
+        |SELECT rank, vec_id FROM (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY list_cosine_similarity(v, (SELECT qv FROM q))
+        |             DESC, vec_id) AS INTEGER) AS rank, vec_id
+        |  FROM alld) x
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // PQ + ADC + exact re-rank must also recover the exact top-10: the
+    // planted neighbors dominate the ADC candidate set and the refine
+    // step is exact cosine — same oracle as the IVF pair
+    "q_embed_pq" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 1),
         |planted AS (

@@ -474,6 +474,79 @@ object Similarity {
   }
 
   /** Driver-side cosine (query vs centroid — tiny). */
+  // ---- Product quantization (FAISS PQ / ADC) -----------------------
+
+  /** Train product-quantization codebooks: the D-dim space splits into
+    * `m` subspaces of D/m dims, each fitted with its own `ksub`-way
+    * k-means over the corpus's sub-vectors (the SAME seeded Lloyd loop
+    * the IVF index uses — one distributed aggregation per round, only
+    * centroid partial sums shuffle). A vector then encodes as m small
+    * codes (m bytes at ksub=256) instead of 4·D bytes — the compressed
+    * form a trillion-vector corpus actually stores; IVF-SQ8 is 4×
+    * smaller than float, PQ is 4·D/m×. */
+  def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      seed: Long = 42L): Seq[Seq[Array[Float]]] = {
+    val dim = embeddings.select(org.apache.spark.sql.functions.size(col(vecCol)))
+      .head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = embeddings.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as("_sub"))
+      kmeansCentroids(sub, idCol, "_sub", ksub, iters, seed + j)
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest-codeword indices
+    * (`_pq_code`, array of m small ints) — a scan-local codegen'd
+    * projection, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val codes = (0 until m).map(j =>
+      nearestCentroid(slice(col(vecCol), j * dsub + 1, dsub), codebooks(j)))
+    df.withColumn("_pq_code", array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes, with exact
+    * re-ranking: the query precomputes one m×ksub inner-product table
+    * on the driver, every encoded row scores by m table lookups (pure
+    * built-in `element_at` arithmetic — whole-stage codegen, never
+    * touching the original vectors), `refine` ADC candidates come back
+    * via TakeOrderedAndProject, and the final top-k re-ranks those few
+    * rows by exact cosine. Selection cost is ∝ corpus codes (m
+    * bytes/vector read), exact math only on the candidate set — the
+    * standard PQ serving shape. */
+  def pqTopKAdc(encoded: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], codebooks: Seq[Seq[Array[Float]]],
+      k: Int, refine: Int = 0): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val nCand = if (refine > 0) refine else k * 4
+    // per-subspace lookup tables: table(j)(c) = <query_j, codeword_c>
+    val adc = (0 until m).map { j =>
+      val qj = java.util.Arrays.copyOfRange(query, j * dsub, (j + 1) * dsub)
+      val tab = codebooks(j).map { cw =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += qj(i) * cw(i); i += 1 }
+        d.toFloat
+      }
+      element_at(array(tab.toIndexedSeq.map(lit): _*),
+        element_at(col("_pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val cand = encoded
+      .select(col(idCol), col(vecCol), adc.as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(nCand)
+    cand
+      .select(col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), lit(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)

@@ -296,4 +296,39 @@ class SimilaritySpec extends AnyFunSuite {
     // max-magnitude element always quantizes to +/-127 (full range used)
     assert(got.find(_._1 == 2L).get._4.map(_.toInt).max == 127)
   }
+
+  test("PQ: codes are in range, ADC + exact re-rank recovers brute-force " +
+      "top-k on clustered data") {
+    val cb = Similarity.pqTrain(clusteredDf, "vec_id", "embedding",
+      m = 4, ksub = 16, iters = 3)
+    assert(cb.size == 4 && cb.forall(_.size == 16) &&
+      cb.forall(_.forall(_.length == 4)))
+    val enc = Similarity.pqEncode(clusteredDf, "embedding", cb)
+    val codes = enc.select("_pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 16)))
+
+    val q = clustered(45)._2
+    val truth = Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.pqTopKAdc(enc, "vec_id", "embedding", q, cb,
+      k = 10, refine = 40)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (truth & got).size / 10.0
+    assert(recall >= 0.9, s"PQ recall@10 = $recall (truth $truth, got $got)")
+  }
+
+  test("PQ ADC selection never touches the vectors; re-rank is candidate-sized") {
+    val cb = Similarity.pqTrain(clusteredDf, "vec_id", "embedding",
+      m = 4, ksub = 16, iters = 1)
+    val enc = Similarity.pqEncode(clusteredDf, "embedding", cb)
+      .select($"vec_id", $"embedding", $"_pq_code")
+    val q = clustered(5)._2
+    val plan = Similarity.pqTopKAdc(enc, "vec_id", "embedding", q, cb,
+      k = 5, refine = 20)
+      .queryExecution.executedPlan.toString
+    // candidate selection and final rank both plan bounded top-k
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hash"),
+      plan)
+  }
 }
