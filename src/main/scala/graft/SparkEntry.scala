@@ -2029,6 +2029,20 @@ object SparkEntry {
       rankedIds(ivfProbeQuery(s, dir, idx))
     }),
 
+    // IVF-PQ persisted index (FAISS's production composition + SQ8
+    // refine channel): list pruning cuts FILES, ADC scores only the
+    // probed lists' m-int codes, SQ8 re-ranks just the candidates —
+    // floats never stored, never scanned. Same exact-top-10 oracle.
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val idx = scratchDir("graft-ivfpq").toString
+      val e = emb(s, dir)
+      Similarity.ivfWriteIndexPq(
+        embeddingsWithPlanted(s, e, firstVector(e)),
+        "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 16, iters = 2)
+      rankedIds(Similarity.ivfProbePq(s, idx, "vec_id", "embedding",
+        firstVector(e), k = 10, nprobe = 4, refine = 100))
+    }),
+
     // PRODUCT QUANTIZATION ANN (FAISS PQ + ADC): the corpus stores m
     // small codes per vector (4·D/m× under float), the query scores by
     // m table lookups per row (built-in element_at arithmetic inside
@@ -3731,6 +3745,25 @@ object SparkEntry {
     // quantized index must recover the same exact top-10 (quantization
     // noise ~0.004 cosine vs planted gaps >= 0.05)
     "q_embed_ivf_q8" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |planted AS (
+        |  SELECT 900000 + i AS vec_id,
+        |         list_transform(q.qv, x -> x + 0.02 * i) AS v
+        |  FROM range(1, 11) t(i), q),
+        |alld AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM planted)
+        |SELECT rank, vec_id FROM (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY list_cosine_similarity(v, (SELECT qv FROM q))
+        |             DESC, vec_id) AS INTEGER) AS rank, vec_id
+        |  FROM alld) x
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // the persisted IVF-PQ composition: list pruning + ADC candidates
+    // + SQ8 refine must also land the exact planted top-10
+    "q_embed_ivfpq" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 1),
         |planted AS (

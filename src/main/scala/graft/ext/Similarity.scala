@@ -177,6 +177,7 @@ object Similarity {
   private val IndexTable = "ivf"
   private val CentroidsKey = "ivf-centroids"
   private val QuantizedKey = "ivf-quantized"
+  private val PqCodebooksKey = "ivf-pq-codebooks"
 
   private def indexStore(spark: org.apache.spark.sql.SparkSession,
       path: String): graft.store.TableStore =
@@ -236,6 +237,108 @@ object Similarity {
     centroids
   }
 
+  /** IVF-PQ index (FAISS's production composition, plus an SQ8 refine
+    * channel): k-means lists prune FILES like every IVF variant here,
+    * each stored row carries m PQ codes (the selection channel — ADC
+    * reads m small ints per vector) AND the [[quantizeInt8]] codes (the
+    * refine channel), so a probe scans codes only, never floats. PQ
+    * codebooks ride the commit summary beside the coarse centroids —
+    * every snapshot is self-describing, appends and time travel work
+    * like the other layouts. Vectors encode raw (FAISS
+    * `by_residual=false`); codebook size is capped so the summary JSON
+    * stays log-friendly. */
+  def ivfWriteIndexPq(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, seed: Long = 42L): Seq[Array[Float]] = {
+    val (indexed, centroids) =
+      ivfIndex(embeddings, idCol, vecCol, nlist, seed, iters)
+    val codebooks = pqTrain(embeddings, idCol, vecCol, m, ksub, iters, seed)
+    val dsub = codebooks.head.head.length
+    require(m * ksub * dsub <= 65536,
+      s"PQ codebooks too large for the commit summary (m=$m ksub=$ksub dsub=$dsub)")
+    val st = indexStore(embeddings.sparkSession, path)
+    val df = pqEncode(indexed, vecCol, codebooks)
+      .select(col(idCol), col("_pq_code"),
+        quantizeInt8(col(vecCol)).as("_q8"), col("_ivf_list"))
+      .repartition(col("_ivf_list"))
+    if (!st.exists(IndexTable))
+      st.create(IndexTable, df.schema,
+        Some(graft.store.PartitionSpec("_ivf_list", "identity")))
+    st.overwrite(IndexTable, df,
+      extraSummary = Map(CentroidsKey -> centroidsJson(centroids),
+        QuantizedKey -> "true",
+        PqCodebooksKey -> codebooksJson(codebooks)))
+    centroids
+  }
+
+  /** Probe an IVF-PQ index: rank `nprobe` lists by the coarse
+    * centroids, ADC-score ONLY those lists' PQ codes (column-pruned —
+    * the scan reads m ints per vector), take `refine` candidates via
+    * TakeOrderedAndProject, then re-rank just the candidates by cosine
+    * over their dequantized SQ8 channel (a broadcast semi-join back
+    * into the same pruned lists). I/O ∝ nprobe/nlist of the CODES, the
+    * trillion-vector serving shape. */
+  def ivfProbePq(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      nprobe: Int = 4, refine: Int = 0,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val st = indexStore(spark, path)
+    val summary = asOfSnapshotId match {
+      case Some(id) => st.summaryVersion(IndexTable, id)
+      case None     => st.currentSummary(IndexTable)
+    }
+    val centroids = parseCentroids(summary, path)
+    val codebooks = parseCodebooks(summary, path)
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val lists = centroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    require(lists.nonEmpty, s"no probe lists in the index at $path")
+    val pred = col("_ivf_list").isin(lists: _*)
+    def pruned = asOfSnapshotId match {
+      case Some(id) => st.readWhereVersion(IndexTable, id, pred)
+      case None     => st.readWhere(IndexTable, pred)
+    }
+    val adc = (0 until m).map { j =>
+      val qj = java.util.Arrays.copyOfRange(query, j * dsub, (j + 1) * dsub)
+      val tab = codebooks(j).map { cw =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += qj(i) * cw(i); i += 1 }
+        d.toFloat
+      }
+      element_at(array(tab.toIndexedSeq.map(lit): _*),
+        element_at(col("_pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val nCand = if (refine > 0) refine else k * 4
+    val cand = pruned.select(col(idCol), adc.as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(nCand)
+    pruned
+      .join(broadcast(cand.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        GraftFunctions.cosineSim(dequantizeInt8(col("_q8")), lit(query))
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def codebooksJson(cb: Seq[Seq[Array[Float]]]): String =
+    cb.map(sub => sub.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private def parseCodebooks(summary: Map[String, String],
+      path: String): Seq[Seq[Array[Float]]] = {
+    val json = summary.getOrElse(PqCodebooksKey,
+      throw new IllegalStateException(
+        s"index at $path carries no PQ codebooks — build with ivfWriteIndexPq"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map(sub =>
+      sub.elements().asScala.map(cw =>
+        cw.elements().asScala.map(_.floatValue()).toArray).toSeq).toSeq
+  }
+
   /** Incremental index maintenance: assign `newVectors` to the
     * PERSISTED centroids and append them under their lists — probes see
     * them immediately, with recall identical to a same-centroid rebuild
@@ -256,12 +359,16 @@ object Similarity {
     val summary = st.currentSummary(IndexTable)
     val centroids = parseCentroids(summary, path)
     val quantized = summary.get(QuantizedKey).contains("true")
+    val pq = summary.contains(PqCodebooksKey)
     val assigned = newVectors
       .withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
-    // a quantized index quantizes its appends too — the layout is a
+    // a quantized/PQ index encodes its appends too — the layout is a
     // table property, not a per-write choice
     val payload =
-      if (quantized) assigned.select(col(idCol),
+      if (pq) pqEncode(assigned, vecCol, parseCodebooks(summary, path))
+        .select(col(idCol), col("_pq_code"),
+          quantizeInt8(col(vecCol)).as("_q8"), col("_ivf_list"))
+      else if (quantized) assigned.select(col(idCol),
         quantizeInt8(col(vecCol)).as("_q8"), col("_ivf_list"))
       else assigned
     // the append COMMIT is what publishes the rows: a crash after the
@@ -270,7 +377,8 @@ object Similarity {
     // travel) is self-describing.
     st.append(IndexTable, payload.repartition(col("_ivf_list")),
       extraSummary = Map(CentroidsKey -> centroidsJson(centroids)) ++
-        (if (quantized) Map(QuantizedKey -> "true") else Map.empty))
+        (if (quantized) Map(QuantizedKey -> "true") else Map.empty) ++
+        (if (pq) Map(PqCodebooksKey -> summary(PqCodebooksKey)) else Map.empty))
   }
 
   /** Probe a persisted IVF index: rank the `nprobe` lists nearest the

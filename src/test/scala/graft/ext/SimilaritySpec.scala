@@ -317,6 +317,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ recall@10 = $recall (truth $truth, got $got)")
   }
 
+  test("IVF-PQ index: codes-only storage, ADC probe + SQ8 refine holds " +
+      "recall, PQ appends encode with the stored codebooks") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfWriteIndexPq(clusteredDf, "vec_id", "embedding", idx,
+      nlist = 8, m = 4, ksub = 16, iters = 2)
+    val q = clustered(45)._2
+    val truth = Similarity.cosineTopK(clusteredDf, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfProbePq(spark, idx, "vec_id", "embedding", q,
+      k = 10, nprobe = 3, refine = 40)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (truth & got).size / 10.0
+    assert(recall >= 0.9, s"IVF-PQ recall@10 = $recall")
+    // stored rows carry codes only — no float vector column
+    val stored = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(idx), spark).schema("ivf")
+    assert(stored.fieldNames.toSet ==
+      Set("vec_id", "_pq_code", "_q8", "_ivf_list"))
+    // appends inherit the PQ layout and are recalled by the probe
+    val extra = Seq((9000L, clustered(45)._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppend(extra, "vec_id", "embedding", idx)
+    val got2 = Similarity.ivfProbePq(spark, idx, "vec_id", "embedding", q,
+      k = 3, nprobe = 3, refine = 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2.contains(9000L), s"appended near-dup must surface: $got2")
+  }
+
   test("PQ ADC selection never touches the vectors; re-rank is candidate-sized") {
     val cb = Similarity.pqTrain(clusteredDf, "vec_id", "embedding",
       m = 4, ksub = 16, iters = 1)
