@@ -42,7 +42,7 @@ final class Engine(catalog: GraftCatalog) {
 
   private def runStatement(raw0: String): DataFrame =
     SqlDdl.tryExecute(catalog, raw0).getOrElse {
-      val cleaned = rewriteMetaTables(raw0)
+      val cleaned = rewriteTableChanges(rewriteMetaTables(raw0))
       registerReferencedViews(cleaned, Set.empty)
       val TimeTravelRewriter.Rewritten(stmt, asOf, version, tag) =
         TimeTravelRewriter.rewrite(cleaned)
@@ -114,6 +114,31 @@ final class Engine(catalog: GraftCatalog) {
       }
       val view = s"${t}__meta_$kind"
       df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+  }
+
+  // Delta's `table_changes` as a table-valued RELATION: the CALL form
+  // returns the raw feed; this form lets arbitrary SQL compose over it —
+  // `SELECT _change_type, count(*) FROM table_changes('t', 1) GROUP BY 1`.
+  // Positional snapshot-id bounds only (the timestamp spelling stays on
+  // the CALL form, where the literal parser lives).
+  private val TableChangesRef =
+    ("(?i)\\btable_changes\\s*\\(\\s*'([^']+)'\\s*" +
+      "(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)").r
+
+  /** Replace `table_changes('t'[, start[, end]])` relations with temp
+    * views over [[graft.store.TableStore.readChanges]] — a lazy plan,
+    * no job until the enclosing query runs. No-op without the name. */
+  private def rewriteTableChanges(stmt: String): String = {
+    if (!stmt.toLowerCase.contains("table_changes")) return stmt
+    TableChangesRef.replaceAllIn(stmt, m => {
+      val (cat, t) = SqlDdl.resolved(catalog, m.group(1))
+      require(cat.store().exists(t), s"table not found: ${m.group(1)}")
+      val from = Option(m.group(2)).map(_.toLong).getOrElse(0L)
+      val to = Option(m.group(3)).map(_.toLong)
+      val view = s"${t}__changes_${from}_${to.getOrElse("cur")}"
+      cat.store().readChanges(t, from, to).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
   }

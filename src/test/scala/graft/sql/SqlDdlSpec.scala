@@ -947,6 +947,23 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT count(*) AS c FROM vr") == "[(3,)]")
   }
 
+  test("table_changes composes as a relation inside arbitrary SQL") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE tcr (id INT, v DOUBLE)")
+    eng.sql("INSERT INTO tcr VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.sql("DELETE FROM tcr WHERE id = 2")
+    // aggregate over the feed: net row delta per change type
+    assert(eng.run("SELECT _change_type, COUNT(*) AS n " +
+      "FROM table_changes('tcr') GROUP BY _change_type ORDER BY _change_type")
+      == "[('delete', 1), ('insert', 3)]")
+    // bounded form + join back against the live table
+    assert(eng.run("SELECT c.id FROM table_changes('tcr', 1) c " +
+      "JOIN tcr t ON c.id = t.id WHERE c._change_type = 'delete'") == "[]")
+    // unknown table fails loudly, not as an unresolved relation
+    intercept[IllegalArgumentException](
+      eng.sql("SELECT * FROM table_changes('nope')"))
+  }
+
   test("INSERT OVERWRITE with the change feed enabled materializes its diff") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE iow2 (id INT)")
