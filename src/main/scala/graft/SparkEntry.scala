@@ -257,6 +257,40 @@ object SparkEntry {
         .orderBy(col("status"))
     },
 
+    // fixture = PQ codebook training + corpus encode (the m per-subspace
+    // k-means loops — index-build cost); query = the ADC scan + exact
+    // re-rank, the serving path whose cost must stay flat.
+    "q_embed_pq" -> benchSplit { (s, dir) =>
+      val e = emb(s, dir)
+      val all = embeddingsWithPlanted(s, e, firstVector(e))
+      val cb = Similarity.pqTrain(all, "vec_id", "embedding",
+        m = 4, ksub = 16, iters = 2)
+      val enc = Similarity.pqEncode(all, "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count() // materialize the encode under the fixture's clock
+      (enc, cb, firstVector(e))
+    } { case (enc, cb, q) =>
+      val out = rankedIds(Similarity.pqTopKAdc(enc, "vec_id", "embedding",
+        q, cb, k = 10, refine = 100)).localCheckpoint(true)
+      enc.unpersist()
+      out
+    },
+
+    // fixture = the IVF-PQ index build (k-means lists + per-subspace
+    // codebooks + codes-only write); query = the probe — list-file
+    // pruning + ADC over codes + SQ8 refine.
+    "q_embed_ivfpq" -> benchSplit { (s, dir) =>
+      val idx = scratchDir("graft-ivfpq").toString
+      val e = emb(s, dir)
+      Similarity.ivfWriteIndexPq(
+        embeddingsWithPlanted(s, e, firstVector(e)),
+        "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 16, iters = 2)
+      (s, idx, firstVector(e))
+    } { case (s, idx, q) =>
+      rankedIds(Similarity.ivfProbePq(s, idx, "vec_id", "embedding",
+        q, k = 10, nprobe = 4, refine = 100))
+    },
+
     "q_sql_rollback" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -2033,15 +2067,7 @@ object SparkEntry {
     // refine channel): list pruning cuts FILES, ADC scores only the
     // probed lists' m-int codes, SQ8 re-ranks just the candidates —
     // floats never stored, never scanned. Same exact-top-10 oracle.
-    "q_embed_ivfpq" -> ((s, dir) => {
-      val idx = scratchDir("graft-ivfpq").toString
-      val e = emb(s, dir)
-      Similarity.ivfWriteIndexPq(
-        embeddingsWithPlanted(s, e, firstVector(e)),
-        "vec_id", "embedding", idx, nlist = 16, m = 4, ksub = 16, iters = 2)
-      rankedIds(Similarity.ivfProbePq(s, idx, "vec_id", "embedding",
-        firstVector(e), k = 10, nprobe = 4, refine = 100))
-    }),
+    "q_embed_ivfpq" -> benchSplits("q_embed_ivfpq").composed,
 
     // PRODUCT QUANTIZATION ANN (FAISS PQ + ADC): the corpus stores m
     // small codes per vector (4·D/m× under float), the query scores by
@@ -2051,15 +2077,7 @@ object SparkEntry {
     // 0.02-gap neighbors dominate both the ADC candidates and the
     // refined ordering, so the SAME exact top-10 comes back and the
     // oracle is identical to the IVF index's.
-    "q_embed_pq" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val all = embeddingsWithPlanted(s, e, firstVector(e))
-      val cb = Similarity.pqTrain(all, "vec_id", "embedding",
-        m = 4, ksub = 16, iters = 2)
-      val enc = Similarity.pqEncode(all, "embedding", cb)
-      rankedIds(Similarity.pqTopKAdc(enc, "vec_id", "embedding",
-        firstVector(e), cb, k = 10, refine = 100))
-    }),
+    "q_embed_pq" -> benchSplits("q_embed_pq").composed,
 
     // Verbatim-span REMOVAL (Lee et al. ExactSubstr — the excision half
     // of q_substring_pairs' detection): every 8-token window shared
