@@ -2121,9 +2121,15 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * snapshots keep their files for time travel until `expire`. */
   def truncate(table: String,
       timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    // change-feed parity: every previous row is a 'delete' — the diff
+    // against an empty rewrite materializes exactly that
+    val prevFiles = SnapshotLog.resolve(fs, tableDir(table), None)
+      .map(_.files).getOrElse(Seq.empty)
+    val cdcSummary = writeChangeFiles(table, prevFiles, Seq.empty, Map.empty)
     SnapshotLog.commit(fs, tableDir(table), "delete", Seq.empty, 0L,
       timestampMs, replaceAll = true,
-      summary = Map("carried-files" -> "0", "added-files" -> "0"),
+      summary = Map("carried-files" -> "0",
+        "added-files" -> "0") ++ cdcSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 

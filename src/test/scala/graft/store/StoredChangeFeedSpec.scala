@@ -151,6 +151,21 @@ class StoredChangeFeedSpec extends AnyFunSuite {
       (2, 2.0, "delete"), (2, 2.0, "insert"), (3, 3.0, "insert")))
   }
 
+  test("TRUNCATE under an enabled feed materializes all-delete change files") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), 1000L)
+    st.truncate("t", 2000L)
+    assert(st.read("t").count() == 0)
+    val feed = st.readChanges("t", 1L)
+    // served from stored change files, not a re-diff
+    assert(feed.inputFiles.nonEmpty && feed.inputFiles.forall(_.contains("/cdc/")))
+    assert(feed.select(col("id"), col("_change_type"))
+      .as[(Int, String)].collect().toSeq.sorted ==
+      Seq((1, "delete"), (2, "delete")))
+  }
+
   test("compaction under an enabled feed stays silent and unmaterialized") {
     val st = newStore()
     st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
