@@ -2147,10 +2147,21 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val target = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"table $table has no snapshot id $snapshotId"))
+    // change-feed parity: a rollback's row-level effect is the diff
+    // between the current file set and the target's — the files
+    // dropped since the target are the 'delete' side, the restored
+    // ones the 'insert' side (carried-through files net out)
+    val prevFiles = SnapshotLog.resolve(fs, tableDir(table), None)
+      .map(_.files).getOrElse(Seq.empty)
+    val prevPaths = prevFiles.map(_.path).toSet
+    val targetPaths = target.filePaths.toSet
+    val cdcSummary = writeChangeFiles(table,
+      prevFiles.filterNot(f => targetPaths(f.path)),
+      target.files.filterNot(f => prevPaths(f.path)), Map.empty)
     SnapshotLog.commit(fs, tableDir(table), "rollback", target.files,
       target.recordCount, timestampMs, replaceAll = true,
       summary = Map("rolled-back-to" -> snapshotId.toString,
-        "total-records" -> target.recordCount.toString),
+        "total-records" -> target.recordCount.toString) ++ cdcSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 

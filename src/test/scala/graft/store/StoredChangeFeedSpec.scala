@@ -166,6 +166,26 @@ class StoredChangeFeedSpec extends AnyFunSuite {
       Seq((1, "delete"), (2, "delete")))
   }
 
+  test("rollback under an enabled feed materializes the undo diff") {
+    val st = newStore()
+    st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1, 1.0), (2, 2.0)).toDF("id", "v"), 1000L)
+    st.append("t", Seq((3, 3.0)).toDF("id", "v"), 2000L)
+    st.deleteWhere("t", col("id") === 1, 3000L)
+    st.rollback("t", 1L, 4000L) // undo the append of 3 AND the delete of 1
+    assert(st.read("t").count() == 2)
+    val feed = st.readChanges("t", 3L)
+    assert(feed.inputFiles.forall(_.contains("/cdc/")))
+    assert(feed.select(col("id"), col("_change_type"))
+      .as[(Int, String)].collect().toSeq.sorted ==
+      Seq((1, "insert"), (3, "delete")))
+    // the whole feed replays the table exactly through the rollback
+    val replayed = st.readChanges("t", 0L)
+    assert(replayed.filter(col("_change_type") === "insert").count() -
+      replayed.filter(col("_change_type") === "delete").count() == 2)
+  }
+
   test("compaction under an enabled feed stays silent and unmaterialized") {
     val st = newStore()
     st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
