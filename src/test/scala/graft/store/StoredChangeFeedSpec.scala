@@ -186,6 +186,64 @@ class StoredChangeFeedSpec extends AnyFunSuite {
       replayed.filter(col("_change_type") === "delete").count() == 2)
   }
 
+  test("randomized op-sequence property: base + feed replay == final " +
+      "table, stored and fallback paths agree") {
+    def run(enabled: Boolean, seed: Int): (Seq[(Int, Double)], Seq[(Int, Double, String, Long)]) = {
+      val rnd = new scala.util.Random(seed)
+      val st = newStore()
+      st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
+      if (enabled) st.setChangeFeed("t", enabled = true)
+      var nextId = 0
+      def fresh(n: Int): org.apache.spark.sql.DataFrame = {
+        val rows = (nextId until nextId + n).map(i => (i, i * 1.5))
+        nextId += n
+        rows.toDF("id", "v")
+      }
+      st.append("t", fresh(20), 1000L)
+      (1 to 12).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 => st.append("t", fresh(5 + rnd.nextInt(10)), 1000L + step)
+          case 1 => st.deleteWhere("t", col("id") % (2 + rnd.nextInt(5)) === 0,
+            1000L + step)
+          case 2 => st.updateWhere("t", Seq("v" -> (col("v") + 100)),
+            Some(col("id") % (3 + rnd.nextInt(4)) === 1), 1000L + step)
+          case 3 => st.compact("t")
+          case 4 => st.upsert("t",
+            fresh(3).withColumn("v", col("v") * 10), Seq("id"), 1000L + step)
+          case 5 =>
+            val ids = st.currentSnapshotId("t").get
+            st.rollback("t", math.max(1L, ids - 1 - rnd.nextInt(2)),
+              1000L + step)
+        }
+      }
+      val fin = st.read("t").select("id", "v")
+        .as[(Int, Double)].collect().toSeq.sorted
+      val feed = st.readChanges("t", 0L)
+        .select(col("id"), col("v"), col("_change_type"),
+          col("_commit_snapshot_id"))
+        .as[(Int, Double, String, Long)].collect().toSeq.sorted
+      // replay: inserts minus deletes must equal the final multiset
+      val counts = scala.collection.mutable.Map[(Int, Double), Int]()
+      feed.foreach { case (id, v, ct, _) =>
+        val d = if (ct == "insert") 1 else -1
+        counts((id, v)) = counts.getOrElse((id, v), 0) + d
+      }
+      val replayed = counts.toSeq.flatMap { case (row, n) =>
+        assert(n >= 0, s"negative multiplicity for $row")
+        Seq.fill(n)(row)
+      }.sorted
+      assert(replayed == fin,
+        s"seed=$seed enabled=$enabled replay mismatch:\n$replayed\nvs\n$fin")
+      (fin, feed)
+    }
+    for (seed <- Seq(1, 7, 23)) {
+      val (finS, feedS) = run(enabled = true, seed)
+      val (finF, feedF) = run(enabled = false, seed)
+      assert(finS == finF, s"seed=$seed: final states diverge")
+      assert(feedS == feedF, s"seed=$seed: stored vs fallback feeds diverge")
+    }
+  }
+
   test("compaction under an enabled feed stays silent and unmaterialized") {
     val st = newStore()
     st.create("t", Seq((1, 1.0)).toDF("id", "v").schema)
