@@ -190,6 +190,17 @@ object SqlDdl {
   private val AlterDropBloom =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
       "FILTER\\s*$").r
+  // Delta/Iceberg TBLPROPERTIES: a free-form property map; the
+  // recognized `change.feed.enabled` key routes to the change-feed
+  // toggle (behavior toggles ARE properties, Delta's pattern)
+  private val SetTblProps =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+" +
+      "TBLPROPERTIES\\s*\\((.+)\\)\\s*$").r
+  private val UnsetTblProps =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+UNSET\\s+" +
+      "TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s*)?\\((.+)\\)\\s*$").r
+  private val ShowTblProps =
+    ("(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s*$").r
   // Delta's enableChangeDataFeed: COW commits materialize their
   // row-level diff as change files, so the change feed reads at cost
   // ∝ |changes| instead of re-diffing the touched files.
@@ -293,7 +304,13 @@ object SqlDdl {
       val ckDdl = st.checkConstraints(t).map { case (n, e) =>
         s";\nALTER TABLE $t ADD CONSTRAINT $n CHECK ($e)"
       }.mkString
-      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl"
+      val props = st.tableProperties(t)
+      val propDdl =
+        if (props.isEmpty) ""
+        else ";\nALTER TABLE " + t + " SET TBLPROPERTIES (" +
+          props.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl$propDdl"
     }
   }
 
@@ -553,6 +570,34 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.store().setBloomColumns(t, Seq.empty)
       Some(empty(catalog))
+    case SetTblProps(qn, kvDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      val KV = "(?s)^\\s*'([^']+)'\\s*=\\s*'([^']*)'\\s*$".r
+      val props = SqlText.splitTopLevel(kvDef).map {
+        case KV(k, v) => k -> v
+        case other => throw new IllegalArgumentException(
+          s"cannot parse TBLPROPERTIES entry: $other (expected 'k'='v')")
+      }.toMap
+      cat.store().setTableProperties(t, props)
+      Some(empty(catalog))
+    case UnsetTblProps(qn, keysDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      val K = "(?s)^\\s*'([^']+)'\\s*$".r
+      val keys = SqlText.splitTopLevel(keysDef).map {
+        case K(k) => k
+        case other => throw new IllegalArgumentException(
+          s"cannot parse TBLPROPERTIES key: $other (expected 'k')")
+      }
+      cat.store().unsetTableProperties(t, keys)
+      Some(empty(catalog))
+    case ShowTblProps(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      import catalog.spark.implicits._
+      Some(cat.store().tableProperties(t).toSeq.sortBy(_._1)
+        .toDF("key", "value"))
     case AlterChangeFeed(qn, onOff) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")

@@ -1736,6 +1736,53 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def changeFeedEnabled(table: String): Boolean =
     fs.exists(new HPath(tableDir(table), "cdc.json"))
 
+  // ---- table properties --------------------------------------------
+
+  /** Free-form table properties (`properties.json`) — Delta/Iceberg's
+    * TBLPROPERTIES map. The RECOGNIZED key `change.feed.enabled`
+    * routes to [[setChangeFeed]] (the Delta
+    * `delta.enableChangeDataFeed` pattern: behavior toggles ARE
+    * properties); everything else stores verbatim for pipelines and
+    * SHOW TBLPROPERTIES. */
+  def tableProperties(table: String): Map[String, String] = {
+    val p = new HPath(tableDir(table), "properties.json")
+    val stored =
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readString(p))
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+    // the toggle's live state wins over any stale stored copy
+    stored ++ (if (changeFeedEnabled(table))
+      Map(TableStore.ChangeFeedProp -> "true") else Map.empty)
+  }
+
+  def setTableProperties(table: String, props: Map[String, String]): Unit = {
+    props.get(TableStore.ChangeFeedProp).foreach(v =>
+      setChangeFeed(table, v.equalsIgnoreCase("true")))
+    val merged = (tableProperties(table) ++ props) -
+      TableStore.ChangeFeedProp // lives in cdc.json, not the map
+    writeProps(table, merged)
+  }
+
+  def unsetTableProperties(table: String, keys: Seq[String]): Unit = {
+    if (keys.exists(_.equalsIgnoreCase(TableStore.ChangeFeedProp)))
+      setChangeFeed(table, enabled = false)
+    val lower = keys.map(_.toLowerCase).toSet
+    writeProps(table, (tableProperties(table) - TableStore.ChangeFeedProp)
+      .filterNot { case (k, _) => lower(k.toLowerCase) })
+  }
+
+  private def writeProps(table: String, m: Map[String, String]): Unit = {
+    val p = new HPath(tableDir(table), "properties.json")
+    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+    else writeString(p, m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}"))
+  }
+
   /** Enable/disable the materialized change feed. Commits BEFORE the
     * enable have no stored change files — [[readChanges]] falls back to
     * the file-pair diff for them, so history stays readable either way. */
@@ -2544,6 +2591,10 @@ object TableStore {
   val CdcDirKey = "cdc-dir"
   /** The change-type tag column of the change feed ('insert'|'delete'). */
   val ChangeTypeCol = "_change_type"
+
+  /** The TBLPROPERTIES key that toggles the materialized change feed
+    * (Delta's `delta.enableChangeDataFeed` analogue). */
+  val ChangeFeedProp = "change.feed.enabled"
 
   /** Whether `dt` contains a MapType anywhere — Spark set operations
     * (the change feed's COW diff) cannot compare maps. */

@@ -947,6 +947,31 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT count(*) AS c FROM vr") == "[(3,)]")
   }
 
+  test("TBLPROPERTIES: set/unset/show, change-feed toggle routes, " +
+      "SHOW CREATE round-trips") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE tp (id INT)")
+    eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('owner'='etl', " +
+      "'change.feed.enabled'='true')")
+    import spark.implicits._
+    val props = eng.sql("SHOW TBLPROPERTIES tp")
+      .as[(String, String)].collect().toMap
+    assert(props == Map("owner" -> "etl", "change.feed.enabled" -> "true"))
+    // the recognized key actually toggled the feed
+    assert(cat.store().changeFeedEnabled("tp"))
+    eng.sql("INSERT INTO tp VALUES (1), (2)")
+    eng.sql("DELETE FROM tp WHERE id = 1")
+    assert(eng.sql("CALL table_changes('tp', 1)")
+      .inputFiles.forall(_.contains("/cdc/")))
+    // round-trip + unset
+    val ddl = eng.sql("SHOW CREATE TABLE tp").head().getString(0)
+    assert(ddl.contains("SET TBLPROPERTIES") && ddl.contains("'owner'='etl'"))
+    eng.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('change.feed.enabled')")
+    assert(!cat.store().changeFeedEnabled("tp"))
+    eng.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('owner')")
+    assert(eng.sql("SHOW TBLPROPERTIES tp").count() == 0)
+  }
+
   test("table_changes composes as a relation inside arbitrary SQL") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE tcr (id INT, v DOUBLE)")
