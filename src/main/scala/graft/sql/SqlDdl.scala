@@ -190,6 +190,13 @@ object SqlDdl {
   private val AlterDropBloom =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
       "FILTER\\s*$").r
+  // Delta's COPY INTO: idempotent file ingestion — already-loaded
+  // source files are skipped on re-run (the loaded set rides commit
+  // summaries, atomic with the data they loaded)
+  private val CopyInto =
+    ("(?is)^\\s*COPY\\s+INTO\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+FROM\\s+'([^']+)'\\s*" +
+      "FILEFORMAT\\s*=\\s*(CSV|PARQUET|JSON)" +
+      "(?:\\s+FORMAT_OPTIONS\\s*\\((.*?)\\))?\\s*$").r
   // Delta/Iceberg TBLPROPERTIES: a free-form property map; the
   // recognized `change.feed.enabled` key routes to the change-feed
   // toggle (behavior toggles ARE properties, Delta's pattern)
@@ -570,6 +577,54 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.store().setBloomColumns(t, Seq.empty)
       Some(empty(catalog))
+    case CopyInto(qn, path, fmt, optsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      val spark = catalog.spark
+      val KV = "(?s)^\\s*'([^']+)'\\s*=\\s*'([^']*)'\\s*$".r
+      val userOpts = Option(optsDef).toSeq
+        .flatMap(SqlText.splitTopLevel(_)).map {
+          case KV(k, v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"cannot parse FORMAT_OPTIONS entry: $other (expected 'k'='v')")
+        }.toMap
+      val defaults: Map[String, String] =
+        if (fmt.equalsIgnoreCase("csv"))
+          Map("header" -> "true", "inferSchema" -> "true")
+        else Map.empty
+      val reader = spark.read.options(defaults ++ userOpts)
+      val raw = fmt.toLowerCase match {
+        case "csv"     => reader.csv(path)
+        case "parquet" => reader.parquet(path)
+        case "json"    => reader.json(path)
+      }
+      import org.apache.spark.sql.functions.input_file_name
+      // idempotency: file names already recorded by earlier COPY INTO
+      // commits skip — re-running a crashed or scheduled load never
+      // double-ingests (the loaded set commits ATOMICALLY with its rows)
+      val loaded = cat.store().copyIntoLoaded(t)
+      val withFile = raw.withColumn("_src_file", input_file_name())
+      val allFiles = withFile.select("_src_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val fresh = allFiles.filterNot(loaded)
+      import catalog.spark.implicits._
+      if (fresh.isEmpty)
+        Some(Seq((0L, 0, allFiles.size))
+          .toDF("rows_loaded", "files_loaded", "files_skipped"))
+      else {
+        val frame = withFile
+          .filter(col("_src_file").isin(fresh: _*)).drop("_src_file")
+        val snap = cat.append(t,
+          alignFrame(cat, t, Some(frame.columns.mkString(",")), frame),
+          extraSummary = Map(graft.store.TableStore.CopyFilesKey ->
+            fresh.sorted
+              .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") +
+                "\"").mkString("[", ",", "]")))
+        val rows = snap.summary.get("added-records")
+          .flatMap(_.toLongOption).getOrElse(0L)
+        Some(Seq((rows, fresh.size, allFiles.size - fresh.size))
+          .toDF("rows_loaded", "files_loaded", "files_skipped"))
+      }
     case SetTblProps(qn, kvDef) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")

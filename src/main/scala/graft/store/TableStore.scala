@@ -463,6 +463,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def snapshotIdAtOrBefore(table: String, tsMs: Long): Option[Long] =
     SnapshotLog.resolve(fs, tableDir(table), Some(tsMs)).map(_.id)
 
+  /** Source files every COPY INTO commit has already ingested — log
+    * metadata only (the ledger rides commit summaries, so it is exactly
+    * as durable and atomic as the rows it describes). */
+  def copyIntoLoaded(table: String): Set[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    SnapshotLog.read(fs, tableDir(table))
+      .flatMap(_.summary.get(TableStore.CopyFilesKey))
+      .flatMap(j => mapper.readTree(j).elements().asScala.map(_.asText()))
+      .toSet
+  }
+
   /** Distributed Parquet write into a staging dir (partitioned by the
     * table's spec when one exists), promote the part files into data/,
     * return their [[DataFile]] entries with footer row counts and
@@ -2595,6 +2607,11 @@ object TableStore {
   /** The TBLPROPERTIES key that toggles the materialized change feed
     * (Delta's `delta.enableChangeDataFeed` analogue). */
   val ChangeFeedProp = "change.feed.enabled"
+
+  /** Summary key recording the source files a `COPY INTO` commit
+    * ingested (JSON array) — the idempotency ledger: the loaded set is
+    * the union over commit summaries, atomic with the rows. */
+  val CopyFilesKey = "copy-into-files"
 
   /** Whether `dt` contains a MapType anywhere — Spark set operations
     * (the change feed's COW diff) cannot compare maps. */

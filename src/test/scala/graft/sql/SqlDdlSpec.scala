@@ -947,6 +947,36 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT count(*) AS c FROM vr") == "[(3,)]")
   }
 
+  test("COPY INTO ingests by name with casts and skips already-loaded files") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE cp (id INT, name STRING, fee DOUBLE)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy")
+    def csv(name: String, rows: String*): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        ("fee,id,name" +: rows).mkString("\n")) // shuffled column order
+    csv("a.csv", "10.5,1,alpha", "20.0,2,beta")
+    import spark.implicits._
+    def copy(): (Long, Int, Int) =
+      eng.sql(s"COPY INTO cp FROM '${dir.toUri}' FILEFORMAT = CSV")
+        .as[(Long, Int, Int)].head()
+    assert(copy() == ((2L, 1, 0)))
+    assert(eng.run("SELECT id, name, fee FROM cp ORDER BY id") ==
+      "[(1, 'alpha', 10.5), (2, 'beta', 20.0)]")
+    // re-run: nothing loads twice
+    assert(copy() == ((0L, 0, 1)))
+    assert(cat.store().read("cp").count() == 2)
+    // a NEW file in the same directory loads alone
+    csv("b.csv", "5.0,3,gamma")
+    assert(copy() == ((1L, 1, 1)))
+    assert(cat.store().read("cp").count() == 3)
+    // unknown source column fails loudly (name mapping is strict)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-copy2")
+    java.nio.file.Files.writeString(dir2.resolve("c.csv"),
+      "fee,id,nope\n1.0,4,delta")
+    intercept[IllegalArgumentException](
+      eng.sql(s"COPY INTO cp FROM '${dir2.toUri}' FILEFORMAT = CSV"))
+  }
+
   test("TBLPROPERTIES: set/unset/show, change-feed toggle routes, " +
       "SHOW CREATE round-trips") {
     val (cat, eng) = fixture()
