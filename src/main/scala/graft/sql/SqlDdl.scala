@@ -166,6 +166,14 @@ object SqlDdl {
   private val AlterRename =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+RENAME\\s+COLUMN\\s+" +
       "`?([A-Za-z_]\\w*)`?\\s+TO\\s+`?([A-Za-z_]\\w*)`?\\s*$").r
+  // Spark/Delta column write-defaults: INSERTs omitting the column
+  // store the default; history stays as written
+  private val AlterSetDefault =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+ALTER\\s+COLUMN\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*$").r
+  private val AlterDropDefault =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+ALTER\\s+COLUMN\\s+" +
+      "`?([A-Za-z_]\\w*)`?\\s+DROP\\s+DEFAULT\\s*$").r
   // Iceberg type widening: `ALTER TABLE t ALTER COLUMN c TYPE BIGINT`
   // (int→long family, float→double); old files' narrower values up-cast
   // at scan time.
@@ -311,13 +319,17 @@ object SqlDdl {
       val ckDdl = st.checkConstraints(t).map { case (n, e) =>
         s";\nALTER TABLE $t ADD CONSTRAINT $n CHECK ($e)"
       }.mkString
+      val defDdl = st.columnDefaults(t).toSeq.sortBy(_._1)
+        .map { case (c, e) =>
+          s";\nALTER TABLE $t ALTER COLUMN $c SET DEFAULT $e"
+        }.mkString
       val props = st.tableProperties(t)
       val propDdl =
         if (props.isEmpty) ""
         else ";\nALTER TABLE " + t + " SET TBLPROPERTIES (" +
           props.toSeq.sortBy(_._1)
             .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
-      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl$propDdl"
+      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl$defDdl$propDdl"
     }
   }
 
@@ -680,6 +692,16 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       cat.renameColumn(t, from, to)
+      Some(empty(catalog))
+    case AlterSetDefault(qn, c, exprDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setColumnDefault(t, c, exprDef.trim)
+      Some(empty(catalog))
+    case AlterDropDefault(qn, c) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().dropColumnDefault(t, c)
       Some(empty(catalog))
     case AlterColType(qn, c, tpe) =>
       val (cat, t) = resolved(catalog, qn)
@@ -1136,10 +1158,15 @@ object SqlDdl {
       s"INSERT into $table: ${targetCols.length} columns but " +
         s"${raw.schema.length} values per row")
     val named = raw.toDF(targetCols: _*)
-    // cast to declared types; unnamed columns become typed NULLs
+    // cast to declared types; unnamed columns take their declared
+    // write-DEFAULT when one exists, typed NULL otherwise
+    val defaults = catalog.store().columnDefaults(table)
     named.select(schema.fields.toIndexedSeq.map { f =>
       if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else defaults.get(f.name.toLowerCase)
+        .map(d => org.apache.spark.sql.functions.expr(d)
+          .cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }: _*)
   }
 

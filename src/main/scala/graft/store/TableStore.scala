@@ -1748,6 +1748,57 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def changeFeedEnabled(table: String): Boolean =
     fs.exists(new HPath(tableDir(table), "cdc.json"))
 
+  // ---- column write-defaults ---------------------------------------
+
+  /** Column write-DEFAULTs (`defaults.json`: column → literal SQL).
+    * Spark/Delta semantics, WRITE defaults only: an INSERT omitting the
+    * column stores the default; existing rows and pre-default files are
+    * untouched (reads still null-fill history — a read-side
+    * initial-default would need Iceberg field ids to tell "written
+    * before the default" from "written as null"). */
+  def columnDefaults(table: String): Map[String, String] = {
+    val p = new HPath(tableDir(table), "defaults.json")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  def setColumnDefault(table: String, column: String,
+      exprText: String): Unit = {
+    val sch = schema(table)
+    val field = sch.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$column' in $table"))
+    // the expression must be constant-foldable and cast-compatible NOW
+    // — a typo surfacing at some later INSERT would strand writers
+    val probe = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(exprText).cast(field.dataType))
+    require(probe.queryExecution.analyzed.expressions
+      .forall(_.references.isEmpty),
+      s"DEFAULT for $table.$column must be a constant expression: $exprText")
+    probe.collect() // evaluates once; malformed literals fail here
+    writeDefaults(table,
+      columnDefaults(table) + (field.name.toLowerCase -> exprText))
+  }
+
+  def dropColumnDefault(table: String, column: String): Unit = {
+    val m = columnDefaults(table)
+    require(m.contains(column.toLowerCase),
+      s"no DEFAULT on $table.$column")
+    writeDefaults(table, m - column.toLowerCase)
+  }
+
+  private def writeDefaults(table: String, m: Map[String, String]): Unit = {
+    val p = new HPath(tableDir(table), "defaults.json")
+    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+    else writeString(p, m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}"))
+  }
+
   // ---- table properties --------------------------------------------
 
   /** Free-form table properties (`properties.json`) — Delta/Iceberg's
@@ -1988,6 +2039,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       writeString(new HPath(tableDir(table), "drops.json"),
         (droppedNames(table) :+ field.name).map(jsonStr)
           .mkString("[", ",", "]"))
+      // a dropped column's write-default goes with it
+      val defs = columnDefaults(table)
+      if (defs.contains(name.toLowerCase))
+        writeDefaults(table, defs - name.toLowerCase)
       // a dropped column's bloom index goes with it — later writes
       // would otherwise fail the schema lookup for a ghost column
       val bc = bloomColumns(table)
@@ -2124,6 +2179,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         writeString(new HPath(tableDir(table), "bloom.json"),
           bc.map(c => if (c.equalsIgnoreCase(from)) to else c)
             .map(jsonStr).mkString("[", ",", "]"))
+      // so does the write-default (keyed by logical name)
+      val defs = columnDefaults(table)
+      defs.get(from.toLowerCase).foreach(d =>
+        writeDefaults(table, defs - from.toLowerCase + (to.toLowerCase -> d)))
     }
   }
 

@@ -947,6 +947,37 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT count(*) AS c FROM vr") == "[(3,)]")
   }
 
+  test("column write-DEFAULTs: omitted columns store the default, " +
+      "history stays as written, guards follow evolution") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE d (id INT, status STRING, fee DOUBLE)")
+    eng.sql("INSERT INTO d (id) VALUES (1)") // pre-default: NULLs
+    eng.sql("ALTER TABLE d ALTER COLUMN status SET DEFAULT 'new'")
+    eng.sql("ALTER TABLE d ALTER COLUMN fee SET DEFAULT 10.0 + 2.5")
+    eng.sql("INSERT INTO d (id) VALUES (2)")
+    assert(eng.run("SELECT id, status, fee FROM d ORDER BY id") ==
+      "[(1, None, None), (2, 'new', 12.5)]")
+    // SHOW CREATE round-trips; DROP DEFAULT reverts to NULL fill
+    val ddl = eng.sql("SHOW CREATE TABLE d").head().getString(0)
+    assert(ddl.contains("ALTER COLUMN status SET DEFAULT 'new'"))
+    eng.sql("ALTER TABLE d ALTER COLUMN status DROP DEFAULT")
+    eng.sql("INSERT INTO d (id) VALUES (3)")
+    assert(eng.run("SELECT status, fee FROM d WHERE id = 3") ==
+      "[(None, 12.5)]")
+    // rename carries the default; drop removes it
+    val st = cat.store()
+    st.renameColumn("d", "fee", "price")
+    eng.sql("INSERT INTO d (id) VALUES (4)")
+    assert(eng.run("SELECT price FROM d WHERE id = 4") == "[(12.5,)]")
+    st.dropColumn("d", "price")
+    assert(st.columnDefaults("d").isEmpty)
+    // non-constant and unknown-column defaults are rejected at ALTER
+    intercept[IllegalArgumentException](
+      eng.sql("ALTER TABLE d ALTER COLUMN status SET DEFAULT id + 1"))
+    intercept[IllegalArgumentException](
+      eng.sql("ALTER TABLE d ALTER COLUMN nope SET DEFAULT 1"))
+  }
+
   test("COPY INTO ingests by name with casts and skips already-loaded files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE cp (id INT, name STRING, fee DOUBLE)")
