@@ -1493,6 +1493,48 @@ object SparkEntry {
     // Row-level write surface (Iceberg DELETE/UPDATE analogues): insert,
     // update matched rows, delete matched rows — each one snapshot —
     // then read back. Oracle recomputes the surviving rows.
+    // COPY INTO end-to-end: two loads of the same directory (the second
+    // must skip every already-loaded file), then an incremental third
+    // file — final rows and the per-call (loaded, skipped) ledger are
+    // literal-reconstructible.
+    "q_sql_copy_into" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE cp (id INT, name STRING, fee DOUBLE)")
+      val scratch = scratchDir("graft-q-copy")
+      def csv(name: String, rows: String*): Unit =
+        java.nio.file.Files.writeString(scratch.resolve(name),
+          ("fee,id,name" +: rows).mkString("\n"))
+      csv("a.csv", "10.5,1,alpha", "20.0,2,beta")
+      def copy() = eng.sql(
+        s"COPY INTO cp FROM '${scratch.toUri}' FILEFORMAT = CSV").head()
+      val first = copy()
+      val second = copy() // idempotent: skips a.csv
+      csv("b.csv", "5.0,3,gamma")
+      val third = copy()  // loads only b.csv
+      eng.sql("SELECT id, name, fee FROM cp ORDER BY id")
+        .withColumn("first_loaded", lit(first.getInt(1)))
+        .withColumn("second_loaded", lit(second.getInt(1)))
+        .withColumn("third_loaded", lit(third.getInt(1)))
+        .withColumn("third_skipped", lit(third.getInt(2)))
+    }),
+
+    // column write-DEFAULTs through the SQL engine: the pre-default
+    // INSERT keeps its NULLs, post-default INSERTs store the constant,
+    // DROP DEFAULT reverts — all literal-reconstructible.
+    "q_sql_defaults" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      eng.sql("CREATE TABLE dft (id INT, status STRING, fee DOUBLE)")
+      eng.sql("INSERT INTO dft (id) VALUES (1)")
+      eng.sql("ALTER TABLE dft ALTER COLUMN status SET DEFAULT 'new'")
+      eng.sql("ALTER TABLE dft ALTER COLUMN fee SET DEFAULT 10.0 + 2.5")
+      eng.sql("INSERT INTO dft (id) VALUES (2)")
+      eng.sql("ALTER TABLE dft ALTER COLUMN status DROP DEFAULT")
+      eng.sql("INSERT INTO dft (id) VALUES (3)")
+      eng.sql("SELECT id, status, fee FROM dft ORDER BY id")
+    }),
+
     // CHECK constraints end-to-end through the SQL engine: ADD guards
     // every later write inside the write job itself — the violating
     // INSERT fails (counted, not committed), NULL passes per the SQL
@@ -3399,6 +3441,22 @@ object SparkEntry {
         |  (4, 'Pro', 99.0, DATE '2025-03-01'))
         |  AS t(plan_id, plan_name, monthly_fee, launch_date)
         |ORDER BY plan_id""".stripMargin,
+
+    "q_sql_copy_into" ->
+      """SELECT id, name, CAST(fee AS DOUBLE) AS fee,
+        |       1 AS first_loaded, 0 AS second_loaded,
+        |       1 AS third_loaded, 1 AS third_skipped
+        |FROM (VALUES (1, 'alpha', 10.5), (2, 'beta', 20.0),
+        |             (3, 'gamma', 5.0)) AS t(id, name, fee)
+        |ORDER BY id""".stripMargin,
+
+    // pre-default NULLs survive, the constant default lands on row 2
+    // only, the dropped default reverts row 3's status to NULL
+    "q_sql_defaults" ->
+      """SELECT id, status, CAST(fee AS DOUBLE) AS fee FROM (VALUES
+        |  (1, NULL, NULL), (2, 'new', 12.5), (3, NULL, 12.5))
+        |  AS t(id, status, fee)
+        |ORDER BY id""".stripMargin,
 
     // only the constraint-passing inserts survive (the whole violating
     // batch rolls back — (5, 9.0) rides with (4, -1.0)); NULL passes
