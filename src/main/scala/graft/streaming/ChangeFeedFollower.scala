@@ -64,4 +64,49 @@ object ChangeFeedFollower {
       case None => startAfterId
     }
   }
+
+  /** APPLY CHANGES INTO (Delta Live Tables' CDC-apply): net a change
+    * batch per key and commit the target's keyed mirror in ONE
+    * file-granular COW commit. Per key, the LATEST commit's change
+    * wins; within a commit an UPDATE is a delete+insert pair, so
+    * inserts out-rank deletes at equal snapshot id. A surviving
+    * 'insert' upserts the key's row, a surviving 'delete' removes it —
+    * untouched target rows (and untouched FILES) carry by reference.
+    * Feed columns beyond the target schema (`_change_type` etc.) are
+    * dropped at apply. */
+  def applyChanges(catalog: GraftCatalog, target: String, feed: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(keyCols.nonEmpty, "applyChanges needs key columns")
+    val st = catalog.store()
+    val sch = st.schema(target)
+    // 'insert' > 'delete' lexicographically: desc ordering makes the
+    // post-image win the same-commit update pair
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_snapshot_id").desc,
+        col(graft.store.TableStore.ChangeTypeCol).desc)
+    val last = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val upserts = last
+      .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
+      .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+    val batchKeys = last.select(keyCols.map(col): _*).distinct()
+    // one commit: matched files lose every batch key's old row, then
+    // the surviving post-images append — deletes and upserts land
+    // atomically, untouched files carry
+    st.merge(target, batchKeys, keyCols, matchedRows =>
+      matchedRows.join(batchKeys, keyCols, "left_anti")
+        .unionByName(upserts))
+    catalog.registerView(target)
+  }
+
+  /** The composed replication loop: follow `src`'s change feed and
+    * mirror every batch into `dst` with [[applyChanges]] — CDC
+    * replication from one snapshot table to another, resumable via the
+    * returned cursor. */
+  def mirror(catalog: GraftCatalog, src: String, dst: String,
+      keyCols: Seq[String], startAfterId: Long = 0L): Long =
+    pollOnce(catalog, src, startAfterId)(
+      (batch, _) => applyChanges(catalog, dst, batch, keyCols))
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicBoolean
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -64,6 +64,36 @@ class ChangeFeedFollowerSpec extends AnyFunSuite {
     ChangeFeedFollower.pollOnce(cat, "c2", cursor) { (df, _) =>
       assert(drain(df) == Seq((11, "insert", 3L)))
     }
+  }
+
+  test("applyChanges nets a batch per key: upserts, deletes, update pairs") {
+    val cat = fixture()
+    cat.createTable("src", Seq((1, "a")).toDF("id", "s").schema)
+    cat.createTable("dst", Seq((1, "a")).toDF("id", "s").schema)
+    cat.append("src", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), 1000L)
+    var cursor = ChangeFeedFollower.mirror(cat, "src", "dst", Seq("id"))
+    assert(cat.table("dst").orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // one batch spanning an update (delete+insert pair), a delete, and
+    // a fresh insert — each key nets to its latest state
+    cat.store().updateWhere("src", Seq("s" -> lit("B")), Some(col("id") === 2))
+    cat.deleteWhere("src", col("id") === 1)
+    cat.append("src", Seq((4, "d")).toDF("id", "s"), 2000L)
+    cursor = ChangeFeedFollower.mirror(cat, "src", "dst", Seq("id"), cursor)
+    assert(cat.table("dst").orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((2, "B"), (3, "c"), (4, "d")))
+    // idempotent: nothing new → no commit
+    val snaps = cat.store().currentSnapshotId("dst").get
+    assert(ChangeFeedFollower.mirror(cat, "src", "dst", Seq("id"), cursor)
+      == cursor)
+    assert(cat.store().currentSnapshotId("dst").get == snaps)
+    // delete-then-reinsert of the same key across commits in ONE batch:
+    // the latest commit wins
+    cat.deleteWhere("src", col("id") === 3)
+    cat.append("src", Seq((3, "c2")).toDF("id", "s"), 3000L)
+    ChangeFeedFollower.mirror(cat, "src", "dst", Seq("id"), cursor)
+    assert(cat.table("dst").filter(col("id") === 3)
+      .as[(Int, String)].head() == ((3, "c2")))
   }
 
   test("follow loop mirrors a table through update and delete") {
