@@ -1737,8 +1737,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .withColumn(TableStore.ChangeTypeCol, lit("delete"))
       .unionByName(addedDf.exceptAll(removedDf)
         .withColumn(TableStore.ChangeTypeCol, lit("insert")))
+    // bound the change-file count to the commit's own footprint: the
+    // exceptAll shuffle would otherwise emit one (usually tiny) file
+    // per shuffle partition on EVERY commit — the small-files problem,
+    // self-inflicted, in the metadata channel
+    val nOut = math.max(1, math.min(matched.size + newFiles.size, 16))
     val rel = s"cdc/${UUID.randomUUID()}"
-    changes.write.mode(SaveMode.Overwrite)
+    changes.coalesce(nOut).write.mode(SaveMode.Overwrite)
       .parquet(new HPath(tableDir(table), rel).toString)
     Map(TableStore.CdcDirKey -> rel)
   }

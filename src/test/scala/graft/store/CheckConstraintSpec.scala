@@ -111,6 +111,27 @@ class CheckConstraintSpec extends AnyFunSuite {
       st.addCheckConstraint("t", "bad", "nope > 0"))
   }
 
+  test("MERGE INTO enforces constraints on both update and insert arms") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE m (id INT, qty INT)")
+    eng.sql("INSERT INTO m VALUES (1, 5)")
+    eng.sql("ALTER TABLE m ADD CONSTRAINT qty_pos CHECK (qty >= 0)")
+    // violating UPDATE arm fails before commit
+    intercept[Exception](eng.sql(
+      "MERGE INTO m t USING (VALUES (1)) s(id) ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET qty = -1"))
+    assert(cat.store().read("m").count() == 1)
+    // violating INSERT arm fails too
+    intercept[Exception](eng.sql(
+      "MERGE INTO m t USING (VALUES (2, -7)) s(id, q) ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.q)"))
+    assert(cat.store().read("m").count() == 1)
+    // a clean merge passes
+    eng.sql("MERGE INTO m t USING (VALUES (2, 7)) s(id, q) ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.q)")
+    assert(cat.store().read("m").count() == 2)
+  }
+
   test("constraints survive compaction and COW deletes (row-preserving paths)") {
     val (cat, _) = fixture()
     val st = cat.store()
