@@ -2523,40 +2523,30 @@ object SparkEntry {
     // at hamming 1 (50·50), families sit ≥31 bits apart — so the pair
     // census is fully reconstructible by the oracle from the counts.
     "q_image_dedup" -> ((s, dir) => {
-      import java.awt.image.BufferedImage
-      import java.io.ByteArrayOutputStream
-      import javax.imageio.ImageIO
-      def img(format: String)(lum: (Int, Int) => Int): Array[Byte] = {
-        val b = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until 8; x <- 0 until 9) {
-          val v = lum(x, y) & 0xFF
-          b.setRGB(x, y, (v << 16) | (v << 8) | v)
-        }
-        val out = new ByteArrayOutputStream()
-        require(ImageIO.write(b, format, out), s"no writer for $format")
-        out.toByteArray
-      }
-      val base: Seq[(Int, Int) => Int] = Seq(
-        (x, _) => x * 10,                         // rising rows: all bits
-        (_, y) => y * 10,                         // flat rows: no bits
-        (x, y) => if ((x + y) % 2 == 0) 0 else 100) // checkerboard
-      val tweak: Seq[(Int, Int) => Int] = Seq(
-        (x, y) => if (y == 2 && x == 8) 0 else x * 10,   // clears bit 23
-        (x, y) => if (y == 5 && x == 8) 255 else y * 10, // sets bit 47
-        (x, y) => if (y == 1 && x == 8) 0 else (if ((x + y) % 2 == 0) 0 else 100))
-      val formats = Seq("png", "bmp", "gif")
-      val rows = (0 until 300).map { id =>
-        val fam = id % 3
-        val lum = if ((id / 3) % 2 == 0) base(fam) else tweak(fam)
-        (id, img(formats(id % formats.size))(lum))
-      }
       import s.implicits._
       val pairs = graft.ext.Dedup.imageNearDuplicates(
-        rows.toDF("id", "content").repartition(8), "id", "content",
-        maxHamming = 3)
+        plantedImages(300).toDF("id", "content").repartition(8),
+        "id", "content", maxHamming = 3)
       pairs.groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("hamming"))
+    }),
+
+    // Canonical retention over the IMAGE near-dup graph: the hamming
+    // pairs feed the same Large-Star/Small-Star contraction text dedup
+    // uses; each planted family collapses to ONE component rooted at
+    // its minimum id (families are the residues mod 3 → roots 0, 1, 2)
+    // of exactly 100 members — the multimodal dedup pipeline end to
+    // end, census-checkable.
+    "q_image_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.ext.Dedup.imageNearDuplicates(
+        plantedImages(300).toDF("id", "content").repartition(8),
+        "id", "content", maxHamming = 3)
+      graft.ext.Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size")) // every member incl. the root
+        .orderBy(col("component"))
     }),
 
     // Audio near-dup dedup: 65-frame integer energy-envelope hash +
@@ -3607,6 +3597,16 @@ object SparkEntry {
         |  AS t(hamming, n_pairs)
         |ORDER BY hamming""".stripMargin,
 
+    // each family is one connected component rooted at its minimum id
+    // (the residues 0/1/2 mod 3), 100 members each
+    "q_image_canonical" ->
+      """SELECT component, cluster_size FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(100 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(100 AS BIGINT)))
+        |  AS t(component, cluster_size)
+        |ORDER BY component""".stripMargin,
+
     // the planted families make the census arithmetic: per family,
     // same-variant pairs collide at hamming 0 (2 · C(50,2) = 2450) and
     // cross-variant at hamming 1 (50 · 50 = 2500); ×3 families
@@ -4178,6 +4178,41 @@ object SparkEntry {
     * with ≥0.05 cosine gaps — a KNOWN exact top-10 an oracle can
     * recompute, in the high-similarity regime ANN exists to serve
     * (the random base corpus tops out at ≈0.46 pair cosine). */
+  /** The planted image corpus the image-dedup oracles share: `n` 9×8
+    * grayscale images in 3 luminance families × 2 one-bit variants,
+    * rotated across PNG/BMP/GIF containers — dHash values are exact by
+    * construction (see ImageDHashSpec), so pair/cluster censuses are
+    * literal arithmetic. */
+  private def plantedImages(n: Int): Seq[(Int, Array[Byte])] = {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def img(format: String)(lum: (Int, Int) => Int): Array[Byte] = {
+      val b = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = lum(x, y) & 0xFF
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(b, format, out), s"no writer for $format")
+      out.toByteArray
+    }
+    val base: Seq[(Int, Int) => Int] = Seq(
+      (x, _) => x * 10,                           // rising rows: all bits
+      (_, y) => y * 10,                           // flat rows: no bits
+      (x, y) => if ((x + y) % 2 == 0) 0 else 100) // checkerboard
+    val tweak: Seq[(Int, Int) => Int] = Seq(
+      (x, y) => if (y == 2 && x == 8) 0 else x * 10,   // clears bit 23
+      (x, y) => if (y == 5 && x == 8) 255 else y * 10, // sets bit 47
+      (x, y) => if (y == 1 && x == 8) 0 else (if ((x + y) % 2 == 0) 0 else 100))
+    val formats = Seq("png", "bmp", "gif")
+    (0 until n).map { id =>
+      val fam = id % 3
+      val lum = if ((id / 3) % 2 == 0) base(fam) else tweak(fam)
+      (id, img(formats(id % formats.size))(lum))
+    }
+  }
+
   private def embeddingsWithPlanted(s: SparkSession, e: DataFrame,
       q: Array[Float]): DataFrame =
     e.select("vec_id", "embedding").unionByName(
