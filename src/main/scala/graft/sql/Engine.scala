@@ -129,18 +129,60 @@ final class Engine(catalog: GraftCatalog) {
 
   /** Replace `table_changes('t'[, start[, end]])` relations with temp
     * views over [[graft.store.TableStore.readChanges]] — a lazy plan,
-    * no job until the enclosing query runs. No-op without the name. */
+    * no job until the enclosing query runs. No-op without the name.
+    * Matches inside quoted string literals are left alone (the text is
+    * data, not a relation), and the registered view name carries a
+    * per-call unique suffix so two Engine instances over different
+    * catalogs in one SparkSession cannot clobber each other's view
+    * between registration and execution. */
   private def rewriteTableChanges(stmt: String): String = {
     if (!stmt.toLowerCase.contains("table_changes")) return stmt
     TableChangesRef.replaceAllIn(stmt, m => {
-      val (cat, t) = SqlDdl.resolved(catalog, m.group(1))
-      require(cat.store().exists(t), s"table not found: ${m.group(1)}")
-      val from = Option(m.group(2)).map(_.toLong).getOrElse(0L)
-      val to = Option(m.group(3)).map(_.toLong)
-      val view = s"${t}__changes_${from}_${to.getOrElse("cur")}"
-      cat.store().readChanges(t, from, to).createOrReplaceTempView(view)
-      java.util.regex.Matcher.quoteReplacement(view)
+      // the table name itself is a quoted literal, so "is this match in
+      // a string?" means: the `t` of table_changes sits inside an open
+      // quoted region begun earlier in the statement — single-quoted
+      // data, or double-quoted text (a string literal under Spark's
+      // default dialect; an identifier can't hold the phrase anyway)
+      if (insideQuoted(stmt, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val (cat, t) = SqlDdl.resolved(catalog, m.group(1))
+        require(cat.store().exists(t), s"table not found: ${m.group(1)}")
+        val from = Option(m.group(2)).map(_.toLong).getOrElse(0L)
+        val to = Option(m.group(3)).map(_.toLong)
+        val view = s"${t}__changes_${from}_${to.getOrElse("cur")}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        cat.store().readChanges(t, from, to).createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(view)
+      }
     })
+  }
+
+  /** True when offset `at` falls inside a quoted region — same quote
+    * rules as [[SqlCleanup.firstSemicolonOutsideQuotes]] (doubled `''`
+    * and backslash escapes inside single quotes). */
+  private def insideQuoted(s: String, at: Int): Boolean = {
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < at && i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inSingle = false
+        }
+      } else if (inDouble) {
+        if (c == '"') inDouble = false
+      } else c match {
+        case '\'' => inSingle = true
+        case '"'  => inDouble = true
+        case _    =>
+      }
+      i += 1
+    }
+    inSingle || inDouble
   }
 
   /** Logical-view expansion: for every stored view whose name appears in

@@ -290,7 +290,13 @@ object MvRewrite {
             sum(col(s"__mv_cnt_${src.alias}"))).as(a.alias)
         // HLL sketches of the view's (finer) groups union into the
         // sketch of any coarser group — same mergeability the refresh
-        // path relies on, so the estimate equals a direct scan's
+        // path relies on. CONTRACT NOTE: the rewritten answer comes from
+        // a DataSketches HLL sketch while the unrewritten plan uses
+        // Spark's native HLL++ — beyond the sketches' exact range the
+        // two estimates can differ for the same data. Acceptable for an
+        // explicitly approximate function (both honor their own error
+        // bounds), but callers comparing rewritten vs direct plans
+        // should expect estimate drift, not bit-equality.
         case "approx_count_distinct" =>
           // coalesce: a GLOBAL union over an empty state renders 0 like
           // the scan's APPROX_COUNT_DISTINCT, not null

@@ -128,18 +128,23 @@ object MaterializedView {
     val rowChanging = newer.collect {
       case (id, op, _, _) if op != "append" && op != "replace" => s"$id:$op"
     }
-    if (rowChanging.nonEmpty) {
-      // retraction path: every aggregate must support subtraction, the
-      // persisted state must carry the live-row/non-null counts (a
-      // pre-upgrade state rebuilds once and gains them), and the base's
-      // schema must be diffable (no maps — readChanges' limitation)
-      val stateCols = store.schema(name).fieldNames.map(_.toLowerCase).toSet
-      val upgraded = stateCols.contains(NRowsCol) &&
-        d.aggs.filter(_.func == "sum")
-          .forall(a => stateCols.contains(cntCol(a).toLowerCase))
+    // State persisted before the live-row/non-null-count columns existed
+    // cannot merge with a delta frame that carries them (unionByName
+    // would throw) — BOTH incremental paths must fall back to one full
+    // rebuild, which writes the upgraded shape and re-enables them.
+    val stateCols = store.schema(name).fieldNames.map(_.toLowerCase).toSet
+    val upgraded = stateCols.contains(NRowsCol) &&
+      d.aggs.filter(a => a.func == "sum")
+        .forall(a => stateCols.contains(cntCol(a).toLowerCase))
+    if (!upgraded)
+      FullRebuild("state predates retraction columns", toId)
+    else if (rowChanging.nonEmpty) {
+      // retraction path: every aggregate must support subtraction, and
+      // the base's schema must be diffable (no maps — readChanges'
+      // limitation)
       val diffable = !store.schema(d.base).fields
         .exists(f => TableStore.hasMapType(f.dataType))
-      if (d.aggs.forall(a => Retractable(a.func)) && upgraded && diffable)
+      if (d.aggs.forall(a => Retractable(a.func)) && diffable)
         IncrementalRetract(toId)
       else FullRebuild(
         "row-changing snapshot(s) " + rowChanging.mkString(", "), toId)
@@ -177,7 +182,18 @@ object MaterializedView {
             "mv-refresh" -> "incremental-retract"))
         a
       case a @ FullRebuild(_, toId) =>
-        store.overwrite(name, partialAgg(store.readVersion(d.base, toId), d),
+        val state = partialAgg(store.readVersion(d.base, toId), d)
+        // a state table persisted before the retraction columns existed
+        // lacks them in its SCHEMA, and overwrite commits under the
+        // table's schema — evolve it first so the rebuilt state lands
+        // whole and the incremental paths re-enable afterwards
+        val have = store.schema(name).fieldNames.map(_.toLowerCase).toSet
+        val missing = state.schema.fields
+          .filterNot(f => have(f.name.toLowerCase))
+        if (missing.nonEmpty)
+          store.addColumns(name,
+            org.apache.spark.sql.types.StructType(missing))
+        store.overwrite(name, state,
           extraSummary = Map("mv-base-snapshot" -> toId.toString,
             "mv-refresh" -> "full"))
         a

@@ -2624,10 +2624,30 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
     // so do their materialized change files (one cdc dir per commit)
     val keptIds = keep.map(_.id).toSet
-    all.filterNot(s => keptIds(s.id))
-      .flatMap(_.summary.get(TableStore.CdcDirKey))
+    val dropped = all.filterNot(s => keptIds(s.id))
+    dropped.flatMap(_.summary.get(TableStore.CdcDirKey))
       .foreach(d => fs.delete(new HPath(dir, d), true))
-    SnapshotLog.write(fs, dir, keep)
+    // the COPY INTO idempotency ledger is the union of CopyFilesKey
+    // entries over LIVE summaries — expiring a COPY commit must not
+    // shrink it (a later COPY of the same directory would silently
+    // re-ingest), so dropped commits' loaded-file sets fold forward
+    // into the oldest kept snapshot's summary
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    def loadedOf(s: Snapshot): Seq[String] =
+      s.summary.get(TableStore.CopyFilesKey).toSeq
+        .flatMap(j => mapper.readTree(j).elements().asScala.map(_.asText()))
+    val orphaned = dropped.flatMap(loadedOf).distinct
+    val kept2 =
+      if (orphaned.isEmpty) keep
+      else {
+        val carrier = keep.head
+        val merged = (loadedOf(carrier) ++ orphaned).distinct
+        keep.updated(0, carrier.copy(summary = carrier.summary +
+          (TableStore.CopyFilesKey ->
+            mapper.writeValueAsString(merged.asJava))))
+      }
+    SnapshotLog.write(fs, dir, kept2)
   }
 
   private def readString(p: HPath): String = {

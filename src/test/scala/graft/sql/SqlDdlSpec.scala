@@ -1006,6 +1006,14 @@ class SqlDdlSpec extends AnyFunSuite {
       "fee,id,nope\n1.0,4,delta")
     intercept[IllegalArgumentException](
       eng.sql(s"COPY INTO cp FROM '${dir2.toUri}' FILEFORMAT = CSV"))
+    // the idempotency ledger SURVIVES snapshot expiration: expire every
+    // COPY commit (a later insert is the sole survivor), then re-copy —
+    // the folded-forward ledger still skips both files
+    eng.sql("INSERT INTO cp VALUES (9, 'omega', 1.0)")
+    eng.sql("CALL expire_snapshots('cp', TIMESTAMP '2100-01-01 00:00:00')")
+    assert(cat.store().history("cp").count() == 1)
+    assert(copy() == ((0L, 0, 2)))
+    assert(cat.store().read("cp").count() == 4)
   }
 
   test("TBLPROPERTIES: set/unset/show, change-feed toggle routes, " +
@@ -1048,6 +1056,16 @@ class SqlDdlSpec extends AnyFunSuite {
     // unknown table fails loudly, not as an unresolved relation
     intercept[IllegalArgumentException](
       eng.sql("SELECT * FROM table_changes('nope')"))
+    // the rewriter leaves the phrase alone inside a string LITERAL —
+    // the text is data, not a relation (and 'nope' must not resolve);
+    // double-quoted = a string literal under Spark's default dialect
+    assert(eng.sql("SELECT \"see table_changes('nope', 1) docs\" AS s")
+      .collect()(0).getString(0) == "see table_changes('nope', 1) docs")
+    // two references in one statement register distinct views (unique
+    // per-call suffix): self-join over the same feed still works
+    assert(eng.run("SELECT COUNT(*) FROM table_changes('tcr') a " +
+      "JOIN table_changes('tcr') b ON a.id = b.id " +
+      "AND a._change_type = b._change_type") == "[(4,)]")
   }
 
   test("INSERT OVERWRITE with the change feed enabled materializes its diff") {

@@ -137,4 +137,52 @@ class MvRetractionSpec extends AnyFunSuite {
     MV.refresh(st, "mv_s")
     assert(rendered(st, "mv_s") == expected(st, "sales"))
   }
+
+  test("pre-upgrade state (no retraction columns) full-rebuilds once — " +
+      "on the APPEND path too, then resumes incremental") {
+    val (cat, _) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(30), 1000L)
+    // hand-build the state an OLD-code create persisted: no __mv_nrows,
+    // no __mv_cnt beside the sums (avg always carried its pair)
+    val oldState = st.read("sales").groupBy($"grp").agg(
+      count(lit(1)).as("cnt"),
+      sum($"amount").as("total"),
+      sum($"bonus").as("bonus_total"),
+      sum($"amount".cast("double")).as("__mv_sum_mean"),
+      count($"amount").as("__mv_cnt_mean"))
+    cat.createTable("mv_old", oldState.schema)
+    val defJson = """{"base":"sales","groupCols":["grp"],"aggs":[""" +
+      """{"func":"count","input":null,"alias":"cnt"},""" +
+      """{"func":"sum","input":"amount","alias":"total"},""" +
+      """{"func":"sum","input":"bonus","alias":"bonus_total"},""" +
+      """{"func":"avg","input":"amount","alias":"mean"}],"filter":null}"""
+    val out = st.metaFs.create(
+      new org.apache.hadoop.fs.Path(st.tableDir("mv_old"), "mv.json"), true)
+    out.write(defJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val baseId = st.currentSnapshotId("sales").get
+    st.append("mv_old", oldState, extraSummary =
+      Map("mv-base-snapshot" -> baseId.toString, "mv-refresh" -> "create"))
+    assert(rendered(st, "mv_old") == expected(st, "sales"))
+    // an APPEND-only advance must NOT take the incremental path (the
+    // merge would throw on the missing columns) — one full rebuild
+    cat.append("sales", sales(45).filter($"id" >= 30), 2000L)
+    MV.plan(st, "mv_old") match {
+      case MV.FullRebuild(reason, _) =>
+        assert(reason.contains("retraction columns"))
+      case other => fail(s"expected FullRebuild, got $other")
+    }
+    MV.refresh(st, "mv_old")
+    assert(rendered(st, "mv_old") == expected(st, "sales"))
+    // the rebuild evolved the state schema: the next append is
+    // incremental again, and a delete retracts
+    cat.append("sales", sales(60).filter($"id" >= 45), 3000L)
+    assert(MV.plan(st, "mv_old").isInstanceOf[MV.Incremental])
+    MV.refresh(st, "mv_old")
+    st.deleteWhere("sales", col("id") % 7 === 0)
+    assert(MV.refresh(st, "mv_old").isInstanceOf[MV.IncrementalRetract])
+    assert(rendered(st, "mv_old") == expected(st, "sales"))
+  }
 }
