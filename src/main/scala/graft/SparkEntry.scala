@@ -368,6 +368,42 @@ object SparkEntry {
         .toDF("rows_main", "rows_branch", "rows_after", "n_snapshots")
     },
 
+    // fixture = warehouse + full load + branch fork + conf-routed COW
+    // UPDATE and DELETE recorded on the branch chain (writes); query =
+    // main isolation check, the composed branch read, the fast-forward
+    // publish (metadata + replayed COW commits), and the published read.
+    "q_branch_dml" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("orders_bd", orders.schema)
+      cat.append("orders_bd", orders, 1000L)                        // snap 1
+      eng.sql("ALTER TABLE orders_bd CREATE BRANCH wip")
+      s.conf.set(graft.sql.SqlDdl.BranchConf, "wip")
+      try {
+        eng.sql("UPDATE orders_bd SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        eng.sql("DELETE FROM orders_bd WHERE o_orderkey % 7 = 0")
+      } finally s.conf.unset(graft.sql.SqlDdl.BranchConf)
+      (s, cat, eng)
+    } { case (s, cat, eng) =>
+      import s.implicits._
+      def agg(suffix: String): (Long, Double) = {
+        val r = eng.sql("SELECT COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) " +
+          s"AS r FROM orders_bd$suffix").collect()(0)
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (mainCnt, _) = agg("")
+      val (brCnt, brRev) = agg(" FOR SYSTEM_VERSION AS OF 'wip'")
+      eng.sql("CALL fast_forward(table => 'orders_bd', branch => 'wip')")
+      val (afterCnt, afterRev) = agg("")
+      val nCommits = cat.store().history("orders_bd").count()
+      Seq((mainCnt, brCnt, brRev, afterCnt, afterRev, nCommits))
+        .toDF("rows_main_before", "branch_cnt", "branch_rev",
+          "after_cnt", "after_rev", "n_commits")
+    },
+
     // fixture = base + views + second append (writes); query = the
     // nested-view read, re-evaluated from stored text against the
     // now-doubled base.
@@ -532,6 +568,118 @@ object SparkEntry {
       eng.sql("SELECT COUNT(*) AS cnt FROM orders_mc " +
         "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
+    },
+
+    "q_insert_overwrite" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_io", orders.schema)
+      cat.append("orders_io", orders, 1000L)                        // snap 1
+      eng.sql("INSERT OVERWRITE orders_io SELECT * FROM orders_io " +
+        "WHERE o_orderkey % 3 = 0")                                 // snap 2
+      eng
+    } { eng =>
+      eng.sql("SELECT 'after' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_io")
+        .unionByName(eng.sql("SELECT 'before' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_io " +
+          "FOR SYSTEM_VERSION AS OF 1"))
+        .orderBy(col("phase"))
+    },
+
+    "q_restore" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_rs", orders.schema)
+      cat.append("orders_rs", orders.filter(col("o_orderkey") % 2 === 0), 1000L)
+      cat.append("orders_rs", orders.filter(col("o_orderkey") % 2 === 1), 2000L)
+      eng.sql("RESTORE TABLE orders_rs TO VERSION AS OF 1")
+      (cat, eng)
+    } { case (cat, eng) =>
+      // history is PRESERVED by restore (append, append, rollback):
+      // pinning the commit count in the checked tuple makes a restore
+      // that truncates the log — or fails to commit — an oracle failure
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+          "FROM orders_rs")
+        .withColumn("n_commits", lit(cat.history("orders_rs").count()))
+    },
+
+    "q_apply_changes" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("cdc_m_src", orders.schema)
+      cat.createTable("cdc_m_dst", orders.schema)
+      cat.append("cdc_m_src", orders, 1000L)                        // snap 1
+      eng.sql("UPDATE cdc_m_src SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 5 = 0")                                 // snap 2
+      eng.sql("DELETE FROM cdc_m_src WHERE o_orderkey % 7 = 0")     // snap 3
+      cat
+    } { cat =>
+      // one catch-up poll nets all three commits per key (latest commit
+      // wins; an update's insert outranks its delete) and lands the
+      // mirror in ONE file-granular COW commit on the target
+      graft.streaming.ChangeFeedFollower.mirror(cat, "cdc_m_src", "cdc_m_dst",
+        Seq("o_orderkey"))
+      cat.table("cdc_m_dst")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+    },
+
+    "q_table_changes_rel" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("tcr_o", orders.schema)
+      cat.append("tcr_o", orders, 1000L)                            // snap 1
+      eng.sql("DELETE FROM tcr_o WHERE o_orderkey % 4 = 0")         // snap 2
+      eng.sql("UPDATE tcr_o SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 9 = 1")                                 // snap 3
+      eng
+    } { eng =>
+      // the table-valued RELATION form: arbitrary SQL composes over the
+      // feed (bounds exclude snap 1's initial load)
+      eng.sql("SELECT _change_type AS change_type, COUNT(*) AS n, " +
+        "ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM table_changes('tcr_o', 1) " +
+        "GROUP BY _change_type ORDER BY change_type")
+    },
+
+    "q_meta_agg" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mg", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      cat.append("orders_mg", orders.filter(col("o_orderkey") % 2 === 0)
+        .repartition(date_format(col("o_orderdate"), "yyyy-MM")), 1000L)
+      cat.append("orders_mg", orders.filter(col("o_orderkey") % 2 === 1)
+        .repartition(date_format(col("o_orderdate"), "yyyy-MM")), 2000L)
+      eng
+    } { eng =>
+      // metadata-answered COUNT/MIN/MAX: the partition-aligned WHERE
+      // folds only the matching files' footer stats, the as-of form
+      // folds the pinned snapshot's — and the PROOF rides the checked
+      // tuple: a plan that fell through to a file scan flips the
+      // boolean and fails the oracle hash-compare
+      def stamp(phase: String, df: DataFrame): DataFrame = {
+        val plan = df.queryExecution.executedPlan.toString
+        val fromMeta = plan.contains("LocalTableScan") &&
+          !plan.contains("FileScan")
+        df.withColumn("phase", lit(phase))
+          .withColumn("from_metadata", lit(fromMeta))
+      }
+      val cur = eng.sql("SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_key, " +
+        "MAX(o_orderkey) AS max_key FROM orders_mg " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-03-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'")
+      val v1 = eng.sql("SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_key, " +
+        "MAX(o_orderkey) AS max_key FROM orders_mg FOR SYSTEM_VERSION AS OF 1")
+      stamp("cur", cur).unionByName(stamp("v1", v1)).orderBy(col("phase"))
     })
 
   /** events.parquet has shipped with ts as either TIMESTAMP(NANOS) —
@@ -1414,6 +1562,34 @@ object SparkEntry {
     // EngineSpec); DuckDB recomputes the count from the raw rows.
     "q_meta_count_filtered" -> benchSplits("q_meta_count_filtered").composed,
 
+    // Metadata-answered COUNT/MIN/MAX, filtered AND pinned: the
+    // partition-aligned WHERE folds footer stats of only the matching
+    // files, the SYSTEM_VERSION form folds the pinned snapshot's — the
+    // checked tuple carries a plan-shape boolean that flips (and fails
+    // the hash) if either answer fell through to a file scan.
+    "q_meta_agg" -> benchSplits("q_meta_agg").composed,
+
+    // INSERT OVERWRITE: one replace snapshot swaps the visible contents;
+    // time travel still serves the pre-overwrite state — both phases in
+    // one checked tuple (Delta/Iceberg overwrite semantics).
+    "q_insert_overwrite" -> benchSplits("q_insert_overwrite").composed,
+
+    // RESTORE TABLE ... TO VERSION AS OF: the rollback procedures as a
+    // first-class statement; restored rows AND the preserved history
+    // length are both oracle-pinned.
+    "q_restore" -> benchSplits("q_restore").composed,
+
+    // APPLY CHANGES INTO (DLT-style CDC apply): one catch-up poll over
+    // the change feed nets insert/update/delete per key and mirrors the
+    // source into the target in one COW commit; the oracle recomputes
+    // the final mirrored state from the raw rows.
+    "q_apply_changes" -> benchSplits("q_apply_changes").composed,
+
+    // `table_changes(...)` as a composable RELATION (Delta's
+    // table-valued form): aggregation over the feed of a DELETE and a
+    // COW UPDATE, oracle-recomputed change type by change type.
+    "q_table_changes_rel" -> benchSplits("q_table_changes_rel").composed,
+
     // Ordered conditional MERGE arms (first match wins): a negative
     // amount deletes, a larger amount updates, positive unmatched rows
     // insert — the "update if newer, else ignore" warehouse shape.
@@ -1641,6 +1817,12 @@ object SparkEntry {
     // half; CALL fast_forward replays the branch commits as real
     // snapshots under the ancestor rule.
     "q_branch" -> benchSplits("q_branch").composed,
+
+    // Branch-scoped row-level DML (Iceberg branch writes / the WAP
+    // backfill story): UPDATE + DELETE rewrite COW against the branch's
+    // file set, invisible on main; fast-forward replays them as real
+    // 'update'/'delete' commits. Oracle recomputes every phase.
+    "q_branch_dml" -> benchSplits("q_branch_dml").composed,
 
     // Incrementally-maintained materialized view (the CDW feature the
     // reference leans on Impala/Iceberg for — pre-aggregated dashboard
@@ -3120,6 +3302,65 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
+    // after = the overwrite's survivors; before = the time-traveled full
+    // load the replace snapshot must still serve
+    "q_insert_overwrite" ->
+      """SELECT 'after' AS phase, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'before', count(*), round(sum(o_totalprice), 2) FROM orders
+        |ORDER BY phase""".stripMargin,
+
+    // restored to the even-keys snapshot; history = append, append,
+    // rollback (restore preserves the log, never truncates it)
+    "q_restore" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
+        |       3 AS n_commits
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // the mirrored final state: %7 keys deleted (latest commit wins),
+    // %5 survivors carry the update's post-image
+    "q_apply_changes" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(CASE WHEN o_orderkey % 5 = 0
+        |                  THEN o_totalprice * 2 ELSE o_totalprice END,
+        |             2) AS price
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // the feed after the initial load: the DELETE's victims plus the
+    // UPDATE's pre-images are 'delete' rows; the post-images 'insert'
+    "q_table_changes_rel" ->
+      """WITH deleted AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 = 1
+        |), inserted AS (
+        |  SELECT o_totalprice + 1 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 = 1
+        |)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total FROM deleted
+        |UNION ALL
+        |SELECT 'insert', count(*), round(sum(o_totalprice), 2) FROM inserted
+        |ORDER BY change_type""".stripMargin,
+
+    // cur = the quarter's rows (folded from matching files' footers);
+    // v1 = the even-keys first snapshot (folded from the pinned log
+    // entry); TRUE = the plan-shape proof the Spark side computes
+    "q_meta_agg" ->
+      """SELECT 'cur' AS phase, count(*) AS cnt,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       TRUE AS from_metadata
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+        |  AND o_orderdate < TIMESTAMP '2000-06-01'
+        |UNION ALL
+        |SELECT 'v1', count(*), min(o_orderkey), max(o_orderkey), TRUE
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY phase""".stripMargin,
+
     // the view over the FULL base after the incremental refresh: per
     // status, the true distinct (visitor cardinality ≤ 200 keeps the
     // HLL sketch exact) and the plain row count
@@ -3345,6 +3586,23 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation) AS rows_branch,
         |  (SELECT count(*) FROM nation) AS rows_after,
         |  CAST(3 AS BIGINT) AS n_snapshots""".stripMargin,
+
+    // main holds the full load until publish; the branch (and the
+    // published main) carry the composed UPDATE-then-DELETE effect;
+    // history = initial append + the two replayed COW commits
+    "q_branch_dml" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM orders) AS rows_main_before,
+        |  (SELECT count(*) FROM fin) AS branch_cnt,
+        |  (SELECT round(sum(p), 2) FROM fin) AS branch_rev,
+        |  (SELECT count(*) FROM fin) AS after_cnt,
+        |  (SELECT round(sum(p), 2) FROM fin) AS after_rev,
+        |  CAST(3 AS BIGINT) AS n_commits""".stripMargin,
 
     // WAP: readers hold the committed half while a batch is staged;
     // audit sees the union; publish makes them equal.

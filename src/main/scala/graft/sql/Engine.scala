@@ -290,7 +290,8 @@ final class Engine(catalog: GraftCatalog) {
     }
 
     val statsTypes: Set[DataType] =
-      Set(ByteType, ShortType, IntegerType, LongType, DateType, TimestampType)
+      Set(ByteType, ShortType, IntegerType, LongType, DateType,
+        TimestampType, TimestampNTZType)
     def external(dt: DataType, v: Long): Any = dt match {
       case ByteType     => v.toByte
       case ShortType    => v.toShort
@@ -300,6 +301,9 @@ final class Engine(catalog: GraftCatalog) {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
       case TimestampType =>
         org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(v)
       case other => sys.error(s"unreachable stats type $other")
     }
 

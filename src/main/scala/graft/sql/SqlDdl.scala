@@ -849,12 +849,17 @@ object SqlDdl {
     case Delete(qn, cond) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      cat.deleteWhere(t, org.apache.spark.sql.functions.expr(cond))
+      dmlBranch(catalog) match {
+        case Some(b) => cat.store().deleteOnBranch(t, b,
+          org.apache.spark.sql.functions.expr(cond))
+        case None => cat.deleteWhere(t,
+          org.apache.spark.sql.functions.expr(cond))
+      }
       Some(empty(catalog))
     case Update(qn, setTail) =>
       val (cat, t) = resolved(catalog, qn)
       val (setList, cond) = SqlText.splitFirstTopLevel(setTail, "WHERE")
-      updateWhere(cat, t, setList, cond)
+      updateWhere(cat, t, setList, cond, dmlBranch(catalog))
       Some(empty(catalog))
     case _ => SqlMerge.tryExecute(catalog, stmt)
   }
@@ -1049,8 +1054,25 @@ object SqlDdl {
     None
   }
 
+  /** Session-conf branch routing for row-level DML: with the branch
+    * conf set, UPDATE/DELETE/MERGE rewrite COW against the BRANCH's
+    * file set and record on its chain (Iceberg's branch writes); the
+    * WAP-id conf cannot hold a COW (its sidecar stages appends only). */
+  private[sql] def dmlBranch(catalog: GraftCatalog): Option[String] = {
+    val wap = catalog.spark.conf.getOption(WapIdConf).filter(_.nonEmpty)
+    val branch = catalog.spark.conf.getOption(BranchConf).filter(_.nonEmpty)
+    require(wap.isEmpty || branch.isEmpty,
+      s"both $WapIdConf and $BranchConf are set — writes cannot stage " +
+        "to a WAP id and a branch at once")
+    require(wap.isEmpty,
+      s"row-level DML cannot stage under $WapIdConf (the WAP sidecar " +
+        "stages appends only) — use a branch instead")
+    branch
+  }
+
   private def updateWhere(catalog: GraftCatalog, table: String,
-      setList: String, cond: Option[String]): Unit = {
+      setList: String, cond: Option[String],
+      branch: Option[String]): Unit = {
     import org.apache.spark.sql.functions.expr
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
@@ -1068,7 +1090,11 @@ object SqlDdl {
     }
     require(dups.isEmpty,
       s"duplicate column(s) in SET of UPDATE $table: ${dups.mkString(", ")}")
-    catalog.updateWhere(table, assignmentList, cond.map(expr))
+    branch match {
+      case Some(b) => catalog.store().updateOnBranch(table, b,
+        assignmentList, cond.map(expr))
+      case None => catalog.updateWhere(table, assignmentList, cond.map(expr))
+    }
   }
 
   private def empty(catalog: GraftCatalog): DataFrame =

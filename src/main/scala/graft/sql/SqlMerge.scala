@@ -142,8 +142,7 @@ object SqlMerge {
       })
     }
 
-    try {
-      tCat.merge(target, sourceKeys, targetKeyCols, { matchedDf =>
+    val replaceFn: DataFrame => DataFrame = { matchedDf =>
         val t = matchedDf.alias(tAlias)
         val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
         // target rows in rewritten files whose key has no source match:
@@ -195,7 +194,16 @@ object SqlMerge {
               }))
           }
         (Seq(unmatchedKept, matchedKept) ++ inserted).reduce(_ unionByName _)
-      }, rewriteAll = arms.bySource.nonEmpty)
+    }
+    try {
+      // branch conf set → the COW records on the branch chain instead
+      // of committing to the log (Iceberg's branch writes)
+      SqlDdl.dmlBranch(tCat) match {
+        case Some(bn) => tCat.store().mergeOnBranch(target, bn, sourceKeys,
+          targetKeyCols, replaceFn, rewriteAll = arms.bySource.nonEmpty)
+        case None => tCat.merge(target, sourceKeys, targetKeyCols,
+          replaceFn, rewriteAll = arms.bySource.nonEmpty)
+      }
     } catch {
       case e: Throwable if causeMessages(e).exists(
           _.contains("cardinality violation")) =>

@@ -288,8 +288,25 @@ object Pruning {
         ranges.get(u.nameParts.head.toLowerCase)
       case c: Cast if numericWidening(c.child.dataType, c.dataType) =>
         attrRange(c.child, ranges)
+      // the analyzer bridges a zoned literal and an NTZ column (the
+      // testdata parquet's own timestamp shape) with an NTZ↔LTZ cast on
+      // the ATTRIBUTE — under a UTC zone that cast is identity on the
+      // stored micros, so the file bounds still apply. Any other zone
+      // shifts values (offset/DST) and must decline: unpruned is safe,
+      // wrongly pruned is a wrong answer.
+      case c: Cast if tsNtzBridge(c.child.dataType, c.dataType) &&
+          c.timeZoneId.exists(utcZone) =>
+        attrRange(c.child, ranges)
       case _ => None
     }
+
+  private def tsNtzBridge(from: DataType, to: DataType): Boolean =
+    (from == TimestampNTZType && to == TimestampType) ||
+      (from == TimestampType && to == TimestampNTZType)
+
+  private def utcZone(id: String): Boolean =
+    try java.time.ZoneId.of(id).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Exception => false }
 
   private val numericRank: Map[DataType, Int] = Map(
     ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4,

@@ -51,7 +51,15 @@ final case class WapEntry(
     wapId: String,
     timestampMs: Long,
     files: Seq[DataFile],
-    recordCount: Long)
+    recordCount: Long,
+    /** Paths of files this entry REMOVES from the branch's view — empty
+      * for plain appends; a branch-scoped COW rewrite (UPDATE / DELETE /
+      * MERGE) removes its matched files and adds their rewrites. For COW
+      * entries `recordCount` is the NET row delta (may be negative). */
+    removedPaths: Seq[String] = Seq.empty,
+    /** Operation fast-forward replays this entry as ('append' /
+      * 'delete' / 'update' / 'merge'). */
+    operation: String = "append")
 
 /** One named branch: a fork point on the main chain plus an ordered
   * list of staged append entries (each reuses the [[WapEntry]] shape —
@@ -565,7 +573,12 @@ object SnapshotLog {
             wapId = en.get("wapId").asText(),
             timestampMs = en.get("timestampMs").asLong(),
             files = en.get("files").elements().asScala.map(readFile).toSeq,
-            recordCount = en.get("recordCount").asLong())
+            recordCount = en.get("recordCount").asLong(),
+            // absent in pre-DML branch sidecars → plain append
+            removedPaths = Option(en.get("removedPaths")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())),
+            operation = Option(en.get("operation"))
+              .map(_.asText()).getOrElse("append"))
         }.toSeq)
     }.toMap
   }
@@ -582,7 +595,9 @@ object SnapshotLog {
             "entries" -> b.entries.map(e =>
               scala.collection.mutable.LinkedHashMap[String, Any](
                 "wapId" -> e.wapId, "timestampMs" -> e.timestampMs,
-                "recordCount" -> e.recordCount, "files" -> e.files)))
+                "recordCount" -> e.recordCount, "files" -> e.files,
+                "removedPaths" -> e.removedPaths,
+                "operation" -> e.operation)))
         })
     val tmp = new HPath(tableDir, s"branches.json.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
@@ -622,12 +637,31 @@ object SnapshotLog {
             s"point $head != ${b.baseSnapshotId} — rebase by creating a " +
             "new branch from the current head")
       val snaps = b.entries.zipWithIndex.map { case (e, i) =>
-        commitLocked(fs, tableDir, "append", e.files, e.recordCount,
-          timestampMs + i, replaceAll = false,
-          summary = Map("branch" -> branch,
-            "added-files" -> e.files.size.toString,
-            "added-records" -> e.recordCount.toString),
-          schemaVersionOf = schemaVersionOf)
+        if (e.operation == "append" && e.removedPaths.isEmpty)
+          commitLocked(fs, tableDir, "append", e.files, e.recordCount,
+            timestampMs + i, replaceAll = false,
+            summary = Map("branch" -> branch,
+              "added-files" -> e.files.size.toString,
+              "added-records" -> e.recordCount.toString),
+            schemaVersionOf = schemaVersionOf)
+        else {
+          // a branch COW entry replays as the row-changing commit it
+          // was: prior files minus its removals plus its rewrites, net
+          // row delta applied — so published history reads exactly like
+          // the same DML run on main
+          val prior = read(fs, tableDir).lastOption
+            .map(hydrate(fs, tableDir, _))
+          val rm = e.removedPaths.toSet
+          val files = prior.map(_.files).getOrElse(Seq.empty)
+            .filterNot(f => rm(f.path)) ++ e.files
+          val total = prior.map(_.recordCount).getOrElse(0L) + e.recordCount
+          commitLocked(fs, tableDir, e.operation, files, total,
+            timestampMs + i, replaceAll = true,
+            summary = Map("branch" -> branch,
+              "rewritten-files" -> e.removedPaths.size.toString,
+              "added-files" -> e.files.size.toString),
+            schemaVersionOf = schemaVersionOf)
+        }
       }
       writeBranches(fs, tableDir, branches - branch)
       snaps

@@ -398,18 +398,132 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
-  /** Read a branch as a unit: the fork-point snapshot's files plus
-    * every branch entry's files, current schema. This is what
-    * `FOR SYSTEM_VERSION AS OF '<branch>'` resolves to. */
-  def readBranch(table: String, name: String): DataFrame = {
+  /** Read a branch as a unit: the fork-point snapshot's files folded
+    * through every branch entry (appends add files; COW entries remove
+    * their matched files and add rewrites), current schema. This is
+    * what `FOR SYSTEM_VERSION AS OF '<branch>'` resolves to. */
+  def readBranch(table: String, name: String): DataFrame =
+    readFileList(table, branchFileSet(table, branchNamed(table, name)._2))
+
+  private def branchNamed(table: String, name: String): (String, Branch) = {
     val bs = branches(table)
-    val b = bs.keys.find(_.equalsIgnoreCase(name)).map(bs).getOrElse(
+    val key = bs.keys.find(_.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    (key, bs(key))
+  }
+
+  /** A branch's CURRENT file set — fork-point files folded through the
+    * entry chain. Pure log/sidecar metadata, no data I/O. */
+  private def branchFileSet(table: String, b: Branch): Seq[DataFile] = {
     val base =
       if (b.baseSnapshotId == 0L) Seq.empty
       else SnapshotLog.resolveVersion(fs, tableDir(table), b.baseSnapshotId)
         .map(_.files).getOrElse(Seq.empty)
-    readFileList(table, base ++ b.entries.flatMap(_.files))
+    b.entries.foldLeft(base) { (files, e) =>
+      val rm = e.removedPaths.toSet
+      files.filterNot(f => rm(f.path)) ++ e.files
+    }
+  }
+
+  // ---- branch-scoped row-level DML (Iceberg's branch writes: the WAP
+  // story for backfills — UPDATE/DELETE/MERGE staged invisibly on the
+  // branch, validated, then fast-forwarded onto main as real COW
+  // commits). Each op mirrors its main-chain twin exactly, except the
+  // base is the BRANCH's file set and the result is recorded as a
+  // branch entry (added files + removed paths + net row delta) instead
+  // of a log commit. ------------------------------------------------
+
+  /** Branch-scoped [[deleteWhere]]. */
+  def deleteOnBranch(table: String, name: String, predicate: Column,
+      timestampMs: Long = System.currentTimeMillis()): Unit =
+    withCowRetry() {
+      val (entriesAtPlan, cur) = branchCowBase(table, name)
+      val (matched, _) = matchedByPredicate(table, cur, predicate)
+      val replacement =
+        if (matched.isEmpty) None
+        else Some(readFileList(table, matched)
+          .filter(not(coalesce(predicate, lit(false)))))
+      branchCowRecord(table, name, "delete", matched, replacement,
+        entriesAtPlan, timestampMs)
+    }
+
+  /** Branch-scoped [[updateWhere]]. */
+  def updateOnBranch(table: String, name: String,
+      assignments: Seq[(String, Column)], cond: Option[Column],
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
+    val sch = schema(table)
+    assignments.foreach { case (n, _) =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"unknown column '$n' in UPDATE $table")
+    }
+    withCowRetry() {
+      val (entriesAtPlan, cur) = branchCowBase(table, name)
+      val (matched, _) = cond match {
+        case Some(p) => matchedByPredicate(table, cur, p)
+        case None    => (cur, Seq.empty[DataFile])
+      }
+      val replacement =
+        if (matched.isEmpty) None
+        else {
+          val matchedPred = coalesce(cond.getOrElse(lit(true)), lit(false))
+          val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
+          Some(readFileList(table, matched).select(sch.fields.toIndexedSeq.map { f =>
+            byName.get(f.name.toLowerCase) match {
+              case Some(value) =>
+                when(matchedPred, value.cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*))
+        }
+      branchCowRecord(table, name, "update", matched, replacement,
+        entriesAtPlan, timestampMs)
+    }
+  }
+
+  /** Branch-scoped [[merge]]. */
+  def mergeOnBranch(table: String, name: String, sourceKeys: DataFrame,
+      keyCols: Seq[String], replace: DataFrame => DataFrame,
+      timestampMs: Long = System.currentTimeMillis(),
+      rewriteAll: Boolean = false): Unit =
+    withCowRetry() {
+      val (entriesAtPlan, cur) = branchCowBase(table, name)
+      val (matched, _) =
+        if (rewriteAll) (cur, Seq.empty[DataFile])
+        else matchedByKeys(table, cur, sourceKeys, keyCols)
+      val replacement = replace(readFileList(table, matched))
+      branchCowRecord(table, name, "merge", matched, Some(replacement),
+        entriesAtPlan, timestampMs)
+    }
+
+  private def branchCowBase(table: String, name: String): (Int, Seq[DataFile]) = {
+    val (_, b) = branchNamed(table, name)
+    (b.entries.size, branchFileSet(table, b))
+  }
+
+  /** Stage the rewrite, then record it on the branch chain under the
+    * sidecar lock. OPTIMISTIC like [[cowCommit]]: the matched/carried
+    * split was planned against a branch state read outside the lock —
+    * if the branch gained entries since, throw the conflict and let the
+    * caller's bounded retry recompute. */
+  private def branchCowRecord(table: String, name: String, operation: String,
+      matched: Seq[DataFile], replacement: Option[DataFrame],
+      entriesAtPlan: Int, timestampMs: Long): Unit = {
+    val newFiles = replacement.map(writeStaged(table, _)).getOrElse(Seq.empty)
+    val removedRows = TableStore.inParallel(matched)(recordsOf(table, _)).sum
+    val delta = newFiles.map(_.records).sum - removedRows
+    SnapshotLog.updateBranches(fs, tableDir(table)) { bs =>
+      val key = bs.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' on $table"))
+      val b = bs(key)
+      if (b.entries.size != entriesAtPlan)
+        throw new SnapshotLog.CommitConflictException(
+          s"branch '$name' of $table advanced while a '$operation' was " +
+            "being prepared — recompute and retry")
+      bs + (key -> b.copy(entries = b.entries :+ WapEntry(
+        s"$key-${b.entries.size}", timestampMs, newFiles, delta,
+        removedPaths = matched.map(_.path), operation = operation)))
+    }
   }
 
   /** Fast-forward main to the branch head (see

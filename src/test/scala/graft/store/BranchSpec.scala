@@ -122,4 +122,64 @@ class BranchSpec extends AnyFunSuite {
     assert(st.read("vb").count() == 2) // main data intact (rows 1, 3)
     assertThrows[IllegalArgumentException](st.readBranch("vb", "keepme"))
   }
+
+  test("branch-scoped UPDATE/DELETE/MERGE: COW on the branch, invisible " +
+      "on main, fast-forward publishes the row-changing commits") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    eng.sql("CREATE TABLE bd (id INT, v DOUBLE, tag STRING)")
+    eng.sql("INSERT INTO bd VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), " +
+      "(3, 30.0, 'c'), (4, 40.0, 'd')")
+    eng.sql("ALTER TABLE bd CREATE BRANCH fix")
+    spark.conf.set(graft.sql.SqlDdl.BranchConf, "fix")
+    try {
+      eng.sql("INSERT INTO bd VALUES (5, 50.0, 'e')")
+      eng.sql("UPDATE bd SET v = v * 2 WHERE id <= 2")
+      eng.sql("DELETE FROM bd WHERE id = 3")
+      eng.sql("MERGE INTO bd t USING " +
+        "(SELECT 4 AS id, 99.0 AS v UNION ALL SELECT 6, 60.0) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'new')")
+    } finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
+    // main never saw any of it
+    assert(eng.run("SELECT COUNT(*) FROM bd") == "[(4,)]")
+    assert(eng.run("SELECT ROUND(SUM(v), 1) FROM bd") == "[(100.0,)]")
+    // the branch reads the composed effect of all four entries
+    assert(eng.run("SELECT id, v FROM bd FOR SYSTEM_VERSION AS OF 'fix' " +
+      "ORDER BY id") ==
+      "[(1, 20.0), (2, 40.0), (4, 99.0), (5, 50.0), (6, 60.0)]")
+    // fast-forward replays each entry as a real commit of its operation
+    eng.sql("CALL fast_forward(table => 'bd', branch => 'fix')")
+    assert(eng.run("SELECT id, v FROM bd ORDER BY id") ==
+      "[(1, 20.0), (2, 40.0), (4, 99.0), (5, 50.0), (6, 60.0)]")
+    val hist = st.history("bd").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(hist.map(_._2) ==
+      Seq("append", "append", "update", "delete", "merge"))
+    // running record counts track the replayed deltas
+    assert(hist.map(_._3) == Seq(4L, 5L, 5L, 4L, 5L))
+    // time travel through the published chain sees each stage
+    assert(eng.run("SELECT COUNT(*) FROM bd FOR SYSTEM_VERSION AS OF 3")
+      == "[(5,)]")
+    assert(eng.run("SELECT ROUND(SUM(v), 1) FROM bd " +
+      "FOR SYSTEM_VERSION AS OF 4") == "[(150.0,)]")
+  }
+
+  test("branch DML conflicts: unknown branch loud, WAP id rejected") {
+    val (cat, eng) = fixture()
+    eng.sql("CREATE TABLE bc (id INT)")
+    eng.sql("INSERT INTO bc VALUES (1)")
+    spark.conf.set(graft.sql.SqlDdl.BranchConf, "nope")
+    try assertThrows[IllegalArgumentException](
+      eng.sql("DELETE FROM bc WHERE id = 1"))
+    finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
+    spark.conf.set(graft.sql.SqlDdl.WapIdConf, "w1")
+    try assertThrows[IllegalArgumentException](
+      eng.sql("UPDATE bc SET id = 2 WHERE id = 1"))
+    finally spark.conf.unset(graft.sql.SqlDdl.WapIdConf)
+    // nothing leaked onto main
+    assert(eng.run("SELECT COUNT(*) FROM bc") == "[(1,)]")
+  }
 }

@@ -87,4 +87,13 @@ class LlmTranslatorSpec extends AnyFunSuite {
     val json = completion("SELECT 'it''s' AS v\nFROM t")
     assert(t.extractContent(json) == "SELECT 'it''s' AS v\nFROM t")
   }
+
+  test("a fenced completion cleans to runnable SQL through the app's " +
+      "cleanup seam (wire shape end-to-end, zero network)") {
+    withServer(200,
+      completion("```sql\nSELECT COUNT(*) FROM customers;\n```")) { (url, _) =>
+      val raw = new LlmTranslator(url, "m").toSql("how many?", "info")
+      assert(graft.sql.SqlCleanup.clean(raw) == "SELECT COUNT(*) FROM customers")
+    }
+  }
 }
