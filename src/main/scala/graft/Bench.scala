@@ -165,8 +165,12 @@ object Bench {
         ("q_stream_join_fixture", sjFixSec, sjFixSec >= 0) :+
         ("q_stream_join_drain", sjDrainSec, sjDrainSec >= 0)
     }
+    // SPARK_GRAFT_BENCH_PASSES=1 → one-shot (the sf1 full-suite run,
+    // where a second pass doubles an already-long wall-clock); default
+    // stays two passes for the noise-bounding min-of-runs.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = runAll()
-    val results2 = runAll()
+    val results2 = if (passes > 1) runAll() else results
     def jmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     // Min-of-two-runs per query: the round-over-round comparison basis —
