@@ -140,19 +140,19 @@ object Bench {
       // fixture; these sub-metrics keep the engine-work (drain) cost
       // comparable round-over-round without the fixture noise.
       val (fixSec, drainSec) =
-        try SparkEntry.streamTableSplit(spark, sfDir)
+        try withStreamConf("q_stream_table")(SparkEntry.streamTableSplit(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] q_stream_table split FAILED: ${e.getMessage}")
           (-1.0, -1.0)
         }
       val (sdFixSec, sdDrainSec) =
-        try SparkEntry.streamDedupSplit(spark, sfDir)
+        try withStreamConf("q_stream_dedup")(SparkEntry.streamDedupSplit(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] q_stream_dedup split FAILED: ${e.getMessage}")
           (-1.0, -1.0)
         }
       val (sjFixSec, sjDrainSec) =
-        try SparkEntry.streamJoinSplit(spark, sfDir)
+        try withStreamConf("q_stream_join")(SparkEntry.streamJoinSplit(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] q_stream_join split FAILED: ${e.getMessage}")
           (-1.0, -1.0)

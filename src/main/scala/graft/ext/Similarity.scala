@@ -126,7 +126,7 @@ object Similarity {
     val pool = sampleCentroids(embeddings, idCol, vecCol, nlist * 8, seed)
     var cents = farthestPointSeeds(pool, nlist)
     val mean = udaf(new VectorMeanAggregator,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      org.apache.spark.sql.GraftSqlShim.encoderOf[Array[Float]])
     for (_ <- 1 to iters) {
       val means = embeddings
         .select(nearestCentroid(col(vecCol), cents).as("_l"), col(vecCol).as("_v"))
@@ -711,9 +711,9 @@ final class VectorMeanAggregator
     else r._1.map(s => (s / r._2).toFloat)
 
   override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    org.apache.spark.sql.GraftSqlShim.encoderOf[(Array[Double], Long)]
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+    org.apache.spark.sql.GraftSqlShim.encoderOf[Array[Float]]
 }
 
 final case class Candidate(score: Double, id: Long)
@@ -769,7 +769,7 @@ final class TopKAggregator(k: Int)
   override def finish(r: Seq[Candidate]): Seq[Candidate] = r
 
   override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Candidate]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Candidate]]()
+    org.apache.spark.sql.GraftSqlShim.encoderOf[Seq[Candidate]]
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Candidate]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Candidate]]()
+    org.apache.spark.sql.GraftSqlShim.encoderOf[Seq[Candidate]]
 }

@@ -46,6 +46,14 @@ object GraftSqlShim {
   def sameTypeIgnoringNullability(a: types.DataType, b: types.DataType): Boolean =
     types.DataType.equalsIgnoreNullability(a, b)
 
+  /** Typed [[Encoder]] from the Catalyst reflection factory
+    * (`ExpressionEncoder` is a catalyst-internal class whose shape has
+    * moved across Spark versions) — custom `Aggregator`s get their
+    * buffer/output encoders here so the next Spark bump breaks this one
+    * file, not every aggregator (the r13 `AtomicType` lesson). */
+  def encoderOf[T: scala.reflect.runtime.universe.TypeTag]: Encoder[T] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+
   /** Parquet scan over an explicit file list WITH bucket metadata: a
     * hand-built [[execution.datasources.HadoopFsRelation]] carrying a
     * `BucketSpec`, so `FileSourceScanExec` groups the files by their

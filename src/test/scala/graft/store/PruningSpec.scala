@@ -84,6 +84,45 @@ class PruningSpec extends AnyFunSuite {
     assert(might(org.apache.spark.sql.functions.abs(col("id")) === 5, id10to20))
   }
 
+  test("a zoned literal against an NTZ column prunes under UTC, " +
+      "declines under any other zone") {
+    // the testdata parquet's own shape: timestamp[us] with no zone reads
+    // as TIMESTAMP_NTZ, and a TIMESTAMP literal puts an NTZ→LTZ cast on
+    // the ATTRIBUTE — before the bridge-cast unwrap this kept ALL files
+    // for every date-range predicate (80/80 at sf0.01)
+    val sch = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val ntzDummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    def cond(pred: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      ntzDummy.filter(pred).queryExecution.analyzed.collectFirst {
+        case f: Filter => f.condition
+      }.get
+    }
+    def micros(s: String): Long =
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000L
+    // file covering March 2000 (NTZ micros bounds)
+    val march = ranges("ts" -> ColRange(
+      Some(micros("2000-03-01T00:00:00")),
+      Some(micros("2000-03-31T23:59:59")), hasNulls = false))
+    val janPred = col("ts") < lit(java.sql.Timestamp.valueOf("2000-02-01 00:00:00"))
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(!Pruning.mightMatch(cond(janPred), march),
+        "UTC bridge cast must unwrap and prune the March file")
+      assert(Pruning.mustMatchAll(
+        cond(col("ts") >= lit(java.sql.Timestamp.valueOf("2000-03-01 00:00:00"))),
+        march))
+      // a non-UTC session zone shifts the cast: keep the file (correct,
+      // just unpruned) — never a wrong prune
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(Pruning.mightMatch(cond(janPred), march),
+        "non-UTC zones must decline, not mis-prune")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("mightMatchBucket keeps the file on an unresolved InSet") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.InSet
