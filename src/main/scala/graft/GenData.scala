@@ -68,7 +68,7 @@ object GenData {
       "id as c_custkey",
       "concat('Customer#', lpad(id, 9, '0')) as c_name",
       "cast(pmod(hash(id, 'n'), 25) as int) as c_nationkey",
-      "round(-999 + pmod(hash(id, 'b'), 1000000) / 1000000.0 * 10999, 2) as c_acctbal",
+      "cast(round(-999 + pmod(hash(id, 'b'), 1000000) / 1000000.0 * 10999, 2) as double) as c_acctbal",
       "element_at(array('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'), " +
         "cast(pmod(hash(id, 'm'), 5) + 1 as int)) as c_mktsegment"))
 
@@ -76,7 +76,7 @@ object GenData {
       "id as s_suppkey",
       "concat('Supplier#', lpad(id, 9, '0')) as s_name",
       "cast(pmod(hash(id, 'n'), 25) as int) as s_nationkey",
-      "round(-999 + pmod(hash(id, 'b'), 1000000) / 1000000.0 * 10999, 2) as s_acctbal"))
+      "cast(round(-999 + pmod(hash(id, 'b'), 1000000) / 1000000.0 * 10999, 2) as double) as s_acctbal"))
 
     write("part", spark.range(nPart).selectExpr(
       "id as p_partkey",
@@ -91,18 +91,18 @@ object GenData {
         "element_at(array('TIN','NICKEL','BRASS','STEEL','COPPER'), " +
         "cast(pmod(hash(id, 't3'), 5) + 1 as int))) as p_type",
       "cast(pmod(hash(id, 's'), 50) + 1 as int) as p_size",
-      "round(900 + pmod(hash(id, 'p'), 1000000) / 1000000.0 * 1200, 2) as p_retailprice"))
+      "cast(round(900 + pmod(hash(id, 'p'), 1000000) / 1000000.0 * 1200, 2) as double) as p_retailprice"))
 
     write("orders", spark.range(nOrders).selectExpr(
       "id as o_orderkey",
       s"pmod(hash(id, 'c'), ${nCust}L) as o_custkey",
       "element_at(array('O','F','P'), cast(pmod(hash(id, 's'), 3) + 1 as int)) " +
         "as o_orderstatus",
-      "round(1000 + pmod(hash(id, 'p'), 1000000) / 1000000.0 * 499000, 2) " +
-        "as o_totalprice",
+      "cast(round(1000 + pmod(hash(id, 'p'), 1000000) / 1000000.0 * 499000, 2) " +
+        "as double) as o_totalprice",
       // 1995-01-01 .. 2001-08-01 (driver's measured span), day granularity
-      "timestamp_millis(788918400000 + cast(pmod(hash(id, 'd'), 2404) as bigint) * 86400000) " +
-        "as o_orderdate",
+      "cast(timestamp_millis(788918400000 + cast(pmod(hash(id, 'd'), 2404) as bigint) * 86400000) " +
+        "as timestamp_ntz) as o_orderdate",
       "element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), " +
         "cast(pmod(hash(id, 'pr'), 5) + 1 as int)) as o_orderpriority"))
 
@@ -112,16 +112,16 @@ object GenData {
       s"pmod(hash(id, 'sk'), ${nSupp}L) as l_suppkey",
       "cast(pmod(hash(id, 'ln'), 7) + 1 as int) as l_linenumber",
       "cast(pmod(hash(id, 'q'), 50) + 1 as double) as l_quantity",
-      "round(900 + pmod(hash(id, 'ep'), 1000000) / 1000000.0 * 104000, 2) " +
-        "as l_extendedprice",
-      "round(pmod(hash(id, 'di'), 11) / 100.0, 2) as l_discount",
-      "round(pmod(hash(id, 'tx'), 9) / 100.0, 2) as l_tax",
+      "cast(round(900 + pmod(hash(id, 'ep'), 1000000) / 1000000.0 * 104000, 2) " +
+        "as double) as l_extendedprice",
+      "cast(round(pmod(hash(id, 'di'), 11) / 100.0, 2) as double) as l_discount",
+      "cast(round(pmod(hash(id, 'tx'), 9) / 100.0, 2) as double) as l_tax",
       "element_at(array('N','R','A'), cast(pmod(hash(id, 'rf'), 3) + 1 as int)) " +
         "as l_returnflag",
       "element_at(array('F','O'), cast(pmod(hash(id, 'ls'), 2) + 1 as int)) " +
         "as l_linestatus",
-      "timestamp_millis(789004800000 + cast(pmod(hash(id, 'sd'), 2499) as bigint) * 86400000) " +
-        "as l_shipdate"))
+      "cast(timestamp_millis(789004800000 + cast(pmod(hash(id, 'sd'), 2499) as bigint) * 86400000) " +
+        "as timestamp_ntz) as l_shipdate"))
 
     // events: one month of event-time, 1.5k users per 100k events, five
     // types — the driver's measured sf0.1 distribution, but written as
@@ -136,7 +136,7 @@ object GenData {
       s"pmod(hash(id, 'u'), ${nUsers}L) as user_id",
       "element_at(array('click','view','purchase','signup','error'), " +
         "cast(pmod(hash(id, 'et'), 5) + 1 as int)) as event_type",
-      "round(pmod(hash(id, 'v'), 1000000) / 1000000.0 * 560.0, 2) as value",
+      "cast(round(pmod(hash(id, 'v'), 1000000) / 1000000.0 * 560.0, 2) as double) as value",
       "concat('{\"k\": ', pmod(hash(id, 'pp'), 100), '}') as props"))
 
     // documents: 8–96 tokens drawn from the driver's ~31-word vocabulary

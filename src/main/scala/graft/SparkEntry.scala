@@ -2830,6 +2830,27 @@ object SparkEntry {
     // (every sample = a planted amplitude) decoded by WavPcmStats —
     // rms and peak are exactly amplitude/2^15, bit-identical across
     // engines.
+    // MP3 frame-header walk (codec-free metadata decode): crafted
+    // MPEG-1 Layer III streams — real sync/bitrate/samplerate header
+    // bits, zeroed payloads, ID3v2 tag on odd ids — walked by the
+    // native Mp3FrameStats expression; the oracle recomputes frame
+    // count, bitrate, and exact duration from the same parametrization.
+    "q_multimodal_mp3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val idx = element_at(array(lit(9), lit(11), lit(13)),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val frames = (lit(5) + pmod(col("doc_id"), lit(7))).cast("int")
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.mp3FrameStats(
+            Multimodal.syntheticMp3Content(idx, frames,
+              pmod(col("doc_id"), lit(2)) === 1)).as("m"))
+        .select(col("doc_id"), col("m.frames").as("frames"),
+          col("m.sample_rate").as("sample_rate"),
+          round(col("m.avg_bitrate_kbps"), 3).as("avg_bitrate_kbps"),
+          round(col("m.duration_sec"), 6).as("duration_sec"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal_pcm" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
       docs.select(col("doc_id"),
@@ -3899,6 +3920,19 @@ object SparkEntry {
         |  CAST((50 + doc_id % 20) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
         |  round(CAST(100 + (doc_id * 31) % 1000 AS DOUBLE) / 32768, 6) AS rms,
         |  round(CAST(100 + (doc_id * 31) % 1000 AS DOUBLE) / 32768, 6) AS peak
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // header fields are exact by construction: bitrate from the table
+    // index (%3 → 128/192/256 kbps), 5..11 frames, 44.1 kHz, duration
+    // = frames·1152/44100 (the MPEG-1 Layer III samples-per-frame)
+    "q_multimodal_mp3" ->
+      """SELECT doc_id,
+        |  5 + doc_id % 7 AS frames,
+        |  44100 AS sample_rate,
+        |  round(CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 128.0
+        |             WHEN 1 THEN 192.0 ELSE 256.0 END AS DOUBLE), 3)
+        |    AS avg_bitrate_kbps,
+        |  round((5 + doc_id % 7) * 1152.0 / 44100, 6) AS duration_sec
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     // equality structure only — the expected table is reconstructible

@@ -221,6 +221,36 @@ object Multimodal {
     df.withColumn("video_meta", coalesce(real, fake))
   }
 
+  /** A STRUCTURALLY REAL MPEG-1 Layer III stream: `nFrames` valid frame
+    * headers (44.1 kHz, no padding, bitrate from the standard table by
+    * index) each followed by a zeroed payload of the exact frame
+    * length (`144000·kbps/44100`), optionally preceded by an ID3v2.3
+    * tag with a syncsafe size — pure column expressions, so the
+    * frame-walk decoder ([[graft.functions.Mp3FrameStats]]) is
+    * exercised end to end with byte-exact expectations. Only the
+    * payload CONTENT is fake (silence); every header field is real. */
+  def syntheticMp3Content(bitrateIndex: Column, nFrames: Column,
+      withId3: Column): Column = {
+    // ISO 11172-3 Layer III bitrate table (kbps), 1-indexed for
+    // element_at; callers pass the INDEX so header bits stay exact
+    val kbpsTable = array(Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320).map(lit): _*)
+    val kbps = element_at(kbpsTable, (bitrateIndex + 1).cast("int"))
+    val frameLen = (lit(144000) * kbps / lit(44100)).cast("int")
+    val header = concat(
+      unhex(lit("FFFB")),                             // sync, MPEG-1 L3
+      be(shiftleft(bitrateIndex.cast("long"), 4), 1), // 44.1 kHz, no pad
+      lit(Array(0x00.toByte)))                        // stereo
+    val frame = concat(header,
+      repeatBin(lit(Array(0x00.toByte)), frameLen - 4))
+    val id3 = concat(lit("ID3".getBytes),
+      unhex(lit("030000")),                           // v2.3, no flags
+      unhex(lit("00000010")),                         // syncsafe size 16
+      repeatBin(lit(Array(0x00.toByte)), lit(16)))
+    concat(when(withId3, id3).otherwise(lit(Array.emptyByteArray)),
+      repeatBin(frame, nFrames))
+  }
+
   def syntheticWavContent(sampleRate: Column, channels: Column,
       bitsPerSample: Column, dataSize: Column): Column = {
     val byteRate = sampleRate * channels * bitsPerSample / 8

@@ -77,6 +77,13 @@ object GraftFunctions {
   def wavPcmStats(content: Column): Column =
     toCol(WavPcmStats(toExpr(content)))
 
+  /** MPEG-1 Layer III frame-header walk (codec-free) →
+    * `struct<frames,sample_rate,avg_bitrate_kbps,duration_sec>`;
+    * handles a leading ID3v2 tag and VBR streams. NULL when no valid
+    * frame is found. */
+  def mp3FrameStats(content: Column): Column =
+    toCol(Mp3FrameStats(toExpr(content)))
+
   /** Full pixel decode of any COMPRESSED image the JDK can read
     * (PNG/JPEG/GIF/BMP via `javax.imageio`) →
     * `struct<width,height,n_pixels,mean_r,mean_g,mean_b>`, NULL for

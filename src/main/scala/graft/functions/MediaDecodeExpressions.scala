@@ -257,3 +257,105 @@ case class AudioEnergyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** MPEG audio (MP3) FRAME-HEADER walk — codec-free, real: frame sync +
+  * header fields are plain byte arithmetic (ISO 11172-3 §2.4.1.3), so
+  * frame count, sample rate, average bitrate, and exact play duration
+  * come from a single scan-local pass with no decoder. Only PCM
+  * synthesis (the Huffman/IMDCT stage) needs a codec library and stays
+  * behind the documented stub ([[graft.ext.Multimodal]]) — this
+  * expression removes the stub label from MP3 METADATA, the part a
+  * data pipeline filters and audits on (duration caps, bitrate floors,
+  * corrupt-frame detection). Handles a leading ID3v2 tag (syncsafe
+  * size) and VBR streams (per-frame bitrate summed into the average).
+  * NULL for payloads with no valid MPEG-1 Layer III frame. */
+case class Mp3FrameStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3FrameStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_frame_stats"
+
+  def compute(bytes: Array[Byte]): InternalRow =
+    Mp3FrameStats.decode(bytes) match {
+      case Some((frames, sr, avgKbps, durSec)) =>
+        InternalRow(frames, sr, avgKbps, durSec)
+      case None => null
+    }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mp3fs", this, classOf[Mp3FrameStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mp3FrameStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("avg_bitrate_kbps", DoubleType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false)))
+
+  /** MPEG-1 Layer III bitrate table (kbps); index 0 = "free" and 15 =
+    * invalid — both end the walk. */
+  private val Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val SampleRates = Array(44100, 48000, 32000)
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  /** (frames, sampleRate, avgBitrateKbps, durationSec). The walk stops
+    * at the first byte that is not a valid frame header (truncated tail
+    * frames count only if complete). Sample rate is the FIRST frame's —
+    * real streams never mix rates; a rate change ends the walk. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Double, Double)] = {
+    if (b == null || b.length < 4) return None
+    var i = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      i = 10 + size
+      if (i < 0 || i >= b.length) return None // crafted size overflow
+    }
+    var frames = 0
+    var sampleRate = 0
+    var kbpsSum = 0.0
+    while (i + 4 <= b.length) {
+      if (u8(b, i) != 0xFF || (u8(b, i + 1) & 0xE0) != 0xE0)
+        return done(frames, sampleRate, kbpsSum)
+      val versionBits = (u8(b, i + 1) >> 3) & 3 // 3 = MPEG-1
+      val layerBits = (u8(b, i + 1) >> 1) & 3   // 1 = Layer III
+      if (versionBits != 3 || layerBits != 1)
+        return done(frames, sampleRate, kbpsSum)
+      val bitrateIdx = (u8(b, i + 2) >> 4) & 15
+      val srIdx = (u8(b, i + 2) >> 2) & 3
+      val padding = (u8(b, i + 2) >> 1) & 1
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3)
+        return done(frames, sampleRate, kbpsSum)
+      val sr = SampleRates(srIdx)
+      if (sampleRate == 0) sampleRate = sr
+      else if (sr != sampleRate) return done(frames, sampleRate, kbpsSum)
+      val kbps = Bitrates(bitrateIdx)
+      val frameLen = 144000 * kbps / sr + padding
+      if (frameLen < 4 || i + frameLen > b.length)
+        return done(frames, sampleRate, kbpsSum)
+      frames += 1
+      kbpsSum += kbps
+      i += frameLen
+    }
+    done(frames, sampleRate, kbpsSum)
+  }
+
+  private def done(frames: Int, sr: Int,
+      kbpsSum: Double): Option[(Int, Int, Double, Double)] =
+    if (frames == 0) None
+    else Some((frames, sr, kbpsSum / frames, frames * 1152.0 / sr))
+}

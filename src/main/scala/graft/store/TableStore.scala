@@ -528,7 +528,16 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   /** Fast-forward main to the branch head (see
     * [[SnapshotLog.fastForward]] — ancestor rule enforced, entries
-    * become real commits in order, branch deleted, one lock). */
+    * become real commits in order, branch deleted, one lock).
+    *
+    * Replayed branch COW commits (update/delete/merge) carry NO stored
+    * change files even when the table's change feed is enabled — the
+    * publish is metadata-only by design. The batch feed
+    * ([[readChanges]]) recovers their row-level effect from the file
+    * diff; the STREAMING CDC source, which requires stored change files
+    * for COW history, raises on such commits — run a diff-path
+    * catch-up ([[graft.streaming.ChangeFeedFollower]]) past the
+    * publish point before resuming a stream. */
   def fastForward(table: String, name: String,
       timestampMs: Long = System.currentTimeMillis()): Seq[Snapshot] = {
     val bs = branches(table)

@@ -231,4 +231,37 @@ class MediaDecodeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Mp3FrameStats: frame walk, ID3 skip, VBR average, edge cases") {
+    def frame(kbpsIdx: Int, padding: Int = 0): Array[Byte] = {
+      val kbps = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)(kbpsIdx)
+      val len = 144000 * kbps / 44100 + padding
+      val b = new Array[Byte](len)
+      b(0) = 0xFF.toByte; b(1) = 0xFB.toByte
+      b(2) = ((kbpsIdx << 4) | (padding << 1)).toByte
+      b
+    }
+    def stats(b: Array[Byte]) = Mp3FrameStats.decode(b)
+    // CBR: 3 frames at 128 kbps
+    val cbr = frame(9) ++ frame(9) ++ frame(9)
+    assert(stats(cbr).contains((3, 44100, 128.0, 3 * 1152.0 / 44100)))
+    // VBR: 128 + 256 average 192; padding bit honored in the walk
+    val vbr = frame(9, padding = 1) ++ frame(13)
+    assert(stats(vbr).contains((2, 44100, 192.0, 2 * 1152.0 / 44100)))
+    // ID3v2 tag skipped (syncsafe size 16)
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 16) ++
+      new Array[Byte](16) ++ frame(11)
+    assert(stats(id3).contains((1, 44100, 192.0, 1152.0 / 44100)))
+    // truncated tail frame does not count
+    assert(stats(cbr.dropRight(1)).contains((2, 44100, 128.0, 2 * 1152.0 / 44100)))
+    // garbage after valid frames ends the walk without losing them
+    assert(stats(frame(9) ++ "junk".getBytes).map(_._1).contains(1))
+    // no valid frame → None
+    assert(stats("not an mp3".getBytes).isEmpty)
+    assert(stats(Array.emptyByteArray).isEmpty)
+    assert(stats(null).isEmpty)
+    // free-format (idx 0) and invalid (15) bitrates end the walk
+    assert(stats(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x00)).isEmpty)
+  }
 }

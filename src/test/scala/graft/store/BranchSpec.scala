@@ -167,6 +167,27 @@ class BranchSpec extends AnyFunSuite {
       "FOR SYSTEM_VERSION AS OF 4") == "[(150.0,)]")
   }
 
+  test("the change feed serves fast-forwarded branch COW commits via " +
+      "the diff path") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    eng.sql("CREATE TABLE bf (id INT, v DOUBLE)")
+    eng.sql("INSERT INTO bf VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    eng.sql("ALTER TABLE bf CREATE BRANCH wip")
+    spark.conf.set(graft.sql.SqlDdl.BranchConf, "wip")
+    try {
+      eng.sql("DELETE FROM bf WHERE id = 2")
+      eng.sql("UPDATE bf SET v = v + 10 WHERE id = 3")
+    } finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
+    st.fastForward("bf", "wip")
+    // replayed COW commits carry no stored change files — the batch
+    // feed recovers their row-level effect from the file diff
+    val feed = st.readChanges("bf", 1).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+    assert(feed == Seq((2, 2.0, "delete"), (3, 3.0, "delete"),
+      (3, 13.0, "insert")))
+  }
+
   test("branch DML conflicts: unknown branch loud, WAP id rejected") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE bc (id INT)")
