@@ -121,11 +121,13 @@ final class Engine(catalog: GraftCatalog) {
   // Delta's `table_changes` as a table-valued RELATION: the CALL form
   // returns the raw feed; this form lets arbitrary SQL compose over it —
   // `SELECT _change_type, count(*) FROM table_changes('t', 1) GROUP BY 1`.
-  // Positional snapshot-id bounds only (the timestamp spelling stays on
-  // the CALL form, where the literal parser lives).
+  // Positional bounds: snapshot ids, or TIMESTAMP literals with the CALL
+  // form's semantics (start = commits at-or-after the instant, end =
+  // at-or-before).
+  private val TcBound = "(?:(\\d+)|TIMESTAMP\\s+'([^']+)')"
   private val TableChangesRef =
     ("(?i)\\btable_changes\\s*\\(\\s*'([^']+)'\\s*" +
-      "(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)").r
+      s"(?:,\\s*$TcBound\\s*(?:,\\s*$TcBound\\s*)?)?\\)").r
 
   /** Replace `table_changes('t'[, start[, end]])` relations with temp
     * views over [[graft.store.TableStore.readChanges]] — a lazy plan,
@@ -147,12 +149,27 @@ final class Engine(catalog: GraftCatalog) {
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val (cat, t) = SqlDdl.resolved(catalog, m.group(1))
-        require(cat.store().exists(t), s"table not found: ${m.group(1)}")
-        val from = Option(m.group(2)).map(_.toLong).getOrElse(0L)
-        val to = Option(m.group(3)).map(_.toLong)
+        val st = cat.store()
+        require(st.exists(t), s"table not found: ${m.group(1)}")
+        val from = (Option(m.group(2)), Option(m.group(3))) match {
+          // start EXCLUSIVE: commits strictly before the instant are the
+          // baseline, at-or-after are the feed (the CALL form's rule)
+          case (_, Some(ts)) => st.snapshotIdAtOrBefore(t,
+            TimeTravelRewriter.parseTimestampMs(ts) - 1).getOrElse(0L)
+          case (Some(id), _) => id.toLong
+          case _ => 0L
+        }
+        val to = (Option(m.group(4)), Option(m.group(5))) match {
+          case (_, Some(ts)) => Some(st.snapshotIdAtOrBefore(t,
+            TimeTravelRewriter.parseTimestampMs(ts)).getOrElse(
+              throw new IllegalArgumentException(
+                s"table_changes: no commit of $t at or before '$ts'")))
+          case (Some(id), _) => Some(id.toLong)
+          case _ => None
+        }
         val view = s"${t}__changes_${from}_${to.getOrElse("cur")}_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-        cat.store().readChanges(t, from, to).createOrReplaceTempView(view)
+        st.readChanges(t, from, to).createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(view)
       }
     })

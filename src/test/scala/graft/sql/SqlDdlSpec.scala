@@ -1066,6 +1066,12 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT COUNT(*) FROM table_changes('tcr') a " +
       "JOIN table_changes('tcr') b ON a.id = b.id " +
       "AND a._change_type = b._change_type") == "[(4,)]")
+    // TIMESTAMP bounds mirror the CALL form: start = at-or-after the
+    // instant (epoch → the whole feed), end = at-or-before
+    assert(eng.run("SELECT COUNT(*) FROM table_changes('tcr', " +
+      "TIMESTAMP '1990-01-01 00:00:00')") == "[(4,)]")
+    assert(eng.run("SELECT COUNT(*) FROM table_changes('tcr', 1, " +
+      "TIMESTAMP '2100-01-01 00:00:00')") == "[(1,)]")
   }
 
   test("INSERT OVERWRITE with the change feed enabled materializes its diff") {
