@@ -188,6 +188,52 @@ class BranchSpec extends AnyFunSuite {
       (3, 13.0, "insert")))
   }
 
+  test("PROPERTY: a branch op-sequence fast-forwarded equals the same " +
+      "ops applied directly to main") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    for (seed <- Seq(1, 7)) {
+      val ctl = s"ctl_$seed"
+      val br = s"brt_$seed"
+      def seedRows(n: Int) = (0 until n)
+        .map(i => (i, i * 1.5, s"g${i % 5}")).toDF("id", "v", "g")
+      for (t <- Seq(ctl, br)) {
+        cat.createTable(t, seedRows(1).schema)
+        cat.append(t, seedRows(40), 1000L)
+      }
+      eng.sql(s"ALTER TABLE $br CREATE BRANCH work")
+      // deterministic pseudo-random op sequence, applied to the control
+      // directly and to the branch via the conf
+      def ops(t: String): Unit = {
+        val rnd = new scala.util.Random(seed)
+        for (step <- 0 until 6) {
+          val k = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(k)
+          rnd.nextInt(3) match {
+            case 0 => eng.sql(
+              s"INSERT INTO $t VALUES (${100 + seed * 10 + step}, " +
+                s"${step * 2.5}, 'gNew')")
+            case 1 => eng.sql(
+              s"UPDATE $t SET v = v + $step WHERE id % $k = $r")
+            case 2 => eng.sql(s"DELETE FROM $t WHERE id % $k = $r AND id < 30")
+          }
+        }
+      }
+      ops(ctl)
+      spark.conf.set(graft.sql.SqlDdl.BranchConf, "work")
+      try ops(br) finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
+      // vacuum must not eat branch-staged COW rewrites pre-publish
+      st.vacuum(br, System.currentTimeMillis() + 3600000L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"id", $"v").collect().toSeq
+      assert(rows(st.readBranch(br, "work")) == rows(st.read(ctl)),
+        s"branch view diverged (seed $seed)")
+      st.fastForward(br, "work")
+      assert(rows(st.read(br)) == rows(st.read(ctl)),
+        s"published state diverged (seed $seed)")
+    }
+  }
+
   test("branch DML conflicts: unknown branch loud, WAP id rejected") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE bc (id INT)")

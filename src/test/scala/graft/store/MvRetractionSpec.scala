@@ -138,6 +138,26 @@ class MvRetractionSpec extends AnyFunSuite {
     assert(rendered(st, "mv_s") == expected(st, "sales"))
   }
 
+  test("retraction composes with fast-forwarded branch DML (replayed " +
+      "COW commits refresh from the diff-path feed)") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    cat.createTable("sales", sales(1).schema)
+    cat.append("sales", sales(40), 1000L)
+    MV.create(st, "mv_b", retractableDef("sales"))
+    eng.sql("ALTER TABLE sales CREATE BRANCH fix")
+    spark.conf.set(graft.sql.SqlDdl.BranchConf, "fix")
+    try {
+      eng.sql("UPDATE sales SET amount = amount * 3 WHERE id % 4 = 1")
+      eng.sql("DELETE FROM sales WHERE id % 6 = 0")
+    } finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
+    // staged only: the view's base is unchanged, refresh is a no-op
+    assert(MV.refresh(st, "mv_b") == MV.UpToDate)
+    st.fastForward("sales", "fix")
+    assert(MV.refresh(st, "mv_b").isInstanceOf[MV.IncrementalRetract])
+    assert(rendered(st, "mv_b") == expected(st, "sales"))
+  }
+
   test("pre-upgrade state (no retraction columns) full-rebuilds once — " +
       "on the APPEND path too, then resumes incremental") {
     val (cat, _) = fixture()
