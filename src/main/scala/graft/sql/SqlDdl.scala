@@ -442,6 +442,11 @@ object SqlDdl {
     case Truncate(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
+      require(catalog.spark.conf.getOption(WapIdConf).forall(_.isEmpty) &&
+        catalog.spark.conf.getOption(BranchConf).forall(_.isEmpty),
+        "TRUNCATE cannot run with a WAP id or branch conf set — it " +
+          "would silently clear MAIN while writes are staging elsewhere " +
+          "(use DELETE on the branch instead)")
       cat.truncate(t)
       Some(empty(catalog))
     case CreateView(orReplace, qn, select) =>
@@ -843,6 +848,10 @@ object SqlDdl {
     case Restore(qn, version, ts) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
+      require(catalog.spark.conf.getOption(WapIdConf).forall(_.isEmpty) &&
+        catalog.spark.conf.getOption(BranchConf).forall(_.isEmpty),
+        "RESTORE cannot run with a WAP id or branch conf set — it " +
+          "rewrites MAIN's visible state while writes are staging elsewhere")
       if (version != null) cat.rollback(t, version.toLong)
       else cat.rollbackToTime(t, TimeTravelRewriter.parseTimestampMs(ts))
       Some(empty(catalog))

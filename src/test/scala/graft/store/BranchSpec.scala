@@ -246,6 +246,15 @@ class BranchSpec extends AnyFunSuite {
     try assertThrows[IllegalArgumentException](
       eng.sql("UPDATE bc SET id = 2 WHERE id = 1"))
     finally spark.conf.unset(graft.sql.SqlDdl.WapIdConf)
+    // TRUNCATE / RESTORE change MAIN's contents: both refuse while a
+    // branch (or WAP id) conf routes writes elsewhere
+    eng.sql("ALTER TABLE bc CREATE BRANCH b1")
+    spark.conf.set(graft.sql.SqlDdl.BranchConf, "b1")
+    try {
+      assertThrows[IllegalArgumentException](eng.sql("TRUNCATE TABLE bc"))
+      assertThrows[IllegalArgumentException](
+        eng.sql("RESTORE TABLE bc TO VERSION AS OF 1"))
+    } finally spark.conf.unset(graft.sql.SqlDdl.BranchConf)
     // nothing leaked onto main
     assert(eng.run("SELECT COUNT(*) FROM bc") == "[(1,)]")
   }
