@@ -649,6 +649,31 @@ object SparkEntry {
         "GROUP BY _change_type ORDER BY change_type")
     },
 
+    "q_dml_subquery" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      cat.createTable("orders_su", orders.schema)
+      cat.createTable("cust_su", cust.schema)
+      cat.append("orders_su", orders, 1000L)
+      cat.append("cust_su", cust, 1000L)
+      // cross-table subquery DML: the store's predicate walker cannot
+      // evaluate these — the engine seam does, file-granular
+      eng.sql("DELETE FROM orders_su WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM cust_su WHERE c_acctbal < 0)")
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice + " +
+        "(SELECT COUNT(*) FROM cust_su WHERE c_acctbal < 0) " +
+        "WHERE o_orderkey IN " +
+        "(SELECT c_custkey FROM cust_su WHERE c_acctbal > 9000)")
+      eng
+    } { eng =>
+      eng.sql("SELECT COUNT(*) AS cnt, " +
+        "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_su")
+    },
+
     "q_meta_agg" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1561,6 +1586,13 @@ object SparkEntry {
     // — O(files) metadata, no scan (LocalRelation plan asserted in
     // EngineSpec); DuckDB recomputes the count from the raw rows.
     "q_meta_count_filtered" -> benchSplits("q_meta_count_filtered").composed,
+
+    // DELETE/UPDATE with cross-table SUBQUERY predicates (IN/EXISTS/
+    // scalar): evaluated through the engine seam — one marking scan,
+    // matched files rewrite, the rest carry — because file bounds
+    // cannot prune what another table's rows decide. Oracle recomputes
+    // the final state from the raw rows.
+    "q_dml_subquery" -> benchSplits("q_dml_subquery").composed,
 
     // Metadata-answered COUNT/MIN/MAX, filtered AND pinned: the
     // partition-aligned WHERE folds footer stats of only the matching
@@ -3366,6 +3398,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'insert', count(*), round(sum(o_totalprice), 2) FROM inserted
         |ORDER BY change_type""".stripMargin,
+
+    // orders of negative-balance customers deleted; surviving orders
+    // whose key is a rich customer's key gain the negative-customer
+    // count (the scalar subquery's value)
+    "q_dml_subquery" ->
+      """WITH neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+        |     fin AS (
+        |       SELECT CASE WHEN o_orderkey IN (SELECT c_custkey FROM rich)
+        |              THEN o_totalprice + (SELECT count(*) FROM neg)
+        |              ELSE o_totalprice END AS p
+        |       FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM neg))
+        |SELECT count(*) AS cnt, round(sum(p), 2) AS rev FROM fin""".stripMargin,
 
     // cur = the quarter's rows (folded from matching files' footers);
     // v1 = the even-keys first snapshot (folded from the pinned log

@@ -858,10 +858,14 @@ object SqlDdl {
     case Delete(qn, cond) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      dmlBranch(catalog) match {
-        case Some(b) => cat.store().deleteOnBranch(t, b,
+      (dmlBranch(catalog), hasSubquery(cond)) match {
+        case (Some(_), true) => throw new IllegalArgumentException(
+          "DELETE with a subquery predicate is not supported on a " +
+            "branch — publish or run it on main")
+        case (Some(b), false) => cat.store().deleteOnBranch(t, b,
           org.apache.spark.sql.functions.expr(cond))
-        case None => cat.deleteWhere(t,
+        case (None, true) => deleteViaSql(cat, t, cond)
+        case (None, false) => cat.deleteWhere(t,
           org.apache.spark.sql.functions.expr(cond))
       }
       Some(empty(catalog))
@@ -1079,30 +1083,125 @@ object SqlDdl {
     branch
   }
 
+  private val SubqueryPat =
+    java.util.regex.Pattern.compile("(?is)\\(\\s*SELECT\\b")
+  private def hasSubquery(s: String): Boolean = SubqueryPat.matcher(s).find()
+
+  /** Leaf file name of an `input_file_name()` path — matches
+    * [[graft.store.TableStore.fileName]]'s normalization. */
+  private def fileLeaf(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    element_at(split(c, "/"), -1)
+  }
+
+  /** DELETE whose predicate contains a SUBQUERY (`IN (SELECT …)`,
+    * `EXISTS (…)`, scalar comparisons): the store's predicate walker
+    * cannot evaluate cross-table subqueries, so the predicate runs
+    * through the full engine seam instead — one scan marks every row
+    * and its source file, files containing matches rewrite without
+    * their matching rows, everything else carries by reference.
+    * File-granular like [[graft.store.TableStore.deleteWhere]], at the
+    * cost of one full predicate scan (the subquery's nature: no file
+    * bounds can prune what another table's rows decide). */
+  private def deleteViaSql(cat: GraftCatalog, t: String,
+      cond: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val st = cat.store()
+    val baseId = st.currentSnapshotId(t).getOrElse(0L)
+    if (baseId == 0L) return // empty table
+    val eng = new Engine(cat)
+    val marked = eng.sql(s"SELECT *, input_file_name() AS __f, " +
+      s"coalesce(($cond), false) AS __m FROM $t")
+    val matchedNames = marked.filter(col("__m"))
+      .select(fileLeaf(col("__f")).as("__fn"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val keep =
+      if (matchedNames.isEmpty) None
+      else {
+        import cat.spark.implicits._
+        val names = matchedNames.toSeq.toDF("__fn")
+        Some(marked.filter(!col("__m"))
+          .withColumn("__fn", fileLeaf(col("__f")))
+          .join(broadcast(names), Seq("__fn"), "left_semi")
+          .select(st.schema(t).fieldNames.toIndexedSeq.map(col): _*))
+      }
+    st.rewriteMatchedFiles(t, "delete", matchedNames, keep, baseId)
+    cat.registerView(t)
+  }
+
+  /** UPDATE with subquery predicates / right-hand sides, same seam as
+    * [[deleteViaSql]]: the CASE-per-column rewrite is built as SQL so
+    * scalar subqueries in SET expressions evaluate with full engine
+    * resolution; only files containing matched rows rewrite. */
+  private def updateViaSql(cat: GraftCatalog, t: String,
+      assignments: Seq[(String, String)], cond: Option[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val st = cat.store()
+    val baseId = st.currentSnapshotId(t).getOrElse(0L)
+    if (baseId == 0L) return
+    val eng = new Engine(cat)
+    val condSql = cond.getOrElse("true")
+    val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
+    val cases = st.schema(t).fields.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(rhs) =>
+          s"CAST(CASE WHEN __m THEN ($rhs) ELSE `${f.name}` END AS " +
+            s"${f.dataType.sql}) AS `${f.name}`"
+        case None => s"`${f.name}`"
+      }
+    }
+    val marked = eng.sql(
+      s"SELECT ${cases.mkString(", ")}, __f, __m FROM (" +
+        s"SELECT *, input_file_name() AS __f, " +
+        s"coalesce(($condSql), false) AS __m FROM $t) __graft_upd")
+    val matchedNames = marked.filter(col("__m"))
+      .select(fileLeaf(col("__f")).as("__fn"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val replacement =
+      if (matchedNames.isEmpty) None
+      else {
+        import cat.spark.implicits._
+        val names = matchedNames.toSeq.toDF("__fn")
+        Some(marked
+          .withColumn("__fn", fileLeaf(col("__f")))
+          .join(broadcast(names), Seq("__fn"), "left_semi")
+          .select(st.schema(t).fieldNames.toIndexedSeq.map(col): _*))
+      }
+    st.rewriteMatchedFiles(t, "update", matchedNames, replacement, baseId)
+    cat.registerView(t)
+  }
+
   private def updateWhere(catalog: GraftCatalog, table: String,
       setList: String, cond: Option[String],
       branch: Option[String]): Unit = {
     import org.apache.spark.sql.functions.expr
     require(catalog.store().exists(table), s"table not found: $table")
     val schema = catalog.store().schema(table)
-    val assignmentList = SqlText.splitTopLevel(setList).map { a =>
+    val rawAssignments = SqlText.splitTopLevel(setList).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"cannot parse SET assignment: '$a'")
       val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
       require(schema.fieldNames.contains(name),
         s"unknown column '$name' in UPDATE $table")
-      name -> expr(a.substring(eq + 1).trim)
+      name -> a.substring(eq + 1).trim
     }
     // standard SQL rejects `SET a = 1, a = 2` — don't silently last-wins
-    val dups = assignmentList.map(_._1).groupBy(identity).collect {
+    val dups = rawAssignments.map(_._1).groupBy(identity).collect {
       case (n, vs) if vs.size > 1 => n
     }
     require(dups.isEmpty,
       s"duplicate column(s) in SET of UPDATE $table: ${dups.mkString(", ")}")
-    branch match {
-      case Some(b) => catalog.store().updateOnBranch(table, b,
-        assignmentList, cond.map(expr))
-      case None => catalog.updateWhere(table, assignmentList, cond.map(expr))
+    val subq = rawAssignments.exists(a => hasSubquery(a._2)) ||
+      cond.exists(hasSubquery)
+    def exprs = rawAssignments.map { case (n, v) => n -> expr(v) }
+    (branch, subq) match {
+      case (Some(_), true) => throw new IllegalArgumentException(
+        "UPDATE with a subquery is not supported on a branch — publish " +
+          "or run it on main")
+      case (Some(b), false) => catalog.store().updateOnBranch(table, b,
+        exprs, cond.map(expr))
+      case (None, true) => updateViaSql(catalog, table, rawAssignments, cond)
+      case (None, false) => catalog.updateWhere(table, exprs, cond.map(expr))
     }
   }
 

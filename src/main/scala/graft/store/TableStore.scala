@@ -2112,6 +2112,26 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         timestampMs, baseId)
     }
 
+  /** COW rewrite whose matched-file set and replacement rows were
+    * computed EXTERNALLY — the SQL seam evaluates predicates the
+    * store's own predicate walker cannot (subqueries against other
+    * tables) and hands back the leaf names of files containing matches
+    * plus the rewritten rows for exactly those files. Carried files
+    * pass by reference like every COW commit. `expectedLastId` pins
+    * against concurrent writers: a commit that landed after the
+    * caller's scan raises a conflict instead of silently dropping it. */
+  def rewriteMatchedFiles(table: String, operation: String,
+      matchedNames: Set[String], replacement: Option[DataFrame],
+      expectedLastId: Long,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val baseFiles = SnapshotLog.resolve(fs, tableDir(table), None)
+      .map(_.files).getOrElse(Seq.empty)
+    val (matched, carried) = baseFiles.partition(f =>
+      matchedNames(TableStore.fileName(f.path)))
+    cowCommit(table, operation, carried, matched,
+      if (matched.isEmpty) None else replacement, timestampMs, expectedLastId)
+  }
+
   /** Schema evolution: append columns to the persisted schema. Existing
     * data files simply lack the new columns — Spark's by-name Parquet
     * resolution fills them with typed NULLs on read, so no data is

@@ -1074,6 +1074,45 @@ class SqlDdlSpec extends AnyFunSuite {
       "TIMESTAMP '2100-01-01 00:00:00')") == "[(1,)]")
   }
 
+  test("DELETE/UPDATE with SUBQUERY predicates run through the engine " +
+      "seam, file-granular, time-travel preserved") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    eng.sql("CREATE TABLE su (id INT, v DOUBLE)")
+    eng.sql("CREATE TABLE picks (id INT)")
+    eng.sql("INSERT INTO su VALUES (1, 10.0), (2, 20.0)")  // file A
+    eng.sql("INSERT INTO su VALUES (3, 30.0), (4, 40.0)")  // file B
+    eng.sql("INSERT INTO picks VALUES (2), (9)")
+    val before = st.filesMetadata("su").map(_._1).toSet
+    // IN-subquery DELETE touches only file A; B carries by reference
+    eng.sql("DELETE FROM su WHERE id IN (SELECT id FROM picks)")
+    assert(eng.run("SELECT id, v FROM su ORDER BY id") ==
+      "[(1, 10.0), (3, 30.0), (4, 40.0)]")
+    val after = st.filesMetadata("su").map(_._1).toSet
+    // only the file holding id=2 rewrites; every other file carries by
+    // reference (same path object in the new snapshot)
+    assert((before -- after).size == 1, "exactly the matching file rewrites")
+    assert((before & after).size == before.size - 1, "others must carry")
+    assert(eng.run("SELECT COUNT(*) FROM su FOR SYSTEM_VERSION AS OF 2")
+      == "[(4,)]")
+    // scalar subquery in SET + IN-subquery WHERE
+    eng.sql("INSERT INTO picks VALUES (3)")
+    eng.sql("UPDATE su SET v = v + (SELECT COUNT(*) FROM picks) " +
+      "WHERE id IN (SELECT id FROM picks)")
+    assert(eng.run("SELECT id, v FROM su ORDER BY id") ==
+      "[(1, 10.0), (3, 33.0), (4, 40.0)]")
+    // EXISTS spelling; no matches → no rows change
+    eng.sql("DELETE FROM su WHERE EXISTS " +
+      "(SELECT 1 FROM picks WHERE picks.id = su.id AND picks.id > 100)")
+    assert(eng.run("SELECT COUNT(*) FROM su") == "[(3,)]")
+    // rejected on a branch (loud, not silently against main)
+    eng.sql("ALTER TABLE su CREATE BRANCH b")
+    spark.conf.set(SqlDdl.BranchConf, "b")
+    try assertThrows[IllegalArgumentException](
+      eng.sql("DELETE FROM su WHERE id IN (SELECT id FROM picks)"))
+    finally spark.conf.unset(SqlDdl.BranchConf)
+  }
+
   test("INSERT OVERWRITE with the change feed enabled materializes its diff") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE iow2 (id INT)")
