@@ -1087,87 +1087,88 @@ object SqlDdl {
     java.util.regex.Pattern.compile("(?is)\\(\\s*SELECT\\b")
   private def hasSubquery(s: String): Boolean = SubqueryPat.matcher(s).find()
 
-  /** Leaf file name of an `input_file_name()` path — matches
-    * [[graft.store.TableStore.fileName]]'s normalization. */
-  private def fileLeaf(c: org.apache.spark.sql.Column) = {
-    import org.apache.spark.sql.functions._
-    element_at(split(c, "/"), -1)
+  /** Leaf file name of an `input_file_name()` path string. */
+  private def leafOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** The MARK pass shared by subquery DML: one column-pruned WHERE scan
+    * (only the predicate's columns read; partition pruning applies to
+    * any non-subquery conjuncts) yields the leaf names of files
+    * containing matched rows — the set the rewrite is scoped to. */
+  private def matchedFileNames(eng: Engine, t: String,
+      cond: String): Set[String] =
+    eng.sql(s"SELECT DISTINCT input_file_name() AS __graft_f FROM $t " +
+        s"WHERE coalesce(($cond), false)")
+      .collect().map(r => leafOf(r.getString(0))).toSet
+
+  /** Run `body` with the matched files registered as a temp view
+    * ALIASED as the table name, so the rewrite SQL resolves both plain
+    * and table-qualified column references; the view is dropped after
+    * the commit (the staged write inside it has materialized by then). */
+  private def withScopedView[T](cat: GraftCatalog, t: String,
+      names: Set[String])(body: String => T): T = {
+    val view = s"__graft_dml_${java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)}"
+    cat.store().readNamedFiles(t, names).createOrReplaceTempView(view)
+    try body(view)
+    finally cat.spark.catalog.dropTempView(view)
   }
 
   /** DELETE whose predicate contains a SUBQUERY (`IN (SELECT …)`,
     * `EXISTS (…)`, scalar comparisons): the store's predicate walker
-    * cannot evaluate cross-table subqueries, so the predicate runs
-    * through the full engine seam instead — one scan marks every row
-    * and its source file, files containing matches rewrite without
-    * their matching rows, everything else carries by reference.
-    * File-granular like [[graft.store.TableStore.deleteWhere]], at the
-    * cost of one full predicate scan (the subquery's nature: no file
-    * bounds can prune what another table's rows decide). */
+    * cannot evaluate cross-table subqueries, so the statement runs in
+    * two engine-seam passes — a column-pruned MARK scan finds the
+    * files containing matches, then a REWRITE scan over exactly those
+    * files drops the matching rows. Everything else carries by
+    * reference: file-granular like
+    * [[graft.store.TableStore.deleteWhere]]; only the mark pass is the
+    * unavoidable predicate-wide scan (no file bounds can prune what
+    * another table's rows decide). */
   private def deleteViaSql(cat: GraftCatalog, t: String,
       cond: String): Unit = {
-    import org.apache.spark.sql.functions._
     val st = cat.store()
     val baseId = st.currentSnapshotId(t).getOrElse(0L)
     if (baseId == 0L) return // empty table
     val eng = new Engine(cat)
-    val marked = eng.sql(s"SELECT *, input_file_name() AS __f, " +
-      s"coalesce(($cond), false) AS __m FROM $t")
-    val matchedNames = marked.filter(col("__m"))
-      .select(fileLeaf(col("__f")).as("__fn"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val keep =
-      if (matchedNames.isEmpty) None
-      else {
-        import cat.spark.implicits._
-        val names = matchedNames.toSeq.toDF("__fn")
-        Some(marked.filter(!col("__m"))
-          .withColumn("__fn", fileLeaf(col("__f")))
-          .join(broadcast(names), Seq("__fn"), "left_semi")
-          .select(st.schema(t).fieldNames.toIndexedSeq.map(col): _*))
-      }
-    st.rewriteMatchedFiles(t, "delete", matchedNames, keep, baseId)
+    val matchedNames = matchedFileNames(eng, t, cond)
+    if (matchedNames.isEmpty) return // nothing to delete, no empty commit
+    withScopedView(cat, t, matchedNames) { view =>
+      val keep = eng.sql(
+        s"SELECT * FROM $view AS `$t` WHERE NOT coalesce(($cond), false)")
+      st.rewriteMatchedFiles(t, "delete", matchedNames, Some(keep), baseId)
+    }
     cat.registerView(t)
   }
 
-  /** UPDATE with subquery predicates / right-hand sides, same seam as
-    * [[deleteViaSql]]: the CASE-per-column rewrite is built as SQL so
-    * scalar subqueries in SET expressions evaluate with full engine
-    * resolution; only files containing matched rows rewrite. */
+  /** UPDATE with subquery predicates / right-hand sides, same two-pass
+    * seam as [[deleteViaSql]]: the CASE-per-column rewrite is built as
+    * SQL over the matched files alone, so scalar subqueries in SET
+    * expressions evaluate with full engine resolution. */
   private def updateViaSql(cat: GraftCatalog, t: String,
       assignments: Seq[(String, String)], cond: Option[String]): Unit = {
-    import org.apache.spark.sql.functions._
     val st = cat.store()
     val baseId = st.currentSnapshotId(t).getOrElse(0L)
     if (baseId == 0L) return
     val eng = new Engine(cat)
     val condSql = cond.getOrElse("true")
+    val matchedNames = matchedFileNames(eng, t, condSql)
+    if (matchedNames.isEmpty) return
     val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
     val cases = st.schema(t).fields.map { f =>
       byName.get(f.name.toLowerCase) match {
         case Some(rhs) =>
-          s"CAST(CASE WHEN __m THEN ($rhs) ELSE `${f.name}` END AS " +
+          s"CAST(CASE WHEN __graft_m THEN ($rhs) ELSE `${f.name}` END AS " +
             s"${f.dataType.sql}) AS `${f.name}`"
         case None => s"`${f.name}`"
       }
     }
-    val marked = eng.sql(
-      s"SELECT ${cases.mkString(", ")}, __f, __m FROM (" +
-        s"SELECT *, input_file_name() AS __f, " +
-        s"coalesce(($condSql), false) AS __m FROM $t) __graft_upd")
-    val matchedNames = marked.filter(col("__m"))
-      .select(fileLeaf(col("__f")).as("__fn"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val replacement =
-      if (matchedNames.isEmpty) None
-      else {
-        import cat.spark.implicits._
-        val names = matchedNames.toSeq.toDF("__fn")
-        Some(marked
-          .withColumn("__fn", fileLeaf(col("__f")))
-          .join(broadcast(names), Seq("__fn"), "left_semi")
-          .select(st.schema(t).fieldNames.toIndexedSeq.map(col): _*))
-      }
-    st.rewriteMatchedFiles(t, "update", matchedNames, replacement, baseId)
+    withScopedView(cat, t, matchedNames) { view =>
+      val replacement = eng.sql(
+        s"SELECT ${cases.mkString(", ")} FROM (" +
+          s"SELECT *, coalesce(($condSql), false) AS __graft_m " +
+          s"FROM $view AS `$t`) __graft_upd")
+      st.rewriteMatchedFiles(t, "update", matchedNames, Some(replacement),
+        baseId)
+    }
     cat.registerView(t)
   }
 

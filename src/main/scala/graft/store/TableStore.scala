@@ -2112,6 +2112,16 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         timestampMs, baseId)
     }
 
+  /** Read ONLY the named data files (leaf names) of the current
+    * snapshot, rename-reconciled to the current schema — the scoped
+    * second pass of subquery DML: the rewrite scan touches matched
+    * files alone, never the table. */
+  def readNamedFiles(table: String, leafNames: Set[String]): DataFrame = {
+    val files = dataFilesAsOf(table, None)
+      .filter(f => leafNames(TableStore.fileName(f.path)))
+    readFileListAs(table, files, schema(table))
+  }
+
   /** COW rewrite whose matched-file set and replacement rows were
     * computed EXTERNALLY — the SQL seam evaluates predicates the
     * store's own predicate walker cannot (subqueries against other
