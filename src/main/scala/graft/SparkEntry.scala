@@ -2539,6 +2539,36 @@ object SparkEntry {
     // acceptance at fractional weights, run-to-run stability, and
     // subset invariance — the filtered corpus keeps exactly the same
     // docs), which DuckDB can check without replicating the hash.
+    // Temperature (alpha) sampling — the multilingual rebalancing
+    // recipe: p_i ∝ n_i^alpha. The Spark side recomputes the expected
+    // per-domain keep rate in closed form from the true counts and
+    // checks the carve lands within hash noise; alpha=1 must reproduce
+    // natural proportions (one uniform rate). DuckDB pins the totals.
+    "q_alpha_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val totalN = docs.count()
+      val target = totalN / 2
+      def samp(a: Double) = Splits.alphaSample(docs, "lang", "doc_id", a, target)
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("total"))
+      val k03 = samp(0.3).groupBy("lang").agg(count(lit(1)).as("kept03"))
+      val k03b = samp(0.3).groupBy("lang").agg(count(lit(1)).as("kept03b"))
+      val k1 = samp(1.0).groupBy("lang").agg(count(lit(1)).as("kept1"))
+      val wsum = sum(pow(col("total"), lit(0.3))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())
+      tot.join(k03, Seq("lang"), "left").join(k03b, Seq("lang"), "left")
+        .join(k1, Seq("lang"), "left")
+        .na.fill(0L, Seq("kept03", "kept03b", "kept1"))
+        .withColumn("r03", least(lit(1.0),
+          lit(target) * (pow(col("total"), lit(0.3)) / wsum) / col("total")))
+        .select(col("lang"), col("total"),
+          (abs(col("kept03") / col("total") - col("r03")) < 0.18)
+            .as("mix03_ok"),
+          (col("kept03") === col("kept03b")).as("stable"),
+          (abs(col("kept1") / col("total") - lit(target.toDouble / totalN))
+            < 0.18).as("natural1_ok"))
+        .orderBy(col("lang"))
+    }),
+
     "q_domain_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val weights = Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.0)
@@ -4038,6 +4068,11 @@ object SparkEntry {
     "q_domain_mix" ->
       """SELECT lang, count(*) AS total, TRUE AS mix_ok, TRUE AS stable,
         |       TRUE AS invariant
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_alpha_sample" ->
+      """SELECT lang, count(*) AS total, TRUE AS mix03_ok, TRUE AS stable,
+        |       TRUE AS natural1_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_replicate" ->

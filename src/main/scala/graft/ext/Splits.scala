@@ -182,6 +182,38 @@ object Splits {
       seed: Long = MixSeed): DataFrame =
     df.filter(mixKeep(col(keyCol), col(domainCol), weights, defaultWeight, seed))
 
+  /** TEMPERATURE-BASED domain sampling (the multilingual "alpha
+    * sampling" recipe — XLM / mT5 style): target mixture proportions
+    * p_i ∝ n_i^alpha rebalance a skewed corpus toward its small
+    * domains (alpha = 1 keeps natural proportions, alpha = 0
+    * equalizes; ~0.3 is the multilingual-LM convention), realized as
+    * per-domain keep rates r_i = min(1, targetRows·p_i / n_i) applied
+    * by the same deterministic hash carve as [[mixKeep]] — so the
+    * sample is stable across runs and subset-consistent.
+    *
+    * Scale shape: ONE count aggregation collects |domains| rows to the
+    * driver; the rates broadcast back as literal thresholds in a
+    * codegen decision chain — no joins, no per-row float math. Rates
+    * cap at 1: tiny domains keep everything (upsampling beyond 1 is
+    * [[replicate]]'s job). Rows with a NULL domain are dropped (they
+    * have no n_i to weight by). */
+  def alphaSample(df: DataFrame, domainCol: String, keyCol: String,
+      alpha: Double, targetRows: Long, seed: Long = MixSeed): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.limit(0)
+    val wsum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (d, n) =>
+      d -> math.min(1.0, targetRows * (math.pow(n.toDouble, alpha) / wsum) / n)
+    }
+    df.filter(mixKeep(col(keyCol), col(domainCol).cast("string"), rates,
+      defaultWeight = 0.0, seed))
+  }
+
   /** Default seed for [[shuffled]] — independent of [[MixSeed]] and the
     * split seed for the same reason those are independent of each
     * other: every stage hashing the same key must not correlate. */

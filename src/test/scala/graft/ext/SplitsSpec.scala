@@ -214,4 +214,39 @@ class SplitsSpec extends AnyFunSuite {
       .filter(col("rn") <= 20).select("id").as[Long].collect().toSet
     assert(got.select("id").as[Long].collect().toSet == naive)
   }
+
+  test("alpha sampling: alpha=0 equalizes, alpha=1 is natural, rates " +
+      "cap at 1, null domains drop, deterministic") {
+    // skewed corpus: 24k / 5.4k / 600 (+ 30 null-domain rows)
+    val docs = spark.range(30000)
+      .select(col("id"),
+        when(col("id") % 1000 === 0, lit(null).cast("string"))
+          .when(col("id") % 50 === 1, lit("small"))
+          .when(col("id") % 5 < 1, lit("mid"))
+          .otherwise(lit("big")).as("dom"))
+    val tot = docs.filter(col("dom").isNotNull)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    def kept(a: Double, target: Long): Map[String, Long] =
+      Splits.alphaSample(docs, "dom", "id", a, target)
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // alpha=0: equal target share per domain; the small domain caps at
+    // its full size (rate 1) and keeps EXACTLY everything
+    val t0 = 9000L
+    val k0 = kept(0.0, t0)
+    assert(k0("small") == tot("small"))
+    assert(math.abs(k0("big") - t0 / 3.0) < t0 / 3.0 * 0.1)
+    assert(math.abs(k0("mid") - t0 / 3.0) < t0 / 3.0 * 0.1)
+    assert(!k0.contains(null)) // null domains never survive
+    // alpha=1: one natural rate r = target/N for every domain
+    val n = tot.values.sum
+    val k1 = kept(1.0, n / 2)
+    tot.foreach { case (d, c) =>
+      assert(math.abs(k1(d).toDouble / c - 0.5) < 0.1, s"domain $d") }
+    // deterministic: same call, same rows
+    assert(kept(0.3, 9000) == kept(0.3, 9000))
+    // target beyond the corpus: every rate caps, everything keeps
+    assert(kept(0.5, 10 * n).values.sum == n)
+    intercept[IllegalArgumentException](
+      Splits.alphaSample(docs, "dom", "id", 1.5, 10))
+  }
 }
