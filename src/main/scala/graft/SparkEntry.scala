@@ -2501,6 +2501,44 @@ object SparkEntry {
       graft.ext.Search.lmSurprisal(t(s, dir, "documents"), "doc_id", "text",
         20, lmVocabCap)),
 
+    // CCNet-style perplexity bucketing (keep the head, sample the
+    // middle, drop most of the tail): tercile cutoffs from ONE exact-
+    // percentile agg (no ntile global sort), hash-carved per-bucket
+    // keep rates. All structural checks are closed-form Spark-side;
+    // DuckDB pins the corpus size.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val scored = graft.ext.Search.lmScores(docs, "doc_id", "text", lmVocabCap)
+      val cuts = scored.agg(
+        expr("percentile(nll, 0.3333333333333333)").as("c1"),
+        expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
+      val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+      val kept = graft.ext.Search.perplexityBuckets(docs, "doc_id", "text",
+        rates = (1.0, 0.5, 0.1), vocabCap = lmVocabCap)
+        .groupBy("bucket").agg(count(lit(1)).as("kept"))
+      val sizes = scored.withColumn("bucket",
+          when(col("nll") <= c1, "head")
+            .when(col("nll") <= c2, "middle").otherwise("tail"))
+        .groupBy("bucket").agg(count(lit(1)).as("total"))
+      val m = sizes.join(kept, Seq("bucket"), "left")
+        .na.fill(0L, Seq("kept")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (hT, hK) = m("head"); val (mT, mK) = m("middle")
+      val (tT, tK) = m("tail")
+      def near(k: Long, t: Long, r: Double, tol: Double) =
+        t > 0 && math.abs(k.toDouble / t - r) < tol
+      import s.implicits._
+      Seq((n,
+        Seq(hT, mT, tT).forall(b => math.abs(b - n / 3.0) < n * 0.1),
+        hK == hT,
+        near(mK, mT, 0.5, 0.15),
+        near(tK, tT, 0.1, 0.10),
+        c1 <= c2))
+        .toDF("n_docs", "terciles_ok", "head_keeps_all", "middle_rate_ok",
+          "tail_rate_ok", "cuts_monotonic")
+    }),
+
     // DSIR-style importance weighting (Xie et al., NeurIPS'23 —
     // deterministic ranking core): target = the corpus's own 'en'
     // slice, raw = everything; per-doc weight = mean log-likelihood
@@ -3916,6 +3954,12 @@ object SparkEntry {
     "q_bm25_topk" -> graft.ext.Search.bm25OracleSql(bm25Terms, 20),
 
     "q_lm_surprisal" -> graft.ext.Search.lmOracleSql(20, lmVocabCap),
+
+    "q_ccnet_buckets" ->
+      """SELECT count(*) AS n_docs, TRUE AS terciles_ok,
+        |       TRUE AS head_keeps_all, TRUE AS middle_rate_ok,
+        |       TRUE AS tail_rate_ok, TRUE AS cuts_monotonic
+        |FROM documents""".stripMargin,
 
     "q_dsir_select" ->
       graft.ext.Search.dsirOracleSql("lang = 'en'", 20, lmVocabCap),

@@ -129,8 +129,14 @@ object Search {
     * p(t) = (c_t + 1) / (T + V + 1) for the top-`vocabCap` tokens,
     * p(OOV) = 1 / (T + V + 1); T = total corpus tokens, V = |vocab|.
     */
-  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, vocabCap: Int = 50000): DataFrame = {
+  /** Per-document mean token surprisal under the corpus's own add-one-
+    * smoothed unigram model — the scoring core shared by
+    * [[lmSurprisal]] (top-k) and [[perplexityBuckets]] (CCNet-style
+    * corpus partitioning). One count aggregation fits the model; the
+    * broadcastable vocab is the top-V cut (TakeOrderedAndProject —
+    * never a full sort); scoring is a broadcast join. */
+  def lmScores(docs: DataFrame, idCol: String, textCol: String,
+      vocabCap: Int = 50000): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
     val counts = exploded.groupBy(col("_tok"))
@@ -148,9 +154,44 @@ object Search {
       .groupBy(col("_id"))
       .agg(round(avg(surprisal), 4).as("nll"),
         count(lit(1)).as("n_tokens"))
-      .orderBy(col("nll").desc, col("_id"))
-      .limit(k)
       .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
+  }
+
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, vocabCap: Int = 50000): DataFrame =
+    lmScores(docs, idCol, textCol, vocabCap)
+      .orderBy(col("nll").desc, col(idCol))
+      .limit(k)
+
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al., LREC 2020):
+    * score every document with [[lmScores]], cut the corpus at the nll
+    * terciles into head (most model-like), middle, tail, and keep each
+    * bucket at its configured rate via the deterministic hash carve —
+    * the standard "keep the head, sample the middle, drop most of the
+    * tail" cleaning recipe. Returns the kept rows tagged with their
+    * bucket.
+    *
+    * Scale shape: the cutoffs are ONE exact-percentile aggregation
+    * (nll is rounded to 4 decimals, so its distinct cardinality is
+    * bounded) collected as two doubles; bucketing and the carve are
+    * scan-local literal comparisons. No global sort anywhere — the
+    * naive ntile(3) spelling would be a single-task window. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      rates: (Double, Double, Double) = (1.0, 0.5, 0.1),
+      vocabCap: Int = 50000,
+      seed: Long = Splits.MixSeed): DataFrame = {
+    val scored = lmScores(docs, idCol, textCol, vocabCap)
+    val cuts = scored.agg(
+      expr("percentile(nll, 0.3333333333333333)").as("c1"),
+      expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    val withBucket = scored.withColumn("bucket",
+      when(col("nll") <= c1, "head")
+        .when(col("nll") <= c2, "middle")
+        .otherwise("tail"))
+    withBucket.filter(Splits.mixKeep(col(idCol), col("bucket"),
+      Map("head" -> rates._1, "middle" -> rates._2, "tail" -> rates._3),
+      defaultWeight = 0.0, seed))
   }
 
   /** DSIR-style importance weighting for data selection (Xie et al.,
