@@ -2454,6 +2454,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The Gopher rule set (Rae et al. 2021 A1.1) per document, every
+    // rule its own boolean — DuckDB recomputes word/line/symbol
+    // arithmetic and the rule thresholds independently.
+    "q_gopher_rules" -> ((s, dir) => {
+      graft.ext.TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("r_words"),
+          col("r_mean_len"), col("r_symbol"), col("r_bullet"),
+          col("r_ellipsis"), col("r_alpha"), col("r_stopwords"),
+          col("gopher_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-count + character-class stats (oracle-checkable).
     "q_doc_stats" -> ((s, dir) => {
       val text = col("text")
@@ -3950,6 +3962,53 @@ object SparkEntry {
         |       round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
         |             / length(text), 4) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent recomputation of every Gopher rule: list lambdas for
+    // word/line arithmetic, same thresholds
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS ws,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(replace(text, '#', ''), '…', ''))
+        |      AS n_sym
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(ws) AS n_words, n_sym,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws)
+        |      ELSE 0 END AS mean_len,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(ltrim(l), '^(•|- |\* )'))) * 1.0
+        |      / greatest(len(lines), 1) AS bullet_frac,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 1.0
+        |      / greatest(len(lines), 1) AS ell_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |        / len(ws) ELSE 0 END AS alpha_frac,
+        |    len(list_intersect(
+        |      list_distinct(list_transform(ws, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS stops
+        |  FROM w
+        |), r AS (
+        |  SELECT doc_id, n_words,
+        |    n_words BETWEEN 50 AND 100000 AS r_words,
+        |    mean_len >= 3 AND mean_len <= 10 AS r_mean_len,
+        |    CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words < 0.1
+        |         ELSE FALSE END AS r_symbol,
+        |    bullet_frac < 0.9 AS r_bullet,
+        |    ell_frac < 0.3 AS r_ellipsis,
+        |    alpha_frac > 0.8 AS r_alpha,
+        |    stops >= 2 AS r_stopwords
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, r_words, r_mean_len, r_symbol, r_bullet,
+        |       r_ellipsis, r_alpha, r_stopwords,
+        |       r_words AND r_mean_len AND r_symbol AND r_bullet
+        |         AND r_ellipsis AND r_alpha AND r_stopwords AS gopher_keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_bm25_topk" -> graft.ext.Search.bm25OracleSql(bm25Terms, 20),
 

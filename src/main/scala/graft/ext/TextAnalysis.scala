@@ -181,6 +181,62 @@ object TextAnalysis {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, appendix A1.1) as one
+    * scan-local pass — the named rule set production pipelines cite:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet-/ellipsis-line fractions, alphabetic-word fraction, and
+    * the ≥2-of-8 common-stopword requirement. Emits every rule as its
+    * own boolean beside the conjunction (`gopher_keep`), so a pipeline
+    * can report WHICH rule rejected a document, not just that one did.
+    * Pure column expressions (arrays + lambdas, codegen-friendly) —
+    * no UDFs, no shuffle. */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(ws)
+    val nWordsD = nWords.cast("double")
+    val meanLen = when(nWords > 0,
+      aggregate(ws, lit(0.0), (a, w) => a + length(w).cast("double")) / nWordsD)
+      .otherwise(lit(0.0))
+    val nSym = length(t) -
+      length(regexp_replace(regexp_replace(t, "#", ""), "…", ""))
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => regexp_like(ltrim(l), lit("^(•|- |\\* )")))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => regexp_like(rtrim(l), lit("(\\.\\.\\.|…)$")))).cast("double") / nLines
+    val alphaFrac = when(nWords > 0,
+      size(filter(ws, w => regexp_like(w, lit("[A-Za-z]")))).cast("double") /
+        nWordsD).otherwise(lit(0.0))
+    val stopHits = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))),
+      lit(GopherStopwords.toArray)))
+    val rWords = nWords >= 50 && nWords <= 100000
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = when(nWords > 0, nSym.cast("double") / nWordsD < 0.1)
+      .otherwise(lit(false))
+    val rBullet = bulletFrac < 0.9
+    val rEllipsis = ellipsisFrac < 0.3
+    val rAlpha = alphaFrac > 0.8
+    val rStop = stopHits >= 2
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("r_words", rWords)
+      .withColumn("r_mean_len", rMeanLen)
+      .withColumn("r_symbol", rSymbol)
+      .withColumn("r_bullet", rBullet)
+      .withColumn("r_ellipsis", rEllipsis)
+      .withColumn("r_alpha", rAlpha)
+      .withColumn("r_stopwords", rStop)
+      .withColumn("gopher_keep", rWords && rMeanLen && rSymbol && rBullet &&
+        rEllipsis && rAlpha && rStop)
+  }
+
+  /** Gopher's "must contain ≥2 of these" word list (A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs

@@ -125,4 +125,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((got(1)._3, got(1)._4, got(1)._5) == (0, 0, 0))
     assert(got(2)._2 == "no pii here at all")
   }
+
+  test("gopherRules: each rule rejects its own violation, prose passes") {
+    // A clean paragraph comfortably over 50 words, normal word lengths,
+    // plenty of the required stopwords.
+    val prose = Iterator.continually(
+      "the cat and the dog have to be friends with all of that house")
+      .take(6).mkString(" ")
+    val cases = Seq(
+      (1L, prose),                                        // keep
+      (2L, "the cat sat with that dog"),                  // r_words: < 50
+      (3L, prose.split("\\s+").map(_ => "a").mkString(" ")), // r_mean_len low
+      (4L, prose + " " + prose.split("\\s+")
+        .map(w => "#" + w).mkString(" ")),                // r_symbol
+      (5L, prose.split("\\s+").grouped(2)
+        .map(g => "- " + g.mkString(" ")).mkString("\n")), // r_bullet
+      (6L, prose.split("\\s+").grouped(2)
+        .map(g => g.mkString(" ") + "...").mkString("\n")), // r_ellipsis
+      (7L, prose + " " + Seq.fill(300)("12345").mkString(" ")), // r_alpha
+      (8L, Seq.fill(60)("lorem ipsum dolor").mkString(" ")))    // r_stopwords
+    val out = TextAnalysis.gopherRules(cases.toDF("doc_id", "text"))
+      .select("doc_id", "r_words", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stopwords", "gopher_keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, true, true, true, true, true, true, true, true)))
+    assert(!out(1)._2 && !out(1)._9, "short doc fails r_words")
+    assert(!out(2)._3, "all-'a' doc fails r_mean_len")
+    assert(!out(3)._4, "hash-studded doc fails r_symbol")
+    assert(!out(4)._5, "bullet-only lines fail r_bullet")
+    assert(!out(5)._6, "ellipsis-ended lines fail r_ellipsis")
+    assert(!out(6)._7, "digit-heavy doc fails r_alpha")
+    assert(!out(7)._8, "stopword-free doc fails r_stopwords")
+    assert(out.drop(1).forall(!_._9), "every violation flips gopher_keep")
+  }
 }
