@@ -649,6 +649,94 @@ object SparkEntry {
         "GROUP BY _change_type ORDER BY change_type")
     },
 
+    "q_mor_delete" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mor", orders.schema)
+      // Iceberg's v2 write mode, through the SQL property surface
+      eng.sql("ALTER TABLE orders_mor SET TBLPROPERTIES " +
+        "('write.delete.mode'='merge-on-read')")
+      cat.append("orders_mor", orders, 1000L)                     // snap 1
+      eng.sql("DELETE FROM orders_mor WHERE o_orderkey % 3 = 0")  // snap 2
+      (cat, eng)
+    } { case (cat, eng) =>
+      // merge-on-read DELETE: rows disappear but the DATA FILE SET is
+      // untouched — the commit wrote only a position-delete file. The
+      // checked tuple pins the proof: every current data file was
+      // already in snapshot 1 (no rewrite), the commit is marked
+      // merge-on-read, and at least one entry carries a delete ref.
+      val st = cat.store()
+      val v1 = st.snapshotMetaVersion("orders_mor", 1L)
+        .map(_._3().map(_.path).toSet).getOrElse(Set.empty)
+      val cur = st.dataFilesAsOf("orders_mor", None)
+      val noRewrite = cur.map(_.path).toSet.subsetOf(v1) &&
+        cur.exists(_.deletes.nonEmpty) &&
+        st.currentSummary("orders_mor").get("merge-on-read").contains("true")
+      eng.sql("SELECT 'after' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_mor")
+        .unionByName(eng.sql("SELECT 'before' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_mor " +
+          "FOR SYSTEM_VERSION AS OF 1"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy(col("phase"))
+    },
+
+    "q_mor_update" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_mu", orders.schema)
+      eng.sql("ALTER TABLE orders_mu SET TBLPROPERTIES " +
+        "('write.update.mode'='merge-on-read')")
+      cat.append("orders_mu", orders, 1000L)                      // snap 1
+      eng.sql("UPDATE orders_mu SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 5 = 0")                               // snap 2
+      eng.sql("OPTIMIZE orders_mu")                               // snap 3
+      (cat, eng)
+    } { case (cat, eng) =>
+      // merge-on-read UPDATE decomposes into position deletes + appended
+      // post-images (snapshot 2 keeps every original file), then
+      // OPTIMIZE materializes the deletes away (snapshot 3 has no refs).
+      val st = cat.store()
+      val v1 = st.snapshotMetaVersion("orders_mu", 1L)
+        .map(_._3().map(_.path).toSet).getOrElse(Set.empty)
+      val v2 = st.snapshotMetaVersion("orders_mu", 2L)
+        .map(_._3()).getOrElse(Seq.empty)
+      val morThenClean = v1.subsetOf(v2.map(_.path).toSet) &&
+        v2.exists(_.deletes.nonEmpty) &&
+        st.dataFilesAsOf("orders_mu", None).forall(_.deletes.isEmpty)
+      eng.sql("SELECT COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_mu")
+        .withColumn("mor_then_clean", lit(morThenClean))
+    },
+
+    "q_mor_cdc" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("mor_cdc", orders.schema)
+      eng.sql("ALTER TABLE mor_cdc SET TBLPROPERTIES " +
+        "('write.delete.mode'='merge-on-read', " +
+        "'write.update.mode'='merge-on-read')")
+      cat.append("mor_cdc", orders, 1000L)                        // snap 1
+      eng.sql("DELETE FROM mor_cdc WHERE o_orderkey % 4 = 0")     // snap 2
+      eng.sql("UPDATE mor_cdc SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 9 = 1")                               // snap 3
+      eng
+    } { eng =>
+      // the change feed recovers MOR commits' exact row-level diff from
+      // the delete files themselves (cost ∝ changes, no exceptAll) —
+      // value-identical to the COW feed over the same statements
+      // (q_table_changes_rel), which is exactly what the shared oracle
+      // checks
+      eng.sql("SELECT _change_type AS change_type, COUNT(*) AS n, " +
+        "ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM table_changes('mor_cdc', 1) " +
+        "GROUP BY _change_type ORDER BY change_type")
+    },
+
     "q_dml_subquery" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1621,6 +1709,22 @@ object SparkEntry {
     // table-valued form): aggregation over the feed of a DELETE and a
     // COW UPDATE, oracle-recomputed change type by change type.
     "q_table_changes_rel" -> benchSplits("q_table_changes_rel").composed,
+
+    // Merge-on-read row-level writes (Iceberg v2 position deletes):
+    // DELETE commits a position-delete file instead of rewriting data
+    // files — the checked tuple pins both the row semantics (after +
+    // time-traveled before vs DuckDB) and the no-rewrite proof.
+    "q_mor_delete" -> benchSplits("q_mor_delete").composed,
+
+    // MOR UPDATE (delete + appended post-images) followed by OPTIMIZE,
+    // which materializes the deletes back into clean files; values and
+    // the dirty-then-clean file-set proof are both pinned.
+    "q_mor_update" -> benchSplits("q_mor_update").composed,
+
+    // Change feed across MOR commits: deleted rows recovered from the
+    // commits' own delete files (cost ∝ changes, no exceptAll diff),
+    // value-identical to the COW feed over the same statements.
+    "q_mor_cdc" -> benchSplits("q_mor_cdc").composed,
 
     // Ordered conditional MERGE arms (first match wins): a negative
     // amount deletes, a larger amount updates, positive unmatched rows
@@ -3464,6 +3568,47 @@ object SparkEntry {
     // the feed after the initial load: the DELETE's victims plus the
     // UPDATE's pre-images are 'delete' rows; the post-images 'insert'
     "q_table_changes_rel" ->
+      """WITH deleted AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 = 1
+        |), inserted AS (
+        |  SELECT o_totalprice + 1 AS o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 9 = 1
+        |)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total FROM deleted
+        |UNION ALL
+        |SELECT 'insert', count(*), round(sum(o_totalprice), 2) FROM inserted
+        |ORDER BY change_type""".stripMargin,
+
+    // merge-on-read DELETE: after = the survivors, before = the
+    // time-traveled pre-delete state; no_rewrite is the Spark-side
+    // proof that no data file was rewritten (position deletes only)
+    "q_mor_delete" ->
+      """SELECT 'after' AS phase, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS rev, TRUE AS no_rewrite
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT 'before', count(*), round(sum(o_totalprice), 2), TRUE
+        |FROM orders
+        |ORDER BY phase""".stripMargin,
+
+    // MOR UPDATE then OPTIMIZE: %5 keys carry the doubled price;
+    // mor_then_clean is the Spark-side file-set proof (update kept all
+    // originals + refs, compaction left zero refs)
+    "q_mor_update" ->
+      """SELECT count(*) AS cnt,
+        |       round(sum(CASE WHEN o_orderkey % 5 = 0
+        |                      THEN o_totalprice * 2
+        |                      ELSE o_totalprice END), 2) AS rev,
+        |       TRUE AS mor_then_clean
+        |FROM orders""".stripMargin,
+
+    // same statements as q_table_changes_rel, MOR mode: the feed must
+    // be value-identical to the COW feed
+    "q_mor_cdc" ->
       """WITH deleted AS (
         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 0
         |  UNION ALL

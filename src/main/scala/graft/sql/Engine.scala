@@ -432,6 +432,12 @@ final class Engine(catalog: GraftCatalog) {
       namesLc: Seq[String], isMin: Boolean): Option[Option[Long]] = {
     var acc: Option[Long] = None
     for (f <- files) {
+      // merge-on-read position deletes: the logged bounds remain valid
+      // for PRUNING but the extreme value may itself be deleted — a
+      // metadata MIN/MAX over such a file would answer wrongly. COUNT
+      // stays exact (records is the live count); MIN/MAX declines to
+      // the scan path.
+      if (f.deletes.nonEmpty) return None
       namesLc.iterator.flatMap(f.stats.get).nextOption() match {
         case None => return None
         case Some(b) =>

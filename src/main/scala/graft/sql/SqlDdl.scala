@@ -1095,10 +1095,21 @@ object SqlDdl {
     * any non-subquery conjuncts) yields the leaf names of files
     * containing matched rows — the set the rewrite is scoped to. */
   private def matchedFileNames(eng: Engine, t: String,
-      cond: String): Set[String] =
-    eng.sql(s"SELECT DISTINCT input_file_name() AS __graft_f FROM $t " +
+      cond: String): Set[String] = {
+    val names = eng.sql(
+      s"SELECT DISTINCT input_file_name() AS __graft_f FROM $t " +
         s"WHERE coalesce(($cond), false)")
       .collect().map(r => leafOf(r.getString(0))).toSet
+    // merge-on-read tables read through an anti-join; if the planner
+    // did not keep the scan in the probe task (a shuffled join for a
+    // very large delete set), input_file_name() degrades to "" — fail
+    // loudly rather than silently scoping the rewrite to a subset
+    require(!names.contains(""),
+      s"cannot attribute matched rows of $t to files (the scan runs " +
+        "behind a shuffled merge-on-read delete join) — run OPTIMIZE " +
+        s"$t to materialize position deletes, then retry the statement")
+    names
+  }
 
   /** Run `body` with the matched files registered as a temp view
     * ALIASED as the table name, so the rewrite SQL resolves both plain

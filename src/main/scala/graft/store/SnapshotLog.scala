@@ -19,11 +19,21 @@ final case class ColBounds(
     hasNulls: Boolean = true,
     allNulls: Boolean = false)
 
+/** One position-delete file applied to a data file (Iceberg v2's
+  * positional delete): a Parquet file under `deletes/` with columns
+  * `_file` (the target data file's leaf name) and `_pos` (the 0-based
+  * row index within that file, Spark's `_metadata.row_index` domain).
+  * `records` is the number of delete rows the ref contributes to ITS
+  * data file — kept in the log so the read path can size the anti-join
+  * (broadcast below threshold) without opening the delete file. */
+final case class DeleteRef(path: String, records: Long)
+
 /** One data file of a snapshot — the manifest-entry analogue.
   *
   * `path` is relative to the table root so a table directory can be
   * relocated (e.g. copied into a test temp dir) without rewriting the log.
-  * `records` is the file's row count from its Parquet footer (`-1` =
+  * `records` is the file's LIVE row count — the Parquet footer count minus
+  * any merge-on-read position deletes applied by `deletes` (`-1` =
   * unknown, for logs written before this field existed). `partition` maps
   * the table's partition source column to this file's partition value
   * (Hive's `__HIVE_DEFAULT_PARTITION__` marker = NULL); `stats` holds
@@ -39,7 +49,13 @@ final case class DataFile(
     // per-column file-level bloom filters (bloom-indexed tables only;
     // capped at [[BloomFilter.MaxBits]] — see [[BloomFilter]] for the
     // two-tier design). Keyed by lowercased physical column name.
-    blooms: Map[String, ColBloom] = Map.empty)
+    blooms: Map[String, ColBloom] = Map.empty,
+    // merge-on-read position deletes this entry's reads must subtract
+    // (ordered oldest-first). Empty for copy-on-write tables — the
+    // common case pays nothing. Stats min/max stay valid as BOUNDS for
+    // pruning (conservative), but are no longer exact answers: metadata
+    // MIN/MAX folds must decline files with deletes.
+    deletes: Seq[DeleteRef] = Seq.empty)
 
 /** One STAGED (written, promoted, but unpublished) change set of the
   * write-audit-publish workflow — Iceberg's `spark.wap.id` staged
@@ -239,7 +255,12 @@ object SnapshotLog {
               t = b.get("t").asText(), k = b.get("k").asInt(),
               m = b.get("m").asInt(), b = b.get("b").asText())
           }.toMap
-        else Map.empty)
+        else Map.empty,
+      deletes =
+        if (e.has("deletes"))
+          e.get("deletes").elements().asScala.map(d =>
+            DeleteRef(d.get("path").asText(), d.get("records").asLong())).toSeq
+        else Seq.empty)
 
   /** Directory (under the table dir) holding per-snapshot manifest files. */
   val ManifestDir = "manifests"

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, input_file_name, lit, max, min, not, struct, to_json, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, input_file_name, lit, max, min, not, struct, to_json, when, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Versioned-Parquet table with Iceberg-style snapshot semantics.
@@ -1312,6 +1312,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val bucketable = partitionSpec(table)
       .filter(_.transform == "bucket")
       .filter(_ => files.nonEmpty)
+      // merge-on-read deletes splice an anti-join above the scan, which
+      // would break the HashPartitioning claim a BucketSpec makes — a
+      // dirty file population reads through the standard path instead
+      // (correct, just not exchange-free; compaction restores the claim)
+      .filter(_ => files.forall(_.deletes.isEmpty))
       .filter { sp =>
         val key = sp.partitionKey
         aliasesOf(renameEvents(table), sp.column).isEmpty &&
@@ -1329,38 +1334,88 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   private def readFileListAs(table: String, files: Seq[DataFile],
       sch: StructType,
-      base: Option[(Seq[String], StructType) => DataFrame] = None): DataFrame =
+      base: Option[(Seq[String], StructType) => DataFrame] = None,
+      applyDeletes: Boolean = true,
+      keepPos: Boolean = false): DataFrame =
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (!keepPos) sch
+        else StructType(sch.fields ++ Array(
+          StructField(TableStore.MorFileCol, StringType, nullable = false),
+          StructField(TableStore.MorPosCol, LongType, nullable = false))))
     else {
-      val paths = files.map(f => absPath(table, f.path).toString)
+      // merge-on-read: files carrying position-delete refs read through
+      // an anti-join on (leaf name, row index); clean files scan as-is.
+      // Callers that only LOCATE rows (the COW matched-file probes) pass
+      // applyDeletes = false — a superset there costs an extra rewrite
+      // at worst, never wrong rows — so their input_file_name() plans
+      // stay join-free.
+      val (dirty, clean) =
+        if (applyDeletes) files.partition(_.deletes.nonEmpty)
+        else (Seq.empty[DataFile], files)
       val events = renameEvents(table)
       val aliased: Seq[(String, Seq[String])] =
         if (events.isEmpty) Seq.empty
         else sch.fields.toSeq.map(f => f.name -> aliasesOf(events, f.name))
           .filter(_._2.nonEmpty)
-      def scan(s: StructType): DataFrame = base match {
-        case Some(b) => b(paths, s)
-        case None    => spark.read.schema(s).parquet(paths: _*)
-      }
-      if (aliased.isEmpty) scan(sch)
-      else {
-        // Renamed columns: scan under ALL historical physical names
-        // (each at the current — possibly widened — type) and coalesce
-        // into the render name. Exactly one alias is non-absent per
-        // file because physical names are never reused; a rewritten
-        // (COW) file normalises to the current name on its way out.
-        val aliasFor = aliased.toMap
-        val union = StructType(sch.fields.flatMap(f =>
-          f +: aliasFor.getOrElse(f.name, Seq.empty)
-            .map(a => StructField(a, f.dataType, nullable = true))))
-        scan(union)
-          .select(sch.fields.toIndexedSeq.map { f =>
+      // Renamed columns: scan under ALL historical physical names
+      // (each at the current — possibly widened — type) and coalesce
+      // into the render name. Exactly one alias is non-absent per
+      // file because physical names are never reused; a rewritten
+      // (COW) file normalises to the current name on its way out.
+      // `withPos` additionally threads the scan's file/row-index
+      // metadata through the projection for the delete anti-join.
+      def scanPart(part: Seq[DataFile], withPos: Boolean): DataFrame = {
+        val paths = part.map(f => absPath(table, f.path).toString)
+        def scan(s: StructType): DataFrame = base match {
+          case Some(b) => b(paths, s)
+          case None    => spark.read.schema(s).parquet(paths: _*)
+        }
+        def meta(df: DataFrame): DataFrame =
+          if (!withPos) df
+          else df.select(col("*"),
+            col("_metadata.file_name").as(TableStore.MorFileCol),
+            col("_metadata.row_index").as(TableStore.MorPosCol))
+        if (aliased.isEmpty) meta(scan(sch))
+        else {
+          val aliasFor = aliased.toMap
+          val union = StructType(sch.fields.flatMap(f =>
+            f +: aliasFor.getOrElse(f.name, Seq.empty)
+              .map(a => StructField(a, f.dataType, nullable = true))))
+          val proj = sch.fields.toIndexedSeq.map { f =>
             aliasFor.get(f.name) match {
               case Some(as) => coalesce((f.name +: as).map(col): _*).as(f.name)
               case None     => col(f.name)
             }
-          }: _*)
+          } ++ (if (withPos)
+            Seq(col(TableStore.MorFileCol), col(TableStore.MorPosCol))
+          else Seq.empty)
+          meta(scan(union)).select(proj: _*)
+        }
+      }
+      if (dirty.isEmpty) scanPart(clean, withPos = keepPos)
+      else {
+        val refs = dirty.flatMap(_.deletes)
+        val delPaths = refs.map(_.path).distinct
+          .map(p => absPath(table, p).toString)
+        var del = spark.read.parquet(delPaths: _*)
+          .select(col(TableStore.DeleteFileField),
+            col(TableStore.DeletePosField))
+        // small delete sets (the overwhelmingly common case) broadcast,
+        // keeping the anti-join scan-local; past the threshold Spark's
+        // planner picks the shuffle strategy — correct either way
+        if (refs.map(_.records).sum <= TableStore.MorBroadcastRows)
+          del = broadcast(del)
+        val joined = scanPart(dirty, withPos = true)
+          .join(del,
+            col(TableStore.MorFileCol) === col(TableStore.DeleteFileField) &&
+              col(TableStore.MorPosCol) === col(TableStore.DeletePosField),
+            "left_anti")
+        val filtered =
+          if (keepPos) joined
+          else joined.drop(TableStore.MorFileCol, TableStore.MorPosCol)
+        if (clean.isEmpty) filtered
+        else scanPart(clean, withPos = keepPos).unionByName(filtered)
       }
     }
 
@@ -1599,6 +1654,35 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           lit(s.id).as("_commit_snapshot_id"),
           lit(new java.sql.Timestamp(s.timestampMs)).as("_commit_timestamp")
         ): _*)
+      } else if (s.summary.contains(TableStore.MorDeletesKey)) {
+        // merge-on-read commit without stored change files: its row-level
+        // diff is EXACT by construction — deleted rows are the positions
+        // in the commit's own delete files (read from the PREVIOUS
+        // snapshot's entries, so earlier deletes stay excluded), inserts
+        // (UPDATE post-images) are its added files. Cost ∝ |changes|,
+        // no exceptAll shuffle.
+        val rels = {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          import scala.jdk.CollectionConverters._
+          m.readTree(s.summary(TableStore.MorDeletesKey))
+            .elements().asScala.map(_.asText()).toSeq
+        }
+        val curByPath = s.files.map(f => f.path -> f).toMap
+        val touched = prev.filter(f => curByPath.get(f.path) match {
+          case None     => true // fully deleted: dropped from the snapshot
+          case Some(cf) => cf.deletes.size > f.deletes.size
+        })
+        val pos = spark.read.parquet(
+          rels.map(r => new HPath(dir, r).toString): _*)
+        val deleted = readFileListAs(table, touched, sch, keepPos = true)
+          .join(broadcast(pos),
+            col(TableStore.MorFileCol) === col(TableStore.DeleteFileField) &&
+              col(TableStore.MorPosCol) === col(TableStore.DeletePosField),
+            "left_semi")
+          .drop(TableStore.MorFileCol, TableStore.MorPosCol)
+        parts += tagged(deleted, "delete", s)
+        if (added.nonEmpty)
+          parts += tagged(readFileListAs(table, added, sch), "insert", s)
       } else if (added.nonEmpty || removed.nonEmpty) {
         require(metaFree,
           s"change feed on $table crosses a row-rewriting snapshot " +
@@ -1669,7 +1753,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           for (st <- fs.listStatus(cd)
                if st.isFile && st.getPath.getName.endsWith(".parquet"))
             out += ((st.getPath.toString, true, null, s.id, s.timestampMs))
-      } else if (curPaths != prev) {
+      } else if (curPaths != prev ||
+          s.summary.contains(TableStore.MorDeletesKey)) {
+        // a merge-on-read commit can leave the PATH set unchanged (only
+        // entries' delete refs moved) — the summary key catches it, so
+        // the stream fails loudly instead of silently skipping deletes
         throw new IllegalStateException(
           s"streaming change feed on $table crosses row-rewriting " +
             s"snapshot ${s.id}:${s.operation} with no stored change " +
@@ -1760,8 +1848,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       // the probe must read through rename reconciliation
       // ([[readFileListAs]]) — a direct current-schema read would
       // null-fill a renamed column in pre-rename files and the
-      // predicate would silently miss their rows
-      else readFileListAs(table, statCand, schema(table))
+      // predicate would silently miss their rows. Deletes are NOT
+      // applied: input_file_name() needs a join-free plan, and a
+      // matched-file superset only costs an unneeded rewrite
+      else readFileListAs(table, statCand, schema(table),
+          applyDeletes = false)
         .filter(predicate)
         .select(input_file_name()).distinct()
         .collect().map(r => TableStore.fileName(r.getString(0))).toSet
@@ -1797,8 +1888,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
     val matchedNames: Set[String] =
       if (statCand.isEmpty) Set.empty
-      // rename-reconciling read, same reasoning as matchedByPredicate
-      else readFileListAs(table, statCand, schema(table))
+      // rename-reconciling, delete-free read, same reasoning as
+      // matchedByPredicate
+      else readFileListAs(table, statCand, schema(table),
+          applyDeletes = false)
         .withColumn(TableStore.FileCol, input_file_name())
         .join(keys, keyCols, "left_semi")
         .select(TableStore.FileCol).distinct()
@@ -2025,7 +2118,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * so the kept-set filter coalesces NULL to false before negating. */
   def deleteWhere(table: String, predicate: Column,
       timestampMs: Long = System.currentTimeMillis()): Snapshot =
-    withCowRetry() {
+    if (morMode(table, TableStore.DeleteModeProp))
+      morDeleteWhere(table, predicate, timestampMs)
+    else withCowRetry() {
       val (baseId, baseFiles) = cowBase(table)
       val (matched, carried) = matchedByPredicate(table, baseFiles, predicate)
       val replacement =
@@ -2048,6 +2143,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"unknown column '$n' in UPDATE $table")
     }
+    if (morMode(table, TableStore.UpdateModeProp))
+      return morUpdateWhere(table, assignments, cond, timestampMs)
     withCowRetry() {
       val (baseId, baseFiles) = cowBase(table)
       val (matched, carried) = cond match {
@@ -2071,6 +2168,165 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       cowCommit(table, "update", carried, matched, replacement,
         timestampMs, baseId)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // Merge-on-read row-level writes (Iceberg v2 position deletes):
+  // a DELETE/UPDATE writes a SMALL position-delete file instead of
+  // rewriting the matched data files — at 100 TB, deleting 0.1% of a
+  // table costs kilobytes of delete metadata instead of re-copying
+  // terabytes. Reads subtract the positions with a (usually broadcast)
+  // anti-join ([[readFileListAs]]); OPTIMIZE materializes the deletes
+  // back into clean files. Enabled per table via
+  // TBLPROPERTIES('write.delete.mode'='merge-on-read') /
+  // ('write.update.mode'='merge-on-read') — Iceberg's own property
+  // names — with copy-on-write remaining the default.
+  // -------------------------------------------------------------------
+
+  /** Whether `prop` routes this table's row-level writes to
+    * merge-on-read. */
+  private def morMode(table: String, prop: String): Boolean =
+    tableProperties(table).get(prop)
+      .exists(_.equalsIgnoreCase(TableStore.MergeOnRead))
+
+  /** Current-schema read of `files` with the scan's (leaf name, row
+    * index) attached as [[TableStore.MorFileCol]]/[[TableStore.MorPosCol]]
+    * and any EXISTING position deletes already subtracted — the frame a
+    * MOR write computes doomed positions from (a position never enters
+    * two delete files, so the live-count arithmetic stays exact). */
+  private def readWithPos(table: String, files: Seq[DataFile]): DataFrame =
+    readFileListAs(table, files, schema(table), keepPos = true)
+
+  /** Merge-on-read DELETE: identical row semantics to [[deleteWhere]]
+    * (NULL predicate keeps the row), but the commit adds position-delete
+    * refs to the matched file entries instead of rewriting them. Files
+    * whose live count reaches zero drop out of the snapshot entirely
+    * (their bytes stay for time travel until expire+vacuum). */
+  def morDeleteWhere(table: String, predicate: Column,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = matchedByPredicate(table, baseFiles, predicate)
+      morCommit(table, "delete", baseId, matched, carried,
+        doomed = readWithPos(table, matched)
+          .filter(coalesce(predicate, lit(false))),
+        insertRows = None, timestampMs)
+    }
+
+  /** Merge-on-read UPDATE: the matched rows' positions go into a delete
+    * file and their post-assignment images append as new data files —
+    * the delete+insert decomposition every MOR engine uses. WHERE and
+    * SET right-hand sides evaluate against the pre-update row, exactly
+    * like [[updateWhere]]. */
+  def morUpdateWhere(table: String, assignments: Seq[(String, Column)],
+      cond: Option[Column],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    val sch = schema(table)
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) = cond match {
+        case Some(p) => matchedByPredicate(table, baseFiles, p)
+        case None    => (baseFiles, Seq.empty[DataFile])
+      }
+      val doomed = readWithPos(table, matched)
+        .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
+      val byName = assignments.map { case (n, v) => n.toLowerCase -> v }.toMap
+      val updatedRows = doomed.select(sch.fields.toIndexedSeq.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          case Some(value) => value.cast(f.dataType).as(f.name)
+          case None        => col(f.name)
+        }
+      }: _*)
+      morCommit(table, "update", baseId, matched, carried, doomed,
+        insertRows = if (matched.isEmpty) None else Some(updatedRows),
+        timestampMs)
+    }
+  }
+
+  /** Shared MOR commit: write `doomed`'s positions as one delete-file
+    * directory, re-enter the matched files with reduced live counts and
+    * the new ref, stage `insertRows` (UPDATE's post-images) as ordinary
+    * data files, serve the change feed, and commit atomically against
+    * `baseId`. All driver-side collects are per-matched-file counts —
+    * metadata-sized by construction. */
+  private def morCommit(table: String, operation: String, baseId: Long,
+      matched: Seq[DataFile], carried: Seq[DataFile], doomed: DataFrame,
+      insertRows: Option[DataFrame], timestampMs: Long): Snapshot = {
+    val dir = tableDir(table)
+    val rel = s"${TableStore.DeletesDir}/delete-${UUID.randomUUID()}"
+    val abs = new HPath(dir, rel).toString
+    val counts: Map[String, Long] =
+      if (matched.isEmpty) Map.empty
+      else {
+        doomed.select(
+          col(TableStore.MorFileCol).as(TableStore.DeleteFileField),
+          col(TableStore.MorPosCol).as(TableStore.DeletePosField))
+          .coalesce(math.max(1, math.min(matched.size, 8)))
+          .write.mode(SaveMode.Overwrite).parquet(abs)
+        // per-file delete counts from the WRITTEN file — the committed
+        // refs must describe exactly the positions on disk
+        spark.read.parquet(abs).groupBy(col(TableStore.DeleteFileField))
+          .count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val totalDeleted = counts.values.sum
+    if (totalDeleted == 0 && fs.exists(new HPath(dir, rel)))
+      fs.delete(new HPath(dir, rel), true) // nothing matched: no ref to keep
+    val ref = DeleteRef(rel, 0L) // per-file records patched below
+    val updatedEntries = matched.flatMap { f =>
+      counts.get(TableStore.fileName(f.path)) match {
+        case None => Some(f) // probe superset: no live row matched
+        case Some(n) =>
+          val live = recordsOf(table, f) - n
+          if (live <= 0) None // fully deleted: out of the snapshot
+          else Some(f.copy(records = live,
+            deletes = f.deletes :+ ref.copy(records = n)))
+      }
+    }
+    val newFiles = insertRows
+      .map(rows => writeStaged(table,
+        rows.drop(TableStore.MorFileCol, TableStore.MorPosCol)))
+      .getOrElse(Seq.empty)
+    // change feed: MOR commits always know their exact row-level diff —
+    // store it when the feed is on (cost ∝ changes); the diff path can
+    // also recover it later from the delete files ([[readChanges]])
+    val cdcSummary =
+      if (!changeFeedEnabled(table) || (totalDeleted == 0 && newFiles.isEmpty))
+        Map.empty[String, String]
+      else {
+        val sch = schema(table)
+        val deleted = doomed
+          .drop(TableStore.MorFileCol, TableStore.MorPosCol)
+          .withColumn(TableStore.ChangeTypeCol, lit("delete"))
+        val changes = newFiles match {
+          case Seq() => deleted
+          case nf => deleted.unionByName(
+            readFileListAs(table, nf, sch)
+              .withColumn(TableStore.ChangeTypeCol, lit("insert")))
+        }
+        val cdcRel = s"cdc/${UUID.randomUUID()}"
+        changes.coalesce(math.max(1, math.min(matched.size + newFiles.size, 16)))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new HPath(dir, cdcRel).toString)
+        Map(TableStore.CdcDirKey -> cdcRel)
+      }
+    val total = TableStore.inParallel(carried)(recordsOf(table, _)).sum +
+      updatedEntries.map(f => recordsOf(table, f)).sum +
+      newFiles.map(_.records).sum
+    val morSummary =
+      if (totalDeleted == 0) Map.empty[String, String]
+      else Map(
+        TableStore.MorDeletesKey -> s"""["$rel"]""",
+        "position-deletes" -> totalDeleted.toString)
+    SnapshotLog.commit(fs, dir, operation,
+      carried ++ updatedEntries ++ newFiles, total, timestampMs,
+      replaceAll = true,
+      summary = Map(
+        "merge-on-read" -> "true",
+        "carried-files" -> carried.size.toString,
+        "added-files" -> newFiles.size.toString) ++ morSummary ++ cdcSummary,
+      expectedLastId = Some(baseId),
+      schemaVersionOf = () => commitSchemaVersion(table))
   }
 
   /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
@@ -2489,11 +2745,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       // Iceberg's binpack contract: only the UNDER-SIZED tail rewrites,
       // files already at/above target carry by reference — OPTIMIZE on
       // a 100 TB table whose steady state is target-sized touches only
-      // the small files of recent appends, never the table
-      val (small, compliant) = sized.partition(_._2 < targetBytes)
+      // the small files of recent appends, never the table. Files
+      // carrying merge-on-read delete refs rewrite regardless of size:
+      // OPTIMIZE is the operation that materializes position deletes
+      // back into clean files (and drops the anti-join from every
+      // later read of them).
+      val (small, compliant) = sized.partition { case (f, len) =>
+        len < targetBytes || f.deletes.nonEmpty }
       val carried = compliant.map(_._1)
       val replacement =
-        if (small.size <= 1) None // one small file gains nothing rewritten
+        // one small CLEAN file gains nothing rewritten; a single dirty
+        // file still rewrites (the rewrite IS the delete materialization)
+        if (small.size <= 1 && !small.exists(_._1.deletes.nonEmpty)) None
         else {
           val bytes = small.map(_._2).sum
           val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -2627,7 +2890,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     */
   def vacuum(table: String, olderThanMs: Long): Unit =
     vacuumTargets(table, olderThanMs).foreach { case (p, kind) =>
-      fs.delete(p, kind == "staging-dir" || kind == "cdc-dir")
+      fs.delete(p,
+        kind == "staging-dir" || kind == "cdc-dir" || kind == "delete-dir")
     }
 
   /** `VACUUM … DRY RUN`: the (path, kind) list [[vacuum]] WOULD
@@ -2683,6 +2947,21 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         .filter(st => st.isDirectory && !refCdc(st.getPath.getName))
         .filter(_.getModificationTime < olderThanMs)
         .foreach(st => out += ((st.getPath, "cdc-dir")))
+    // position-delete dirs no live snapshot's entries reference — a
+    // crashed/conflict-retried MOR write, or refs compacted away and
+    // their snapshots expired
+    val refDeletes = (SnapshotLog.read(fs, dir)
+      .map(SnapshotLog.hydrate(fs, dir, _)).flatMap(_.files) ++
+      SnapshotLog.readWap(fs, dir).flatMap(_.files) ++
+      SnapshotLog.readBranches(fs, dir).values
+        .flatMap(_.entries).flatMap(_.files))
+      .flatMap(_.deletes).map(r => new HPath(dir, r.path).getName).toSet
+    val dels = new HPath(dir, TableStore.DeletesDir)
+    if (fs.exists(dels))
+      fs.listStatus(dels).toSeq
+        .filter(st => !refDeletes(st.getPath.getName))
+        .filter(_.getModificationTime < olderThanMs)
+        .foreach(st => out += ((st.getPath, "delete-dir")))
     out.result()
   }
 
@@ -2770,6 +3049,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     all.flatMap(_.filePaths).distinct.filterNot(live.contains).foreach { f =>
       fs.delete(new HPath(dir, f), false)
     }
+    // position-delete dirs only dropped snapshots' entries reference
+    val liveDeletes = keep.flatMap(_.files).flatMap(_.deletes)
+      .map(_.path).toSet
+    all.flatMap(_.files).flatMap(_.deletes).map(_.path).distinct
+      .filterNot(liveDeletes.contains)
+      .foreach(p => fs.delete(new HPath(dir, p), true))
     // manifests are one-per-snapshot: dropped snapshots' manifests go too
     val keptManifests = keep.flatMap(_.manifest).toSet
     all.flatMap(_.manifest).filterNot(keptManifests.contains).foreach { m =>
@@ -2849,6 +3134,31 @@ object TableStore {
     * ingested (JSON array) — the idempotency ledger: the loaded set is
     * the union over commit summaries, atomic with the rows. */
   val CopyFilesKey = "copy-into-files"
+
+  // ---- merge-on-read position deletes (Iceberg v2 analogue) ----------
+
+  /** Directory (under the table dir) holding position-delete files. */
+  val DeletesDir = "deletes"
+  /** Position-delete file schema: target data file's leaf name… */
+  val DeleteFileField = "_file"
+  /** …and the 0-based row index within it (`_metadata.row_index`). */
+  val DeletePosField = "_pos"
+  /** Summary key recording the delete files a merge-on-read commit
+    * added (JSON array of table-relative paths) — the change feed's
+    * diff path recovers the deleted rows from exactly these. */
+  val MorDeletesKey = "mor-delete-files"
+  /** TBLPROPERTIES keys routing row-level writes to merge-on-read
+    * (Iceberg's `write.delete.mode` / `write.update.mode`). */
+  val DeleteModeProp = "write.delete.mode"
+  val UpdateModeProp = "write.update.mode"
+  val MergeOnRead = "merge-on-read"
+  /** Delete sets at most this large broadcast into the read-side
+    * anti-join (two narrow columns — comfortably under the 8G driver
+    * broadcast ceiling); larger sets let the planner pick. */
+  val MorBroadcastRows: Long = 1000000L
+  /** Scan-metadata probe columns for the delete anti-join. */
+  private[store] val MorFileCol = "__graft_mor_file"
+  private[store] val MorPosCol = "__graft_mor_pos"
 
   /** Whether `dt` contains a MapType anywhere — Spark set operations
     * (the change feed's COW diff) cannot compare maps. */
