@@ -28,6 +28,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("merge-on-read scan: broadcast ANTI join, pushdown intact, clean tables join-free") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-morplan")
+    val st = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(tmp.toUri), spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    st.create("t", df.schema)
+    st.setTableProperties("t", Map(
+      graft.store.TableStore.DeleteModeProp ->
+        graft.store.TableStore.MergeOnRead))
+    st.append("t", df, 1000L)
+    // clean table: plain scan, no join spliced in
+    val cleanPlan = st.read("t").queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Join"), cleanPlan)
+    st.deleteWhere("t", col("id") <= 100, 2000L)
+    // a predicate fully OUTSIDE every dirty file's range prunes the
+    // dirty files away entirely — no join spliced at all
+    val pruned = st.readWhere("t", col("id") > 900)
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("Join"), pruned)
+    // overlapping the dirty range: the position subtraction is a
+    // BROADCAST anti join (delete set far under the threshold), so the
+    // scan side never shuffles…
+    val p = st.readWhere("t", col("id") > 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // …and the row predicate still reaches the Parquet scan through it
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,50)]"),
+      p)
+  }
+
   test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
     val p = plan("q_multiway_join")
     assert(p.contains("BroadcastHashJoin"), p)
