@@ -737,6 +737,44 @@ object SparkEntry {
         "GROUP BY _change_type ORDER BY change_type")
     },
 
+    "q_mor_merge" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("orders_mm", orders.schema)
+      eng.sql("ALTER TABLE orders_mm SET TBLPROPERTIES " +
+        "('write.merge.mode'='merge-on-read')")
+      cat.append("orders_mm", orders, 1000L)                      // snap 1
+      // three-arm MERGE under merge-on-read: %7=3 keys delete (first
+      // arm wins over the update), %5=0 keys double, shifted keys insert
+      eng.sql("""MERGE INTO orders_mm AS t
+        USING (SELECT o_orderkey AS k, o_totalprice AS p FROM orders_mm
+               WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 3
+               UNION ALL
+               SELECT o_orderkey + 100000000 AS k, CAST(1.0 AS DOUBLE) AS p
+               FROM orders_mm WHERE o_orderkey % 1000 = 1) AS s(k, p)
+        ON t.o_orderkey = s.k
+        WHEN MATCHED AND s.k % 7 = 3 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.p * 2
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)""")
+      (cat, eng)
+    } { case (cat, eng) =>
+      // arm semantics vs DuckDB recompute + the no-rewrite proof: every
+      // original data file survives the merge by reference (uniformly
+      // spread keys keep live rows in each), only position deletes and
+      // appended post-images/inserts were committed
+      val st = cat.store()
+      val v1 = st.snapshotMetaVersion("orders_mm", 1L)
+        .map(_._3().map(_.path).toSet).getOrElse(Set.empty)
+      val cur = st.dataFilesAsOf("orders_mm", None).map(_.path).toSet
+      val noRewrite = v1.subsetOf(cur) &&
+        st.currentSummary("orders_mm").get("merge-on-read").contains("true")
+      eng.sql("SELECT COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_mm")
+        .withColumn("no_rewrite", lit(noRewrite))
+    },
+
     "q_dml_subquery" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1725,6 +1763,11 @@ object SparkEntry {
     // commits' own delete files (cost ∝ changes, no exceptAll diff),
     // value-identical to the COW feed over the same statements.
     "q_mor_cdc" -> benchSplits("q_mor_cdc").composed,
+
+    // Three-arm MERGE under write.merge.mode=merge-on-read: deletes and
+    // update pre-images become position deletes, post-images and
+    // not-matched inserts append — no data file rewrites (proof pinned).
+    "q_mor_merge" -> benchSplits("q_mor_merge").composed,
 
     // Ordered conditional MERGE arms (first match wins): a negative
     // amount deletes, a larger amount updates, positive unmatched rows
@@ -3623,6 +3666,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'insert', count(*), round(sum(o_totalprice), 2) FROM inserted
         |ORDER BY change_type""".stripMargin,
+
+    // MOR MERGE arm semantics recomputed: %7=3 keys deleted (first arm
+    // wins), surviving %5=0 keys doubled, one insert per %1000=1 key
+    "q_mor_merge" ->
+      """WITH kept AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 3
+        |), ins AS (
+        |  SELECT CAST(1.0 AS DOUBLE) AS p FROM orders
+        |  WHERE o_orderkey % 1000 = 1
+        |)
+        |SELECT count(*) AS cnt, round(sum(p), 2) AS rev, TRUE AS no_rewrite
+        |FROM (SELECT p FROM kept UNION ALL SELECT p FROM ins)""".stripMargin,
 
     // orders of negative-balance customers deleted; surviving orders
     // whose key is a rich customer's key gain the negative-customer

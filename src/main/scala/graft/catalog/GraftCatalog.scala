@@ -321,6 +321,17 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
+  /** Merge-on-read MERGE INTO: see [[TableStore.morMerge]]. */
+  def morMerge(name: String, sourceKeys: DataFrame, keyCols: Seq[String],
+      doomedAndPost: DataFrame => (DataFrame, DataFrame),
+      timestampMs: Long = System.currentTimeMillis(),
+      rewriteAll: Boolean = false): Snapshot = {
+    val snap = store().morMerge(name, sourceKeys, keyCols, doomedAndPost,
+      timestampMs, rewriteAll)
+    registerView(name)
+    snap
+  }
+
   /** Partition-pruned read: see [[TableStore.readWhere]]. */
   def tableWhere(name: String, predicate: org.apache.spark.sql.Column,
       asOfMs: Option[Long] = None): DataFrame =

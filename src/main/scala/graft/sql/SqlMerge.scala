@@ -195,12 +195,82 @@ object SqlMerge {
           }
         (Seq(unmatchedKept, matchedKept) ++ inserted).reduce(_ unionByName _)
     }
+    // write.merge.mode = merge-on-read: instead of one replacement frame,
+    // hand the store (doomed positions, post-image rows). The matched
+    // frame arrives WITH scan positions attached; every row an arm
+    // updates or deletes contributes its position, update post-images
+    // and not-matched inserts append. The arm routing (and the fused
+    // cardinality guard) is the same machinery the COW path uses.
+    val morParts: DataFrame => (DataFrame, DataFrame) = { matchedWithPos =>
+      import graft.store.TableStore.{MorFileCol, MorPosCol}
+      val posSel = Seq(col(MorFileCol), col(MorPosCol))
+      val t = matchedWithPos.alias(tAlias)
+      val keysDistinct = sourceKeys.select(targetKeyCols.map(col): _*).distinct()
+      val matchedPart: Option[(DataFrame, DataFrame)] =
+        if (arms.matched.isEmpty) None
+        else {
+          val w = Window.partitionBy(
+            keyPairs.map { case (_, sk) => col(sk) }: _*)
+          val s = sourceDf.withColumn(
+            "__src_matches", count(lit(1)).over(w)).alias(sAlias)
+          val guard = assert_true(col("__src_matches") <= 1, lit(
+            s"MERGE INTO $target: a target row matches more than one " +
+              "source row (cardinality violation)"))
+          val routed = t.join(s, joinCond, "inner")
+            .withColumn("__arm0",
+              coalesce(guard.cast("int"), route(arms.matched.map(_.cond))))
+            .filter(col("__arm0") > 0)
+          Some((routed.select(posSel: _*),
+            applyArms(routed, arms.matched, col("__arm0"),
+              f => expr(tgt(f)))))
+        }
+      val bySourcePart: Option[(DataFrame, DataFrame)] =
+        if (arms.bySource.isEmpty) None
+        else {
+          val routed = matchedWithPos
+            .join(keysDistinct, targetKeyCols, "left_anti").alias(tAlias)
+            .withColumn("__arm0", route(arms.bySource.map(_.cond)))
+            .filter(col("__arm0") > 0)
+          Some((routed.select(posSel: _*),
+            applyArms(routed, arms.bySource, col("__arm0"),
+              f => expr(tgt(f)))))
+        }
+      val insertedPart: Option[DataFrame] =
+        if (arms.inserts.isEmpty) None
+        else {
+          val s = sourceDf.alias(sAlias)
+          val notMatched = s.join(t, joinCond, "left_anti")
+            .withColumn("__arm", route(arms.inserts.map(_.cond)))
+            .filter(col("__arm") > 0)
+          Some(alignToSchema(notMatched, f =>
+            arms.inserts.zipWithIndex.foldRight(lit(null): Column) {
+              case ((arm, i), els) =>
+                val v = arm.cols match {
+                  case None => col(f)
+                  case Some(cs) => cs.map(_.toLowerCase).zip(arm.exprs).toMap
+                    .get(f.toLowerCase).map(expr).getOrElse(lit(null))
+                }
+                when(col("__arm") === lit(i + 1), v).otherwise(els)
+            }))
+        }
+      val doomed = (matchedPart.map(_._1) ++ bySourcePart.map(_._1))
+        .reduceOption(_ unionByName _)
+        .getOrElse(matchedWithPos.select(posSel: _*).limit(0))
+      val post = (matchedPart.map(_._2) ++ bySourcePart.map(_._2) ++
+        insertedPart)
+        .reduceOption(_ unionByName _)
+        .getOrElse(alignToSchema(matchedWithPos, col(_)).limit(0))
+      (doomed, post)
+    }
     try {
       // branch conf set → the COW records on the branch chain instead
       // of committing to the log (Iceberg's branch writes)
       SqlDdl.dmlBranch(tCat) match {
         case Some(bn) => tCat.store().mergeOnBranch(target, bn, sourceKeys,
           targetKeyCols, replaceFn, rewriteAll = arms.bySource.nonEmpty)
+        case None if tCat.store().morMergeMode(target) =>
+          tCat.morMerge(target, sourceKeys, targetKeyCols,
+            morParts, rewriteAll = arms.bySource.nonEmpty)
         case None => tCat.merge(target, sourceKeys, targetKeyCols,
           replaceFn, rewriteAll = arms.bySource.nonEmpty)
       }

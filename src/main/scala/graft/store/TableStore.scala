@@ -2243,6 +2243,33 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Whether `MERGE INTO` on this table runs merge-on-read. */
+  private[graft] def morMergeMode(table: String): Boolean =
+    morMode(table, TableStore.MergeModeProp)
+
+  /** Merge-on-read MERGE: the SQL seam supplies `doomedAndPost`, which
+    * receives the matched files' rows WITH scan positions attached
+    * ([[TableStore.MorFileCol]]/[[TableStore.MorPosCol]], existing
+    * deletes already subtracted) and returns (doomed positions, aligned
+    * post-image/insert rows). The doomed rows' positions go into one
+    * delete file; post-images and not-matched inserts append as data
+    * files — matched files are never rewritten. `rewriteAll` (BY SOURCE
+    * arms) widens the pos-read to every file; with MOR that costs one
+    * full scan, still no rewrite. */
+  def morMerge(table: String, sourceKeys: DataFrame, keyCols: Seq[String],
+      doomedAndPost: DataFrame => (DataFrame, DataFrame),
+      timestampMs: Long = System.currentTimeMillis(),
+      rewriteAll: Boolean = false): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val (matched, carried) =
+        if (rewriteAll) (baseFiles, Seq.empty[DataFile])
+        else matchedByKeys(table, baseFiles, sourceKeys, keyCols)
+      val (doomed, post) = doomedAndPost(readWithPos(table, matched))
+      morCommit(table, "merge", baseId, matched, carried, doomed,
+        insertRows = Some(post), timestampMs)
+    }
+
   /** Shared MOR commit: write `doomed`'s positions as one delete-file
     * directory, re-enter the matched files with reduced live counts and
     * the new ref, stage `insertRows` (UPDATE's post-images) as ordinary
@@ -2287,6 +2314,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       .map(rows => writeStaged(table,
         rows.drop(TableStore.MorFileCol, TableStore.MorPosCol)))
       .getOrElse(Seq.empty)
+      // an all-arms-delete MERGE stages zero rows — drop the empty part
+      // files rather than logging them (vacuum reclaims the bytes)
+      .filter(_.records != 0L)
     // change feed: MOR commits always know their exact row-level diff —
     // store it when the feed is on (cost ∝ changes); the diff path can
     // also recover it later from the delete files ([[readChanges]])
@@ -3148,17 +3178,21 @@ object TableStore {
     * diff path recovers the deleted rows from exactly these. */
   val MorDeletesKey = "mor-delete-files"
   /** TBLPROPERTIES keys routing row-level writes to merge-on-read
-    * (Iceberg's `write.delete.mode` / `write.update.mode`). */
+    * (Iceberg's `write.delete.mode` / `write.update.mode` /
+    * `write.merge.mode`). */
   val DeleteModeProp = "write.delete.mode"
   val UpdateModeProp = "write.update.mode"
+  val MergeModeProp = "write.merge.mode"
   val MergeOnRead = "merge-on-read"
   /** Delete sets at most this large broadcast into the read-side
     * anti-join (two narrow columns — comfortably under the 8G driver
     * broadcast ceiling); larger sets let the planner pick. */
   val MorBroadcastRows: Long = 1000000L
-  /** Scan-metadata probe columns for the delete anti-join. */
-  private[store] val MorFileCol = "__graft_mor_file"
-  private[store] val MorPosCol = "__graft_mor_pos"
+  /** Scan-metadata probe columns for the delete anti-join — public so
+    * the SQL MERGE seam can select doomed positions from the
+    * pos-attached matched frame ([[TableStore.morMerge]]). */
+  val MorFileCol = "__graft_mor_file"
+  val MorPosCol = "__graft_mor_pos"
 
   /** Whether `dt` contains a MapType anywhere — Spark set operations
     * (the change feed's COW diff) cannot compare maps. */
