@@ -38,6 +38,7 @@ object GraftExtensions {
     "image_header_meta" -> (es => ImageHeaderMeta(es.head)),
     "audio_header_meta" -> (es => AudioHeaderMeta(es.head)),
     "video_header_meta" -> (es => VideoHeaderMeta(es.head)),
+    "mjpeg_frames" -> (es => MjpegFrames(es.head)),
     "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
     "image_pixel_stats" -> (es => ImagePixelStats(es.head)),

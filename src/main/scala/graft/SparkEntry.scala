@@ -3197,6 +3197,44 @@ object SparkEntry {
           col("video_meta.duration_ms").as("duration_ms"),
           col("video_meta.format").as("format"))
         .orderBy(col("asset_id"))
+    }),
+
+    // REAL video FRAME decode end to end, for the one codec the JDK can
+    // finish: Motion-JPEG AVI — each movi chunk is a complete JPEG,
+    // built at runtime by javax.imageio (constant gray per frame),
+    // extracted by the MjpegFrames RIFF walk, and pixel-decoded back by
+    // ImagePixelStats. Dimensions and frame count check exactly; the
+    // decoded grays check within the JPEG quantization tolerance, and
+    // the container header must agree with the frames (header_ok).
+    "q_multimodal_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val w = (lit(8) + pmod(col("doc_id"), lit(5)) * 2).cast("int")
+      val h = (lit(8) + pmod(col("doc_id"), lit(3)) * 2).cast("int")
+      def gray(i: Int) =
+        (pmod(col("doc_id") * 37 + lit(i * 64), lit(224)) + 16).cast("int")
+      val avi = docs.select(col("doc_id"),
+        Multimodal.syntheticMjpegAviContent(w, h,
+          Seq(gray(0), gray(1), gray(2))).as("content"))
+      val frames = Multimodal.decodeVideoFrames(avi)
+      val hdr = graft.functions.GraftFunctions.videoHeaderMeta(col("content"))
+      val expGray = (pmod(col("doc_id") * 37 + col("frame_idx") * 64,
+        lit(224)) + 16).cast("double")
+      frames
+        .withColumn("gray_ok",
+          abs(col("frame_pixels.mean_r") - expGray) <= 3 &&
+            abs(col("frame_pixels.mean_g") - expGray) <= 3 &&
+            abs(col("frame_pixels.mean_b") - expGray) <= 3)
+        .withColumn("header_ok",
+          hdr("width") === col("frame_pixels.width") &&
+            hdr("height") === col("frame_pixels.height") &&
+            hdr("format") === "avi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("frame_pixels.width")).as("width"),
+          min(col("frame_pixels.height")).as("height"),
+          min(col("gray_ok")).as("all_grays_ok"),
+          min(col("header_ok")).as("header_ok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4757,7 +4795,18 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9973 + 40) * 100
         |       ELSE 40 * (doc_id % 250 + 1) END AS BIGINT) AS duration_ms,
         |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // MJPEG frame decode: frame count / dimensions are exact; decoded
+    // constant-gray means landed inside the JPEG quantization tolerance
+    // and the container header agreed with every frame (Spark-side
+    // booleans, TRUE here)
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id % 3) * 2 AS INTEGER) AS height,
+        |  TRUE AS all_grays_ok, TRUE AS header_ok
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 
   // -------------------------------------------------------------------

@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   * [[graft.functions.WavPcmStats]] — pure byte arithmetic) — and FULL
   * pixel decode of the COMPRESSED image formats (PNG deflate, JPEG
   * DCT, GIF LZW) via the JDK's own `javax.imageio`
-  * ([[graft.functions.ImagePixelStats]]), all oracle-gated end to end.
-  * What stays STUBBED, clearly labeled: MP3 and video-codec decode —
-  * the JDK ships no codec for those; swap the labeled fakes for a
-  * binding (JNI/javacv) without touching any plan shape.
+  * ([[graft.functions.ImagePixelStats]]), MP3 frame-header walks
+  * ([[graft.functions.Mp3FrameStats]]), and FULL video-frame decode
+  * for Motion-JPEG AVI ([[graft.functions.MjpegFrames]] +
+  * ImagePixelStats — MJPEG frames are complete JPEGs), all
+  * oracle-gated end to end.
+  * What stays STUBBED, clearly labeled: MP3 SAMPLE decode and
+  * inter-frame video codecs (H.264 etc.) — the JDK ships no codec for
+  * those; swap the labeled fakes for a binding (JNI/javacv) without
+  * touching any plan shape.
   */
 object Multimodal {
 
@@ -204,6 +209,56 @@ object Multimodal {
       lit("LIST".getBytes), le(lit(68L), 4), lit("hdrl".getBytes),
       lit("avih".getBytes), le(lit(56L), 4), avihPayload)
   }
+
+  /** A COMPLETE Motion-JPEG AVI: real RIFF structure (`hdrl`/`avih`
+    * with true dimensions and frame count, then a `movi` LIST) whose
+    * `00dc` chunks are REAL JPEGs — one constant-gray frame per entry
+    * of `grays`, encoded at runtime by the same `javax.imageio` path
+    * the decode side uses. This makes video FRAME decode genuinely
+    * end-to-end for the one codec the JDK ships: MJPEG frames are
+    * complete JPEG images ([[graft.functions.MjpegFrames]] extracts,
+    * [[graft.functions.ImagePixelStats]] decodes). Pure column
+    * expressions; chunk sizes and RIFF totals computed from the actual
+    * encoded lengths, odd-length payloads padded per RIFF. */
+  def syntheticMjpegAviContent(width: Column, height: Column,
+      grays: Seq[Column]): Column = {
+    require(grays.nonEmpty, "an MJPEG AVI needs at least one frame")
+    val frames = grays.map(g =>
+      graft.functions.GraftFunctions.imageEncodeConst("jpg",
+        width, height, g, g, g))
+    val chunks = frames.map { jpeg =>
+      val jl = octet_length(jpeg)
+      concat(lit("00dc".getBytes), le(jl, 4), jpeg,
+        when(pmod(jl, lit(2)) === 1, lit(Array(0x00.toByte)))
+          .otherwise(lit(Array.emptyByteArray)))
+    }
+    val moviPayload = concat(lit("movi".getBytes) +: chunks: _*)
+    val hdrl = concat(
+      lit("LIST".getBytes), le(lit(68L), 4), lit("hdrl".getBytes),
+      lit("avih".getBytes), le(lit(56L), 4),
+      concat(
+        le(lit(40000L), 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
+        le(lit(grays.size.toLong), 4), le(lit(0), 4), le(lit(1), 4),
+        le(lit(0), 4), le(width, 4), le(height, 4),
+        repeatBin(le(lit(0), 4), lit(4))))
+    val moviList = concat(lit("LIST".getBytes),
+      le(octet_length(moviPayload), 4), moviPayload)
+    concat(lit("RIFF".getBytes),
+      le(lit(4L) + octet_length(hdrl) + octet_length(moviList), 4),
+      lit("AVI ".getBytes), hdrl, moviList)
+  }
+
+  /** REAL MJPEG frame pipeline: extract every `movi` frame payload,
+    * explode to one row per frame, and fully decode each JPEG —
+    * `frame_idx`, `frame_pixels` (width/height/means struct). NULL
+    * extraction (non-AVI payloads) yields no rows. Scan-local: the
+    * explode and the per-frame decode never shuffle. */
+  def decodeVideoFrames(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.select(col("*"), posexplode(
+        graft.functions.GraftFunctions.mjpegFrames(col(contentCol)))
+        .as(Seq("frame_idx", "frame_bytes")))
+      .withColumn("frame_pixels",
+        graft.functions.GraftFunctions.imagePixelStats(col("frame_bytes")))
 
   /** Video decode: REAL container-header parsing for MP4/AVI
     * (dimensions + duration from the actual box/chunk bytes); payloads

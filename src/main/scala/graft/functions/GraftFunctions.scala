@@ -91,6 +91,13 @@ object GraftFunctions {
   def imagePixelStats(content: Column): Column =
     toCol(ImagePixelStats(toExpr(content)))
 
+  /** REAL video-frame extraction for Motion-JPEG AVI: the `movi`
+    * chunk payloads as `array<binary>` — each a complete JPEG for
+    * [[imagePixelStats]]/[[imageDHash]]. NULL for non-AVI payloads;
+    * inter-frame codecs stay stubbed (no JDK decoder). */
+  def mjpegFrames(content: Column): Column =
+    toCol(MjpegFrames(toExpr(content)))
+
   /** 64-bit perceptual difference hash (dHash) of an ImageIO-decodable
     * binary column; NULL for undecodable bytes. */
   def imageDHash(content: Column): Column =

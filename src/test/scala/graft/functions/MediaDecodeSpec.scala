@@ -232,6 +232,57 @@ class MediaDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("MjpegFrames: movi chunks extract in order, rec lists unwrap, " +
+      "odd payloads pad, garbage declines") {
+    def avi(chunks: Seq[(String, Array[Byte])], wrapInRec: Boolean = false)
+        : Array[Byte] = {
+      val movi = new ByteArrayOutputStream()
+      movi.write("movi".getBytes)
+      val inner = new ByteArrayOutputStream()
+      chunks.foreach { case (tag, payload) =>
+        inner.write(tag.getBytes); le(inner, payload.length, 4)
+        inner.write(payload)
+        if (payload.length % 2 == 1) inner.write(0)
+      }
+      if (wrapInRec) {
+        movi.write("LIST".getBytes); le(movi, 4L + inner.size(), 4)
+        movi.write("rec ".getBytes)
+      }
+      movi.write(inner.toByteArray)
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes); le(out, 4L + 8 + movi.size(), 4)
+      out.write("AVI ".getBytes)
+      out.write("LIST".getBytes); le(out, movi.size(), 4)
+      out.write(movi.toByteArray)
+      out.toByteArray
+    }
+    val f1 = Array[Byte](1, 2, 3)        // odd length: padded
+    val f2 = Array[Byte](4, 5, 6, 7)
+    // plain chunks, in order, index chunks (ix/idx fourccs absent here)
+    val got = MjpegFrames.extract(avi(Seq("00dc" -> f1, "01db" -> f2))).get
+    assert(got.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq))
+    // interleave groups unwrap
+    val rec = MjpegFrames.extract(
+      avi(Seq("00dc" -> f1, "00dc" -> f2), wrapInRec = true)).get
+    assert(rec.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq))
+    // non-frame chunks (audio '00wb', index) are skipped
+    val mixed = MjpegFrames.extract(
+      avi(Seq("00wb" -> f2, "00dc" -> f1))).get
+    assert(mixed.map(_.toSeq) == Seq(f1.toSeq))
+    // non-AVI and fuzz: decline, never throw
+    assert(MjpegFrames.extract("not an avi".getBytes).isEmpty)
+    assert(MjpegFrames.extract(null).isEmpty)
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { i =>
+      val b = Array.fill(rnd.nextInt(160))(rnd.nextInt(256).toByte)
+      if (i % 2 == 0 && b.length >= 12) {
+        Array[Byte]('R', 'I', 'F', 'F').copyToArray(b, 0)
+        Array[Byte]('A', 'V', 'I', ' ').copyToArray(b, 8)
+      }
+      MjpegFrames.extract(b) // must return, never throw
+    }
+  }
+
   test("Mp3FrameStats: frame walk, ID3 skip, VBR average, edge cases") {
     def frame(kbpsIdx: Int, padding: Int = 0): Array[Byte] = {
       val kbps = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
