@@ -3199,6 +3199,61 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // URL filtering (RefinedWeb/C4's FIRST pipeline gate): synthesized
+    // URLs (scheme/www/port decorations vary per row) → parse_url host
+    // → registrable domain (simplified-PSL: co.uk keeps three labels)
+    // → blocklist → deterministic per-domain cap. The oracle recomputes
+    // the domain from the GENERATING formula, so a parse or PSL bug on
+    // the Spark side mismatches.
+    "q_url_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tld = element_at(array(lit(".co.uk"), lit(".com"), lit(".org"),
+        lit(".net"), lit(".io")), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val scheme = when(pmod(col("doc_id"), lit(3)) === 0, "HTTPS://")
+        .otherwise("https://")
+      val www = when(pmod(col("doc_id"), lit(4)) === 0, "www.").otherwise("")
+      val port = when(pmod(col("doc_id"), lit(6)) === 0, ":443").otherwise("")
+      val url = concat(scheme, www, col("source"), lit("-site"), tld, port,
+        lit("/page/"), pmod(col("doc_id"), lit(20)).cast("string"))
+      val blocked = for {
+        src <- Seq("src1", "src7")
+        t <- Seq(".co.uk", ".com", ".org", ".net", ".io")
+      } yield s"$src-site$t"
+      val parsed = graft.ext.UrlOps.parseUrl(
+        docs.select(col("doc_id"), url.as("url")))
+      val kept = graft.ext.UrlOps.capPerDomain(
+        graft.ext.UrlOps.domainBlocklistFilter(parsed, blocked), maxDocs = 3)
+      kept.select(col("doc_id"), col("url_domain")).orderBy(col("doc_id"))
+    }),
+
+    // URL-exact dedup under normalization: per canonical group the rows
+    // differ only by tracking params, fragments, default ports, scheme/
+    // host case, or trailing slashes — all of which must canonicalize
+    // away; DuckDB recomputes the canonical string and group stats from
+    // the generating arithmetic.
+    "q_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = pmod(col("doc_id"), lit(25)).cast("string")
+      val kNum = pmod(col("doc_id"), lit(25))
+      val qs = when(pmod(kNum, lit(3)) === 0, concat(lit("?id="), k))
+        .otherwise(lit(""))
+      val deco = pmod(col("doc_id"), lit(5))
+      val scheme = when(deco === 0, "HTTPS://").otherwise("https://")
+      val host = when(deco === 1, concat(lit("Site"), k, lit(".Example.COM")))
+        .otherwise(concat(lit("site"), k, lit(".example.com")))
+      val port = when(deco === 2, ":443").otherwise("")
+      val slash = when(deco === 3 && qs === "", "/").otherwise("")
+      val frag = when(deco === 4, "#top").otherwise("")
+      val track = when(deco === 2,
+          when(qs === "", "?utm_source=news").otherwise("&utm_campaign=z"))
+        .otherwise(lit(""))
+      val url = concat(scheme, host, port, lit("/p/"), k, slash, qs,
+        track, frag)
+      graft.ext.UrlOps.dedupByUrl(
+          docs.select(col("doc_id"), url.as("url")))
+        .orderBy(col("canonical_url"))
+    }),
+
     // REAL video FRAME decode end to end, for the one codec the JDK can
     // finish: Motion-JPEG AVI — each movi chunk is a complete JPEG,
     // built at runtime by javax.imageio (constant gray per frame),
@@ -4796,6 +4851,43 @@ object SparkEntry {
         |       ELSE 40 * (doc_id % 250 + 1) END AS BIGINT) AS duration_ms,
         |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // URL filter: the registrable domain is recomputed from the
+    // generating formula (tld by doc_id%5, source-site name), so the
+    // Spark side's parse_url + simplified-PSL walk must agree
+    "q_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    source || '-site' ||
+        |      ['.co.uk', '.com', '.org', '.net', '.io'][(doc_id % 5) + 1]
+        |      AS url_domain
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, url_domain,
+        |    row_number() OVER (PARTITION BY url_domain ORDER BY doc_id) AS rk
+        |  FROM u
+        |  WHERE url_domain NOT IN (
+        |    'src1-site.co.uk', 'src1-site.com', 'src1-site.org',
+        |    'src1-site.net', 'src1-site.io',
+        |    'src7-site.co.uk', 'src7-site.com', 'src7-site.org',
+        |    'src7-site.net', 'src7-site.io')
+        |)
+        |SELECT doc_id, url_domain FROM f WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // URL dedup: every decoration (case, :443, utm/fragment, trailing
+    // slash) must canonicalize away — group stats recomputed from the
+    // generating arithmetic
+    "q_url_dedup" ->
+      """SELECT 'https://site' || (doc_id % 25) || '.example.com/p/' ||
+        |         (doc_id % 25) ||
+        |         CASE WHEN (doc_id % 25) % 3 = 0
+        |              THEN '?id=' || (doc_id % 25) ELSE '' END
+        |         AS canonical_url,
+        |       min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_dupes
+        |FROM documents GROUP BY doc_id % 25
+        |ORDER BY canonical_url""".stripMargin,
 
     // MJPEG frame decode: frame count / dimensions are exact; decoded
     // constant-gray means landed inside the JPEG quantization tolerance
