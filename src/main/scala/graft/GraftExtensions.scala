@@ -39,6 +39,7 @@ object GraftExtensions {
     "audio_header_meta" -> (es => AudioHeaderMeta(es.head)),
     "video_header_meta" -> (es => VideoHeaderMeta(es.head)),
     "mjpeg_frames" -> (es => MjpegFrames(es.head)),
+    "mp3_frame_stats" -> (es => Mp3FrameStats(es.head)),
     "bmp_pixel_stats" -> (es => BmpPixelStats(es.head)),
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
     "image_pixel_stats" -> (es => ImagePixelStats(es.head)),

@@ -351,27 +351,4 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("frame", "frame_bytes")
   }
-
-  /** Batched feature extraction via mapPartitions — the Scala analogue of
-    * a pandas-UDF batch loop: per-partition setup (codec init) happens
-    * once, rows stream through in bulk. The feature body is a STUB
-    * (content-hash folded to a fixed-length vector). */
-  def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 16): DataFrame = {
-    import spark.implicits._
-    val out = assets.select(col("asset_id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition init would open the real codec here
-        it.map { case (id, bytes) =>
-          val base = if (bytes == null) 0L else java.util.Arrays.hashCode(bytes).toLong
-          val vec = Array.tabulate(dim) { i =>
-            var z = base ^ (i.toLong * 0x9E3779B97F4A7C15L)
-            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-            ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
-          }
-          (id, vec)
-        }
-      }.toDF("asset_id", "features")
-    out
-  }
 }

@@ -90,7 +90,8 @@ object UrlOps {
     val fixQ = regexp_replace(
       regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
     val noPort = regexp_replace(fixQ, "(?i)^(https?://[^/:]+):(80|443)(/|$)", "$1$3")
-    val noSlash = regexp_replace(noPort, "([^/])/$", "$1")
+    // only when a path segment precedes — the root slash IS the path
+    val noSlash = regexp_replace(noPort, "(://[^/]+/.*[^/])/$", "$1")
     // scheme+host lowercase, path/query case preserved (the all-Column
     // regexp_replace overload takes the computed replacement)
     regexp_replace(noSlash, lit("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"),

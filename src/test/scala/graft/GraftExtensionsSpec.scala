@@ -14,7 +14,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "cosine_similarity", "l2_norm", "minhash_signature", "shingle_hashes",
       "simhash64", "rolling_hash", "hyperplane_lsh", "image_header_meta",
-      "audio_header_meta", "video_header_meta", "bmp_pixel_stats", "wav_pcm_stats",
+      "audio_header_meta", "video_header_meta", "mjpeg_frames",
+      "mp3_frame_stats", "bmp_pixel_stats", "wav_pcm_stats",
       "image_pixel_stats", "image_dhash", "audio_energy_hash"))
   }
 

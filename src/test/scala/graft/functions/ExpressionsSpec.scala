@@ -107,9 +107,14 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c," +
         " simhash64(array('a','b')) AS s," +
-        " size(shingle_hashes(array('a','b','c','d'))) AS n")
+        " size(shingle_hashes(array('a','b','c','d'))) AS n," +
+        " mp3_frame_stats(cast('not an mp3' AS binary)) AS m," +
+        " mjpeg_frames(cast('not an avi' AS binary)) AS f")
       .head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
     assert(r.getInt(2) == 2)
+    // media decoders are registered and answer null on undecodable input
+    assert(r.isNullAt(3))
+    assert(r.isNullAt(4))
   }
 }
