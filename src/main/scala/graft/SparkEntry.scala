@@ -2575,6 +2575,61 @@ object SparkEntry {
           "total_tokens", "corpus_md5")
     }),
 
+    // Web-corpus recipe with the URL stage FIRST (the RefinedWeb/C4
+    // ordering UrlOps documents): parse → domain blocklist → per-domain
+    // cap → URL-exact dedup under normalization, THEN the content gates
+    // (language, token-count, alpha-ratio). URLs are built
+    // deterministically from doc_id with every decoration
+    // normalizeUrl must cancel (scheme/host case, :443, utm params,
+    // trailing slash, fragment); DuckDB re-derives each stage's
+    // survivor count from the generating arithmetic. At 100 TB the URL
+    // stages run before any text is read — parse/blocklist are
+    // scan-local, the cap and dedup shuffle only (domain|url, id)
+    // pairs, and every later gate sees an already-shrunk corpus.
+    "q_pipeline_web" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val k = pmod(col("doc_id"), lit(40)).cast("string")
+      val deco = pmod(col("doc_id"), lit(5))
+      val scheme = when(deco === 0, "HTTPS://").otherwise("https://")
+      val host = when(deco === 1,
+          concat(lit("S"), substring(col("source"), 2, 100), lit("-Web.COM")))
+        .otherwise(concat(col("source"), lit("-web.com")))
+      val port = when(deco === 2, ":443").otherwise("")
+      val track = when(deco === 2, "?utm_source=feed").otherwise("")
+      val slash = when(deco === 3, "/").otherwise("")
+      val frag = when(deco === 4, "#top").otherwise("")
+      val url = concat(scheme, host, port, lit("/p/"), k, slash, track, frag)
+      val withUrl = docs.select(col("doc_id"), col("lang"), col("text"),
+        url.as("url"))
+      val nTotal = withUrl.count()
+      val parsed = graft.ext.UrlOps.parseUrl(withUrl)
+      val afterBlock = graft.ext.UrlOps.domainBlocklistFilter(parsed,
+        Seq("src1-web.com", "src7-web.com", "src13-web.com"))
+      val nBlock = afterBlock.count()
+      val afterCap = graft.ext.UrlOps.capPerDomain(afterBlock, maxDocs = 20)
+      val nCap = afterCap.count()
+      val keep = graft.ext.UrlOps.dedupByUrl(afterCap)
+      val uniq = afterCap.join(
+        keep.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val nUniq = uniq.count()
+      val en = uniq.filter(col("lang") === "en")
+      val nLang = en.count()
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val q = en
+        .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
+        .filter(alpha >= 0.82)
+      val row = q.agg(count(lit(1)).as("n"),
+        coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L))
+          .cast("long").as("tok")).head()
+      Seq((nTotal, nBlock, nCap, nUniq, nLang, row.getLong(0),
+          row.getLong(1)))
+        .toDF("n_total", "n_after_blocklist", "n_after_cap",
+          "n_url_unique", "n_lang", "n_quality", "total_tokens")
+    }),
+
     // =================================================================
     // North star: text analysis
     // =================================================================
@@ -4007,6 +4062,45 @@ object SparkEntry {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS m
         |    FROM fin)) AS corpus_md5""".stripMargin,
+
+    // Web recipe with the URL stage first: every stage's survivor count
+    // re-derived from the generating arithmetic — the decorations
+    // (case, :443, utm, slash, fragment) must all canonicalize away, so
+    // the oracle groups by the undecorated canonical key
+    "q_pipeline_web" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, text,
+        |         source || '-web.com' AS url_domain,
+        |         source || '-web.com/p/' || (doc_id % 40) AS canon
+        |  FROM documents
+        |),
+        |b AS (SELECT * FROM u WHERE url_domain NOT IN
+        |       ('src1-web.com', 'src7-web.com', 'src13-web.com')),
+        |c AS (SELECT * FROM (
+        |    SELECT b.*, row_number() OVER (
+        |      PARTITION BY url_domain ORDER BY doc_id) AS rk FROM b)
+        |  WHERE rk <= 20),
+        |d AS (SELECT * FROM (
+        |    SELECT c.*, row_number() OVER (
+        |      PARTITION BY canon ORDER BY doc_id) AS rn FROM c)
+        |  WHERE rn = 1),
+        |e AS (SELECT * FROM d WHERE lang = 'en'),
+        |q AS (SELECT * FROM e
+        |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+        |          BETWEEN 20 AND 100000
+        |    AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text) >= 0.82)
+        |SELECT
+        | (SELECT count(*) FROM u) AS n_total,
+        | (SELECT count(*) FROM b) AS n_after_blocklist,
+        | (SELECT count(*) FROM c) AS n_after_cap,
+        | (SELECT count(*) FROM d) AS n_url_unique,
+        | (SELECT count(*) FROM e) AS n_lang,
+        | (SELECT count(*) FROM q) AS n_quality,
+        | (SELECT CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END), 0)
+        |   AS BIGINT) FROM q) AS total_tokens""".stripMargin,
 
     // Metadata tables: every aggregate is reconstructible from the
     // source rows (per-file counts sum to the table; two appends; one
