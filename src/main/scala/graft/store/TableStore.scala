@@ -1864,6 +1864,32 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   /** Same split for a key-based write (upsert/MERGE): footer-prune with
     * the key-space bounds of `updates` (one tiny agg job), then probe
     * candidates with a distributed semi-join on the keys. */
+  /** Needle tier of the key-based matched-file probe: when the distinct
+    * key set is metadata-sized (same cap discipline as
+    * [[graft.catalog.GraftCatalog.joinPruned]]'s `maxKeys`), re-prune
+    * the footer-stat survivors with the keys as a point predicate so
+    * EVERY per-key metadata tier fires — log-level blooms above all.
+    * The min/max range prune is useless on an unsorted
+    * high-cardinality key (every file's range covers any key); a bloom
+    * answers the point probe exactly there. Conservative: a file the
+    * keys can't touch is carried, never rewritten, and the exact probe
+    * still decides matches, so a bloom false-positive only costs a
+    * read. `private[graft]` for the MergeOnReadSpec probe-size
+    * assertion. */
+  private[graft] def keyProbeCandidates(table: String,
+      statCand: Seq[DataFile], keys: DataFrame,
+      keyCols: Seq[String]): Seq[DataFile] =
+    if (statCand.isEmpty || keyCols.size != 1) statCand
+    else {
+      val sample = keys.limit(TableStore.KeyProbeCap + 1).collect()
+      if (sample.length > TableStore.KeyProbeCap) statCand
+      else {
+        val vals = sample.map(_.get(0)).filter(_ != null).toSeq
+        if (vals.isEmpty) Seq.empty
+        else pruneList(table, statCand, col(keyCols.head).isin(vals: _*))
+      }
+    }
+
   private def matchedByKeys(table: String, baseFiles: Seq[DataFile],
       updates: DataFrame,
       keyCols: Seq[String]): (Seq[DataFile], Seq[DataFile]) = {
@@ -1886,11 +1912,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         Pruning.mightMatch(pe, Pruning.footerRanges(fs, absPath(table, f.path))))
     val (kept, dropped) = surviving.zip(keep).partition(_._2)
     val (statCand, statCarried) = (kept.map(_._1), dropped.map(_._1))
+    val keyPruned = keyProbeCandidates(table, statCand, keys, keyCols)
     val matchedNames: Set[String] =
-      if (statCand.isEmpty) Set.empty
+      if (keyPruned.isEmpty) Set.empty
       // rename-reconciling, delete-free read, same reasoning as
       // matchedByPredicate
-      else readFileListAs(table, statCand, schema(table),
+      else readFileListAs(table, keyPruned, schema(table),
           applyDeletes = false)
         .withColumn(TableStore.FileCol, input_file_name())
         .join(keys, keyCols, "left_semi")
@@ -3207,6 +3234,13 @@ object TableStore {
   private[store] val PartDirCol = "__gpart"
   /** Probe column holding `input_file_name()` during matched-file detection. */
   private[store] val FileCol = "__graft_file"
+
+  /** Distinct-key cap for the MERGE/upsert matched-file needle tier —
+    * the same metadata-sized discipline as
+    * [[graft.catalog.GraftCatalog.joinPruned]]'s `maxKeys`: past this,
+    * a driver collect of the key set stops being metadata and the
+    * range+probe path runs unchanged. */
+  private[store] val KeyProbeCap = 1000
 
   /** Last path segment; data-file names are UUID-prefixed, so the name
     * alone identifies a file within a table. */

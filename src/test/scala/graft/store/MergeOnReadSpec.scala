@@ -236,4 +236,34 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(out.count() == 90)
     assert(out.filter(col("label").startsWith("name-")).count() == 90)
   }
+
+  test("needle MERGE probe consults the bloom tier on an unsorted " +
+      "high-cardinality key") {
+    val st = newStore()
+    // bijective scramble: 1000 distinct keys, interleaved across 4
+    // files so every file's min/max covers nearly the whole domain —
+    // the range tier admits everything, only blooms discriminate
+    val df = (0 until 1000).map(i => ((i * 7919L) % 1000, i))
+      .toDF("id", "payload")
+    st.create("t", df.schema)
+    st.setBloomColumns("t", Seq("id"))
+    (0 until 4).foreach(b => st.append("t",
+      df.filter(pmod(col("payload"), lit(4)) === b).coalesce(1), 1000L + b))
+    assert(st.currentFiles("t").size == 4)
+    val needle = (5L * 7919L) % 1000 // payload 5 → file b = 1
+    val bloomAdmitted =
+      st.prunedFiles("t", col("id").isin(needle)).map(_.path).toSet
+    assert(bloomAdmitted.size < 4, "blooms must rule out at least one file")
+    // the key-probe needle tier must admit exactly the bloom set
+    val probe = st.keyProbeCandidates("t", st.dataFilesAsOf("t", None),
+      Seq(needle).toDF("id"), Seq("id"))
+    assert(probe.map(_.path).toSet == bloomAdmitted)
+    // end to end: the upsert rewrites no more files than blooms admit
+    val snap = st.upsert("t", Seq((needle, -1)).toDF("id", "payload"),
+      Seq("id"), 5000L)
+    assert(snap.summary("rewritten-files").toInt <= bloomAdmitted.size)
+    assert(st.read("t").count() == 1000)
+    assert(st.read("t").filter(col("id") === needle)
+      .select("payload").head().getInt(0) == -1)
+  }
 }
