@@ -1039,6 +1039,12 @@ object SqlDdl {
       case "remove_orphan_files" =>
         val (cat, t) = tableArg
         cat.vacuum(t, olderThanMs(3L * 24 * 3600 * 1000))
+      case "rewrite_position_delete_files" =>
+        // Iceberg's delete-file binpack: consolidate stacked position-
+        // delete refs without rewriting data files
+        val (cat, t) = tableArg
+        cat.store().rewritePositionDeleteFiles(t)
+        cat.registerView(t)
       case "fast_forward" =>
         // Iceberg's fast_forward: main must still sit at the branch's
         // fork point; branch commits replay in order, branch deleted

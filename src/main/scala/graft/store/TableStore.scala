@@ -2386,6 +2386,78 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  /** `CALL rewrite_position_delete_files` (Iceberg parity): consolidate
+    * the STACKED position-delete refs of still-dirty data files into
+    * one fresh delete-file directory, without touching any data file —
+    * the delete-file analogue of binpack. A long-lived MOR table
+    * accumulates one kilobyte-scale delete file per DELETE/UPDATE; each
+    * dirty file's read anti-joins the union of its refs, so N stacked
+    * refs mean N tiny parquet opens per scan. This rewrites only the
+    * delete side: every dirty-with-≥2-refs entry re-enters with a
+    * single ref to the consolidated dir (positions deduped — stacking
+    * never double-deletes, but dedup keeps the invariant explicit),
+    * clean and single-ref files carry by reference, live counts and
+    * data bytes are untouched, and reads are bit-identical. The old
+    * delete dirs drop out of the new snapshot and are reclaimed by
+    * expire+vacuum exactly like superseded data files. Cost ∝ total
+    * delete positions (metadata-scale), never ∝ data. */
+  def rewritePositionDeleteFiles(table: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val dirty = baseFiles.filter(_.deletes.size >= 2)
+      if (dirty.isEmpty)
+        // nothing stacked: still commit (maintenance scripts see their
+        // CALL in DESCRIBE HISTORY, like a no-op OPTIMIZE)
+        SnapshotLog.commit(fs, tableDir(table), "replace", baseFiles,
+          TableStore.inParallel(baseFiles)(recordsOf(table, _)).sum,
+          timestampMs, replaceAll = true,
+          summary = Map("rewritten-delete-files" -> "0",
+            "added-delete-files" -> "0",
+            TableStore.RowsPreservedKey -> "true"),
+          expectedLastId = Some(baseId),
+          schemaVersionOf = () => commitSchemaVersion(table))
+      else {
+        val dir = tableDir(table)
+        val dirtyNames = dirty.map(f => TableStore.fileName(f.path)).toSet
+        val oldRefs = dirty.flatMap(_.deletes).map(_.path).distinct
+        val rel = s"${TableStore.DeletesDir}/delete-${UUID.randomUUID()}"
+        val abs = new HPath(dir, rel).toString
+        spark.read.parquet(oldRefs.map(p => absPath(table, p).toString): _*)
+          .select(col(TableStore.DeleteFileField),
+            col(TableStore.DeletePosField))
+          // a delete dir can be shared with single-ref files — keep
+          // only the consolidating files' positions in the new dir
+          .filter(col(TableStore.DeleteFileField)
+            .isin(dirtyNames.toSeq: _*))
+          .distinct()
+          .coalesce(math.max(1, math.min(dirty.size, 8)))
+          .write.mode(SaveMode.Overwrite).parquet(abs)
+        // committed refs must describe exactly the positions on disk
+        val counts = spark.read.parquet(abs)
+          .groupBy(col(TableStore.DeleteFileField)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ref = DeleteRef(rel, 0L)
+        val updated = dirty.map { f =>
+          val n = counts.getOrElse(TableStore.fileName(f.path), 0L)
+          f.copy(deletes =
+            if (n == 0) Seq.empty else Seq(ref.copy(records = n)))
+        }
+        val carried = baseFiles.diff(dirty)
+        val total = TableStore.inParallel(carried ++ updated)(
+          recordsOf(table, _)).sum
+        SnapshotLog.commit(fs, dir, "replace", carried ++ updated, total,
+          timestampMs, replaceAll = true,
+          summary = Map(
+            "rewritten-delete-files" -> oldRefs.size.toString,
+            "added-delete-files" -> "1",
+            TableStore.MorDeletesKey -> s"""["$rel"]""",
+            TableStore.RowsPreservedKey -> "true"),
+          expectedLastId = Some(baseId),
+          schemaVersionOf = () => commitSchemaVersion(table))
+      }
+    }
+
   /** Copy-on-write upsert (the MERGE INTO analogue): rows of `updates`
     * replace current rows with the same key; unmatched rows insert. Only
     * files containing a matched key are rewritten; prior snapshots keep

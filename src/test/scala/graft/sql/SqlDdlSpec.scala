@@ -519,6 +519,29 @@ class SqlDdlSpec extends AnyFunSuite {
       eng.sql("CALL rewrite_data_files('missing')"))
   }
 
+  test("CALL rewrite_position_delete_files consolidates stacked MOR " +
+      "refs via SQL") {
+    val (cat, eng) = fixture()
+    import spark.implicits._
+    eng.sql("CREATE TABLE morc (id INT, v INT)")
+    eng.sql("ALTER TABLE morc SET TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    cat.append("morc",
+      (1 to 60).map(i => (i, i * 2)).toDF("id", "v").coalesce(1), 1000L)
+    eng.sql("DELETE FROM morc WHERE id <= 10")
+    eng.sql("DELETE FROM morc WHERE id > 10 AND id <= 20")
+    val st = cat.store()
+    assert(st.dataFilesAsOf("morc", None).exists(_.deletes.size == 2))
+    val dataBefore = st.dataFilesAsOf("morc", None).map(_.path).toSet
+    assert(eng.run("CALL rewrite_position_delete_files('morc')") == "[]")
+    val after = st.dataFilesAsOf("morc", None)
+    assert(after.map(_.path).toSet == dataBefore)
+    assert(after.filter(_.deletes.nonEmpty).forall(_.deletes.size == 1))
+    assert(st.currentSummary("morc")
+      .get("rewritten-delete-files").contains("2"))
+    assert(eng.run("SELECT COUNT(*) FROM morc") == "[(40,)]")
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")

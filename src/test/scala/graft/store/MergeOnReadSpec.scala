@@ -237,6 +237,47 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(out.filter(col("label").startsWith("name-")).count() == 90)
   }
 
+  test("rewrite_position_delete_files consolidates stacked refs without " +
+      "touching data files") {
+    val st = newStore()
+    val df = (1 to 100).map(i => (i.toLong, s"name-$i", i % 10))
+      .toDF("id", "name", "grp").coalesce(1) // ONE data file → refs stack
+    st.create("t", df.schema)
+    st.setTableProperties("t", Map(
+      TableStore.DeleteModeProp -> TableStore.MergeOnRead,
+      TableStore.UpdateModeProp -> TableStore.MergeOnRead))
+    st.append("t", df, 1000L)
+    // three stacked MOR deletes → the one dirty file carries 3 refs
+    st.deleteWhere("t", col("id") <= 10, 2000L)
+    st.deleteWhere("t", col("id").between(11, 20), 3000L)
+    st.deleteWhere("t", col("id").between(21, 30), 4000L)
+    val before = st.dataFilesAsOf("t", None)
+    val dirtyBefore = before.filter(_.deletes.nonEmpty)
+    assert(dirtyBefore.exists(_.deletes.size == 3))
+    val rowsBefore = st.read("t").orderBy("id").collect().toSeq
+    val snap = st.rewritePositionDeleteFiles("t", 5000L)
+    assert(snap.summary("rewritten-delete-files").toInt == 3)
+    assert(snap.summary("added-delete-files") == "1")
+    val after = st.dataFilesAsOf("t", None)
+    // data-file path set identical — only the delete side moved
+    assert(after.map(_.path).toSet == before.map(_.path).toSet)
+    val dirtyAfter = after.filter(_.deletes.nonEmpty)
+    assert(dirtyAfter.forall(_.deletes.size == 1))
+    // the consolidated ref covers every stacked position
+    assert(dirtyAfter.flatMap(_.deletes).map(_.records).sum == 30L)
+    // reads bit-identical; live counts maintained
+    assert(st.read("t").orderBy("id").collect().toSeq == rowsBefore)
+    assert(st.recordCountAsOf("t", None).contains(70L))
+    // time travel to the pre-consolidation snapshot still anti-joins
+    // the OLD refs
+    assert(st.read("t", Some(3000L)).count() == 80)
+    // no-op on an already-consolidated table still commits (visible
+    // maintenance), changing nothing
+    val noop = st.rewritePositionDeleteFiles("t", 6000L)
+    assert(noop.summary("rewritten-delete-files") == "0")
+    assert(st.read("t").count() == 70)
+  }
+
   test("needle MERGE probe consults the bloom tier on an unsorted " +
       "high-cardinality key") {
     val st = newStore()
