@@ -1602,6 +1602,31 @@ object SparkEntry {
     // equal the plain join's (pruning is conservative).
     "q_dfp_join" -> benchSplits("q_dfp_join").composed,
 
+    // Salted join over a PLANTED hot key (70% of lineitem lands on
+    // k=0 — the celebrity-key shape a single AQE skew-split cannot
+    // always fix, since one reducer still owns the whole key): the
+    // left fans out over 8 salt sub-keys (deterministic row hash, no
+    // rand()), the small side replicates 8×, and the result must
+    // EQUAL the plain join — DuckDB recomputes it un-salted. The
+    // checked tuple carries the plan proof that the executed join
+    // keyed on the salt column.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val k = when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(100))).as("k")
+      val left = li.select(k, col("l_quantity"))
+      val right = s.range(0, 100).select(col("id").as("k"),
+        concat(lit("t"), col("id")).as("tag"))
+      val joined = graft.ext.Skew.saltedJoin(left, right, "k", factor = 8)
+      val saltOk =
+        joined.queryExecution.executedPlan.toString.contains("_salt")
+      joined.groupBy(col("k"), col("tag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")).cast("double"), 2).as("qty"))
+        .withColumn("salted_plan_ok", lit(saltOk))
+        .orderBy(col("k"))
+    }),
+
     // CALL rollback_to_snapshot: the current state reverts to an
     // earlier snapshot's file list via a new commit — undone snapshots
     // stay time-travelable, and the post-rollback read answers from the
@@ -1927,6 +1952,7 @@ object SparkEntry {
     // (snapshot_id, operation, record_count) sequence is fully
     // reconstructible by the oracle from the source rows alone.
     "q_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
       val nation = t(s, dir, "nation")
@@ -1941,8 +1967,50 @@ object SparkEntry {
       eng.sql("OPTIMIZE nation_maint")
       eng.sql("VACUUM nation_maint")
       eng.sql("CALL checkpoint_log('nation_maint')")
-      eng.sql("DESCRIBE HISTORY nation_maint")
+      val hist = eng.sql("DESCRIBE HISTORY nation_maint")
         .select(col("snapshot_id"), col("operation"), col("record_count"))
+        .orderBy(col("snapshot_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // SHOW TBLPROPERTIES round-trip: SET shows both, UNSET removes
+      // exactly the named key
+      eng.sql("ALTER TABLE nation_maint SET TBLPROPERTIES " +
+        "('owner'='etl', 'note'='keep')")
+      def props(): Map[String, String] =
+        eng.sql("SHOW TBLPROPERTIES nation_maint").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      val p1 = props()
+      eng.sql("ALTER TABLE nation_maint UNSET TBLPROPERTIES ('note')")
+      val p2 = props()
+      val propsOk = p1.get("owner").contains("etl") &&
+        p1.get("note").contains("keep") &&
+        p2.get("owner").contains("etl") && !p2.contains("note")
+      // VACUUM … DRY RUN contract on crash debris (expire deletes its
+      // own files, so the reclaimable class is UNREFERENCED data — a
+      // crashed write's leftovers): the dry run LISTS the planted
+      // orphan and touches nothing, the real VACUUM reclaims exactly
+      // it (second dry run empty), and the table still serves every row
+      val tdir = cat.store().tableDir("nation_maint")
+      val hfs = tdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orphan =
+        new org.apache.hadoop.fs.Path(tdir, "data/orphan-debris.parquet")
+      hfs.create(orphan, true).close()
+      Thread.sleep(20) // file mtime strictly before the RETAIN 0 cutoff
+      val dry1 = eng.sql("VACUUM nation_maint RETAIN 0 HOURS DRY RUN")
+        .collect()
+      val listedOrphan = dry1.exists(r =>
+        r.getAs[String]("kind") == "data-file" &&
+          r.getAs[String]("path").endsWith("orphan-debris.parquet")) &&
+        hfs.exists(orphan) // DRY RUN touched nothing
+      eng.sql("VACUUM nation_maint RETAIN 0 HOURS")
+      val dry2 = eng.sql("VACUUM nation_maint RETAIN 0 HOURS DRY RUN")
+        .collect()
+      val total = eng.sql("SELECT COUNT(*) FROM nation_maint")
+        .head().getLong(0)
+      val dryOk = listedOrphan && !hfs.exists(orphan) && dry2.isEmpty &&
+        total == nation.count()
+      hist.toDF("snapshot_id", "operation", "record_count")
+        .withColumn("props_roundtrip_ok", lit(propsOk))
+        .withColumn("vacuum_dry_run_ok", lit(dryOk))
         .orderBy(col("snapshot_id"))
     }),
 
@@ -3687,7 +3755,8 @@ object SparkEntry {
 
     "q_sql_maintenance" ->
       """SELECT CAST(s.ord AS BIGINT) AS snapshot_id, s.op AS operation,
-        |       CAST(s.rc AS BIGINT) AS record_count
+        |       CAST(s.rc AS BIGINT) AS record_count,
+        |       TRUE AS props_roundtrip_ok, TRUE AS vacuum_dry_run_ok
         |FROM (
         |  SELECT 1 AS ord, 'append' AS op,
         |         (SELECT count(*) FROM nation WHERE n_nationkey < 8) AS rc
@@ -3886,6 +3955,22 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey BETWEEN 1000 AND 2000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // salted join must equal the plain join — the oracle computes it
+    // un-salted; salted_plan_ok is the Spark-side plan proof
+    "q_salted_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |              ELSE l_orderkey % 100 END AS k,
+        |         l_quantity
+        |  FROM lineitem),
+        |r AS (SELECT i AS k, 't' || i AS tag FROM range(0, 100) t(i))
+        |SELECT l.k AS k, r.tag, count(*) AS cnt,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty,
+        |       TRUE AS salted_plan_ok
+        |FROM l JOIN r ON l.k = r.k
+        |GROUP BY l.k, r.tag
+        |ORDER BY l.k""".stripMargin,
 
     // the full change feed, reconstructed from the source rows: two
     // insert batches (snapshots 1/2), the UPDATE's delete+insert pair
