@@ -83,12 +83,20 @@ object TimeTravelRewriter {
     val dateOnly = "\\d{4}-\\d{2}-\\d{2}".r
     if (dateOnly.matches(norm))
       return LocalDate.parse(norm).atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli
-    val fmts = Seq(
-      "yyyy-MM-dd HH:mm:ss.SSS",
-      "yyyy-MM-dd HH:mm:ss",
-      "yyyy-MM-dd HH:mm")
+    // fractional seconds take 0-9 digits: java.sql.Timestamp.toString
+    // trims trailing zeros ('.010' renders '.01'), so a fixed .SSS
+    // pattern would flake on round-trip literals
+    val fracFmt = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+        0, 9, true)
+      .optionalEnd()
+      .toFormatter
+    val fmts: Seq[DateTimeFormatter] =
+      Seq(fracFmt, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
     fmts.view.flatMap { f =>
-      try Some(LocalDateTime.parse(norm, DateTimeFormatter.ofPattern(f))
+      try Some(LocalDateTime.parse(norm, f)
         .toInstant(ZoneOffset.UTC).toEpochMilli)
       catch { case _: Exception => None }
     }.headOption.getOrElse(

@@ -43,6 +43,13 @@ class TimeTravelRewriterSpec extends AnyFunSuite {
     assert(TimeTravelRewriter.parseTimestampMs("2024-01-01T00:00:00") ==
       1704067200000L)
     assert(TimeTravelRewriter.parseTimestampMs("1970-01-01 00:00:01.500") == 1500L)
+    // java.sql.Timestamp.toString trims trailing fraction zeros — every
+    // trimmed width must round-trip ('.010' renders '.01', '.100' '.1')
+    assert(TimeTravelRewriter.parseTimestampMs("1970-01-01 00:00:01.01") == 1010L)
+    assert(TimeTravelRewriter.parseTimestampMs("1970-01-01 00:00:01.1") == 1100L)
+    assert(TimeTravelRewriter.parseTimestampMs("1970-01-01 00:00:01.0") == 1000L)
+    assert(TimeTravelRewriter.parseTimestampMs(
+      "1970-01-01 00:00:01.123456789") == 1123L)
     assert(TimeTravelRewriter.parseTimestampMs("1970-01-01 00:01") == 60000L)
   }
 
