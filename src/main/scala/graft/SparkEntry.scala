@@ -1762,6 +1762,33 @@ object SparkEntry {
     // length are both oracle-pinned.
     "q_restore" -> benchSplits("q_restore").composed,
 
+    // SHALLOW CLONE (Delta's zero-copy clone): one metadata commit
+    // references the source's files relatively — the clone's data dir
+    // is EMPTY at clone time (the zero_copy proof rides the tuple; at
+    // 100 TB this is the instant dev/test-sandbox) — then a clone-side
+    // DELETE rewrites into the clone's own dirs while the source holds
+    // every row. DuckDB recomputes both sides from the raw table.
+    "q_shallow_clone" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_src", orders.schema)
+      cat.append("orders_src", orders, 1000L)
+      eng.sql("CREATE TABLE orders_clone SHALLOW CLONE orders_src")
+      val st = cat.store()
+      val hfs = st.tableDir("orders_clone")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val zeroCopy = hfs.listStatus(new org.apache.hadoop.fs.Path(
+        st.tableDir("orders_clone"), "data")).isEmpty
+      eng.sql("DELETE FROM orders_clone WHERE o_orderkey % 3 = 0")
+      eng.sql("SELECT 'clone' AS side, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_clone")
+        .unionByName(eng.sql("SELECT 'source' AS side, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_src"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .orderBy(col("side"))
+    }),
+
     // APPLY CHANGES INTO (DLT-style CDC apply): one catch-up poll over
     // the change feed nets insert/update/delete per key and mirrors the
     // source into the target in one COW commit; the oracle recomputes
@@ -3815,6 +3842,17 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
         |       3 AS n_commits
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // clone diverged by its DELETE; the source holds every row; the
+    // zero-copy proof is a Spark-side boolean (TRUE here)
+    "q_shallow_clone" ->
+      """SELECT 'clone' AS side, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS rev, TRUE AS zero_copy
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT 'source', count(*), round(sum(o_totalprice), 2), TRUE
+        |FROM orders
+        |ORDER BY side""".stripMargin,
 
     // the mirrored final state: %7 keys deleted (latest commit wins),
     // %5 survivors carry the update's post-image

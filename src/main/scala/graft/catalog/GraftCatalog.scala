@@ -332,6 +332,13 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     snap
   }
 
+  /** Zero-copy SHALLOW CLONE: see [[TableStore.shallowClone]]. */
+  def shallowClone(target: String, source: String,
+      asOfVersion: Option[Long] = None): Unit = {
+    store().shallowClone(target, source, asOfVersion)
+    registerView(target)
+  }
+
   /** Partition-pruned read: see [[TableStore.readWhere]]. */
   def tableWhere(name: String, predicate: org.apache.spark.sql.Column,
       asOfMs: Option[Long] = None): DataFrame =

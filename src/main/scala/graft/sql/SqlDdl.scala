@@ -43,6 +43,13 @@ object SqlDdl {
       "\\s*(?:CLUSTERED\\s+BY\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)" +
       "\\s*(?:SORTED\\s+BY\\s*\\(([^)]*)\\)\\s*)?INTO\\s+(\\d+)\\s+BUCKETS)?" +
       "\\s*(?:STORED\\s+AS\\s+\\w+|USING\\s+\\w+)?\\s*$").r
+  // Delta's zero-copy clone: CREATE TABLE t SHALLOW CLONE s
+  // [VERSION AS OF n] — one metadata commit referencing the source's
+  // files, no data copied
+  private val CreateClone =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "\\s+SHALLOW\\s+CLONE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
+      "(?:\\s+(?:FOR\\s+)?(?:SYSTEM_)?VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$").r
   private val Insert =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s*(?:\\(([^)]*)\\))?\\s*VALUES\\s*(.+)$").r
@@ -398,6 +405,15 @@ object SqlDdl {
     case DropTable(qn) =>
       val (cat, t) = resolved(catalog, qn)
       cat.dropTable(t); Some(empty(catalog))
+    case CreateClone(qn, srcQn, asOfV) =>
+      val (cat, t) = resolved(catalog, qn)
+      val (srcCat, src) = resolved(catalog, srcQn)
+      require(srcCat.database.equalsIgnoreCase(cat.database),
+        "SHALLOW CLONE must stay within one database root (the clone " +
+          s"references source files relatively): $qn vs $srcQn")
+      if (!cat.store().exists(t))
+        cat.shallowClone(t, src, Option(asOfV).map(_.toLong))
+      Some(empty(catalog))
     case CreateTableAs(qn, partDef, select) =>
       val (cat, t) = resolved(catalog, qn)
       if (!cat.store().exists(t)) {

@@ -2386,6 +2386,68 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  /** Delta-style SHALLOW CLONE: a new table whose first snapshot
+    * references the SOURCE's data files by `../source/…` relative
+    * paths — zero data copied, so cloning a 100 TB table is one
+    * metadata commit (the dev/test-sandbox and experiment-branching
+    * story). Table-level metadata (schema history, partition spec,
+    * sort order, bloom columns, constraints, defaults, rename/drop
+    * events, properties) is copied so the clone reads EXACTLY what the
+    * source reads at the cloned snapshot — per-file stats, partition
+    * values, blooms and MOR delete refs all ride the copied entries.
+    * Writes to the clone land in the clone's own dirs (COW rewrites
+    * carry un-matched source refs); the source never observes them.
+    * `asOfVersion` clones a historical snapshot, rendered under the
+    * source's CURRENT schema (the same rename-reconciled rendering the
+    * source's own time-travel read performs). Hazard shared with
+    * Delta: VACUUM/expire on the SOURCE can reclaim files a clone
+    * still references — clones are sandboxes, not backups. */
+  def shallowClone(target: String, source: String,
+      asOfVersion: Option[Long] = None,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    require(exists(source), s"table not found: $source")
+    require(!exists(target), s"table already exists: $target")
+    val srcDir = tableDir(source)
+    val all = SnapshotLog.read(fs, srcDir)
+    val raw = asOfVersion match {
+      case Some(v) => all.find(_.id == v).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $v of $source"))
+      case None => all.lastOption.getOrElse(
+        throw new IllegalArgumentException(s"$source has no snapshots"))
+    }
+    val snap = SnapshotLog.hydrate(fs, srcDir, raw)
+    fs.mkdirs(dataDir(target))
+    val conf = spark.sessionState.newHadoopConf()
+    val metaNames = Seq("schema.json", "partition.json", "sort.json",
+      "bloom.json", "bucket.json", "constraints.json", "defaults.json",
+      "drops.json", "properties.json", "renames.json")
+    for (n <- metaNames; p = new HPath(srcDir, n) if fs.exists(p))
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new HPath(tableDir(target), n), false, conf)
+    val sdir = new HPath(srcDir, "schemas")
+    if (fs.exists(sdir)) {
+      val tdir = new HPath(tableDir(target), "schemas")
+      fs.mkdirs(tdir)
+      for (st <- fs.listStatus(sdir) if st.isFile)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new HPath(tdir, st.getPath.getName), false, conf)
+    }
+    SnapshotLog.write(fs, tableDir(target), Seq.empty)
+    def rebase(rel: String): String =
+      if (rel.startsWith("../") || new HPath(rel).isAbsolute) rel
+      else s"../$source/$rel"
+    val entries = snap.files.map(f => f.copy(path = rebase(f.path),
+      deletes = f.deletes.map(d => d.copy(path = rebase(d.path)))))
+    SnapshotLog.commit(fs, tableDir(target), "clone", entries,
+      snap.recordCount, timestampMs, replaceAll = true,
+      summary = Map(
+        "shallow-clone" -> "true",
+        "source-table" -> source,
+        "source-snapshot-id" -> snap.id.toString,
+        TableStore.RowsPreservedKey -> "true"),
+      schemaVersionOf = () => commitSchemaVersion(target))
+  }
+
   /** `CALL rewrite_position_delete_files` (Iceberg parity): consolidate
     * the STACKED position-delete refs of still-dirty data files into
     * one fresh delete-file directory, without touching any data file —
