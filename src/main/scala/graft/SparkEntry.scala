@@ -629,6 +629,43 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
     },
 
+    "q_apply_changes_mor" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("cdc_e_src", orders.schema)
+      cat.createTable("cdc_e_dst", orders.schema)
+      cat.append("cdc_e_src", orders, 1000L)                        // snap 1
+      // the mirror is seeded with the initial load; only the CDC tail
+      // replays through the apply, so the no-rewrite proof is real
+      cat.append("cdc_e_dst", orders, 1000L)
+      val seedId = cat.store().currentSnapshotId("cdc_e_src").get
+      eng.sql("UPDATE cdc_e_src SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 5 = 0")                                 // snap 2
+      eng.sql("DELETE FROM cdc_e_src WHERE o_orderkey % 7 = 0")     // snap 3
+      (cat, seedId)
+    } { case (cat, seedId) =>
+      // merge-on-read APPLY CHANGES: the same netted batch as
+      // q_apply_changes lands as ONE equality commit — zero reads of
+      // the target, zero files rewritten. eq_proof pins (a) every
+      // seeded file survived by reference, (b) an equality ref is
+      // attached, (c) metadata COUNT declines while the ref is live.
+      graft.streaming.ChangeFeedFollower.mirrorMor(cat, "cdc_e_src",
+        "cdc_e_dst", Seq("o_orderkey"), startAfterId = seedId)
+      val st = cat.store()
+      val seeded = st.snapshotMetaVersion("cdc_e_dst", 1L)
+        .map(_._3().map(_.path).toSet).getOrElse(Set.empty)
+      val cur = st.dataFilesAsOf("cdc_e_dst", None)
+      val eqProof = seeded.subsetOf(cur.map(_.path).toSet) &&
+        cur.exists(_.deletes.exists(_.isEquality)) &&
+        st.snapshotMetaAsOf("cdc_e_dst", None).exists(_._2 == -1L)
+      cat.table("cdc_e_dst")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .withColumn("eq_proof", lit(eqProof))
+    },
+
     "q_table_changes_rel" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -773,6 +810,48 @@ object SparkEntry {
       eng.sql("SELECT COUNT(*) AS cnt, " +
           "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_mm")
         .withColumn("no_rewrite", lit(noRewrite))
+    },
+
+    "q_eq_upsert" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_eq", orders.schema)
+      cat.append("orders_eq", orders, 1000L)                      // snap 1
+      // the Flink-CDC writer batch: %10=7 keys re-arrive with a bumped
+      // price (replacements), %1000=1 keys re-arrive under fresh ids
+      // (inserts) — ONE equality-upsert commit, zero table reads
+      val keyType = orders.schema("o_orderkey").dataType
+      orders.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 1)
+          .withColumn("o_orderkey",
+            (col("o_orderkey") + lit(100000000L)).cast(keyType)))
+        .createOrReplaceTempView("eq_batch")
+      eng.sql("CALL equality_upsert('orders_eq', " +
+        "source => 'eq_batch', keys => 'o_orderkey')")            // snap 2
+      (cat, eng)
+    } { case (cat, eng) =>
+      // Iceberg v2 equality deletes: the upsert wrote ONE key-tuple file
+      // + the batch — no data file read or rewritten. The checked tuple
+      // pins the row semantics (after + time-traveled before vs DuckDB)
+      // and the proof that (a) every original file survived by
+      // reference, (b) an equality ref is attached, (c) metadata COUNT
+      // correctly declines to the scan while the ref is live.
+      val st = cat.store()
+      val v1 = st.snapshotMetaVersion("orders_eq", 1L)
+        .map(_._3().map(_.path).toSet).getOrElse(Set.empty)
+      val cur = st.dataFilesAsOf("orders_eq", None)
+      val eqProof = v1.subsetOf(cur.map(_.path).toSet) &&
+        cur.exists(_.deletes.exists(_.isEquality)) &&
+        st.snapshotMetaAsOf("orders_eq", None).exists(_._2 == -1L)
+      eng.sql("SELECT 'after' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_eq")
+        .unionByName(eng.sql("SELECT 'before' AS phase, COUNT(*) AS cnt, " +
+          "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_eq " +
+          "FOR SYSTEM_VERSION AS OF 1"))
+        .withColumn("eq_proof", lit(eqProof))
+        .orderBy(col("phase"))
     },
 
     "q_dml_subquery" -> benchSplit { (s, dir) =>
@@ -1795,6 +1874,13 @@ object SparkEntry {
     // the final mirrored state from the raw rows.
     "q_apply_changes" -> benchSplits("q_apply_changes").composed,
 
+    // Merge-on-read APPLY CHANGES: the netted batch lands as one
+    // equality commit — zero target reads, zero rewrites, O(batch)
+    // per poll whatever the mirror's size (the continuously-replicated-
+    // 100 TB-table shape). Proof column pins seed-file survival +
+    // attached equality ref + metadata-COUNT decline.
+    "q_apply_changes_mor" -> benchSplits("q_apply_changes_mor").composed,
+
     // `table_changes(...)` as a composable RELATION (Delta's
     // table-valued form): aggregation over the feed of a DELETE and a
     // COW UPDATE, oracle-recomputed change type by change type.
@@ -1820,6 +1906,13 @@ object SparkEntry {
     // update pre-images become position deletes, post-images and
     // not-matched inserts append — no data file rewrites (proof pinned).
     "q_mor_merge" -> benchSplits("q_mor_merge").composed,
+
+    // Equality deletes (Iceberg v2's second delete shape, the Flink CDC
+    // writer path): one upsert commit = one key-tuple file + the batch,
+    // ZERO table reads — replacements and inserts land without locating
+    // a single matched file. Proof column pins no-rewrite + attached
+    // equality ref + metadata-COUNT decline.
+    "q_eq_upsert" -> benchSplits("q_eq_upsert").composed,
 
     // Ordered conditional MERGE arms (first match wins): a negative
     // amount deletes, a larger amount updates, positive unmatched rows
@@ -3863,6 +3956,17 @@ object SparkEntry {
         |             2) AS price
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
+    // the SAME mirrored final state as q_apply_changes, reached by the
+    // merge-on-read apply (one equality commit, zero target reads);
+    // eq_proof is the Spark-side no-rewrite + ref-attached + metadata-
+    // decline proof
+    "q_apply_changes_mor" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(CASE WHEN o_orderkey % 5 = 0
+        |                  THEN o_totalprice * 2 ELSE o_totalprice END,
+        |             2) AS price, TRUE AS eq_proof
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
     // the feed after the initial load: the DELETE's victims plus the
     // UPDATE's pre-images are 'delete' rows; the post-images 'insert'
     "q_table_changes_rel" ->
@@ -3935,6 +4039,25 @@ object SparkEntry {
         |)
         |SELECT count(*) AS cnt, round(sum(p), 2) AS rev, TRUE AS no_rewrite
         |FROM (SELECT p FROM kept UNION ALL SELECT p FROM ins)""".stripMargin,
+
+    // equality upsert recomputed: %10=7 keys replaced with the bumped
+    // price, %1000=1 keys re-inserted under fresh ids; eq_proof is the
+    // Spark-side file-set + metadata-decline proof
+    "q_eq_upsert" ->
+      """WITH after AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_totalprice + 100.0 FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 1
+        |)
+        |SELECT 'after' AS phase, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS rev, TRUE AS eq_proof
+        |FROM after
+        |UNION ALL
+        |SELECT 'before', count(*), round(sum(o_totalprice), 2), TRUE
+        |FROM orders
+        |ORDER BY phase""".stripMargin,
 
     // orders of negative-balance customers deleted; surviving orders
     // whose key is a rich customer's key gain the negative-customer

@@ -361,11 +361,17 @@ final class Engine(catalog: GraftCatalog) {
             specs <- { val cs = items.map(classify)
                        if (cs.forall(_.isDefined)) Some(cs.flatten) else None }
             values <- traverse(specs) {
-              case CountStar if cond.isEmpty => Some(recordCount: Any)
+              // recordCount < 0 = equality deletes live (upper bound
+              // only) or a pre-counting log: decline to the scan
+              case CountStar if cond.isEmpty =>
+                if (recordCount >= 0) Some(recordCount: Any) else None
               case CountStar => included.flatMap { inc =>
                 // every matching file needs a logged row count (-1 =
-                // pre-counting log entry: decline, never guess)
-                if (inc.forall(_.records >= 0)) Some(inc.map(_.records).sum: Any)
+                // pre-counting log entry) AND no equality-delete refs
+                // (records is then an upper bound): decline, never guess
+                if (inc.forall(f => f.records >= 0 &&
+                    !f.deletes.exists(_.isEquality)))
+                  Some(inc.map(_.records).sum: Any)
                 else None
               }
               case MinMax(isMin, colName) =>

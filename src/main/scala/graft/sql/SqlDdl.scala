@@ -944,6 +944,18 @@ object SqlDdl {
       case other => throw new IllegalArgumentException(
         s"CALL $proc needs a table name string, got: ${other.getOrElse("nothing")}")
     }
+    def relationArg(cat: GraftCatalog, pos: Int, name: String)
+        : org.apache.spark.sql.DataFrame =
+      arg(pos, name) match {
+        case Some(StrLit(s0)) =>
+          val s = s0.replace("''", "'")
+          val (c2, n2) = resolved(catalog, s)
+          if (c2.store().exists(n2)) c2.store().read(n2)
+          else catalog.spark.table(s)
+        case other => throw new IllegalArgumentException(
+          s"CALL $proc needs $name => '<table or view>', got: " +
+            other.getOrElse("nothing"))
+      }
     def olderThanMs(defaultAgeMs: Long): Long =
       arg(1, "older_than") match {
         case Some(TsLit(ts)) => TimeTravelRewriter.parseTimestampMs(ts)
@@ -1060,6 +1072,30 @@ object SqlDdl {
         // delete refs without rewriting data files
         val (cat, t) = tableArg
         cat.store().rewritePositionDeleteFiles(t)
+        cat.registerView(t)
+      case "equality_delete" =>
+        // Iceberg-v2 equality delete: every current row whose key tuple
+        // matches a row of `source` (a graft table or Spark temp view
+        // whose COLUMNS are the key columns) dies from this snapshot
+        // on — no data file is read or rewritten, so the write is
+        // O(keys) whatever the table size
+        val (cat, t) = tableArg
+        cat.store().equalityDelete(t, relationArg(cat, 1, "source"))
+        cat.registerView(t)
+      case "equality_upsert" =>
+        // the Flink-CDC writer shape: one commit that equality-deletes
+        // `source`'s key tuples and appends its rows — existing keys
+        // replace, new keys insert, zero table reads
+        val (cat, t) = tableArg
+        val rows = relationArg(cat, 1, "source")
+        val keys = arg(2, "keys") match {
+          case Some(StrLit(s)) =>
+            s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          case other => throw new IllegalArgumentException(
+            s"CALL $proc needs keys => 'k1[,k2…]', got: " +
+              other.getOrElse("nothing"))
+        }
+        cat.store().equalityUpsert(t, rows, keys)
         cat.registerView(t)
       case "fast_forward" =>
         // Iceberg's fast_forward: main must still sit at the branch's

@@ -19,14 +19,33 @@ final case class ColBounds(
     hasNulls: Boolean = true,
     allNulls: Boolean = false)
 
-/** One position-delete file applied to a data file (Iceberg v2's
-  * positional delete): a Parquet file under `deletes/` with columns
-  * `_file` (the target data file's leaf name) and `_pos` (the 0-based
-  * row index within that file, Spark's `_metadata.row_index` domain).
-  * `records` is the number of delete rows the ref contributes to ITS
-  * data file — kept in the log so the read path can size the anti-join
-  * (broadcast below threshold) without opening the delete file. */
-final case class DeleteRef(path: String, records: Long)
+/** One delete file applied to a data file (Iceberg v2's delete-file
+  * shapes).
+  *
+  * With `equalityCols` EMPTY this is a POSITIONAL delete: a Parquet
+  * file under `deletes/` with columns `_file` (the target data file's
+  * leaf name) and `_pos` (the 0-based row index within that file,
+  * Spark's `_metadata.row_index` domain), and `records` is the number
+  * of delete rows the ref contributes to ITS data file — kept in the
+  * log so the read path can size the anti-join (broadcast below
+  * threshold) without opening the delete file.
+  *
+  * With `equalityCols` NON-EMPTY this is an EQUALITY delete (Iceberg
+  * v2's other delete shape, the one Flink CDC upsert writers emit): the
+  * Parquet file holds key TUPLES under the listed column names (the
+  * physical names at write time), and every row of the data file whose
+  * key null-safe-equals a tuple is dead. The writer attaches the ref to
+  * the data files live AT THE DELETE COMMIT — files added later never
+  * carry it, which is exactly Iceberg's sequence-number rule — so an
+  * equality delete is written WITHOUT reading any data (the O(changes)
+  * upsert path). `records` is the tuple count (broadcast sizing); the
+  * per-file matched count is unknowable without a read, so a data
+  * file's `records` becomes an UPPER bound while an equality ref is
+  * attached and metadata-answered COUNT declines to the scan. */
+final case class DeleteRef(path: String, records: Long,
+    equalityCols: Seq[String] = Seq.empty) {
+  def isEquality: Boolean = equalityCols.nonEmpty
+}
 
 /** One data file of a snapshot — the manifest-entry analogue.
   *
@@ -259,7 +278,12 @@ object SnapshotLog {
       deletes =
         if (e.has("deletes"))
           e.get("deletes").elements().asScala.map(d =>
-            DeleteRef(d.get("path").asText(), d.get("records").asLong())).toSeq
+            DeleteRef(d.get("path").asText(), d.get("records").asLong(),
+              equalityCols =
+                if (d.has("equalityCols"))
+                  d.get("equalityCols").elements().asScala
+                    .map(_.asText()).toSeq
+                else Seq.empty)).toSeq
         else Seq.empty)
 
   /** Directory (under the table dir) holding per-snapshot manifest files. */
@@ -270,6 +294,12 @@ object SnapshotLog {
     * logs human-readable while a 100 TB table (~800k files) writes its
     * list exactly once instead of into every later commit. */
   val DefaultManifestThreshold: Int = 64
+
+  /** Snapshot-summary key set automatically by [[commit]] whenever any
+    * live file entry carries an equality-delete ref: the snapshot's
+    * `recordCount` is then an UPPER bound (matched counts are unknown
+    * until a read), so metadata-answered COUNT must take the scan path. */
+  val EqualityDeletesMarker = "equality-deletes"
 
   def write(fs: FileSystem, tableDir: HPath, snapshots: Seq[Snapshot]): Unit = {
     fs.mkdirs(tableDir)
@@ -402,9 +432,18 @@ object SnapshotLog {
       val total =
         if (replaceAll) recordCount
         else prior.map(_.recordCount).getOrElse(0L) + recordCount
+      // equality-delete marker: rides EVERY snapshot whose live entries
+      // still carry an equality ref (refs are per-file, so they survive
+      // later commits by riding the carried entries) — the log-only flag
+      // that lets metadata-answered COUNT decline without hydrating a
+      // manifest. recordCount is an upper bound while the marker is set.
+      val summary2 =
+        if (files.exists(_.deletes.exists(_.isEquality)))
+          summary + (EqualityDeletesMarker -> "true")
+        else summary
       // evaluated INSIDE the lock: a racing ALTER (same lock) cannot
       // change the version between here and the log write
-      val inline = Snapshot(id, timestampMs, operation, files, total, summary,
+      val inline = Snapshot(id, timestampMs, operation, files, total, summary2,
         schemaVersion = schemaVersionOf())
       val snap =
         if (files.size <= manifestThreshold) inline

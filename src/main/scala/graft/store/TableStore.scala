@@ -987,14 +987,19 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     if (!exists(table)) return None
     val dir = tableDir(table)
     val all = SnapshotLog.read(fs, dir)
+    // equality deletes make recordCount an UPPER bound — surface -1 so
+    // metadata COUNT declines to the scan (log-only check, no hydration)
+    def countOf(s: Snapshot): Long =
+      if (s.summary.contains(SnapshotLog.EqualityDeletesMarker)) -1L
+      else s.recordCount
     asOfMs match {
       case None => all.lastOption match {
         case None => Some((schema(table), 0L, () => Seq.empty))
-        case Some(s) => Some((schema(table), s.recordCount,
+        case Some(s) => Some((schema(table), countOf(s),
           () => SnapshotLog.hydrate(fs, dir, s).files))
       }
       case Some(ts) => all.filter(_.timestampMs <= ts).lastOption.map(s =>
-        (schemaAt(table, s), s.recordCount,
+        (schemaAt(table, s), countOf(s),
           () => SnapshotLog.hydrate(fs, dir, s).files))
     }
   }
@@ -1006,7 +1011,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     else {
       val dir = tableDir(table)
       SnapshotLog.read(fs, dir).find(_.id == snapshotId).map(s =>
-        (schemaAt(table, s), s.recordCount,
+        (schemaAt(table, s),
+          if (s.summary.contains(SnapshotLog.EqualityDeletesMarker)) -1L
+          else s.recordCount,
           () => SnapshotLog.hydrate(fs, dir, s).files))
     }
 
@@ -1395,27 +1402,45 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       }
       if (dirty.isEmpty) scanPart(clean, withPos = keepPos)
       else {
-        val refs = dirty.flatMap(_.deletes)
-        val delPaths = refs.map(_.path).distinct
-          .map(p => absPath(table, p).toString)
-        var del = spark.read.parquet(delPaths: _*)
-          .select(col(TableStore.DeleteFileField),
-            col(TableStore.DeletePosField))
-        // small delete sets (the overwhelmingly common case) broadcast,
-        // keeping the anti-join scan-local; past the threshold Spark's
-        // planner picks the shuffle strategy — correct either way
-        if (refs.map(_.records).sum <= TableStore.MorBroadcastRows)
-          del = broadcast(del)
-        val joined = scanPart(dirty, withPos = true)
-          .join(del,
-            col(TableStore.MorFileCol) === col(TableStore.DeleteFileField) &&
-              col(TableStore.MorPosCol) === col(TableStore.DeletePosField),
-            "left_anti")
-        val filtered =
-          if (keepPos) joined
-          else joined.drop(TableStore.MorFileCol, TableStore.MorPosCol)
-        if (clean.isEmpty) filtered
-        else scanPart(clean, withPos = keepPos).unionByName(filtered)
+        // Equality refs apply per FILE (sequence-number scoping), so the
+        // dirty population groups by its equality-ref set — one group in
+        // the overwhelmingly common case (all pre-delete files share the
+        // refs; later files are clean) — and each group's scan layers
+        // the positional anti-join, then one anti-join per equality key
+        // set. Both sides of every join are (small deletes, big scan):
+        // deletes broadcast below the threshold, so the plan stays
+        // scan-local at 100 TB.
+        val groups = dirty
+          .groupBy(_.deletes.filter(_.isEquality).map(_.path).sorted)
+          .toSeq.sortBy(_._1.mkString(","))
+        val parts = groups.map { case (_, gf) =>
+          val posRefs = gf.flatMap(_.deletes.filterNot(_.isEquality))
+          val eqRefs = gf.head.deletes.filter(_.isEquality)
+          var cur = scanPart(gf, withPos = true)
+          if (posRefs.nonEmpty) {
+            val delPaths = posRefs.map(_.path).distinct
+              .map(p => absPath(table, p).toString)
+            var del = spark.read.parquet(delPaths: _*)
+              .select(col(TableStore.DeleteFileField),
+                col(TableStore.DeletePosField))
+            // small delete sets (the overwhelmingly common case)
+            // broadcast, keeping the anti-join scan-local; past the
+            // threshold Spark's planner picks the shuffle strategy —
+            // correct either way
+            if (posRefs.map(_.records).sum <= TableStore.MorBroadcastRows)
+              del = broadcast(del)
+            cur = cur.join(del,
+              col(TableStore.MorFileCol) === col(TableStore.DeleteFileField) &&
+                col(TableStore.MorPosCol) === col(TableStore.DeletePosField),
+              "left_anti")
+          }
+          cur = equalityDeleteJoin(table, cur, eqRefs, sch, "left_anti")
+          if (keepPos) cur
+          else cur.drop(TableStore.MorFileCol, TableStore.MorPosCol)
+        }
+        val dirtyPart = parts.reduce(_ unionByName _)
+        if (clean.isEmpty) dirtyPart
+        else scanPart(clean, withPos = keepPos).unionByName(dirtyPart)
       }
     }
 
@@ -1654,6 +1679,32 @@ final class TableStore(val root: HPath, spark: SparkSession) {
           lit(s.id).as("_commit_snapshot_id"),
           lit(new java.sql.Timestamp(s.timestampMs)).as("_commit_timestamp")
         ): _*)
+      } else if (s.summary.contains(TableStore.EqDeletesKey)) {
+        // equality-delete commit without stored change files: deleted
+        // rows are the PREVIOUS snapshot's rows (in the files that
+        // gained the ref, earlier deletes applied) whose keys semi-join
+        // the commit's own tuple file; inserts are its added files.
+        // Cost ∝ touched-file scan — paid at CDC-read time, never at
+        // the write (the no-read contract of the equality path).
+        val rels = {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          import scala.jdk.CollectionConverters._
+          m.readTree(s.summary(TableStore.EqDeletesKey))
+            .elements().asScala.map(_.asText()).toSeq
+        }
+        val curByPath = s.files.map(f => f.path -> f).toMap
+        val touched = prev.filter(f => curByPath.get(f.path)
+          .exists(cf => cf.deletes.size > f.deletes.size))
+        // the commit's key refs live on the CURRENT entries (prev is the
+        // pre-ref state the deleted rows are read from)
+        val refs = touched.flatMap(f => curByPath(f.path).deletes)
+          .filter(d => d.isEquality && rels.contains(d.path)).distinct
+        if (refs.nonEmpty && touched.nonEmpty)
+          parts += tagged(equalityDeleteJoin(table,
+            readFileListAs(table, touched, sch), refs, sch, "left_semi"),
+            "delete", s)
+        if (added.nonEmpty)
+          parts += tagged(readFileListAs(table, added, sch), "insert", s)
       } else if (s.summary.contains(TableStore.MorDeletesKey)) {
         // merge-on-read commit without stored change files: its row-level
         // diff is EXACT by construction — deleted rows are the positions
@@ -1754,10 +1805,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
                if st.isFile && st.getPath.getName.endsWith(".parquet"))
             out += ((st.getPath.toString, true, null, s.id, s.timestampMs))
       } else if (curPaths != prev ||
-          s.summary.contains(TableStore.MorDeletesKey)) {
-        // a merge-on-read commit can leave the PATH set unchanged (only
-        // entries' delete refs moved) — the summary key catches it, so
-        // the stream fails loudly instead of silently skipping deletes
+          s.summary.contains(TableStore.MorDeletesKey) ||
+          s.summary.contains(TableStore.EqDeletesKey)) {
+        // a merge-on-read commit (position OR equality) can leave the
+        // PATH set unchanged (only entries' delete refs moved) — the
+        // summary keys catch it, so the stream fails loudly instead of
+        // silently skipping deletes
         throw new IllegalStateException(
           s"streaming change feed on $table crosses row-rewriting " +
             s"snapshot ${s.id}:${s.operation} with no stored change " +
@@ -2386,6 +2439,188 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  // -------------------------------------------------------------------
+  // Equality deletes (Iceberg v2's other delete shape — the one Flink
+  // CDC upsert writers emit): a DELETE/UPSERT whose keys are KNOWN
+  // VALUES writes a small file of key tuples and attaches it to the
+  // files live at the commit — NO data file is read or rewritten, so an
+  // upsert batch against a 100 TB table costs O(batch), not O(scan).
+  // Reads subtract the keys with a broadcast anti-join per dirty file
+  // group ([[readFileListAs]]); OPTIMIZE materializes. The price of the
+  // no-read write: per-file matched counts are unknown, so file/record
+  // counts become upper bounds and metadata-answered COUNT declines
+  // until the refs compact away.
+  // -------------------------------------------------------------------
+
+  /** Anti/semi-join `df` against the key tuples of `eqRefs` (grouped by
+    * key-column set; one join per set, usually one). Stored key columns
+    * carry the PHYSICAL names of their write time — renames reconcile to
+    * the render schema and values cast to the (possibly widened) current
+    * types, the same evolution rules the data scan applies. Null-safe
+    * equality: a NULL key tuple deletes NULL-key rows, Iceberg's
+    * equality-delete contract. Keys broadcast below the MOR threshold. */
+  private def equalityDeleteJoin(table: String, df: DataFrame,
+      eqRefs: Seq[DeleteRef], sch: StructType, joinType: String): DataFrame = {
+    val events = renameEvents(table)
+    eqRefs.groupBy(_.equalityCols).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(df) { case (cur, (storedCols, refs)) =>
+        val resolved = storedCols.map { ec =>
+          val cf = sch.fields.find(f => f.name.equalsIgnoreCase(ec) ||
+              aliasesOf(events, f.name).exists(_.equalsIgnoreCase(ec)))
+            .getOrElse(throw new IllegalStateException(
+              s"equality-delete column $ec of $table no longer " +
+                "resolves in the current schema"))
+          (ec, cf.name, cf.dataType)
+        }
+        var keys = spark.read.parquet(refs.map(_.path).distinct
+            .map(p => absPath(table, p).toString): _*)
+          .select(resolved.map { case (ec, cn, dt) =>
+            col(ec).cast(dt).as(s"__graft_eq_$cn")
+          }: _*).distinct()
+        if (refs.map(_.records).sum <= TableStore.MorBroadcastRows)
+          keys = broadcast(keys)
+        cur.join(keys,
+          resolved.map { case (_, cn, _) =>
+            col(cn) <=> col(s"__graft_eq_$cn") }.reduce(_ && _),
+          joinType)
+      }
+  }
+
+  /** Equality DELETE: every current row whose key tuple null-safe-equals
+    * a row of `keys` (columns = key columns, any subset of the schema)
+    * is dead from this snapshot on. The write touches NO data file —
+    * one key-tuple file plus a metadata commit, whatever the table
+    * size. Rows appended AFTER this commit are untouched even when
+    * their keys match (Iceberg's sequence-number rule). */
+  def equalityDelete(table: String, keys: DataFrame,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    eqCommit(table, "delete", keys, insertRows = None, timestampMs)
+
+  /** Equality UPSERT (the Flink/Iceberg CDC writer shape): one commit
+    * that equality-deletes `rows`' key tuples and appends `rows` — rows
+    * whose key exists replace the old row, new keys insert, and the
+    * write cost is O(batch) with zero table reads (contrast
+    * [[upsert]]/MERGE, which must locate matched files). `rows` must
+    * carry the full table schema and at most one row per key tuple
+    * (dedupe upstream — within-batch ordering is not defined here). */
+  def equalityUpsert(table: String, rows: DataFrame, keyCols: Seq[String],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    require(keyCols.nonEmpty, "equalityUpsert needs at least one key column")
+    eqCommit(table, "upsert", rows.select(keyCols.map(col): _*),
+      insertRows = Some(rows), timestampMs)
+  }
+
+  /** Equality APPLY (a netted CDC batch in one commit): equality-delete
+    * every key in `deleteKeys` AND every key of `rows`, then append
+    * `rows` — the merge-on-read form of a change-feed apply, where a
+    * batch's net deletes and net upserts land atomically with ZERO
+    * table reads. `deleteKeys`' columns are `keyCols`; `rows` carries
+    * the full table schema with at most one post-image per key. */
+  def equalityApply(table: String, deleteKeys: DataFrame, rows: DataFrame,
+      keyCols: Seq[String],
+      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+    require(keyCols.nonEmpty, "equalityApply needs at least one key column")
+    val keys = rows.select(keyCols.map(col): _*)
+      .unionByName(deleteKeys.select(keyCols.map(col): _*))
+    eqCommit(table, "apply", keys, insertRows = Some(rows), timestampMs)
+  }
+
+  private def eqCommit(table: String, operation: String, keys0: DataFrame,
+      insertRows: Option[DataFrame], timestampMs: Long): Snapshot =
+    withCowRetry() {
+      val sch = schema(table)
+      val keyFields: Seq[(String, StructField)] =
+        keys0.schema.fieldNames.toSeq.map { n =>
+          n -> sch.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"equality-delete column $n not in schema of $table"))
+        }
+      require(keyFields.nonEmpty,
+        "equality delete needs at least one key column")
+      val (baseId, baseFiles) = cowBase(table)
+      val dir = tableDir(table)
+      val rel = s"${TableStore.DeletesDir}/eqdelete-${UUID.randomUUID()}"
+      val abs = new HPath(dir, rel).toString
+      // canonical tuple file: current physical names, current types
+      keys0.select(keyFields.map { case (src, f) =>
+        keys0.col(src).cast(f.dataType).as(f.name) }: _*)
+        .distinct().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(abs)
+      val written = spark.read.parquet(abs)
+      val tupleCount = written.count()
+      // attach-set prune: a single-column key batch small enough to
+      // collect probes the log's per-file bounds + blooms, so a needle
+      // upsert dirties only the files that can contain its keys —
+      // metadata-only, no data I/O. NULL keys or multi-column tuples
+      // attach everywhere (conservative, never wrong).
+      val attachSet: Seq[DataFile] =
+        if (tupleCount == 0) Seq.empty
+        else if (keyFields.size == 1 &&
+            tupleCount <= TableStore.EqPruneMaxKeys) {
+          val vals = written.collect().map(_.get(0)).toSeq
+          if (vals.contains(null)) baseFiles
+          else pruneList(table, baseFiles,
+            col(keyFields.head._2.name).isin(vals: _*))
+        } else baseFiles
+      if (tupleCount == 0) fs.delete(new HPath(dir, rel), true)
+      val ref = DeleteRef(rel, tupleCount,
+        keyFields.map(_._2.name))
+      val updatedEntries = attachSet.map(f =>
+        f.copy(deletes = f.deletes :+ ref))
+      val carried = baseFiles.diff(attachSet)
+      val newFiles = insertRows
+        .map(rows => writeStaged(table, rows))
+        .getOrElse(Seq.empty)
+        .filter(_.records != 0L)
+      // change feed ON: the exact row-level diff requires locating the
+      // matched rows — the one case where an equality commit pays a
+      // read (cost ∝ attach-set scan). Feed-less tables keep the pure
+      // O(batch) write; the batch table_changes() reader can also
+      // recover the diff later from the key file alone.
+      val cdcSummary =
+        if (!changeFeedEnabled(table) ||
+            (tupleCount == 0 && newFiles.isEmpty))
+          Map.empty[String, String]
+        else {
+          val deleted = equalityDeleteJoin(table,
+            readFileListAs(table, attachSet, sch), Seq(ref), sch,
+            "left_semi")
+            .withColumn(TableStore.ChangeTypeCol, lit("delete"))
+          val changes = newFiles match {
+            case Seq() => deleted
+            case nf => deleted.unionByName(
+              readFileListAs(table, nf, sch)
+                .withColumn(TableStore.ChangeTypeCol, lit("insert")))
+          }
+          val cdcRel = s"cdc/${UUID.randomUUID()}"
+          changes.coalesce(math.max(1,
+            math.min(attachSet.size + newFiles.size, 16)))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(new HPath(dir, cdcRel).toString)
+          Map(TableStore.CdcDirKey -> cdcRel)
+        }
+      // records stay as logged — now an UPPER bound for the attach set
+      // (matched counts are unknowable without the read this write
+      // exists to avoid); SnapshotLog.commit stamps the marker that
+      // makes metadata COUNT decline while any ref is live
+      val total = (carried ++ updatedEntries).map(f =>
+        recordsOf(table, f)).sum + newFiles.map(_.records).sum
+      val eqSummary =
+        if (tupleCount == 0) Map.empty[String, String]
+        else Map(
+          TableStore.EqDeletesKey -> s"""["$rel"]""",
+          "equality-delete-tuples" -> tupleCount.toString)
+      SnapshotLog.commit(fs, dir, operation,
+        carried ++ updatedEntries ++ newFiles, total, timestampMs,
+        replaceAll = true,
+        summary = Map(
+          "merge-on-read" -> "true",
+          "carried-files" -> carried.size.toString,
+          "added-files" -> newFiles.size.toString) ++ eqSummary ++ cdcSummary,
+        expectedLastId = Some(baseId),
+        schemaVersionOf = () => commitSchemaVersion(table))
+    }
+
   /** Delta-style SHALLOW CLONE: a new table whose first snapshot
     * references the SOURCE's data files by `../source/…` relative
     * paths — zero data copied, so cloning a 100 TB table is one
@@ -2467,7 +2702,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       timestampMs: Long = System.currentTimeMillis()): Snapshot =
     withCowRetry() {
       val (baseId, baseFiles) = cowBase(table)
-      val dirty = baseFiles.filter(_.deletes.size >= 2)
+      // positional refs only: equality refs hold key tuples, not
+      // positions, and stay attached verbatim (OPTIMIZE materializes
+      // them; this procedure only binpacks the positional side)
+      val dirty = baseFiles.filter(_.deletes.count(!_.isEquality) >= 2)
       if (dirty.isEmpty)
         // nothing stacked: still commit (maintenance scripts see their
         // CALL in DESCRIBE HISTORY, like a no-op OPTIMIZE)
@@ -2482,7 +2720,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       else {
         val dir = tableDir(table)
         val dirtyNames = dirty.map(f => TableStore.fileName(f.path)).toSet
-        val oldRefs = dirty.flatMap(_.deletes).map(_.path).distinct
+        val oldRefs = dirty.flatMap(_.deletes.filterNot(_.isEquality))
+          .map(_.path).distinct
         val rel = s"${TableStore.DeletesDir}/delete-${UUID.randomUUID()}"
         val abs = new HPath(dir, rel).toString
         spark.read.parquet(oldRefs.map(p => absPath(table, p).toString): _*)
@@ -2502,8 +2741,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         val ref = DeleteRef(rel, 0L)
         val updated = dirty.map { f =>
           val n = counts.getOrElse(TableStore.fileName(f.path), 0L)
+          val eqRefs = f.deletes.filter(_.isEquality) // attached verbatim
           f.copy(deletes =
-            if (n == 0) Seq.empty else Seq(ref.copy(records = n)))
+            (if (n == 0) Seq.empty else Seq(ref.copy(records = n))) ++ eqRefs)
         }
         val carried = baseFiles.diff(dirty)
         val total = TableStore.inParallel(carried ++ updated)(
@@ -3338,6 +3578,17 @@ object TableStore {
     * added (JSON array of table-relative paths) — the change feed's
     * diff path recovers the deleted rows from exactly these. */
   val MorDeletesKey = "mor-delete-files"
+  /** Summary key recording the key-tuple file an EQUALITY-delete commit
+    * added (JSON array, one element today) — the change feed recovers
+    * the commit's deleted rows by semi-joining the touched files
+    * against exactly these keys. */
+  val EqDeletesKey = "eq-delete-files"
+  /** Attach-set prune cap: a single-column equality delete with at most
+    * this many tuples collects its keys (driver-side, metadata-scale)
+    * and probes per-file bounds/blooms so a needle upsert dirties only
+    * the files that can contain it. Bigger batches attach everywhere —
+    * conservative, never wrong. */
+  val EqPruneMaxKeys = 10000L
   /** TBLPROPERTIES keys routing row-level writes to merge-on-read
     * (Iceberg's `write.delete.mode` / `write.update.mode` /
     * `write.merge.mode`). */

@@ -101,6 +101,38 @@ object ChangeFeedFollower {
     catalog.registerView(target)
   }
 
+  /** Merge-on-read APPLY CHANGES: the same per-key netting as
+    * [[applyChanges]], landed as ONE equality-delete + append commit
+    * ([[graft.store.TableStore.equalityApply]]) instead of a COW merge.
+    * Where the COW apply must LOCATE every matched file (a probe over
+    * the target) and rewrite it, this path writes one key-tuple file
+    * plus the post-image batch and never reads the target at all —
+    * O(batch) per poll whatever the mirror's size, the shape a
+    * 100 TB continuously-replicated table needs. The price is the
+    * standard equality-delete one: reads carry an extra broadcast
+    * anti-join and metadata COUNT declines until OPTIMIZE. */
+  def applyChangesMor(catalog: GraftCatalog, target: String, feed: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(keyCols.nonEmpty, "applyChangesMor needs key columns")
+    val st = catalog.store()
+    val sch = st.schema(target)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_snapshot_id").desc,
+        col(graft.store.TableStore.ChangeTypeCol).desc)
+    val last = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val upserts = last
+      .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
+      .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+    val deleteKeys = last
+      .filter(col(graft.store.TableStore.ChangeTypeCol) === "delete")
+      .select(keyCols.map(col): _*)
+    st.equalityApply(target, deleteKeys, upserts, keyCols)
+    catalog.registerView(target)
+  }
+
   /** The composed replication loop: follow `src`'s change feed and
     * mirror every batch into `dst` with [[applyChanges]] — CDC
     * replication from one snapshot table to another, resumable via the
@@ -109,4 +141,11 @@ object ChangeFeedFollower {
       keyCols: Seq[String], startAfterId: Long = 0L): Long =
     pollOnce(catalog, src, startAfterId)(
       (batch, _) => applyChanges(catalog, dst, batch, keyCols))
+
+  /** [[mirror]] with the merge-on-read apply: each poll lands as a
+    * no-read equality commit on `dst`. */
+  def mirrorMor(catalog: GraftCatalog, src: String, dst: String,
+      keyCols: Seq[String], startAfterId: Long = 0L): Long =
+    pollOnce(catalog, src, startAfterId)(
+      (batch, _) => applyChangesMor(catalog, dst, batch, keyCols))
 }

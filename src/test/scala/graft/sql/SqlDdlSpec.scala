@@ -542,6 +542,30 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("SELECT COUNT(*) FROM morc") == "[(40,)]")
   }
 
+  test("CALL equality_delete / equality_upsert: no-read writes via SQL") {
+    val (cat, eng) = fixture()
+    import spark.implicits._
+    eng.sql("CREATE TABLE eqt (id BIGINT, v STRING)")
+    eng.sql("INSERT INTO eqt VALUES (1,'a'),(2,'b'),(3,'c')")
+    Seq(2L).toDF("id").createOrReplaceTempView("eq_keys")
+    assert(eng.run("CALL equality_delete('eqt', source => 'eq_keys')")
+      == "[]")
+    val st = cat.store()
+    assert(st.dataFilesAsOf("eqt", None).map(_.path).toSet ==
+      st.snapshotMetaVersion("eqt", 1L).map(_._3().map(_.path).toSet).get)
+    assert(eng.run("SELECT id FROM eqt ORDER BY id") == "[(1,), (3,)]")
+    Seq((3L, "c2"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("eq_batch")
+    assert(eng.run(
+      "CALL equality_upsert('eqt', source => 'eq_batch', keys => 'id')")
+      == "[]")
+    assert(eng.run("SELECT v FROM eqt ORDER BY id") ==
+      "[('a',), ('c2',), ('d',)]")
+    // metadata COUNT declines (upper bound only) — the scan still answers
+    assert(st.snapshotMetaAsOf("eqt", None).get._2 == -1L)
+    assert(eng.run("SELECT COUNT(*) FROM eqt") == "[(3,)]")
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
