@@ -845,12 +845,22 @@ object SparkEntry {
       val eqProof = v1.subsetOf(cur.map(_.path).toSet) &&
         cur.exists(_.deletes.exists(_.isEquality)) &&
         st.snapshotMetaAsOf("orders_eq", None).exists(_._2 == -1L)
+      // minor compaction: equality refs materialize into positional
+      // ones with a key-column read — STILL no data file rewritten,
+      // and metadata COUNT is exact again. The 'after' aggregate below
+      // then exercises the converted (positional) read path vs DuckDB.
+      eng.sql("CALL convert_equality_deletes('orders_eq')")
+      val conv = st.dataFilesAsOf("orders_eq", None)
+      val convProof = v1.subsetOf(conv.map(_.path).toSet) &&
+        conv.forall(_.deletes.forall(!_.isEquality)) &&
+        st.snapshotMetaAsOf("orders_eq", None).exists(_._2 >= 0L)
       eng.sql("SELECT 'after' AS phase, COUNT(*) AS cnt, " +
           "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_eq")
         .unionByName(eng.sql("SELECT 'before' AS phase, COUNT(*) AS cnt, " +
           "ROUND(SUM(o_totalprice), 2) AS rev FROM orders_eq " +
           "FOR SYSTEM_VERSION AS OF 1"))
         .withColumn("eq_proof", lit(eqProof))
+        .withColumn("conv_proof", lit(convProof))
         .orderBy(col("phase"))
     },
 
@@ -4042,7 +4052,9 @@ object SparkEntry {
 
     // equality upsert recomputed: %10=7 keys replaced with the bumped
     // price, %1000=1 keys re-inserted under fresh ids; eq_proof is the
-    // Spark-side file-set + metadata-decline proof
+    // Spark-side file-set + metadata-decline proof, conv_proof the
+    // post-convert_equality_deletes refs-positional + count-exact proof
+    // (the 'after' aggregate reads through the CONVERTED path)
     "q_eq_upsert" ->
       """WITH after AS (
         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 <> 7
@@ -4052,10 +4064,11 @@ object SparkEntry {
         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 1
         |)
         |SELECT 'after' AS phase, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS rev, TRUE AS eq_proof
+        |       round(sum(o_totalprice), 2) AS rev, TRUE AS eq_proof,
+        |       TRUE AS conv_proof
         |FROM after
         |UNION ALL
-        |SELECT 'before', count(*), round(sum(o_totalprice), 2), TRUE
+        |SELECT 'before', count(*), round(sum(o_totalprice), 2), TRUE, TRUE
         |FROM orders
         |ORDER BY phase""".stripMargin,
 

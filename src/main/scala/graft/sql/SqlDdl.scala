@@ -1073,6 +1073,14 @@ object SqlDdl {
         val (cat, t) = tableArg
         cat.store().rewritePositionDeleteFiles(t)
         cat.registerView(t)
+      case "convert_equality_deletes" =>
+        // the minor compaction between CDC writes and full OPTIMIZE:
+        // materialize live equality refs into position-delete refs
+        // (one key-column read of the dirty files, no data rewrite) so
+        // reads take the positional path and metadata COUNT is exact
+        val (cat, t) = tableArg
+        cat.store().convertEqualityDeletes(t)
+        cat.registerView(t)
       case "equality_delete" =>
         // Iceberg-v2 equality delete: every current row whose key tuple
         // matches a row of `source` (a graft table or Spark temp view

@@ -1343,7 +1343,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       sch: StructType,
       base: Option[(Seq[String], StructType) => DataFrame] = None,
       applyDeletes: Boolean = true,
-      keepPos: Boolean = false): DataFrame =
+      keepPos: Boolean = false,
+      applyEqDeletes: Boolean = true): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (!keepPos) sch
@@ -1434,7 +1435,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
                 col(TableStore.MorPosCol) === col(TableStore.DeletePosField),
               "left_anti")
           }
-          cur = equalityDeleteJoin(table, cur, eqRefs, sch, "left_anti")
+          if (applyEqDeletes)
+            cur = equalityDeleteJoin(table, cur, eqRefs, sch, "left_anti")
           if (keepPos) cur
           else cur.drop(TableStore.MorFileCol, TableStore.MorPosCol)
         }
@@ -2755,6 +2757,85 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             "added-delete-files" -> "1",
             TableStore.MorDeletesKey -> s"""["$rel"]""",
             TableStore.RowsPreservedKey -> "true"),
+          expectedLastId = Some(baseId),
+          schemaVersionOf = () => commitSchemaVersion(table))
+      }
+    }
+
+  /** `CALL convert_equality_deletes` (the minor compaction Flink's
+    * Iceberg maintenance runs between CDC writes and full compaction):
+    * materialize every LIVE equality ref into an ordinary position-
+    * delete ref, touching no data file. Equality refs are cheap to
+    * write but tax every subsequent read — each scan of a dirty file
+    * re-runs the key anti-join, and metadata COUNT declines while any
+    * ref is live because matched counts are unknowable without a read.
+    * This procedure pays that read ONCE (key columns of the dirty
+    * files only — Catalyst prunes the scan to the join keys), writes
+    * the matched positions as one delete-file directory, re-enters the
+    * dirty files with exact live counts and the positional ref, and
+    * drops the key-tuple files from the snapshot (expire+vacuum
+    * reclaim them like superseded data files). After it: reads take
+    * the cheaper per-file positional path, metadata COUNT is exact
+    * again, and OPTIMIZE remains the full materialization. Cost ∝ the
+    * dirty files' key columns, never ∝ the table. */
+  def convertEqualityDeletes(table: String,
+      timestampMs: Long = System.currentTimeMillis()): Snapshot =
+    withCowRetry() {
+      val (baseId, baseFiles) = cowBase(table)
+      val dirty = baseFiles.filter(_.deletes.exists(_.isEquality))
+      if (dirty.isEmpty)
+        SnapshotLog.commit(fs, tableDir(table), "replace", baseFiles,
+          TableStore.inParallel(baseFiles)(recordsOf(table, _)).sum,
+          timestampMs, replaceAll = true,
+          summary = Map("converted-equality-files" -> "0",
+            "added-delete-files" -> "0",
+            TableStore.RowsPreservedKey -> "true"),
+          expectedLastId = Some(baseId),
+          schemaVersionOf = () => commitSchemaVersion(table))
+      else {
+        val sch = schema(table)
+        val dir = tableDir(table)
+        def positions(applyEq: Boolean): DataFrame =
+          readFileListAs(table, dirty, sch, keepPos = true,
+            applyEqDeletes = applyEq)
+            .select(col(TableStore.MorFileCol).as(TableStore.DeleteFileField),
+              col(TableStore.MorPosCol).as(TableStore.DeletePosField))
+        // rows live by position but dead by an equality ref — the rows
+        // existing positional refs have NOT already discounted, so the
+        // live-count arithmetic below holds in every interleaving of
+        // positional and equality commits
+        val dead = positions(applyEq = false).except(positions(applyEq = true))
+        val rel = s"${TableStore.DeletesDir}/delete-${UUID.randomUUID()}"
+        val abs = new HPath(dir, rel).toString
+        dead.coalesce(math.max(1, math.min(dirty.size, 8)))
+          .write.mode(SaveMode.Overwrite).parquet(abs)
+        val counts = spark.read.parquet(abs)
+          .groupBy(col(TableStore.DeleteFileField)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) fs.delete(new HPath(dir, rel), true)
+        val ref = DeleteRef(rel, 0L)
+        val updated = dirty.flatMap { f =>
+          val posRefs = f.deletes.filterNot(_.isEquality)
+          counts.get(TableStore.fileName(f.path)) match {
+            case None => Some(f.copy(deletes = posRefs)) // no key matched
+            case Some(n) =>
+              val live = recordsOf(table, f) - n
+              if (live <= 0) None // fully deleted: out of the snapshot
+              else Some(f.copy(records = live,
+                deletes = posRefs :+ ref.copy(records = n)))
+          }
+        }
+        val carried = baseFiles.diff(dirty)
+        val total = TableStore.inParallel(carried ++ updated)(
+          recordsOf(table, _)).sum
+        SnapshotLog.commit(fs, dir, "replace", carried ++ updated, total,
+          timestampMs, replaceAll = true,
+          summary = Map(
+            "converted-equality-files" -> dirty.size.toString,
+            "added-delete-files" -> (if (counts.isEmpty) "0" else "1"),
+            TableStore.RowsPreservedKey -> "true") ++
+            (if (counts.isEmpty) Map.empty[String, String]
+             else Map(TableStore.MorDeletesKey -> s"""["$rel"]""")),
           expectedLastId = Some(baseId),
           schemaVersionOf = () => commitSchemaVersion(table))
       }

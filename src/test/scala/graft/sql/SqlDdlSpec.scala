@@ -564,6 +564,13 @@ class SqlDdlSpec extends AnyFunSuite {
     // metadata COUNT declines (upper bound only) — the scan still answers
     assert(st.snapshotMetaAsOf("eqt", None).get._2 == -1L)
     assert(eng.run("SELECT COUNT(*) FROM eqt") == "[(3,)]")
+    // minor compaction: refs go positional, COUNT is metadata-exact again
+    assert(eng.run("CALL convert_equality_deletes('eqt')") == "[]")
+    assert(st.dataFilesAsOf("eqt", None)
+      .forall(_.deletes.forall(!_.isEquality)))
+    assert(st.snapshotMetaAsOf("eqt", None).get._2 == 3L)
+    assert(eng.run("SELECT v FROM eqt ORDER BY id") ==
+      "[('a',), ('c2',), ('d',)]")
   }
 
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {

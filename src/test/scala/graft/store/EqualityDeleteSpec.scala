@@ -237,6 +237,78 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(dstRows == srcRows)
   }
 
+  test("convert_equality_deletes: refs become positional, counts exact, " +
+      "no data file rewritten") {
+    val st = newStore()
+    baseTable(st)
+    val before = st.dataFilesAsOf("t", None).map(_.path).toSet
+    st.equalityDelete("t", Seq(1L, 2L, 3L).toDF("id"), 2000L)
+    assert(st.snapshotMetaAsOf("t", None).get._2 == -1L) // declined
+    val snap = st.convertEqualityDeletes("t", 3000L)
+    assert(snap.summary("converted-equality-files").toInt >= 1)
+    assert(snap.summary(TableStore.RowsPreservedKey) == "true")
+    // data-file path set unchanged; equality refs gone, positional on
+    val files = st.dataFilesAsOf("t", None)
+    assert(files.map(_.path).toSet == before)
+    assert(files.forall(_.deletes.forall(!_.isEquality)))
+    assert(files.exists(_.deletes.nonEmpty))
+    // metadata COUNT exact again (marker gone, live counts in the log)
+    assert(st.snapshotMetaAsOf("t", None).get._2 == 97L)
+    assert(st.read("t").count() == 97)
+    assert(st.read("t").agg(min("id")).head().getLong(0) == 4L)
+    // time travel: pre-delete and eq-ref-live snapshots both intact
+    assert(st.read("t", Some(1000L)).count() == 100)
+    assert(st.read("t", Some(2000L)).count() == 97)
+  }
+
+  test("convert preserves interleaved positional deletes exactly") {
+    val st = newStore()
+    baseTable(st)
+    st.setTableProperties("t",
+      Map(TableStore.DeleteModeProp -> TableStore.MergeOnRead))
+    st.deleteWhere("t", col("id") <= 10, 2000L)       // positional
+    st.equalityDelete("t", Seq(5L, 11L, 12L).toDF("id"), 3000L)
+    st.deleteWhere("t", col("id") === 13L, 4000L)     // positional after
+    st.convertEqualityDeletes("t", 5000L)
+    // 1-10 positional, 11-13 converted/positional; 5 was ALREADY dead
+    // positionally, so its key must not double-count
+    assert(st.read("t").count() == 87)
+    assert(st.read("t").agg(min("id")).head().getLong(0) == 14L)
+    assert(st.snapshotMetaAsOf("t", None).get._2 == 87L)
+    assert(st.dataFilesAsOf("t", None)
+      .forall(_.deletes.forall(!_.isEquality)))
+  }
+
+  test("convert honors sequence scoping: post-delete re-adds survive") {
+    val st = newStore()
+    baseTable(st)
+    st.equalityDelete("t", Seq(5L).toDF("id"), 2000L)
+    st.append("t", Seq((5L, "reborn", 0)).toDF("id", "name", "grp"), 3000L)
+    st.convertEqualityDeletes("t", 4000L)
+    val names = st.read("t").filter(col("id") === 5L)
+      .select("name").as[String].collect().toSeq
+    assert(names == Seq("reborn"))
+    assert(st.read("t").count() == 100)
+    assert(st.snapshotMetaAsOf("t", None).get._2 == 100L)
+  }
+
+  test("convert drops fully-deleted files and no-ops on a clean table") {
+    val st = newStore()
+    val df = (1 to 10).map(i => (i.toLong, s"n-$i")).toDF("id", "name")
+    st.create("t", df.schema)
+    st.append("t", df.repartition(1), 1000L)
+    st.append("t", (11 to 20).map(i => (i.toLong, s"n-$i"))
+      .toDF("id", "name").repartition(1), 2000L)
+    st.equalityDelete("t", (1 to 10).map(_.toLong).toDF("id"), 3000L)
+    st.convertEqualityDeletes("t", 4000L)
+    // the first file died whole: out of the snapshot, not ref-carrying
+    assert(st.dataFilesAsOf("t", None).size == 1)
+    assert(st.read("t").count() == 10)
+    val noop = st.convertEqualityDeletes("t", 5000L)
+    assert(noop.summary("converted-equality-files") == "0")
+    assert(st.read("t").count() == 10)
+  }
+
   test("unknown key column fails loudly; empty batch commits a no-op") {
     val st = newStore()
     baseTable(st)
