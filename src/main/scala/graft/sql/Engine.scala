@@ -91,7 +91,8 @@ final class Engine(catalog: GraftCatalog) {
   // joins/filters/aggregates like any relation — the warehouse-ops shape
   // ("total bytes per partition", "commits that added the most rows").
   private val MetaTableRef =
-    "(?i)`?((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)\\$(files|history|snapshots|partitions)`?".r
+    ("(?i)`?((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)" +
+      "\\$(delete_files|files|history|snapshots|partitions)`?").r
 
   /** Replace metadata-table references with registered temp views built
     * from snapshot-log metadata (no data I/O; `$files` stats file sizes
@@ -107,6 +108,9 @@ final class Engine(catalog: GraftCatalog) {
       val df = kind match {
         case "files" => cat.store().filesMetadata(t)
           .toDF("file_path", "record_count", "partition", "size_bytes")
+        case "delete_files" => cat.store().deleteFilesMetadata(t)
+          .toDF("file_path", "kind", "record_count",
+            "referencing_data_files", "equality_cols", "size_bytes")
         case "history"   => cat.store().history(t)
         case "snapshots" => cat.store().snapshotsMetadata(t)
         case "partitions" => cat.store().partitionSummary(t)

@@ -798,9 +798,20 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         // hidden partitioning: the transform column exists only for the
         // write; data files keep the original schema
         val withDir =
-          if (!isBucket)
-            clustered.withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
-          else {
+          if (!isBucket) {
+            val tagged = clustered
+              .withColumn(TableStore.PartDirCol, sp.valueColumn(srcType))
+            // write.distribution-mode=hash: co-locate each partition
+            // value before the write — one file per partition per
+            // append instead of one per (task, partition). The re-sort
+            // restores any sort-order clustering the shuffle broke.
+            if (tableProperties(table).get(TableStore.DistributionModeProp)
+                .exists(_.equalsIgnoreCase("hash")))
+              tagged.repartition(col(TableStore.PartDirCol))
+                .sortWithinPartitions(
+                  (TableStore.PartDirCol +: sort).distinct.map(col): _*)
+            else tagged
+          } else {
             val inBucketSort = (sp.column +: sort.filterNot(
               _.equalsIgnoreCase(sp.column))).map(col)
             // shuffle on the SCHEMA-typed key so placement agrees with the
@@ -2495,8 +2506,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * size. Rows appended AFTER this commit are untouched even when
     * their keys match (Iceberg's sequence-number rule). */
   def equalityDelete(table: String, keys: DataFrame,
-      timestampMs: Long = System.currentTimeMillis()): Snapshot =
-    eqCommit(table, "delete", keys, insertRows = None, timestampMs)
+      timestampMs: Long = System.currentTimeMillis(),
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    eqCommit(table, "delete", keys, insertRows = None, timestampMs,
+      extraSummary)
 
   /** Equality UPSERT (the Flink/Iceberg CDC writer shape): one commit
     * that equality-deletes `rows`' key tuples and appends `rows` — rows
@@ -2506,10 +2519,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * carry the full table schema and at most one row per key tuple
     * (dedupe upstream — within-batch ordering is not defined here). */
   def equalityUpsert(table: String, rows: DataFrame, keyCols: Seq[String],
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+      timestampMs: Long = System.currentTimeMillis(),
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "equalityUpsert needs at least one key column")
     eqCommit(table, "upsert", rows.select(keyCols.map(col): _*),
-      insertRows = Some(rows), timestampMs)
+      insertRows = Some(rows), timestampMs, extraSummary)
   }
 
   /** Equality APPLY (a netted CDC batch in one commit): equality-delete
@@ -2520,15 +2534,18 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * the full table schema with at most one post-image per key. */
   def equalityApply(table: String, deleteKeys: DataFrame, rows: DataFrame,
       keyCols: Seq[String],
-      timestampMs: Long = System.currentTimeMillis()): Snapshot = {
+      timestampMs: Long = System.currentTimeMillis(),
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "equalityApply needs at least one key column")
     val keys = rows.select(keyCols.map(col): _*)
       .unionByName(deleteKeys.select(keyCols.map(col): _*))
-    eqCommit(table, "apply", keys, insertRows = Some(rows), timestampMs)
+    eqCommit(table, "apply", keys, insertRows = Some(rows), timestampMs,
+      extraSummary)
   }
 
   private def eqCommit(table: String, operation: String, keys0: DataFrame,
-      insertRows: Option[DataFrame], timestampMs: Long): Snapshot =
+      insertRows: Option[DataFrame], timestampMs: Long,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
     withCowRetry() {
       val sch = schema(table)
       val keyFields: Seq[(String, StructField)] =
@@ -2618,7 +2635,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         summary = Map(
           "merge-on-read" -> "true",
           "carried-files" -> carried.size.toString,
-          "added-files" -> newFiles.size.toString) ++ eqSummary ++ cdcSummary,
+          "added-files" -> newFiles.size.toString) ++ eqSummary ++
+          cdcSummary ++ extraSummary,
         expectedLastId = Some(baseId),
         schemaVersionOf = () => commitSchemaVersion(table))
     }
@@ -3236,6 +3254,34 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Iceberg's `tbl$delete_files` analogue: one row per DISTINCT delete
+    * directory referenced by the current snapshot — kind (position /
+    * equality), records it carries (positions targeted, or key tuples),
+    * how many data files reference it, the equality key columns, and
+    * on-disk bytes. The observability face of merge-on-read health:
+    * "how much delete debt has this table accumulated, and of which
+    * shape" is the question that decides between
+    * `rewrite_position_delete_files`, `convert_equality_deletes`, and a
+    * full OPTIMIZE. Driver metadata only; size probes run on the
+    * bounded parallel pool. */
+  def deleteFilesMetadata(table: String)
+      : Seq[(String, String, Long, Long, String, Long)] = {
+    val refs = dataFilesAsOf(table, None)
+      .flatMap(f => f.deletes.map(d => (d, f.path)))
+    val byPath = refs.groupBy(_._1.path).toSeq.sortBy(_._1)
+    TableStore.inParallel(byPath) { case (p, rs) =>
+      val d0 = rs.head._1
+      val bytes =
+        try fs.getContentSummary(absPath(table, p)).getLength
+        catch { case _: java.io.FileNotFoundException => -1L }
+      val records =
+        if (d0.isEquality) d0.records // same tuple file for every ref
+        else rs.map(_._1.records).sum // per-data-file position counts
+      (p, if (d0.isEquality) "equality" else "position", records,
+        rs.size.toLong, d0.equalityCols.mkString(","), bytes)
+    }
+  }
+
   /** Version to stamp into a commit (-1 when the table predates schema
     * versioning, keeping old logs byte-stable). */
   private def commitSchemaVersion(table: String): Int = {
@@ -3677,6 +3723,15 @@ object TableStore {
   val UpdateModeProp = "write.update.mode"
   val MergeModeProp = "write.merge.mode"
   val MergeOnRead = "merge-on-read"
+  /** TBLPROPERTIES key selecting the write distribution (Iceberg's
+    * `write.distribution-mode`): `none` (default — every task writes
+    * its own slice of every partition it holds) or `hash` (one shuffle
+    * on the partition value before the write, so a P-partition append
+    * lands P files instead of tasks×P — the small-files fix for wide
+    * fan-in writes at scale). Trade-off is Iceberg's too: a hot
+    * partition serializes into one task under `hash`; keep `none`
+    * where single partitions are huge. */
+  val DistributionModeProp = "write.distribution-mode"
   /** Delete sets at most this large broadcast into the read-side
     * anti-join (two narrow columns — comfortably under the 8G driver
     * broadcast ceiling); larger sets let the planner pick. */

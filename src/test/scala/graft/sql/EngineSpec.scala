@@ -495,4 +495,31 @@ class EngineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       eng.sql("SELECT * FROM `items$partitions`").collect())
   }
+
+  test("$delete_files reports merge-on-read delete debt by kind") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    import graft.store.TableStore
+    val df = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+    cat.createTable("dd", df.schema)
+    cat.append("dd", df, 1000L)
+    // clean table: empty result, not an error
+    assert(eng.run("SELECT COUNT(*) FROM `dd$delete_files`") == "[(0,)]")
+    st.setTableProperties("dd",
+      Map(TableStore.DeleteModeProp -> TableStore.MergeOnRead))
+    st.deleteWhere("dd", org.apache.spark.sql.functions.col("id") <= 10,
+      2000L)
+    st.equalityDelete("dd", Seq(11L, 12L).toDF("id"), 3000L)
+    val rows = eng.sql("SELECT kind, record_count, " +
+        "referencing_data_files, equality_cols, size_bytes " +
+        "FROM `dd$delete_files` ORDER BY kind").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("equality", "position"))
+    val eq = rows(0); val pos = rows(1)
+    assert(eq.getLong(1) == 2L && eq.getString(3) == "id")
+    assert(pos.getLong(1) == 10L && pos.getString(3).isEmpty)
+    assert(rows.forall(_.getLong(4) > 0L))
+    // composes like a relation: total debt in one aggregate
+    assert(eng.run("SELECT SUM(record_count) FROM `dd$delete_files`")
+      == "[(12,)]")
+  }
 }

@@ -48,6 +48,28 @@ class CowAndPartitionSpec extends AnyFunSuite {
     assert(st.read("t", Some(3500L)).count() == 6)
   }
 
+  test("write.distribution-mode=hash: one file per partition per append") {
+    val st = newStore()
+    val data = (1 to 400).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    st.create("wd", data.schema, Some(PartitionSpec("grp", "identity")))
+    // default (none): an 8-task frame writes its slice of every
+    // partition it holds — more files than partitions
+    st.append("wd", data.repartition(8), 1000L)
+    val defaultFiles = st.dataFilesAsOf("wd", None).size
+    assert(defaultFiles > 4, s"expected >4 files, got $defaultFiles")
+    st.setTableProperties("wd",
+      Map(TableStore.DistributionModeProp -> "hash"))
+    st.append("wd", data.repartition(8), 2000L)
+    val added = st.dataFilesAsOf("wd", None).size - defaultFiles
+    assert(added == 4, s"hash mode: expected 4 new files, got $added")
+    // rows and partition routing stay correct either way
+    assert(st.read("wd").count() == 800)
+    assert(st.read("wd").filter(col("grp") === "g1").count() == 200)
+    val parts = st.dataFilesAsOf("wd", None)
+      .flatMap(_.partition.get("grp")).toSet
+    assert(parts == Set("g0", "g1", "g2", "g3"))
+  }
+
   test("DELETE matching nothing carries every file and rewrites none") {
     val st = newStore()
     st.create("t", Seq((1, "x")).toDF("id", "v").schema)
