@@ -507,6 +507,33 @@ object SparkEntry {
         .withColumn("bloom_pruned", lit(touched <= 2 && touched < total))
     },
 
+    "q_write_distribution" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      cat.createTable("orders_wd", orders.schema,
+        Some(graft.store.PartitionSpec("o_orderdate", "month")))
+      eng.sql("ALTER TABLE orders_wd SET TBLPROPERTIES " +
+        "('write.distribution-mode' = 'hash')")
+      // a deliberately wide fan-in write: without the property this
+      // lands tasks × months files; with it, the writer shuffles on
+      // the partition value first — one file per month
+      cat.append("orders_wd", orders.repartition(16), 1000L)
+      cat
+    } { cat =>
+      val st = cat.store()
+      val wdProof =
+        st.dataFilesAsOf("orders_wd", None).size ==
+          st.partitionSummary("orders_wd").size
+      cat.table("orders_wd")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .withColumn("wd_proof", lit(wdProof))
+        .orderBy(col("yr"), col("mo"))
+    },
+
     "q_partition_prune" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val orders = t(s, dir, "orders")
@@ -1529,6 +1556,57 @@ object SparkEntry {
         .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
     }),
 
+    // §2.10 + equality deletes composed: STREAMING UPSERT SINK (the
+    // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
+    // replicates into a mirror via one equality-apply commit per
+    // micro-batch — initial load, an UPDATE (delete+insert pair nets to
+    // replace via sequence scoping), and a DELETE — with zero reads of
+    // the mirror. sink_proof pins: every mirror file ever written
+    // survives by reference (nothing rewritten) and the mirror took
+    // exactly one commit per micro-batch.
+    "q_stream_upsert" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("orders_su", orders.schema)
+      cat.store().setChangeFeed("orders_su", enabled = true)
+      cat.createTable("mirror_su", orders.schema)
+      cat.append("orders_su", orders, 1000L)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ckpt-su").toString
+      val cdc = s.readStream.format("graft-table")
+        .option("warehouse", cat.warehouse.toString)
+        .option("table", "orders_su")
+        .option("readChangeFeed", "true").load()
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col(graft.store.TableStore.ChangeTypeCol))
+      val q = graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
+        cdc, Seq("o_orderkey"), ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("50 milliseconds"))
+      try {
+        q.processAllAvailable()
+        eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        q.processAllAvailable()
+        eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
+        q.processAllAvailable()
+      } finally q.stop()
+      val st = cat.store()
+      val hist = st.dataFilesAsOf("mirror_su", None)
+      val everWritten = (1L to 3L).flatMap(v =>
+        st.snapshotMetaVersion("mirror_su", v)
+          .map(_._3().map(_.path).toSet).getOrElse(Set.empty)).toSet
+      val sinkProof = everWritten.subsetOf(hist.map(_.path).toSet) &&
+        eng.sql("SELECT COUNT(*) FROM `mirror_su$history`")
+          .head().getLong(0) == 3L
+      cat.table("mirror_su")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .withColumn("sink_proof", lit(sinkProof))
+    }),
+
     // §2.10 stream-stream watermarked INNER join, oracle-gated: click →
     // purchase attribution within a 1-hour window, per user. Two
     // independent graft-table source streams join on user with the
@@ -1646,6 +1724,13 @@ object SparkEntry {
     // PlanShapeSpec; here the result is oracle-checked). The predicate
     // stays on the SOURCE column — the transform is hidden, as Iceberg
     // users expect for the reference's tables (`create_iceberg.py:119-148`).
+    // write.distribution-mode=hash (Iceberg's writer-side shuffle): a
+    // 16-task append to a month-partitioned table lands ONE file per
+    // month instead of 16 × months — the small-files fix that keeps a
+    // 1000-executor ingest from drowning the log in kilobyte files.
+    // wd_proof pins files == partitions; values oracle-recomputed.
+    "q_write_distribution" -> benchSplits("q_write_distribution").composed,
+
     "q_partition_prune" -> benchSplits("q_partition_prune").composed,
 
     // Partition-spec evolution (Iceberg contract): month(ts) files from
@@ -3902,6 +3987,17 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > 200000 OR o_totalprice <= 50000""".stripMargin,
 
+    // hash-distributed partitioned write: values identical to a plain
+    // per-month aggregate; wd_proof is the Spark-side files==partitions
+    // layout proof
+    "q_write_distribution" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue,
+        |       TRUE AS wd_proof
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
     "q_partition_prune" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |       CAST(month(o_orderdate) AS INTEGER) AS mo,
@@ -4175,6 +4271,17 @@ object SparkEntry {
         |SELECT o_orderkey, round(price, 2) AS price, change_type,
         |       CAST(commit_id AS BIGINT) AS commit_id
         |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
+
+    // the mirror after the streaming upsert sink replayed the CDC feed:
+    // initial load, %5 prices doubled by the UPDATE, %7 keys deleted;
+    // sink_proof is the Spark-side no-rewrite + one-commit-per-batch
+    // proof
+    "q_stream_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(CASE WHEN o_orderkey % 5 = 0
+        |                  THEN o_totalprice * 2 ELSE o_totalprice END,
+        |             2) AS price, TRUE AS sink_proof
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     // the streamed change feed: one insert batch (snapshot 1), the
     // UPDATE's delete+insert pair (snapshot 2), the DELETE's rows

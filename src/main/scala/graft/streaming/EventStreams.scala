@@ -179,4 +179,63 @@ object EventStreams {
       true
     }
   }
+
+  /** Streaming UPSERT sink (the Flink-to-Iceberg-v2 shape): every
+    * micro-batch lands as ONE equality-apply commit — replacements and
+    * inserts by key, optional deletes via a `_change_type` column —
+    * with ZERO reads of the target, so sink cost is O(batch) whatever
+    * the table has grown to. Delivery is exactly-once by the same
+    * snapshot-log batch-id guard as [[appendStream]]. The batch must be
+    * key-netted upstream (at most one post-image per key — the
+    * watermarked `latest-by-key` aggregation every CDC pipeline ends
+    * with); within-batch ordering is not defined here. */
+  def upsertStream(catalog: GraftCatalog, table: String, cdc: DataFrame,
+      keyCols: Seq[String], checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatchExactlyOnce(catalog, table, checkpointDir, batch,
+          batchId, keyCols)
+        ()
+      }
+      .start()
+
+  /** Idempotent micro-batch equality upsert. With a `_change_type`
+    * column ([[graft.store.TableStore.ChangeTypeCol]]), rows tagged
+    * `delete` contribute their keys as deletions and every other row is
+    * a post-image; without it the whole batch is post-images. Replays
+    * of an already-committed batch id no-op (exactly-once). Returns
+    * whether a snapshot was committed. */
+  def upsertBatchExactlyOnce(catalog: GraftCatalog, table: String,
+      sinkId: String, batch: DataFrame, batchId: Long,
+      keyCols: Seq[String]): Boolean = {
+    import graft.store.TableStore
+    val store = catalog.store()
+    if (store.lastStreamingBatchId(table, sinkId).exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      val summary = Map(
+        TableStore.StreamingSinkKey -> sinkId,
+        TableStore.StreamingBatchKey -> batchId.toString)
+      val tagged = batch.columns.contains(TableStore.ChangeTypeCol)
+      if (!tagged)
+        store.equalityUpsert(table, batch, keyCols,
+          extraSummary = summary)
+      else {
+        val deletes = batch
+          .filter(col(TableStore.ChangeTypeCol) === "delete")
+          .select(keyCols.map(col): _*)
+        val post = batch
+          .filter(col(TableStore.ChangeTypeCol) =!= "delete")
+          .drop(TableStore.ChangeTypeCol)
+        store.equalityApply(table, deletes, post, keyCols,
+          extraSummary = summary)
+      }
+      catalog.registerView(table)
+      true
+    }
+  }
 }

@@ -161,6 +161,58 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(cat.store().lastStreamingBatchId("eo", sink).contains(1L))
   }
 
+  test("upsertBatchExactlyOnce: keyed replace/insert/delete, replay no-ops") {
+    import spark.implicits._
+    import graft.store.TableStore
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-ueo"), spark)
+    cat.createDatabase("default")
+    val b0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("ueo", b0.schema)
+    val sink = "ckpt-U"
+    assert(EventStreams.upsertBatchExactlyOnce(cat, "ueo", sink, b0, 0L,
+      Seq("id")))
+    val filesAfterLoad = cat.store().dataFilesAsOf("ueo", None)
+      .map(_.path).toSet
+    // batch 1: replace key 2, insert key 4, delete key 3 — ONE equality
+    // commit, zero reads/rewrites of the target
+    val b1 = Seq((2L, "b2", "update"), (4L, "d", "insert"),
+      (3L, null: String, "delete"))
+      .toDF("id", "v", TableStore.ChangeTypeCol)
+    assert(EventStreams.upsertBatchExactlyOnce(cat, "ueo", sink, b1, 1L,
+      Seq("id")))
+    assert(filesAfterLoad.subsetOf(
+      cat.store().dataFilesAsOf("ueo", None).map(_.path).toSet))
+    assert(cat.table("ueo").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // crash-replay of batch 1 is a no-op; state unchanged
+    assert(!EventStreams.upsertBatchExactlyOnce(cat, "ueo", sink, b1, 1L,
+      Seq("id")))
+    assert(cat.table("ueo").count() == 3)
+    assert(cat.store().lastStreamingBatchId("ueo", sink).contains(1L))
+  }
+
+  test("upsertStream mirrors a netted CDC feed through micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-ustream"),
+      spark)
+    cat.createDatabase("default")
+    val input = MemoryStream[(Long, String)]
+    val cdc = input.toDF.toDF("id", "v")
+    cat.createTable("mirror_u", cdc.schema)
+    val ckpt = Files.createTempDirectory("graft-ckpt-u").toString
+    input.addData(Seq((1L, "a"), (2L, "b")))
+    EventStreams.upsertStream(cat, "mirror_u", cdc, Seq("id"), ckpt)
+      .awaitTermination()
+    input.addData(Seq((2L, "b2"), (3L, "c")))
+    EventStreams.upsertStream(cat, "mirror_u", cdc, Seq("id"), ckpt)
+      .awaitTermination()
+    assert(cat.table("mirror_u").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // each micro-batch is one commit; both are equality commits
+    assert(cat.history("mirror_u").count() == 2)
+  }
+
   test("appendStream commits one snapshot per micro-batch into the store") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new GraftCatalog(Files.createTempDirectory("graft-stream"), spark)
