@@ -61,6 +61,28 @@ class PlanShapeSpec extends AnyFunSuite {
       p)
   }
 
+  test("equality-delete scan: key subtraction is a broadcast ANTI join, " +
+      "pushdown intact") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eqplan")
+    val st = new graft.store.TableStore(
+      new org.apache.hadoop.fs.Path(tmp.toUri), spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    st.create("t", df.schema)
+    st.append("t", df, 1000L)
+    st.equalityDelete("t", Seq(5L, 6L, 7L).toDF("id"), 2000L)
+    // the key anti-join broadcasts (tuple file far under the threshold)
+    // — the scan side never shuffles at any table size — and the row
+    // predicate still reaches the Parquet scan through it
+    val p = st.readWhere("t", col("id") > 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,50)]"),
+      p)
+  }
+
   test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
     val p = plan("q_multiway_join")
     assert(p.contains("BroadcastHashJoin"), p)
