@@ -63,6 +63,12 @@ final case class DeleteRef(path: String, records: Long,
 final case class DataFile(
     path: String,
     records: Long = -1L,
+    // on-disk bytes captured at promote time (Iceberg's
+    // file_size_in_bytes): compaction triggers/partitioning decisions
+    // read it from the log instead of one fs probe per file per
+    // OPTIMIZE — at 100 TB that is a million RPCs saved per pass.
+    // -1 for entries logged before the field existed (probe fallback).
+    bytes: Long = -1L,
     partition: Map[String, String] = Map.empty,
     stats: Map[String, ColBounds] = Map.empty,
     // per-column file-level bloom filters (bloom-indexed tables only;
@@ -247,6 +253,7 @@ object SnapshotLog {
     else DataFile(
       path = e.get("path").asText(),
       records = if (e.has("records")) e.get("records").asLong() else -1L,
+      bytes = if (e.has("bytes")) e.get("bytes").asLong() else -1L,
       partition =
         if (e.has("partition"))
           e.get("partition").properties().asScala

@@ -273,11 +273,40 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     // computed inside the commit lock from the predecessor snapshot, so
     // two concurrent appends cannot both base their total on the same
     // stale prior count.
-    SnapshotLog.commit(fs, tableDir(table), "append", moved,
+    val snap = SnapshotLog.commit(fs, tableDir(table), "append", moved,
       n, timestampMs, replaceAll = false,
       summary = Map("added-files" -> moved.size.toString,
         "added-records" -> n.toString) ++ extraSummary,
       schemaVersionOf = () => commitSchemaVersion(table))
+    maybeAutoCompact(table)
+    snap
+  }
+
+  /** Delta-style AUTO COMPACTION (`TBLPROPERTIES auto.compact='true'`):
+    * after an append, if the snapshot has accumulated at least
+    * `auto.compact.min-files` (default 16) under-sized CLEAN data
+    * files, run the standard binpack inline — the knob that keeps a
+    * high-frequency micro-batch sink (thousands of small appends) from
+    * drowning the log in kilobyte files without an external
+    * maintenance job. The trigger reads LOGGED sizes only (zero fs
+    * calls on post-upgrade tables); delete-ref-carrying files never
+    * count toward the trigger and are not materialized here — that
+    * stays an explicit OPTIMIZE/convert decision. The compaction commit
+    * is a separate rows-preserved replace snapshot AFTER the append
+    * (readers of the append's snapshot are unaffected), and the COW
+    * retry makes it safe beside concurrent writers. */
+  private def maybeAutoCompact(table: String): Unit = {
+    val props = tableProperties(table)
+    if (!props.get(TableStore.AutoCompactProp)
+        .exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = props.get(TableStore.AutoCompactMinFilesProp)
+      .flatMap(_.toIntOption)
+      .getOrElse(TableStore.AutoCompactMinFilesDefault)
+    val target = TableStore.CompactTargetBytes
+    val small = dataFilesAsOf(table, None).count(f =>
+      f.deletes.isEmpty && bytesOf(table, f) < target)
+    if (small >= minFiles) compact(table, target, includeDirty = false)
+    ()
   }
 
   // -------------------------------------------------------------------
@@ -928,22 +957,34 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     val target = new HPath(dataDir(table), name)
     if (!fs.rename(part, target))
       throw new java.io.IOException(s"rename failed: $part -> $target")
-    // ONE footer read yields both the row count and the per-column
-    // bounds; the bounds go into the snapshot log (Iceberg's column
-    // metrics), so file skipping at query time is pure log metadata
-    val (records, ranges) = footerMeta(target)
+    // ONE footer read yields the row count, the per-column bounds, AND
+    // the byte size; bounds and size go into the snapshot log
+    // (Iceberg's column metrics + file_size_in_bytes), so file skipping
+    // and compaction sizing at query time are pure log metadata
+    val (records, ranges, bytes) = footerMeta(target)
     val stats = ranges.toSeq.sortBy(_._1).take(TableStore.MaxStatsColumns)
       .flatMap { case (c, r) => Pruning.toBounds(r).map(c -> _) }.toMap
-    DataFile(s"data/$name", records, partition, stats)
+    DataFile(s"data/$name", records, bytes, partition, stats)
   }
 
-  /** Row count + column ranges from one footer open — metadata only. */
-  private def footerMeta(file: HPath): (Long, Map[String, Pruning.ColRange]) = {
+  /** Row count + column ranges + byte size from one footer open —
+    * metadata only (the size rides the same open, no extra RPC). */
+  private def footerMeta(file: HPath)
+      : (Long, Map[String, Pruning.ColRange], Long) = {
     val in = HadoopInputFile.fromPath(file, fs.getConf)
     val reader = ParquetFileReader.open(in)
-    try (reader.getRecordCount, Pruning.rangesFromReader(reader))
+    try (reader.getRecordCount, Pruning.rangesFromReader(reader),
+      in.getLength)
     finally reader.close()
   }
+
+  /** On-disk bytes of a data file: the logged size when present, one fs
+    * probe for entries logged before sizes were captured. */
+  private def bytesOf(table: String, f: DataFile): Long =
+    if (f.bytes >= 0) f.bytes
+    else
+      try fs.getFileStatus(absPath(table, f.path)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
 
   /** Total record count from a Parquet file's footer — metadata only. */
   private def parquetRowCount(file: HPath): Long = {
@@ -3245,12 +3286,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   def filesMetadata(table: String): Seq[(String, Long, String, Long)] = {
     val files = dataFilesAsOf(table, None)
     TableStore.inParallel(files) { f =>
-      val abs = absPath(table, f.path)
-      val bytes =
-        try fs.getFileStatus(abs).getLen
-        catch { case _: java.io.FileNotFoundException => -1L }
       (f.path, recordsOf(table, f),
-        f.partition.map { case (k, v) => s"$k=$v" }.mkString(","), bytes)
+        f.partition.map { case (k, v) => s"$k=$v" }.mkString(","),
+        bytesOf(table, f))
     }
   }
 
@@ -3294,12 +3332,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * Old files stay referenced by old snapshots (time travel keeps
     * working) until `expire`.
     */
-  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Snapshot =
+  def compact(table: String, targetBytes: Long = TableStore.CompactTargetBytes,
+      includeDirty: Boolean = true): Snapshot =
     withCowRetry() {
       val (baseId, baseFiles) = cowBase(table)
-      val sized = baseFiles.map(f => f ->
-        (try fs.getFileStatus(absPath(table, f.path)).getLen
-         catch { case _: java.io.FileNotFoundException => 0L }))
+      // sizes come from the log when captured at promote time; the fs
+      // probe is the pre-upgrade fallback only
+      val sized = baseFiles.map(f => f -> bytesOf(table, f))
       // Iceberg's binpack contract: only the UNDER-SIZED tail rewrites,
       // files already at/above target carry by reference — OPTIMIZE on
       // a 100 TB table whose steady state is target-sized touches only
@@ -3307,9 +3346,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       // carrying merge-on-read delete refs rewrite regardless of size:
       // OPTIMIZE is the operation that materializes position deletes
       // back into clean files (and drops the anti-join from every
-      // later read of them).
+      // later read of them). Auto-compaction passes includeDirty=false:
+      // materializing deletes stays an explicit decision.
       val (small, compliant) = sized.partition { case (f, len) =>
-        len < targetBytes || f.deletes.nonEmpty }
+        if (includeDirty) len < targetBytes || f.deletes.nonEmpty
+        else len < targetBytes && f.deletes.isEmpty }
       val carried = compliant.map(_._1)
       val replacement =
         // one small CLEAN file gains nothing rewritten; a single dirty
@@ -3351,9 +3392,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       val replacement =
         if (matched.isEmpty) None
         else {
-          val bytes = matched.map(f =>
-            try fs.getFileStatus(absPath(table, f.path)).getLen
-            catch { case _: java.io.FileNotFoundException => 0L }).sum
+          val bytes = matched.map(f => bytesOf(table, f)).sum
           val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
           Some(readFileList(table, matched).coalesce(n))
         }
@@ -3379,8 +3418,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         " already clusters on it")
     require(!partitionSpec(table).exists(_.transform == "bucket"),
       s"cannot sort-rewrite $table: bucket hash placement owns its layout")
-    val totalBytes = currentFiles(table)
-      .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val totalBytes = dataFilesAsOf(table, None).map(bytesOf(table, _)).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val sorted = read(table)
       .repartitionByRange(numFiles, cols.map(col): _*)
@@ -3422,8 +3460,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       s"cannot z-order $table: bucket hash placement owns its layout")
     val names = resolved.map(_.name)
     val rowCount = dataFilesAsOf(table, None).map(recordsOf(table, _)).sum
-    val totalBytes = currentFiles(table)
-      .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val totalBytes = dataFilesAsOf(table, None).map(bytesOf(table, _)).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = read(table)
     val bs = ZOrder.boundaries(df, names, rowCount)
@@ -3732,6 +3769,14 @@ object TableStore {
     * partition serializes into one task under `hash`; keep `none`
     * where single partitions are huge. */
   val DistributionModeProp = "write.distribution-mode"
+  /** Default binpack target (also the auto-compaction threshold). */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+  /** TBLPROPERTIES keys for post-append auto-compaction (Delta's
+    * `autoOptimize.autoCompact`): opt-in flag + the clean-small-file
+    * count that triggers an inline binpack. */
+  val AutoCompactProp = "auto.compact"
+  val AutoCompactMinFilesProp = "auto.compact.min-files"
+  val AutoCompactMinFilesDefault = 16
   /** Delete sets at most this large broadcast into the read-side
     * anti-join (two narrow columns — comfortably under the 8G driver
     * broadcast ceiling); larger sets let the planner pick. */

@@ -125,6 +125,55 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read("t", Some(1000L)).count() == 100) // pre-compaction snapshot
   }
 
+  test("file sizes are logged at promote time; compact sizes from the log") {
+    val st = newStore()
+    val fs = FileSystem.get(st.root.toUri, spark.sessionState.newHadoopConf())
+    st.create("t", df(1 to 1).schema)
+    st.append("t", df(1 to 100), 1000L)
+    val files = st.dataFilesAsOf("t", None)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(f.bytes > 0L, s"${f.path} missing logged size")
+      val real = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(st.root,
+          s"t/${f.path}")).getLen
+      assert(f.bytes == real, s"${f.path}: logged ${f.bytes} != $real")
+    }
+  }
+
+  test("auto.compact binpacks clean small files after the triggering " +
+      "append, never dirty ones") {
+    val st = newStore()
+    st.create("t", df(1 to 1).schema)
+    st.setTableProperties("t", Map(
+      TableStore.AutoCompactProp -> "true",
+      TableStore.AutoCompactMinFilesProp -> "4"))
+    // three tiny appends stay below the trigger: files accumulate
+    (1 to 3).foreach(i =>
+      st.append("t", df(i * 10 until i * 10 + 5).toDF("id").coalesce(1),
+        i * 1000L))
+    assert(st.dataFilesAsOf("t", None).size == 3)
+    // the fourth crosses min-files: the append commits, THEN one
+    // rows-preserved replace binpacks the four into one
+    st.append("t", df(40 until 45).toDF("id").coalesce(1), 4000L)
+    assert(st.dataFilesAsOf("t", None).size == 1)
+    assert(st.read("t").count() == 20)
+    val h = st.history("t").orderBy("snapshot_id").collect()
+    assert(h.length == 5) // 4 appends + 1 auto binpack
+    assert(h.last.getAs[String]("operation") == "replace")
+    // the append's own snapshot is still readable pre-compaction
+    assert(st.read("t", Some(4000L)).count() == 20)
+    // dirty files never auto-materialize: an equality ref survives
+    st.equalityDelete("t", (10 to 11).toDF("id"), 5000L)
+    (1 to 4).foreach(i =>
+      st.append("t", df(100 * i until 100 * i + 2).toDF("id").coalesce(1),
+        5000L + i))
+    val fs2 = st.dataFilesAsOf("t", None)
+    assert(fs2.exists(_.deletes.exists(_.isEquality)),
+      "auto-compact must not materialize delete refs")
+    assert(st.read("t").count() == 26)
+  }
+
   test("expire drops old snapshots and deletes unreferenced files only") {
     val st = newStore()
     val fs = FileSystem.get(st.root.toUri, spark.sessionState.newHadoopConf())
