@@ -205,6 +205,15 @@ object SqlDdl {
   private val AlterDropBloom =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+BLOOM\\s+" +
       "FILTER\\s*$").r
+  // Iceberg IDENTIFIER FIELDS: the declared row-identity key that
+  // equality writes (CALL equality_delete/equality_upsert without a
+  // keys argument, the streaming upsert sink) default to
+  private val AlterSetIdentifier =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+SET\\s+IDENTIFIER\\s+" +
+      "FIELDS\\s*\\(([^)]*)\\)\\s*$").r
+  private val AlterDropIdentifier =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)\\s+DROP\\s+IDENTIFIER\\s+" +
+      "FIELDS\\s*$").r
   // Delta's COPY INTO: idempotent file ingestion — already-loaded
   // source files are skipped on re-run (the loaded set rides commit
   // summaries, atomic with the data they loaded)
@@ -609,6 +618,17 @@ object SqlDdl {
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
       cat.store().setBloomColumns(t, Seq.empty)
+      Some(empty(catalog))
+    case AlterSetIdentifier(qn, colsDef) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setIdentifierFields(t, colsDef.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      Some(empty(catalog))
+    case AlterDropIdentifier(qn) =>
+      val (cat, t) = resolved(catalog, qn)
+      require(cat.store().exists(t), s"table not found: $t")
+      cat.store().setIdentifierFields(t, Seq.empty)
       Some(empty(catalog))
     case CopyInto(qn, path, fmt, optsDef) =>
       val (cat, t) = resolved(catalog, qn)
@@ -1096,9 +1116,16 @@ object SqlDdl {
         // replace, new keys insert, zero table reads
         val (cat, t) = tableArg
         val rows = relationArg(cat, 1, "source")
+        // keys default to the table's declared IDENTIFIER FIELDS
         val keys = arg(2, "keys") match {
           case Some(StrLit(s)) =>
             s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          case None =>
+            val idf = cat.store().identifierFields(t)
+            require(idf.nonEmpty,
+              s"CALL $proc needs keys => 'k1[,k2…]' (or declare them " +
+                s"once: ALTER TABLE $t SET IDENTIFIER FIELDS (…))")
+            idf
           case other => throw new IllegalArgumentException(
             s"CALL $proc needs keys => 'k1[,k2…]', got: " +
               other.getOrElse("nothing"))

@@ -162,6 +162,44 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Iceberg IDENTIFIER FIELDS — the table's declared row-identity key
+    * (empty = none). Equality writes default to it: `CALL
+    * equality_delete/equality_upsert` without a `keys` argument and the
+    * streaming upsert sink resolve their key columns here, so the
+    * CDC-writer contract lives with the table instead of every caller.
+    * Follows RENAME; a declared identifier column cannot be dropped. */
+  def identifierFields(table: String): Seq[String] = {
+    val p = new HPath(tableDir(table), "identifier.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readString(p))
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
+  /** `ALTER TABLE … SET IDENTIFIER FIELDS (…)`; an empty list drops the
+    * declaration (`DROP IDENTIFIER FIELDS`). Atomic columns only —
+    * row identity is a point-equality shape, like blooms. */
+  def setIdentifierFields(table: String, cols: Seq[String]): Unit = {
+    val sch = schema(table)
+    val resolved = cols.map { c =>
+      val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' in $table"))
+      require(org.apache.spark.sql.GraftSqlShim.isAtomic(f.dataType),
+        s"cannot use '$c' as an identifier field: ${f.dataType.sql} " +
+          "is not an atomic type")
+      f.name
+    }
+    SnapshotLog.withTableLock(fs, tableDir(table)) {
+      val p = new HPath(tableDir(table), "identifier.json")
+      if (resolved.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+      else writeString(p,
+        resolved.map(c => "\"" + c + "\"").mkString("[", ",", "]"))
+    }
+  }
+
   def partitionSpec(table: String): Option[PartitionSpec] =
     partitionSpecZone(table).map(_._1)
 
@@ -3009,6 +3047,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         s"cannot drop partition column '$name' of $table"))
       require(!sortOrder(table).exists(_.equalsIgnoreCase(name)),
         s"cannot drop sort column '$name' of $table (every write clusters by it)")
+      require(!identifierFields(table).exists(_.equalsIgnoreCase(name)),
+        s"cannot drop identifier field '$name' of $table — " +
+          "SET IDENTIFIER FIELDS without it first")
       checkConstraints(table).foreach { case (ck, ex) =>
         require(!constraintRefs(ex).exists(_.equalsIgnoreCase(name)),
           s"cannot drop column '$name' of $table: CHECK constraint " +
@@ -3155,6 +3196,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       if (so.exists(_.equalsIgnoreCase(from)))
         writeString(new HPath(tableDir(table), "sort.json"),
           so.map(c => if (c.equalsIgnoreCase(from)) to else c)
+            .map(jsonStr).mkString("[", ",", "]"))
+      // identifier fields hold logical names: follow the rename
+      val idf = identifierFields(table)
+      if (idf.exists(_.equalsIgnoreCase(from)))
+        writeString(new HPath(tableDir(table), "identifier.json"),
+          idf.map(c => if (c.equalsIgnoreCase(from)) to else c)
             .map(jsonStr).mkString("[", ",", "]"))
       // the bloom index follows the rename too (bloom.json holds
       // LOGICAL names; old files' filters stay keyed by their physical

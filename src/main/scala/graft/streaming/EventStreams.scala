@@ -192,6 +192,8 @@ object EventStreams {
   def upsertStream(catalog: GraftCatalog, table: String, cdc: DataFrame,
       keyCols: Seq[String], checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    // empty keyCols: resolved per batch from the table's declared
+    // IDENTIFIER FIELDS (the key contract lives with the table)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
@@ -217,21 +219,30 @@ object EventStreams {
     if (store.lastStreamingBatchId(table, sinkId).exists(_ >= batchId)) false
     else if (batch.isEmpty) false
     else {
+      val keys =
+        if (keyCols.nonEmpty) keyCols
+        else {
+          val idf = store.identifierFields(table)
+          require(idf.nonEmpty, s"upsert sink into $table needs key " +
+            "columns (or declare them once: ALTER TABLE … SET " +
+            "IDENTIFIER FIELDS (…))")
+          idf
+        }
       val summary = Map(
         TableStore.StreamingSinkKey -> sinkId,
         TableStore.StreamingBatchKey -> batchId.toString)
       val tagged = batch.columns.contains(TableStore.ChangeTypeCol)
       if (!tagged)
-        store.equalityUpsert(table, batch, keyCols,
+        store.equalityUpsert(table, batch, keys,
           extraSummary = summary)
       else {
         val deletes = batch
           .filter(col(TableStore.ChangeTypeCol) === "delete")
-          .select(keyCols.map(col): _*)
+          .select(keys.map(col): _*)
         val post = batch
           .filter(col(TableStore.ChangeTypeCol) =!= "delete")
           .drop(TableStore.ChangeTypeCol)
-        store.equalityApply(table, deletes, post, keyCols,
+        store.equalityApply(table, deletes, post, keys,
           extraSummary = summary)
       }
       catalog.registerView(table)

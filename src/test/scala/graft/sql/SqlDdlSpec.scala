@@ -573,6 +573,41 @@ class SqlDdlSpec extends AnyFunSuite {
       "[('a',), ('c2',), ('d',)]")
   }
 
+  test("IDENTIFIER FIELDS: declared keys default equality writes, " +
+      "follow rename, protect against drop") {
+    val (cat, eng) = fixture()
+    val spark = this.spark
+    import spark.implicits._
+    eng.sql("CREATE TABLE idt (id BIGINT, v STRING)")
+    eng.sql("INSERT INTO idt VALUES (1,'a'),(2,'b')")
+    val st = cat.store()
+    // no declaration yet: keys-less upsert fails with guidance
+    Seq((2L, "b2")).toDF("id", "v").createOrReplaceTempView("id_batch")
+    assertThrows[IllegalArgumentException](
+      eng.sql("CALL equality_upsert('idt', source => 'id_batch')"))
+    eng.sql("ALTER TABLE idt SET IDENTIFIER FIELDS (id)")
+    assert(st.identifierFields("idt") == Seq("id"))
+    assert(eng.run("CALL equality_upsert('idt', source => 'id_batch')")
+      == "[]")
+    assert(eng.run("SELECT v FROM idt ORDER BY id") ==
+      "[('a',), ('b2',)]")
+    // the declared identifier column cannot be dropped…
+    assertThrows[IllegalArgumentException](
+      eng.sql("ALTER TABLE idt DROP COLUMN id"))
+    // …and follows a rename
+    eng.sql("ALTER TABLE idt RENAME COLUMN id TO doc_id")
+    assert(st.identifierFields("idt") == Seq("doc_id"))
+    Seq((3L, "c")).toDF("doc_id", "v").createOrReplaceTempView("id_b2")
+    assert(eng.run("CALL equality_upsert('idt', source => 'id_b2')")
+      == "[]")
+    assert(eng.run("SELECT COUNT(*) FROM idt") == "[(3,)]")
+    // DROP IDENTIFIER FIELDS removes the default again
+    eng.sql("ALTER TABLE idt DROP IDENTIFIER FIELDS")
+    assert(st.identifierFields("idt").isEmpty)
+    assertThrows[IllegalArgumentException](
+      eng.sql("CALL equality_upsert('idt', source => 'id_b2')"))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows reads without touching files") {
     val (cat, eng) = fixture()
     eng.sql("CREATE TABLE ev2 (id INT, v DOUBLE, tag STRING)")
