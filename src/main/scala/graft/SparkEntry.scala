@@ -1556,6 +1556,51 @@ object SparkEntry {
         .orderBy(col("commit_id"), col("o_orderkey"), col("change_type"))
     }),
 
+    // §2.10 + dedup composed: STREAMING NEAR-DUP detection (MinHash+LSH
+    // banding with per-bucket state, then exact verification — the same
+    // candidates→verify shape as the batch path). Originals arrive in
+    // batch 1, exact twins (doc_id+100000) in batch 2 — every twin must
+    // pair with its original ACROSS the batch boundary (identical text
+    // ⇒ all bands collide, so recall is structural at jaccard 1, like
+    // q_simhash_pairs_exact). Genuine fuzzy band collisions are correct
+    // LSH output and verification filters them at the threshold, so the
+    // oracle can derive the exact token-identical pair set.
+    "q_stream_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 25)
+        .select(col("doc_id"), col("text"))
+      val docs = base.collect()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = input.toDF.toDF("doc_id", "text", "ts")
+      val pairs = graft.streaming.EventStreams.nearDupStream(s, stream,
+        "doc_id", "text", "ts", stateTimeout = None)
+      val sink = "neardup_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val q = pairs.toDF.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(docs.toSeq.map(r => (r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(1000L))))
+        q.processAllAvailable()
+        input.addData(docs.toSeq.map(r => (r.getLong(0) + 100000L,
+          r.getString(1), new java.sql.Timestamp(2000L))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val candidates = s.table(sink)
+        .select(least(col("id_a").cast("long"), col("id_b").cast("long"))
+            .as("id_a"),
+          greatest(col("id_a").cast("long"), col("id_b").cast("long"))
+            .as("id_b"))
+        .distinct()
+      val all = base.unionByName(base.select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.ngramJaccard(all, candidates, "doc_id", "text")
+        .filter(col("ngram_jaccard") >= 1.0)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // §2.10 + equality deletes composed: STREAMING UPSERT SINK (the
     // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
     // replicates into a mirror via one equality-apply commit per
@@ -4271,6 +4316,24 @@ object SparkEntry {
         |SELECT o_orderkey, round(price, 2) AS price, change_type,
         |       CAST(commit_id AS BIGINT) AS commit_id
         |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
+
+    // streaming near-dup candidates: every token-identical pair among
+    // originals ∪ planted twins must surface (identical tokens ⇒ every
+    // band collides — structural recall); the ≈0.02-jaccard background
+    // yields no spurious band collision at this scale
+    "q_stream_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 25),
+        |all_docs AS (
+        |  SELECT doc_id, tk FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 100000, tk FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the mirror after the streaming upsert sink replayed the CDC feed:
     // initial load, %5 prices doubled by the UPDATE, %7 keys deleted;

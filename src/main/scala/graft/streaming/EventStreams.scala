@@ -137,6 +137,81 @@ object EventStreams {
       }
   }
 
+  final case class BandedDoc(band: Int, bandHash: Long, id: String,
+    tsMs: Long)
+  final case class BucketState(ids: Seq[String])
+  final case class NearDupPair(id_a: String, id_b: String)
+
+  /** Streaming NEAR-duplicate candidates — MinHash + LSH banding over an
+    * unbounded document stream, the streaming tier of
+    * [[graft.ext.Dedup.minhashCandidatePairs]]. Each document's banded
+    * signature keys (the same scan-local tokenize → shingle → minhash →
+    * band expressions as the batch operator) update per-bucket state;
+    * a document landing in a bucket with earlier occupants emits
+    * (earlier_id, new_id) candidate pairs. The same pair can surface
+    * from several bands (and again after state eviction) — consumers
+    * dedupe downstream, exactly like batch candidates are `distinct`ed
+    * before verification.
+    *
+    * State bounds: one entry per live (band, bandHash) bucket, each
+    * holding at most `maxBucket` ids, with a processing-time timeout
+    * evicting idle buckets (None = no timeout, deterministic tests).
+    * A hot bucket (boilerplate) stops ACCUMULATING at the cap — later
+    * arrivals still pair against the first `maxBucket` members, so
+    * per-event output is bounded too; the batch operator's
+    * drop-oversized-buckets policy needs retrospection a stream does
+    * not have. */
+  def nearDupStream(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      shingleSize: Int = 3, maxBucket: Int = 64,
+      stateTimeout: Option[String] = Some("1 hour"))
+      : Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val sig = graft.functions.GraftFunctions.minhashSignature(
+      graft.functions.GraftFunctions.shingleHashes(
+        graft.ext.TextAnalysis.tokens(col(textCol)), shingleSize, seed),
+      numHashes, seed)
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("_band"),
+        xxhash64(slice(col("_sig"), j * rows + 1, rows),
+          lit(j)).as("_bandHash"))
+    }
+    docs
+      .select(col(idCol).cast("string").as("id"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("tsMs"),
+        sig.as("_sig"))
+      .select(col("id"), col("tsMs"),
+        explode(array(bandStructs: _*)).as("_b"))
+      .select(col("_b._band").as("band"), col("_b._bandHash").as("bandHash"),
+        col("id"), col("tsMs"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        case (_, batch, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupPair]
+            batch.toSeq.sortBy(d => (d.tsMs, d.id)).foreach { d =>
+              if (!ids.contains(d.id)) {
+                ids.foreach(e => out += NearDupPair(e, d.id))
+                if (ids.size < maxBucket) ids = ids :+ d.id
+              }
+            }
+            state.update(BucketState(ids))
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Micro-batch ingest into the snapshot store: every micro-batch is one
     * ACID append (= one snapshot), the streaming form of the reference's
     * incremental-append pattern. History/time-travel over the target

@@ -161,6 +161,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(cat.store().lastStreamingBatchId("eo", sink).contains(1L))
   }
 
+  test("nearDupStream surfaces cross-batch near-twins, ignores distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF.toDF("doc_id", "text", "ts")
+    val pairs = EventStreams.nearDupStream(spark, docs,
+      "doc_id", "text", "ts", stateTimeout = None)
+    val sink = "neardup_sink"
+    val q = pairs.toDF.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val t0 = new Timestamp(1000L)
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "completely different content about distributed query engines " +
+      "and snapshot isolation semantics"
+    try {
+      input.addData(Seq((1L, a, t0), (2L, b, t0)))
+      q.processAllAvailable()
+      // batch 2: an exact twin of doc 1 (all bands collide) + a fresh doc
+      input.addData(Seq((3L, a, new Timestamp(2000L)),
+        (4L, "unrelated third topic entirely about image codecs",
+          new Timestamp(2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).as[(String, String)].collect().toSet
+    assert(got.contains(("1", "3")), s"missing planted pair in $got")
+    assert(got.forall(_ == ("1", "3")), s"spurious pairs: $got")
+  }
+
   test("upsertBatchExactlyOnce: keyed replace/insert/delete, replay no-ops") {
     import spark.implicits._
     import graft.store.TableStore
