@@ -332,6 +332,10 @@ object SqlDdl {
       val bloomDdl =
         if (blooms.isEmpty) ""
         else s";\nALTER TABLE $t SET BLOOM FILTER (${blooms.mkString(", ")})"
+      val idf = st.identifierFields(t)
+      val idDdl =
+        if (idf.isEmpty) ""
+        else s";\nALTER TABLE $t SET IDENTIFIER FIELDS (${idf.mkString(", ")})"
       val ckDdl = st.checkConstraints(t).map { case (n, e) =>
         s";\nALTER TABLE $t ADD CONSTRAINT $n CHECK ($e)"
       }.mkString
@@ -345,7 +349,7 @@ object SqlDdl {
         else ";\nALTER TABLE " + t + " SET TBLPROPERTIES (" +
           props.toSeq.sortBy(_._1)
             .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
-      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$ckDdl$defDdl$propDdl"
+      s"CREATE TABLE $t (\n$cols\n)$parts$sort$clustered STORED AS ICEBERG$bloomDdl$idDdl$ckDdl$defDdl$propDdl"
     }
   }
 
@@ -582,6 +586,10 @@ object SqlDdl {
           meta += (("Sort Columns", st.sortOrder(t).mkString(", "), ""))
         if (st.bloomColumns(t).nonEmpty)
           meta += (("Bloom Filter Columns", st.bloomColumns(t).mkString(", "), ""))
+        if (st.identifierFields(t).nonEmpty)
+          meta += (("Identifier Fields",
+            st.identifierFields(t).mkString(", "),
+            "default keys for equality writes"))
         st.checkConstraints(t).foreach { case (n, e) =>
           meta += (("Check Constraint", n, s"CHECK ($e)")) }
         if (st.changeFeedEnabled(t))

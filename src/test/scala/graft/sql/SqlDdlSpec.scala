@@ -601,6 +601,13 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(eng.run("CALL equality_upsert('idt', source => 'id_b2')")
       == "[]")
     assert(eng.run("SELECT COUNT(*) FROM idt") == "[(3,)]")
+    // SHOW CREATE round-trips the declaration; DESCRIBE EXTENDED shows it
+    val ddl = eng.sql("SHOW CREATE TABLE idt").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("SET IDENTIFIER FIELDS (doc_id)"), ddl)
+    assert(eng.sql("DESCRIBE EXTENDED idt").collect()
+      .exists(r => r.getString(0) == "Identifier Fields" &&
+        r.getString(1) == "doc_id"))
     // DROP IDENTIFIER FIELDS removes the default again
     eng.sql("ALTER TABLE idt DROP IDENTIFIER FIELDS")
     assert(st.identifierFields("idt").isEmpty)

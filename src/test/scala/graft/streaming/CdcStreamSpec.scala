@@ -60,6 +60,43 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("equality commits with the feed ON stream their stored diff; " +
+      "without it the stream fails loudly") {
+    val (wh, st) = mkWarehouse()
+    st.create("t", Seq((1L, "a")).toDF("id", "v").schema)
+    st.setChangeFeed("t", enabled = true)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 1000L)
+    val q = cdcReader(wh, "t").load().writeStream
+      .format("memory").queryName("cdc_eq").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the Flink-CDC writer shape mid-stream: replace key 2, insert 3
+      st.equalityUpsert("t",
+        Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"), 2000L)
+      q.processAllAvailable()
+      val got = spark.table("cdc_eq")
+        .select($"id", $"v", $"_change_type", $"_commit_snapshot_id")
+        .as[(Long, String, String, Long)].collect().toSeq.sorted
+      assert(got == Seq(
+        (1L, "a", "insert", 1L), (2L, "b", "delete", 2L),
+        (2L, "b", "insert", 1L), (2L, "b2", "insert", 2L),
+        (3L, "c", "insert", 2L)))
+    } finally q.stop()
+    // feed OFF: an equality commit has no stored diff — loud failure
+    val (wh2, st2) = mkWarehouse()
+    st2.create("t", Seq((1L, "a")).toDF("id", "v").schema)
+    st2.append("t", Seq((1L, "a")).toDF("id", "v"), 1000L)
+    val q2 = cdcReader(wh2, "t").load().writeStream
+      .format("memory").queryName("cdc_eq_off").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      st2.equalityDelete("t", Seq(1L).toDF("id"), 2000L)
+      val ex = intercept[StreamingQueryException](q2.processAllAvailable())
+      assert(ex.getMessage.contains("change") ||
+        Option(ex.getCause).exists(_.getMessage.contains("change")))
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes without duplicates") {
     import scala.jdk.CollectionConverters._
     val (wh, st) = mkWarehouse()
