@@ -507,6 +507,36 @@ object SparkEntry {
         .withColumn("bloom_pruned", lit(touched <= 2 && touched < total))
     },
 
+    "q_auto_compact" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("orders_ac", orders.schema)
+      eng.sql("ALTER TABLE orders_ac SET TBLPROPERTIES " +
+        "('auto.compact' = 'true', 'auto.compact.min-files' = '4')")
+      // four small appends: the fourth crosses min-files and the append
+      // path binpacks inline — no external OPTIMIZE job ever runs
+      (0 to 3).foreach(q => cat.append("orders_ac",
+        orders.filter(col("o_orderkey") % 4 === q).coalesce(1),
+        1000L * (q + 1)))
+      cat
+    } { cat =>
+      val st = cat.store()
+      val hist = st.history("orders_ac").orderBy("snapshot_id").collect()
+      // 4 appends + exactly one trailing rows-preserved replace
+      val acProof = st.dataFilesAsOf("orders_ac", None).size == 1 &&
+        hist.length == 5 &&
+        hist.last.getAs[String]("operation") == "replace" &&
+        // the triggering append's own snapshot stays readable pre-compact
+        st.read("orders_ac", Some(4000L)).count() ==
+          st.read("orders_ac").count()
+      cat.table("orders_ac")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .withColumn("ac_proof", lit(acProof))
+    },
+
     "q_write_distribution" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1769,6 +1799,13 @@ object SparkEntry {
     // PlanShapeSpec; here the result is oracle-checked). The predicate
     // stays on the SOURCE column — the transform is hidden, as Iceberg
     // users expect for the reference's tables (`create_iceberg.py:119-148`).
+    // AUTO COMPACTION (TBLPROPERTIES auto.compact): four small appends,
+    // the fourth crosses min-files and binpacks inline — ac_proof pins
+    // one final file, exactly one trailing rows-preserved replace
+    // commit, and intact pre-compact time travel; values recomputed by
+    // the oracle from the raw rows.
+    "q_auto_compact" -> benchSplits("q_auto_compact").composed,
+
     // write.distribution-mode=hash (Iceberg's writer-side shuffle): a
     // 16-task append to a month-partitioned table lands ONE file per
     // month instead of 16 × months — the small-files fix that keeps a
@@ -4031,6 +4068,14 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE o_totalprice > 200000 OR o_totalprice <= 50000""".stripMargin,
+
+    // auto-compacted table: same rows as the plain aggregate; ac_proof
+    // is the Spark-side one-file + one-replace-commit + time-travel
+    // layout proof
+    "q_auto_compact" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
+        |       TRUE AS ac_proof
+        |FROM orders""".stripMargin,
 
     // hash-distributed partitioned write: values identical to a plain
     // per-month aggregate; wd_proof is the Spark-side files==partitions
