@@ -771,7 +771,11 @@ object SqlDdl {
       import catalog.spark.implicits._
       val st = cat.store()
       val files = st.filesMetadata(t)
-      val rows = st.recordCountAsOf(t, None).getOrElse(0L)
+      // -1 = unknown (Impala's convention): a live equality ref makes
+      // the logged count an upper bound, so STATS declines like
+      // metadata COUNT does; a never-committed table is genuinely 0
+      val rows = st.recordCountAsOf(t, None).getOrElse(
+        if (st.currentSnapshotId(t).isEmpty) 0L else -1L)
       val staleness = graft.store.TableStats.readStats(st, t) match {
         case None => "never computed"
         case Some(s) if graft.store.TableStats.isStale(st, t, s) => "stale"
@@ -972,7 +976,7 @@ object SqlDdl {
       case other => throw new IllegalArgumentException(
         s"CALL $proc needs a table name string, got: ${other.getOrElse("nothing")}")
     }
-    def relationArg(cat: GraftCatalog, pos: Int, name: String)
+    def relationArg(pos: Int, name: String)
         : org.apache.spark.sql.DataFrame =
       arg(pos, name) match {
         case Some(StrLit(s0)) =>
@@ -1116,14 +1120,14 @@ object SqlDdl {
         // on — no data file is read or rewritten, so the write is
         // O(keys) whatever the table size
         val (cat, t) = tableArg
-        cat.store().equalityDelete(t, relationArg(cat, 1, "source"))
+        cat.store().equalityDelete(t, relationArg(1, "source"))
         cat.registerView(t)
       case "equality_upsert" =>
         // the Flink-CDC writer shape: one commit that equality-deletes
         // `source`'s key tuples and appends its rows — existing keys
         // replace, new keys insert, zero table reads
         val (cat, t) = tableArg
-        val rows = relationArg(cat, 1, "source")
+        val rows = relationArg(1, "source")
         // keys default to the table's declared IDENTIFIER FIELDS
         val keys = arg(2, "keys") match {
           case Some(StrLit(s)) =>

@@ -1047,7 +1047,10 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   /** Record count of the snapshot AS OF `asOfMs` (latest when None) from
     * the log entry alone — no manifest hydration, no data I/O. Powers
-    * metadata-answered `SELECT COUNT(*)`. None = no snapshot at that time. */
+    * metadata-answered `SELECT COUNT(*)`. None = no snapshot at that
+    * time, OR the count is only an upper bound because a live equality
+    * ref makes matched counts unknowable (decline, never guess — the
+    * same contract as [[snapshotMetaAsOf]]). */
   def recordCountAsOf(table: String, asOfMs: Option[Long]): Option[Long] = {
     if (!exists(table)) return None
     val all = SnapshotLog.read(fs, tableDir(table))
@@ -1055,15 +1058,20 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       case None     => all.lastOption
       case Some(ts) => all.filter(_.timestampMs <= ts).lastOption
     }
-    hit.map(_.recordCount)
+    hit.filterNot(_.summary.get(SnapshotLog.EqualityDeletesMarker)
+      .contains("true")).map(_.recordCount)
   }
 
-  /** Record count of an exact snapshot id (None = unknown id, so callers
-    * fall back to the raising read path and keep its error contract). */
+  /** Record count of an exact snapshot id (None = unknown id OR an
+    * equality-declined count, so callers fall back to the raising read
+    * path and keep its error contract). */
   def recordCountVersion(table: String, snapshotId: Long): Option[Long] =
     if (!exists(table)) None
     else SnapshotLog.read(fs, tableDir(table))
-      .find(_.id == snapshotId).map(_.recordCount)
+      .find(_.id == snapshotId)
+      .filterNot(_.summary.get(SnapshotLog.EqualityDeletesMarker)
+        .contains("true"))
+      .map(_.recordCount)
 
   /** Metadata for stats-answered aggregates: (schema of the resolved
     * snapshot, record count, LAZY hydrated file list). The file thunk
@@ -1500,7 +1508,13 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         // the positional anti-join, then one anti-join per equality key
         // set. Both sides of every join are (small deletes, big scan):
         // deletes broadcast below the threshold, so the plan stays
-        // scan-local at 100 TB.
+        // scan-local at 100 TB. The degenerate case is a long run of
+        // NEEDLE upserts whose bounds-pruned attach sets each dirty a
+        // different file: distinct ref sets (and so union branches)
+        // grow per commit until maintenance — that is exactly the debt
+        // `convert_equality_deletes` retires for one key-column read
+        // ($delete_files shows when), and why equality writes are the
+        // CDC tier, not the general mutation path.
         val groups = dirty
           .groupBy(_.deletes.filter(_.isEquality).map(_.path).sorted)
           .toSeq.sortBy(_._1.mkString(","))
@@ -1535,6 +1549,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         else scanPart(clean, withPos = keepPos).unionByName(dirtyPart)
       }
     }
+
+  /** Parse a snapshot-summary key holding a JSON array of relative
+    * paths (the MOR/equality delete-dir lists). */
+  private def summaryPaths(s: Snapshot, key: String): Seq[String] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    m.readTree(s.summary(key)).elements().asScala.map(_.asText()).toSeq
+  }
 
   /** Id of the current snapshot (None = no commits yet). One log read,
     * no hydration. */
@@ -1778,12 +1800,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         // the commit's own tuple file; inserts are its added files.
         // Cost ∝ touched-file scan — paid at CDC-read time, never at
         // the write (the no-read contract of the equality path).
-        val rels = {
-          val m = new com.fasterxml.jackson.databind.ObjectMapper()
-          import scala.jdk.CollectionConverters._
-          m.readTree(s.summary(TableStore.EqDeletesKey))
-            .elements().asScala.map(_.asText()).toSeq
-        }
+        val rels = summaryPaths(s, TableStore.EqDeletesKey)
         val curByPath = s.files.map(f => f.path -> f).toMap
         val touched = prev.filter(f => curByPath.get(f.path)
           .exists(cf => cf.deletes.size > f.deletes.size))
@@ -1804,12 +1821,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         // snapshot's entries, so earlier deletes stay excluded), inserts
         // (UPDATE post-images) are its added files. Cost ∝ |changes|,
         // no exceptAll shuffle.
-        val rels = {
-          val m = new com.fasterxml.jackson.databind.ObjectMapper()
-          import scala.jdk.CollectionConverters._
-          m.readTree(s.summary(TableStore.MorDeletesKey))
-            .elements().asScala.map(_.asText()).toSeq
-        }
+        val rels = summaryPaths(s, TableStore.MorDeletesKey)
         val curByPath = s.files.map(f => f.path -> f).toMap
         val touched = prev.filter(f => curByPath.get(f.path) match {
           case None     => true // fully deleted: dropped from the snapshot
@@ -2753,8 +2765,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     fs.mkdirs(dataDir(target))
     val conf = spark.sessionState.newHadoopConf()
     val metaNames = Seq("schema.json", "partition.json", "sort.json",
-      "bloom.json", "bucket.json", "constraints.json", "defaults.json",
-      "drops.json", "properties.json", "renames.json")
+      "bloom.json", "bucket.json", "cdc.json", "constraints.json",
+      "defaults.json", "drops.json", "identifier.json",
+      "properties.json", "renames.json")
     for (n <- metaNames; p = new HPath(srcDir, n) if fs.exists(p))
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
         new HPath(tableDir(target), n), false, conf)

@@ -91,6 +91,25 @@ class CloneSpec extends AnyFunSuite {
     assert(st.dataFilesAsOf("c", None).exists(_.deletes.nonEmpty))
   }
 
+  test("clone carries identifier fields and the change-feed toggle") {
+    val st = newStore()
+    seed(st)
+    st.setIdentifierFields("src", Seq("id"))
+    st.setChangeFeed("src", enabled = true)
+    st.shallowClone("c", "src", timestampMs = 3000L)
+    assert(st.identifierFields("c") == Seq("id"))
+    assert(st.changeFeedEnabled("c"))
+    // the declaration is live, not just copied text: a keys-less
+    // equality upsert into the clone resolves it, and the clone's own
+    // writes materialize change files
+    val snap = st.equalityUpsert("c",
+      Seq((1L, "v1b", 1)).toDF("id", "name", "grp"),
+      st.identifierFields("c"), 4000L)
+    assert(snap.summary.contains(TableStore.CdcDirKey))
+    assert(st.read("c").filter($"id" === 1L)
+      .select("name").as[String].head() == "v1b")
+  }
+
   test("clone refuses an existing target and a missing source") {
     val st = newStore()
     seed(st)

@@ -57,6 +57,11 @@ class EqualityDeleteSpec extends AnyFunSuite {
     // recordCount is now an upper bound: the meta triple must say so
     val (_, cnt, _) = st.snapshotMetaAsOf("t", None).get
     assert(cnt == -1L)
+    // …and the plain count accessors decline too (SHOW TABLE STATS /
+    // DESCRIBE report unknown, never the stale upper bound)
+    assert(st.recordCountAsOf("t", None).isEmpty)
+    assert(st.recordCountVersion("t",
+      st.currentSnapshotId("t").get).isEmpty)
     // the scan still answers exactly
     assert(st.read("t").count() == 99)
   }
