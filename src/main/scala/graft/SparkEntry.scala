@@ -507,6 +507,32 @@ object SparkEntry {
         .withColumn("bloom_pruned", lit(touched <= 2 && touched < total))
     },
 
+    "q_delete_files_meta" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cat.createTable("orders_dfm", orders.schema)
+      // ONE data file, so referencing_data_files is deterministic
+      cat.append("orders_dfm", orders.coalesce(1), 1000L)
+      val st = cat.store()
+      st.setTableProperties("orders_dfm",
+        Map(graft.store.TableStore.DeleteModeProp ->
+          graft.store.TableStore.MergeOnRead))
+      st.deleteWhere("orders_dfm", col("o_orderkey") % 9 === 0, 2000L)
+      st.equalityDelete("orders_dfm",
+        orders.filter(col("o_orderkey") % 1000 === 1)
+          .select(col("o_orderkey")), 3000L)
+      cat
+    } { cat =>
+      val eng = new Engine(cat)
+      // the delete-debt report that picks the maintenance rung: one row
+      // per delete dir — kind, rows it carries (positions targeted /
+      // key tuples), and how many data files reference it — all
+      // DuckDB-recomputable from the raw rows
+      eng.sql("SELECT kind, record_count, referencing_data_files " +
+        "FROM `orders_dfm$delete_files` ORDER BY kind")
+    },
+
     "q_auto_compact" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1799,6 +1825,13 @@ object SparkEntry {
     // PlanShapeSpec; here the result is oracle-checked). The predicate
     // stays on the SOURCE column — the transform is hidden, as Iceberg
     // users expect for the reference's tables (`create_iceberg.py:119-148`).
+    // `t$delete_files` metadata table (Iceberg parity): the MOR
+    // delete-debt report — a positional delete dir (record_count =
+    // positions targeted) and an equality key-tuple dir (record_count =
+    // key tuples), each with its referencing-file count, recomputed by
+    // the oracle from the raw rows.
+    "q_delete_files_meta" -> benchSplits("q_delete_files_meta").composed,
+
     // AUTO COMPACTION (TBLPROPERTIES auto.compact): four small appends,
     // the fourth crosses min-files and binpacks inline — ac_proof pins
     // one final file, exactly one trailing rows-preserved replace
@@ -4068,6 +4101,20 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE o_totalprice > 200000 OR o_totalprice <= 50000""".stripMargin,
+
+    // delete-file debt recomputed: the equality dir holds one tuple per
+    // %1000=1 key, the positional dir one position per %9=0 row, each
+    // referenced by the single data file
+    "q_delete_files_meta" ->
+      """SELECT 'equality' AS kind,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 1000 = 1)
+        |         AS record_count,
+        |       CAST(1 AS BIGINT) AS referencing_data_files
+        |UNION ALL
+        |SELECT 'position',
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0),
+        |       CAST(1 AS BIGINT)
+        |ORDER BY kind""".stripMargin,
 
     // auto-compacted table: same rows as the plain aggregate; ac_proof
     // is the Spark-side one-file + one-replace-commit + time-travel
