@@ -1614,13 +1614,21 @@ object SparkEntry {
 
     // §2.10 + dedup composed: STREAMING NEAR-DUP detection (MinHash+LSH
     // banding with per-bucket state, then exact verification — the same
-    // candidates→verify shape as the batch path). Originals arrive in
-    // batch 1, exact twins (doc_id+100000) in batch 2 — every twin must
-    // pair with its original ACROSS the batch boundary (identical text
-    // ⇒ all bands collide, so recall is structural at jaccard 1, like
-    // q_simhash_pairs_exact). Genuine fuzzy band collisions are correct
-    // LSH output and verification filters them at the threshold, so the
-    // oracle can derive the exact token-identical pair set.
+    // candidates→verify shape as the batch path) — WITH the bounded-
+    // state claim on the oracle path: buckets run a finite EVENT-TIME
+    // timeout (watermark-driven, so eviction is replay-deterministic —
+    // no sleeps, no wall clock). Originals arrive in batch 1, exact
+    // twins (doc_id+100000) in batch 2 INSIDE the horizon — every twin
+    // must pair with its original ACROSS the batch boundary (identical
+    // text ⇒ all bands collide, recall structural at jaccard 1). Two
+    // non-colliding watermark-advancer batches then push the watermark
+    // past the horizon, evicting every live bucket; batch 5 re-delivers
+    // the same texts under ids +200000/+300000 — those must pair ONLY
+    // with each other (within the batch), never with the evicted
+    // originals. If eviction silently stopped working, the extra cross-
+    // pairs fail the oracle hash-compare. Fuzzy band collisions are
+    // correct LSH output; verification filters them at the threshold,
+    // so the oracle can derive the exact token-identical pair set.
     "q_stream_neardup" -> ((s, dir) => {
       val base = t(s, dir, "documents").filter(col("doc_id") < 25)
         .select(col("doc_id"), col("text"))
@@ -1631,16 +1639,35 @@ object SparkEntry {
       val input = MemoryStream[(Long, String, java.sql.Timestamp)]
       val stream = input.toDF.toDF("doc_id", "text", "ts")
       val pairs = graft.streaming.EventStreams.nearDupStream(s, stream,
-        "doc_id", "text", "ts", stateTimeout = None)
+        "doc_id", "text", "ts", stateTimeout = None,
+        eventTimeTimeoutMs = Some(600_000L)) // 10-minute horizon
       val sink = "neardup_" + java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val q = pairs.toDF.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
       try {
-        input.addData(docs.toSeq.map(r => (r.getLong(0), r.getString(1),
-          new java.sql.Timestamp(1000L))))
+        input.addData(docs.toSeq.map(r =>
+          (r.getLong(0), r.getString(1), ts(1000L))))
         q.processAllAvailable()
-        input.addData(docs.toSeq.map(r => (r.getLong(0) + 100000L,
-          r.getString(1), new java.sql.Timestamp(2000L))))
+        // twins 100 s later — well inside the 600 s horizon
+        input.addData(docs.toSeq.map(r =>
+          (r.getLong(0) + 100000L, r.getString(1), ts(1100L))))
+        q.processAllAvailable()
+        // two advancer batches (unique non-colliding texts): the first
+        // moves the watermark past every bucket's expiry, the second
+        // triggers the timeout pass that removes them (a bucket only
+        // times out in a batch that brings it no data)
+        input.addData(Seq((900001L,
+          "zq xv qj wk vz kx jq wv zx qk vw kz jx", ts(100000L))))
+        q.processAllAvailable()
+        input.addData(Seq((900002L,
+          "pf gy fb yd gp bf yg df pb gd fy bp dg", ts(100001L))))
+        q.processAllAvailable()
+        // same texts again — buckets were evicted, so these pair only
+        // within the batch (+200000 with +300000), never with batch 1/2
+        input.addData(docs.toSeq.flatMap(r => Seq(
+          (r.getLong(0) + 200000L, r.getString(1), ts(100002L)),
+          (r.getLong(0) + 300000L, r.getString(1), ts(100002L)))))
         q.processAllAvailable()
       } finally q.stop()
       val candidates = s.table(sink)
@@ -1650,7 +1677,11 @@ object SparkEntry {
             .as("id_b"))
         .distinct()
       val all = base.unionByName(base.select(
-        (col("doc_id") + 100000L).as("doc_id"), col("text")))
+          (col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(base.select(
+          (col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .unionByName(base.select(
+          (col("doc_id") + 300000L).as("doc_id"), col("text")))
       Dedup.ngramJaccard(all, candidates, "doc_id", "text")
         .filter(col("ngram_jaccard") >= 1.0)
         .select(col("id_a"), col("id_b"))
@@ -1661,10 +1692,15 @@ object SparkEntry {
     // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
     // replicates into a mirror via one equality-apply commit per
     // micro-batch — initial load, an UPDATE (delete+insert pair nets to
-    // replace via sequence scoping), and a DELETE — with zero reads of
-    // the mirror. sink_proof pins: every mirror file ever written
-    // survives by reference (nothing rewritten) and the mirror took
-    // exactly one commit per micro-batch.
+    // replace), a DELETE, and finally a RAW UN-NETTED batch: three
+    // commits (two UPDATEs + a DELETE touching overlapping keys) land
+    // while the sink is down, so the restarted stream replays them in
+    // ONE micro-batch and netLatestByKey must collapse each key to its
+    // last writer (ties inside an UPDATE commit resolve post-image-over
+    // -delete). Zero reads of the mirror throughout. sink_proof pins:
+    // every mirror file ever written survives by reference (nothing
+    // rewritten) and the mirror took exactly one commit per micro-batch
+    // — FOUR total, so the three-commit replay provably netted.
     "q_stream_upsert" -> ((s, dir) => {
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -1676,16 +1712,21 @@ object SparkEntry {
       cat.append("orders_su", orders, 1000L)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-ckpt-su").toString
-      val cdc = s.readStream.format("graft-table")
-        .option("warehouse", cat.warehouse.toString)
-        .option("table", "orders_su")
-        .option("readChangeFeed", "true").load()
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col(graft.store.TableStore.ChangeTypeCol))
-      val q = graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
-        cdc, Seq("o_orderkey"), ckpt,
-        trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("50 milliseconds"))
+      def startSink() = {
+        val cdc = s.readStream.format("graft-table")
+          .option("warehouse", cat.warehouse.toString)
+          .option("table", "orders_su")
+          .option("readChangeFeed", "true").load()
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col(graft.store.TableStore.ChangeTypeCol),
+            col("_commit_snapshot_id"))
+        graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
+          cdc, Seq("o_orderkey"), ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"),
+          netOrdCol = Some("_commit_snapshot_id"))
+      }
+      val q = startSink()
       try {
         q.processAllAvailable()
         eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
@@ -1694,14 +1735,24 @@ object SparkEntry {
         eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
         q.processAllAvailable()
       } finally q.stop()
+      // un-netted phase: the sink is DOWN while three commits land, so
+      // the restart replays them as one micro-batch — %6 keys carry two
+      // post-images, %33 keys two post-images AND a delete
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice + 10 " +
+        "WHERE o_orderkey % 3 = 0")
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 3 " +
+        "WHERE o_orderkey % 6 = 0")
+      eng.sql("DELETE FROM orders_su WHERE o_orderkey % 11 = 0")
+      val q2 = startSink()
+      try q2.processAllAvailable() finally q2.stop()
       val st = cat.store()
       val hist = st.dataFilesAsOf("mirror_su", None)
-      val everWritten = (1L to 3L).flatMap(v =>
+      val everWritten = (1L to 4L).flatMap(v =>
         st.snapshotMetaVersion("mirror_su", v)
           .map(_._3().map(_.path).toSet).getOrElse(Set.empty)).toSet
       val sinkProof = everWritten.subsetOf(hist.map(_.path).toSet) &&
         eng.sql("SELECT COUNT(*) FROM `mirror_su$history`")
-          .head().getLong(0) == 3L
+          .head().getLong(0) == 4L
       cat.table("mirror_su")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"))
@@ -4410,33 +4461,52 @@ object SparkEntry {
         |FROM feed ORDER BY commit_id, o_orderkey, change_type""".stripMargin,
 
     // streaming near-dup candidates: every token-identical pair among
-    // originals ∪ planted twins must surface (identical tokens ⇒ every
-    // band collides — structural recall); the ≈0.02-jaccard background
-    // yields no spurious band collision at this scale
+    // docs whose LSH buckets COEXIST must surface (identical tokens ⇒
+    // every band collides — structural recall), and no pair may cross
+    // the event-time eviction horizon — era 1 is originals ∪ twins
+    // (+100000), era 2 the post-eviction re-delivery (+200000/+300000);
+    // a cross-era pair means eviction silently stopped working
     "q_stream_neardup" ->
       """WITH d AS (
         |  SELECT doc_id,
         |         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
         |  FROM documents WHERE doc_id < 25),
-        |all_docs AS (
+        |era1 AS (
         |  SELECT doc_id, tk FROM d
         |  UNION ALL
-        |  SELECT doc_id + 100000, tk FROM d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM all_docs a JOIN all_docs b
-        |  ON a.tk = b.tk AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
+        |  SELECT doc_id + 100000 AS doc_id, tk FROM d),
+        |era2 AS (
+        |  SELECT doc_id + 200000 AS doc_id, tk FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, tk FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM era1 a JOIN era1 b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM era2 a JOIN era2 b ON a.tk = b.tk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     // the mirror after the streaming upsert sink replayed the CDC feed:
-    // initial load, %5 prices doubled by the UPDATE, %7 keys deleted;
-    // sink_proof is the Spark-side no-rewrite + one-commit-per-batch
-    // proof
+    // initial load, %5 prices doubled, %7 keys deleted, then the
+    // un-netted replay batch applied in source-commit order — %3 keys
+    // +10, %6 keys ×3 on top, %11 keys deleted; sink_proof is the
+    // Spark-side no-rewrite + one-commit-per-micro-batch proof (4
+    // commits total = the 3-commit replay provably netted to one)
     "q_stream_upsert" ->
-      """SELECT o_orderkey, o_custkey,
-        |       round(CASE WHEN o_orderkey % 5 = 0
-        |                  THEN o_totalprice * 2 ELSE o_totalprice END,
+      """WITH p1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |p2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN p + 10 ELSE p END AS p
+        |  FROM p1 WHERE o_orderkey % 11 <> 0)
+        |SELECT o_orderkey, o_custkey,
+        |       round(CASE WHEN o_orderkey % 6 = 0 THEN p * 3 ELSE p END,
         |             2) AS price, TRUE AS sink_proof
-        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+        |FROM p2""".stripMargin,
 
     // the streamed change feed: one insert batch (snapshot 1), the
     // UPDATE's delete+insert pair (snapshot 2), the DELETE's rows

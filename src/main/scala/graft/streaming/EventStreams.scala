@@ -137,8 +137,13 @@ object EventStreams {
       }
   }
 
+  /** `ts` carries the raw (possibly watermarked) event-time column into
+    * the stateful operator's child output — Spark's event-time-timeout
+    * check requires the watermark ATTRIBUTE there, and a cast to epoch
+    * millis would strip its metadata; `tsMs` is the arithmetic form the
+    * handler orders and expires by. */
   final case class BandedDoc(band: Int, bandHash: Long, id: String,
-    tsMs: Long)
+    tsMs: Long, ts: java.sql.Timestamp)
   final case class BucketState(ids: Seq[String])
   final case class NearDupPair(id_a: String, id_b: String)
 
@@ -154,8 +159,17 @@ object EventStreams {
     * before verification.
     *
     * State bounds: one entry per live (band, bandHash) bucket, each
-    * holding at most `maxBucket` ids, with a processing-time timeout
-    * evicting idle buckets (None = no timeout, deterministic tests).
+    * holding at most `maxBucket` ids, with a timeout evicting idle
+    * buckets. Two timeout clocks:
+    *   - `eventTimeTimeoutMs` (preferred at scale): a bucket expires
+    *     once the WATERMARK passes its last document's event time plus
+    *     the horizon — replay-deterministic (a reprocessed stream
+    *     evicts identically, because eviction rides the data's own
+    *     clock, not the wall clock of whichever run is replaying).
+    *     Requires `watermarkDelay` semantics on `tsCol`.
+    *   - `stateTimeout` (processing time): wall-clock idle eviction;
+    *     simpler, but replay evicts differently than the live run.
+    *   - both None: no eviction (bounded fixtures / tests only).
     * A hot bucket (boilerplate) stops ACCUMULATING at the cap — later
     * arrivals still pair against the first `maxBucket` members, so
     * per-event output is bounded too; the batch operator's
@@ -165,13 +179,19 @@ object EventStreams {
       idCol: String, textCol: String, tsCol: String,
       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
       shingleSize: Int = 3, maxBucket: Int = 64,
-      stateTimeout: Option[String] = Some("1 hour"))
+      stateTimeout: Option[String] = Some("1 hour"),
+      eventTimeTimeoutMs: Option[Long] = None,
+      watermarkDelay: String = "0 seconds")
       : Dataset[NearDupPair] = {
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(stateTimeout.isEmpty || eventTimeTimeoutMs.isEmpty,
+      "pick ONE timeout clock: processing-time stateTimeout or " +
+        "event-time eventTimeTimeoutMs")
     val rows = numHashes / bands
     val timeoutConf =
-      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTimeTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     val sig = graft.functions.GraftFunctions.minhashSignature(
       graft.functions.GraftFunctions.shingleHashes(
@@ -182,14 +202,19 @@ object EventStreams {
         xxhash64(slice(col("_sig"), j * rows + 1, rows),
           lit(j)).as("_bandHash"))
     }
-    docs
+    // event-time eviction needs the watermark attached to the raw ts
+    // column BEFORE it is projected away into epoch millis
+    val src = eventTimeTimeoutMs.fold(docs)(_ =>
+      docs.withWatermark(tsCol, watermarkDelay))
+    src
       .select(col(idCol).cast("string").as("id"),
         (col(tsCol).cast("double") * 1000).cast("long").as("tsMs"),
+        col(tsCol).as("ts"),
         sig.as("_sig"))
-      .select(col("id"), col("tsMs"),
+      .select(col("id"), col("tsMs"), col("ts"),
         explode(array(bandStructs: _*)).as("_b"))
       .select(col("_b._band").as("band"), col("_b._bandHash").as("bandHash"),
-        col("id"), col("tsMs"))
+        col("id"), col("tsMs"), col("ts"))
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.bandHash))
       .flatMapGroupsWithState[BucketState, NearDupPair](
@@ -199,7 +224,9 @@ object EventStreams {
           else {
             var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
             val out = Seq.newBuilder[NearDupPair]
+            var maxTs = Long.MinValue
             batch.toSeq.sortBy(d => (d.tsMs, d.id)).foreach { d =>
+              maxTs = math.max(maxTs, d.tsMs)
               if (!ids.contains(d.id)) {
                 ids.foreach(e => out += NearDupPair(e, d.id))
                 if (ids.size < maxBucket) ids = ids :+ d.id
@@ -207,6 +234,14 @@ object EventStreams {
             }
             state.update(BucketState(ids))
             stateTimeout.foreach(state.setTimeoutDuration)
+            eventTimeTimeoutMs.foreach { horizon =>
+              // expire when the watermark passes the bucket's last
+              // activity plus the horizon; never set a timestamp the
+              // watermark already passed (Spark rejects it)
+              val target = maxTs + horizon
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(target, floor))
+            }
             out.result().iterator
           }
       }
@@ -255,18 +290,61 @@ object EventStreams {
     }
   }
 
+  /** Latest-by-key NETTING — the aggregation every CDC pipeline ends
+    * with before an upsert sink: collapse a raw change feed (possibly
+    * several post-images and a delete for one key inside one
+    * micro-batch) to AT MOST ONE row per key, the last writer by
+    * `ordCol`. Ties on `ordCol` break by `_commit_snapshot_id` when the
+    * frame carries one (the change feed's total order — two commits can
+    * land in the same millisecond), then by post-image-over-delete
+    * (an UPDATE commit emits its delete+insert pair at ONE commit id;
+    * the insert is the surviving image). The output keeps every column,
+    * including `_change_type`, so it feeds the equality apply directly.
+    *
+    * Scale posture: this is the micro-batch formulation of the
+    * Flink-style keyed latest-value aggregate, composed INSIDE the sink
+    * per batch ([[upsertStream]]'s `netOrdCol`) — one map-side-combining
+    * hash aggregate over the batch, NO standing state at all (a
+    * streaming `groupBy(key)` would hold every key ever seen: Spark
+    * only watermark-evicts time-windowed groups). Cross-batch ordering
+    * needs no state either — the snapshot log serializes batches, and a
+    * later batch's image lands as a later equality commit. */
+  def netLatestByKey(cdc: DataFrame, keyCols: Seq[String],
+      ordCol: String): DataFrame = {
+    import graft.store.TableStore.ChangeTypeCol
+    require(keyCols.nonEmpty, "netLatestByKey needs at least one key column")
+    val cols = cdc.columns.toSeq
+    require(cols.contains(ordCol), s"no such ordering column: $ordCol")
+    val nonKey = cols.filterNot(keyCols.contains)
+    val rank =
+      if (cols.contains(ChangeTypeCol))
+        when(col(ChangeTypeCol) === "delete", lit(0)).otherwise(lit(1))
+      else lit(1)
+    val ordParts = Seq(col(ordCol)) ++
+      (if (cols.contains("_commit_snapshot_id") &&
+           ordCol != "_commit_snapshot_id") Seq(col("_commit_snapshot_id"))
+       else Seq.empty) :+ rank
+    val ord = struct(ordParts: _*)
+    cdc.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(nonKey.map(col): _*), ord).as("_latest"))
+      .select(keyCols.map(col) ++
+        nonKey.map(c => col("_latest").getField(c).as(c)): _*)
+  }
+
   /** Streaming UPSERT sink (the Flink-to-Iceberg-v2 shape): every
     * micro-batch lands as ONE equality-apply commit — replacements and
     * inserts by key, optional deletes via a `_change_type` column —
     * with ZERO reads of the target, so sink cost is O(batch) whatever
     * the table has grown to. Delivery is exactly-once by the same
     * snapshot-log batch-id guard as [[appendStream]]. The batch must be
-    * key-netted upstream (at most one post-image per key — the
-    * watermarked `latest-by-key` aggregation every CDC pipeline ends
-    * with); within-batch ordering is not defined here. */
+    * key-netted (at most one post-image per key): pass `netOrdCol` and
+    * each micro-batch is run through [[netLatestByKey]] first — the
+    * raw-feed case, where one poll can carry several commits touching
+    * the same key — or pre-net upstream and leave it None. */
   def upsertStream(catalog: GraftCatalog, table: String, cdc: DataFrame,
       keyCols: Seq[String], checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      netOrdCol: Option[String] = None): StreamingQuery =
     // empty keyCols: resolved per batch from the table's declared
     // IDENTIFIER FIELDS (the key contract lives with the table)
     cdc.writeStream
@@ -275,7 +353,7 @@ object EventStreams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertBatchExactlyOnce(catalog, table, checkpointDir, batch,
-          batchId, keyCols)
+          batchId, keyCols, netOrdCol)
         ()
       }
       .start()
@@ -283,12 +361,16 @@ object EventStreams {
   /** Idempotent micro-batch equality upsert. With a `_change_type`
     * column ([[graft.store.TableStore.ChangeTypeCol]]), rows tagged
     * `delete` contribute their keys as deletions and every other row is
-    * a post-image; without it the whole batch is post-images. Replays
+    * a post-image; without it the whole batch is post-images. With
+    * `netOrdCol`, the batch is first collapsed to its last writer per
+    * key ([[netLatestByKey]]); the change feed's `_commit_snapshot_id`
+    * / `_commit_timestamp` bookkeeping columns are dropped after
+    * netting (they order the feed, they are not table columns). Replays
     * of an already-committed batch id no-op (exactly-once). Returns
     * whether a snapshot was committed. */
   def upsertBatchExactlyOnce(catalog: GraftCatalog, table: String,
       sinkId: String, batch: DataFrame, batchId: Long,
-      keyCols: Seq[String]): Boolean = {
+      keyCols: Seq[String], netOrdCol: Option[String] = None): Boolean = {
     import graft.store.TableStore
     val store = catalog.store()
     if (store.lastStreamingBatchId(table, sinkId).exists(_ >= batchId)) false
@@ -303,18 +385,22 @@ object EventStreams {
             "IDENTIFIER FIELDS (…))")
           idf
         }
+      val netted = netOrdCol
+        .map(ord => netLatestByKey(batch, keys, ord)
+          .drop("_commit_snapshot_id", "_commit_timestamp"))
+        .getOrElse(batch)
       val summary = Map(
         TableStore.StreamingSinkKey -> sinkId,
         TableStore.StreamingBatchKey -> batchId.toString)
-      val tagged = batch.columns.contains(TableStore.ChangeTypeCol)
+      val tagged = netted.columns.contains(TableStore.ChangeTypeCol)
       if (!tagged)
-        store.equalityUpsert(table, batch, keys,
+        store.equalityUpsert(table, netted, keys,
           extraSummary = summary)
       else {
-        val deletes = batch
+        val deletes = netted
           .filter(col(TableStore.ChangeTypeCol) === "delete")
           .select(keys.map(col): _*)
-        val post = batch
+        val post = netted
           .filter(col(TableStore.ChangeTypeCol) =!= "delete")
           .drop(TableStore.ChangeTypeCol)
         store.equalityApply(table, deletes, post, keys,

@@ -41,4 +41,22 @@ class SkewSpec extends AnyFunSuite {
     val out = Skew.saltedJoin(skewed, dim, "k", factor = 1)
     assert(out.count() == skewed.join(dim, Seq("k")).count())
   }
+
+  test("saltCols override: same rows, narrow hash still spreads the hot key") {
+    val plain = skewed.join(dim, Seq("k")).orderBy("k", "payload", "name")
+    val salted = Skew.saltedJoin(skewed, dim, "k", factor = 8,
+      saltCols = Seq("payload")).orderBy("k", "payload", "name")
+    assert(salted.collect().sameElements(plain.collect()))
+    val salts = skewed.filter($"k" === 1)
+      .withColumn("_salt", pmod(xxhash64(col("payload")), lit(8)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(salts >= 6, s"hot key only hit $salts of 8 salts via payload hash")
+  }
+
+  test("saltCols naming a missing column fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", factor = 4, saltCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }

@@ -241,6 +241,86 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(cat.history("mirror_u").count() == 2)
   }
 
+  test("netLatestByKey: last writer wins; UPDATE-pair ties resolve to the " +
+      "post-image; commit id breaks ordCol ties") {
+    import spark.implicits._
+    import graft.store.TableStore
+    // key 1: updated twice (commits 5, 6) → commit 6's image survives
+    // key 2: updated (5) then deleted (7) → the delete survives
+    // key 3: delete+insert at ONE commit id (an UPDATE's pair) → insert
+    // key 4: two commits in the SAME millisecond → snapshot id decides
+    val feed = Seq(
+      (1L, "v5", "insert", 5L, 50L), (1L, "v5d", "delete", 5L, 50L),
+      (1L, "v6", "insert", 6L, 60L), (1L, "v6d", "delete", 6L, 60L),
+      (2L, "w5", "insert", 5L, 50L),
+      (2L, "w7", "delete", 7L, 70L),
+      (3L, "x5d", "delete", 5L, 50L), (3L, "x5", "insert", 5L, 50L),
+      (4L, "old", "insert", 5L, 99L), (4L, "new", "insert", 6L, 99L)
+    ).toDF("id", "v", TableStore.ChangeTypeCol, "_commit_snapshot_id", "ms")
+    val netted = EventStreams.netLatestByKey(feed, Seq("id"), "ms")
+      .select("id", "v", TableStore.ChangeTypeCol)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(netted == Seq((1L, "v6", "insert"), (2L, "w7", "delete"),
+      (3L, "x5", "insert"), (4L, "new", "insert")))
+    // no change-type column: plain last-writer-wins by the ord column
+    val plain = EventStreams.netLatestByKey(
+      Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("id", "v", "ord"),
+      Seq("id"), "ord").select("id", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(plain == Seq((1L, "b")))
+    val bad = intercept[IllegalArgumentException](
+      EventStreams.netLatestByKey(feed, Seq("id"), "nope"))
+    assert(bad.getMessage.contains("nope"))
+  }
+
+  test("nearDupStream event-time timeout evicts idle buckets " +
+      "deterministically (watermark clock, no sleeps)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF.toDF("doc_id", "text", "ts")
+    val pairs = EventStreams.nearDupStream(spark, docs,
+      "doc_id", "text", "ts", stateTimeout = None,
+      eventTimeTimeoutMs = Some(60_000L)) // 1-minute horizon
+    val sink = "neardup_evict_sink"
+    val q = pairs.toDF.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    try {
+      input.addData(Seq((1L, a, at(100L))))
+      q.processAllAvailable()
+      // inside the horizon: pairs with doc 1
+      input.addData(Seq((2L, a, at(130L))))
+      q.processAllAvailable()
+      // advance the watermark past the horizon, then trigger the
+      // timeout pass (a bucket only expires in a batch without data
+      // for it) — two non-colliding advancers
+      input.addData(Seq((8L, "zq xv qj wk vz kx jq wv zx qk", at(10_000L))))
+      q.processAllAvailable()
+      input.addData(Seq((9L, "pf gy fb yd gp bf yg df pb gd", at(10_001L))))
+      q.processAllAvailable()
+      // bucket evicted: the same text pairs with NOTHING older
+      input.addData(Seq((3L, a, at(10_002L))))
+      q.processAllAvailable()
+      // …but seeds a fresh bucket for later arrivals
+      input.addData(Seq((4L, a, at(10_003L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).as[(String, String)].collect().toSet
+    assert(got == Set(("1", "2"), ("3", "4")), s"got $got")
+  }
+
+  test("the two timeout clocks are mutually exclusive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF.toDF("doc_id", "text", "ts")
+    val e = intercept[IllegalArgumentException](
+      EventStreams.nearDupStream(spark, docs, "doc_id", "text", "ts",
+        stateTimeout = Some("1 hour"), eventTimeTimeoutMs = Some(1000L)))
+    assert(e.getMessage.contains("ONE timeout clock"))
+  }
+
   test("appendStream commits one snapshot per micro-batch into the store") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new GraftCatalog(Files.createTempDirectory("graft-stream"), spark)
