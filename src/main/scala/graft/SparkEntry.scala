@@ -518,7 +518,10 @@ object SparkEntry {
       st.setTableProperties("orders_dfm",
         Map(graft.store.TableStore.DeleteModeProp ->
           graft.store.TableStore.MergeOnRead))
+      // TWO stacked position-delete commits against the same data file
+      // (the consolidation-eligible shape), plus an equality delete
       st.deleteWhere("orders_dfm", col("o_orderkey") % 9 === 0, 2000L)
+      st.deleteWhere("orders_dfm", col("o_orderkey") % 13 === 0, 2500L)
       st.equalityDelete("orders_dfm",
         orders.filter(col("o_orderkey") % 1000 === 1)
           .select(col("o_orderkey")), 3000L)
@@ -528,9 +531,26 @@ object SparkEntry {
       // the delete-debt report that picks the maintenance rung: one row
       // per delete dir — kind, rows it carries (positions targeted /
       // key tuples), and how many data files reference it — all
-      // DuckDB-recomputable from the raw rows
+      // DuckDB-recomputable from the raw rows. Then CALL
+      // rewrite_position_delete_files and oracle-gate its EFFECT: the
+      // two stacked position dirs consolidate into one (n_before 3 →
+      // the report's 2 rows) whose record_count is the DISTINCT
+      // position union, the equality dir rides along untouched, and
+      // the table reads byte-identically before and after (the
+      // maintenance op may never change answers).
+      val debtBefore = eng.sql(
+        "SELECT COUNT(*) FROM `orders_dfm$delete_files`").head().getLong(0)
+      val pre = cat.table("orders_dfm")
+        .agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).head()
+      eng.sql("CALL rewrite_position_delete_files('orders_dfm')")
+      val post = cat.table("orders_dfm")
+        .agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).head()
       eng.sql("SELECT kind, record_count, referencing_data_files " +
-        "FROM `orders_dfm$delete_files` ORDER BY kind")
+          "FROM `orders_dfm$delete_files` ORDER BY kind")
+        .withColumn("n_before", lit(debtBefore))
+        .withColumn("reads_equal", lit(pre == post))
+        .withColumn("cnt", lit(post.getLong(0)))
+        .withColumn("rev", lit(post.getDouble(1)))
     },
 
     "q_auto_compact" -> benchSplit { (s, dir) =>
@@ -2430,6 +2450,42 @@ object SparkEntry {
                     FROM `nation_meta$partitions`) p""")
     }),
 
+    // Iceberg's `t$refs` + `t$manifests` metadata tables, SQL-composed:
+    // the ref namespace (a release TAG pinning snapshot 1, a BRANCH
+    // forked at snapshot 2) joins against `t$history` to answer "what
+    // commit does each ref pin" — the joinable form SHOW TAGS/BRANCHES
+    // cannot give — and a log checkpoint folds the non-latest snapshot
+    // into a manifest whose count/size surface through `t$manifests`.
+    // All values recomputed by the oracle from the raw rows (+ the
+    // fixture's deterministic structure).
+    "q_refs_meta" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val nation = t(s, dir, "nation")
+      cat.createTable("nation_refs", nation.schema)
+      cat.append("nation_refs",
+        nation.filter(col("n_nationkey") < 10).coalesce(1), 1000L)
+      cat.append("nation_refs",
+        nation.filter(col("n_nationkey") >= 10).coalesce(1), 2000L)
+      val st = cat.store()
+      st.createTag("nation_refs", "v1", Some(1L))
+      st.createBranch("nation_refs", "dev")
+      // fold the non-latest snapshot's inline file list into a manifest
+      st.checkpointLog("nation_refs", Long.MaxValue)
+      eng.sql("""
+        SELECT r.name, r.type, r.snapshot_id, r.staged_commits,
+               h.operation, h.record_count,
+               m.n_manifests, m.manifest_files, m.manifests_sized
+        FROM `nation_refs$refs` r
+        JOIN `nation_refs$history` h ON r.snapshot_id = h.snapshot_id
+        CROSS JOIN (SELECT COUNT(*) AS n_manifests,
+                           CAST(SUM(data_files_count) AS BIGINT)
+                             AS manifest_files,
+                           MIN(length) > 0 AS manifests_sized
+                    FROM `nation_refs$manifests`) m
+        ORDER BY r.name""")
+    }),
+
     // Write-audit-publish (Iceberg's `spark.wap.id` + publish_changes):
     // a conf-gated INSERT stages the second half of the table
     // invisibly — readers hold the committed count while the audit
@@ -4153,18 +4209,32 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > 200000 OR o_totalprice <= 50000""".stripMargin,
 
-    // delete-file debt recomputed: the equality dir holds one tuple per
-    // %1000=1 key, the positional dir one position per %9=0 row, each
-    // referenced by the single data file
+    // delete-file debt recomputed, then the consolidation effect: 3
+    // delete dirs before (two stacked positional + one equality), 2
+    // after the CALL — the merged positional dir carries the DISTINCT
+    // union of both predicates' positions, the equality dir is
+    // untouched, and the post-CALL read equals the pre-CALL read
+    // (recomputed from the raw rows minus all three delete sets)
     "q_delete_files_meta" ->
-      """SELECT 'equality' AS kind,
+      """WITH live AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderkey % 9 = 0 OR o_orderkey % 13 = 0
+        |             OR o_orderkey % 1000 = 1))
+        |SELECT 'equality' AS kind,
         |       (SELECT count(*) FROM orders WHERE o_orderkey % 1000 = 1)
         |         AS record_count,
-        |       CAST(1 AS BIGINT) AS referencing_data_files
+        |       CAST(1 AS BIGINT) AS referencing_data_files,
+        |       CAST(3 AS BIGINT) AS n_before, TRUE AS reads_equal,
+        |       (SELECT count(*) FROM live) AS cnt,
+        |       (SELECT round(sum(o_totalprice), 2) FROM live) AS rev
         |UNION ALL
         |SELECT 'position',
-        |       (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0),
-        |       CAST(1 AS BIGINT)
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderkey % 9 = 0 OR o_orderkey % 13 = 0),
+        |       CAST(1 AS BIGINT),
+        |       CAST(3 AS BIGINT), TRUE,
+        |       (SELECT count(*) FROM live),
+        |       (SELECT round(sum(o_totalprice), 2) FROM live)
         |ORDER BY kind""".stripMargin,
 
     // auto-compacted table: same rows as the plain aggregate; ac_proof
@@ -4703,6 +4773,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation) AS last_total,
         |  (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_partitions,
         |  (SELECT count(*) FROM nation) AS partition_rows""".stripMargin,
+
+    // t$refs ⋈ t$history: the tag pins snapshot 1 (the first append's
+    // cumulative count), the branch forks at snapshot 2 (the full
+    // table); the log checkpoint folds exactly the one non-latest
+    // snapshot (one coalesced file) into a sized manifest
+    "q_refs_meta" ->
+      """SELECT 'dev' AS name, 'BRANCH' AS type,
+        |       CAST(2 AS BIGINT) AS snapshot_id,
+        |       CAST(0 AS BIGINT) AS staged_commits,
+        |       'append' AS operation,
+        |       (SELECT count(*) FROM nation) AS record_count,
+        |       CAST(1 AS BIGINT) AS n_manifests,
+        |       CAST(1 AS BIGINT) AS manifest_files,
+        |       TRUE AS manifests_sized
+        |UNION ALL
+        |SELECT 'v1', 'TAG', CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'append',
+        |       (SELECT count(*) FROM nation WHERE n_nationkey < 10),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT), TRUE
+        |ORDER BY name""".stripMargin,
 
     // Branches: main holds the CTAS half while two commits stage on the
     // branch; the by-name read sees fork + both; fast-forward replays

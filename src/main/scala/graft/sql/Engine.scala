@@ -92,7 +92,7 @@ final class Engine(catalog: GraftCatalog) {
   // ("total bytes per partition", "commits that added the most rows").
   private val MetaTableRef =
     ("(?i)`?((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)" +
-      "\\$(delete_files|files|history|snapshots|partitions)`?").r
+      "\\$(delete_files|files|history|snapshots|partitions|refs|manifests)`?").r
 
   /** Replace metadata-table references with registered temp views built
     * from snapshot-log metadata (no data I/O; `$files` stats file sizes
@@ -115,6 +115,10 @@ final class Engine(catalog: GraftCatalog) {
         case "snapshots" => cat.store().snapshotsMetadata(t)
         case "partitions" => cat.store().partitionSummary(t)
           .toDF("partition", "n_files", "n_records")
+        case "refs" => cat.store().refsMetadata(t)
+          .toDF("name", "type", "snapshot_id", "staged_commits")
+        case "manifests" => cat.store().manifestsMetadata(t)
+          .toDF("path", "length", "added_snapshot_id", "data_files_count")
       }
       val view = s"${t}__meta_$kind"
       df.createOrReplaceTempView(view)

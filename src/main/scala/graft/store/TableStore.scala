@@ -3380,6 +3380,43 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     }
   }
 
+  /** Iceberg's `tbl$refs` analogue: every named ref — TAGs and writable
+    * BRANCHes — as one joinable relation, so SQL can compose over the
+    * ref namespace ("which snapshot does each release tag pin, and what
+    * committed it" = `t$refs` ⋈ `t$history`). SHOW TAGS / SHOW BRANCHES
+    * render the same data as fixed result sets; this is the relational
+    * form. `snapshot_id` is the pinned snapshot for a tag and the fork
+    * point for a branch; `staged_commits` counts a branch's unpublished
+    * entries (0 for tags). Log metadata only — O(refs) bytes, no data
+    * I/O, whatever the table's size. */
+  def refsMetadata(table: String): Seq[(String, String, Long, Long)] = {
+    val tg = tags(table).toSeq.sortBy(_._1)
+      .map { case (n, id) => (n, "TAG", id, 0L) }
+    val br = branches(table).toSeq.sortBy(_._1)
+      .map { case (n, b) =>
+        (n, "BRANCH", b.baseSnapshotId, b.entries.size.toLong) }
+    tg ++ br
+  }
+
+  /** Iceberg's `tbl$manifests` analogue: one row per spilled manifest
+    * file the log references — path (under `manifests/`), on-disk
+    * bytes, the snapshot that owns it, and the data-file count it
+    * carries. The observability face of log health: a query over this
+    * relation answers "how much of the log has been checkpointed into
+    * manifests, and how large are they" without hydrating any of them.
+    * Size probes run on the bounded parallel pool. */
+  def manifestsMetadata(table: String): Seq[(String, Long, Long, Long)] = {
+    val backed = SnapshotLog.read(fs, tableDir(table))
+      .flatMap(s => s.manifest.map(_ -> s))
+    TableStore.inParallel(backed) { case (m, s) =>
+      val p = new HPath(new HPath(tableDir(table), SnapshotLog.ManifestDir), m)
+      val len =
+        try fs.getFileStatus(p).getLen
+        catch { case _: java.io.FileNotFoundException => -1L }
+      (m, len, s.id, s.fileCount.toLong)
+    }
+  }
+
   /** Version to stamp into a commit (-1 when the table predates schema
     * versioning, keeping old logs byte-stable). */
   private def commitSchemaVersion(table: String): Int = {

@@ -95,4 +95,32 @@ class TagSpec extends AnyFunSuite {
       Seq(1))
     assert(taggedFiles.nonEmpty)
   }
+
+  test("t$refs: tags + branches as one joinable relation; t$manifests " +
+      "surfaces checkpointed log entries") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    cat.createTable("t", df.schema)
+    cat.append("t", df.coalesce(1), 1000L)
+    cat.append("t", Seq((3, "c")).toDF("id", "v").coalesce(1), 2000L)
+    st.createTag("t", "v1", Some(1L))
+    st.createBranch("t", "dev")
+    assert(st.refsMetadata("t") ==
+      Seq(("v1", "TAG", 1L, 0L), ("dev", "BRANCH", 2L, 0L)))
+    // no manifests before a checkpoint; exactly the non-latest after
+    assert(st.manifestsMetadata("t").isEmpty)
+    assert(st.checkpointLog("t", Long.MaxValue) == 1)
+    val ms = st.manifestsMetadata("t")
+    assert(ms.size == 1 && ms.head._3 == 1L && ms.head._4 == 1L &&
+      ms.head._2 > 0L, s"got $ms")
+    // the SQL splice composes them with history
+    val joined = eng.sql(
+      "SELECT r.name, h.operation FROM `t$refs` r " +
+        "JOIN `t$history` h ON r.snapshot_id = h.snapshot_id " +
+        "ORDER BY r.name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(joined == Seq(("dev", "append"), ("v1", "append")))
+    assert(eng.sql("SELECT COUNT(*) FROM `t$manifests`").head().getLong(0) == 1L)
+  }
 }
