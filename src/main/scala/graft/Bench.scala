@@ -27,6 +27,10 @@ object Bench {
       // int64-micros timestamps (Iceberg's own mandate): INT96 is
       // deprecated and carries no usable footer statistics
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // cost-based optimization: tables carrying COMPUTE STATS plan
+      // joins/broadcasts from row counts + NDV, not file size
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

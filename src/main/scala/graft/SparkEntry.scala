@@ -2565,6 +2565,55 @@ object SparkEntry {
         .select(col("row_count"), col("stats"))
     }),
 
+    // COMPUTE STATS feeding the QUERY PLANNER (cost-based
+    // optimization): `fat_cbo` is 15k+ rows of near-constant longs —
+    // dictionary/RLE shrinks its parquet file under the broadcast
+    // threshold, so FILE-SIZE estimation broadcasts it (the 100 TB
+    // failure mode: a well-compressed fact table shipped to every
+    // executor). After COMPUTE STATS the registered view carries the
+    // catalog row count + NDV, the size estimate becomes rows × width,
+    // and the join plans sort-merge. Both plan shapes ride the checked
+    // tuple; the values are the plain join aggregate DuckDB recomputes.
+    "q_cbo_stats" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      val fat = orders.select(pmod(col("o_orderkey"), lit(50)).as("k"),
+        lit(7L).as("v"))
+      cat.createTable("fat_cbo", fat.schema)
+      cat.append("fat_cbo", fat.coalesce(1), 1000L)
+      val wide = orders.select(pmod(col("o_orderkey"), lit(50)).as("k"),
+        sha2(col("o_orderkey").cast("string"), 256).as("payload"))
+      cat.createTable("wide_cbo", wide.schema)
+      cat.append("wide_cbo", wide.coalesce(1), 2000L)
+      // threshold between fat's ON-DISK bytes (compressed — ~2 KB at
+      // sf0.01) and its ESTIMATED bytes after column pruning
+      // (rows × 16 B for the surviving key column — 240 KB at sf0.01),
+      // scale-factor-robust in both directions
+      val fatBytes = cat.store().dataFilesAsOf("fat_cbo", None)
+        .map(_.bytes).sum
+      val q = "SELECT f.k, COUNT(*) AS n FROM fat_cbo f " +
+        "JOIN wide_cbo w ON f.k = w.k GROUP BY f.k"
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(fatBytes * 4, 65536L).toString)
+      try {
+        val before = eng.sql(q).queryExecution.executedPlan.toString
+        eng.sql("COMPUTE STATS fat_cbo")
+        eng.sql("COMPUTE STATS wide_cbo")
+        val planned = eng.sql(q)
+        val after = planned.queryExecution.executedPlan.toString
+        planned
+          .withColumn("filesize_broadcast",
+            lit(before.contains("BroadcastHashJoin")))
+          .withColumn("stats_sortmerge",
+            lit(after.contains("SortMergeJoin") &&
+              !after.contains("BroadcastHashJoin")))
+          .orderBy(col("k"))
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // Column stats in the EXACT verification mode (the HLL default is
     // spec-asserted within tolerance in TableStatsSpec): per-column
     // NDV + null counts from one aggregation pass must equal the
@@ -4148,6 +4197,18 @@ object SparkEntry {
 
     "q_table_stats" ->
       "SELECT count(*) AS row_count, 'current' AS stats FROM orders",
+
+    // CBO join: both sides carry one row per order keyed on
+    // o_orderkey % 50, so the per-key join count is the squared group
+    // count; the two plan-proof booleans pin the broadcast→sort-merge
+    // flip COMPUTE STATS causes
+    "q_cbo_stats" ->
+      """WITH c AS (
+        |  SELECT o_orderkey % 50 AS k, count(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT k, cnt * cnt AS n, TRUE AS filesize_broadcast,
+        |       TRUE AS stats_sortmerge
+        |FROM c ORDER BY k""".stripMargin,
 
     // the view-answered roll-up must equal the scan's aggregate
     "q_mv_rewrite" ->

@@ -17,6 +17,10 @@ object Verify {
       // engine itself writes int64 micros (see TableStore/Bench/Smoke) —
       // this governs just the correctness-dump files.
       .config("spark.sql.parquet.outputTimestampType", "INT96")
+      // cost-based optimization: tables carrying COMPUTE STATS plan
+      // joins/broadcasts from row counts + NDV, not file size
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

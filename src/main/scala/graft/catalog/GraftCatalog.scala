@@ -428,10 +428,48 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
   }
 
   /** Make `spark.sql("SELECT ... FROM <name>")` resolve to the latest
-    * snapshot (the reference's default read, `README.md:75-79`).
+    * snapshot (the reference's default read, `README.md:75-79`). When
+    * the table has persisted COMPUTE STATS, they are attached to the
+    * view's relation so the optimizer plans from them — see
+    * [[withTableStats]].
     */
   def registerView(name: String): Unit =
-    if (!viewless) table(name).createOrReplaceTempView(name)
+    if (!viewless) withTableStats(name, table(name)).createOrReplaceTempView(name)
+
+  /** Attach the table's persisted statistics (row count from the
+    * snapshot log — always current; NDV/null/min-max from the last
+    * COMPUTE STATS pass) to `df`'s relation leaves, so Catalyst's
+    * cost-based join reordering, broadcast selection, and filter
+    * selectivity plan from warehouse stats instead of raw file sizes
+    * (`spark.sql.cbo.*` — set in the engine's session configs). A
+    * table without stats, a log predating byte tracking, or any attach
+    * hiccup returns `df` unchanged: stats can only improve plans, never
+    * break a read. Also applied by the Engine's partition-prune splice,
+    * so a filtered fact relation keeps its stats: the row count is the
+    * full table's (the pruned files are a subset — conservative), and
+    * the ON-TOP filter's own selectivity estimate shrinks it from
+    * there. */
+  private[graft] def withTableStats(name: String,
+      df: DataFrame): DataFrame =
+    scala.util.Try {
+      val st = store()
+      graft.store.TableStats.readStats(st, name) match {
+        case None => df
+        case Some(s) =>
+          st.snapshotMetaAsOf(name, None) match {
+            case Some((schema, recordCount, filesThunk)) =>
+              val bytes = filesThunk().map(_.bytes)
+              // equality deletes make the log count an upper bound
+              // (negative marker) — the stats pass's count is closer
+              val live = if (recordCount >= 0) recordCount else s.rowCount
+              if (bytes.isEmpty || bytes.exists(_ < 0)) df
+              else org.apache.spark.sql.GraftSqlShim.withCatalogStats(
+                spark, df, graft.store.TableStats.toCatalogTable(
+                  currentDb, name, schema, s, live, bytes.sum))
+            case None => df
+          }
+      }
+    }.getOrElse(df)
 
   /** Refresh every materialized view in this database (optionally only
     * those over `base`) — the streaming-maintenance hook: call it from a

@@ -643,7 +643,10 @@ final class Engine(catalog: GraftCatalog) {
 
     // Some(pruned analyzed plan) only for a partitioned catalog table
     // whose filter analyzes against its schema; anything else → None →
-    // the relation resolves through its temp view as usual.
+    // the relation resolves through its temp view as usual. The pruned
+    // relation re-attaches the table's catalog statistics (the splice
+    // bypasses the stats-bearing temp view), so a filtered fact join
+    // still plans from row counts + NDV.
     def pruned(db: String, t: String, cond: Expression): Option[LogicalPlan] = {
       val store = catalog.store(db)
       // one log read serves both the prunability check and the prune
@@ -652,7 +655,8 @@ final class Engine(catalog: GraftCatalog) {
         files.exists(_.stats.nonEmpty)
       if (!prunable) None
       else scala.util.Try(
-        store.readPrunedFrom(t, files, GraftSqlShim.column(cond))
+        catalog.forDatabase(db).withTableStats(t,
+            store.readPrunedFrom(t, files, GraftSqlShim.column(cond)))
           .queryExecution.analyzed).toOption
     }
 

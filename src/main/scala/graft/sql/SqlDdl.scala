@@ -361,6 +361,9 @@ object SqlDdl {
     val cols = colsDef.toSeq.flatMap(_.split(",").toSeq)
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
     graft.store.TableStats.compute(cat.store(), t, cols)
+    // re-register so the fresh stats reach the view's relation — the
+    // very next query plans from them (Impala's post-COMPUTE behavior)
+    cat.registerView(t)
     Some(empty(cat))
   }
 

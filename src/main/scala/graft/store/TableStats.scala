@@ -121,6 +121,61 @@ object TableStats {
   def isStale(store: TableStore, table: String, s: Stats): Boolean =
     store.currentSnapshotId(table).getOrElse(0L) != s.snapshotId
 
+  /** The persisted stats as a Catalyst [[CatalogTable]] carrying
+    * [[CatalogStatistics]] — the bridge that makes COMPUTE STATS feed
+    * the QUERY PLANNER, not just SHOW output. Attached to the
+    * registered view's relation leaves
+    * ([[graft.catalog.GraftCatalog.registerView]]), Catalyst's
+    * `LogicalRelation.computeStats` serves them to join reordering,
+    * broadcast selection, and filter selectivity (`spark.sql.cbo.*` —
+    * enabled in the engine's session configs). At 100 TB this is what
+    * Impala does with exactly these stats (SURVEY §4): a join order
+    * chosen by NDV instead of file size is the difference between a
+    * broadcastable intermediate and a cross-cluster shuffle.
+    *
+    * Freshness: `rowCount` comes from the SNAPSHOT LOG (`liveRows` —
+    * exact and current on every commit, free), NOT from the possibly
+    * stale stats pass — a table that grew 100× since COMPUTE STATS must
+    * not be under-estimated into a broadcast. NDV/null/min-max ride the
+    * stats pass and may lag (Impala semantics; SHOW marks staleness).
+    * Min/max bounds attach only when they round-trip Catalyst's
+    * external-string parser for the column's CURRENT type (guarded by
+    * [[org.apache.spark.sql.GraftSqlShim.validColStatBound]]); columns
+    * dropped or renamed since the pass simply don't match and are
+    * skipped. `sizeOnDiskBytes` must be positive (callers decline when
+    * the log predates byte tracking). */
+  def toCatalogTable(db: String, table: String,
+      schema: StructType, s: Stats, liveRows: Long,
+      sizeOnDiskBytes: Long): org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog._
+    require(sizeOnDiskBytes > 0, "attach stats only with known file bytes")
+    val colStats = s.cols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c.column)).map { f =>
+        def bound(v: Option[String]): Option[String] = v.filter(x =>
+          org.apache.spark.sql.GraftSqlShim
+            .validColStatBound(x, f.name, f.dataType))
+        val avg = c.avgLen.map(a => math.max(1L, math.round(a)))
+          .orElse(Some(f.dataType.defaultSize.toLong))
+        f.name -> CatalogColumnStat(
+          distinctCount = Some(BigInt(c.ndv)),
+          min = bound(c.min), max = bound(c.max),
+          nullCount = Some(BigInt(c.nullCount)),
+          avgLen = avg, maxLen = avg,
+          histogram = None, version = 1)
+      }
+    }.toMap
+    CatalogTable(
+      identifier = TableIdentifier(table, Some(db)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      stats = Some(CatalogStatistics(
+        sizeInBytes = BigInt(sizeOnDiskBytes),
+        rowCount = Some(BigInt(math.max(liveRows, 0L))),
+        colStats = colStats)))
+  }
+
   private def path(store: TableStore, table: String): HPath =
     new HPath(store.tableDir(table), "stats.json")
 

@@ -54,6 +54,33 @@ object GraftSqlShim {
   def encoderOf[T: scala.reflect.runtime.universe.TypeTag]: Encoder[T] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
 
+  /** Attach persisted table/column statistics to every parquet relation
+    * leaf of `df`'s analyzed plan: `LogicalRelation.computeStats` serves
+    * a `CatalogTable`'s `CatalogStatistics` to the optimizer whenever
+    * one is attached (row count + column NDV/null/min-max under
+    * `spark.sql.cbo.*`; the recorded on-disk size otherwise) — the
+    * standard seam catalog-backed tables use, driven here from the
+    * snapshot store's own stats files. Leaves that already carry a
+    * catalog table are left alone. */
+  def withCatalogStats(spark: SparkSession, df: DataFrame,
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    ofRows(spark, df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(ct))
+    })
+  }
+
+  /** Whether a stored min/max bound string round-trips Catalyst's
+    * column-stat external format (version 1 — human-readable) for the
+    * column's type. Bounds that don't parse (strings, exotic types,
+    * legacy formats) are dropped at attach time rather than poisoning
+    * plan-time estimation with a deserialization error. */
+  def validColStatBound(s: String, name: String,
+      dt: types.DataType): Boolean =
+    scala.util.Try(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+      .fromExternalString(s, name, dt, 1)).isSuccess
+
   /** Parquet scan over an explicit file list WITH bucket metadata: a
     * hand-built [[execution.datasources.HadoopFsRelation]] carrying a
     * `BucketSpec`, so `FileSourceScanExec` groups the files by their

@@ -83,6 +83,55 @@ class PlanShapeSpec extends AnyFunSuite {
       p)
   }
 
+  test("COMPUTE STATS reaches the planner: a compressed-but-wide table " +
+      "stops being broadcast once its row count is known") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cbo"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    // `fat`: 40k rows of near-constant longs — dictionary/RLE shrinks
+    // the parquet file far under any broadcast threshold, but the
+    // in-memory row count is anything but broadcastable. This is the
+    // 100 TB failure mode file-size estimation walks into: a
+    // well-compressed fact table "looks small" and gets shipped to
+    // every executor.
+    val fat = spark.range(40000).select(
+      (col("id") % 50).as("k"), lit(7L).as("v"))
+    cat.createTable("fat_cbo", fat.schema)
+    cat.append("fat_cbo", fat.coalesce(1), 1000L)
+    // `wide`: same key domain with an incompressible-ish payload, so
+    // its FILE size sits above the test threshold on its own
+    val wide = spark.range(40000).select((col("id") % 50).as("k"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    cat.createTable("wide_cbo", wide.schema)
+    cat.append("wide_cbo", wide.coalesce(1), 2000L)
+    val q = "SELECT f.k, COUNT(*) AS n FROM fat_cbo f " +
+      "JOIN wide_cbo w ON f.k = w.k GROUP BY f.k"
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      // WITHOUT stats: fat's tiny file wins it the broadcast slot
+      val before = eng.sql(q).queryExecution.executedPlan.toString
+      assert(before.contains("BroadcastHashJoin"), before)
+      // COMPUTE STATS re-registers the view with catalog statistics:
+      // 40k rows × row width ≈ 1 MB estimated — no broadcast side left
+      eng.sql("COMPUTE STATS fat_cbo")
+      eng.sql("COMPUTE STATS wide_cbo")
+      val planned = eng.sql(q)
+      val after = planned.queryExecution.executedPlan.toString
+      assert(after.contains("SortMergeJoin") &&
+        !after.contains("BroadcastHashJoin"), after)
+      // the stats really flow: the optimizer sees the exact row count
+      val fatStats = cat.spark.table("fat_cbo")
+        .queryExecution.optimizedPlan.stats
+      assert(fatStats.rowCount.contains(BigInt(40000)), fatStats.toString)
+      // and the flipped plan still answers correctly
+      assert(planned.agg(sum(col("n"))).head().getLong(0) == 40000L * 800)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
     val p = plan("q_multiway_join")
     assert(p.contains("BroadcastHashJoin"), p)
