@@ -2578,40 +2578,41 @@ object SparkEntry {
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
       val orders = t(s, dir, "orders")
+      // `fat`: one row per order on a 50-value key — dictionary/RLE
+      // shrink its parquet file to KBs however many rows it holds, the
+      // exact shape file-size estimation mis-ranks at 100 TB
       val fat = orders.select(pmod(col("o_orderkey"), lit(50)).as("k"),
         lit(7L).as("v"))
       cat.createTable("fat_cbo", fat.schema)
       cat.append("fat_cbo", fat.coalesce(1), 1000L)
-      val wide = orders.select(pmod(col("o_orderkey"), lit(50)).as("k"),
-        sha2(col("o_orderkey").cast("string"), 256).as("payload"))
-      cat.createTable("wide_cbo", wide.schema)
-      cat.append("wide_cbo", wide.coalesce(1), 2000L)
-      // threshold between fat's ON-DISK bytes (compressed — ~2 KB at
-      // sf0.01) and its ESTIMATED bytes after column pruning
-      // (rows × 16 B for the surviving key column — 240 KB at sf0.01),
-      // scale-factor-robust in both directions
       val fatBytes = cat.store().dataFilesAsOf("fat_cbo", None)
         .map(_.bytes).sum
-      val q = "SELECT f.k, COUNT(*) AS n FROM fat_cbo f " +
-        "JOIN wide_cbo w ON f.k = w.k GROUP BY f.k"
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        math.max(fatBytes * 4, 65536L).toString)
-      try {
-        val before = eng.sql(q).queryExecution.executedPlan.toString
-        eng.sql("COMPUTE STATS fat_cbo")
-        eng.sql("COMPUTE STATS wide_cbo")
-        val planned = eng.sql(q)
-        val after = planned.queryExecution.executedPlan.toString
-        planned
-          .withColumn("filesize_broadcast",
-            lit(before.contains("BroadcastHashJoin")))
-          .withColumn("stats_sortmerge",
-            lit(after.contains("SortMergeJoin") &&
-              !after.contains("BroadcastHashJoin")))
-          .orderBy(col("k"))
-      } finally
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // `dim`: ONE row per key (the join stays O(rows) at any SF), but
+      // its incompressible payload — sized off fat's measured file —
+      // keeps its FILE several times larger than fat's, so file-size
+      // estimation ranks the million-row fact as the "smaller" build
+      // side until COMPUTE STATS corrects the ranking
+      val payloadLen = math.max(2048L, fatBytes / 5).toInt
+      val pieces = math.max(1, payloadLen / 64)
+      val dim = s.range(0, 50).select(col("id").as("k"),
+        concat((0 until pieces).map(i =>
+          sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
+          .as("payload"))
+      cat.createTable("dim_cbo", dim.schema)
+      cat.append("dim_cbo", dim.coalesce(1), 2000L)
+      val q = "SELECT f.k AS g, COUNT(*) AS n FROM fat_cbo f " +
+        "JOIN dim_cbo d ON f.k = d.k GROUP BY f.k"
+      val before = eng.sql(q).queryExecution.executedPlan.toString
+      eng.sql("COMPUTE STATS fat_cbo")
+      eng.sql("COMPUTE STATS dim_cbo (k)")
+      val planned = eng.sql(q)
+      val after = planned.queryExecution.executedPlan.toString
+      planned
+        .withColumn("filesize_builds_fact",
+          lit(before.contains("BuildLeft")))
+        .withColumn("stats_build_dim",
+          lit(after.contains("BuildRight") && !after.contains("BuildLeft")))
+        .orderBy(col("g"))
     }),
 
     // Column stats in the EXACT verification mode (the HLL default is
@@ -4198,17 +4199,14 @@ object SparkEntry {
     "q_table_stats" ->
       "SELECT count(*) AS row_count, 'current' AS stats FROM orders",
 
-    // CBO join: both sides carry one row per order keyed on
-    // o_orderkey % 50, so the per-key join count is the squared group
-    // count; the two plan-proof booleans pin the broadcast→sort-merge
-    // flip COMPUTE STATS causes
+    // CBO join: the dim holds exactly one row per key, so the join
+    // grouped by key is the plain per-group order count; the two
+    // plan-proof booleans pin the build-side flip COMPUTE STATS causes
+    // (fact wrongly broadcast by file size → dim broadcast by stats)
     "q_cbo_stats" ->
-      """WITH c AS (
-        |  SELECT o_orderkey % 50 AS k, count(*) AS cnt
-        |  FROM orders GROUP BY 1)
-        |SELECT k, cnt * cnt AS n, TRUE AS filesize_broadcast,
-        |       TRUE AS stats_sortmerge
-        |FROM c ORDER BY k""".stripMargin,
+      """SELECT o_orderkey % 50 AS g, count(*) AS n,
+        |       TRUE AS filesize_builds_fact, TRUE AS stats_build_dim
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
 
     // the view-answered roll-up must equal the scan's aggregate
     "q_mv_rewrite" ->

@@ -132,6 +132,50 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("COMPUTE STATS drives NDV-based join REORDERING: the selective " +
+      "dim joins first once cardinalities are known") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-reorder"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    // star: fact f(k1, k2); d1 matches EVERY fact row (|f⋈d1| = |f|),
+    // d2 covers 1% of k2's domain (|f⋈d2| ≈ |f|/100). Written d1-first,
+    // only cardinality estimation can discover d2 belongs first.
+    val f = spark.range(50000).select((col("id") % 1000).as("k1"),
+      (col("id") % 10000).as("k2"))
+    val d1 = spark.range(1000).select(col("id").as("k1"),
+      lit("a").as("p1"))
+    val d2 = spark.range(100).select(col("id").as("k2"),
+      lit("b").as("p2"))
+    for ((n, df) <- Seq(("f_ro", f), ("d1_ro", d1), ("d2_ro", d2))) {
+      cat.createTable(n, df.schema)
+      cat.append(n, df.coalesce(1), 1000L)
+    }
+    val q = "SELECT COUNT(*) AS n FROM f_ro JOIN d1_ro ON f_ro.k1 = d1_ro.k1 " +
+      "JOIN d2_ro ON f_ro.k2 = d2_ro.k2"
+    // the INNERMOST join of the optimized tree: which dim joins the fact
+    // first?
+    def innermostJoinCols(plan: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = plan.queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      joins.last.condition.map(_.references.map(_.name).toSet)
+        .getOrElse(Set.empty)
+    }
+    // without stats the query's own order stands: d1 joins first
+    assert(innermostJoinCols(eng.sql(q)) == Set("k1"),
+      eng.sql(q).queryExecution.optimizedPlan.toString)
+    Seq("f_ro", "d1_ro", "d2_ro").foreach(t => eng.sql(s"COMPUTE STATS $t"))
+    // with row counts + NDV, cbo.joinReorder puts the SELECTIVE dim
+    // first — |f⋈d2| ≈ 500 rows vs |f⋈d1| = 50 000
+    assert(innermostJoinCols(eng.sql(q)) == Set("k2"),
+      eng.sql(q).queryExecution.optimizedPlan.toString)
+    // and the reordered plan answers identically
+    assert(eng.sql(q).head().getLong(0) ==
+      f.join(d1, "k1").join(d2, "k2").count())
+  }
+
   test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
     val p = plan("q_multiway_join")
     assert(p.contains("BroadcastHashJoin"), p)
