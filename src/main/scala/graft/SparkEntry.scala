@@ -2615,6 +2615,39 @@ object SparkEntry {
         .orderBy(col("g"))
     }),
 
+    // Equi-height HISTOGRAMS feeding selectivity (COMPUTE STATS …
+    // WITH HISTOGRAM): 90% of rows sit on one hot key, so uniform
+    // min/max interpolation calls `k >= 500` ~50% selective when the
+    // truth is ~5% — a 10× row-estimate error that flows into every
+    // join-order/broadcast decision above the filter. The two checked
+    // booleans pin both sides: plain stats over-estimate ≥3×, the
+    // histogram lands within 2× of truth. Values are the filtered
+    // aggregate DuckDB recomputes with the same CASE.
+    "q_histogram_stats" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      val skew = orders.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("o_orderkey"), lit(999)) + 1).as("k"),
+        col("o_totalprice"))
+      cat.createTable("orders_hist", skew.schema)
+      cat.append("orders_hist", skew.coalesce(1), 1000L)
+      def est(): Long = eng.sql("SELECT * FROM orders_hist WHERE k >= 500")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(-1L)
+      val truth = skew.filter(col("k") >= 500).count()
+      eng.sql("COMPUTE STATS orders_hist")
+      val uniform = est()
+      eng.sql("COMPUTE STATS orders_hist WITH HISTOGRAM")
+      val hist = est()
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+          "FROM orders_hist WHERE k >= 500")
+        .withColumn("uniform_overestimates", lit(uniform > truth * 3))
+        .withColumn("histogram_honest",
+          lit(hist < truth * 2 && hist > truth / 2))
+    }),
+
     // Column stats in the EXACT verification mode (the HLL default is
     // spec-asserted within tolerance in TableStatsSpec): per-column
     // NDV + null counts from one aggregation pass must equal the
@@ -4198,6 +4231,18 @@ object SparkEntry {
 
     "q_table_stats" ->
       "SELECT count(*) AS row_count, 'current' AS stats FROM orders",
+
+    // histogram selectivity: the filtered aggregate recomputed with the
+    // same hot-key CASE; the booleans pin the estimate quality flip
+    "q_histogram_stats" ->
+      """WITH skew AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+        |              ELSE (o_orderkey % 999) + 1 END AS k,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
+        |       TRUE AS uniform_overestimates, TRUE AS histogram_honest
+        |FROM skew WHERE k >= 500""".stripMargin,
 
     // CBO join: the dim holds exactly one row per key, so the join
     // grouped by key is the plain per-group order count; the two

@@ -111,7 +111,7 @@ object SqlDdl {
   // route to [[graft.store.TableStats]].
   private val ComputeStats =
     ("(?is)^\\s*COMPUTE\\s+STATS\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
-      "\\s*(?:\\(([^)]*)\\))?\\s*$").r
+      "\\s*(?:\\(([^)]*)\\))?(\\s+WITH\\s+HISTOGRAM)?\\s*$").r
   private val AnalyzeTable =
     ("(?is)^\\s*ANALYZE\\s+TABLE\\s+(`?[A-Za-z_]\\w*`?(?:\\.`?[A-Za-z_]\\w*`?)?)" +
       "\\s+COMPUTE\\s+STATISTICS" +
@@ -355,12 +355,16 @@ object SqlDdl {
 
   /** COMPUTE STATS / ANALYZE TABLE: one distributed stats pass (HLL
     * NDV — Impala's own sketch; exact NDV is the programmatic
-    * verification mode on [[graft.store.TableStats.compute]]). */
+    * verification mode on [[graft.store.TableStats.compute]]).
+    * `WITH HISTOGRAM` adds the two-pass equi-height histogram for the
+    * numeric columns of the pass (skew-aware selectivity). */
   private def computeStats(cat: GraftCatalog, t: String,
-      colsDef: Option[String]): Option[DataFrame] = {
+      colsDef: Option[String],
+      withHistogram: Boolean = false): Option[DataFrame] = {
     val cols = colsDef.toSeq.flatMap(_.split(",").toSeq)
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-    graft.store.TableStats.compute(cat.store(), t, cols)
+    graft.store.TableStats.compute(cat.store(), t, cols,
+      histogram = withHistogram)
     // re-register so the fresh stats reach the view's relation — the
     // very next query plans from them (Impala's post-COMPUTE behavior)
     cat.registerView(t)
@@ -760,10 +764,10 @@ object SqlDdl {
       require(cat.store().exists(t), s"table not found: $t")
       cat.widenColumn(t, c, parseType(tpe))
       Some(empty(catalog))
-    case ComputeStats(qn, colsDef) =>
+    case ComputeStats(qn, colsDef, withHist) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      computeStats(cat, t, Option(colsDef))
+      computeStats(cat, t, Option(colsDef), withHist != null)
     case AnalyzeTable(qn, colsDef) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
@@ -795,9 +799,10 @@ object SqlDdl {
           s"no stats for $t — run COMPUTE STATS $t first"))
       Some(s.cols.map(c => (c.column, c.dataType, c.ndv, c.nullCount,
           c.min.orNull, c.max.orNull,
-          c.avgLen.map(l => math.round(l * 100) / 100.0).getOrElse(-1.0)))
+          c.avgLen.map(l => math.round(l * 100) / 100.0).getOrElse(-1.0),
+          c.hist.map(h => s"equi-height(${h.bins.size})").getOrElse("none")))
         .toDF("column", "data_type", "ndv", "null_count",
-          "min_value", "max_value", "avg_len"))
+          "min_value", "max_value", "avg_len", "histogram"))
     case ShowCreateTable(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t) ||

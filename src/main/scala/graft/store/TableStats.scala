@@ -27,9 +27,18 @@ import org.apache.spark.sql.types._
   */
 object TableStats {
 
+  /** One equi-height histogram bin: [lo, hi] plus the approximate
+    * distinct count inside it — Catalyst's `HistogramBin` shape. */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** Equi-height histogram (`height` ≈ non-null rows per bin) — the
+    * skew-aware selectivity input Catalyst's `FilterEstimation` prefers
+    * over uniform min/max interpolation whenever present. */
+  final case class Hist(height: Double, bins: Seq[HistBin])
+
   final case class ColStat(column: String, dataType: String, ndv: Long,
       nullCount: Long, min: Option[String], max: Option[String],
-      avgLen: Option[Double])
+      avgLen: Option[Double], hist: Option[Hist] = None)
 
   final case class Stats(snapshotId: Long, rowCount: Long,
       cols: Seq[ColStat])
@@ -49,10 +58,30 @@ object TableStats {
     }
   }
 
+  /** Types an equi-height histogram covers: plain numerics (Catalyst's
+    * estimation converts bounds and literals to doubles for exactly
+    * these). */
+  private def histogramable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Run the stats pass and persist the result. `cols` empty = every
-    * atomic column. */
+    * atomic column. `histogram = true` adds Spark's own two-pass
+    * equi-height histogram (percentile endpoints, then approximate NDV
+    * per interval — `ApproxCountDistinctForIntervals`, the expression
+    * Spark's ANALYZE uses) for every numeric column in the pass: two
+    * extra map-side-combining aggregations over the table, each
+    * producing a bins-sized row, whatever the table's size. Histograms
+    * are what make selectivity honest on SKEWED columns — uniform
+    * min/max interpolation estimates a hot-key-dominated range filter
+    * at ~50% when the truth is ~5%, and at 100 TB that mis-ranking
+    * flows straight into join-order and broadcast decisions. */
   def compute(store: TableStore, table: String,
-      cols: Seq[String] = Seq.empty, exactNdv: Boolean = false): Stats = {
+      cols: Seq[String] = Seq.empty, exactNdv: Boolean = false,
+      histogram: Boolean = false, histogramBins: Int = 64): Stats = {
     val schema = store.schema(table)
     val fields = statableCols(schema, cols)
     val snapId = store.currentSnapshotId(table).getOrElse(0L)
@@ -86,10 +115,58 @@ object TableStats {
         opt(base + 2), opt(base + 3),
         if (row.isNullAt(base + 4)) None else Some(row.getDouble(base + 4)))
     }
-    val stats = Stats(snapId, row.getLong(0), colStats)
+    val withHist =
+      if (!histogram) colStats
+      else {
+        val hfields = fields.filter(f => histogramable(f.dataType))
+        val n = histogramBins
+        // pass 1: n+1 approximate percentiles = equi-height endpoints
+        // (duplicate endpoints are fine — a hot key yields [v, v] bins
+        // of ndv 1, exactly the skew signal the estimator needs)
+        val eps: Map[String, Seq[Double]] =
+          if (hfields.isEmpty) Map.empty
+          else {
+            val pcts = (0 to n).map(_.toDouble / n).toArray
+            val aggs = hfields.map(f =>
+              percentile_approx(col(f.name).cast("double"),
+                lit(pcts), lit(10000)).as(s"p_${f.name}"))
+            val r = df.agg(aggs.head, aggs.tail: _*).head()
+            hfields.zipWithIndex.map { case (f, i) =>
+              f.name -> (if (r.isNullAt(i)) Seq.empty[Double]
+                         else r.getSeq[Double](i))
+            }.toMap
+          }
+        // pass 2: approximate distinct count inside every interval,
+        // all columns in ONE aggregation
+        val ivFields = hfields.filter(f => eps(f.name).nonEmpty)
+        val hists: Map[String, Hist] =
+          if (ivFields.isEmpty) Map.empty
+          else {
+            val byName = colStats.map(c => c.column -> c).toMap
+            val aggs = ivFields.map(f =>
+              org.apache.spark.sql.GraftSqlShim
+                .approxCountDistinctForIntervals(
+                  col(f.name).cast("double"), eps(f.name))
+                .as(s"iv_${f.name}"))
+            val r = df.agg(aggs.head, aggs.tail: _*).head()
+            ivFields.zipWithIndex.map { case (f, i) =>
+              val ndvs = r.getSeq[Long](i)
+              val e = eps(f.name)
+              val nonNull =
+                stats0RowCount(row) - byName(f.name).nullCount
+              f.name -> Hist(nonNull.toDouble / n,
+                (0 until n).map(j => HistBin(e(j), e(j + 1), ndvs(j))))
+            }.toMap
+          }
+        colStats.map(c =>
+          hists.get(c.column).map(h => c.copy(hist = Some(h))).getOrElse(c))
+      }
+    val stats = Stats(snapId, row.getLong(0), withHist)
     write(store, table, stats)
     stats
   }
+
+  private def stats0RowCount(row: Row): Long = row.getLong(0)
 
   /** Stored stats, if COMPUTE STATS ever ran. `stale` when the table has
     * committed past the stats' snapshot. */
@@ -110,10 +187,18 @@ object TableStats {
         node.get("cols").elements().asScala.map { c =>
           def field(n: String): Option[String] =
             Option(c.get(n)).filterNot(_.isNull).map(_.asText())
+          val hist = Option(c.get("hist")).filterNot(_.isNull).map { h =>
+            Hist(h.get("height").asDouble(),
+              h.get("bins").elements().asScala.map { b =>
+                HistBin(b.get(0).asDouble(), b.get(1).asDouble(),
+                  b.get(2).asLong())
+              }.toSeq)
+          }
           ColStat(c.get("column").asText(), c.get("dataType").asText(),
             c.get("ndv").asLong(), c.get("nullCount").asLong(),
             field("min"), field("max"),
-            Option(c.get("avgLen")).filterNot(_.isNull).map(_.asDouble()))
+            Option(c.get("avgLen")).filterNot(_.isNull).map(_.asDouble()),
+            hist)
         }.toSeq))
     }
   }
@@ -162,7 +247,11 @@ object TableStats {
           min = bound(c.min), max = bound(c.max),
           nullCount = Some(BigInt(c.nullCount)),
           avgLen = avg, maxLen = avg,
-          histogram = None, version = 1)
+          histogram = c.hist.map(h =>
+            org.apache.spark.sql.catalyst.plans.logical.Histogram(h.height,
+              h.bins.map(b => org.apache.spark.sql.catalyst.plans.logical
+                .HistogramBin(b.lo, b.hi, b.ndv)).toArray)),
+          version = 1)
       }
     }.toMap
     CatalogTable(
@@ -182,11 +271,17 @@ object TableStats {
   private def write(store: TableStore, table: String, s: Stats): Unit = {
     def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val cols = s.cols.map { c =>
+      val hist = c.hist.map { h =>
+        val bins = h.bins.map(b => s"[${b.lo},${b.hi},${b.ndv}]")
+          .mkString("[", ",", "]")
+        s"""{"height":${h.height},"bins":$bins}"""
+      }.getOrElse("null")
       s"""{"column":${q(c.column)},"dataType":${q(c.dataType)},""" +
         s""""ndv":${c.ndv},"nullCount":${c.nullCount},""" +
         s""""min":${c.min.map(q).getOrElse("null")},""" +
         s""""max":${c.max.map(q).getOrElse("null")},""" +
-        s""""avgLen":${c.avgLen.map(_.toString).getOrElse("null")}}"""
+        s""""avgLen":${c.avgLen.map(_.toString).getOrElse("null")},""" +
+        s""""hist":$hist}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"snapshotId":${s.snapshotId},"rowCount":${s.rowCount},"cols":$cols}"""

@@ -71,6 +71,24 @@ object GraftSqlShim {
     })
   }
 
+  /** Approximate distinct count per interval — the Catalyst aggregate
+    * Spark's own ANALYZE histogram path uses
+    * (`ApproxCountDistinctForIntervals`, catalyst-internal), exposed as
+    * a [[Column]] so the store's equi-height histogram pass can fold
+    * every column's per-bin NDVs in ONE aggregation. `endpoints` must
+    * be sorted (duplicates fine — percentile output of a skewed
+    * column). Returns `array<long>` of size `endpoints.length - 1`. */
+  def approxCountDistinctForIntervals(c: Column,
+      endpoints: Seq[Double]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .ApproxCountDistinctForIntervals(expression(c),
+        CreateArray(endpoints.map(e => Literal(e):
+          org.apache.spark.sql.catalyst.expressions.Expression)),
+        0.05, 0, 0)
+    column(agg.toAggregateExpression())
+  }
+
   /** Whether a stored min/max bound string round-trips Catalyst's
     * column-stat external format (version 1 — human-readable) for the
     * column's type. Bounds that don't parse (strings, exotic types,

@@ -132,6 +132,40 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("WITH HISTOGRAM makes skewed-filter selectivity honest: uniform " +
+      "interpolation says ~50%, the histogram says ~10%") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hist"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    // 90% of rows carry k = 0; the rest spread over 1..999. A filter
+    // k >= 500 is ~5% selective, but uniform min/max interpolation
+    // over [0, 999] calls it ~50% — a 10× row-estimate error that
+    // flows into every join-order and broadcast decision above it.
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") % 10 < 9, lit(0L))
+        .otherwise((col("id") * 7 % 999) + 1).as("k"))
+    cat.createTable("skew_h", df.schema)
+    cat.append("skew_h", df.coalesce(1), 1000L)
+    def estimate(): BigInt = {
+      val plan = eng.sql("SELECT * FROM skew_h WHERE k >= 500")
+        .queryExecution.optimizedPlan
+      plan.stats.rowCount.getOrElse(sys.error(s"no rowCount: ${plan.stats}"))
+    }
+    val truth = df.filter(col("k") >= 500).count()
+    eng.sql("COMPUTE STATS skew_h")
+    val uniform = estimate()
+    eng.sql("COMPUTE STATS skew_h WITH HISTOGRAM")
+    val withHist = estimate()
+    // uniform badly over-estimates (≳5× truth); the histogram lands
+    // within 2× of it
+    assert(uniform.toLong > truth * 5,
+      s"uniform=$uniform truth=$truth")
+    assert(withHist.toLong < truth * 2 && withHist.toLong > truth / 2,
+      s"hist=$withHist truth=$truth")
+  }
+
   test("COMPUTE STATS drives NDV-based join REORDERING: the selective " +
       "dim joins first once cardinalities are known") {
     import org.apache.spark.sql.functions._

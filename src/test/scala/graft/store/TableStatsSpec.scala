@@ -73,6 +73,35 @@ class TableStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TS.compute(st, "p", Seq("nope")))
   }
 
+  test("equi-height histogram: bins cover the domain, heights match, " +
+      "skew shows up as duplicate-endpoint bins; JSON round-trips") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    // 90% zeros, 10% spread over 1..999 — the hot-key shape
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 < 9) 0L else (i * 7 % 999) + 1))
+      .toDF("id", "k")
+    cat.createTable("skew", df.schema)
+    cat.append("skew", df, 1000L)
+    val s = TS.compute(st, "skew", histogram = true, histogramBins = 16)
+    val k = s.cols.find(_.column == "k").get
+    val h = k.hist.get
+    assert(h.bins.size == 16)
+    assert(h.height == 2000.0 / 16)
+    // ≥ half the bins are the hot key's [0, 0]
+    assert(h.bins.count(b => b.lo == 0.0 && b.hi == 0.0) >= 8, h.bins)
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi >= 900.0)
+    // persisted and read back bit-identically
+    assert(TS.readStats(st, "skew").get == s)
+    // SQL surface: WITH HISTOGRAM + SHOW marks it
+    eng.sql("COMPUTE STATS skew (k) WITH HISTOGRAM")
+    val shown = eng.sql("SHOW COLUMN STATS skew").collect()
+    assert(shown.head.getString(7).startsWith("equi-height("), shown.toSeq)
+    // without the suffix: no histogram
+    eng.sql("COMPUTE STATS skew (k)")
+    assert(eng.sql("SHOW COLUMN STATS skew").head().getString(7) == "none")
+  }
+
   test("SQL surface: COMPUTE STATS / ANALYZE TABLE / SHOW TABLE STATS / " +
       "SHOW COLUMN STATS") {
     val (cat, eng) = fixture()
