@@ -100,7 +100,8 @@ object Bench {
     // state-store ticking; results are partition-count-invariant (the
     // oracle gate runs these same queries at the default).
     val streamingEntries =
-      Set("q_stream_dedup", "q_stream_join", "q_stream_table", "q_stream_cdc")
+      Set("q_stream_dedup", "q_stream_join", "q_stream_table", "q_stream_cdc",
+        "q_stream_upsert", "q_stream_neardup")
     def withStreamConf[T](name: String)(body: => T): T =
       if (!streamingEntries(name)) body
       else {

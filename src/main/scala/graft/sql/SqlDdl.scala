@@ -363,8 +363,12 @@ object SqlDdl {
       withHistogram: Boolean = false): Option[DataFrame] = {
     val cols = colsDef.toSeq.flatMap(_.split(",").toSeq)
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+    // bin count rides Spark's own knob (`…histogram.numBins`,
+    // registered default 254 — same as Spark's ANALYZE)
+    val bins = scala.util.Try(cat.spark.conf
+      .get("spark.sql.statistics.histogram.numBins").toInt).getOrElse(64)
     graft.store.TableStats.compute(cat.store(), t, cols,
-      histogram = withHistogram)
+      histogram = withHistogram, histogramBins = bins)
     // re-register so the fresh stats reach the view's relation — the
     // very next query plans from them (Impala's post-COMPUTE behavior)
     cat.registerView(t)
@@ -771,7 +775,10 @@ object SqlDdl {
     case AnalyzeTable(qn, colsDef) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")
-      computeStats(cat, t, Option(colsDef))
+      // Spark's own switch for ANALYZE-generated histograms
+      computeStats(cat, t, Option(colsDef),
+        catalog.spark.conf.get(
+          "spark.sql.statistics.histogram.enabled", "false").toBoolean)
     case ShowTableStats(qn) =>
       val (cat, t) = resolved(catalog, qn)
       require(cat.store().exists(t), s"table not found: $t")

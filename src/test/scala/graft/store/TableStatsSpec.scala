@@ -100,6 +100,14 @@ class TableStatsSpec extends AnyFunSuite {
     // without the suffix: no histogram
     eng.sql("COMPUTE STATS skew (k)")
     assert(eng.sql("SHOW COLUMN STATS skew").head().getString(7) == "none")
+    // Spark's ANALYZE spelling honors Spark's own histogram switch
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      eng.sql("ANALYZE TABLE skew COMPUTE STATISTICS FOR COLUMNS k")
+      assert(eng.sql("SHOW COLUMN STATS skew").head().getString(7)
+        .startsWith("equi-height("))
+    } finally
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
   }
 
   test("SQL surface: COMPUTE STATS / ANALYZE TABLE / SHOW TABLE STATS / " +
