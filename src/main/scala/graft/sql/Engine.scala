@@ -571,11 +571,17 @@ final class Engine(catalog: GraftCatalog) {
     def pinRel(u: UnresolvedRelation, shadowed: Set[String],
         cond: Option[Expression]): LogicalPlan = {
       // only the UNPRUNED pin is cached — a condition-pruned plan is a
-      // file subset and must never serve another reference
+      // file subset and must never serve another reference. Pinned
+      // relations carry the table's catalog statistics like the live
+      // view does (the CURRENT stats — the best available estimate for
+      // a historical snapshot, and stats only shape plans, never rows).
+      def withStats(db: String, t: String, df: DataFrame): LogicalPlan =
+        catalog.forDatabase(db).withTableStats(t, df)
+          .queryExecution.analyzed
       def pin(db: String, t: String): LogicalPlan = cond match {
-        case Some(c) => pinnedRead(db, t, Some(c)).queryExecution.analyzed
+        case Some(c) => withStats(db, t, pinnedRead(db, t, Some(c)))
         case None => pinned.getOrElseUpdate(s"$db.$t",
-          pinnedRead(db, t, None).queryExecution.analyzed)
+          withStats(db, t, pinnedRead(db, t, None)))
       }
       u.multipartIdentifier match {
         case Seq(one) if !shadowed(norm(one)) && byName.contains(norm(one)) =>

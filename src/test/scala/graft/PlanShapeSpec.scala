@@ -166,6 +166,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hist=$withHist truth=$truth")
   }
 
+  test("EXPLAIN COST renders the catalog row count — on the live view " +
+      "AND through time travel") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cost"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    val df = spark.range(1234).select(col("id").as("k"))
+    cat.createTable("cost_t", df.schema)
+    cat.append("cost_t", df, 1000L)
+    eng.sql("COMPUTE STATS cost_t")
+    // Spark renders the count in scientific notation: 1234 → 1.23E+3
+    val live = eng.sql("EXPLAIN COST SELECT k FROM cost_t")
+      .head().getString(0)
+    assert(live.contains("rowCount=1.23E+3"), live)
+    val pinned = eng.sql(
+      "EXPLAIN COST SELECT k FROM cost_t FOR SYSTEM_VERSION AS OF 1")
+      .head().getString(0)
+    assert(pinned.contains("rowCount=1.23E+3"), pinned)
+  }
+
   test("COMPUTE STATS drives NDV-based join REORDERING: the selective " +
       "dim joins first once cardinalities are known") {
     import org.apache.spark.sql.functions._
