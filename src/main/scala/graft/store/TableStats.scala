@@ -206,6 +206,30 @@ object TableStats {
   def isStale(store: TableStore, table: String, s: Stats): Boolean =
     store.currentSnapshotId(table).getOrElse(0L) != s.snapshotId
 
+  /** Follow an ALTER TABLE RENAME COLUMN: persisted stats are keyed by
+    * logical name, so the entry re-keys instead of silently orphaning
+    * (the planner would lose the column's NDV/bounds until the next
+    * COMPUTE STATS). No-op when no stats exist or the column was not
+    * in the last pass. Called under the table lock by
+    * [[TableStore.renameColumn]]. */
+  def renameColumn(store: TableStore, table: String,
+      from: String, to: String): Unit =
+    readStats(store, table).foreach { s =>
+      if (s.cols.exists(_.column.equalsIgnoreCase(from)))
+        write(store, table, s.copy(cols = s.cols.map(c =>
+          if (c.column.equalsIgnoreCase(from)) c.copy(column = to) else c)))
+    }
+
+  /** Follow an ALTER TABLE DROP COLUMN: remove the column's persisted
+    * entry so SHOW COLUMN STATS never lists a ghost column. Called
+    * under the table lock by [[TableStore.dropColumn]]. */
+  def dropColumn(store: TableStore, table: String, column: String): Unit =
+    readStats(store, table).foreach { s =>
+      if (s.cols.exists(_.column.equalsIgnoreCase(column)))
+        write(store, table, s.copy(cols =
+          s.cols.filterNot(_.column.equalsIgnoreCase(column))))
+    }
+
   /** The persisted stats as a Catalyst [[CatalogTable]] carrying
     * [[CatalogStatistics]] — the bridge that makes COMPUTE STATS feed
     * the QUERY PLANNER, not just SHOW output. Attached to the

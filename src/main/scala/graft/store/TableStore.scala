@@ -3091,6 +3091,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (rest.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
         else writeString(p, rest.map(jsonStr).mkString("[", ",", "]"))
       }
+      // a dropped column's persisted stats entry goes with it — SHOW
+      // COLUMN STATS must not list a ghost column
+      TableStats.dropColumn(this, table, field.name)
     }
   }
 
@@ -3228,6 +3231,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       val defs = columnDefaults(table)
       defs.get(from.toLowerCase).foreach(d =>
         writeDefaults(table, defs - from.toLowerCase + (to.toLowerCase -> d)))
+      // persisted column stats are keyed by logical name too: follow
+      // the rename so the planner keeps the column's NDV/bounds
+      // (silently orphaning them would degrade every plan over the
+      // renamed column until the next COMPUTE STATS)
+      TableStats.renameColumn(this, table, field.name, to)
     }
   }
 

@@ -110,6 +110,29 @@ class TableStatsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
   }
 
+  test("stats follow schema evolution: RENAME re-keys the entry, DROP " +
+      "removes it") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    cat.createTable("p", people(1).schema)
+    cat.append("p", people(30), 1000L)
+    eng.sql("COMPUTE STATS p")
+    val before = TS.readStats(st, "p").get.cols
+      .find(_.column == "city").get
+    cat.renameColumn("p", "city", "town")
+    val renamed = TS.readStats(st, "p").get
+    assert(!renamed.cols.exists(_.column == "city"))
+    assert(renamed.cols.find(_.column == "town")
+      .exists(c => c.ndv == before.ndv && c.nullCount == before.nullCount))
+    // the re-keyed entry reaches the planner under the NEW name
+    assert(cat.spark.table("p").queryExecution.optimizedPlan.stats
+      .rowCount.contains(BigInt(30)))
+    cat.dropColumn("p", "town")
+    assert(!TS.readStats(st, "p").get.cols.exists(_.column == "town"))
+    assert(eng.sql("SHOW COLUMN STATS p").collect()
+      .forall(r => r.getString(0) != "town" && r.getString(0) != "city"))
+  }
+
   test("SQL surface: COMPUTE STATS / ANALYZE TABLE / SHOW TABLE STATS / " +
       "SHOW COLUMN STATS") {
     val (cat, eng) = fixture()
