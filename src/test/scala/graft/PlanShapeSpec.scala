@@ -231,6 +231,50 @@ class PlanShapeSpec extends AnyFunSuite {
       f.join(d1, "k1").join(d2, "k2").count())
   }
 
+  test("runtime bloom-filter join pruning injects through the engine seam " +
+      "(the ≥10 GB-scan path, thresholds scaled down to test size)") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-rtf"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    // fact ⋈ selective dim on a NON-partition key: at 100 TB Spark
+    // builds a bloom filter from the dim's join keys at runtime and
+    // semi-filters the fact's shuffle leg — rows that can never match
+    // are dropped before the join's sort/shuffle. The feature is ON by
+    // default but gated on a ≥10 GB application-side scan, so at test
+    // scale the gate is lowered to prove the path exists end-to-end
+    // through our temp-view relations.
+    val fact = spark.range(200000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    cat.createTable("fact_rtf", fact.schema)
+    cat.append("fact_rtf", fact.repartition(4), 1000L)
+    val dim = spark.range(0, 200000, 401).select(col("id").as("k"),
+      lit("x").as("tag"))
+    cat.createTable("dim_rtf", dim.schema)
+    cat.append("dim_rtf", dim, 2000L)
+    val q = "SELECT COUNT(*) AS n FROM fact_rtf f JOIN dim_rtf d " +
+      "ON f.k = d.k AND d.tag = 'x'"
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    try {
+      val planned = eng.sql(q)
+      val opt = planned.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") &&
+        opt.contains("might_contain"), opt)
+      // the filtered plan still answers exactly
+      assert(planned.head().getLong(0) == fact.join(dim, "k").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB")
+    }
+  }
+
   test("q_multiway_join broadcasts nation and region, never builds a cartesian") {
     val p = plan("q_multiway_join")
     assert(p.contains("BroadcastHashJoin"), p)
