@@ -130,6 +130,85 @@ object SparkEntry {
         .orderBy(col("yr"), col("mo"))
     },
 
+    // §2.10 + equality deletes composed: STREAMING UPSERT SINK (the
+    // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
+    // replicates into a mirror via one equality-apply commit per
+    // micro-batch — initial load, an UPDATE (delete+insert pair nets to
+    // replace), a DELETE, and finally a RAW UN-NETTED batch: three
+    // commits (two UPDATEs + a DELETE touching overlapping keys) land
+    // while the sink is down, so the restarted stream replays them in
+    // ONE micro-batch and netLatestByKey must collapse each key to its
+    // last writer (ties inside an UPDATE commit resolve post-image-over
+    // -delete). Zero reads of the mirror throughout. sink_proof pins:
+    // every mirror file ever written survives by reference (nothing
+    // rewritten) and the mirror took exactly one commit per micro-batch
+    // — FOUR total, so the three-commit replay provably netted.
+    //
+    // Split: fixture = table builds + the FIRST sink session's three
+    // micro-batch cycles + the three un-netted source commits (all
+    // bring-up); query = the CHECKPOINT RESTART replaying them as one
+    // netted equality commit + the proof + the mirror read — the
+    // steady-state sink cost the regression watch must see on its own.
+    "q_stream_upsert" -> benchSplit { (s, dir) =>
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("orders_su", orders.schema)
+      cat.store().setChangeFeed("orders_su", enabled = true)
+      cat.createTable("mirror_su", orders.schema)
+      cat.append("orders_su", orders, 1000L)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ckpt-su").toString
+      def startSink() = {
+        val cdc = s.readStream.format("graft-table")
+          .option("warehouse", cat.warehouse.toString)
+          .option("table", "orders_su")
+          .option("readChangeFeed", "true").load()
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col(graft.store.TableStore.ChangeTypeCol),
+            col("_commit_snapshot_id"))
+        graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
+          cdc, Seq("o_orderkey"), ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"),
+          netOrdCol = Some("_commit_snapshot_id"))
+      }
+      val q = startSink()
+      try {
+        q.processAllAvailable()
+        eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        q.processAllAvailable()
+        eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
+        q.processAllAvailable()
+      } finally q.stop()
+      // un-netted phase: the sink is DOWN while three commits land, so
+      // the restart replays them as one micro-batch — %6 keys carry two
+      // post-images, %33 keys two post-images AND a delete
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice + 10 " +
+        "WHERE o_orderkey % 3 = 0")
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 3 " +
+        "WHERE o_orderkey % 6 = 0")
+      eng.sql("DELETE FROM orders_su WHERE o_orderkey % 11 = 0")
+      (cat, eng, () => startSink())
+    } { case (cat, eng, startSink) =>
+      val q2 = startSink()
+      try q2.processAllAvailable() finally q2.stop()
+      val st = cat.store()
+      val hist = st.dataFilesAsOf("mirror_su", None)
+      val everWritten = (1L to 4L).flatMap(v =>
+        st.snapshotMetaVersion("mirror_su", v)
+          .map(_._3().map(_.path).toSet).getOrElse(Set.empty)).toSet
+      val sinkProof = everWritten.subsetOf(hist.map(_.path).toSet) &&
+        eng.sql("SELECT COUNT(*) FROM `mirror_su$history`")
+          .head().getLong(0) == 4L
+      cat.table("mirror_su")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .withColumn("sink_proof", lit(sinkProof))
+    },
+
     // fixture = base builds + MV create + compaction + delta append;
     // query = the INCREMENTAL REFRESH (delta scan + view-sized merge —
     // the cost that must stay ∝ delta, not base) + the rendered read.
@@ -1150,10 +1229,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
-    // J4: anti-join (NOT EXISTS) — customers with no orders.
+    // J4: anti-join (NOT EXISTS) — customers with no EARLY orders. The
+    // orders side is date-restricted so the result is provably
+    // non-empty (every customer in the driver's testdata has SOME
+    // order, so the unrestricted form matched on 0 rows and gated
+    // nothing) while still excluding most customers — both branches of
+    // the anti-join are exercised.
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val early = o.filter(col("o_orderdate") < lit(ts("1997-01-01 00:00:00")))
+      c.join(early, c("c_custkey") === early("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     }),
@@ -1708,76 +1793,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // §2.10 + equality deletes composed: STREAMING UPSERT SINK (the
-    // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
-    // replicates into a mirror via one equality-apply commit per
-    // micro-batch — initial load, an UPDATE (delete+insert pair nets to
-    // replace), a DELETE, and finally a RAW UN-NETTED batch: three
-    // commits (two UPDATEs + a DELETE touching overlapping keys) land
-    // while the sink is down, so the restarted stream replays them in
-    // ONE micro-batch and netLatestByKey must collapse each key to its
-    // last writer (ties inside an UPDATE commit resolve post-image-over
-    // -delete). Zero reads of the mirror throughout. sink_proof pins:
-    // every mirror file ever written survives by reference (nothing
-    // rewritten) and the mirror took exactly one commit per micro-batch
-    // — FOUR total, so the three-commit replay provably netted.
-    "q_stream_upsert" -> ((s, dir) => {
-      val cat = tempCatalog(s)
-      val eng = new Engine(cat)
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      cat.createTable("orders_su", orders.schema)
-      cat.store().setChangeFeed("orders_su", enabled = true)
-      cat.createTable("mirror_su", orders.schema)
-      cat.append("orders_su", orders, 1000L)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-ckpt-su").toString
-      def startSink() = {
-        val cdc = s.readStream.format("graft-table")
-          .option("warehouse", cat.warehouse.toString)
-          .option("table", "orders_su")
-          .option("readChangeFeed", "true").load()
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col(graft.store.TableStore.ChangeTypeCol),
-            col("_commit_snapshot_id"))
-        graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
-          cdc, Seq("o_orderkey"), ckpt,
-          trigger = org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime("50 milliseconds"),
-          netOrdCol = Some("_commit_snapshot_id"))
-      }
-      val q = startSink()
-      try {
-        q.processAllAvailable()
-        eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
-          "WHERE o_orderkey % 5 = 0")
-        q.processAllAvailable()
-        eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
-        q.processAllAvailable()
-      } finally q.stop()
-      // un-netted phase: the sink is DOWN while three commits land, so
-      // the restart replays them as one micro-batch — %6 keys carry two
-      // post-images, %33 keys two post-images AND a delete
-      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice + 10 " +
-        "WHERE o_orderkey % 3 = 0")
-      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 3 " +
-        "WHERE o_orderkey % 6 = 0")
-      eng.sql("DELETE FROM orders_su WHERE o_orderkey % 11 = 0")
-      val q2 = startSink()
-      try q2.processAllAvailable() finally q2.stop()
-      val st = cat.store()
-      val hist = st.dataFilesAsOf("mirror_su", None)
-      val everWritten = (1L to 4L).flatMap(v =>
-        st.snapshotMetaVersion("mirror_su", v)
-          .map(_._3().map(_.path).toSet).getOrElse(Set.empty)).toSet
-      val sinkProof = everWritten.subsetOf(hist.map(_.path).toSet) &&
-        eng.sql("SELECT COUNT(*) FROM `mirror_su$history`")
-          .head().getLong(0) == 4L
-      cat.table("mirror_su")
-        .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice"), 2).as("price"))
-        .withColumn("sink_proof", lit(sinkProof))
-    }),
+    "q_stream_upsert" -> benchSplits("q_stream_upsert").composed,
 
     // §2.10 stream-stream watermarked INNER join, oracle-gated: click →
     // purchase attribution within a 1-hour window, per user. Two
@@ -2643,6 +2659,43 @@ object SparkEntry {
       val hist = est()
       eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
           "FROM orders_hist WHERE k >= 500")
+        .withColumn("uniform_overestimates", lit(uniform > truth * 3))
+        .withColumn("histogram_honest",
+          lit(hist < truth * 2 && hist > truth / 2))
+    }),
+
+    // The DATE sibling of q_histogram_stats: 90% of rows land on ONE
+    // hot load day (the commonest warehouse skew there is — the
+    // reference's only observed range predicate is on a DATE,
+    // `/root/reference/README.md:114-116`), the rest spread over ~999
+    // days. Histogram bins live in epoch-day space (Catalyst's own
+    // estimation domain for DateType), so a date-range filter above the
+    // hot day flips from a ~10× uniform over-estimate to within 2× of
+    // truth — the same two estimate-quality booleans as the numeric
+    // twin, values recomputed by DuckDB with the same CASE.
+    "q_histogram_date" -> ((s, dir) => {
+      val cat = tempCatalog(s)
+      val eng = new Engine(cat)
+      val orders = t(s, dir, "orders")
+      val base = to_date(lit("2024-01-01"))
+      val skew = orders.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(10)) < 9, base)
+          .otherwise(date_add(base,
+            (pmod(col("o_orderkey"), lit(999)) + 1).cast("int"))).as("d"),
+        col("o_totalprice"))
+      cat.createTable("orders_hd", skew.schema)
+      cat.append("orders_hd", skew.coalesce(1), 1000L)
+      def est(): Long = eng.sql(
+          "SELECT * FROM orders_hd WHERE d >= DATE '2025-05-16'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(-1L)
+      val truth = skew.filter(col("d") >= lit("2025-05-16")).count()
+      eng.sql("COMPUTE STATS orders_hd")
+      val uniform = est()
+      eng.sql("COMPUTE STATS orders_hd WITH HISTOGRAM")
+      val hist = est()
+      eng.sql("SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev " +
+          "FROM orders_hd WHERE d >= DATE '2025-05-16'")
         .withColumn("uniform_overestimates", lit(uniform > truth * 3))
         .withColumn("histogram_honest",
           lit(hist < truth * 2 && hist > truth / 2))
@@ -3988,7 +4041,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1997-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_filter_count" ->
@@ -4243,6 +4297,19 @@ object SparkEntry {
         |SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
         |       TRUE AS uniform_overestimates, TRUE AS histogram_honest
         |FROM skew WHERE k >= 500""".stripMargin,
+
+    // date-histogram selectivity: the filtered aggregate recomputed
+    // with the same hot-load-day CASE (DuckDB date + int = day add)
+    "q_histogram_date" ->
+      """WITH skew AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 9 THEN DATE '2024-01-01'
+        |              ELSE DATE '2024-01-01' +
+        |                   CAST((o_orderkey % 999) + 1 AS INTEGER) END AS d,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS rev,
+        |       TRUE AS uniform_overestimates, TRUE AS histogram_honest
+        |FROM skew WHERE d >= DATE '2025-05-16'""".stripMargin,
 
     // CBO join: the dim holds exactly one row per key, so the join
     // grouped by key is the plain per-group order count; the two

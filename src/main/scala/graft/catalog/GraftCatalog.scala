@@ -450,7 +450,8 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
     * the ON-TOP filter's own selectivity estimate shrinks it from
     * there. */
   private[graft] def withTableStats(name: String,
-      df: DataFrame): DataFrame =
+      df: DataFrame,
+      prunedTo: Option[Seq[graft.store.DataFile]] = None): DataFrame =
     scala.util.Try {
       val st = store()
       graft.store.TableStats.readStats(st, name) match {
@@ -458,14 +459,40 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
         case Some(s) =>
           st.snapshotMetaAsOf(name, None) match {
             case Some((schema, recordCount, filesThunk)) =>
-              val bytes = filesThunk().map(_.bytes)
+              def sumBytes(fs: Seq[graft.store.DataFile]): Option[Long] = {
+                val b = fs.map(_.bytes)
+                if (b.isEmpty || b.exists(_ < 0)) None else Some(b.sum)
+              }
               // equality deletes make the log count an upper bound
               // (negative marker) — the stats pass's count is closer
-              val live = if (recordCount >= 0) recordCount else s.rowCount
-              if (bytes.isEmpty || bytes.exists(_ < 0)) df
-              else org.apache.spark.sql.GraftSqlShim.withCatalogStats(
-                spark, df, graft.store.TableStats.toCatalogTable(
-                  currentDb, name, schema, s, live, bytes.sum))
+              val fullLive = if (recordCount >= 0) recordCount else s.rowCount
+              // `prunedTo`: the relation scans only this file SUBSET
+              // (the SQL splice's partition prune) — size it by the
+              // subset's own logged rows/bytes, or a heavily pruned leg
+              // would be estimated at full-table size and lose a
+              // broadcast plain file-size estimation would have chosen.
+              val (live, bytes) = prunedTo match {
+                case Some(kept) =>
+                  val rows =
+                    if (kept.nonEmpty && kept.forall(_.records >= 0))
+                      kept.map(_.records).sum
+                    else fullLive
+                  (rows, sumBytes(kept))
+                case None =>
+                  // byte total from the commit summary — O(1) log read,
+                  // no manifest hydration per registerView (hydrate only
+                  // for legacy logs predating the summary key)
+                  (fullLive, st.totalDataBytesAsOf(name)
+                    .orElse(sumBytes(filesThunk())))
+              }
+              bytes.filter(_ > 0) match {
+                case Some(bs) =>
+                  org.apache.spark.sql.GraftSqlShim.withCatalogStats(
+                    spark, df, graft.store.TableStats.toCatalogTable(
+                      currentDb, name, schema, s, live, bs),
+                    dataPathPrefix = Some(st.dataDirPath(name)))
+                case None => df
+              }
             case None => df
           }
       }

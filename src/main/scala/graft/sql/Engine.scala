@@ -651,8 +651,10 @@ final class Engine(catalog: GraftCatalog) {
     // whose filter analyzes against its schema; anything else → None →
     // the relation resolves through its temp view as usual. The pruned
     // relation re-attaches the table's catalog statistics (the splice
-    // bypasses the stats-bearing temp view), so a filtered fact join
-    // still plans from row counts + NDV.
+    // bypasses the stats-bearing temp view) SCALED TO THE KEPT SUBSET's
+    // own logged rows/bytes — a leg pruned to one partition must not be
+    // estimated at full-table size, or it loses the broadcast that plain
+    // file-size estimation would have chosen.
     def pruned(db: String, t: String, cond: Expression): Option[LogicalPlan] = {
       val store = catalog.store(db)
       // one log read serves both the prunability check and the prune
@@ -660,10 +662,12 @@ final class Engine(catalog: GraftCatalog) {
       val prunable = store.partitionSpec(t).isDefined ||
         files.exists(_.stats.nonEmpty)
       if (!prunable) None
-      else scala.util.Try(
+      else scala.util.Try {
+        val kept = store.prunedSubset(t, files, GraftSqlShim.column(cond))
         catalog.forDatabase(db).withTableStats(t,
-            store.readPrunedFrom(t, files, GraftSqlShim.column(cond)))
-          .queryExecution.analyzed).toOption
+            store.readFromFileList(t, kept), prunedTo = Some(kept))
+          .queryExecution.analyzed
+      }.toOption
     }
 
     // A current-db qualified relation resolves through its bare temp

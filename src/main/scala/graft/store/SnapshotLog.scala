@@ -231,11 +231,20 @@ object SnapshotLog {
     }
   }
 
+  /** Manifest loads performed since JVM start — a test-visible counter
+    * so specs can assert a metadata path answers WITHOUT hydration
+    * (e.g. the stats attach reading `total-data-bytes` from the commit
+    * summary instead of summing a million file entries per
+    * registerView). Monotonic, never reset by the library. */
+  private[graft] val manifestHydrations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Load a manifest-backed snapshot's file list (no-op when inline or
     * already hydrated). */
   def hydrate(fs: FileSystem, tableDir: HPath, s: Snapshot): Snapshot =
     s.manifest match {
       case Some(m) if !s.hydrated =>
+        manifestHydrations.incrementAndGet()
         val p = new HPath(new HPath(tableDir, ManifestDir), m)
         val in = fs.open(p)
         val text =
@@ -307,6 +316,13 @@ object SnapshotLog {
     * `recordCount` is then an UPPER bound (matched counts are unknown
     * until a read), so metadata-answered COUNT must take the scan path. */
   val EqualityDeletesMarker = "equality-deletes"
+
+  /** Summary key: total on-disk bytes of the snapshot's LIVE data files,
+    * set by [[commit]] whenever every entry's size is known — the
+    * Iceberg `total-files-size` analogue. Readers needing the table's
+    * byte total (stats attach, size estimation) take it from the log
+    * entry with NO manifest hydration; absence means a legacy log. */
+  val TotalDataBytesKey = "total-data-bytes"
 
   def write(fs: FileSystem, tableDir: HPath, snapshots: Seq[Snapshot]): Unit = {
     fs.mkdirs(tableDir)
@@ -444,10 +460,22 @@ object SnapshotLog {
       // later commits by riding the carried entries) — the log-only flag
       // that lets metadata-answered COUNT decline without hydrating a
       // manifest. recordCount is an upper bound while the marker is set.
-      val summary2 =
-        if (files.exists(_.deletes.exists(_.isEquality)))
-          summary + (EqualityDeletesMarker -> "true")
-        else summary
+      val summary2 = {
+        val s1 =
+          if (files.exists(_.deletes.exists(_.isEquality)))
+            summary + (EqualityDeletesMarker -> "true")
+          else summary
+        // Total on-disk data bytes of the LIVE file set, recorded at
+        // commit time like recordCount (Iceberg's total-files-size):
+        // stats attachment / size estimation read it from the log entry
+        // alone — at 10⁶ files, summing bytes by hydrating the manifest
+        // on every registerView would be a driver-side metadata storm
+        // per DDL/write. Omitted (fallback = hydrate once) only when a
+        // legacy entry carries a pre-byte-tracking file (-1).
+        if (files.forall(_.bytes >= 0))
+          s1 + (TotalDataBytesKey -> files.iterator.map(_.bytes).sum.toString)
+        else s1
+      }
       // evaluated INSIDE the lock: a racing ALTER (same lock) cannot
       // change the version between here and the log write
       val inline = Snapshot(id, timestampMs, operation, files, total, summary2,

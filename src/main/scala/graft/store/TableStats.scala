@@ -58,15 +58,32 @@ object TableStats {
     }
   }
 
-  /** Types an equi-height histogram covers: plain numerics (Catalyst's
-    * estimation converts bounds and literals to doubles for exactly
-    * these). */
+  /** Types an equi-height histogram covers: plain numerics, plus DATE
+    * and TIMESTAMP through their internal numeric encoding (Catalyst's
+    * `HistogramBin` is double-typed and its estimation converts
+    * datetime bounds/literals to exactly that domain). Dates matter
+    * most in practice — the reference's one observed range predicate is
+    * on a DATE (`/root/reference/README.md:114-116`) and time skew (hot
+    * load days, month-end spikes) is the commonest warehouse skew. */
   private def histogramable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType => true
     case _: DecimalType => true
+    case DateType | TimestampType => true
     case _ => false
   }
+
+  /** The column projected into CATALYST's estimation domain as a
+    * double: numerics as their value, DATE as epoch DAYS, TIMESTAMP as
+    * epoch MICROS — the same conversion `EstimationUtils.toDouble`
+    * applies to the internal representation, so histogram bins line up
+    * with how `FilterEstimation` converts a range predicate's literal. */
+  private def estimationDouble(f: StructField): org.apache.spark.sql.Column =
+    f.dataType match {
+      case DateType      => unix_date(col(f.name)).cast("double")
+      case TimestampType => unix_micros(col(f.name)).cast("double")
+      case _             => col(f.name).cast("double")
+    }
 
   /** Run the stats pass and persist the result. `cols` empty = every
     * atomic column. `histogram = true` adds Spark's own two-pass
@@ -128,7 +145,7 @@ object TableStats {
           else {
             val pcts = (0 to n).map(_.toDouble / n).toArray
             val aggs = hfields.map(f =>
-              percentile_approx(col(f.name).cast("double"),
+              percentile_approx(estimationDouble(f),
                 lit(pcts), lit(10000)).as(s"p_${f.name}"))
             val r = df.agg(aggs.head, aggs.tail: _*).head()
             hfields.zipWithIndex.map { case (f, i) =>
@@ -146,7 +163,7 @@ object TableStats {
             val aggs = ivFields.map(f =>
               org.apache.spark.sql.GraftSqlShim
                 .approxCountDistinctForIntervals(
-                  col(f.name).cast("double"), eps(f.name))
+                  estimationDouble(f), eps(f.name))
                 .as(s"iv_${f.name}"))
             val r = df.agg(aggs.head, aggs.tail: _*).head()
             ivFields.zipWithIndex.map { case (f, i) =>
@@ -259,6 +276,25 @@ object TableStats {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog._
     require(sizeOnDiskBytes > 0, "attach stats only with known file bytes")
+    // NDV extrapolation between stats passes (Impala's incremental-stats
+    // answer, reduced to its bounded linear core): the row count rides
+    // the snapshot log and is always current, but a table grown 100×
+    // since COMPUTE STATS would otherwise join with 100×-low NDV — a
+    // unique-key join's output estimate lands 100× low and join orders
+    // mis-rank exactly at the scale CBO targets. Scale NDV by the
+    // live/stats row ratio, capped at the live row count (an NDV can
+    // never exceed the rows). Low-cardinality columns over-scale under
+    // the linear assumption, but an OVER-estimated NDV under-estimates
+    // join output — the conservative direction for broadcast decisions.
+    // Shrinking live counts (deletes) leave NDV alone: distinct values
+    // usually survive row deletion.
+    val growth =
+      if (s.rowCount > 0 && liveRows > s.rowCount)
+        liveRows.toDouble / s.rowCount
+      else 1.0
+    def extrapolate(ndv: Long): Long =
+      if (growth == 1.0) ndv
+      else math.min(liveRows, math.max(ndv, math.round(ndv * growth)))
     val colStats = s.cols.flatMap { c =>
       schema.fields.find(_.name.equalsIgnoreCase(c.column)).map { f =>
         def bound(v: Option[String]): Option[String] = v.filter(x =>
@@ -267,7 +303,7 @@ object TableStats {
         val avg = c.avgLen.map(a => math.max(1L, math.round(a)))
           .orElse(Some(f.dataType.defaultSize.toLong))
         f.name -> CatalogColumnStat(
-          distinctCount = Some(BigInt(c.ndv)),
+          distinctCount = Some(BigInt(extrapolate(c.ndv))),
           min = bound(c.min), max = bound(c.max),
           nullCount = Some(BigInt(c.nullCount)),
           avgLen = avg, maxLen = avg,

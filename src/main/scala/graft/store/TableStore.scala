@@ -46,6 +46,12 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   def tableDir(table: String): HPath = new HPath(root, table)
   private def dataDir(table: String): HPath = new HPath(tableDir(table), "data")
+
+  /** Scheme-less URI path of the table's DATA directory — the prefix
+    * that separates data-file scans from the MOR delete-file scans in
+    * one plan tree (stats attachment is scoped to it). */
+  private[graft] def dataDirPath(table: String): String =
+    fs.makeQualified(dataDir(table)).toUri.getPath
   private def absPath(table: String, rel: String): HPath =
     new HPath(tableDir(table), rel)
 
@@ -1073,6 +1079,23 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         .contains("true"))
       .map(_.recordCount)
 
+  /** Total on-disk data bytes of the snapshot AS OF `asOfMs` (latest
+    * when None) from the log entry alone — NO manifest hydration (the
+    * commit-summary fast path, [[SnapshotLog.TotalDataBytesKey]]).
+    * None = legacy log predating the key, or no snapshot; callers fall
+    * back to hydrating and summing once. */
+  def totalDataBytesAsOf(table: String,
+      asOfMs: Option[Long] = None): Option[Long] = {
+    if (!exists(table)) return None
+    val all = SnapshotLog.read(fs, tableDir(table))
+    val hit = asOfMs match {
+      case None     => all.lastOption
+      case Some(ts) => all.filter(_.timestampMs <= ts).lastOption
+    }
+    hit.flatMap(_.summary.get(SnapshotLog.TotalDataBytesKey))
+      .flatMap(_.toLongOption)
+  }
+
   /** Metadata for stats-answered aggregates: (schema of the resolved
     * snapshot, record count, LAZY hydrated file list). The file thunk
     * exists so a pure `COUNT(*)` never hydrates a manifest — only
@@ -1233,6 +1256,20 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private[graft] def readPrunedFrom(table: String, files: Seq[DataFile],
       predicate: Column): DataFrame =
     readFileList(table, pruneList(table, files, predicate))
+
+  /** The subset of an already-fetched file list the prune keeps — for
+    * callers that need the KEPT entries themselves (the SQL splice
+    * scales its attached statistics by the pruned subset's own logged
+    * rows/bytes, so a heavily pruned leg is not estimated at full-table
+    * size and mis-ranked out of a broadcast). */
+  private[graft] def prunedSubset(table: String, files: Seq[DataFile],
+      predicate: Column): Seq[DataFile] =
+    pruneList(table, files, predicate)
+
+  /** Relation over an explicit (already pruned) file list. */
+  private[graft] def readFromFileList(table: String,
+      files: Seq[DataFile]): DataFrame =
+    readFileList(table, files)
 
   private def pruneList(table: String, files: Seq[DataFile],
       predicate: Column): Seq[DataFile] = {

@@ -144,7 +144,13 @@ object EventStreams {
     * handler orders and expires by. */
   final case class BandedDoc(band: Int, bandHash: Long, id: String,
     tsMs: Long, ts: java.sql.Timestamp)
-  final case class BucketState(ids: Seq[String])
+  /** `maxTsMs` is the bucket's LIFETIME max event time — the event-time
+    * eviction clock. Computing the timeout from only the current
+    * batch's max would move it EARLIER when a batch delivers only late
+    * data (tsMs below the bucket's prior max), evicting before
+    * "last activity + horizon" and silently dropping cross-batch pairs. */
+  final case class BucketState(ids: Seq[String],
+    maxTsMs: Long = Long.MinValue)
   final case class NearDupPair(id_a: String, id_b: String)
 
   /** Streaming NEAR-duplicate candidates — MinHash + LSH banding over an
@@ -222,9 +228,12 @@ object EventStreams {
         case (_, batch, state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val stored = state.getOption
+            var ids = stored.map(_.ids).getOrElse(Seq.empty)
             val out = Seq.newBuilder[NearDupPair]
-            var maxTs = Long.MinValue
+            // eviction clock = LIFETIME max event time: a late-data-only
+            // batch must never pull the timeout earlier than already set
+            var maxTs = stored.map(_.maxTsMs).getOrElse(Long.MinValue)
             batch.toSeq.sortBy(d => (d.tsMs, d.id)).foreach { d =>
               maxTs = math.max(maxTs, d.tsMs)
               if (!ids.contains(d.id)) {
@@ -232,7 +241,7 @@ object EventStreams {
                 if (ids.size < maxBucket) ids = ids :+ d.id
               }
             }
-            state.update(BucketState(ids))
+            state.update(BucketState(ids, maxTs))
             stateTimeout.foreach(state.setTimeoutDuration)
             eventTimeTimeoutMs.foreach { horizon =>
               // expire when the watermark passes the bucket's last
@@ -385,10 +394,14 @@ object EventStreams {
             "IDENTIFIER FIELDS (…))")
           idf
         }
+      // the reserved _commit_* bookkeeping columns order the feed, they
+      // are never table columns — drop them unconditionally (a pre-netted
+      // caller selecting them with netOrdCol = None must not leak them
+      // into the mirror's schema on the initial equality commit)
       val netted = netOrdCol
-        .map(ord => netLatestByKey(batch, keys, ord)
-          .drop("_commit_snapshot_id", "_commit_timestamp"))
+        .map(ord => netLatestByKey(batch, keys, ord))
         .getOrElse(batch)
+        .drop("_commit_snapshot_id", "_commit_timestamp")
       val summary = Map(
         TableStore.StreamingSinkKey -> sinkId,
         TableStore.StreamingBatchKey -> batchId.toString)

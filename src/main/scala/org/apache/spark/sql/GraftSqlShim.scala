@@ -54,20 +54,63 @@ object GraftSqlShim {
   def encoderOf[T: scala.reflect.runtime.universe.TypeTag]: Encoder[T] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
 
-  /** Attach persisted table/column statistics to every parquet relation
-    * leaf of `df`'s analyzed plan: `LogicalRelation.computeStats` serves
-    * a `CatalogTable`'s `CatalogStatistics` to the optimizer whenever
-    * one is attached (row count + column NDV/null/min-max under
-    * `spark.sql.cbo.*`; the recorded on-disk size otherwise) — the
-    * standard seam catalog-backed tables use, driven here from the
+  /** Attach persisted table/column statistics to the parquet relation
+    * leaves of `df`'s analyzed plan: `LogicalRelation.computeStats`
+    * serves a `CatalogTable`'s `CatalogStatistics` to the optimizer
+    * whenever one is attached (row count + column NDV/null/min-max
+    * under `spark.sql.cbo.*`; the recorded on-disk size otherwise) —
+    * the standard seam catalog-backed tables use, driven here from the
     * snapshot store's own stats files. Leaves that already carry a
-    * catalog table are left alone. */
+    * catalog table are left alone.
+    *
+    * `dataPathPrefix`: when set, ONLY relations whose every root path
+    * lives under that directory get the stats. A merge-on-read plan
+    * splices position/equality DELETE-file scans (under `deletes/`)
+    * into the same tree as anti-join build sides; handing those the
+    * whole table's rowCount/colStats (equality-delete key columns share
+    * the table's column names) would grossly inflate the build side's
+    * estimates. Stats describe the DATA files — attach them only there.
+    *
+    * Per-leaf bound re-validation: min/max external strings are parsed
+    * at plan time against the RELATION's attribute type
+    * (`CatalogColumnStat.toPlanStat` uses the plan attribute, not the
+    * catalog schema). A time-travel pin renders the HISTORICAL type —
+    * e.g. int before a widenColumn(int → long) — so a bound recorded
+    * past int range would make the pinned read THROW in the optimizer.
+    * Bounds that don't round-trip the attribute's own type are dropped
+    * per leaf (estimation degrades gracefully; the read never breaks). */
   def withCatalogStats(spark: SparkSession, df: DataFrame,
-      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      dataPathPrefix: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def underData(lr: LogicalRelation): Boolean = dataPathPrefix match {
+      case None => true
+      case Some(prefix) => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val roots = fs.location.rootPaths
+          roots.nonEmpty && roots.forall { p =>
+            val s = p.toUri.getPath
+            s == prefix || s.startsWith(prefix + "/")
+          }
+        case _ => false
+      }
+    }
+    def adapted(lr: LogicalRelation)
+        : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+      val attrType = lr.output.map(a => a.name.toLowerCase -> a.dataType).toMap
+      ct.copy(stats = ct.stats.map { st =>
+        st.copy(colStats = st.colStats.flatMap { case (name, c) =>
+          attrType.get(name.toLowerCase).map { dt =>
+            def ok(v: Option[String]): Option[String] =
+              v.filter(s => validColStatBound(s, name, dt))
+            name -> c.copy(min = ok(c.min), max = ok(c.max))
+          }
+        })
+      })
+    }
     ofRows(spark, df.queryExecution.analyzed.transform {
-      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
-        lr.copy(catalogTable = Some(ct))
+      case lr: LogicalRelation if lr.catalogTable.isEmpty && underData(lr) =>
+        lr.copy(catalogTable = Some(adapted(lr)))
     })
   }
 

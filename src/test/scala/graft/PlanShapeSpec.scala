@@ -166,6 +166,74 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hist=$withHist truth=$truth")
   }
 
+  test("stats attach is scoped to the DATA relation — MOR delete-file " +
+      "scans never inherit the table's rowCount/colStats") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-scope"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.createTable("t_scope", df.schema)
+    cat.append("t_scope", df, 1000L)
+    // equality delete splices a 3-row delete-file scan into the plan as
+    // an anti-join build side; its `id` column shares the table's name,
+    // so an unscoped attach would hand the 3-row scan a ~1000-row
+    // estimate and poison the anti-join's build-side costing
+    cat.store().equalityDelete("t_scope", Seq(5L, 6L, 7L).toDF("id"), 2000L)
+    eng.sql("COMPUTE STATS t_scope")
+    val rels = spark.table("t_scope").queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr
+    }
+    val (data, deletes) = rels.partition(lr =>
+      lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+        .forall(_.toUri.getPath.contains("/data/")))
+    assert(data.nonEmpty && deletes.nonEmpty,
+      rels.map(_.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.mkString(",")))
+    assert(data.forall(_.catalogTable.exists(
+      _.stats.exists(_.rowCount.contains(BigInt(997))))),
+      "data relation must carry the table's stats")
+    assert(deletes.forall(_.catalogTable.isEmpty),
+      "delete-file scans must NOT inherit table stats")
+  }
+
+  test("prune-spliced relation's attached stats scale to the KEPT " +
+      "subset — a one-partition leg is not estimated at full-table size") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import spark.implicits._
+    val cat = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-prsc"), spark)
+    cat.createDatabase("default")
+    val eng = new graft.sql.Engine(cat)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val jan = (0 until 900).map(i => (i, day("2024-01-05"), 1.0))
+      .toDF("id", "d", "v")
+    val feb = (0 until 100).map(i => (i + 1000, day("2024-02-05"), 2.0))
+      .toDF("id", "d", "v")
+    cat.createTable("evs_sc", jan.schema,
+      Some(graft.store.PartitionSpec("d", "month")))
+    cat.append("evs_sc", jan.coalesce(1), 1000L)
+    cat.append("evs_sc", feb.coalesce(1), 2000L)
+    eng.sql("COMPUTE STATS evs_sc")
+    def relStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: LogicalRelation if lr.catalogTable.isDefined =>
+          lr.catalogTable.get.stats.get
+      }
+    // the live view plans from the full 1000 rows…
+    val full = relStats(spark.table("evs_sc"))
+    assert(full.exists(_.rowCount.contains(BigInt(1000))), full)
+    // …but the spliced February leg from ITS OWN 100 rows and bytes
+    val spliced = relStats(
+      eng.sql("SELECT id FROM evs_sc WHERE d >= DATE'2024-02-01'"))
+    assert(spliced.nonEmpty)
+    assert(spliced.head.rowCount.contains(BigInt(100)), spliced.head)
+    assert(spliced.head.sizeInBytes <
+      full.find(_.rowCount.contains(BigInt(1000))).get.sizeInBytes)
+  }
+
   test("EXPLAIN COST renders the catalog row count — on the live view " +
       "AND through time travel") {
     import org.apache.spark.sql.functions._

@@ -110,6 +110,115 @@ class TableStatsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
   }
 
+  test("DATE and TIMESTAMP histograms: bins live in Catalyst's " +
+      "estimation domain (epoch days / micros) and make a hot-load-day " +
+      "range filter honest") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    import java.time.LocalDate
+    val base = LocalDate.parse("2023-01-01")
+    // 90% of rows on ONE hot load day (the commonest warehouse skew),
+    // 10% spread over the following ~999 days
+    val rows = (0 until 2000).map { i =>
+      val off = if (i % 10 < 9) 0L else (i.toLong * 7 % 999) + 1
+      val day = base.plusDays(off)
+      (i.toLong, java.sql.Date.valueOf(day),
+        java.sql.Timestamp.from(
+          day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+    }
+    val df = rows.toDF("id", "d", "ts")
+    cat.createTable("loads", df.schema)
+    cat.append("loads", df.coalesce(1), 1000L)
+
+    eng.sql("COMPUTE STATS loads WITH HISTOGRAM")
+    val s = TS.readStats(st, "loads").get
+    val dh = s.cols.find(_.column == "d").get.hist.get
+    val th = s.cols.find(_.column == "ts").get.hist.get
+    // date bins are epoch DAYS, timestamp bins epoch MICROS — the
+    // domains FilterEstimation converts range literals into
+    val hotDay = base.toEpochDay.toDouble
+    assert(dh.bins.head.lo == hotDay, dh.bins.head)
+    assert(dh.bins.count(b => b.lo == hotDay && b.hi == hotDay) >=
+      dh.bins.size / 2, dh.bins)
+    val hotMicros = hotDay * 86400L * 1000000L
+    assert(th.bins.head.lo == hotMicros, th.bins.head)
+
+    // estimate quality flip on `d >= base + 500 days` (~5% of rows):
+    // uniform min/max interpolation says ~50%, the histogram ~5%
+    val cut = java.sql.Date.valueOf(base.plusDays(500)).toString
+    def est(): Long =
+      eng.sql(s"SELECT * FROM loads WHERE d >= DATE '$cut'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(-1L)
+    val truth = rows.count(_._2.toLocalDate.toEpochDay >= base.plusDays(500).toEpochDay)
+    val hist = est()
+    eng.sql("COMPUTE STATS loads") // drop the histogram, keep min/max
+    val uniform = est()
+    assert(uniform > truth * 3,
+      s"uniform should over-estimate: est=$uniform truth=$truth")
+    assert(hist < truth * 2 && hist > truth / 2,
+      s"histogram should be honest: est=$hist truth=$truth")
+  }
+
+  test("NDV extrapolates with live row growth between stats passes " +
+      "(capped at live rows)") {
+    val (cat, eng) = fixture()
+    // unique key: stats at 100 rows, then the table grows 10×
+    val d1 = (0 until 100).map(i => (i.toLong, i % 7)).toDF("k", "m")
+    cat.createTable("grow", d1.schema)
+    cat.append("grow", d1, 1000L)
+    eng.sql("COMPUTE STATS grow")
+    def kNdv(): BigInt = {
+      val stats = spark.table("grow").queryExecution.optimizedPlan.stats
+      stats.attributeStats.collectFirst {
+        case (a, cs) if a.name == "k" => cs.distinctCount.get
+      }.get
+    }
+    val before = kNdv()
+    assert(before <= 110, s"pre-growth NDV ~100, got $before")
+    cat.append("grow",
+      (100 until 1000).map(i => (i.toLong, i % 7)).toDF("k", "m"), 2000L)
+    val after = kNdv()
+    // a unique key's NDV follows the live row count — the stale-NDV
+    // plan (join output estimated 10× low) must not survive growth
+    assert(after > 800 && after <= 1000,
+      s"grown NDV should scale toward live rows, got $after")
+    // live rows cap: the low-cardinality column never exceeds them
+    val mNdv = spark.table("grow").queryExecution.optimizedPlan.stats
+      .attributeStats.collectFirst {
+        case (a, cs) if a.name == "m" => cs.distinctCount.get
+      }.get
+    assert(mNdv <= 1000)
+    // row count itself was already growth-safe
+    assert(spark.table("grow").queryExecution.optimizedPlan.stats
+      .rowCount.contains(BigInt(1000)))
+  }
+
+  test("stats attach reads the byte total from the commit summary — " +
+      "equal to the hydrated sum, with NO manifest hydration") {
+    val (cat, eng) = fixture()
+    val st = cat.store()
+    val df = (0 until 2000).map(i => (i.toLong, i % 50)).toDF("id", "k")
+    cat.createTable("many", df.schema)
+    // 70 files > the manifest threshold (64): the snapshot's file list
+    // is manifest-backed, so an accidental hydration is observable
+    cat.append("many", df.repartition(70), 1000L)
+    eng.sql("COMPUTE STATS many")
+    val hydratedSum = st.dataFilesAsOf("many", None).map(_.bytes).sum
+    assert(hydratedSum > 0)
+    assert(st.totalDataBytesAsOf("many").contains(hydratedSum))
+    // attach to a PRE-BUILT relation: the summary fast path must not
+    // touch the manifest (at 10⁶ files that is a metadata storm per
+    // registerView)
+    val rel = st.read("many")
+    val before = SnapshotLog.manifestHydrations.get()
+    val attached = cat.withTableStats("many", rel)
+    assert(SnapshotLog.manifestHydrations.get() == before,
+      "stats attach must not hydrate the manifest")
+    assert(attached.queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(2000)))
+  }
+
   test("stats follow schema evolution: RENAME re-keys the entry, DROP " +
       "removes it") {
     val (cat, eng) = fixture()
@@ -131,6 +240,27 @@ class TableStatsSpec extends AnyFunSuite {
     assert(!TS.readStats(st, "p").get.cols.exists(_.column == "town"))
     assert(eng.sql("SHOW COLUMN STATS p").collect()
       .forall(r => r.getString(0) != "town" && r.getString(0) != "city"))
+  }
+
+  test("time-travel pin survives stats bounds beyond a widened column's " +
+      "HISTORICAL type (bound dropped per leaf, not an optimizer crash)") {
+    val (cat, eng) = fixture()
+    val df = (0 until 10).map(i => (i, s"r$i")).toDF("v", "name")
+    cat.createTable("w", df.schema)
+    cat.append("w", df, 1000L)
+    cat.widenColumn("w", "v", org.apache.spark.sql.types.LongType)
+    cat.append("w", Seq((3000000000L, "big")).toDF("v", "name"), 2000L)
+    // the recorded max (3000000000) round-trips the CURRENT long type
+    // but NOT the pinned relation's historical int attribute — plan-time
+    // CatalogColumnStat parsing would throw NumberFormatException if the
+    // bound were attached unvalidated
+    eng.sql("COMPUTE STATS w")
+    val pinned = eng.sql("SELECT count(*) AS n, max(v) AS mx FROM w " +
+      "FOR SYSTEM_TIME AS OF '1970-01-01 00:00:01.500'").head()
+    assert(pinned.getLong(0) == 10L && pinned.getInt(1) == 9)
+    // the live read still carries the full bounds
+    val live = eng.sql("SELECT count(*) AS n, max(v) AS mx FROM w").head()
+    assert(live.getLong(0) == 11L && live.getLong(1) == 3000000000L)
   }
 
   test("SQL surface: COMPUTE STATS / ANALYZE TABLE / SHOW TABLE STATS / " +

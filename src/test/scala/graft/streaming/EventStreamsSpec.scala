@@ -311,6 +311,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Set(("1", "2"), ("3", "4")), s"got $got")
   }
 
+  test("a late-data-only batch never pulls the eviction clock EARLIER: " +
+      "the bucket expires at LIFETIME max activity + horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF.toDF("doc_id", "text", "ts")
+    val pairs = EventStreams.nearDupStream(spark, docs,
+      "doc_id", "text", "ts", stateTimeout = None,
+      eventTimeTimeoutMs = Some(60_000L), // 1-minute horizon
+      watermarkDelay = "50 seconds")
+    val sink = "neardup_late_sink"
+    val q = pairs.toDF.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    try {
+      // bucket's lifetime max activity: t=100 → expires at t=160
+      input.addData(Seq((1L, a, at(100L))))
+      q.processAllAvailable()
+      // LATE twin at t=60 (above the watermark, below the bucket's max)
+      // — under the old per-batch clock this moved the timeout to
+      // t=120, evicting 40 s early
+      input.addData(Seq((5L, a, at(60L)), (2L, "zq xv qj wk vz kx jq wv",
+        at(160L))))
+      q.processAllAvailable()
+      // two non-colliding advancers push the watermark to 130 — past
+      // the buggy t=120 clock, still short of the honest t=160
+      input.addData(Seq((7L, "pf gy fb yd gp bf yg df", at(180L))))
+      q.processAllAvailable()
+      input.addData(Seq((8L, "mw ck wn km cw nk wm kc", at(200L))))
+      q.processAllAvailable()
+      // t=155 twin: inside "last activity + horizon", so it MUST still
+      // pair with both earlier twins
+      input.addData(Seq((3L, a, at(155L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).as[(String, String)].collect().toSet
+    assert(got == Set(("1", "5"), ("1", "3"), ("5", "3")), s"got $got")
+  }
+
   test("the two timeout clocks are mutually exclusive") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
