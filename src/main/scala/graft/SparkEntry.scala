@@ -3603,6 +3603,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Language ID against PLANTED ground truth — one stopworded
+    // sentence AND one stopword-free technical/compound document per
+    // language, plus unspaced Chinese and junk. The stopword-free and
+    // unspaced rows are exactly what the old stopword-argmax operator
+    // misclassified to "und" (no function words to match; Chinese
+    // without spaces tokenized to one giant unmatched "word") — the
+    // char-trigram profiles must label ALL of them.
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1L, "the cat is on the mat and it is very happy there"),
+        (2L, "der hund ist nicht in der küche und das ist auch gut"),
+        (3L, "le chat est dans la maison et il est très content"),
+        (4L, "el gato es un animal y la casa es grande"),
+        (5L, "il gatto è un animale che dorme nella casa"),
+        (6L, "o cachorro não está em casa e a menina é grande demais"),
+        (7L, "installation requirements troubleshooting documentation"),
+        (8L, "geschwindigkeitsbegrenzung versicherungsunternehmen"),
+        (9L, "téléchargement développement référencement"),
+        (10L, "programación internacionalización automatización"),
+        (11L, "internazionalizzazione configurazione ottimizzazione"),
+        (12L, "programação internacionalização automatização"),
+        (13L, "这是一个没有空格的中文测试文档"),
+        (14L, "zxcv qwer asdf mnbv"))
+      planted.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID + composite quality score + fingerprint presence. The
     // quality composite and the stopword-argmax langId are plain
     // arithmetic/set ops — fully oracle-checked; the rolling-hash VALUE
@@ -5360,49 +5390,45 @@ object SparkEntry {
       """SELECT doc_id, true AS twin_match, true AS injective_sample
         |FROM documents WHERE doc_id < 25 ORDER BY doc_id""".stripMargin,
 
+    // planted ground truth: the labels ARE the oracle (classification
+    // quality, not a mirrored formula)
+    "q_lang_id" ->
+      """SELECT doc_id, pred_lang FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'en'), (2, 'de'), (3, 'fr'), (4, 'es'),
+        |  (5, 'it'), (6, 'pt'), (7, 'en'), (8, 'de'), (9, 'fr'),
+        |  (10, 'es'), (11, 'it'), (12, 'pt'), (13, 'zh'), (14, 'und'))
+        |  AS t(doc_id, pred_lang)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_doc_fingerprint" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |         CAST(length(text) AS DOUBLE) AS len,
-        |         string_split_regex(trim(lower(text)), '\s+') AS tk,
+        |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+        |              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS ntok
         |  FROM documents
         |), comp AS (
-        |  SELECT doc_id, len, tk, ntok,
+        |  SELECT doc_id, text, len, tk, ntok,
         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
         |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS punct,
         |    CAST(len(list_intersect(tk, ['the','a','an','and','or','of','to','in',
         |      'is','it','that','for','on','with','as','are','was','be','this','at','by'])) AS DOUBLE) AS stop
         |  FROM base
         |), scored AS (
-        |  SELECT doc_id, tk,
+        |  SELECT doc_id, text,
         |    least(len/500.0, 1.0) AS length_score,
         |    CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END AS alpha_ratio,
         |    CASE WHEN len > 0 THEN 1.0 - least(punct/len*10.0, 1.0) ELSE 0.0 END AS punct_penalty,
         |    CASE WHEN ntok > 0 THEN least(stop/ntok*2.0, 1.0) ELSE 0.0 END AS stop_ratio
         |  FROM comp
-        |), best AS (
-        |  SELECT doc_id, length_score, alpha_ratio, punct_penalty, stop_ratio,
-        |    greatest(
-        |      printf('%02d', len(list_intersect(tk, ['the','a','an','and','or','of','to','in',
-        |        'is','it','that','for','on','with','as','are','was','be','this','at','by']))) || 'en',
-        |      printf('%02d', len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein',
-        |        'eine','zu','mit','auf','für','von','den','im']))) || 'de',
-        |      printf('%02d', len(list_intersect(tk, ['le','la','les','et','est','un','une','des',
-        |        'du','pour','dans','que','qui','sur','avec']))) || 'fr',
-        |      printf('%02d', len(list_intersect(tk, ['el','la','los','las','y','es','un','una',
-        |        'de','en','que','por','para','con','no']))) || 'es',
-        |      printf('%02d', len(list_intersect(tk, ['的','是','了','在','我','有','和','就',
-        |        '不','人']))) || 'zh') AS b
-        |  FROM scored
         |)
         |SELECT doc_id,
         |  floor((length_score + alpha_ratio + punct_penalty + stop_ratio)/4.0
         |        * 10000 + 0.5)/10000 AS quality,
-        |  CASE WHEN substr(b, 1, 2) <> '00' THEN substr(b, 3) ELSE 'und' END AS pred_lang,
+        |  ${graft.ext.TextAnalysis.langIdOracleSqlExpr("text")} AS pred_lang,
         |  TRUE AS has_fingerprint
-        |FROM best ORDER BY doc_id""".stripMargin,
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, TRUE AS assigned, TRUE AS stable

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   *    aggregated single-row frame that is broadcast back, so the whole
   *    query is scan → 1-row-agg → broadcast → TakeOrderedAndProject.
   *    Nothing shuffles the corpus.
-  *  - `lmSurprisal`: one explode + token-count shuffle builds the
-  *    unigram model; the vocabulary is capped (`vocabCap`, default
+  *  - `lmSurprisal`: one explode + one count shuffle PER MODEL ORDER
+  *    (unigram, bigram; the left-context counts re-aggregate the
+  *    bigram frame, never the corpus) builds the interpolated-bigram
+  *    model; every vocabulary cut is capped (`vocabCap`, default
   *    50 k) via TakeOrderedAndProject so the model side is always
-  *    broadcastable regardless of corpus size; scoring is a broadcast
-  *    left join + one per-doc partial-avg shuffle. OOV mass is add-one
-  *    smoothing over the FULL token total, so the capped model is a
-  *    proper distribution, not a truncated one.
+  *    broadcastable regardless of corpus size; scoring is broadcast
+  *    left joins + one per-doc partial-avg shuffle. OOV mass is
+  *    add-one smoothing over the FULL totals, so the capped model is
+  *    a proper distribution, not a truncated one.
   */
 object Search {
 
@@ -118,41 +120,70 @@ object Search {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
-  /** Per-document unigram-LM surprisal (CCNet-style statistical
-    * quality scoring): build an add-one-smoothed unigram model from the
-    * corpus itself, score every document by its mean token surprisal
-    * −ln p(t), and return the `k` HIGHEST-surprisal documents — the
-    * out-of-distribution tail a curation pipeline inspects or drops
-    * (exp(nll) is the conventional per-doc perplexity; kept in log
-    * space so the oracle compares small stable numbers).
+  /** Per-document mean token surprisal under the corpus's own
+    * INTERPOLATED BIGRAM model (Jelinek–Mercer, λ = 0.5) — the scoring
+    * core shared by [[lmSurprisal]] (top-k) and [[perplexityBuckets]]
+    * (CCNet-style corpus partitioning, Wenzek et al., LREC 2020; the
+    * original uses a 5-gram KenLM — a bigram keeps the same
+    * out-of-distribution signal while staying one count aggregation
+    * per order). Word ORDER now matters: a shuffled-word document
+    * scores strictly worse than its fluent twin, which a unigram model
+    * provably cannot see (same token multiset → same score).
     *
-    * p(t) = (c_t + 1) / (T + V + 1) for the top-`vocabCap` tokens,
-    * p(OOV) = 1 / (T + V + 1); T = total corpus tokens, V = |vocab|.
-    */
-  /** Per-document mean token surprisal under the corpus's own add-one-
-    * smoothed unigram model — the scoring core shared by
-    * [[lmSurprisal]] (top-k) and [[perplexityBuckets]] (CCNet-style
-    * corpus partitioning). One count aggregation fits the model; the
-    * broadcastable vocab is the top-V cut (TakeOrderedAndProject —
-    * never a full sort); scoring is a broadcast join. */
+    * Model (all add-one smoothed on top-`vocabCap` cuts, OOV floors):
+    *   p1(t)    = (c1(t) + 1) / (T + V1 + 1)
+    *   p2(b|a)  = (c2(a,b) + 1) / (cl(a) + V2 + 1)
+    *   p(t_0)   = p1(t_0)
+    *   p(t_i)   = 0.5·p2(t_i|t_{i-1}) + 0.5·p1(t_i)      (i ≥ 1)
+    *   nll      = mean over tokens of −ln p   (exp(nll) = perplexity)
+    * T = total corpus tokens, V1/V2 = capped uni/bigram vocab sizes,
+    * cl(a) = times `a` opens a bigram (its left-context mass).
+    *
+    * Scale posture: one count aggregation PER ORDER over the token
+    * explosion (the left-context counts re-aggregate the bigram frame,
+    * never the corpus), every model cut is a broadcastable top-V
+    * (TakeOrderedAndProject — never a full sort), and scoring is
+    * broadcast joins over the explosion — no shuffle grows past the
+    * token count itself. */
   def lmScores(docs: DataFrame, idCol: String, textCol: String,
       vocabCap: Int = 50000): DataFrame = {
-    val exploded = docs.select(col(idCol).as("_id"),
-      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
-    val counts = exploded.groupBy(col("_tok"))
+    val toksCol = split(TextAnalysis.normalize(col(textCol)), " ")
+    // (cur, prev) per token; prev NULL opens the document (position 0)
+    val terms = docs.select(col(idCol).as("_id"), toksCol.as("_arr"))
+      .select(col("_id"), explode(transform(col("_arr"), (t, i) =>
+        struct(t.as("c"), get(col("_arr"), i - 1).as("p")))).as("_tk"))
+      .select(col("_id"), col("_tk.c").as("_cur"), col("_tk.p").as("_prev"))
+    val counts = terms.groupBy(col("_cur").as("_tok"))
       .agg(count(lit(1)).cast("double").as("_c"))
-    // Model totals come from the FULL count frame; the broadcastable
-    // vocab is the top-V cut (TakeOrderedAndProject — never a full sort).
+    // Model totals come from the FULL count frames; the broadcastable
+    // vocabs are top-V cuts (TakeOrderedAndProject — never a full sort).
     val vocab = counts.orderBy(col("_c").desc, col("_tok")).limit(vocabCap)
+    val bi = terms.filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("_bp"), col("_cur").as("_bc"))
+      .agg(count(lit(1)).cast("double").as("_c2"))
+    val bivocab = bi.orderBy(col("_c2").desc, col("_bp"), col("_bc"))
+      .limit(vocabCap)
+    val leftvocab = bi.groupBy(col("_bp").as("_lp"))
+      .agg(sum(col("_c2")).as("_cl"))
+      .orderBy(col("_cl").desc, col("_lp")).limit(vocabCap)
     val stats = counts.agg(sum(col("_c")).as("_t"),
-      least(count(lit(1)), lit(vocabCap.toLong)).cast("double").as("_v"))
-    val surprisal = -log((coalesce(col("_c"), lit(0.0)) + lit(1.0)) /
-      (col("_t") + col("_v") + lit(1.0)))
-    exploded
-      .join(broadcast(vocab), Seq("_tok"), "left")
+        least(count(lit(1)), lit(vocabCap.toLong)).cast("double").as("_v"))
+      .crossJoin(bi.agg(least(count(lit(1)), lit(vocabCap.toLong))
+        .cast("double").as("_v2")))
+    val p1 = (coalesce(col("_c"), lit(0.0)) + lit(1.0)) /
+      (col("_t") + col("_v") + lit(1.0))
+    val p2 = (coalesce(col("_c2"), lit(0.0)) + lit(1.0)) /
+      (coalesce(col("_cl"), lit(0.0)) + col("_v2") + lit(1.0))
+    val tokNll = when(col("_prev").isNull, -log(p1))
+      .otherwise(-log(p2 * lit(0.5) + p1 * lit(0.5)))
+    terms
+      .join(broadcast(vocab), col("_cur") === col("_tok"), "left")
+      .join(broadcast(bivocab),
+        col("_prev") === col("_bp") && col("_cur") === col("_bc"), "left")
+      .join(broadcast(leftvocab), col("_prev") === col("_lp"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("_id"))
-      .agg(round(avg(surprisal), 4).as("nll"),
+      .agg(round(avg(tokNll), 4).as("nll"),
         count(lit(1)).as("n_tokens"))
       .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
   }
@@ -268,26 +299,56 @@ object Search {
        |GROUP BY t.doc_id
        |ORDER BY weight DESC, t.doc_id LIMIT $k""".stripMargin
 
-  /** DuckDB replay of [[lmSurprisal]] over table `documents`. */
+  /** DuckDB replay of [[lmSurprisal]] over table `documents` — the FULL
+    * interpolated-bigram arithmetic: same counts, same top-V cuts (same
+    * tie-breaks), same add-one floors, same λ = 0.5 mix, term order
+    * matched so the rounded doubles agree bit-for-bit. */
   def lmOracleSql(k: Int, vocabCap: Int = 50000): String =
-    s"""WITH toks AS (
+    s"""WITH arrs AS (
        |  SELECT doc_id,
-       |         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
-       |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS _tok
+       |         string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS _arr
        |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, _arr,
+       |         unnest(generate_series(1, len(_arr))) AS _i
+       |  FROM arrs
+       |), pairs AS (
+       |  SELECT doc_id, _arr[_i] AS _cur,
+       |         CASE WHEN _i > 1 THEN _arr[_i - 1] END AS _prev
+       |  FROM idx
        |), counts AS (
-       |  SELECT _tok, CAST(count(*) AS DOUBLE) AS _c FROM toks GROUP BY _tok
+       |  SELECT _cur AS _tok, CAST(count(*) AS DOUBLE) AS _c
+       |  FROM pairs GROUP BY 1
        |), vocab AS (
        |  SELECT _tok, _c FROM counts ORDER BY _c DESC, _tok LIMIT $vocabCap
+       |), bi AS (
+       |  SELECT _prev AS _bp, _cur AS _bc, CAST(count(*) AS DOUBLE) AS _c2
+       |  FROM pairs WHERE _prev IS NOT NULL GROUP BY 1, 2
+       |), bivocab AS (
+       |  SELECT _bp, _bc, _c2 FROM bi ORDER BY _c2 DESC, _bp, _bc LIMIT $vocabCap
+       |), leftvocab AS (
+       |  SELECT _bp AS _lp, sum(_c2) AS _cl FROM bi GROUP BY 1
+       |  ORDER BY _cl DESC, _lp LIMIT $vocabCap
        |), stats AS (
-       |  SELECT sum(_c) AS _t,
-       |         CAST(least(count(*), $vocabCap) AS DOUBLE) AS _v
-       |  FROM counts
+       |  SELECT (SELECT sum(_c) FROM counts) AS _t,
+       |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM counts) AS _v,
+       |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM bi) AS _v2
        |)
-       |SELECT t.doc_id,
-       |       round(avg(-ln((coalesce(v._c, 0.0) + 1.0) / (s._t + s._v + 1.0))), 4) AS nll,
+       |SELECT p.doc_id,
+       |       round(avg(CASE WHEN p._prev IS NULL
+       |         THEN -ln((coalesce(v._c, 0.0) + 1.0) / (s._t + s._v + 1.0))
+       |         ELSE -ln(((coalesce(b._c2, 0.0) + 1.0) /
+       |                   (coalesce(l._cl, 0.0) + s._v2 + 1.0)) * 0.5 +
+       |                  ((coalesce(v._c, 0.0) + 1.0) /
+       |                   (s._t + s._v + 1.0)) * 0.5)
+       |         END), 4) AS nll,
        |       count(*) AS n_tokens
-       |FROM toks t LEFT JOIN vocab v ON t._tok = v._tok CROSS JOIN stats s
-       |GROUP BY t.doc_id
-       |ORDER BY nll DESC, t.doc_id LIMIT $k""".stripMargin
+       |FROM pairs p
+       |LEFT JOIN vocab v ON p._cur = v._tok
+       |LEFT JOIN bivocab b ON p._prev = b._bp AND p._cur = b._bc
+       |LEFT JOIN leftvocab l ON p._prev = l._lp
+       |CROSS JOIN stats s
+       |GROUP BY p.doc_id
+       |ORDER BY nll DESC, p.doc_id LIMIT $k""".stripMargin
 }

@@ -45,17 +45,62 @@ object TextAnalysis {
     round((lengthScore + alphaRatio + punctPenalty + stopRatio) / 4.0, 4)
   }
 
-  /** n-gram-free language ID heuristic: score = stopword hits per
-    * language over the token set; predicted language = argmax, "und"
-    * when nothing matches. Pure column expressions ⇒ distributed. */
+  /** Language ID by CHARACTER-TRIGRAM profile argmax (the
+    * Cavnar–Trenkle n-gram idea reduced to curated boundary-marked
+    * profiles), replacing the earlier stopword-argmax: stopword-free
+    * documents — code, tables, compound-heavy German, agglutinated
+    * technical terms — carry no function words at all, but their
+    * morphology ("ung", "ção", "zio", "éch") still votes. The text is
+    * letters-only lowercased with word boundaries kept as spaces, so
+    * profiles match affixes AND short function words (" th", "der").
+    * CJK has no useful trigram inventory to curate; Han-script
+    * dominance (≥ half the letters) short-circuits to "zh" — which
+    * also fixes the old operator's blind spot that unspaced Chinese
+    * tokenized to one giant "word" and matched nothing. Everything is
+    * a pure column expression ⇒ distributed, codegen'd, no UDFs. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = stopwordSets.map { case (lang, words) =>
-      struct(size(array_intersect(toks, lit(words.toArray))).as("hits"),
-        lit(lang).as("lang"))
+    val stripped = trim(regexp_replace(lower(text), "[^\\p{L}]+", " "))
+    val padded = concat(lit(" "), stripped, lit(" "))
+    val letters = length(regexp_replace(stripped, "\\s", ""))
+    val han = length(regexp_replace(stripped, "[^\\p{IsHan}]", ""))
+    val n = length(padded)
+    val tris = when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => padded.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val scored = trigramProfiles.map { case (lang, grams) =>
+      struct(size(filter(tris, t => array_contains(lit(grams.toArray), t)))
+        .as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    // minimum evidence: one stray trigram (" de" inside "def") must not
+    // label a document; two profile hits is the classify floor
+    when(han > 0 && han * 2 >= letters, lit("zh"))
+      .when(best.getField("hits") >= 2, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** DuckDB SQL expression replaying [[langId]] exactly over
+    * `textExpr` — generated from the SAME [[trigramProfiles]] literals
+    * so the oracle cannot drift from the operator. Trigram hits are
+    * zero-padded into sortable strings (this DuckDB lacks struct
+    * greatest); RE2 spells the Han class `\p{Han}` where Java uses
+    * `\p{IsHan}` — same character set. */
+  def langIdOracleSqlExpr(textExpr: String): String = {
+    val strip =
+      s"trim(regexp_replace(lower($textExpr), '[^\\p{L}]+', ' ', 'g'))"
+    val pad = s"(' ' || $strip || ' ')"
+    val tris = s"list_transform(range(1, length($pad) - 1), " +
+      s"i -> substr($pad, i, 3))"
+    def quote(g: String) = "'" + g.replace("'", "''") + "'"
+    val scored = trigramProfiles.map { case (lang, grams) =>
+      s"printf('%06d', len(list_filter($tris, t -> list_contains(" +
+        grams.map(quote).mkString("[", ",", "]") + s", t)))) || '$lang'"
+    }.mkString("greatest(", ", ", ")")
+    val letters = s"length(regexp_replace($strip, '\\s', '', 'g'))"
+    val han = s"length(regexp_replace($strip, '[^\\p{Han}]', '', 'g'))"
+    s"""CASE WHEN $han > 0 AND $han * 2 >= $letters THEN 'zh'
+       |     WHEN substr($scored, 1, 6) >= '000002' THEN substr($scored, 7)
+       |     ELSE 'und' END""".stripMargin
   }
 
   /** Order-sensitive document fingerprint (rolling hash over normalized
@@ -252,6 +297,35 @@ object TextAnalysis {
     "for", "on", "with", "as", "are", "was", "be", "this", "at", "by")
 
   /** Small per-language stopword lists (language-ID heuristic). */
+  /** Curated boundary-marked character-trigram profiles (the
+    * Cavnar–Trenkle inventory, hand-cut to each language's most
+    * distinctive function-word and affix trigrams — spaces mark word
+    * boundaries, so " th" is word-initial "th" and "ão " word-final
+    * "ão"). Public so [[langIdOracleSqlExpr]] embeds the same literals
+    * the operator scores with. Shared Romance trigrams ("que", "es ")
+    * appear in several profiles deliberately — the argmax is decided by
+    * the accent/affix trigrams ("ção" vs "ción" vs "zione"). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+      " of", "of ", " to", "to ", "ion", "tio", " is", "is ", "ed ",
+      "ent", " wh", "hat", "ou ", "ght"),
+    "de" -> Seq(" de", "der", "die", "das", " un", "und", "ein", "ich",
+      "sch", "che", "cht", "ung", " ge", "gen", "ver", "ter", " zu",
+      "eit", "ür ", "auf", "sse", "nen"),
+    "fr" -> Seq(" le", "le ", " la", "la ", " de", "de ", " et", "et ",
+      "es ", "que", " qu", "ue ", "ait", "eur", "oir", "ons", "ous",
+      "aux", "eux", "est", "ans", "ais", "élé", "éch", " dé", "éve",
+      "eme"),
+    "es" -> Seq(" el", "el ", " lo", "los", "las", " la", "la ", " es",
+      "es ", "os ", "as ", "ión", "ció", "ado", "aba", "ara", "nte",
+      "que", " qu", "ndo", " y "),
+    "it" -> Seq(" il", "il ", " di", "di ", "che", " ch", "zio", "ion",
+      "one", "gli", "ell", "lla", "tto", "tta", "are", "ere", "ire",
+      "ità", "per", " pe", "ano", "ono"),
+    "pt" -> Seq(" do", "do ", " da", "da ", " de", "de ", "ção", "çõe",
+      "ão ", "ões", "os ", "as ", "em ", " em", "que", " qu", "uma",
+      " um", "ara", "par", "nto", "açã"))
+
   val stopwordSets: Seq[(String, Seq[String])] = Seq(
     "en" -> englishStopwords,
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",

@@ -50,13 +50,17 @@ final class Engine(catalog: GraftCatalog) {
         case (Some(ms), _, _)  =>
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaAsOf(t, Some(ms)))
-            .getOrElse(pinnedQuery(stmt,
-              (db, t, cond) => pinnedPruned(db, t, cond, Some(ms))))
+            .getOrElse(pinnedQuery(stmt, (db, t, cond) => {
+              val (df, files) = pinnedPruned(db, t, cond, Some(ms))
+              (df, Some(files))
+            }))
         case (_, Some(id), _)  =>
           metadataAgg(stmt,
             (db, t) => catalog.store(db).snapshotMetaVersion(t, id))
-            .getOrElse(pinnedQuery(stmt,
-              (db, t, _) => catalog.store(db).readVersion(t, id)))
+            .getOrElse(pinnedQuery(stmt, (db, t, _) => {
+              val (df, files) = catalog.store(db).readVersionWithFiles(t, id)
+              (df, Some(files))
+            }))
         case (_, _, Some(tg))  =>
           // ref → resolved PER TABLE (table-scoped metadata; unknown
           // names fail loudly in resolveTag, never fall back). A BRANCH
@@ -70,9 +74,14 @@ final class Engine(catalog: GraftCatalog) {
             .getOrElse(pinnedQuery(stmt,
               (db, t, _) =>
                 if (catalog.store(db).branchExists(t, tg))
-                  catalog.store(db).readBranch(t, tg)
-                else catalog.store(db).readVersion(t,
-                  catalog.store(db).resolveTag(t, tg))))
+                  // branch file set = fork point + staged entries; its
+                  // size is not a snapshot-log line item — unscaled
+                  (catalog.store(db).readBranch(t, tg), None)
+                else {
+                  val (df, files) = catalog.store(db).readVersionWithFiles(
+                    t, catalog.store(db).resolveTag(t, tg))
+                  (df, Some(files))
+                }))
         case _                 =>
           // metadata-answered first (O(1)), then aggregate navigation
           // over a FRESH materialized view (O(view)), then the scan —
@@ -233,12 +242,21 @@ final class Engine(catalog: GraftCatalog) {
         val df = (asOf, version, tag) match {
           case (None, None, None) => prunedQuery(body)
           case (Some(ms), _, _) =>
-            pinnedQuery(body, (db, t, cond) => pinnedPruned(db, t, cond, Some(ms)))
+            pinnedQuery(body, (db, t, cond) => {
+              val (d, files) = pinnedPruned(db, t, cond, Some(ms))
+              (d, Some(files))
+            })
           case (_, Some(id), _) =>
-            pinnedQuery(body, (db, t, _) => catalog.store(db).readVersion(t, id))
+            pinnedQuery(body, (db, t, _) => {
+              val (d, files) = catalog.store(db).readVersionWithFiles(t, id)
+              (d, Some(files))
+            })
           case (_, _, Some(tg)) =>
-            pinnedQuery(body, (db, t, _) => catalog.store(db).readVersion(t,
-              catalog.store(db).resolveTag(t, tg)))
+            pinnedQuery(body, (db, t, _) => {
+              val (d, files) = catalog.store(db).readVersionWithFiles(t,
+                catalog.store(db).resolveTag(t, tg))
+              (d, Some(files))
+            })
         }
         df.createOrReplaceTempView(name)
       }
@@ -483,14 +501,18 @@ final class Engine(catalog: GraftCatalog) {
     * when one exists and the table is partitioned — AS-OF queries over a
     * day-partitioned table scan the day, not the snapshot. Any analysis
     * hiccup falls back to the unpruned pinned read (the filter stays on
-    * top, so pruning can only drop provably-unmatchable files). */
+    * top, so pruning can only drop provably-unmatchable files). Returns
+    * the scanned file list too, so the pin attaches statistics scaled
+    * to the snapshot's (or the pruned subset's) OWN logged rows/bytes —
+    * a 10×-smaller historical version, or a one-partition leg, must not
+    * plan at the current full-table size. */
   private def pinnedPruned(db: String, t: String,
       cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
-      asOfMs: Option[Long]): DataFrame =
+      asOfMs: Option[Long]): (DataFrame, Seq[graft.store.DataFile]) =
     cond.filter(_ => catalog.store(db).partitionSpec(t).isDefined)
-      .flatMap(c => scala.util.Try(catalog.store(db).readPruned(t,
+      .flatMap(c => scala.util.Try(catalog.store(db).readPrunedWithFiles(t,
         org.apache.spark.sql.GraftSqlShim.column(c), asOfMs)).toOption)
-      .getOrElse(catalog.store(db).read(t, asOfMs))
+      .getOrElse(catalog.store(db).readWithFiles(t, asOfMs))
 
   /** Rule 3 applies the clause to *every* table (`app-gradio.py:138`).
     * The statement is PARSED and each [[UnresolvedRelation]] naming a
@@ -519,7 +541,8 @@ final class Engine(catalog: GraftCatalog) {
     */
   private def pinnedQuery(stmt: String,
       pinnedRead: (String, String,
-        Option[org.apache.spark.sql.catalyst.expressions.Expression]) => DataFrame)
+        Option[org.apache.spark.sql.catalyst.expressions.Expression])
+        => (DataFrame, Option[Seq[graft.store.DataFile]]))
       : DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -572,11 +595,15 @@ final class Engine(catalog: GraftCatalog) {
         cond: Option[Expression]): LogicalPlan = {
       // only the UNPRUNED pin is cached — a condition-pruned plan is a
       // file subset and must never serve another reference. Pinned
-      // relations carry the table's catalog statistics like the live
-      // view does (the CURRENT stats — the best available estimate for
-      // a historical snapshot, and stats only shape plans, never rows).
-      def withStats(db: String, t: String, df: DataFrame): LogicalPlan =
-        catalog.forDatabase(db).withTableStats(t, df)
+      // relations carry the table's catalog statistics SCALED to the
+      // pinned snapshot's (or pruned subset's) own logged rows/bytes —
+      // NDV/bounds still ride the latest COMPUTE STATS pass (the best
+      // available estimate for a historical version, and stats only
+      // shape plans, never rows; bounds re-validate per leaf against
+      // the pinned relation's historical attribute types).
+      def withStats(db: String, t: String,
+          r: (DataFrame, Option[Seq[graft.store.DataFile]])): LogicalPlan =
+        catalog.forDatabase(db).withTableStats(t, r._1, prunedTo = r._2)
           .queryExecution.analyzed
       def pin(db: String, t: String): LogicalPlan = cond match {
         case Some(c) => withStats(db, t, pinnedRead(db, t, Some(c)))

@@ -1140,11 +1140,35 @@ final class TableStore(val root: HPath, spark: SparkSession) {
 
   /** Snapshot-id read (`FOR SYSTEM_VERSION AS OF`). Unknown ids raise —
     * silently returning empty would read as "no data at that version". */
-  def readVersion(table: String, snapshotId: Long): DataFrame = {
+  def readVersion(table: String, snapshotId: Long): DataFrame =
+    readVersionWithFiles(table, snapshotId)._1
+
+  /** [[readVersion]] plus the resolved snapshot's file list — the pin
+    * path attaches statistics scaled to the SNAPSHOT's own logged
+    * rows/bytes (a 10×-smaller historical version must not plan at
+    * today's size). */
+  private[graft] def readVersionWithFiles(table: String,
+      snapshotId: Long): (DataFrame, Seq[DataFile]) = {
     val snap = SnapshotLog.resolveVersion(fs, tableDir(table), snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"table $table has no snapshot id $snapshotId"))
-    readFileListAs(table, snap.files, schemaAt(table, snap))
+    (readFileListAs(table, snap.files, schemaAt(table, snap)), snap.files)
+  }
+
+  /** [[read]] plus the resolved file list (same stats-scaling seam as
+    * [[readVersionWithFiles]], for the AS-OF and latest pins). */
+  private[graft] def readWithFiles(table: String,
+      asOfMs: Option[Long]): (DataFrame, Seq[DataFile]) = asOfMs match {
+    case None =>
+      val files = dataFilesAsOf(table, None)
+      (readFileList(table, files), files)
+    case Some(_) =>
+      SnapshotLog.resolve(fs, tableDir(table), asOfMs) match {
+        case Some(snap) =>
+          (readFileListAs(table, snap.files, schemaAt(table, snap)),
+            snap.files)
+        case None => (readFileList(table, Seq.empty), Seq.empty)
+      }
   }
 
   /** Latest-snapshot read; `asOfMs` = time travel. Snapshot resolution →
@@ -1202,16 +1226,24 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * [[prunedFiles]]. Pruning is conservative, so wrapping this in the
     * original filter is always semantics-preserving. */
   def readPruned(table: String, predicate: Column,
-      asOfMs: Option[Long] = None): DataFrame = asOfMs match {
+      asOfMs: Option[Long] = None): DataFrame =
+    readPrunedWithFiles(table, predicate, asOfMs)._1
+
+  /** [[readPruned]] plus the KEPT file list, so the caller can scale
+    * attached statistics to the surviving subset. */
+  private[graft] def readPrunedWithFiles(table: String, predicate: Column,
+      asOfMs: Option[Long] = None): (DataFrame, Seq[DataFile]) = asOfMs match {
     case None =>
-      readFileList(table, prunedFiles(table, predicate, None))
+      val kept = prunedFiles(table, predicate, None)
+      (readFileList(table, kept), kept)
     // time travel: same snapshot-schema binding as read() — a pruned
     // AS-OF read must not render a different schema than the unpruned one
     case Some(_) =>
       SnapshotLog.resolve(fs, tableDir(table), asOfMs) match {
-        case Some(snap) => readFileListAs(table,
-          pruneList(table, snap.files, predicate), schemaAt(table, snap))
-        case None => readFileList(table, Seq.empty)
+        case Some(snap) =>
+          val kept = pruneList(table, snap.files, predicate)
+          (readFileListAs(table, kept, schemaAt(table, snap)), kept)
+        case None => (readFileList(table, Seq.empty), Seq.empty)
       }
   }
 

@@ -253,6 +253,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "EXPLAIN COST SELECT k FROM cost_t FOR SYSTEM_VERSION AS OF 1")
       .head().getString(0)
     assert(pinned.contains("rowCount=1.23E+3"), pinned)
+    // the table grows — the pin must keep ITS snapshot's row count,
+    // not inherit today's (a 10×-smaller historical version planned at
+    // current size would mis-rank every join above it)
+    cat.append("cost_t",
+      spark.range(10000).select((col("id") + 2000).as("k")), 2000L)
+    val live2 = eng.sql("EXPLAIN COST SELECT k FROM cost_t")
+      .head().getString(0)
+    assert(live2.contains("rowCount=1.12E+4"), live2)
+    val pinned2 = eng.sql(
+      "EXPLAIN COST SELECT k FROM cost_t FOR SYSTEM_VERSION AS OF 1")
+      .head().getString(0)
+    assert(pinned2.contains("rowCount=1.23E+3"), pinned2)
   }
 
   test("COMPUTE STATS drives NDV-based join REORDERING: the selective " +

@@ -110,6 +110,22 @@ class SearchSpec extends AnyFunSuite {
     assert(all == Map(1L -> 5L, 2L -> 2L))
   }
 
+  test("bigram LM: a shuffled-word document scores strictly worse than " +
+      "its fluent twin (same token multiset — unigram cannot see this)") {
+    // the corpus establishes "the cat sat on the mat" as the fluent
+    // phrase; doc 50 repeats it verbatim, doc 51 carries the SAME
+    // tokens in scrambled order, so every unigram statistic ties and
+    // only the bigram term can separate them
+    val background = (1L to 10L).map(i => i -> "the cat sat on the mat")
+    val fluent = 50L -> "the cat sat on the mat"
+    val shuffled = 51L -> "mat the on sat cat the"
+    val got = Search.lmScores(
+        docs(background :+ fluent :+ shuffled: _*), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(51L) > got(50L),
+      s"shuffled doc must score worse: fluent=${got(50L)} shuffled=${got(51L)}")
+  }
+
   test("lm surprisal plan: model joins broadcast; no sort-merge on tokens") {
     val d = docs(1L -> "a b", 2L -> "b c")
     val plan = Search.lmSurprisal(d, "doc_id", "text", 5)

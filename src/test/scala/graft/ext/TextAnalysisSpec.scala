@@ -31,16 +31,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == "the quick brown fox")
   }
 
-  test("langId picks the language with most stopword hits") {
+  test("langId picks the language with the most trigram-profile hits") {
     val texts = Seq(
       "the cat is on the mat and it is happy",
       "der hund ist nicht in der küche und das ist gut",
       "le chat est dans la maison et il est content",
       "el gato es un animal y la casa es grande",
-      "zxcv qwer asdf") // no stopwords at all
+      "zxcv qwer asdf") // no profile trigrams at all
     val out = texts.toDF("text")
       .select(TextAnalysis.langId(col("text")).as("lang")).as[String].collect()
     assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("langId classifies STOPWORD-FREE documents by morphology — " +
+      "compounds, technical terms, unspaced Chinese (the stopword-argmax " +
+      "blind spots)") {
+    val cases = Seq(
+      "installation requirements troubleshooting documentation" -> "en",
+      "geschwindigkeitsbegrenzung versicherungsunternehmen" -> "de",
+      "téléchargement développement référencement" -> "fr",
+      "programación internacionalización automatización" -> "es",
+      "internazionalizzazione configurazione ottimizzazione" -> "it",
+      "programação internacionalização automatização" -> "pt",
+      "这是一个没有空格的中文测试文档" -> "zh",
+      "def foo bar baz" -> "und", // one stray " de" stays under the floor
+      "" -> "und")
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2),
+      cases.map(_._1).zip(out).mkString("; "))
   }
 
   test("qualityScore lands in [0,1] and ranks prose above junk") {
