@@ -3364,13 +3364,17 @@ object SparkEntry {
     "q_ccnet_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
+      // score ONCE; the cutoff check and the operator share the frame
+      // (the operator itself persists it for its two consumers)
       val scored = graft.ext.Search.lmScores(docs, "doc_id", "text", lmVocabCap)
+        .persist()
       val cuts = scored.agg(
         expr("percentile(nll, 0.3333333333333333)").as("c1"),
         expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
       val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
       val kept = graft.ext.Search.perplexityBuckets(docs, "doc_id", "text",
-        rates = (1.0, 0.5, 0.1), vocabCap = lmVocabCap)
+        rates = (1.0, 0.5, 0.1), vocabCap = lmVocabCap,
+        precomputedScores = Some(scored))
         .groupBy("bucket").agg(count(lit(1)).as("kept"))
       val sizes = scored.withColumn("bucket",
           when(col("nll") <= c1, "head")

@@ -153,14 +153,20 @@ object Search {
       .select(col("_id"), explode(transform(col("_arr"), (t, i) =>
         struct(t.as("c"), get(col("_arr"), i - 1).as("p")))).as("_tk"))
       .select(col("_id"), col("_tk.c").as("_cur"), col("_tk.p").as("_prev"))
+    // Each count frame feeds TWO consumers (top-V cut + model totals;
+    // the bigram frame three — cut, left-context re-agg, totals), and
+    // Spark would re-run the corpus explosion for every subtree —
+    // persist the aggregates instead. Both are O(distinct grams), not
+    // O(corpus): disk-backed distributed cache, strictly cheaper than
+    // re-exploding 100 TB of text per consumer.
     val counts = terms.groupBy(col("_cur").as("_tok"))
-      .agg(count(lit(1)).cast("double").as("_c"))
+      .agg(count(lit(1)).cast("double").as("_c")).persist()
     // Model totals come from the FULL count frames; the broadcastable
     // vocabs are top-V cuts (TakeOrderedAndProject — never a full sort).
     val vocab = counts.orderBy(col("_c").desc, col("_tok")).limit(vocabCap)
     val bi = terms.filter(col("_prev").isNotNull)
       .groupBy(col("_prev").as("_bp"), col("_cur").as("_bc"))
-      .agg(count(lit(1)).cast("double").as("_c2"))
+      .agg(count(lit(1)).cast("double").as("_c2")).persist()
     val bivocab = bi.orderBy(col("_c2").desc, col("_bp"), col("_bc"))
       .limit(vocabCap)
     val leftvocab = bi.groupBy(col("_bp").as("_lp"))
@@ -210,8 +216,13 @@ object Search {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       rates: (Double, Double, Double) = (1.0, 0.5, 0.1),
       vocabCap: Int = 50000,
-      seed: Long = Splits.MixSeed): DataFrame = {
-    val scored = lmScores(docs, idCol, textCol, vocabCap)
+      seed: Long = Splits.MixSeed,
+      precomputedScores: Option[DataFrame] = None): DataFrame = {
+    // scores feed the cutoff aggregation AND the bucketing scan; a
+    // caller that already scored the corpus (pipeline reuse) passes
+    // the frame in instead of paying the model fit twice
+    val scored = precomputedScores
+      .getOrElse(lmScores(docs, idCol, textCol, vocabCap)).persist()
     val cuts = scored.agg(
       expr("percentile(nll, 0.3333333333333333)").as("c1"),
       expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
@@ -247,9 +258,12 @@ object Search {
       vocabCap: Int = 50000): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"), targetPred.as("_tgt"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
+    // vocab cut + totals both read this frame — persist (O(distinct
+    // tokens), never O(corpus)) so the explosion runs once, not twice
     val rawCounts = exploded.groupBy(col("_tok"))
       .agg(count(lit(1)).cast("double").as("_cr"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).cast("double").as("_ct"))
+      .persist()
     val vocab = rawCounts.orderBy(col("_cr").desc, col("_tok")).limit(vocabCap)
     val stats = rawCounts.agg(
       sum(col("_cr")).as("_tr"),
