@@ -490,7 +490,12 @@ final class GraftCatalog(val warehouse: HPath, val spark: SparkSession) {
                   org.apache.spark.sql.GraftSqlShim.withCatalogStats(
                     spark, df, graft.store.TableStats.toCatalogTable(
                       currentDb, name, schema, s, live, bs),
-                    dataPathPrefix = Some(st.dataDirPath(name)))
+                    dataPathPrefix = Some(st.dataDirPath(name)),
+                    // hydrated ONLY if the plan has several data scan
+                    // groups (merge-on-read) — each leaf then sizes to
+                    // its own files instead of k× claiming the table
+                    fileMetaThunk = Some(() => st.fileMetaByPath(name,
+                      prunedTo.getOrElse(filesThunk()))))
                 case None => df
               }
             case None => df

@@ -52,6 +52,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * one plan tree (stats attachment is scoped to it). */
   private[graft] def dataDirPath(table: String): String =
     fs.makeQualified(dataDir(table)).toUri.getPath
+
+  /** uri path → (records, bytes) for a file list — the per-leaf
+    * sizing input when one table renders as several scan groups
+    * (merge-on-read). */
+  private[graft] def fileMetaByPath(table: String,
+      files: Seq[DataFile]): Map[String, (Long, Long)] =
+    files.map(f => fs.makeQualified(absPath(table, f.path)).toUri.getPath
+      -> (f.records, f.bytes)).toMap
   private def absPath(table: String, rel: String): HPath =
     new HPath(tableDir(table), rel)
 

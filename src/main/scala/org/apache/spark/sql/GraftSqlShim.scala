@@ -79,9 +79,20 @@ object GraftSqlShim {
     * past int range would make the pinned read THROW in the optimizer.
     * Bounds that don't round-trip the attribute's own type are dropped
     * per leaf (estimation degrades gracefully; the read never breaks). */
+  /** `fileMetaThunk`: uri path → (records, bytes) for the table's live
+    * data files, fetched LAZILY and only when the plan holds MORE THAN
+    * ONE data relation — a merge-on-read population reads as one scan
+    * per equality-ref group plus a clean scan, and attaching the whole
+    * table's rowCount to EVERY group would make their union claim k×
+    * the table (enough to cost a CDC-mirrored dim a deserved
+    * broadcast). Each multi-leaf relation is re-sized to its own
+    * files' logged rows/bytes; unknown entries (legacy logs) keep the
+    * table-level numbers (conservative). */
   def withCatalogStats(spark: SparkSession, df: DataFrame,
       ct: org.apache.spark.sql.catalyst.catalog.CatalogTable,
-      dataPathPrefix: Option[String] = None): DataFrame = {
+      dataPathPrefix: Option[String] = None,
+      fileMetaThunk: Option[() => Map[String, (Long, Long)]] = None)
+      : DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def underData(lr: LogicalRelation): Boolean = dataPathPrefix match {
       case None => true
@@ -95,11 +106,34 @@ object GraftSqlShim {
         case _ => false
       }
     }
+    val analyzed = df.queryExecution.analyzed
+    val dataLeaves = analyzed.collect {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty && underData(lr) => lr
+    }
+    val fileMeta: Map[String, (Long, Long)] =
+      if (dataLeaves.size > 1) fileMetaThunk.map(_()).getOrElse(Map.empty)
+      else Map.empty
+    def leafSized(lr: LogicalRelation,
+        st: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
+        : org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+      if (fileMeta.isEmpty) return st
+      val metas = lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.inputFiles.toSeq.map(p =>
+            fileMeta.get(new org.apache.hadoop.fs.Path(p).toUri.getPath))
+        case _ => Seq(None)
+      }
+      if (metas.isEmpty || metas.exists(m => m.isEmpty || m.get._1 < 0 ||
+          m.get._2 < 0)) st
+      else st.copy(
+        sizeInBytes = BigInt(math.max(1L, metas.map(_.get._2).sum)),
+        rowCount = Some(BigInt(metas.map(_.get._1).sum)))
+    }
     def adapted(lr: LogicalRelation)
         : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
       val attrType = lr.output.map(a => a.name.toLowerCase -> a.dataType).toMap
       ct.copy(stats = ct.stats.map { st =>
-        st.copy(colStats = st.colStats.flatMap { case (name, c) =>
+        leafSized(lr, st).copy(colStats = st.colStats.flatMap { case (name, c) =>
           attrType.get(name.toLowerCase).map { dt =>
             def ok(v: Option[String]): Option[String] =
               v.filter(s => validColStatBound(s, name, dt))
@@ -108,7 +142,7 @@ object GraftSqlShim {
         })
       })
     }
-    ofRows(spark, df.queryExecution.analyzed.transform {
+    ofRows(spark, analyzed.transform {
       case lr: LogicalRelation if lr.catalogTable.isEmpty && underData(lr) =>
         lr.copy(catalogTable = Some(adapted(lr)))
     })

@@ -182,6 +182,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // so an unscoped attach would hand the 3-row scan a ~1000-row
     // estimate and poison the anti-join's build-side costing
     cat.store().equalityDelete("t_scope", Seq(5L, 6L, 7L).toDF("id"), 2000L)
+    // a post-delete append is CLEAN (sequence-number scoping), so the
+    // table renders as dirty-group scan + clean scan: two data leaves
+    cat.append("t_scope",
+      (2001 to 2500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), 3000L)
     eng.sql("COMPUTE STATS t_scope")
     val rels = spark.table("t_scope").queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr
@@ -189,14 +194,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val (data, deletes) = rels.partition(lr =>
       lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
         .forall(_.toUri.getPath.contains("/data/")))
-    assert(data.nonEmpty && deletes.nonEmpty,
+    assert(data.size >= 2 && deletes.nonEmpty,
       rels.map(_.relation.asInstanceOf[HadoopFsRelation]
         .location.rootPaths.mkString(",")))
-    assert(data.forall(_.catalogTable.exists(
-      _.stats.exists(_.rowCount.contains(BigInt(997))))),
-      "data relation must carry the table's stats")
     assert(deletes.forall(_.catalogTable.isEmpty),
       "delete-file scans must NOT inherit table stats")
+    // each data leaf sizes to ITS OWN files — the union must claim the
+    // table ONCE (1500 pre-delete upper bound across all leaves), never
+    // leaves × full-table (the bounds-pruned attach set marks only the
+    // one 250-row file holding keys 5..7 dirty, so the split here is
+    // dirty 250 + clean 1250)
+    val leafRows = data.flatMap(_.catalogTable.flatMap(
+      _.stats.flatMap(_.rowCount))).map(_.toLong).sorted
+    assert(leafRows.sum == 1500L && leafRows.forall(_ < 1500L),
+      s"per-leaf row counts must partition the table, got $leafRows")
   }
 
   test("prune-spliced relation's attached stats scale to the KEPT " +
