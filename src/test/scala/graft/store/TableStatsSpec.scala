@@ -146,18 +146,23 @@ class TableStatsSpec extends AnyFunSuite {
     // estimate quality flip on `d >= base + 500 days` (~5% of rows):
     // uniform min/max interpolation says ~50%, the histogram ~5%
     val cut = java.sql.Date.valueOf(base.plusDays(500)).toString
-    def est(): Long =
-      eng.sql(s"SELECT * FROM loads WHERE d >= DATE '$cut'")
+    def est(pred: String): Long =
+      eng.sql(s"SELECT * FROM loads WHERE $pred")
         .queryExecution.optimizedPlan.stats.rowCount
         .map(_.toLong).getOrElse(-1L)
+    val dPred = s"d >= DATE '$cut'"
+    val tsPred = s"ts >= TIMESTAMP '$cut 00:00:00'"
     val truth = rows.count(_._2.toLocalDate.toEpochDay >= base.plusDays(500).toEpochDay)
-    val hist = est()
+    val hist = est(dPred)
+    val histTs = est(tsPred)
     eng.sql("COMPUTE STATS loads") // drop the histogram, keep min/max
-    val uniform = est()
+    val uniform = est(dPred)
     assert(uniform > truth * 3,
       s"uniform should over-estimate: est=$uniform truth=$truth")
     assert(hist < truth * 2 && hist > truth / 2,
-      s"histogram should be honest: est=$hist truth=$truth")
+      s"date histogram should be honest: est=$hist truth=$truth")
+    assert(histTs < truth * 2 && histTs > truth / 2,
+      s"timestamp histogram should be honest: est=$histTs truth=$truth")
   }
 
   test("NDV extrapolates with live row growth between stats passes " +
