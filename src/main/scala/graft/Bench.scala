@@ -131,8 +131,14 @@ object Bench {
         // reclaim the entry's scratch warehouses OUTSIDE the timed body:
         // ~300 accumulated fixture warehouses of dirty page cache and
         // writeback otherwise tax every later entry's I/O (r14 measured
-        // a uniform ~1.2-1.4× inflation across the tail of the run)
+        // a uniform ~1.2-1.4× inflation across the tail of the run).
+        // Also drop cached/persisted frames: operators that persist
+        // model aggregates (the LM tier) would otherwise serve later
+        // entries — and the second pass — from cache, so per-entry
+        // times would attribute one entry's model fit to another and
+        // the min-of-runs basis would flatter cached entries.
         SparkEntry.cleanScratchDirs()
+        spark.catalog.clearCache()
         res
       }
       // q_embed_ivf bills k-means + index write to a query named like a
