@@ -219,6 +219,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(cat.store().lastStreamingBatchId("ueo", sink).contains(1L))
   }
 
+  test("upsertBatchExactlyOnce drops the reserved _commit_* bookkeeping " +
+      "columns even WITHOUT netting — a pre-netted feed selecting them " +
+      "must not leak them into the mirror schema") {
+    import spark.implicits._
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-ubk"), spark)
+    cat.createDatabase("default")
+    val plain = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("ubk", plain.schema)
+    // a change-feed batch carrying the feed's bookkeeping columns,
+    // wired with netOrdCol = None (caller pre-netted upstream)
+    val batch = Seq((1L, "a", 7L, 7000L), (2L, "b", 7L, 7000L))
+      .toDF("id", "v", "_commit_snapshot_id", "_commit_timestamp")
+    assert(EventStreams.upsertBatchExactlyOnce(cat, "ubk", "ckpt-B",
+      batch, 0L, Seq("id"), netOrdCol = None))
+    assert(cat.table("ubk").columns.toSeq == Seq("id", "v"),
+      cat.table("ubk").columns.toSeq)
+    assert(cat.table("ubk").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("upsertStream mirrors a netted CDC feed through micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
