@@ -67,8 +67,13 @@ object TextAnalysis {
     val tris = when(n >= 3,
         transform(sequence(lit(1), n - 2), i => padded.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
+    // hits saturate at 999999 — the oracle packs them into a %06d
+    // sortable pad, so the operator clamps identically (a real document
+    // never gets near 1M profile-trigram hits; this only pins the
+    // degenerate case to the same argmax on both engines)
     val scored = trigramProfiles.map { case (lang, grams) =>
-      struct(size(filter(tris, t => array_contains(lit(grams.toArray), t)))
+      struct(least(size(filter(tris,
+          t => array_contains(lit(grams.toArray), t))), lit(999999))
         .as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
@@ -92,9 +97,13 @@ object TextAnalysis {
     val tris = s"list_transform(range(1, length($pad) - 1), " +
       s"i -> substr($pad, i, 3))"
     def quote(g: String) = "'" + g.replace("'", "''") + "'"
+    // least(hits, 999999): a ≥1M-hit document would overflow the fixed
+    // %06d pad and misparse the substr split; Spark's greatest() over
+    // struct(hits, lang) compares the raw int, and hit counts that
+    // large are saturated identically across profiles anyway
     val scored = trigramProfiles.map { case (lang, grams) =>
-      s"printf('%06d', len(list_filter($tris, t -> list_contains(" +
-        grams.map(quote).mkString("[", ",", "]") + s", t)))) || '$lang'"
+      s"printf('%06d', least(len(list_filter($tris, t -> list_contains(" +
+        grams.map(quote).mkString("[", ",", "]") + s", t))), 999999)) || '$lang'"
     }.mkString("greatest(", ", ", ")")
     val letters = s"length(regexp_replace($strip, '\\s', '', 'g'))"
     val han = s"length(regexp_replace($strip, '[^\\p{Han}]', '', 'g'))"

@@ -148,7 +148,16 @@ object EventStreams {
     * eviction clock. Computing the timeout from only the current
     * batch's max would move it EARLIER when a batch delivers only late
     * data (tsMs below the bucket's prior max), evicting before
-    * "last activity + horizon" and silently dropping cross-batch pairs. */
+    * "last activity + horizon" and silently dropping cross-batch pairs.
+    *
+    * State-encoding compatibility: adding `maxTsMs` changed the
+    * flatMapGroupsWithState state schema, so a [[nearDupStream]]
+    * restarted from a checkpoint written BEFORE the field existed will
+    * fail to restore (or misdecode) its bucket state — upgrading across
+    * that boundary requires a FRESH checkpoint directory (standard
+    * Structured Streaming rule for stateful schema changes; Spark's
+    * state-schema validation rejects the mismatch rather than
+    * corrupting silently). */
   final case class BucketState(ids: Seq[String],
     maxTsMs: Long = Long.MinValue)
   final case class NearDupPair(id_a: String, id_b: String)

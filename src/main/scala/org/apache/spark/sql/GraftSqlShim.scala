@@ -133,11 +133,25 @@ object GraftSqlShim {
         : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
       val attrType = lr.output.map(a => a.name.toLowerCase -> a.dataType).toMap
       ct.copy(stats = ct.stats.map { st =>
-        leafSized(lr, st).copy(colStats = st.colStats.flatMap { case (name, c) =>
+        val sized = leafSized(lr, st)
+        // Cap NDV and nullCount at THIS relation's row count: a leaf
+        // sized to a pruned subset (partition-prune splice) or to its
+        // own files (merge-on-read groups) otherwise keeps table-level
+        // column stats, and a leg holding 1% of the rows with 100% NDV
+        // makes Catalyst's 1/ndv equality selectivity UNDER-estimate
+        // its join output — the risky direction (can wrongly qualify a
+        // broadcast) — while nullCount > rowCount drives null-filter
+        // selectivity past 1. Same bounded direction as the
+        // extrapolation cap in TableStats.toCatalogTable.
+        val cap = sized.rowCount
+        sized.copy(colStats = st.colStats.flatMap { case (name, c) =>
           attrType.get(name.toLowerCase).map { dt =>
             def ok(v: Option[String]): Option[String] =
               v.filter(s => validColStatBound(s, name, dt))
-            name -> c.copy(min = ok(c.min), max = ok(c.max))
+            name -> c.copy(
+              distinctCount = c.distinctCount.map(d => cap.fold(d)(d.min)),
+              nullCount = c.nullCount.map(n => cap.fold(n)(n.min)),
+              min = ok(c.min), max = ok(c.max))
           }
         })
       })

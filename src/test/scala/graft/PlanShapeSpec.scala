@@ -243,6 +243,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spliced.head.rowCount.contains(BigInt(100)), spliced.head)
     assert(spliced.head.sizeInBytes <
       full.find(_.rowCount.contains(BigInt(1000))).get.sizeInBytes)
+    // and the leg's COLUMN stats are capped at its own row count: the
+    // table-level NDV(id) = 1000 attached unchanged would make 1/ndv
+    // equality selectivity UNDER-estimate the leg's join output — the
+    // risky direction (can wrongly qualify a broadcast)
+    spliced.foreach { st =>
+      val rc = st.rowCount.get
+      st.colStats.foreach { case (name, c) =>
+        c.distinctCount.foreach(d =>
+          assert(d <= rc, s"$name: NDV $d must be ≤ leaf rowCount $rc"))
+        c.nullCount.foreach(n =>
+          assert(n <= rc, s"$name: nullCount $n must be ≤ leaf rowCount $rc"))
+      }
+    }
+    // the table NDV really was above the cap (the assertion above is
+    // not vacuous): the full view still plans NDV(id) = 1000
+    val fullIdNdv = full.flatMap(_.colStats.get("id"))
+      .flatMap(_.distinctCount).headOption
+    assert(fullIdNdv.contains(BigInt(1000)), s"table NDV: $fullIdNdv")
   }
 
   test("EXPLAIN COST renders the catalog row count — on the live view " +
