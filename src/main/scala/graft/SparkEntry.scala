@@ -3348,10 +3348,11 @@ object SparkEntry {
       graft.ext.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         bm25Terms, 20)),
 
-    // Unigram-LM surprisal (CCNet-style statistical quality score): the
-    // corpus trains its own add-one-smoothed model (capped vocab →
-    // broadcastable at any corpus size); output = 20 most surprising
-    // documents — the OOD tail a curation pass reviews or drops.
+    // Interpolated-trigram-LM surprisal (CCNet-style statistical
+    // quality score): the corpus trains its own add-one-smoothed model
+    // (capped vocab → broadcastable at any corpus size); output = 20
+    // most surprising documents — the OOD tail a curation pass reviews
+    // or drops.
     "q_lm_surprisal" -> ((s, dir) =>
       graft.ext.Search.lmSurprisal(t(s, dir, "documents"), "doc_id", "text",
         20, lmVocabCap)),
@@ -3365,9 +3366,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count()
       // score ONCE; the cutoff check and the operator share the frame
-      // (the operator itself persists it for its two consumers)
+      // (lmScores returns it MATERIALIZED — every consumer is a cheap
+      // block read, and no persist outlives this entry)
       val scored = graft.ext.Search.lmScores(docs, "doc_id", "text", lmVocabCap)
-        .persist()
       val cuts = scored.agg(
         expr("percentile(nll, 0.3333333333333333)").as("c1"),
         expr("percentile(nll, 0.6666666666666666)").as("c2")).head()

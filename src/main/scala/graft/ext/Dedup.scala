@@ -94,7 +94,8 @@ object Dedup {
   // dead guard — Spark stores `<dir>/<uuid>`, never the raw conf value.)
   @volatile private var lastCheckpointDir: Option[(String, String)] = None
 
-  private[ext] def materializeAndFree(result: DataFrame, scratch: DataFrame): DataFrame = {
+  private[ext] def materializeAndFree(result: DataFrame,
+      scratch: DataFrame*): DataFrame = {
     val spark = result.sparkSession
     val out = spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) if dir.nonEmpty =>
@@ -108,7 +109,7 @@ object Dedup {
         result.checkpoint(eager = true)
       case _ => result.localCheckpoint(true)
     }
-    scratch.unpersist()
+    scratch.foreach(_.unpersist())
     out
   }
 

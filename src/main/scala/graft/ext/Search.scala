@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
   *    query is scan → 1-row-agg → broadcast → TakeOrderedAndProject.
   *    Nothing shuffles the corpus.
   *  - `lmSurprisal`: one explode + one count shuffle PER MODEL ORDER
-  *    (unigram, bigram; the left-context counts re-aggregate the
-  *    bigram frame, never the corpus) builds the interpolated-bigram
-  *    model; every vocabulary cut is capped (`vocabCap`, default
-  *    50 k) via TakeOrderedAndProject so the model side is always
-  *    broadcastable regardless of corpus size; scoring is broadcast
-  *    left joins + one per-doc partial-avg shuffle. OOV mass is
-  *    add-one smoothing over the FULL totals, so the capped model is
-  *    a proper distribution, not a truncated one.
+  *    (unigram, bigram, trigram; the context-mass counts re-aggregate
+  *    the gram frames, never the corpus) builds the interpolated-
+  *    trigram model; every vocabulary cut is capped (`vocabCap`,
+  *    default 50 k) via TakeOrderedAndProject so the model side is
+  *    always broadcastable regardless of corpus size; scoring is
+  *    broadcast left joins + one per-doc partial-avg shuffle. OOV mass
+  *    is add-one smoothing over the FULL totals, so the capped model
+  *    is a proper distribution, not a truncated one. Model frames are
+  *    unpersisted before returning (materialize-then-free — nothing
+  *    leaks into executor storage across operator calls).
   */
 object Search {
 
@@ -121,44 +123,69 @@ object Search {
   }
 
   /** Per-document mean token surprisal under the corpus's own
-    * INTERPOLATED BIGRAM model (Jelinek–Mercer, λ = 0.5) — the scoring
-    * core shared by [[lmSurprisal]] (top-k) and [[perplexityBuckets]]
-    * (CCNet-style corpus partitioning, Wenzek et al., LREC 2020; the
-    * original uses a 5-gram KenLM — a bigram keeps the same
-    * out-of-distribution signal while staying one count aggregation
-    * per order). Word ORDER now matters: a shuffled-word document
-    * scores strictly worse than its fluent twin, which a unigram model
-    * provably cannot see (same token multiset → same score).
+    * INTERPOLATED TRIGRAM model (Jelinek–Mercer backoff mix) — the
+    * scoring core shared by [[lmSurprisal]] (top-k) and
+    * [[perplexityBuckets]] (CCNet-style corpus partitioning, Wenzek et
+    * al., LREC 2020; the original uses a 5-gram KenLM — trigram is
+    * where this tier STOPS by design: one more order explodes the
+    * vocabulary for marginal signal without KenLM-style pruning).
+    * Word ORDER matters at range 3: a document with a transposed
+    * 3-token window scores strictly worse than its fluent twin even
+    * when every unigram AND bigram statistic ties (spec'd — a bigram
+    * model provably cannot see it).
     *
-    * Model (all add-one smoothed on top-`vocabCap` cuts, OOV floors):
-    *   p1(t)    = (c1(t) + 1) / (T + V1 + 1)
-    *   p2(b|a)  = (c2(a,b) + 1) / (cl(a) + V2 + 1)
-    *   p(t_0)   = p1(t_0)
-    *   p(t_i)   = 0.5·p2(t_i|t_{i-1}) + 0.5·p1(t_i)      (i ≥ 1)
-    *   nll      = mean over tokens of −ln p   (exp(nll) = perplexity)
-    * T = total corpus tokens, V1/V2 = capped uni/bigram vocab sizes,
-    * cl(a) = times `a` opens a bigram (its left-context mass).
+    * Model (all add-one smoothed on top-`vocabCap` cuts, OOV floors;
+    * the λ weights are binary-exact doubles so the oracle's literals
+    * reproduce them bit-for-bit):
+    *   p1(t)     = (c1(t) + 1) / (T + V1 + 1)
+    *   p2(c|b)   = (c2(b,c) + 1) / (cl2(b) + V2 + 1)
+    *   p3(c|a,b) = (c3(a,b,c) + 1) / (cl3(a,b) + V3 + 1)
+    *   p(t_0)    = p1(t_0)
+    *   p(t_1)    = 0.5·p2 + 0.5·p1
+    *   p(t_i)    = 0.5·p3 + 0.25·p2 + 0.25·p1              (i ≥ 2)
+    *   nll       = mean over tokens of −ln p  (exp(nll) = perplexity)
+    * T = total corpus tokens, V1/V2/V3 = capped vocab sizes, cl2(b) /
+    * cl3(a,b) = times the context opens a bi-/trigram (context mass).
     *
     * Scale posture: one count aggregation PER ORDER over the token
-    * explosion (the left-context counts re-aggregate the bigram frame,
+    * explosion (context-mass counts re-aggregate the gram frames,
     * never the corpus), every model cut is a broadcastable top-V
     * (TakeOrderedAndProject — never a full sort), and scoring is
     * broadcast joins over the explosion — no shuffle grows past the
-    * token count itself. */
+    * token count itself. Lifecycle: the returned frame is MATERIALIZED
+    * (per-doc scores — O(docs), tiny next to the corpus) and the three
+    * persisted model-count frames are unpersisted before returning, so
+    * a caller can never leak O(distinct-grams) cache blocks into the
+    * rest of the session ([[Dedup.materializeAndFree]] — the same
+    * discipline every dedup operator follows). */
   def lmScores(docs: DataFrame, idCol: String, textCol: String,
       vocabCap: Int = 50000): DataFrame = {
+    val (scores, scratch) = lmScoresRaw(docs, idCol, textCol, vocabCap)
+    Dedup.materializeAndFree(scores, scratch: _*)
+  }
+
+  /** The un-materialized scoring plan + the persisted scratch frames —
+    * split out so the plan-shape spec can assert the broadcast-join
+    * shape (the public [[lmScores]] checkpoints, which hides the
+    * scoring plan behind an RDD scan). Callers OWN the scratch frames'
+    * unpersist. */
+  private[ext] def lmScoresRaw(docs: DataFrame, idCol: String,
+      textCol: String, vocabCap: Int): (DataFrame, Seq[DataFrame]) = {
     val toksCol = split(TextAnalysis.normalize(col(textCol)), " ")
-    // (cur, prev) per token; prev NULL opens the document (position 0)
+    // (cur, prev, prev2) per token; prev NULL opens the document
+    // (position 0), prev2 NULL marks position ≤ 1
     val terms = docs.select(col(idCol).as("_id"), toksCol.as("_arr"))
       .select(col("_id"), explode(transform(col("_arr"), (t, i) =>
-        struct(t.as("c"), get(col("_arr"), i - 1).as("p")))).as("_tk"))
-      .select(col("_id"), col("_tk.c").as("_cur"), col("_tk.p").as("_prev"))
-    // Each count frame feeds TWO consumers (top-V cut + model totals;
-    // the bigram frame three — cut, left-context re-agg, totals), and
-    // Spark would re-run the corpus explosion for every subtree —
-    // persist the aggregates instead. Both are O(distinct grams), not
-    // O(corpus): disk-backed distributed cache, strictly cheaper than
-    // re-exploding 100 TB of text per consumer.
+        struct(t.as("c"), get(col("_arr"), i - 1).as("p"),
+          get(col("_arr"), i - 2).as("q")))).as("_tk"))
+      .select(col("_id"), col("_tk.c").as("_cur"), col("_tk.p").as("_prev"),
+        col("_tk.q").as("_prev2"))
+    // Each count frame feeds SEVERAL consumers (top-V cut + model
+    // totals; the gram frames also the context-mass re-agg), and Spark
+    // would re-run the corpus explosion for every subtree — persist the
+    // aggregates instead. All are O(distinct grams), not O(corpus):
+    // disk-backed distributed cache, strictly cheaper than re-exploding
+    // 100 TB of text per consumer. lmScores unpersists all three.
     val counts = terms.groupBy(col("_cur").as("_tok"))
       .agg(count(lit(1)).cast("double").as("_c")).persist()
     // Model totals come from the FULL count frames; the broadcastable
@@ -172,26 +199,46 @@ object Search {
     val leftvocab = bi.groupBy(col("_bp").as("_lp"))
       .agg(sum(col("_c2")).as("_cl"))
       .orderBy(col("_cl").desc, col("_lp")).limit(vocabCap)
+    val tri = terms.filter(col("_prev2").isNotNull)
+      .groupBy(col("_prev2").as("_ta"), col("_prev").as("_tb"),
+        col("_cur").as("_tc"))
+      .agg(count(lit(1)).cast("double").as("_c3")).persist()
+    val trivocab = tri.orderBy(col("_c3").desc, col("_ta"), col("_tb"),
+      col("_tc")).limit(vocabCap)
+    val left3vocab = tri.groupBy(col("_ta").as("_la"), col("_tb").as("_lb"))
+      .agg(sum(col("_c3")).as("_cl3"))
+      .orderBy(col("_cl3").desc, col("_la"), col("_lb")).limit(vocabCap)
     val stats = counts.agg(sum(col("_c")).as("_t"),
         least(count(lit(1)), lit(vocabCap.toLong)).cast("double").as("_v"))
       .crossJoin(bi.agg(least(count(lit(1)), lit(vocabCap.toLong))
         .cast("double").as("_v2")))
+      .crossJoin(tri.agg(least(count(lit(1)), lit(vocabCap.toLong))
+        .cast("double").as("_v3")))
     val p1 = (coalesce(col("_c"), lit(0.0)) + lit(1.0)) /
       (col("_t") + col("_v") + lit(1.0))
     val p2 = (coalesce(col("_c2"), lit(0.0)) + lit(1.0)) /
       (coalesce(col("_cl"), lit(0.0)) + col("_v2") + lit(1.0))
+    val p3 = (coalesce(col("_c3"), lit(0.0)) + lit(1.0)) /
+      (coalesce(col("_cl3"), lit(0.0)) + col("_v3") + lit(1.0))
     val tokNll = when(col("_prev").isNull, -log(p1))
-      .otherwise(-log(p2 * lit(0.5) + p1 * lit(0.5)))
-    terms
+      .when(col("_prev2").isNull, -log(p2 * lit(0.5) + p1 * lit(0.5)))
+      .otherwise(-log(p3 * lit(0.5) + p2 * lit(0.25) + p1 * lit(0.25)))
+    val scores = terms
       .join(broadcast(vocab), col("_cur") === col("_tok"), "left")
       .join(broadcast(bivocab),
         col("_prev") === col("_bp") && col("_cur") === col("_bc"), "left")
       .join(broadcast(leftvocab), col("_prev") === col("_lp"), "left")
+      .join(broadcast(trivocab),
+        col("_prev2") === col("_ta") && col("_prev") === col("_tb") &&
+          col("_cur") === col("_tc"), "left")
+      .join(broadcast(left3vocab),
+        col("_prev2") === col("_la") && col("_prev") === col("_lb"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("_id"))
       .agg(round(avg(tokNll), 4).as("nll"),
         count(lit(1)).as("n_tokens"))
       .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
+    (scores, Seq(counts, bi, tri))
   }
 
   def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,
@@ -212,7 +259,13 @@ object Search {
     * (nll is rounded to 4 decimals, so its distinct cardinality is
     * bounded) collected as two doubles; bucketing and the carve are
     * scan-local literal comparisons. No global sort anywhere — the
-    * naive ntile(3) spelling would be a single-task window. */
+    * naive ntile(3) spelling would be a single-task window.
+    *
+    * Lifecycle: [[lmScores]] already returns a MATERIALIZED frame, so
+    * both consumers here (cutoff agg + bucketing scan) are cheap block
+    * reads — nothing is persisted by this method, and a caller-supplied
+    * `precomputedScores` frame is never persisted behind the caller's
+    * back (the caller owns its frame's caching). */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       rates: (Double, Double, Double) = (1.0, 0.5, 0.1),
       vocabCap: Int = 50000,
@@ -222,7 +275,7 @@ object Search {
     // caller that already scored the corpus (pipeline reuse) passes
     // the frame in instead of paying the model fit twice
     val scored = precomputedScores
-      .getOrElse(lmScores(docs, idCol, textCol, vocabCap)).persist()
+      .getOrElse(lmScores(docs, idCol, textCol, vocabCap))
     val cuts = scored.agg(
       expr("percentile(nll, 0.3333333333333333)").as("c1"),
       expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
@@ -252,10 +305,23 @@ object Search {
     * explosion; the vocab cut broadcasts (top-V via
     * TakeOrderedAndProject, never a full sort), and the scoring pass is
     * the same broadcast-join-over-tokens shape as [[lmSurprisal]] — no
-    * shuffle grows with corpus size beyond the token count itself. */
+    * shuffle grows with corpus size beyond the token count itself.
+    * Lifecycle: the k-row result is materialized and the persisted
+    * count frame unpersisted before returning (same discipline as
+    * [[lmScores]]). */
   def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column, k: Int,
       vocabCap: Int = 50000): DataFrame = {
+    val (top, scratch) = dsirImportanceRaw(docs, idCol, textCol,
+      targetPred, k, vocabCap)
+    Dedup.materializeAndFree(top, scratch: _*)
+  }
+
+  /** Un-materialized [[dsirImportance]] plan + persisted scratch — the
+    * plan-shape spec seam (see [[lmScoresRaw]]). */
+  private[ext] def dsirImportanceRaw(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: org.apache.spark.sql.Column, k: Int,
+      vocabCap: Int): (DataFrame, Seq[DataFrame]) = {
     val exploded = docs.select(col(idCol).as("_id"), targetPred.as("_tgt"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("_tok"))
     // vocab cut + totals both read this frame — persist (O(distinct
@@ -274,7 +340,7 @@ object Search {
         (col("_tt") + col("_v") + lit(1.0))) -
       log((coalesce(col("_cr"), lit(0.0)) + lit(1.0)) /
         (col("_tr") + col("_v") + lit(1.0)))
-    exploded
+    val top = exploded
       .join(broadcast(vocab), Seq("_tok"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("_id"))
@@ -282,6 +348,7 @@ object Search {
       .orderBy(col("weight").desc, col("_id"))
       .limit(k)
       .select(col("_id").as(idCol), col("weight"), col("n_tokens"))
+    (top, Seq(rawCounts))
   }
 
   /** DuckDB replay of [[dsirImportance]] over table `documents`;
@@ -314,9 +381,10 @@ object Search {
        |ORDER BY weight DESC, t.doc_id LIMIT $k""".stripMargin
 
   /** DuckDB replay of [[lmSurprisal]] over table `documents` — the FULL
-    * interpolated-bigram arithmetic: same counts, same top-V cuts (same
-    * tie-breaks), same add-one floors, same λ = 0.5 mix, term order
-    * matched so the rounded doubles agree bit-for-bit. */
+    * interpolated-trigram arithmetic: same counts, same top-V cuts
+    * (same tie-breaks), same add-one floors, same binary-exact λ mix
+    * (0.5 / 0.25 / 0.25 at position ≥ 2, 0.5 / 0.5 at position 1),
+    * term order matched so the rounded doubles agree bit-for-bit. */
   def lmOracleSql(k: Int, vocabCap: Int = 50000): String =
     s"""WITH arrs AS (
        |  SELECT doc_id,
@@ -329,7 +397,8 @@ object Search {
        |  FROM arrs
        |), pairs AS (
        |  SELECT doc_id, _arr[_i] AS _cur,
-       |         CASE WHEN _i > 1 THEN _arr[_i - 1] END AS _prev
+       |         CASE WHEN _i > 1 THEN _arr[_i - 1] END AS _prev,
+       |         CASE WHEN _i > 2 THEN _arr[_i - 2] END AS _prev2
        |  FROM idx
        |), counts AS (
        |  SELECT _cur AS _tok, CAST(count(*) AS DOUBLE) AS _c
@@ -344,24 +413,46 @@ object Search {
        |), leftvocab AS (
        |  SELECT _bp AS _lp, sum(_c2) AS _cl FROM bi GROUP BY 1
        |  ORDER BY _cl DESC, _lp LIMIT $vocabCap
+       |), tri AS (
+       |  SELECT _prev2 AS _ta, _prev AS _tb, _cur AS _tc,
+       |         CAST(count(*) AS DOUBLE) AS _c3
+       |  FROM pairs WHERE _prev2 IS NOT NULL GROUP BY 1, 2, 3
+       |), trivocab AS (
+       |  SELECT _ta, _tb, _tc, _c3 FROM tri
+       |  ORDER BY _c3 DESC, _ta, _tb, _tc LIMIT $vocabCap
+       |), left3vocab AS (
+       |  SELECT _ta AS _la, _tb AS _lb, sum(_c3) AS _cl3 FROM tri GROUP BY 1, 2
+       |  ORDER BY _cl3 DESC, _la, _lb LIMIT $vocabCap
        |), stats AS (
        |  SELECT (SELECT sum(_c) FROM counts) AS _t,
        |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM counts) AS _v,
-       |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM bi) AS _v2
+       |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM bi) AS _v2,
+       |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM tri) AS _v3
        |)
        |SELECT p.doc_id,
-       |       round(avg(CASE WHEN p._prev IS NULL
+       |       round(avg(CASE
+       |         WHEN p._prev IS NULL
        |         THEN -ln((coalesce(v._c, 0.0) + 1.0) / (s._t + s._v + 1.0))
-       |         ELSE -ln(((coalesce(b._c2, 0.0) + 1.0) /
+       |         WHEN p._prev2 IS NULL
+       |         THEN -ln(((coalesce(b._c2, 0.0) + 1.0) /
        |                   (coalesce(l._cl, 0.0) + s._v2 + 1.0)) * 0.5 +
        |                  ((coalesce(v._c, 0.0) + 1.0) /
        |                   (s._t + s._v + 1.0)) * 0.5)
+       |         ELSE -ln(((coalesce(tv._c3, 0.0) + 1.0) /
+       |                   (coalesce(l3._cl3, 0.0) + s._v3 + 1.0)) * 0.5 +
+       |                  ((coalesce(b._c2, 0.0) + 1.0) /
+       |                   (coalesce(l._cl, 0.0) + s._v2 + 1.0)) * 0.25 +
+       |                  ((coalesce(v._c, 0.0) + 1.0) /
+       |                   (s._t + s._v + 1.0)) * 0.25)
        |         END), 4) AS nll,
        |       count(*) AS n_tokens
        |FROM pairs p
        |LEFT JOIN vocab v ON p._cur = v._tok
        |LEFT JOIN bivocab b ON p._prev = b._bp AND p._cur = b._bc
        |LEFT JOIN leftvocab l ON p._prev = l._lp
+       |LEFT JOIN trivocab tv ON p._prev2 = tv._ta AND p._prev = tv._tb
+       |                     AND p._cur = tv._tc
+       |LEFT JOIN left3vocab l3 ON p._prev2 = l3._la AND p._prev = l3._lb
        |CROSS JOIN stats s
        |GROUP BY p.doc_id
        |ORDER BY nll DESC, p.doc_id LIMIT $k""".stripMargin

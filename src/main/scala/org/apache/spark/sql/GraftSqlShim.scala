@@ -46,6 +46,14 @@ object GraftSqlShim {
   def sameTypeIgnoringNullability(a: types.DataType, b: types.DataType): Boolean =
     types.DataType.equalsIgnoreNullability(a, b)
 
+  /** Whether the session holds ZERO Dataset-level cache entries
+    * (`SharedState.cacheManager` is `private[sql]`) — the test seam for
+    * persist-lifecycle assertions: operators that persist scratch
+    * frames must unpersist them before returning, and a spec asserts
+    * the cache is empty right after the operator completes. */
+  def datasetCacheEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Typed [[Encoder]] from the Catalyst reflection factory
     * (`ExpressionEncoder` is a catalyst-internal class whose shape has
     * moved across Spark versions) — custom `Aggregator`s get their

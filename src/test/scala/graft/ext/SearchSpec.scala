@@ -126,13 +126,52 @@ class SearchSpec extends AnyFunSuite {
       s"shuffled doc must score worse: fluent=${got(50L)} shuffled=${got(51L)}")
   }
 
+  test("trigram LM: a 3-token-transposed doc scores strictly worse than " +
+      "its fluent twin even when every BIGRAM statistic ties") {
+    // doc 51 is an Eulerian re-walk of doc 50's bigram multigraph:
+    // identical token multiset, identical bigram multiset, same start
+    // token, same length — a bigram-interpolated model (multiset of
+    // (prev, cur) pairs is all it sees) scores them IDENTICALLY.
+    // Only the trigram term separates them: the corpus establishes
+    // "c a c" (inside the fluent walk), while the re-walk's "b a b"
+    // appears nowhere else.
+    val background = (1L to 10L).map(i => i -> "a b c a c b a")
+    val fluent = 50L -> "a b c a c b a"
+    val rearranged = 51L -> "a c b a b c a"
+    val got = Search.lmScores(
+        docs(background :+ fluent :+ rearranged: _*), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(51L) > got(50L),
+      s"re-walk must score worse: fluent=${got(50L)} rearranged=${got(51L)}")
+  }
+
+  test("lm tier persist lifecycle: no Dataset-level cache entries " +
+      "survive lmScores / perplexityBuckets / dsirImportance") {
+    spark.catalog.clearCache()
+    val d = docs((1L to 30L).map(i =>
+      i -> s"token$i the cat sat on the mat ${i % 3}"): _*)
+    Search.perplexityBuckets(d, "doc_id", "text", vocabCap = 100).count()
+    assert(org.apache.spark.sql.GraftSqlShim.datasetCacheEmpty(spark),
+      "perplexityBuckets/lmScores must unpersist their model frames")
+    Search.dsirImportance(d, "doc_id", "text",
+      col("doc_id") % 2 === 0, 5, vocabCap = 100).count()
+    assert(org.apache.spark.sql.GraftSqlShim.datasetCacheEmpty(spark),
+      "dsirImportance must unpersist its count frame")
+  }
+
   test("lm surprisal plan: model joins broadcast; no sort-merge on tokens") {
     val d = docs(1L -> "a b", 2L -> "b c")
-    val plan = Search.lmSurprisal(d, "doc_id", "text", 5)
-      .queryExecution.executedPlan.toString
+    // plan-shape on the RAW scoring plan (the public operator
+    // checkpoints, which hides the joins behind an RDD scan)
+    val (scores, scratch) = Search.lmScoresRaw(d, "doc_id", "text", 50000)
+    val plan = scores.queryExecution.executedPlan.toString
+    scratch.foreach(_.unpersist())
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the public top-k still plans a bounded TakeOrderedAndProject
+    val topPlan = Search.lmSurprisal(d, "doc_id", "text", 1)
+      .queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"), topPlan)
   }
 
   test("oracle SQL generators embed the configured parameters") {
@@ -181,9 +220,10 @@ class SearchSpec extends AnyFunSuite {
 
   test("dsir plan: model joins broadcast; top-k plans TakeOrdered") {
     val d = langDocs((1L, "t", "a b"), (2L, "o", "b c"))
-    val plan = Search.dsirImportance(d, "doc_id", "text",
-      col("lang") === "t", 5)
-      .queryExecution.executedPlan.toString
+    val (top, scratch) = Search.dsirImportanceRaw(d, "doc_id", "text",
+      col("lang") === "t", 1, 50000)
+    val plan = top.queryExecution.executedPlan.toString
+    scratch.foreach(_.unpersist())
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
