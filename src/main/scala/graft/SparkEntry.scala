@@ -133,22 +133,26 @@ object SparkEntry {
     // §2.10 + equality deletes composed: STREAMING UPSERT SINK (the
     // Flink-to-Iceberg-v2 shape). A CDC stream off the source table
     // replicates into a mirror via one equality-apply commit per
-    // micro-batch — initial load, an UPDATE (delete+insert pair nets to
-    // replace), a DELETE, and finally a RAW UN-NETTED batch: three
-    // commits (two UPDATEs + a DELETE touching overlapping keys) land
-    // while the sink is down, so the restarted stream replays them in
-    // ONE micro-batch and netLatestByKey must collapse each key to its
-    // last writer (ties inside an UPDATE commit resolve post-image-over
-    // -delete). Zero reads of the mirror throughout. sink_proof pins:
-    // every mirror file ever written survives by reference (nothing
-    // rewritten) and the mirror took exactly one commit per micro-batch
-    // — FOUR total, so the three-commit replay provably netted.
+    // micro-batch. The first sink session delivers ONLY the initial
+    // load; then FIVE commits land while the sink is down (two UPDATEs
+    // + a DELETE + two more UPDATEs + a DELETE across overlapping
+    // keys), so the restarted stream replays them all in ONE
+    // micro-batch and netLatestByKey must collapse each key to its
+    // last writer (ties inside an UPDATE commit — its delete+insert
+    // pair shares a snapshot id — resolve post-image-over-delete).
+    // Zero reads of the mirror throughout. sink_proof pins: every
+    // mirror file ever written survives by reference (nothing
+    // rewritten) and the mirror took exactly one commit per
+    // micro-batch — TWO total, so the five-commit replay provably
+    // netted. (Live per-batch update/delete cycles are unit-covered by
+    // EventStreamsSpec/CdcStreamSpec — the bench fixture pays for ONE
+    // stream bring-up, not three micro-batch cycles.)
     //
-    // Split: fixture = table builds + the FIRST sink session's three
-    // micro-batch cycles + the three un-netted source commits (all
-    // bring-up); query = the CHECKPOINT RESTART replaying them as one
-    // netted equality commit + the proof + the mirror read — the
-    // steady-state sink cost the regression watch must see on its own.
+    // Split: fixture = table builds + the initial-load sink session +
+    // the five source commits (all bring-up); query = the CHECKPOINT
+    // RESTART replaying them as one netted equality commit + the proof
+    // + the mirror read — the steady-state sink cost the regression
+    // watch must see on its own.
     "q_stream_upsert" -> benchSplit { (s, dir) =>
       val cat = tempCatalog(s)
       val eng = new Engine(cat)
@@ -175,17 +179,13 @@ object SparkEntry {
           netOrdCol = Some("_commit_snapshot_id"))
       }
       val q = startSink()
-      try {
-        q.processAllAvailable()
-        eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
-          "WHERE o_orderkey % 5 = 0")
-        q.processAllAvailable()
-        eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
-        q.processAllAvailable()
-      } finally q.stop()
-      // un-netted phase: the sink is DOWN while three commits land, so
-      // the restart replays them as one micro-batch — %6 keys carry two
-      // post-images, %33 keys two post-images AND a delete
+      try q.processAllAvailable() finally q.stop()
+      // un-netted phase: the sink is DOWN while five commits land —
+      // %10 keys carry two post-images from the first two UPDATEs,
+      // %15/%30 keys three, %77 keys a post-image then a delete
+      eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 5 = 0")
+      eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
       eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice + 10 " +
         "WHERE o_orderkey % 3 = 0")
       eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 3 " +
@@ -197,12 +197,12 @@ object SparkEntry {
       try q2.processAllAvailable() finally q2.stop()
       val st = cat.store()
       val hist = st.dataFilesAsOf("mirror_su", None)
-      val everWritten = (1L to 4L).flatMap(v =>
+      val everWritten = (1L to 2L).flatMap(v =>
         st.snapshotMetaVersion("mirror_su", v)
           .map(_._3().map(_.path).toSet).getOrElse(Set.empty)).toSet
       val sinkProof = everWritten.subsetOf(hist.map(_.path).toSet) &&
         eng.sql("SELECT COUNT(*) FROM `mirror_su$history`")
-          .head().getLong(0) == 4L
+          .head().getLong(0) == 2L
       cat.table("mirror_su")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"))
@@ -4783,11 +4783,11 @@ object SparkEntry {
         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     // the mirror after the streaming upsert sink replayed the CDC feed:
-    // initial load, %5 prices doubled, %7 keys deleted, then the
-    // un-netted replay batch applied in source-commit order — %3 keys
+    // initial load, then the un-netted replay batch applied in
+    // source-commit order — %5 prices doubled, %7 keys deleted, %3 keys
     // +10, %6 keys ×3 on top, %11 keys deleted; sink_proof is the
-    // Spark-side no-rewrite + one-commit-per-micro-batch proof (4
-    // commits total = the 3-commit replay provably netted to one)
+    // Spark-side no-rewrite + one-commit-per-micro-batch proof (2
+    // commits total = the 5-commit replay provably netted to one)
     "q_stream_upsert" ->
       """WITH p1 AS (
         |  SELECT o_orderkey, o_custkey,

@@ -199,6 +199,42 @@ class TableStatsSpec extends AnyFunSuite {
       .rowCount.contains(BigInt(1000)))
   }
 
+  test("histogram bin heights scale with live row growth — a 10× " +
+      "post-stats append keeps the histogram describing the table the " +
+      "rowCount beside it claims") {
+    val (cat, eng) = fixture()
+    // 90% of rows on the hot key 0, tail over 1..999 — the same skew
+    // shape q_histogram_stats gates on
+    def skewed(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, if (i % 10 < 9) 0L else (i * 7 % 999) + 1))
+      .toDF("id", "k")
+    cat.createTable("grow_h", skewed(0, 1).schema)
+    cat.append("grow_h", skewed(0, 2000).coalesce(1), 1000L)
+    eng.sql("COMPUTE STATS grow_h WITH HISTOGRAM")
+    def planned() = spark.table("grow_h").queryExecution.optimizedPlan
+    def histOf() = planned().stats.attributeStats.collectFirst {
+      case (a, cs) if a.name == "k" => cs.histogram.get
+    }.get
+    val h0 = histOf()
+    assert(math.abs(h0.height * h0.bins.length - 2000.0) < 200.0,
+      s"pre-growth: height×bins ≈ rows, got ${h0.height * h0.bins.length}")
+    // the table grows 10× with the same distribution; stats go stale
+    cat.append("grow_h", skewed(2000, 20000).coalesce(1), 2000L)
+    val h1 = histOf()
+    val claimed = h1.height * h1.bins.length
+    assert(math.abs(claimed - 20000.0) < 2000.0,
+      s"post-growth heights must follow live rows, got $claimed")
+    // bin NDVs stay within their bins' rows
+    h1.bins.foreach(b => assert(b.ndv <= math.ceil(h1.height).toLong + 1,
+      s"bin NDV ${b.ndv} vs height ${h1.height}"))
+    // and the skew-aware selectivity boolean q_histogram_date gates on
+    // still holds on the GROWN table: within 2× of truth
+    val truth = skewed(0, 20000).filter(col("k") >= 500).count()
+    val est = eng.sql("SELECT * FROM grow_h WHERE k >= 500")
+      .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+    assert(est < truth * 2 && est > truth / 2, s"est=$est truth=$truth")
+  }
+
   test("stats attach reads the byte total from the commit summary — " +
       "equal to the hydrated sum, with NO manifest hydration") {
     val (cat, eng) = fixture()
