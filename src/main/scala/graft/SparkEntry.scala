@@ -3300,6 +3300,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The actual SUBWORD TOKEN STREAM (what a training pipeline feeds
+    // a model): per doc the BPE token count plus an order-sensitive
+    // md5 of the space-joined stream — DuckDB re-derives the whole
+    // sequence from the same merge literals, so symbol ORDER and
+    // boundaries are hash-checked, not just the count.
+    "q_doc_tokenize" -> ((s, dir) => {
+      val toks = TextAnalysis.bpeTokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          md5(concat_ws(" ", toks)).as("stream_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring (components are simple ratios — oracle-checkable
     // ones only; the composite score is rows-only via q_doc_stats).
     "q_doc_quality" -> ((s, dir) => {
@@ -5248,6 +5262,16 @@ object SparkEntry {
         |            ELSE length(string_split_regex(trim(lower(text)), '\s+')) END AS INTEGER) AS n_tokens,
         |       CAST(length(text) AS INTEGER) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_tokenize" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         ${graft.ext.TextAnalysis.bpeTokensOracleSqlExpr("text")}
+         |           AS _t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(_t) AS INTEGER) AS n_tokens,
+         |       md5(array_to_string(_t, ' ')) AS stream_md5
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // the full merge-table replay, generated from the SAME bpeMerges
     // literals the operator folds (independent arithmetic, not a copy)

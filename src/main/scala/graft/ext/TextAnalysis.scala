@@ -77,12 +77,46 @@ object TextAnalysis {
     aggregate(perTok, lit(0), (a, x) => a + x)
   }
 
-  private def mergedSymbolCount(w: Column): Column = {
+  private def mergedEncoding(w: Column): Column = {
     val enc = regexp_replace(lower(w), "(.)", "<$1>")
-    val merged = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
+    bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
       replace(s, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
-    size(split(merged, "<", -1)) - 1
+  }
+
+  private def mergedSymbolCount(w: Column): Column =
+    size(split(mergedEncoding(w), "<", -1)) - 1
+
+  /** The actual SUBWORD TOKEN SEQUENCE under [[bpeMerges]] — what a
+    * training pipeline feeds a model, not just the count: letter runs
+    * lowercase and split into their merged symbols, digits and
+    * punctuation pass through as single tokens. Same pure-string-
+    * expression machinery as [[bpeTokenCountMerged]] (whose count this
+    * equals by construction), so it is scan-local and codegen'd, and
+    * the DuckDB oracle replays the whole stream from the same merge
+    * literals. Tokens never contain whitespace (the pretokenizer
+    * excludes it), so a space-joined stream is unambiguous. */
+  def bpeTokens(text: Column): Column = {
+    val pre = regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    flatten(transform(pre, w =>
+      when(w.rlike("^[A-Za-z]"),
+        filter(split(mergedEncoding(w), "[<>]"), s => s =!= lit("")))
+        .otherwise(array(w))))
+  }
+
+  /** DuckDB replay of [[bpeTokens]] over `textExpr` (an expression of
+    * type `VARCHAR[]`), from the same [[bpeMerges]] literals. */
+  def bpeTokensOracleSqlExpr(textExpr: String): String = {
+    val enc = "regexp_replace(lower(w), '(.)', '<\\1>', 'g')"
+    val folded = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
+      s"replace($s, '<$a><$b>', '<$a$b>')"
+    }
+    s"flatten(list_transform(regexp_extract_all($textExpr, " +
+      s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'), " +
+      s"w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') " +
+      s"THEN list_filter(string_split_regex($folded, '[<>]'), " +
+      s"s -> s <> '') ELSE [w] END))"
   }
 
   /** DuckDB SQL expression replaying [[bpeTokenCountMerged]] exactly

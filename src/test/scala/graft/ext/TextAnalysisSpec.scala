@@ -52,6 +52,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n("") == 0 && n("   ") == 0)
   }
 
+  test("bpeTokens emits the merged SUBWORD SEQUENCE; its size equals " +
+      "bpeTokenCountMerged by construction") {
+    def toks(s: String): Seq[String] = one(s)
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(toks("The cat") == Seq("the", "c", "at"))
+    assert(toks("thin ice!") == Seq("th", "in", "i", "c", "e", "!"))
+    assert(toks("42") == Seq("4", "2"))
+    assert(toks("") == Seq.empty)
+    val d = Seq("International standards, 2024 — the nation's 3rd.",
+      "mixed CASE and punct!?").toDF("text")
+    val ok = d.select((org.apache.spark.sql.functions.size(
+        TextAnalysis.bpeTokens(col("text"))) ===
+      TextAnalysis.bpeTokenCountMerged(col("text"))).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.forall(identity))
+  }
+
   test("bpeTokenCountMerged vs the regex proxy: merges COMPRESS letter " +
       "runs (the 10-30% budget drift the faithful counter closes)") {
     val (merged, regex) = one("the international standard of the nation")
