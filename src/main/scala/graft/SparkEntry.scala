@@ -3629,6 +3629,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Context-length chunking with the budget in TOKENIZER-FAITHFUL
+    // BPE tokens (chunk windows whitespace words; this windows the
+    // subword stream itself — every chunk is exactly ≤ budget MODEL
+    // tokens). DuckDB re-derives the full subword stream from the
+    // merge literals, then recomputes every window — boundaries,
+    // overlap, tail, and the joined chunk text all hash-checked.
+    "q_doc_chunks_bpe" -> ((s, dir) => {
+      TextAnalysis.chunkBpe(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Cross-document boilerplate line removal (rows-only: reassembly
     // order + normalization are painful to mirror in SQL). Sentences
     // become pseudo-lines so the single-line test corpus exercises the
@@ -5551,6 +5564,21 @@ object SparkEntry {
         |       array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
         |FROM p, LATERAL UNNEST(generate_series(0, nc - 1)) AS t(k)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_doc_chunks_bpe" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             ${graft.ext.TextAnalysis.bpeTokensOracleSqlExpr("text")}
+         |               AS toks
+         |           FROM documents WHERE doc_id < 50),
+         |p AS (SELECT doc_id, toks,
+         |             CASE WHEN len(toks) <= 64 THEN 1
+         |                  ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT) END AS nc
+         |      FROM d)
+         |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         |       CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_tokens,
+         |       array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
+         |FROM p, LATERAL UNNEST(generate_series(0, nc - 1)) AS t(k)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_boilerplate" ->
       """WITH split AS (

@@ -322,7 +322,22 @@ object TextAnalysis {
     * the output is ~(1/stride)× token volume regardless of corpus size.
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+      maxTokens: Int = 512, overlap: Int = 64): DataFrame =
+    chunkTokens(docs, idCol, tokens(col(textCol)), maxTokens, overlap)
+
+  /** [[chunk]] with the window budget in TOKENIZER-FAITHFUL BPE tokens
+    * ([[bpeTokens]]) — the context-length number that actually bounds a
+    * model's input. Whitespace-token windows under- or over-fill a real
+    * context by the 10-30% regex-vs-merges drift; windowing the subword
+    * stream itself makes every chunk exactly ≤ `maxTokens` model
+    * tokens. `chunk_text` is the space-joined subword stream (what the
+    * model consumes), not a substring of the original text. */
+  def chunkBpe(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 512, overlap: Int = 64): DataFrame =
+    chunkTokens(docs, idCol, bpeTokens(col(textCol)), maxTokens, overlap)
+
+  private def chunkTokens(docs: DataFrame, idCol: String, toks: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1 (got $maxTokens)")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens) (got $overlap of $maxTokens)")
@@ -332,7 +347,7 @@ object TextAnalysis {
       .otherwise(ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
     docs
       // tokenize ONCE per document; the per-window lambda only slices
-      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), toks.as("_toks"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), nChunks - 1),
         k => slice(col("_toks"), k * lit(stride) + 1, lit(maxTokens)))))

@@ -161,6 +161,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .getMessage.contains("overlap"))
   }
 
+  test("chunkBpe windows the SUBWORD stream: every chunk is ≤ budget " +
+      "model tokens even where whitespace windows would overfill") {
+    // "the" is 1 subword but "xyzq" is 4 — a whitespace window of 2
+    // words can carry 2..8 model tokens; the BPE window never exceeds
+    // its budget
+    val docs = Seq((1L, "the xyzq the xyzq")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBpe(docs, "doc_id", "text",
+        maxTokens = 4, overlap = 0)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    // stream: the, x,y,z,q, the, x,y,z,q = 10 subwords → 3 chunks
+    assert(got.toSeq == Seq(
+      (0, 4, "the x y z"),
+      (1, 4, "q the x y"),
+      (2, 2, "z q")))
+    assert(got.forall(_._2 <= 4))
+  }
+
   test("documentStats yields every column for downstream filters") {
     val stats = TextAnalysis.documentStats(
       Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
