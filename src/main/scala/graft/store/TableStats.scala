@@ -295,28 +295,28 @@ object TableStats {
     def extrapolate(ndv: Long): Long =
       if (growth == 1.0) ndv
       else math.min(liveRows, math.max(ndv, math.round(ndv * growth)))
-    // Histogram bins ride the same growth: heights are the stats-pass
-    // rows-per-bin, and after a 10× append the un-scaled histogram
-    // describes a table 10× smaller than the rowCount beside it —
-    // join estimation (per-overlapped-range height·height/ndv) would
-    // silently run 10×-low on grown tables. Heights scale linearly
-    // (same-distribution growth assumption as column NDV); bin NDVs
-    // extrapolate like column NDV, capped at the bin's own scaled
-    // height (a bin's NDV can never exceed its rows). Range-filter
-    // selectivity is fraction-based and unaffected either way.
+    // Histogram bin HEIGHTS ride the same growth: heights are the
+    // stats-pass rows-per-bin, and after a 10× append the un-scaled
+    // histogram describes a table 10× smaller than the rowCount beside
+    // it — join estimation (per-overlapped-range height·height/ndv)
+    // would silently run 10×-low on grown tables. Bin NDVs deliberately
+    // do NOT scale: a bin's [lo, hi] is fixed at the stats pass, so its
+    // distinct-value count is bounded by the range, not the row count —
+    // a hot-key point bin [v, v] holds exactly ONE value forever, and
+    // scaling its ndv by growth makes JoinEstimation's height·height/ndv
+    // division cancel the height scaling exactly (measured: the skewed
+    // join estimate landed right back at 10×-low). Keeping bin NDV at
+    // its stats-pass value is also the SAFE staleness direction: a
+    // too-low ndv over-estimates join output, which can only make the
+    // planner decline a broadcast it might have risked — never grant
+    // one it shouldn't. Range-filter selectivity is fraction-based and
+    // unaffected either way.
     def scaleHist(h: Hist)
-        : org.apache.spark.sql.catalyst.plans.logical.Histogram = {
-      val height = h.height * growth
-      org.apache.spark.sql.catalyst.plans.logical.Histogram(height,
-        h.bins.map { b =>
-          val ndv =
-            if (growth == 1.0) b.ndv
-            else math.max(b.ndv, math.min(math.round(b.ndv * growth),
-              math.max(1L, math.ceil(height).toLong)))
-          org.apache.spark.sql.catalyst.plans.logical
-            .HistogramBin(b.lo, b.hi, ndv)
-        }.toArray)
-    }
+        : org.apache.spark.sql.catalyst.plans.logical.Histogram =
+      org.apache.spark.sql.catalyst.plans.logical.Histogram(
+        h.height * growth,
+        h.bins.map(b => org.apache.spark.sql.catalyst.plans.logical
+          .HistogramBin(b.lo, b.hi, b.ndv)).toArray)
     val colStats = s.cols.flatMap { c =>
       schema.fields.find(_.name.equalsIgnoreCase(c.column)).map { f =>
         def bound(v: Option[String]): Option[String] = v.filter(x =>

@@ -235,6 +235,34 @@ class TableStatsSpec extends AnyFunSuite {
     assert(est < truth * 2 && est > truth / 2, s"est=$est truth=$truth")
   }
 
+  test("scaled histogram heights keep JOIN cardinality estimation " +
+      "honest after growth (heights are what JoinEstimation multiplies)") {
+    val (cat, eng) = fixture()
+    def fact(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, if (i % 10 < 9) 0L else (i * 7 % 999) + 1))
+      .toDF("id", "k")
+    // the dim shares the fact's skew: half its rows sit on the hot key
+    val dim = ((0 until 50).map(i => ((10000 + i).toLong, 0L)) ++
+      (0 until 50).map(i => ((20000 + i).toLong, (i * 19 % 999) + 1L)))
+      .toDF("did", "k")
+    cat.createTable("jf", fact(0, 1).schema)
+    cat.append("jf", fact(0, 2000).coalesce(1), 1000L)
+    cat.createTable("jd", dim.schema)
+    cat.append("jd", dim.coalesce(1), 1000L)
+    eng.sql("COMPUTE STATS jf WITH HISTOGRAM")
+    eng.sql("COMPUTE STATS jd WITH HISTOGRAM")
+    // the fact grows 10× with the same distribution; stats go stale
+    cat.append("jf", fact(2000, 20000).coalesce(1), 2000L)
+    val truth = fact(0, 20000).join(dim, "k").count()
+    val est = eng.sql("SELECT * FROM jf JOIN jd ON jf.k = jd.k")
+      .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+    // hot-key truth ≈ 18 000 × 50 = 900 k. The NDV formula
+    // (rows·rows/max ndv ≈ 2 000) misses the skew ~450×; UN-scaled
+    // histogram heights would land 10× low. Scaled heights put the
+    // per-overlapped-range height·height/ndv products within 3×.
+    assert(est > truth / 3 && est < truth * 3, s"est=$est truth=$truth")
+  }
+
   test("stats attach reads the byte total from the commit summary — " +
       "equal to the hydrated sum, with NO manifest hydration") {
     val (cat, eng) = fixture()
