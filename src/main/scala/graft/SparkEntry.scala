@@ -3497,6 +3497,43 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // TOKEN-budget domain mixing (the recipe as a training config
+    // states it — "X tokens of domain d"): en capped at half its token
+    // mass, de far under budget (keeps all), zh budget 0, fr/es
+    // unlisted (dropped) — rate-below-1 carve, cap-at-1, zero-budget
+    // and unlisted-drop all checked; budgets count FAITHFUL BPE
+    // tokens. Structural booleans Spark-side; DuckDB pins per-domain
+    // totals (the carve hash has no SQL mirror — same contract as
+    // q_domain_mix/q_alpha_sample).
+    "q_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_bpe",
+          TextAnalysis.bpeTokenCountMerged(col("text")).cast("long"))
+      val enTokens = docs.filter(col("lang") === "en")
+        .agg(sum(col("n_bpe"))).head().getLong(0)
+      val budgets = Map("en" -> enTokens / 2, "de" -> enTokens * 10,
+        "zh" -> 0L)
+      def mix(d: DataFrame) = Splits.tokenBudgetMix(d, "lang", "doc_id",
+        "n_bpe", budgets)
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("total"),
+        sum(col("n_bpe")).as("total_tokens"))
+      val kept = mix(docs).groupBy("lang")
+        .agg(sum(col("n_bpe")).as("kept_tokens"))
+      val kept2 = mix(docs).groupBy("lang")
+        .agg(sum(col("n_bpe")).as("kept_tokens2"))
+      tot.join(kept, Seq("lang"), "left").join(kept2, Seq("lang"), "left")
+        .na.fill(0L, Seq("kept_tokens", "kept_tokens2"))
+        .select(col("lang"), col("total"), col("total_tokens"),
+          when(col("lang") === "en",
+            abs(col("kept_tokens") / lit(enTokens / 2.0) - 1.0) < 0.2)
+            .when(col("lang") === "de",
+              col("kept_tokens") === col("total_tokens"))
+            .when(col("lang") === "zh", col("kept_tokens") === 0)
+            .otherwise(col("kept_tokens") === 0).as("budget_ok"),
+          (col("kept_tokens") === col("kept_tokens2")).as("stable"))
+        .orderBy(col("lang"))
+    }),
+
     "q_domain_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val weights = Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.0)
@@ -5515,6 +5552,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS total, TRUE AS mix03_ok, TRUE AS stable,
         |       TRUE AS natural1_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_token_budget_mix" ->
+      s"""SELECT lang, count(*) AS total,
+         |       CAST(sum(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")})
+         |            AS BIGINT) AS total_tokens,
+         |       TRUE AS budget_ok, TRUE AS stable
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_replicate" ->
       """SELECT lang, count(*) AS total, TRUE AS rep_ok, TRUE AS epochs_ok

@@ -214,6 +214,41 @@ object Splits {
       defaultWeight = 0.0, seed))
   }
 
+  /** TOKEN-BUDGET domain mixing — the recipe as every training-run
+    * config actually states it (Dolma/Pile style: "20 B tokens of
+    * code, 5 B of books"), where [[domainMix]]/[[alphaSample]] budget
+    * in ROWS: per-domain keep rates r_d = min(1, budget_d / tokens_d)
+    * realized by the same deterministic hash carve as [[mixKeep]] —
+    * stable across runs, append-invariant, leakage-safe by key. The
+    * kept token mass per domain lands on its budget in expectation
+    * (hash-sampling noise ~1/√docs; a domain under budget keeps
+    * everything — upsampling past 1 is [[replicate]]'s job). Domains
+    * absent from `budgets` are dropped unless `keepUnlisted` (a recipe
+    * names every source it trains on). Pair `tokenCol` with
+    * [[TextAnalysis.bpeTokenCountMerged]] so the budget counts real
+    * model tokens.
+    *
+    * Scale shape: ONE sum aggregation collects |domains| rows to the
+    * driver; rates broadcast back as literal thresholds in a codegen
+    * decision chain — no joins, no per-row float math (same posture as
+    * [[alphaSample]]). Rows with a NULL domain are dropped. */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, keyCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      keepUnlisted: Boolean = false, seed: Long = MixSeed): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "token budgets must be >= 0")
+    val totals = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = totals.flatMap { case (d, t) =>
+      budgets.get(d).map(b =>
+        d -> (if (t <= 0) 0.0 else math.min(1.0, b.toDouble / t)))
+    }
+    df.filter(col(domainCol).isNotNull &&
+      mixKeep(col(keyCol), col(domainCol).cast("string"), rates,
+        defaultWeight = if (keepUnlisted) 1.0 else 0.0, seed))
+  }
+
   /** Default seed for [[shuffled]] — independent of [[MixSeed]] and the
     * split seed for the same reason those are independent of each
     * other: every stage hashing the same key must not correlate. */

@@ -249,4 +249,38 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Splits.alphaSample(docs, "dom", "id", 1.5, 10))
   }
+
+  test("token-budget mix: kept token mass lands on the budget; " +
+      "under-budget keeps all, zero budget and unlisted domains drop") {
+    // per-row token weights vary 1..20, so hitting a TOKEN budget is
+    // not the same as hitting a row fraction
+    val docs = spark.range(12000)
+      .select(col("id"),
+        when(col("id") % 3 === 0, "web").when(col("id") % 3 === 1, "code")
+          .otherwise("books").as("dom"),
+        (col("id") % 20 + 1).cast("long").as("toks"))
+    val tot = docs.groupBy("dom").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    val budgets = Map("web" -> tot("web") / 4, // carve to a quarter
+      "code" -> tot("code") * 5,               // under budget: keep all
+      "books" -> 0L)                           // drop entirely
+    def run() = Splits.tokenBudgetMix(docs, "dom", "id", "toks", budgets)
+      .groupBy("dom").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    val kept = run()
+    assert(math.abs(kept("web").toDouble / (tot("web") / 4) - 1.0) < 0.1,
+      s"web kept ${kept("web")} vs budget ${tot("web") / 4}")
+    assert(kept("code") == tot("code"))
+    assert(!kept.contains("books"))
+    // deterministic: same call, same kept mass
+    assert(run() == kept)
+    // unlisted domains survive only with keepUnlisted
+    val withUnlisted = Splits.tokenBudgetMix(docs, "dom", "id", "toks",
+      budgets - "books", keepUnlisted = true)
+      .groupBy("dom").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(withUnlisted("books") == tot("books"))
+    intercept[IllegalArgumentException](
+      Splits.tokenBudgetMix(docs, "dom", "id", "toks", Map("web" -> -1L)))
+  }
 }
