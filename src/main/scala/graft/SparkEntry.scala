@@ -3506,9 +3506,15 @@ object SparkEntry {
     // totals (the carve hash has no SQL mirror — same contract as
     // q_domain_mix/q_alpha_sample).
     "q_token_budget_mix" -> ((s, dir) => {
+      // count tokens ONCE (the merge fold is the scan's whole cost and
+      // six consumers read the result): materialize the tiny
+      // (id, lang, n_bpe) frame, exactly as a real pipeline would
+      // checkpoint its token-count stage
       val docs = t(s, dir, "documents")
-        .withColumn("n_bpe",
-          TextAnalysis.bpeTokenCountMerged(col("text")).cast("long"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCountMerged(col("text")).cast("long")
+            .as("n_bpe"))
+        .localCheckpoint(true)
       val enTokens = docs.filter(col("lang") === "en")
         .agg(sum(col("n_bpe"))).head().getLong(0)
       val budgets = Map("en" -> enTokens / 2, "de" -> enTokens * 10,
