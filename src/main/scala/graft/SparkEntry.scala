@@ -3286,7 +3286,7 @@ object SparkEntry {
 
     // TOKENIZER-FAITHFUL token counting: real BPE merge-table
     // application (rank-ordered single-pass merges over encoded symbol
-    // sequences — pure string expressions, scan-local and codegen'd),
+    // sequences — pure string expressions, scan-local and shuffle-free),
     // beside the regex proxy so the drift between them is visible.
     // The DuckDB oracle replays the merge arithmetic from the SAME
     // shipped merges literals (generated, like q_lang_id's profiles).

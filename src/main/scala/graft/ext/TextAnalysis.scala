@@ -64,7 +64,10 @@ object TextAnalysis {
     *
     * Implementation is PURE string expressions (encode each symbol as
     * `<sym>`, fold one literal `replace` per merge, count the `<`
-    * markers), so it is scan-local, codegen'd, and replayed verbatim
+    * markers), so it is scan-local and shuffle-free (the lambda
+    * wrappers evaluate outside whole-stage codegen like every
+    * higher-order-function operator in this module — per-row,
+    * distributed work either way), and replayed verbatim
     * by the DuckDB oracle [[bpeOracleSqlExpr]] — both engines' single
     * `replace` is the same left-to-right non-overlapping pass. The
     * `<`/`>` sentinels cannot collide: merges apply only to pretokens
@@ -92,9 +95,9 @@ object TextAnalysis {
     * lowercase and split into their merged symbols, digits and
     * punctuation pass through as single tokens. Same pure-string-
     * expression machinery as [[bpeTokenCountMerged]] (whose count this
-    * equals by construction), so it is scan-local and codegen'd, and
-    * the DuckDB oracle replays the whole stream from the same merge
-    * literals. Tokens never contain whitespace (the pretokenizer
+    * equals by construction), so it is scan-local and shuffle-free,
+    * and the DuckDB oracle replays the whole stream from the same
+    * merge literals. Tokens never contain whitespace (the pretokenizer
     * excludes it), so a space-joined stream is unambiguous. */
   def bpeTokens(text: Column): Column = {
     val pre = regexp_extract_all(text,
