@@ -181,8 +181,10 @@ object SparkEntry {
       val q = startSink()
       try q.processAllAvailable() finally q.stop()
       // un-netted phase: the sink is DOWN while five commits land —
-      // %10 keys carry two post-images from the first two UPDATEs,
-      // %15/%30 keys three, %77 keys a post-image then a delete
+      // %15 keys carry two post-images (the %5 and %3 UPDATEs), %30
+      // keys three (%5, %3, %6), %35 keys a post-image then a delete,
+      // %77 keys fall in both DELETE predicates (the second finds the
+      // row already gone)
       eng.sql("UPDATE orders_su SET o_totalprice = o_totalprice * 2 " +
         "WHERE o_orderkey % 5 = 0")
       eng.sql("DELETE FROM orders_su WHERE o_orderkey % 7 = 0")
@@ -3506,15 +3508,16 @@ object SparkEntry {
     // totals (the carve hash has no SQL mirror — same contract as
     // q_domain_mix/q_alpha_sample).
     "q_token_budget_mix" -> ((s, dir) => {
-      // count tokens ONCE (the merge fold is the scan's whole cost and
+      // count tokens ONCE (the merge loop is the scan's whole cost and
       // six consumers read the result): materialize the tiny
-      // (id, lang, n_bpe) frame, exactly as a real pipeline would
-      // checkpoint its token-count stage
-      val docs = t(s, dir, "documents")
+      // (id, lang, n_bpe) frame through the reliable-checkpoint seam —
+      // executor-local by default, durable-directory when
+      // Dedup.CheckpointDirConf names one, exactly the crash-safe form
+      // a real pipeline's token-count stage needs
+      val docs = Dedup.materialize(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.bpeTokenCountMerged(col("text")).cast("long")
-            .as("n_bpe"))
-        .localCheckpoint(true)
+            .as("n_bpe")))
       val enTokens = docs.filter(col("lang") === "en")
         .agg(sum(col("n_bpe"))).head().getLong(0)
       val budgets = Map("en" -> enTokens / 2, "de" -> enTokens * 10,

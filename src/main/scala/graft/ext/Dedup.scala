@@ -94,6 +94,13 @@ object Dedup {
   // dead guard — Spark stores `<dir>/<uuid>`, never the raw conf value.)
   @volatile private var lastCheckpointDir: Option[(String, String)] = None
 
+  /** Public seam for pipeline stages outside this package that need the
+    * same crash-safe materialization the dedup operators use: executor-
+    * local checkpoint by default, RELIABLE (durable-directory) when
+    * [[CheckpointDirConf]] names one — the form a multi-hour 100 TB run
+    * needs between stages. */
+  def materialize(result: DataFrame): DataFrame = materializeAndFree(result)
+
   private[ext] def materializeAndFree(result: DataFrame,
       scratch: DataFrame*): DataFrame = {
     val spark = result.sparkSession

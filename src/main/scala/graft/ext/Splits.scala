@@ -238,11 +238,15 @@ object Splits {
     require(budgets.values.forall(_ >= 0), "token budgets must be >= 0")
     val totals = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("_d"))
-      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("_t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rates = totals.flatMap { case (d, t) =>
+      // a domain whose token mass is zero is trivially under any
+      // positive budget — keep everything (rate 1); only a zero budget
+      // drops it (the documented "under budget keeps all" contract)
       budgets.get(d).map(b =>
-        d -> (if (t <= 0) 0.0 else math.min(1.0, b.toDouble / t)))
+        d -> (if (t <= 0) (if (b > 0) 1.0 else 0.0)
+              else math.min(1.0, b.toDouble / t)))
     }
     df.filter(col(domainCol).isNotNull &&
       mixKeep(col(keyCol), col(domainCol).cast("string"), rates,

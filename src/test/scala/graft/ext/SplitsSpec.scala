@@ -283,4 +283,27 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Splits.tokenBudgetMix(docs, "dom", "id", "toks", Map("web" -> -1L)))
   }
+
+  test("token-budget mix: a zero-token domain with a positive budget is " +
+      "under budget (keeps all); NULL token sums read null-safely") {
+    // 'empty' rows carry 0 tokens, 'nulls' rows a NULL token count —
+    // both are trivially under any positive budget and must keep every
+    // row; with budget 0 they must drop
+    val docs = spark.range(60)
+      .select(col("id"),
+        when(col("id") % 3 === 0, "empty").when(col("id") % 3 === 1, "nulls")
+          .otherwise("web").as("dom"),
+        when(col("id") % 3 === 0, lit(0L))
+          .when(col("id") % 3 === 1, lit(null).cast("long"))
+          .otherwise(lit(5L)).as("toks"))
+    val kept = Splits.tokenBudgetMix(docs, "dom", "id", "toks",
+        Map("empty" -> 10L, "nulls" -> 10L, "web" -> 1000L))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("empty") == 20 && kept("nulls") == 20 && kept("web") == 20)
+    val dropped = Splits.tokenBudgetMix(docs, "dom", "id", "toks",
+        Map("empty" -> 0L, "nulls" -> 0L, "web" -> 1000L))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(!dropped.contains("empty") && !dropped.contains("nulls") &&
+      dropped("web") == 20)
+  }
 }
