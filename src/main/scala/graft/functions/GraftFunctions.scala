@@ -108,6 +108,17 @@ object GraftFunctions {
   def audioEnergyHash(content: Column): Column =
     toCol(AudioEnergyHash(toExpr(content)))
 
+  /** Whitespace-mapped GPT-2-shape pretokens (`array<string>`) — the
+    * corpus half of BPE training and the word tokenizer the merge tier
+    * builds on. */
+  def bpePretokenize(text: Column): Column =
+    toCol(BpePretokenize(toExpr(text)))
+
+  /** Full BPE subword stream (`array<string>`) under a rank-map merge
+    * table — plan size independent of merge count. */
+  def bpeTokenize(text: Column, table: BpeTable): Column =
+    toCol(BpeTokenize(toExpr(text), table))
+
   /** Constant-color image payload in a real compressed container
     * (`format`: png | jpg | gif | bmp) from `(w, h, r, g, b)` int
     * columns — planted-oracle payload generation. */
