@@ -3286,16 +3286,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // TOKENIZER-FAITHFUL token counting: real BPE merge-table
-    // application (rank-ordered single-pass merges over encoded symbol
-    // sequences — pure string expressions, scan-local and shuffle-free),
-    // beside the regex proxy so the drift between them is visible.
-    // The DuckDB oracle replays the merge arithmetic from the SAME
-    // shipped merges literals (generated, like q_lang_id's profiles).
+    // TOKENIZER-FAITHFUL token counting at production vocab scale: the
+    // 3000-rank shipped merge table applied by the rank-map merge loop
+    // (BpeTokenize — scan-local, shuffle-free, plan size independent of
+    // merge count), beside the regex proxy so the drift is visible.
+    // The DuckDB oracle replays the SAME rank map (BpeVocab.oracleCtes:
+    // rank-ordered single-pass replaces over sentinel-encoded symbols,
+    // once per DISTINCT pretoken, joined back in stream order).
     "q_doc_tokens_bpe" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.bpeTokenCountMerged(col("text")).cast("int")
+          TextAnalysis.bpeTokenCountRanked(col("text")).cast("int")
             .as("n_bpe_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).cast("int")
             .as("n_regex_tokens"))
@@ -3308,11 +3309,12 @@ object SparkEntry {
     // sequence from the same merge literals, so symbol ORDER and
     // boundaries are hash-checked, not just the count.
     "q_doc_tokenize" -> ((s, dir) => {
-      val toks = TextAnalysis.bpeTokens(col("text"))
+      val toks = TextAnalysis.bpeTokensRanked(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).as("n_tokens"),
-          md5(concat_ws(" ", toks)).as("stream_md5"))
+          when(toks.isNotNull, md5(concat_ws(" ", toks)))
+            .as("stream_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3516,7 +3518,7 @@ object SparkEntry {
       // a real pipeline's token-count stage needs
       val docs = Dedup.materialize(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.bpeTokenCountMerged(col("text")).cast("long")
+          TextAnalysis.bpeTokenCountRanked(col("text")).cast("long")
             .as("n_bpe")))
       val enTokens = docs.filter(col("lang") === "en")
         .agg(sum(col("n_bpe"))).head().getLong(0)
@@ -3656,7 +3658,7 @@ object SparkEntry {
     "q_pack_shards" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          TextAnalysis.bpeTokenCountMerged(col("text")).cast("int")
+          TextAnalysis.bpeTokenCountRanked(col("text")).cast("int")
             .as("n_tokens"))
       Splits.packShards(docs, "doc_id", "n_tokens", budget = 2000L)
         .select(col("doc_id"), col("n_tokens"),
@@ -5323,25 +5325,23 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_tokenize" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |         ${graft.ext.TextAnalysis.bpeTokensOracleSqlExpr("text")}
-         |           AS _t
-         |  FROM documents)
-         |SELECT doc_id, CAST(len(_t) AS INTEGER) AS n_tokens,
-         |       md5(array_to_string(_t, ' ')) AS stream_md5
-         |FROM toks ORDER BY doc_id""".stripMargin,
+      s"""WITH ${graft.ext.BpeVocab.oracleCtes("documents")}
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CASE WHEN toks IS NULL THEN NULL
+         |            ELSE md5(array_to_string(toks, ' ')) END AS stream_md5
+         |FROM bpe ORDER BY doc_id""".stripMargin,
 
-    // the full merge-table replay, generated from the SAME bpeMerges
-    // literals the operator folds (independent arithmetic, not a copy)
+    // the full rank-map replay, generated from the SAME shipped merge
+    // table the operator walks (independent arithmetic, not a copy)
     "q_doc_tokens_bpe" ->
-      s"""SELECT doc_id,
-         |       CAST(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")}
-         |            AS INTEGER) AS n_bpe_tokens,
-         |       CAST(length(regexp_extract_all(text,
+      s"""WITH ${graft.ext.BpeVocab.oracleCtes("documents")}
+         |SELECT d.doc_id,
+         |       CAST(len(b.toks) AS INTEGER) AS n_bpe_tokens,
+         |       CAST(length(regexp_extract_all(d.text,
          |            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
          |         AS n_regex_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents d JOIN bpe b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_quality" ->
       """SELECT doc_id,
@@ -5563,11 +5563,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_token_budget_mix" ->
-      s"""SELECT lang, count(*) AS total,
-         |       CAST(sum(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")})
-         |            AS BIGINT) AS total_tokens,
+      s"""WITH ${graft.ext.BpeVocab.oracleCtes("documents")}
+         |SELECT d.lang, count(*) AS total,
+         |       CAST(sum(len(b.toks)) AS BIGINT) AS total_tokens,
          |       TRUE AS budget_ok, TRUE AS stable
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+         |FROM documents d JOIN bpe b USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_replicate" ->
       """SELECT lang, count(*) AS total, TRUE AS rep_ok, TRUE AS epochs_ok
@@ -5592,10 +5593,10 @@ object SparkEntry {
         |FROM c GROUP BY component ORDER BY component""".stripMargin,
 
     "q_pack_shards" ->
-      s"""WITH d AS (SELECT doc_id,
-         |             CAST(${graft.ext.TextAnalysis.bpeOracleSqlExpr("text")}
-         |               AS INT) AS n_tokens
-         |           FROM documents WHERE doc_id < 200)
+      s"""WITH ${graft.ext.BpeVocab.oracleCtes(
+                  "(SELECT * FROM documents WHERE doc_id < 200)")},
+         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
+         |      FROM bpe)
          |SELECT doc_id, n_tokens,
         |       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -5619,10 +5620,9 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_doc_chunks_bpe" ->
-      s"""WITH d AS (SELECT doc_id,
-         |             ${graft.ext.TextAnalysis.bpeTokensOracleSqlExpr("text")}
-         |               AS toks
-         |           FROM documents WHERE doc_id < 50),
+      s"""WITH ${graft.ext.BpeVocab.oracleCtes(
+                  "(SELECT * FROM documents WHERE doc_id < 50)")},
+         |d AS (SELECT doc_id, toks FROM bpe),
          |p AS (SELECT doc_id, toks,
          |             CASE WHEN len(toks) <= 64 THEN 1
          |                  ELSE CAST(ceil((len(toks) - 16) / 48.0) AS INT) END AS nc

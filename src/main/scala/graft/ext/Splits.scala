@@ -225,7 +225,7 @@ object Splits {
     * everything — upsampling past 1 is [[replicate]]'s job). Domains
     * absent from `budgets` are dropped unless `keepUnlisted` (a recipe
     * names every source it trains on). Pair `tokenCol` with
-    * [[TextAnalysis.bpeTokenCountMerged]] so the budget counts real
+    * [[TextAnalysis.bpeTokenCountRanked]] so the budget counts real
     * model tokens.
     *
     * Scale shape: ONE sum aggregation collects |domains| rows to the

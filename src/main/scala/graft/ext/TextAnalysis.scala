@@ -125,16 +125,61 @@ object TextAnalysis {
   /** DuckDB SQL expression replaying [[bpeTokenCountMerged]] exactly
     * over `textExpr` — generated from the SAME [[bpeMerges]] literals:
     * same pretoken regex, same `<sym>` encoding, same rank-ordered
-    * fold of single-pass `replace` calls, same marker count. */
+    * fold of single-pass `replace` calls, same marker count. NULL text
+    * → NULL on both engines (Spark's aggregate over a NULL array is
+    * NULL), while EMPTY text → 0 on both (Spark's fold over an empty
+    * array returns its init; DuckDB's list_sum([]) is NULL, hence the
+    * guarded coalesce). */
   def bpeOracleSqlExpr(textExpr: String): String = {
     val enc = "regexp_replace(lower(w), '(.)', '<\\1>', 'g')"
     val folded = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
       s"replace($s, '<$a><$b>', '<$a$b>')"
     }
-    s"coalesce(list_sum(list_transform(regexp_extract_all($textExpr, " +
+    s"CASE WHEN $textExpr IS NULL THEN NULL ELSE " +
+      s"coalesce(list_sum(list_transform(regexp_extract_all($textExpr, " +
       s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'), " +
       s"w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') " +
-      s"THEN len(string_split($folded, '<')) - 1 ELSE 1 END)), 0)"
+      s"THEN len(string_split($folded, '<')) - 1 ELSE 1 END)), 0) END"
+  }
+
+  // ------------------------------------------------------- ranked BPE tier
+
+  /** TOKENIZER-FAITHFUL BPE at production vocabulary scale: the full
+    * subword stream under a rank-map merge table (default: the shipped
+    * [[BpeVocab.Default]], a few-thousand-rank GPT-2-shape vocabulary —
+    * case-preserving, Ġ space-prefix, contractions split). Unlike the
+    * folded-literal [[bpeTokens]] head-50 tier, plan size, codegen size
+    * and JIT cost are INDEPENDENT of merge count (the table travels as
+    * one referenced object — `BpePlanSizeSpec`), and per-word cost is
+    * the published merge loop amortized by a per-thread cache. Scan-
+    * local and shuffle-free like the rest of this module. NULL text →
+    * NULL (null-intolerant; the oracle CTEs mirror it). */
+  def bpeTokensRanked(text: Column,
+      table: graft.functions.BpeTable = BpeVocab.Default): Column =
+    graft.functions.GraftFunctions.bpeTokenize(text, table)
+
+  /** Token COUNT under the ranked merge table — the number shard
+    * packing / chunking / token-budget mixing route through. */
+  def bpeTokenCountRanked(text: Column,
+      table: graft.functions.BpeTable = BpeVocab.Default): Column =
+    size(bpeTokensRanked(text, table))
+
+  /** Distributed pretoken frequencies — the corpus half of BPE
+    * training: explode the (whitespace-mapped, case-preserved)
+    * pretokens, ONE map-side-combining count aggregation, top-K by
+    * frequency via TakeOrderedAndProject (bounded driver collect —
+    * K distinct words, never the corpus; ties broken by word so the
+    * result is deterministic). Feed the result to
+    * [[graft.functions.BpeTable.train]]. */
+  def bpeWordFrequencies(docs: DataFrame, textCol: String,
+      topK: Int = 50000): Seq[(String, Long)] = {
+    docs
+      .select(explode(graft.functions.GraftFunctions.bpePretokenize(
+        col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** Quality-score components + aggregate score in [0,1]:
@@ -329,15 +374,19 @@ object TextAnalysis {
     chunkTokens(docs, idCol, tokens(col(textCol)), maxTokens, overlap)
 
   /** [[chunk]] with the window budget in TOKENIZER-FAITHFUL BPE tokens
-    * ([[bpeTokens]]) — the context-length number that actually bounds a
-    * model's input. Whitespace-token windows under- or over-fill a real
-    * context by the 10-30% regex-vs-merges drift; windowing the subword
-    * stream itself makes every chunk exactly ≤ `maxTokens` model
-    * tokens. `chunk_text` is the space-joined subword stream (what the
-    * model consumes), not a substring of the original text. */
+    * ([[bpeTokensRanked]] under the shipped production-shape vocab) —
+    * the context-length number that actually bounds a model's input.
+    * Whitespace-token windows under- or over-fill a real context by
+    * the 10-30% regex-vs-merges drift; windowing the subword stream
+    * itself makes every chunk exactly ≤ `maxTokens` model tokens.
+    * `chunk_text` is the space-joined subword stream (what the model
+    * consumes), not a substring of the original text — unambiguous
+    * because symbols never contain raw whitespace. */
   def chunkBpe(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int = 512, overlap: Int = 64): DataFrame =
-    chunkTokens(docs, idCol, bpeTokens(col(textCol)), maxTokens, overlap)
+      maxTokens: Int = 512, overlap: Int = 64,
+      table: graft.functions.BpeTable = BpeVocab.Default): DataFrame =
+    chunkTokens(docs, idCol, bpeTokensRanked(col(textCol), table),
+      maxTokens, overlap)
 
   private def chunkTokens(docs: DataFrame, idCol: String, toks: Column,
       maxTokens: Int, overlap: Int): DataFrame = {

@@ -163,19 +163,24 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("chunkBpe windows the SUBWORD stream: every chunk is ≤ budget " +
       "model tokens even where whitespace windows would overfill") {
-    // "the" is 1 subword but "xyzq" is 4 — a whitespace window of 2
-    // words can carry 2..8 model tokens; the BPE window never exceeds
-    // its budget
+    // "the" is 1 subword but "xyzq" stays 4 unmerged symbols — a
+    // whitespace window of 2 words can carry 2..8 model tokens; the
+    // BPE window never exceeds its budget. Controlled table so the
+    // expectation is vocab-independent of the shipped merges.
+    val table = new graft.functions.BpeTable(
+      Array("t" -> "h", "th" -> "e"))
     val docs = Seq((1L, "the xyzq the xyzq")).toDF("doc_id", "text")
     val got = TextAnalysis.chunkBpe(docs, "doc_id", "text",
-        maxTokens = 4, overlap = 0)
+        maxTokens = 4, overlap = 0, table = table)
       .orderBy("chunk_idx")
       .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
-    // stream: the, x,y,z,q, the, x,y,z,q = 10 subwords → 3 chunks
+    // stream: the, Ġ,x,y,z,q, Ġ,the, Ġ,x,y,z,q = 13 subwords → 4 chunks
+    // (space-prefix pretokens: Ġ stays its own symbol with no merge)
     assert(got.toSeq == Seq(
-      (0, 4, "the x y z"),
-      (1, 4, "q the x y"),
-      (2, 2, "z q")))
+      (0, 4, "the Ġ x y"),
+      (1, 4, "z q Ġ the"),
+      (2, 4, "Ġ x y z"),
+      (3, 1, "q")))
     assert(got.forall(_._2 <= 4))
   }
 
