@@ -43,6 +43,21 @@ object SparkEntry {
   private val bm25Terms = Seq("vector", "spark", "merge")
   private val lmVocabCap = 1000
 
+  /** Planted rows for q_quality_classifier — one prose row the shipped
+    * classifier must keep and three garbage-family rows it must reject
+    * (negative ids keep them clear of real doc_ids). The ORACLE builds
+    * its VALUES from these same literals, so query and oracle cannot
+    * drift. No apostrophes: the strings embed into single-quoted SQL. */
+  private val QualityPlant: Seq[(Long, String)] = Seq(
+    -4L -> "The data is in the table and the system can read it well.",
+    -3L -> "zqx zqx zqx zqx zqx zqx zqx zqx zqx zqx zqx zqx zqx zqx",
+    -2L -> "!!! @@@ ### $$$ %%% ^^^ &&& *** ((( ))) 12345 67890 []{}",
+    -1L -> "bcdfg hjklm npqrs tvwxz bcdfg hjklm npqrs tvwxz bcdfg")
+
+  private def qualityPlantValuesSql: String =
+    QualityPlant.map { case (id, text) => s"($id, '$text')" }
+      .mkString("VALUES ", ", ", "")
+
   /** A write-dominated benchmark entry split at its fixture/query seam,
     * so `Bench` can time table-building and the read path separately
     * (the read-path number is what must stay flat round-over-round; the
@@ -3343,6 +3358,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LEARNED quality classification (the fastText-style supervised
+    // signal beside the rule tier): score every document with the
+    // SHIPPED hashed-trigram logistic model plus four planted garbage
+    // rows (negative ids) the classifier must reject — the corpus
+    // itself is all prose, so the plant is what makes the boundary
+    // observable. DuckDB replays the scoring arithmetic bit-for-bit
+    // from the same pinned weight literals (md5-hex buckets, pinned
+    // fold order, same σ).
+    "q_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val planted = QualityPlant.toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      graft.ext.Classify.scoreQuality(docs, "text")
+        .select(col("doc_id"), col("q_prob"), col("q_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-count + character-class stats (oracle-checkable).
     "q_doc_stats" -> ((s, dir) => {
       val text = col("text")
@@ -5397,6 +5430,22 @@ object SparkEntry {
         |       r_words AND r_mean_len AND r_symbol AND r_bullet
         |         AND r_ellipsis AND r_alpha AND r_stopwords AS gopher_keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the scoring replay from the SAME pinned weights (weights bound
+    // once in a CTE; md5-hex bucket arithmetic and a pinned-order fold
+    // reproduce the engine's doubles bit-for-bit)
+    "q_quality_classifier" ->
+      s"""WITH ${graft.ext.Classify.weightsCteSql()},
+         |docs AS (SELECT doc_id, text FROM documents
+         |         UNION ALL
+         |         SELECT * FROM ($qualityPlantValuesSql) v(doc_id, text)),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(${graft.ext.Classify.probOracleSqlExpr("text")}, 6)
+         |           AS q_prob
+         |  FROM docs, qw)
+         |SELECT doc_id, q_prob, q_prob >= 0.5 AS q_keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_bm25_topk" -> graft.ext.Search.bm25OracleSql(bm25Terms, 20),
 
