@@ -3233,6 +3233,74 @@ object SparkEntry {
           "total_tokens", "corpus_md5")
     }),
 
+    // MODERN selection recipe composed end-to-end (the Llama/CCNet/
+    // RefinedWeb selection tier in one oracle-checked query): LEARNED
+    // classifier gate (pinned hashed-trigram model) → PERPLEXITY
+    // tercile bucketing on an LM fit to the survivors (head keeps all,
+    // middle 50%, tail 10%) → TOKEN-BUDGET cap in tokenizer-faithful
+    // BPE tokens (en capped at half its token mass, other domains
+    // kept). Every sampling decision rides the md5 carve
+    // (Splits.md5Keep) instead of xxhash, so DuckDB re-derives not
+    // just the per-stage survivor counts but the EXACT final corpus
+    // signature — classifier doubles, LM arithmetic, quantile cuts,
+    // carve thresholds, budget rate and BPE token counts all replayed.
+    // Plan shape: gates and carves are scan-local; the LM fit is one
+    // count agg per n-gram order + broadcast scoring joins; cuts one
+    // bounded percentile agg; the budget one sum agg — no extra
+    // shuffles at any corpus size.
+    "q_pipeline_select" -> ((s, dir) => {
+      import s.implicits._
+      val planted = QualityPlant.map { case (id, txt) => (id, "en", txt) }
+        .toDF("doc_id", "lang", "text")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(planted)
+      val nTotal = base.count()
+      // stage 1: learned quality gate — compare on the ROUNDED prob,
+      // exactly what the oracle replays
+      val cls = base.filter(round(graft.ext.Classify.qualityProb(
+        col("text"), graft.ext.Classify.PinnedModel), 6) >= 0.5).persist()
+      try {
+        val nCls = cls.count()
+        // stage 2: perplexity terciles from ONE bounded percentile agg
+        // over an LM fit to the survivors (lmScores materializes and
+        // frees its model frames)
+        val scored = graft.ext.Search.lmScores(cls, "doc_id", "text",
+          lmVocabCap)
+        val cuts = scored.agg(
+          expr("percentile(nll, 0.3333333333333333)").as("c1"),
+          expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
+        val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+        val keepPpl = when(col("nll") <= c1, lit(true))
+          .when(col("nll") <= c2,
+            Splits.md5Keep(col("doc_id"), "ppl", lit(0.5)))
+          .otherwise(Splits.md5Keep(col("doc_id"), "ppl", lit(0.1)))
+        val kept = cls.join(scored.filter(keepPpl).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .withColumn("n_tok",
+            TextAnalysis.bpeTokenCountRanked(col("text")).cast("long"))
+          .persist()
+        try {
+          val nPpl = kept.count()
+          // stage 3: en capped at half its token mass (integer-div
+          // budget so the oracle's t//2 arithmetic is identical)
+          val enTok = kept.filter(col("lang") === "en")
+            .agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+          val rate = if (enTok > 0) (enTok / 2).toDouble / enTok else 1.0
+          val fin = kept.filter(col("lang") =!= "en" ||
+            Splits.md5Keep(col("doc_id"), "budget", lit(rate)))
+          val row = fin.agg(count(lit(1)).as("n_final"),
+            sum(col("n_tok")).cast("long").as("final_tokens"),
+            md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+              .as("corpus_md5")).head()
+          Seq((nTotal, nCls, nPpl, row.getLong(0), row.getLong(1),
+              row.getString(2)))
+            .toDF("n_total", "n_classifier", "n_perplexity", "n_final",
+              "final_tokens", "corpus_md5")
+        } finally kept.unpersist()
+      } finally cls.unpersist()
+    }),
+
     // Web-corpus recipe with the URL stage FIRST (the RefinedWeb/C4
     // ordering UrlOps documents): parse → domain blocklist → per-domain
     // cap → URL-exact dedup under normalization, THEN the content gates
@@ -5430,6 +5498,52 @@ object SparkEntry {
         |       r_words AND r_mean_len AND r_symbol AND r_bullet
         |         AND r_ellipsis AND r_alpha AND r_stopwords AS gopher_keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the FULL pipeline replay: classifier doubles, LM arithmetic,
+    // type-7 quantile cuts, md5-carve thresholds, integer-div budget
+    // rate and BPE token counts — the final corpus md5 is re-derived,
+    // not pinned
+    "q_pipeline_select" ->
+      s"""WITH ${graft.ext.Classify.weightsCteSql()},
+         |base AS (SELECT doc_id, lang, text FROM documents
+         |         UNION ALL
+         |         SELECT doc_id, 'en' AS lang, text
+         |         FROM ($qualityPlantValuesSql) v(doc_id, text)),
+         |cls AS (SELECT b.doc_id, b.lang, b.text FROM base b, qw
+         |        WHERE round(${graft.ext.Classify.probOracleSqlExpr("b.text")},
+         |                    6) >= 0.5),
+         |${graft.ext.Search.lmScoresCtes("cls", lmVocabCap)},
+         |cuts AS (SELECT quantile_cont(nll, 0.3333333333333333) AS c1,
+         |                quantile_cont(nll, 0.6666666666666666) AS c2
+         |         FROM lmsc),
+         |ppl AS (SELECT l.doc_id FROM lmsc l, cuts
+         |        WHERE CASE WHEN l.nll <= c1 THEN TRUE
+         |              WHEN l.nll <= c2 THEN
+         |                ${Splits.md5KeepSqlExpr("l.doc_id", "ppl", "0.5")}
+         |              ELSE
+         |                ${Splits.md5KeepSqlExpr("l.doc_id", "ppl", "0.1")}
+         |              END),
+         |${graft.ext.BpeVocab.oracleCtes(
+             "(SELECT c.doc_id, c.text FROM cls c JOIN ppl USING (doc_id))")},
+         |kept AS (SELECT c.doc_id, c.lang, c.text,
+         |                CAST(len(b.toks) AS BIGINT) AS n_tok
+         |         FROM cls c JOIN ppl USING (doc_id)
+         |         JOIN bpe b ON b.doc_id = c.doc_id),
+         |bstats AS (SELECT coalesce(sum(CASE WHEN lang = 'en'
+         |                  THEN n_tok END), 0) AS t FROM kept),
+         |fin AS (SELECT k.* FROM kept k, bstats
+         |        WHERE k.lang <> 'en' OR ${Splits.md5KeepSqlExpr(
+                     "k.doc_id", "budget",
+                     "CASE WHEN t > 0 THEN CAST(t // 2 AS DOUBLE) / " +
+                       "CAST(t AS DOUBLE) ELSE 1.0 END")})
+         |SELECT (SELECT count(*) FROM base) AS n_total,
+         |       (SELECT count(*) FROM cls) AS n_classifier,
+         |       (SELECT count(*) FROM kept) AS n_perplexity,
+         |       count(*) AS n_final,
+         |       CAST(sum(n_tok) AS BIGINT) AS final_tokens,
+         |       md5(string_agg(md5(text), '' ORDER BY md5(text)))
+         |         AS corpus_md5
+         |FROM fin""".stripMargin,
 
     // the scoring replay from the SAME pinned weights (weights bound
     // once in a CTE; md5-hex bucket arithmetic and a pinned-order fold

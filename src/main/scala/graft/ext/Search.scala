@@ -386,11 +386,20 @@ object Search {
     * (0.5 / 0.25 / 0.25 at position ≥ 2, 0.5 / 0.5 at position 1),
     * term order matched so the rounded doubles agree bit-for-bit. */
   def lmOracleSql(k: Int, vocabCap: Int = 50000): String =
-    s"""WITH arrs AS (
+    s"""WITH ${lmScoresCtes("documents", vocabCap)}
+       |SELECT doc_id, nll, n_tokens FROM lmsc
+       |ORDER BY nll DESC, doc_id LIMIT $k""".stripMargin
+
+  /** The per-document score replay as a WITH-fragment ending in CTE
+    * `lmsc(doc_id, nll, n_tokens)` over `docsSel` — factored out of
+    * [[lmOracleSql]] so a composed pipeline oracle can gate on the
+    * same replayed score (identical arithmetic, different consumer). */
+  def lmScoresCtes(docsSel: String, vocabCap: Int = 50000): String =
+    s"""arrs AS (
        |  SELECT doc_id,
        |         string_split(trim(regexp_replace(regexp_replace(lower(text),
        |           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS _arr
-       |  FROM documents
+       |  FROM $docsSel
        |), idx AS (
        |  SELECT doc_id, _arr,
        |         unnest(generate_series(1, len(_arr))) AS _i
@@ -428,7 +437,7 @@ object Search {
        |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM counts) AS _v,
        |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM bi) AS _v2,
        |         (SELECT CAST(least(count(*), $vocabCap) AS DOUBLE) FROM tri) AS _v3
-       |)
+       |), lmsc AS (
        |SELECT p.doc_id,
        |       round(avg(CASE
        |         WHEN p._prev IS NULL
@@ -454,6 +463,5 @@ object Search {
        |                     AND p._cur = tv._tc
        |LEFT JOIN left3vocab l3 ON p._prev2 = l3._la AND p._prev = l3._lb
        |CROSS JOIN stats s
-       |GROUP BY p.doc_id
-       |ORDER BY nll DESC, p.doc_id LIMIT $k""".stripMargin
+       |GROUP BY p.doc_id)""".stripMargin
 }

@@ -253,6 +253,38 @@ object Splits {
         defaultWeight = if (keepUnlisted) 1.0 else 0.0, seed))
   }
 
+  /** ORACLE-REPLAYABLE deterministic keep-decision: where [[mixKeep]]
+    * carves on `xxhash64` (fastest, but Spark-only), this carves on the
+    * first 32 bits of `md5(key ':' salt)` — the one hash Spark and
+    * DuckDB both implement, so a pipeline sampled this way can be
+    * re-derived ROW-FOR-ROW by the verify SQL (final-corpus md5, not
+    * just expected totals). Same contract otherwise: pure function of
+    * (key, salt), stable, append-invariant, leakage-safe by key;
+    * scan-local, no shuffle. `rate` is a Column so budget-derived rates
+    * computed in-plan replay too. Keep iff u < rate·2³². */
+  def md5Keep(key: Column, salt: String, rate: Column): Column = {
+    val m = md5(concat(key.cast("string"), lit(":" + salt)))
+    def hexVal(k: Int): Column = {
+      val a = ascii(substring(m, k, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+    }
+    val u = (1 to 8).map(hexVal).reduce((acc, d) => acc * 16 + d)
+    u.cast("double") < rate * lit(4294967296.0)
+  }
+
+  /** DuckDB twin of [[md5Keep]] — same md5, same hex fold, same
+    * threshold arithmetic. `keyExpr` must be the same string form the
+    * Spark side casts to (e.g. a BIGINT id renders identically). */
+  def md5KeepSqlExpr(keyExpr: String, salt: String, rateExpr: String): String = {
+    val m = s"md5(CAST($keyExpr AS VARCHAR) || ':$salt')"
+    def hexVal(k: Int): String =
+      s"CAST(CASE WHEN ascii(substr($m, $k, 1)) <= 57 " +
+        s"THEN ascii(substr($m, $k, 1)) - 48 " +
+        s"ELSE ascii(substr($m, $k, 1)) - 87 END AS BIGINT)"
+    val u = (1 to 8).map(hexVal).reduce((acc, d) => s"($acc * 16 + $d)")
+    s"(CAST($u AS DOUBLE) < ($rateExpr) * 4294967296.0)"
+  }
+
   /** Default seed for [[shuffled]] — independent of [[MixSeed]] and the
     * split seed for the same reason those are independent of each
     * other: every stage hashing the same key must not correlate. */

@@ -306,4 +306,37 @@ class SplitsSpec extends AnyFunSuite {
     assert(!dropped.contains("empty") && !dropped.contains("nulls") &&
       dropped("web") == 20)
   }
+
+  test("md5Keep: rates hold, decisions are stable/append-invariant, " +
+      "and the JVM replay of the threshold math agrees") {
+    val ids = spark.range(20000).toDF("id")
+    def keptAt(rate: Double) = ids
+      .filter(Splits.md5Keep(col("id"), "s1", lit(rate))).count()
+    assert(keptAt(0.0) == 0 && keptAt(1.0) == 20000)
+    val half = keptAt(0.5)
+    assert(math.abs(half - 10000) < 450, s"rate 0.5 kept $half")
+    // stable + append-invariant (pure function of key and salt)
+    val a = ids.filter(Splits.md5Keep(col("id"), "s1", lit(0.3)))
+      .as[Long].collect().toSet
+    val b = spark.range(40000).toDF("id")
+      .filter(Splits.md5Keep(col("id"), "s1", lit(0.3)))
+      .filter(col("id") < 20000).as[Long].collect().toSet
+    assert(a == b)
+    // salts decorrelate
+    val c = ids.filter(Splits.md5Keep(col("id"), "s2", lit(0.3)))
+      .as[Long].collect().toSet
+    assert(a != c)
+    // the exact threshold arithmetic the oracle twin replays: first 32
+    // bits of md5("<id>:<salt>") as an unsigned int vs rate * 2^32
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def jvmKeep(id: Long, salt: String, rate: Double): Boolean = {
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble < rate * 4294967296.0
+    }
+    val got = spark.range(500).toDF("id")
+      .select(col("id"), Splits.md5Keep(col("id"), "s1", lit(0.37)).as("k"))
+      .as[(Long, Boolean)].collect()
+    got.foreach { case (id, k) => assert(k == jvmKeep(id, "s1", 0.37), s"id $id") }
+  }
 }
