@@ -43,6 +43,10 @@ object Classify {
   final case class QualityModel(weights: Array[Double], bias: Double) {
     require(weights.nonEmpty, "empty weight vector")
     def dim: Int = weights.length
+    /** The expression-tier holder (shared so repeated scoring reuses
+      * one reference object). */
+    @transient lazy val ref: graft.functions.QualityModelRef =
+      new graft.functions.QualityModelRef(weights, bias)
     override def toString: String = s"QualityModel(dim=${weights.length})"
   }
 
@@ -53,42 +57,70 @@ object Classify {
 
   // ------------------------------------------------------------ features
 
-  /** Hex digit value of the 1-based `k`-th char of md5 hex `m` —
+  /** Hex digit value of the 1-based `k`-th char of hex string `h` —
     * `ascii` is the code-point function BOTH engines define
     * identically, so the arithmetic replays in SQL. */
-  private def hexVal(m: Column, k: Int): Column = {
-    val a = ascii(substring(m, k, 1))
+  private def hexVal(h: Column, k: Int): Column = {
+    val a = ascii(substring(h, k, 1))
     when(a <= 57, a - 48).otherwise(a - 87)
   }
 
-  /** Bucket of one gram: first 16 bits of md5(gram) mod dim. */
-  private def gramBucket(g: Column, dim: Int): Column = {
-    val m = md5(g)
-    (hexVal(m, 1) * 4096 + hexVal(m, 2) * 256 +
-      hexVal(m, 3) * 16 + hexVal(m, 4)) % dim
-  }
+  /** First 16 bits of md5(gram), as its 4-hex-char prefix. Split from
+    * [[bucketFromHex]] so the md5 evaluates ONCE per gram: higher-order
+    * lambdas run interpreted (no common-subexpression elimination), so
+    * an expression tree referencing `md5(g)` from every hex digit pays
+    * EIGHT digests per gram — ~70× the whole scoring cost at corpus
+    * scale. Two chained transforms bind the digest like a let. */
+  private def gramHex(g: Column): Column = substring(md5(g), 1, 4)
+
+  private def bucketFromHex(h: Column, dim: Int): Column =
+    (hexVal(h, 1) * 4096 + hexVal(h, 2) * 256 +
+      hexVal(h, 3) * 16 + hexVal(h, 4)) % dim
 
   /** Boundary-padded lowercase character trigrams of a text column.
     * NULL text → NULL; text shorter than one trigram → empty array
     * (explicit branches: Spark's `sequence(1, 0)` counts DOWN, so the
     * short-text case must not reach it — the oracle's `range(1, 0)` is
-    * empty and the branches keep both engines aligned). */
+    * empty and the branches keep both engines aligned). The padded
+    * string is BOUND as a lambda variable (`transform(array(s), …)[1]`
+    * — the expression tier's let): referencing `s` directly from the
+    * per-gram substr re-evaluates the concat+lower per element, which
+    * is O(n²) per document and dominated the whole pipeline before the
+    * binding. */
   def charTrigrams(text: Column): Column = {
     val s = concat(lit(" "), lower(text), lit(" "))
-    val n = length(s)
-    when(n >= 3, transform(sequence(lit(1), n - 2), i => s.substr(i, lit(3))))
-      .when(text.isNotNull, array().cast("array<string>"))
+    val grams = transform(array(s), s2 => {
+      val n = length(s2)
+      when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => s2.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    })
+    when(text.isNotNull, element_at(grams, 1))
   }
 
   /** Classifier score in (0, 1): σ(bias + Σ w[bucket(g)] / max(#grams,
-    * 1)) — a strict left fold in gram order, so the float summation
-    * order is pinned and the oracle's `list_reduce` produces the
-    * bit-identical double. */
-  def qualityProb(text: Column, model: QualityModel): Column = {
+    * 1)) — the codegen'd [[graft.functions.QualityScore]] expression
+    * (one reused digest, zero per-gram allocation; the declarative
+    * [[qualityProbColumns]] form pays interpreted-lambda tree walks
+    * per trigram and is ~30× slower at corpus scale). Both produce
+    * bit-identical doubles (`ClassifySpec` differential). */
+  def qualityProb(text: Column, model: QualityModel): Column =
+    graft.functions.GraftFunctions.qualityScore(text, model.ref)
+
+  /** The scoring arithmetic in PURE BUILT-IN COLUMNS — the executable
+    * documentation of what [[probOracleSqlExpr]] replays (strict left
+    * fold in gram order pins float summation, so oracle, column form
+    * and the codegen'd expression all produce the same doubles).
+    * Evaluation order matters even here: the md5 binds ONCE per gram
+    * and the padded string once per row via lambda variables —
+    * higher-order lambdas run interpreted with no common-subexpression
+    * elimination, so an unbound spelling is quadratic per document. */
+  def qualityProbColumns(text: Column, model: QualityModel): Column = {
     val grams = charTrigrams(text)
+    val hexes = transform(grams, gramHex(_)) // one digest per gram
     val w = lit(model.weights)
-    val wsum = aggregate(grams, lit(0.0),
-      (acc, g) => acc + element_at(w, gramBucket(g, model.dim) + 1))
+    val wsum = aggregate(hexes, lit(0.0),
+      (acc, h) => acc + element_at(w, bucketFromHex(h, model.dim) + 1))
     val z = lit(model.bias) + wsum / greatest(size(grams), lit(1)).cast("double")
     lit(1.0) / (lit(1.0) + exp(-z))
   }
@@ -124,7 +156,8 @@ object Classify {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = charTrigrams(col(textCol))
-    val buckets = transform(grams, g => gramBucket(g, dim))
+    val buckets = transform(transform(grams, gramHex(_)),
+      h => bucketFromHex(h, dim))
     val feats = docs.filter(col(textCol).isNotNull)
       .select(buckets.as("b"), col(labelCol).cast("double").as("y"))
       .as[(Seq[Int], Double)].persist()

@@ -217,10 +217,16 @@ object TextAnalysis {
     val padded = concat(lit(" "), stripped, lit(" "))
     val letters = length(regexp_replace(stripped, "\\s", ""))
     val han = length(regexp_replace(stripped, "[^\\p{IsHan}]", ""))
-    val n = length(padded)
-    val tris = when(n >= 3,
-        transform(sequence(lit(1), n - 2), i => padded.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    // bind the padded string as a lambda variable (transform-over-
+    // singleton = the expression tier's let): referencing `padded`
+    // from the per-trigram substr re-runs lower+regexp_replace per
+    // element — O(n²) per document (same fix as Classify.charTrigrams)
+    val tris = element_at(transform(array(padded), p => {
+      val n = length(p)
+      when(n >= 3,
+          transform(sequence(lit(1), n - 2), i => p.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    }), 1)
     // hits saturate at 999999 — the oracle packs them into a %06d
     // sortable pad, so the operator clamps identically (a real document
     // never gets near 1M profile-trigram hits; this only pins the

@@ -119,6 +119,11 @@ object GraftFunctions {
   def bpeTokenize(text: Column, table: BpeTable): Column =
     toCol(BpeTokenize(toExpr(text), table))
 
+  /** Learned-quality classifier score in (0,1) under frozen weights —
+    * one tight JVM pass per row (codegen'd). */
+  def qualityScore(text: Column, model: QualityModelRef): Column =
+    toCol(QualityScore(toExpr(text), model))
+
   /** Constant-color image payload in a real compressed container
     * (`format`: png | jpg | gif | bmp) from `(w, h, r, g, b)` int
     * columns — planted-oracle payload generation. */

@@ -471,6 +471,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pm.contains("*(1)"), pm)
   }
 
+  test("classifier scoring, ranked BPE, and md5 carve stay scan-local — no exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // learned quality scoring: pinned weights ride the projection —
+    // one scan, no shuffle, no UDF node
+    val pq = graft.ext.Classify.scoreQuality(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange"), "classifier scoring shuffles:\n" + pq)
+    assert(!pq.contains("BatchEvalPython") && !pq.contains("SQLAppUDF"),
+      "classifier scoring left the expression tier:\n" + pq)
+    // ranked BPE tokenization: the 3000-rank table is a referenced
+    // object — scan-local projection, and the plan text stays small
+    // (merges are DATA, not plan)
+    val pb = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.bpeTokenCountRanked(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Exchange"), "ranked BPE shuffles:\n" + pb)
+    assert(pb.length < 6000, s"plan text grew with the merge table (${pb.length}):\n" + pb)
+    // md5 carve: pure expression filter over the scan
+    val pk = docs.filter(graft.ext.Splits.md5Keep(col("doc_id"), "s", lit(0.5)))
+      .queryExecution.executedPlan.toString
+    assert(!pk.contains("Exchange"), "md5 carve shuffles:\n" + pk)
+  }
+
   test("semantic dedup and knn join stay key-equality — never all-pairs") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -78,6 +78,37 @@ class ClassifySpec extends AnyFunSuite {
     assert(math.abs(empty - sigBias) < 1e-12)
   }
 
+  test("codegen'd QualityScore expression == declarative column form " +
+      "(≤ 1 ulp — the JVM's own Math.exp reproducibility bound)") {
+    val inputs = prose ++ junk ++ Seq(
+      "", "a", "ab", "ÜBER déjà vu — naïve façade",
+      "混合 multilingual 文本 with ascii", "tabs\tand\nnewlines  spaces",
+      "ünïcödé at the end é")
+    val df = inputs.toDF("text")
+      .select(
+        Classify.qualityProb(col("text"), Classify.PinnedModel).as("fast"),
+        Classify.qualityProbColumns(col("text"), Classify.PinnedModel).as("ref"))
+      .as[(Double, Double)].collect()
+    df.zip(inputs).foreach { case ((fast, ref), t) =>
+      // the weight SUMS are bit-identical (verified while building
+      // this); the final sigmoid may wobble 1 ulp because Math.exp's
+      // JIT intrinsic and its interpreted path are each only
+      // 1-ulp-accurate — the same bound the 6-dp oracle rounding
+      // absorbs
+      val ulps = math.abs(java.lang.Double.doubleToLongBits(fast) -
+        java.lang.Double.doubleToLongBits(ref))
+      assert(ulps <= 1, s"divergence on '$t': $fast vs $ref ($ulps ulps)")
+      assert(math.rint(fast * 1e6) == math.rint(ref * 1e6),
+        s"6-dp divergence on '$t'")
+    }
+    // NULL propagates on both
+    val nulls = Seq((1, null: String)).toDF("id", "text")
+      .select(Classify.qualityProb(col("text"), Classify.PinnedModel).as("p"),
+        Classify.qualityProbColumns(col("text"), Classify.PinnedModel).as("q"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("charTrigrams match a straightforward JVM derivation (the oracle's shape)") {
     val text = "The cat."
     val got = Seq(text).toDF("text")
