@@ -44,5 +44,12 @@ object GraftExtensions {
     "wav_pcm_stats" -> (es => WavPcmStats(es.head)),
     "image_pixel_stats" -> (es => ImagePixelStats(es.head)),
     "image_dhash" -> (es => ImageDHash(es.head)),
-    "audio_energy_hash" -> (es => AudioEnergyHash(es.head)))
+    "audio_energy_hash" -> (es => AudioEnergyHash(es.head)),
+    // bound to the shipped artifacts (the common call; parameterized
+    // tables/models go through the Column API)
+    "bpe_pretokenize" -> (es => BpePretokenize(es.head)),
+    "bpe_tokenize" -> (es =>
+      BpeTokenize(es.head, graft.ext.BpeVocab.Default)),
+    "quality_score" -> (es =>
+      QualityScore(es.head, graft.ext.Classify.PinnedModel.ref)))
 }
