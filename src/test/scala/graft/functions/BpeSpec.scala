@@ -96,6 +96,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: loop == replay on fuzzed corpora and inputs") {
+    // the equivalence argument (BpeExpressions doc) quantifies over ALL
+    // trained tables and inputs — fuzz it: small alphabets maximize
+    // a==b merges, overlapping pairs, and rank collisions
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 40) {
+      val alpha = "ab" + ("cdefg".take(rnd.nextInt(4)))
+      def word(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val corpus = (0 until 30).map(_ => word(1 + rnd.nextInt(10)))
+      val freqs = corpus.groupBy(identity)
+        .map { case (w, g) => (w, g.size.toLong) }.toSeq
+      val merges = BpeTable.train(freqs, 1 + rnd.nextInt(40), minCount = 1L)
+      if (merges.nonEmpty) {
+        val table = new BpeTable(merges)
+        for (_ <- 0 until 25) {
+          val w = word(1 + rnd.nextInt(14))
+          val loop = table.encode(w).map(_.toString).toSeq
+          val replay = rankOrderedReplay(table, w)
+          assert(loop == replay, s"trial $trial word '$w' merges " +
+            s"${merges.toSeq}: loop=$loop replay=$replay")
+          assert(loop.mkString == w)
+        }
+      }
+    }
+  }
+
   test("greedy a==b pairing matches the left-to-right replace semantics") {
     val table = new BpeTable(Array("a" -> "a"))
     assert(toks(table, "aaa") == Seq("aa", "a"))
