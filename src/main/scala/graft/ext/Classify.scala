@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
   *     identical arithmetic on Spark and DuckDB — the oracle replays
   *     scoring bit-for-bit from the same pinned weight literals.
   *   - TRAINING is batch gradient descent: features computed ONCE and
-  *     materialized, then one gradient PARTIAL-SUM aggregation per
-  *     epoch (mapPartitions → reduce, the same one-agg-per-round
-  *     posture as `Similarity.kmeansCentroids`); weights ride to
-  *     executors in the task closure (dim ≈ 1k doubles — broadcast
-  *     would be ceremony). Scratch frames free via the
-  *     [[Dedup.materialize]] discipline.
+  *     cached, then one gradient PARTIAL-SUM pass per epoch (the same
+  *     one-agg-per-round posture as `Similarity.kmeansCentroids`),
+  *     partials folded driver-side in partition order so the model is
+  *     bit-deterministic; weights ride to executors in the task
+  *     closure (dim ≈ 4k doubles — broadcast would be ceremony). The
+  *     feature cache frees in `finally`.
   *   - The SHIPPED model (`graft/quality_weights.txt`, regenerate with
   *     `runMain graft.GenQualityModel`) is checked in, so operator,
   *     oracle, and history stay deterministic — same contract as the
