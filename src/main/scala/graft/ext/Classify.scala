@@ -147,8 +147,11 @@ object Classify {
     * partials of dim+2 doubles — metadata-sized) folded DRIVER-SIDE in
     * partition order, so float summation order is pinned; optimizer
     * state (Σg² accumulators) is driver-side. Deterministic to the
-    * last bit: full batch, zero init, no sampling, ordered folds —
-    * the same corpus always learns the same model. */
+    * last bit for a fixed partition layout (full batch, zero init, no
+    * sampling, partition-ordered folds); across different layouts the
+    * fold order — and so the last float bits — can differ, which is
+    * one more reason the SHIPPED model is a checked-in artifact rather
+    * than retrained per run. */
   def trainQuality(docs: DataFrame, textCol: String, labelCol: String,
       dim: Int = DefaultDim, epochs: Int = 100, lr: Double = 0.5,
       l2: Double = 1e-6): QualityModel = {
