@@ -98,6 +98,7 @@ object GenBpeVocab {
     sb ++= "# graft.GenBpeVocab (BpeTable.train over the seed lexicon +\n"
     sb ++= "# testdata documents pretoken frequencies). Regenerate with:\n"
     sb ++= "#   sbt 'runMain graft.GenBpeVocab'\n"
+    sb ++= "\n" // blank line closes the comment header (see BpeVocab.parseMerges)
     merges.foreach { case (a, b) => sb ++= a; sb += ' '; sb ++= b; sb += '\n' }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))

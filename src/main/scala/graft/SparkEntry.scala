@@ -3262,6 +3262,14 @@ object SparkEntry {
         col("text"), graft.ext.Classify.PinnedModel), 6) >= 0.5).persist()
       try {
         val nCls = cls.count()
+        // degenerate corpus (classifier keeps nothing): the oracle's
+        // empty CTE chain yields zero counts and NULL corpus_md5 —
+        // emit the same row instead of running percentile over nothing
+        if (nCls == 0) {
+          Seq((nTotal, 0L, 0L, 0L, 0L, null.asInstanceOf[String]))
+            .toDF("n_total", "n_classifier", "n_perplexity", "n_final",
+              "final_tokens", "corpus_md5")
+        } else {
         // stage 2: perplexity terciles from ONE bounded percentile agg
         // over an LM fit to the survivors (lmScores materializes and
         // frees its model frames)
@@ -3289,15 +3297,21 @@ object SparkEntry {
           val rate = if (enTok > 0) (enTok / 2).toDouble / enTok else 1.0
           val fin = kept.filter(col("lang") =!= "en" ||
             Splits.md5Keep(col("doc_id"), "budget", lit(rate)))
+          // empty-final parity: tokens coalesce to 0 and corpus_md5
+          // stays NULL on BOTH engines (DuckDB's string_agg over zero
+          // rows is NULL; an unguarded concat_ws would md5(''))
           val row = fin.agg(count(lit(1)).as("n_final"),
-            sum(col("n_tok")).cast("long").as("final_tokens"),
-            md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+            coalesce(sum(col("n_tok")), lit(0L)).cast("long")
+              .as("final_tokens"),
+            when(count(lit(1)) > 0,
+              md5(concat_ws("", sort_array(collect_list(md5(col("text")))))))
               .as("corpus_md5")).head()
           Seq((nTotal, nCls, nPpl, row.getLong(0), row.getLong(1),
               row.getString(2)))
             .toDF("n_total", "n_classifier", "n_perplexity", "n_final",
               "final_tokens", "corpus_md5")
         } finally kept.unpersist()
+        }
       } finally cls.unpersist()
     }),
 
@@ -5540,7 +5554,7 @@ object SparkEntry {
          |       (SELECT count(*) FROM cls) AS n_classifier,
          |       (SELECT count(*) FROM kept) AS n_perplexity,
          |       count(*) AS n_final,
-         |       CAST(sum(n_tok) AS BIGINT) AS final_tokens,
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS final_tokens,
          |       md5(string_agg(md5(text), '' ORDER BY md5(text)))
          |         AS corpus_md5
          |FROM fin""".stripMargin,

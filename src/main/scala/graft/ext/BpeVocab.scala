@@ -24,15 +24,26 @@ import graft.functions.BpeTable
   */
 object BpeVocab {
 
-  /** merges.txt format: `left right` per line, rank order, `#` comments. */
-  def parseMerges(lines: Iterator[String]): Array[(String, String)] =
-    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val sp = l.indexOf(' ')
-        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
-          s"malformed merge line '$l' (symbols never contain spaces)")
-        (l.substring(0, sp), l.substring(sp + 1))
-      }.toArray
+  /** merges.txt format: an optional LEADING `#` comment header closed
+    * by one blank line, then `left right` per line in rank order.
+    * Comments are positional, not prefix-based — a trained merge whose
+    * left symbol is literally `#` (markdown-heavy corpora learn those)
+    * must round-trip, so nothing after the header is ever filtered. */
+  def parseMerges(lines: Iterator[String]): Array[(String, String)] = {
+    val all = lines.toArray
+    val body =
+      if (all.headOption.exists(_.startsWith("#"))) {
+        val blank = all.indexWhere(_.trim.isEmpty)
+        require(blank >= 0, "comment header must end with a blank line")
+        all.drop(blank + 1)
+      } else all
+    body.filter(_.trim.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+        s"malformed merge line '$l' (symbols never contain spaces)")
+      (l.substring(0, sp), l.substring(sp + 1))
+    }
+  }
 
   lazy val merges: Array[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")

@@ -249,21 +249,26 @@ object Classify {
 
   /** DuckDB replay of [[qualityProb]] over `textExpr`, reading the
     * weight vector from [[weightsCteSql]]'s column `w`. Same trigrams,
-    * same md5-hex bucket arithmetic (md5 inlined per hex digit —
-    * lambdas cannot bind subqueries), same left fold, same σ; NULL
-    * text → NULL on both engines. */
+    * same md5-hex bucket arithmetic, same left fold, same σ; NULL text
+    * → NULL on both engines. Bindings mirror the Spark side's let
+    * discipline (DuckDB lambdas get no CSE either): the padded string
+    * binds once per row via a singleton list_transform, the digest
+    * once per gram via a chained list_transform — without them the
+    * replay is O(n²) per document with ~12 digests per gram. */
   def probOracleSqlExpr(textExpr: String,
       model: QualityModel = PinnedModel): String = {
     val s = s"(' ' || lower($textExpr) || ' ')"
+    val grams = s"list_transform([$s], s2 -> " +
+      s"list_transform(range(1, length(s2) - 1), i -> substr(s2, i, 3)))[1]"
+    val hexes = s"list_transform($grams, g -> substr(md5(g), 1, 4))"
     val hexv = (k: Int) =>
-      s"(CASE WHEN ascii(substr(md5(g), $k, 1)) <= 57 " +
-        s"THEN ascii(substr(md5(g), $k, 1)) - 48 " +
-        s"ELSE ascii(substr(md5(g), $k, 1)) - 87 END)"
+      s"(CASE WHEN ascii(substr(h, $k, 1)) <= 57 " +
+        s"THEN ascii(substr(h, $k, 1)) - 48 " +
+        s"ELSE ascii(substr(h, $k, 1)) - 87 END)"
     val bucket = s"((${hexv(1)} * 4096 + ${hexv(2)} * 256 + " +
       s"${hexv(3)} * 16 + ${hexv(4)}) % ${model.dim})"
-    val grams = s"list_transform(range(1, length($s) - 1), i -> substr($s, i, 3))"
     val wsum = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform($grams, g -> w[$bucket + 1])), " +
+      s"list_transform($hexes, h -> w[$bucket + 1])), " +
       s"(acc, x) -> acc + x)"
     s"CASE WHEN $textExpr IS NULL THEN NULL ELSE " +
       s"1.0 / (1.0 + exp(-(${model.bias} + $wsum / " +

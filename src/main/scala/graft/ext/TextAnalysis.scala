@@ -33,8 +33,9 @@ object TextAnalysis {
     * order — a hand-curated head of the most frequent English
     * letter-pair merges (the same pairs every public English BPE
     * vocabulary learns first; cf. the published GPT-2 merges head).
-    * Public so [[bpeOracleSqlExpr]] embeds the SAME literals the
-    * operator folds — operator and oracle cannot drift. Each merge's
+    * Kept as the expression-tier teaching form beside the production
+    * rank-map tier ([[bpeTokensRanked]] / [[BpeVocab]], whose oracle
+    * replays its own table from the same checked-in file). Each merge's
     * sides must already be producible when its rank applies (training
     * order guarantees this for real merge files; curated here). */
   val bpeMerges: Seq[(String, String)] = Seq(
@@ -67,11 +68,11 @@ object TextAnalysis {
     * markers), so it is scan-local and shuffle-free (the lambda
     * wrappers evaluate outside whole-stage codegen like every
     * higher-order-function operator in this module — per-row,
-    * distributed work either way), and replayed verbatim
-    * by the DuckDB oracle [[bpeOracleSqlExpr]] — both engines' single
-    * `replace` is the same left-to-right non-overlapping pass. The
-    * `<`/`>` sentinels cannot collide: merges apply only to pretokens
-    * that are pure letter runs. */
+    * distributed work either way). The `<`/`>` sentinels cannot
+    * collide: merges apply only to pretokens that are pure letter
+    * runs. (This head-50 tier's queries and generated DuckDB oracles
+    * moved to the ranked tier — [[BpeVocab.oracleCtes]]; the operator
+    * keeps its unit coverage as the teaching form.) */
   def bpeTokenCountMerged(text: Column): Column = {
     val pre = regexp_extract_all(text,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
@@ -95,10 +96,9 @@ object TextAnalysis {
     * lowercase and split into their merged symbols, digits and
     * punctuation pass through as single tokens. Same pure-string-
     * expression machinery as [[bpeTokenCountMerged]] (whose count this
-    * equals by construction), so it is scan-local and shuffle-free,
-    * and the DuckDB oracle replays the whole stream from the same
-    * merge literals. Tokens never contain whitespace (the pretokenizer
-    * excludes it), so a space-joined stream is unambiguous. */
+    * equals by construction), so it is scan-local and shuffle-free.
+    * Tokens never contain whitespace (the pretokenizer excludes it),
+    * so a space-joined stream is unambiguous. */
   def bpeTokens(text: Column): Column = {
     val pre = regexp_extract_all(text,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
@@ -106,40 +106,6 @@ object TextAnalysis {
       when(w.rlike("^[A-Za-z]"),
         filter(split(mergedEncoding(w), "[<>]"), s => s =!= lit("")))
         .otherwise(array(w))))
-  }
-
-  /** DuckDB replay of [[bpeTokens]] over `textExpr` (an expression of
-    * type `VARCHAR[]`), from the same [[bpeMerges]] literals. */
-  def bpeTokensOracleSqlExpr(textExpr: String): String = {
-    val enc = "regexp_replace(lower(w), '(.)', '<\\1>', 'g')"
-    val folded = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
-      s"replace($s, '<$a><$b>', '<$a$b>')"
-    }
-    s"flatten(list_transform(regexp_extract_all($textExpr, " +
-      s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'), " +
-      s"w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') " +
-      s"THEN list_filter(string_split_regex($folded, '[<>]'), " +
-      s"s -> s <> '') ELSE [w] END))"
-  }
-
-  /** DuckDB SQL expression replaying [[bpeTokenCountMerged]] exactly
-    * over `textExpr` — generated from the SAME [[bpeMerges]] literals:
-    * same pretoken regex, same `<sym>` encoding, same rank-ordered
-    * fold of single-pass `replace` calls, same marker count. NULL text
-    * → NULL on both engines (Spark's aggregate over a NULL array is
-    * NULL), while EMPTY text → 0 on both (Spark's fold over an empty
-    * array returns its init; DuckDB's list_sum([]) is NULL, hence the
-    * guarded coalesce). */
-  def bpeOracleSqlExpr(textExpr: String): String = {
-    val enc = "regexp_replace(lower(w), '(.)', '<\\1>', 'g')"
-    val folded = bpeMerges.foldLeft(enc) { case (s, (a, b)) =>
-      s"replace($s, '<$a><$b>', '<$a$b>')"
-    }
-    s"CASE WHEN $textExpr IS NULL THEN NULL ELSE " +
-      s"coalesce(list_sum(list_transform(regexp_extract_all($textExpr, " +
-      s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'), " +
-      s"w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') " +
-      s"THEN len(string_split($folded, '<')) - 1 ELSE 1 END)), 0) END"
   }
 
   // ------------------------------------------------------- ranked BPE tier
