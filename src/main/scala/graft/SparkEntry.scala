@@ -187,14 +187,17 @@ object SparkEntry {
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col(graft.store.TableStore.ChangeTypeCol),
             col("_commit_snapshot_id"))
+        // AvailableNow (the sink's default): both sink sessions are
+        // batch-shaped — everything they must see is committed before
+        // start — so the one-shot trigger processes it all and
+        // terminates. The former ProcessingTime(50 ms) + poll spelling
+        // billed timer waits and machine load to the bench, not work.
         graft.streaming.EventStreams.upsertStream(cat, "mirror_su",
           cdc, Seq("o_orderkey"), ckpt,
-          trigger = org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime("50 milliseconds"),
           netOrdCol = Some("_commit_snapshot_id"))
       }
       val q = startSink()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
       // un-netted phase: the sink is DOWN while five commits land —
       // %15 keys carry two post-images (the %5 and %3 UPDATEs), %30
       // keys three (%5, %3, %6), %35 keys a post-image then a delete,
@@ -211,7 +214,7 @@ object SparkEntry {
       (cat, eng, () => startSink())
     } { case (cat, eng, startSink) =>
       val q2 = startSink()
-      try q2.processAllAvailable() finally q2.stop()
+      try q2.awaitTermination() finally q2.stop()
       val st = cat.store()
       val hist = st.dataFilesAsOf("mirror_su", None)
       val everWritten = (1L to 2L).flatMap(v =>

@@ -26,9 +26,13 @@ object BpeVocab {
 
   /** merges.txt format: an optional LEADING `#` comment header closed
     * by one blank line, then `left right` per line in rank order.
-    * Comments are positional, not prefix-based — a trained merge whose
-    * left symbol is literally `#` (markdown-heavy corpora learn those)
-    * must round-trip, so nothing after the header is ever filtered. */
+    * Comments are positional, not prefix-based — AFTER the header a
+    * merge whose left symbol is literally `#` (markdown-heavy corpora
+    * learn those) round-trips untouched, because nothing past the
+    * header is ever filtered. The one caveat: a HEADERLESS file whose
+    * first rank-0 merge itself starts with `#` would be read as a
+    * header — the in-repo generator always writes a header, so files
+    * it produces are unambiguous. */
   def parseMerges(lines: Iterator[String]): Array[(String, String)] = {
     val all = lines.toArray
     val body =

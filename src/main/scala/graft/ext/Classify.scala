@@ -102,8 +102,12 @@ object Classify {
     * 1)) — the codegen'd [[graft.functions.QualityScore]] expression
     * (one reused digest, zero per-gram allocation; the declarative
     * [[qualityProbColumns]] form pays interpreted-lambda tree walks
-    * per trigram and is ~30× slower at corpus scale). Both produce
-    * bit-identical doubles (`ClassifySpec` differential). */
+    * per trigram and is ~30× slower at corpus scale). The two forms
+    * agree to ≤1 ulp (`ClassifySpec` differential — the JIT'd
+    * `Math.exp` intrinsic vs the interpreted path can differ in the
+    * last bit), which leaves a vanishingly small residual risk that a
+    * 1-ulp wobble lands exactly on the 6-dp rounding or 0.5-threshold
+    * boundary of a downstream compare. */
   def qualityProb(text: Column, model: QualityModel): Column =
     graft.functions.GraftFunctions.qualityScore(text, model.ref)
 
@@ -223,6 +227,7 @@ object Classify {
   def parseModel(lines: Iterator[String]): QualityModel = {
     val vals = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .toArray
+    require(vals.nonEmpty, "empty model file (no non-comment lines)")
     require(vals.head.startsWith("bias "), "first line must be 'bias <v>'")
     QualityModel(vals.tail.map(_.toDouble), vals.head.drop(5).toDouble)
   }

@@ -147,14 +147,15 @@ object Search {
     * T = total corpus tokens, V1/V2/V3 = capped vocab sizes, cl2(b) /
     * cl3(a,b) = times the context opens a bi-/trigram (context mass).
     *
-    * Scale posture: one count aggregation PER ORDER over the token
-    * explosion (context-mass counts re-aggregate the gram frames,
-    * never the corpus), every model cut is a broadcastable top-V
+    * Scale posture: ONE grouping-sets count aggregation covers all
+    * three orders in a single pass over the token explosion
+    * (context-mass counts re-aggregate the cached gram frame, never
+    * the corpus), every model cut is a broadcastable top-V
     * (TakeOrderedAndProject — never a full sort), and scoring is
     * broadcast joins over the explosion — no shuffle grows past the
     * token count itself. Lifecycle: the returned frame is MATERIALIZED
-    * (per-doc scores — O(docs), tiny next to the corpus) and the three
-    * persisted model-count frames are unpersisted before returning, so
+    * (per-doc scores — O(docs), tiny next to the corpus) and the one
+    * persisted gram-count frame is unpersisted before returning, so
     * a caller can never leak O(distinct-grams) cache blocks into the
     * rest of the session ([[Dedup.materializeAndFree]] — the same
     * discipline every dedup operator follows). */
@@ -180,29 +181,43 @@ object Search {
           get(col("_arr"), i - 2).as("q")))).as("_tk"))
       .select(col("_id"), col("_tk.c").as("_cur"), col("_tk.p").as("_prev"),
         col("_tk.q").as("_prev2"))
-    // Each count frame feeds SEVERAL consumers (top-V cut + model
-    // totals; the gram frames also the context-mass re-agg), and Spark
-    // would re-run the corpus explosion for every subtree — persist the
-    // aggregates instead. All are O(distinct grams), not O(corpus):
-    // disk-backed distributed cache, strictly cheaper than re-exploding
-    // 100 TB of text per consumer. lmScores unpersists all three.
-    val counts = terms.groupBy(col("_cur").as("_tok"))
-      .agg(count(lit(1)).cast("double").as("_c")).persist()
+    // ALL THREE gram orders are counted in ONE pass over the token
+    // explosion via GROUPING SETS — the former spelling ran one
+    // aggregation per order, which re-exploded the corpus three times
+    // (three full scans at 100 TB; the partial map-side agg bounds the
+    // shuffle by distinct grams either way, so the expansion costs no
+    // extra network). The single aggregated frame is persisted —
+    // O(distinct grams), not O(corpus) — and every consumer (top-V
+    // cuts, context-mass re-aggs, model totals, the scoring joins)
+    // reads it as a cheap cached filter. lmScores unpersists it.
+    // grouping_id over (_cur, _prev, _prev2): (cur)=3, (prev,cur)=1,
+    // (prev2,prev,cur)=0. Data nulls (document-opening positions) are
+    // excluded from the bi/tri groups by the same isNotNull filters the
+    // per-order aggregations applied.
+    val grams = terms
+      .groupingSets(
+        Seq(Seq(col("_cur")), Seq(col("_prev"), col("_cur")),
+          Seq(col("_prev2"), col("_prev"), col("_cur"))),
+        col("_cur"), col("_prev"), col("_prev2"))
+      .agg(count(lit(1)).cast("double").as("_c"),
+        grouping_id().as("_gid"))
+      .persist()
+    val counts = grams.filter(col("_gid") === 3)
+      .select(col("_cur").as("_tok"), col("_c"))
     // Model totals come from the FULL count frames; the broadcastable
     // vocabs are top-V cuts (TakeOrderedAndProject — never a full sort).
     val vocab = counts.orderBy(col("_c").desc, col("_tok")).limit(vocabCap)
-    val bi = terms.filter(col("_prev").isNotNull)
-      .groupBy(col("_prev").as("_bp"), col("_cur").as("_bc"))
-      .agg(count(lit(1)).cast("double").as("_c2")).persist()
+    val bi = grams.filter(col("_gid") === 1 && col("_prev").isNotNull)
+      .select(col("_prev").as("_bp"), col("_cur").as("_bc"),
+        col("_c").as("_c2"))
     val bivocab = bi.orderBy(col("_c2").desc, col("_bp"), col("_bc"))
       .limit(vocabCap)
     val leftvocab = bi.groupBy(col("_bp").as("_lp"))
       .agg(sum(col("_c2")).as("_cl"))
       .orderBy(col("_cl").desc, col("_lp")).limit(vocabCap)
-    val tri = terms.filter(col("_prev2").isNotNull)
-      .groupBy(col("_prev2").as("_ta"), col("_prev").as("_tb"),
-        col("_cur").as("_tc"))
-      .agg(count(lit(1)).cast("double").as("_c3")).persist()
+    val tri = grams.filter(col("_gid") === 0 && col("_prev2").isNotNull)
+      .select(col("_prev2").as("_ta"), col("_prev").as("_tb"),
+        col("_cur").as("_tc"), col("_c").as("_c3"))
     val trivocab = tri.orderBy(col("_c3").desc, col("_ta"), col("_tb"),
       col("_tc")).limit(vocabCap)
     val left3vocab = tri.groupBy(col("_ta").as("_la"), col("_tb").as("_lb"))
@@ -238,7 +253,7 @@ object Search {
       .agg(round(avg(tokNll), 4).as("nll"),
         count(lit(1)).as("n_tokens"))
       .select(col("_id").as(idCol), col("nll"), col("n_tokens"))
-    (scores, Seq(counts, bi, tri))
+    (scores, Seq(grams))
   }
 
   def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,

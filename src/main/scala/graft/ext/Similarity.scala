@@ -595,15 +595,53 @@ object Similarity {
   def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, ksub: Int = 16, iters: Int = 3,
       seed: Long = 42L): Seq[Seq[Array[Float]]] = {
-    val dim = embeddings.select(org.apache.spark.sql.functions.size(col(vecCol)))
-      .head().getInt(0)
+    // Seed pools: the per-subspace hash ordering depends only on the id
+    // (xxhash64(id, seed+j)), so sampling FULL vectors and slicing
+    // driver-side reproduces exactly the pools the former per-subspace
+    // sub-frame scans drew — m TakeOrdered passes over ids+vectors, and
+    // the dim probe reads a pooled vector instead of its own job.
+    val pools = (0 until m).map(j =>
+      sampleCentroids(embeddings, idCol, vecCol, ksub * 8, seed + j))
+    require(pools.head.nonEmpty, "pqTrain needs a non-empty embedding frame")
+    val dim = pools.head.head.length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = embeddings.select(col(idCol),
-        slice(col(vecCol), j * dsub + 1, dsub).as("_sub"))
-      kmeansCentroids(sub, idCol, "_sub", ksub, iters, seed + j)
+    def subOf(v: Array[Float], j: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+    var cents: IndexedSeq[Seq[Array[Float]]] = (0 until m).map(j =>
+      farthestPointSeeds(pools(j).map(subOf(_, j)), ksub))
+    // All m subspaces train in ONE distributed aggregation per Lloyd
+    // round (the former spelling looped kmeansCentroids per subspace —
+    // m×iters corpus passes). Each row explodes into m (subspace,
+    // label, sub-vector) triples; the map-side-combining mean keyed by
+    // (subspace, label) shuffles ≤ m·ksub partial sums per partition,
+    // never the vectors. Per-group input rows and their order are
+    // unchanged vs the per-subspace loop, so the learned codebooks are
+    // the same (subspaces are independent; interleaving their
+    // iterations changes nothing).
+    val mean = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.GraftSqlShim.encoderOf[Array[Float]])
+    for (_ <- 1 to iters) {
+      val frozen = cents
+      val subs = (0 until m).map { j =>
+        val sub = slice(col(vecCol), j * dsub + 1, dsub)
+        struct(lit(j).as("_j"), nearestCentroid(sub, frozen(j)).as("_l"),
+          sub.as("_v"))
+      }
+      val means = embeddings
+        .select(explode(array(subs: _*)).as("_s"))
+        .groupBy(col("_s._j").as("_j"), col("_s._l").as("_l"))
+        .agg(mean(col("_s._v")).as("_mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      cents = (0 until m).map { j =>
+        frozen(j).zipWithIndex.map { case (old, i) =>
+          means.get((j, i)).filter(_.nonEmpty).getOrElse(old)
+        }
+      }
     }
+    cents
   }
 
   /** Encode every vector as its per-subspace nearest-codeword indices

@@ -76,22 +76,22 @@ object ChangeFeedFollower {
     * dropped at apply. */
   def applyChanges(catalog: GraftCatalog, target: String, feed: DataFrame,
       keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "applyChanges needs key columns")
     val st = catalog.store()
     val sch = st.schema(target)
-    // 'insert' > 'delete' lexicographically: desc ordering makes the
-    // post-image win the same-commit update pair
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_commit_snapshot_id").desc,
-        col(graft.store.TableStore.ChangeTypeCol).desc)
-    val last = feed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // last writer per key via ONE map-side-combining hash aggregate
+    // ([[EventStreams.netLatestByKey]] — latest commit wins, the
+    // post-image out-ranks its same-commit delete pair). The former
+    // row_number window spelled the same netting as a full shuffle+SORT
+    // of the feed; max_by needs no order at all.
+    val last = EventStreams.netLatestByKey(feed, keyCols,
+      "_commit_snapshot_id")
     val upserts = last
       .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
       .select(sch.fieldNames.toIndexedSeq.map(col): _*)
-    val batchKeys = last.select(keyCols.map(col): _*).distinct()
+    // netted: one row per key already — no distinct needed
+    val batchKeys = last.select(keyCols.map(col): _*)
     // one commit: matched files lose every batch key's old row, then
     // the surviving post-images append — deletes and upserts land
     // atomically, untouched files carry
@@ -113,16 +113,13 @@ object ChangeFeedFollower {
     * anti-join and metadata COUNT declines until OPTIMIZE. */
   def applyChangesMor(catalog: GraftCatalog, target: String, feed: DataFrame,
       keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "applyChangesMor needs key columns")
     val st = catalog.store()
     val sch = st.schema(target)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_commit_snapshot_id").desc,
-        col(graft.store.TableStore.ChangeTypeCol).desc)
-    val last = feed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // same hash-aggregate netting as [[applyChanges]] — no window sort
+    val last = EventStreams.netLatestByKey(feed, keyCols,
+      "_commit_snapshot_id")
     val upserts = last
       .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
       .select(sch.fieldNames.toIndexedSeq.map(col): _*)
