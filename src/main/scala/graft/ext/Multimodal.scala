@@ -223,16 +223,27 @@ object Multimodal {
   def syntheticMjpegAviContent(width: Column, height: Column,
       grays: Seq[Column]): Column = {
     require(grays.nonEmpty, "an MJPEG AVI needs at least one frame")
-    val frames = grays.map(g =>
+    // Every repeated payload BINDS ONCE as a lambda variable. The
+    // former spelling re-inlined each frame's whole JPEG-encode subtree
+    // everywhere its bytes were referenced (the 4 length bytes, the
+    // payload, the pad test) and the movi payload again inside the RIFF
+    // totals — a ~190 KB expression tree whose driver-side
+    // analysis/optimization/codegen dominated the query's wall clock
+    // (guide §7.3: very large plans are single-threaded driver work).
+    // Let-bound, the tree is a few KB; bytes out are identical, and the
+    // interpreted lambda cost is nanoseconds of byte-slicing per row.
+    val framesArr = array(grays.map(g =>
       graft.functions.GraftFunctions.imageEncodeConst("jpg",
-        width, height, g, g, g))
-    val chunks = frames.map { jpeg =>
+        width, height, g, g, g)): _*)
+    val chunksArr = transform(framesArr, { jpeg =>
       val jl = octet_length(jpeg)
       concat(lit("00dc".getBytes), le(jl, 4), jpeg,
         when(pmod(jl, lit(2)) === 1, lit(Array(0x00.toByte)))
           .otherwise(lit(Array.emptyByteArray)))
-    }
-    val moviPayload = concat(lit("movi".getBytes) +: chunks: _*)
+    })
+    val moviPayload = concat(lit("movi".getBytes),
+      aggregate(chunksArr, lit(Array.emptyByteArray),
+        (acc, c) => concat(acc, c)))
     val hdrl = concat(
       lit("LIST".getBytes), le(lit(68L), 4), lit("hdrl".getBytes),
       lit("avih".getBytes), le(lit(56L), 4),
@@ -241,12 +252,25 @@ object Multimodal {
         le(lit(grays.size.toLong), 4), le(lit(0), 4), le(lit(1), 4),
         le(lit(0), 4), le(width, 4), le(height, 4),
         repeatBin(le(lit(0), 4), lit(4))))
-    val moviList = concat(lit("LIST".getBytes),
-      le(octet_length(moviPayload), 4), moviPayload)
-    concat(lit("RIFF".getBytes),
-      le(lit(4L) + octet_length(hdrl) + octet_length(moviList), 4),
-      lit("AVI ".getBytes), hdrl, moviList)
+    // hdrl is structurally fixed at 76 bytes (12-byte LIST header + 8 +
+    // 56-byte avih payload); the literal keeps the RIFF total from
+    // duplicating the hdrl subtree
+    bindOnce(moviPayload) { movi =>
+      bindOnce(concat(lit("LIST".getBytes), le(octet_length(movi), 4),
+          movi)) { moviList =>
+        concat(lit("RIFF".getBytes),
+          le(lit(4L) + lit(76L) + octet_length(moviList), 4),
+          lit("AVI ".getBytes), hdrl, moviList)
+      }
+    }
   }
+
+  /** Let-binding for column expressions: evaluate `x` once, reference
+    * it as a lambda variable in `f` — the standard guard against
+    * Catalyst's projection collapse re-inlining an expensive subtree
+    * into every reference. */
+  private def bindOnce(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
 
   /** REAL MJPEG frame pipeline: extract every `movi` frame payload,
     * explode to one row per frame, and fully decode each JPEG —

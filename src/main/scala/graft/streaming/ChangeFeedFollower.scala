@@ -84,21 +84,27 @@ object ChangeFeedFollower {
     // ([[EventStreams.netLatestByKey]] — latest commit wins, the
     // post-image out-ranks its same-commit delete pair). The former
     // row_number window spelled the same netting as a full shuffle+SORT
-    // of the feed; max_by needs no order at all.
+    // of the feed; max_by needs no order at all. PERSISTED for the span
+    // of the commit: the merge reads it several times (key probe,
+    // anti-join, post-image union), and each un-cached read would
+    // re-run the netting AND the change-feed diff it consumes —
+    // O(batch) cache, freed before returning.
     val last = EventStreams.netLatestByKey(feed, keyCols,
-      "_commit_snapshot_id")
-    val upserts = last
-      .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
-      .select(sch.fieldNames.toIndexedSeq.map(col): _*)
-    // netted: one row per key already — no distinct needed
-    val batchKeys = last.select(keyCols.map(col): _*)
-    // one commit: matched files lose every batch key's old row, then
-    // the surviving post-images append — deletes and upserts land
-    // atomically, untouched files carry
-    st.merge(target, batchKeys, keyCols, matchedRows =>
-      matchedRows.join(batchKeys, keyCols, "left_anti")
-        .unionByName(upserts))
-    catalog.registerView(target)
+      "_commit_snapshot_id").persist()
+    try {
+      val upserts = last
+        .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
+        .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+      // netted: one row per key already — no distinct needed
+      val batchKeys = last.select(keyCols.map(col): _*)
+      // one commit: matched files lose every batch key's old row, then
+      // the surviving post-images append — deletes and upserts land
+      // atomically, untouched files carry
+      st.merge(target, batchKeys, keyCols, matchedRows =>
+        matchedRows.join(batchKeys, keyCols, "left_anti")
+          .unionByName(upserts))
+      catalog.registerView(target)
+    } finally last.unpersist()
   }
 
   /** Merge-on-read APPLY CHANGES: the same per-key netting as
@@ -117,17 +123,21 @@ object ChangeFeedFollower {
     require(keyCols.nonEmpty, "applyChangesMor needs key columns")
     val st = catalog.store()
     val sch = st.schema(target)
-    // same hash-aggregate netting as [[applyChanges]] — no window sort
+    // same hash-aggregate netting as [[applyChanges]] — no window sort,
+    // and the same commit-scoped persist (the equality apply reads the
+    // netted frame for delete keys AND post-images)
     val last = EventStreams.netLatestByKey(feed, keyCols,
-      "_commit_snapshot_id")
-    val upserts = last
-      .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
-      .select(sch.fieldNames.toIndexedSeq.map(col): _*)
-    val deleteKeys = last
-      .filter(col(graft.store.TableStore.ChangeTypeCol) === "delete")
-      .select(keyCols.map(col): _*)
-    st.equalityApply(target, deleteKeys, upserts, keyCols)
-    catalog.registerView(target)
+      "_commit_snapshot_id").persist()
+    try {
+      val upserts = last
+        .filter(col(graft.store.TableStore.ChangeTypeCol) === "insert")
+        .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+      val deleteKeys = last
+        .filter(col(graft.store.TableStore.ChangeTypeCol) === "delete")
+        .select(keyCols.map(col): _*)
+      st.equalityApply(target, deleteKeys, upserts, keyCols)
+      catalog.registerView(target)
+    } finally last.unpersist()
   }
 
   /** The composed replication loop: follow `src`'s change feed and

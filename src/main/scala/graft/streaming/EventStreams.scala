@@ -407,29 +407,37 @@ object EventStreams {
       // are never table columns — drop them unconditionally (a pre-netted
       // caller selecting them with netOrdCol = None must not leak them
       // into the mirror's schema on the initial equality commit)
+      // persist the netted batch for the span of the commit: its
+      // consumers (delete keys + post-images, and the equality apply's
+      // own passes) would otherwise each re-run the netting aggregate
+      // AND the upstream change-feed diff it reads. O(batch) cache,
+      // freed before returning.
       val netted = netOrdCol
         .map(ord => netLatestByKey(batch, keys, ord))
         .getOrElse(batch)
         .drop("_commit_snapshot_id", "_commit_timestamp")
-      val summary = Map(
-        TableStore.StreamingSinkKey -> sinkId,
-        TableStore.StreamingBatchKey -> batchId.toString)
-      val tagged = netted.columns.contains(TableStore.ChangeTypeCol)
-      if (!tagged)
-        store.equalityUpsert(table, netted, keys,
-          extraSummary = summary)
-      else {
-        val deletes = netted
-          .filter(col(TableStore.ChangeTypeCol) === "delete")
-          .select(keys.map(col): _*)
-        val post = netted
-          .filter(col(TableStore.ChangeTypeCol) =!= "delete")
-          .drop(TableStore.ChangeTypeCol)
-        store.equalityApply(table, deletes, post, keys,
-          extraSummary = summary)
-      }
-      catalog.registerView(table)
-      true
+        .persist()
+      try {
+        val summary = Map(
+          TableStore.StreamingSinkKey -> sinkId,
+          TableStore.StreamingBatchKey -> batchId.toString)
+        val tagged = netted.columns.contains(TableStore.ChangeTypeCol)
+        if (!tagged)
+          store.equalityUpsert(table, netted, keys,
+            extraSummary = summary)
+        else {
+          val deletes = netted
+            .filter(col(TableStore.ChangeTypeCol) === "delete")
+            .select(keys.map(col): _*)
+          val post = netted
+            .filter(col(TableStore.ChangeTypeCol) =!= "delete")
+            .drop(TableStore.ChangeTypeCol)
+          store.equalityApply(table, deletes, post, keys,
+            extraSummary = summary)
+        }
+        catalog.registerView(table)
+        true
+      } finally netted.unpersist()
     }
   }
 }
