@@ -599,8 +599,12 @@ object Similarity {
     // (xxhash64(id, seed+j)), so sampling FULL vectors and slicing
     // driver-side reproduces exactly the pools the former per-subspace
     // sub-frame scans drew — m TakeOrdered passes over ids+vectors, and
-    // the dim probe reads a pooled vector instead of its own job.
-    val pools = (0 until m).map(j =>
+    // the dim probe reads a pooled vector instead of its own job. The m
+    // passes are INDEPENDENT jobs, so they run concurrently (guide
+    // §2.6: overlap independent jobs — later jobs back-fill the
+    // stragglers of earlier ones); each is a bounded TakeOrdered, never
+    // a full sort.
+    val pools = graft.store.TableStore.inParallel((0 until m).toVector)(j =>
       sampleCentroids(embeddings, idCol, vecCol, ksub * 8, seed + j))
     require(pools.head.nonEmpty, "pqTrain needs a non-empty embedding frame")
     val dim = pools.head.head.length

@@ -2733,8 +2733,11 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         keys0.col(src).cast(f.dataType).as(f.name) }: _*)
         .distinct().coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(abs)
-      val written = spark.read.parquet(abs)
-      val tupleCount = written.count()
+      // tuple count from the written files' footers (the promoteOne
+      // trick): metadata reads, not a second Spark job over the file
+      val tupleCount = fs.listStatus(new HPath(abs)).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(parquetRowCount).sum
       // attach-set prune: a single-column key batch small enough to
       // collect probes the log's per-file bounds + blooms, so a needle
       // upsert dirties only the files that can contain its keys —
@@ -2744,7 +2747,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
         if (tupleCount == 0) Seq.empty
         else if (keyFields.size == 1 &&
             tupleCount <= TableStore.EqPruneMaxKeys) {
-          val vals = written.collect().map(_.get(0)).toSeq
+          val vals = spark.read.parquet(abs).collect().map(_.get(0)).toSeq
           if (vals.contains(null)) baseFiles
           else pruneList(table, baseFiles,
             col(keyFields.head._2.name).isin(vals: _*))
@@ -4011,7 +4014,7 @@ object TableStore {
 
   /** Driver-side parallel map over independent per-file metadata ops
     * (footer reads, renames). Bounded pool; exceptions propagate. */
-  private[store] def inParallel[A, B](xs: Seq[A], parallelism: Int = 16)(
+  private[graft] def inParallel[A, B](xs: Seq[A], parallelism: Int = 16)(
       f: A => B): Seq[B] =
     if (xs.lengthCompare(2) < 0) xs.map(f)
     else {
