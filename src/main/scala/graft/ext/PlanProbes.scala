@@ -48,21 +48,36 @@ object PlanProbes {
     // form below is the verbatim pre-round spelling of
     // ChangeFeedFollower.applyChanges; the max_by form is what the
     // shipped code calls now — see EventStreams.netLatestByKey).
-    val feed = docs.limit(1000).select(
-      col("doc_id").as("k"), col("text"),
-      lit("insert").as("_change_type"),
-      lit(1L).as("_commit_snapshot_id"),
-      current_timestamp().as("_commit_timestamp"))
     if (suffix == "after") {
+      // the REAL q_apply_changes feed shape: an initial load plus two
+      // COW commits, read back through the change-feed scan — synthetic
+      // frames mislead here (a unique-key Range lets the optimizer drop
+      // the netting exchange entirely)
+      val cat = new graft.catalog.GraftCatalog(
+        java.nio.file.Files.createTempDirectory("graft-planprobe"), spark)
+      cat.createDatabase("default")
+      val eng = new graft.sql.Engine(cat)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.createTable("pp_src", orders.schema)
+      cat.append("pp_src", orders, 1000L)
+      eng.sql("UPDATE pp_src SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 5 = 0")
+      eng.sql("DELETE FROM pp_src WHERE o_orderkey % 7 = 0")
+      val st = cat.store()
+      val feed = st.readChanges("pp_src", 0L,
+        st.currentSnapshotId("pp_src"))
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("k"))
+      val w = Window.partitionBy(col("o_orderkey"))
         .orderBy(col("_commit_snapshot_id").desc, col("_change_type").desc)
-      dump("cdc_netting_window_form",
-        feed.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1))
-      dump("cdc_netting_maxby_form",
-        graft.streaming.EventStreams.netLatestByKey(feed, Seq("k"),
-          "_commit_snapshot_id"))
+      Files.writeString(Paths.get(outDir, "q_apply_changes_netting_before.txt"),
+        feed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      Files.writeString(Paths.get(outDir, "q_apply_changes_netting_after.txt"),
+        graft.streaming.EventStreams.netLatestByKey(feed, Seq("o_orderkey"),
+            "_commit_snapshot_id")
+          .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      println("[planprobe] wrote q_apply_changes_netting_{before,after}.txt")
     }
 
     spark.stop()
