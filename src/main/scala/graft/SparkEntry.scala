@@ -3527,7 +3527,10 @@ object SparkEntry {
       val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
       val kept = graft.ext.Search.perplexityBuckets(docs, "doc_id", "text",
         rates = (1.0, 0.5, 0.1), vocabCap = lmVocabCap,
-        precomputedScores = Some(scored))
+        precomputedScores = Some(scored),
+        // the entry already aggregated these exact cutoffs above —
+        // don't pay the identical percentile job a second time
+        precomputedCuts = Some((c1, c2)))
         .groupBy("bucket").agg(count(lit(1)).as("kept"))
       val sizes = scored.withColumn("bucket",
           when(col("nll") <= c1, "head")

@@ -285,16 +285,21 @@ object Search {
       rates: (Double, Double, Double) = (1.0, 0.5, 0.1),
       vocabCap: Int = 50000,
       seed: Long = Splits.MixSeed,
-      precomputedScores: Option[DataFrame] = None): DataFrame = {
+      precomputedScores: Option[DataFrame] = None,
+      precomputedCuts: Option[(Double, Double)] = None): DataFrame = {
     // scores feed the cutoff aggregation AND the bucketing scan; a
     // caller that already scored the corpus (pipeline reuse) passes
-    // the frame in instead of paying the model fit twice
+    // the frame in instead of paying the model fit twice — and a
+    // caller that already aggregated the tercile cutoffs passes THEM
+    // in too, instead of paying the same percentile job twice
     val scored = precomputedScores
       .getOrElse(lmScores(docs, idCol, textCol, vocabCap))
-    val cuts = scored.agg(
-      expr("percentile(nll, 0.3333333333333333)").as("c1"),
-      expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
-    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    val (c1, c2) = precomputedCuts.getOrElse {
+      val cuts = scored.agg(
+        expr("percentile(nll, 0.3333333333333333)").as("c1"),
+        expr("percentile(nll, 0.6666666666666666)").as("c2")).head()
+      (cuts.getDouble(0), cuts.getDouble(1))
+    }
     val withBucket = scored.withColumn("bucket",
       when(col("nll") <= c1, "head")
         .when(col("nll") <= c2, "middle")
