@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, input_file_name, lit, max, min, not, struct, to_json, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, input_file_name, lit, max, min, not, struct, sum, to_json, when, xxhash64}
 import org.apache.spark.sql.types._
 
 /** Versioned-Parquet table with Iceberg-style snapshot semantics.
@@ -1794,8 +1794,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     *    `rollback` — the net change is recovered from ONLY the files
     *    the commit touched (file-granular COW carries everything else
     *    by reference): rows in removed-but-not-added files minus rows
-    *    in added files = 'delete', and vice versa = 'insert'. Two
-    *    `exceptAll`s = one hash shuffle over the touched files' rows.
+    *    in added files = 'delete', and vice versa = 'insert'. ONE
+    *    fused count-and-replicate aggregation ([[changeDiff]]) = one
+    *    hash shuffle over the touched files' rows for BOTH directions.
     *    An UPDATE therefore surfaces as a delete+insert pair in the
     *    same commit — Iceberg's net-changes contract (Delta's
     *    update_preimage/postimage split needs row lineage the Parquet
@@ -1804,7 +1805,7 @@ final class TableStore(val root: HPath, spark: SparkSession) {
     * All reads render under the schema AT `toId` ([[schemaAt]] +
     * rename-chain coalescing in [[readFileListAs]]), so a feed crossing
     * schema evolution stays union-compatible. MapType columns cannot be
-    * compared by `exceptAll` (Spark set-op limitation) — a COW diff on
+    * group-by/set-op compared (Spark limitation) — a COW diff on
     * such a table is rejected loudly rather than answered wrongly. */
   def readChanges(table: String, fromId: Long,
       toId: Option[Long] = None): DataFrame = {
@@ -1923,10 +1924,14 @@ final class TableStore(val root: HPath, spark: SparkSession) {
             "row-level diff cannot be computed")
         val addedDf = readFileListAs(table, added, sch)
         val removedDf = readFileListAs(table, removed, sch)
-        if (removed.nonEmpty)
-          parts += tagged(removedDf.exceptAll(addedDf), "delete", s)
-        if (added.nonEmpty)
-          parts += tagged(addedDf.exceptAll(removedDf), "insert", s)
+        // one fused count-and-replicate for BOTH diff directions (see
+        // changeDiff) — the former exceptAll pair aggregated twice
+        val diff = changeDiff(removedDf, addedDf)
+        parts += diff.select(sch.fieldNames.toIndexedSeq.map(col) ++ Seq(
+          col(TableStore.ChangeTypeCol).as("_change_type"),
+          lit(s.id).as("_commit_snapshot_id"),
+          lit(new java.sql.Timestamp(s.timestampMs)).as("_commit_timestamp")
+        ): _*)
       }
       prev = s.files
     }
@@ -2187,6 +2192,40 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       schemaVersionOf = () => commitSchemaVersion(table))
   }
 
+  /** BOTH directions of the multiset diff between `removed` and `added`
+    * in ONE aggregation, tagged [[TableStore.ChangeTypeCol]] ('delete' =
+    * rows of `removed` beyond their multiplicity in `added`, 'insert' =
+    * the reverse). Spark lowers each `exceptAll` to its own
+    * count-and-replicate aggregation, so the former
+    * `removed.exceptAll(added) ∪ added.exceptAll(removed)` spelling ran
+    * TWO aggregations and scanned each side twice; this runs the same
+    * count-and-replicate once with a counter per direction (the two
+    * directions' final aggregates sit over one exchange, which
+    * exchange reuse dedupes). Multiset semantics identical: group-by
+    * equality is exceptAll's own NULL-safe, float-normalized equality,
+    * and ReplicateRows is the generator exceptAll itself plans. */
+  private def changeDiff(removed: DataFrame, added: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    val cols = removed.columns.toSeq
+    val u = removed
+      .select(cols.map(col) :+ lit(1L).as("__graft_nr") :+
+        lit(0L).as("__graft_na"): _*)
+      .unionByName(added.select(cols.map(col) :+ lit(0L).as("__graft_nr") :+
+        lit(1L).as("__graft_na"): _*))
+    val g = u.groupBy(cols.map(col): _*)
+      .agg(sum(col("__graft_nr")).as("__graft_nr"),
+        sum(col("__graft_na")).as("__graft_na"))
+    def side(n: Column, tag: String): DataFrame = {
+      val gen = GraftSqlShim.column(
+        org.apache.spark.sql.catalyst.expressions.ReplicateRows(
+          (n.cast("long") +: cols.map(col)).map(GraftSqlShim.expression)))
+      g.filter(n > 0).select(gen).toDF(cols: _*)
+        .withColumn(TableStore.ChangeTypeCol, lit(tag))
+    }
+    side(col("__graft_nr") - col("__graft_na"), "delete")
+      .unionByName(side(col("__graft_na") - col("__graft_nr"), "insert"))
+  }
+
   /** Materialized change files (Delta CDF's design): when the table's
     * change feed is enabled, a COW commit writes its own row-level diff
     * — 'delete' rows from the removed files minus the rewrite, 'insert'
@@ -2210,10 +2249,9 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       return Map.empty
     val removedDf = readFileListAs(table, matched, sch)
     val addedDf = readFileListAs(table, newFiles, sch)
-    val changes = removedDf.exceptAll(addedDf)
-      .withColumn(TableStore.ChangeTypeCol, lit("delete"))
-      .unionByName(addedDf.exceptAll(removedDf)
-        .withColumn(TableStore.ChangeTypeCol, lit("insert")))
+    // one fused count-and-replicate for BOTH diff directions (see
+    // changeDiff) — the former exceptAll pair aggregated twice
+    val changes = changeDiff(removedDf, addedDf)
     // bound the change-file count to the commit's own footprint: the
     // exceptAll shuffle would otherwise emit one (usually tiny) file
     // per shuffle partition on EVERY commit — the small-files problem,
