@@ -19,9 +19,12 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outDir = args.headOption.getOrElse("plans/current")
+    // flags are not positionals: `PlanDump --time q_x` must not write
+    // plans into a directory literally named "--time"
+    val positional = args.filterNot(_.startsWith("--")).toSeq
+    val outDir = positional.headOption.getOrElse("plans/current")
     val doTime = args.contains("--time")
-    val names0 = args.drop(1).filterNot(_.startsWith("--"))
+    val names0 = positional.drop(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -45,25 +45,36 @@ object RepeatBench {
         try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     names.foreach { name =>
-      val samples = (1 to k).map { _ =>
+      // a run that throws is excluded from the stats — its (often
+      // near-zero) elapsed time would otherwise win min-of-K and report
+      // a fast failure as the A/B result
+      val all = (1 to k).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          SparkEntry.benchSplits.get(name) match {
-            case Some(split) => withStreamConf(name)(split.run(spark, sfDir))
-            case None =>
-              withStreamConf(name)(SparkEntry.queries(name)(spark, sfDir).count())
+        val ok =
+          try {
+            SparkEntry.benchSplits.get(name) match {
+              case Some(split) => withStreamConf(name)(split.run(spark, sfDir))
+              case None =>
+                withStreamConf(name)(SparkEntry.queries(name)(spark, sfDir).count())
+            }
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[repeat] $name FAILED: ${e.getMessage}")
+            false
           }
-        } catch { case e: Throwable =>
-          System.err.println(s"[repeat] $name FAILED: ${e.getMessage}")
-        }
         val sec = (System.nanoTime() - t0) / 1e9
         SparkEntry.cleanScratchDirs()
         spark.catalog.clearCache()
-        sec
-      }.sorted
-      val med = samples(samples.size / 2)
-      println(f"[repeat] $name%-28s min=${samples.head}%7.3f med=$med%7.3f " +
-        f"max=${samples.last}%7.3f n=$k")
+        (sec, ok)
+      }
+      val samples = all.collect { case (sec, true) => sec }.sorted
+      if (samples.isEmpty)
+        println(f"[repeat] $name%-28s ALL $k runs FAILED")
+      else {
+        val med = samples(samples.size / 2)
+        println(f"[repeat] $name%-28s min=${samples.head}%7.3f med=$med%7.3f " +
+          f"max=${samples.last}%7.3f n_ok=${samples.size}/$k")
+      }
     }
     spark.stop()
   }

@@ -241,6 +241,10 @@ object Multimodal {
         when(pmod(jl, lit(2)) === 1, lit(Array(0x00.toByte)))
           .otherwise(lit(Array.emptyByteArray)))
     })
+    // NOTE: the aggregate() fold re-copies the accumulated bytes at each
+    // step — O(F^2) in total payload size over F frames. Fine for the
+    // few-frame synthetic videos this builder exists for; a many-frame
+    // caller should switch to a flat concat over the transformed chunks.
     val moviPayload = concat(lit("movi".getBytes),
       aggregate(chunksArr, lit(Array.emptyByteArray),
         (acc, c) => concat(acc, c)))

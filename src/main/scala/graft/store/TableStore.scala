@@ -2207,14 +2207,23 @@ final class TableStore(val root: HPath, spark: SparkSession) {
   private def changeDiff(removed: DataFrame, added: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     val cols = removed.columns.toSeq
+    // counter names derived collision-free from the input schema: a
+    // table legitimately carrying a column named like a counter must not
+    // turn the groupBy/sum ambiguous (the former exceptAll spelling
+    // imposed no reserved names, so neither may this one)
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !cols.contains(n)).get
+    val nrCol = fresh("__graft_nr")
+    val naCol = fresh("__graft_na")
     val u = removed
-      .select(cols.map(col) :+ lit(1L).as("__graft_nr") :+
-        lit(0L).as("__graft_na"): _*)
-      .unionByName(added.select(cols.map(col) :+ lit(0L).as("__graft_nr") :+
-        lit(1L).as("__graft_na"): _*))
+      .select(cols.map(col) :+ lit(1L).as(nrCol) :+
+        lit(0L).as(naCol): _*)
+      .unionByName(added.select(cols.map(col) :+ lit(0L).as(nrCol) :+
+        lit(1L).as(naCol): _*))
     val g = u.groupBy(cols.map(col): _*)
-      .agg(sum(col("__graft_nr")).as("__graft_nr"),
-        sum(col("__graft_na")).as("__graft_na"))
+      .agg(sum(col(nrCol)).as(nrCol),
+        sum(col(naCol)).as(naCol))
     def side(n: Column, tag: String): DataFrame = {
       val gen = GraftSqlShim.column(
         org.apache.spark.sql.catalyst.expressions.ReplicateRows(
@@ -2222,8 +2231,8 @@ final class TableStore(val root: HPath, spark: SparkSession) {
       g.filter(n > 0).select(gen).toDF(cols: _*)
         .withColumn(TableStore.ChangeTypeCol, lit(tag))
     }
-    side(col("__graft_nr") - col("__graft_na"), "delete")
-      .unionByName(side(col("__graft_na") - col("__graft_nr"), "insert"))
+    side(col(nrCol) - col(naCol), "delete")
+      .unionByName(side(col(naCol) - col(nrCol), "insert"))
   }
 
   /** Materialized change files (Delta CDF's design): when the table's
