@@ -96,17 +96,23 @@ object Bench {
     // Streaming entries pay the state store per shuffle partition per
     // micro-batch: 32 partitions × a handful of batches is pure
     // bookkeeping at bench scale (r14: q_stream_join spent 7.1 s of
-    // 7.3 s in drain). 8 partitions carries the same rows with 4× less
-    // state-store ticking; results are partition-count-invariant (the
-    // oracle gate runs these same queries at the default).
+    // 7.3 s in drain; the r22 A/B read q_stream_neardup 6.4 s at 8
+    // partitions vs 16.5 s at 32). The count now derives from the
+    // session's core count via SparkEntry.streamShufflePartitions
+    // (max(4, cpus/4) — 8 at 32 cores, identical to the former pinned
+    // value, so round-over-round numbers stay comparable; the same
+    // formula applies at every core count the driver runs). Results are
+    // partition-count-invariant (the oracle gate runs these same
+    // queries at the default).
     val streamingEntries =
       Set("q_stream_dedup", "q_stream_join", "q_stream_table", "q_stream_cdc",
         "q_stream_upsert", "q_stream_neardup")
+    val streamParts = SparkEntry.streamShufflePartitions(cpus.toInt).toString
     def withStreamConf[T](name: String)(body: => T): T =
       if (!streamingEntries(name)) body
       else {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", streamParts)
         try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     def runAll(): Seq[(String, Double, Boolean)] = {

@@ -37,12 +37,30 @@ object RepeatBench {
     val streamingEntries =
       Set("q_stream_dedup", "q_stream_join", "q_stream_table", "q_stream_cdc",
         "q_stream_upsert", "q_stream_neardup")
+    // A/B knobs (measurement only): SPARK_GRAFT_STREAM_PARTS overrides
+    // the stateful shuffle-partition count, SPARK_GRAFT_STATESTORE
+    // ("rocksdb" or a provider class) the state-store provider — so the
+    // streaming floor can be attributed without editing Bench itself.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      SparkEntry.streamShufflePartitions(cpus.toInt).toString)
+    val stateStore = sys.env.get("SPARK_GRAFT_STATESTORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
     def withStreamConf[T](name: String)(body: => T): T =
       if (!streamingEntries(name)) body
       else {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        val prevProv =
+          spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+        stateStore.foreach(
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+        try body finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProv)
+        }
       }
     names.foreach { name =>
       // a run that throws is excluded from the stats — its (often

@@ -6259,6 +6259,23 @@ object SparkEntry {
     d
   }
 
+  /** Stateful streaming entries' shuffle-partition count, as a function
+    * of the session's core count — the state store pays one
+    * per-partition commit per micro-batch, so the partition count is
+    * the bench-scale stream's dominant bookkeeping knob (r14:
+    * q_stream_join spent 7.1 of 7.3 s in drain at 32 partitions).
+    * Results are partition-count-invariant (the oracle gate runs the
+    * same queries at the session default). Kept a FUNCTION of cpus, not
+    * a constant, so the driver's low-core bench run exercises the same
+    * formula (scale posture: state-store parallelism should track
+    * cores; cpus/4 keeps per-core commit bookkeeping constant while the
+    * tiny bench streams stay far below one task per core's worth of
+    * rows). The floor of 4 is where the measured r22 curve flattens:
+    * below it the same entries' BATCH stages (fixture builds, sink
+    * aggregations) start losing parallelism — at 32 cores, 2 partitions
+    * read 1.4-1.6x on q_stream_table/cdc/join with no stateful win. */
+  def streamShufflePartitions(cpus: Int): Int = math.max(4, cpus / 4)
+
   /** Delete every scratch dir registered by completed query fixtures.
     * Call only BETWEEN entries: frames over a deleted warehouse cannot
     * be re-evaluated. */

@@ -80,6 +80,20 @@ object PlanProbes {
       println("[planprobe] wrote q_apply_changes_netting_{before,after}.txt")
     }
 
+    // 3. PQ/IVF seed pools: the r22 one-pass bounded-pool aggregation
+    // (all m+1 pools in one scan) vs the former spelling — m+1
+    // independent TakeOrdered corpus scans (one representative dumped;
+    // the others differ only in the hash seed literal).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    dump("seed_pools_takeordered_per_seed",
+      emb.select(col("vec_id").cast("long").as("_cid"),
+          col("embedding").as("_cv"))
+        .orderBy(xxhash64(col("_cid"), lit(42L)))
+        .limit(128))
+    dump("seed_pools_one_pass",
+      Similarity.seedPoolFrame(emb, "vec_id", "embedding",
+        42L +: (0 until 4).map(42L + _), 128))
+
     spark.stop()
   }
 }

@@ -119,11 +119,14 @@ object Similarity {
     * vectors themselves). Empty lists keep their previous centroid.
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, iters: Int = 5, seed: Long = 42L): Seq[Array[Float]] = {
+      nlist: Int = 16, iters: Int = 5, seed: Long = 42L,
+      precomputedPool: Option[Seq[Array[Float]]] = None)
+      : Seq[Array[Float]] = {
     // farthest-point seeding over a small deterministic pool (k-means++
     // flavor, driver-side over ≤ 8·nlist vectors): two seeds never start
     // in the same tight cluster, the failure mode of plain sampling
-    val pool = sampleCentroids(embeddings, idCol, vecCol, nlist * 8, seed)
+    val pool = precomputedPool.getOrElse(
+      sampleCentroids(embeddings, idCol, vecCol, nlist * 8, seed))
     var cents = farthestPointSeeds(pool, nlist)
     val mean = udaf(new VectorMeanAggregator,
       org.apache.spark.sql.GraftSqlShim.encoderOf[Array[Float]])
@@ -150,10 +153,14 @@ object Similarity {
     */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L,
-      iters: Int = 2): (DataFrame, Seq[Array[Float]]) = {
+      iters: Int = 2,
+      precomputedPool: Option[Seq[Array[Float]]] = None)
+      : (DataFrame, Seq[Array[Float]]) = {
     val centroids =
-      if (iters <= 0) sampleCentroids(embeddings, idCol, vecCol, nlist, seed)
-      else kmeansCentroids(embeddings, idCol, vecCol, nlist, iters, seed)
+      if (iters <= 0) precomputedPool.map(_.take(nlist)).getOrElse(
+        sampleCentroids(embeddings, idCol, vecCol, nlist, seed))
+      else kmeansCentroids(embeddings, idCol, vecCol, nlist, iters, seed,
+        precomputedPool)
     (embeddings.withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids)),
       centroids)
   }
@@ -250,9 +257,32 @@ object Similarity {
   def ivfWriteIndexPq(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 16, m: Int = 4, ksub: Int = 16,
       iters: Int = 2, seed: Long = 42L): Seq[Array[Float]] = {
-    val (indexed, centroids) =
-      ivfIndex(embeddings, idCol, vecCol, nlist, seed, iters)
-    val codebooks = pqTrain(embeddings, idCol, vecCol, m, ksub, iters, seed)
+    // ONE seed pass feeds BOTH trainings: pool 0 is the coarse k-means
+    // pool (hash seed `seed`), pools 1..m the PQ subspace pools
+    // (`seed + j`) — each the prefix of the shared bounded pool, so
+    // the sampled sequences are exactly what the separate passes drew.
+    // The two trainings are INDEPENDENT (coarse Lloyd over full
+    // vectors, PQ Lloyd over sub-vectors), so they run concurrently
+    // (guide §2.6): the build's corpus passes drop from (1 + m) seed
+    // scans + 2·iters sequential rounds to 1 seed scan + 2·iters
+    // overlapped rounds.
+    val poolK = math.max(nlist * 8, ksub * 8)
+    val pools = seedPools(embeddings, idCol, vecCol,
+      seed +: (0 until m).map(seed + _), poolK)
+    val coarsePool = pools.head
+    val pqPools = pools.tail.map(_.take(ksub * 8)).toVector
+    val trained = graft.store.TableStore.inParallel(
+      Seq[() => Either[Seq[Array[Float]], Seq[Seq[Array[Float]]]]](
+        () => Left(
+          if (iters <= 0) coarsePool.take(nlist)
+          else kmeansCentroids(embeddings, idCol, vecCol, nlist, iters,
+            seed, Some(coarsePool.take(nlist * 8)))),
+        () => Right(pqTrain(embeddings, idCol, vecCol, m, ksub, iters,
+          seed, Some(pqPools)))))(_.apply())
+    val centroids = trained.collectFirst { case Left(c) => c }.get
+    val codebooks = trained.collectFirst { case Right(cb) => cb }.get
+    val indexed =
+      embeddings.withColumn("_ivf_list", nearestCentroid(col(vecCol), centroids))
     val dsub = codebooks.head.head.length
     require(m * ksub * dsub <= 65536,
       s"PQ codebooks too large for the commit summary (m=$m ksub=$ksub dsub=$dsub)")
@@ -592,20 +622,54 @@ object Similarity {
     * codes (m bytes at ksub=256) instead of 4·D bytes — the compressed
     * form a trillion-vector corpus actually stores; IVF-SQ8 is 4×
     * smaller than float, PQ is 4·D/m×. */
+  /** All requested seed pools in ONE corpus pass: pool i is the poolK
+    * FULL vectors with the smallest xxhash64(id, seeds(i)), ascending —
+    * the exact sequences the former independent per-seed
+    * orderBy(hash).limit(poolK) TakeOrdered passes drew (the hash
+    * depends only on the id; ids break the hash ties 64-bit hashes
+    * never produce at pool size). One [[SeedPoolAggregator]] scan
+    * replaces seeds.size corpus scans — the difference between reading
+    * 100 TB once and m times. A caller needing a SMALLER pool for some
+    * seed takes a prefix: the ascending smallest-K list's prefix IS the
+    * smallest-K' list. */
+  private[ext] def seedPools(embeddings: DataFrame, idCol: String,
+      vecCol: String, seeds: Seq[Long],
+      poolK: Int): Vector[Seq[Array[Float]]] =
+    seedPoolFrame(embeddings, idCol, vecCol, seeds, poolK)
+      .head()
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+      .map(_.map(_.toArray).toSeq).toVector
+
+  /** The one-pass pool aggregation as a frame (the plan-evidence seam —
+    * [[seedPools]] collects its single row). */
+  private[ext] def seedPoolFrame(embeddings: DataFrame, idCol: String,
+      vecCol: String, seeds: Seq[Long], poolK: Int): DataFrame = {
+    val hashCols = array(seeds.map(s0 =>
+      xxhash64(col(idCol).cast("long"), lit(s0))): _*)
+    val poolAgg = udaf(new SeedPoolAggregator(seeds.size, poolK),
+      org.apache.spark.sql.GraftSqlShim
+        .encoderOf[(Long, Array[Long], Array[Float])])
+    embeddings
+      .select(col(idCol).cast("long").as("_cid"), hashCols.as("_h"),
+        col(vecCol).as("_cv"))
+      .agg(poolAgg(col("_cid"), col("_h"), col("_cv")).as("_pools"))
+  }
+
   def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, ksub: Int = 16, iters: Int = 3,
-      seed: Long = 42L): Seq[Seq[Array[Float]]] = {
+      seed: Long = 42L,
+      precomputedPools: Option[Vector[Seq[Array[Float]]]] = None)
+      : Seq[Seq[Array[Float]]] = {
     // Seed pools: the per-subspace hash ordering depends only on the id
     // (xxhash64(id, seed+j)), so sampling FULL vectors and slicing
     // driver-side reproduces exactly the pools the former per-subspace
-    // sub-frame scans drew — m TakeOrdered passes over ids+vectors, and
-    // the dim probe reads a pooled vector instead of its own job. The m
-    // passes are INDEPENDENT jobs, so they run concurrently (guide
-    // §2.6: overlap independent jobs — later jobs back-fill the
-    // stragglers of earlier ones); each is a bounded TakeOrdered, never
-    // a full sort.
-    val pools = graft.store.TableStore.inParallel((0 until m).toVector)(j =>
-      sampleCentroids(embeddings, idCol, vecCol, ksub * 8, seed + j))
+    // sub-frame scans drew — and [[seedPools]] collects all m pools in
+    // ONE bounded-heap aggregation pass instead of m TakeOrdered corpus
+    // scans (guide §1.2); the dim probe reads a pooled vector instead
+    // of its own job.
+    val pools = precomputedPools.getOrElse(
+      seedPools(embeddings, idCol, vecCol, (0 until m).map(seed + _),
+        ksub * 8))
     require(pools.head.nonEmpty, "pqTrain needs a non-empty embedding frame")
     val dim = pools.head.head.length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
@@ -756,6 +820,70 @@ final class VectorMeanAggregator
     org.apache.spark.sql.GraftSqlShim.encoderOf[(Array[Double], Long)]
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
     org.apache.spark.sql.GraftSqlShim.encoderOf[Array[Float]]
+}
+
+/** One-pass per-subspace seed pools: for each subspace j, keep the K
+  * rows with the SMALLEST (hash_j, id), where hash_j is the
+  * already-computed xxhash64(id, seed + j) column — the exact row set
+  * (and ascending-hash order) the former m independent
+  * orderBy(hash_j).limit(K) TakeOrdered passes collected, with `id` as
+  * a deterministic tie-break that 64-bit hashes never exercise at pool
+  * size. Partial aggregation keeps m bounded sorted lists per
+  * partition, so ONE corpus scan replaces m (guide §1.2) and the
+  * shuffle carries O(m · K) entries per partition, never the corpus. */
+final class SeedPoolAggregator(m: Int, k: Int) extends Aggregator[
+    (Long, Array[Long], Array[Float]),
+    Seq[Seq[(Long, Long, Array[Float])]],
+    Seq[Seq[Array[Float]]]] {
+
+  private type E = (Long, Long, Array[Float]) // (hash, id, vector)
+
+  override def zero: Seq[Seq[E]] = Vector.fill(m)(Vector.empty)
+
+  private def lt(a: E, b: E): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Insert into an ascending-sorted bounded list; rejection of a
+    * non-qualifying row is one comparison against the current max. */
+  private def insert(buf: Seq[E], e: E): Seq[E] =
+    if (buf.size >= k && !lt(e, buf.last)) buf
+    else {
+      val pos = buf.indexWhere(t => lt(e, t)) match {
+        case -1 => buf.size
+        case p => p
+      }
+      val grown = (buf.take(pos) :+ e) ++ buf.drop(pos)
+      if (grown.size > k) grown.dropRight(1) else grown
+    }
+
+  override def reduce(b: Seq[Seq[E]],
+      in: (Long, Array[Long], Array[Float])): Seq[Seq[E]] = {
+    val (id, hashes, vec) = in
+    Vector.tabulate(m)(j => insert(b(j), (hashes(j), id, vec)))
+  }
+
+  private def mergeSorted(a: Seq[E], b: Seq[E]): Seq[E] = {
+    val out = Vector.newBuilder[E]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.size || j < b.size)) {
+      if (j >= b.size || (i < a.size && lt(a(i), b(j)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def merge(a: Seq[Seq[E]], b: Seq[Seq[E]]): Seq[Seq[E]] =
+    Vector.tabulate(m)(j => mergeSorted(a(j), b(j)))
+
+  override def finish(r: Seq[Seq[E]]): Seq[Seq[Array[Float]]] =
+    r.map(_.map(_._3))
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Seq[E]]] =
+    org.apache.spark.sql.GraftSqlShim.encoderOf[Seq[Seq[E]]]
+  override def outputEncoder
+      : org.apache.spark.sql.Encoder[Seq[Seq[Array[Float]]]] =
+    org.apache.spark.sql.GraftSqlShim.encoderOf[Seq[Seq[Array[Float]]]]
 }
 
 final case class Candidate(score: Double, id: Long)

@@ -297,6 +297,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._4.map(_.toInt).max == 127)
   }
 
+  test("single-pass seed pools reproduce the per-subspace TakeOrdered pools " +
+      "exactly (rows AND order)") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val m = 4; val poolK = 16; val seed = 42L
+    val onePass = Similarity.seedPools(clusteredDf, "vec_id", "embedding",
+      (0 until m).map(seed + _), poolK)
+    val perSubspace = (0 until m).map { j =>
+      clusteredDf
+        .select(col("vec_id").cast("long").as("_cid"),
+          col("embedding").as("_cv"))
+        .orderBy(xxhash64(col("_cid"), lit(seed + j)))
+        .limit(poolK)
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+        .toSeq
+    }
+    assert(onePass.size == m)
+    (0 until m).foreach { j =>
+      assert(onePass(j).size == poolK)
+      assert(onePass(j).map(_.toSeq) == perSubspace(j).map(_.toSeq),
+        s"pool $j diverged from the TakeOrdered spelling")
+    }
+  }
+
   test("PQ: codes are in range, ADC + exact re-rank recovers brute-force " +
       "top-k on clustered data") {
     val cb = Similarity.pqTrain(clusteredDf, "vec_id", "embedding",
