@@ -3196,24 +3196,36 @@ object SparkEntry {
       val base = t(s, dir, "documents")
       val docs = base.union(base.filter(col("doc_id") < 5)
         .withColumn("doc_id", col("doc_id") + 100000))
-      val nTotal = docs.count()
-      val en = docs.filter(col("lang") === "en")
-      val nLang = en.count()
+      // Every stage's survivor count rides the ONE materializing pass
+      // as an observed metric (CollectMetrics) instead of its own
+      // action: the former count() chain re-ran the scan + gates once
+      // per stage — 4 corpus passes before dedup even started (guide
+      // §1.2: don't re-compute what one pass can observe). Counts are
+      // the rows flowing through the same operators, so values are
+      // unchanged.
+      val obsTotal = org.apache.spark.sql.Observation()
+      val obsLang = org.apache.spark.sql.Observation()
+      val obsQuality = org.apache.spark.sql.Observation()
+      val obsUnique = org.apache.spark.sql.Observation()
+      val en = docs.observe(obsTotal, count(lit(1)).as("n"))
+        .filter(col("lang") === "en")
       val (dupLine, _) = TextAnalysis.repetitionStats(col("text"))
       val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
         .cast("double") / length(col("text"))
-      val quality = en
+      val quality = en.observe(obsLang, count(lit(1)).as("n"))
         .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
         .filter(alpha >= 0.82)
         .filter(dupLine <= 0.3)
-      val nQuality = quality.count()
-      // the dedup output feeds three consumers (count, retention agg,
-      // semi-join) — persist for the span of the stage, as a real
-      // pipeline would checkpoint between stages, then free
-      val uniq = Dedup.exactByContent(quality, "text", "doc_id").persist()
-      val (nUnique, row) =
+      // the dedup output feeds two consumers (retention agg, semi-join)
+      // — persist for the span of the stage, as a real pipeline would
+      // checkpoint between stages, then free
+      val uniq = Dedup.exactByContent(
+          quality.observe(obsQuality, count(lit(1)).as("n")),
+          "text", "doc_id")
+        .observe(obsUnique, count(lit(1)).as("n"))
+        .persist()
+      val row =
         try {
-          val nUnique = uniq.count()
           val labeled = uniq
             .join(sharedChainLabels(s, dir), Seq("doc_id"), "left")
             .withColumn("_comp", coalesce(col("component"), col("doc_id")))
@@ -3221,17 +3233,19 @@ object SparkEntry {
             .agg(min(col("doc_id")).as("doc_id"))
           val fin = labeled.join(winners, Seq("doc_id"), "left_semi")
           val (scrubbed, _, _) = TextAnalysis.scrubPii(col("text"))
-          (nUnique, fin
+          fin
             .select(md5(scrubbed).as("_m"),
               TextAnalysis.tokenCount(col("text")).as("_ntok"))
             .agg(count(lit(1)).as("n_final"),
               sum(col("_ntok")).cast("long").as("total_tokens"),
               md5(concat_ws("", sort_array(collect_list(col("_m")))))
                 .as("corpus_md5"))
-            .head())
+            .head()
         } finally uniq.unpersist()
-      Seq((nTotal, nLang, nQuality, nUnique, row.getLong(0),
-          row.getLong(1), row.getString(2)))
+      def n(o: org.apache.spark.sql.Observation): Long =
+        o.get("n").asInstanceOf[Long]
+      Seq((n(obsTotal), n(obsLang), n(obsQuality), n(obsUnique),
+          row.getLong(0), row.getLong(1), row.getString(2)))
         .toDF("n_total", "n_lang", "n_quality", "n_unique", "n_final",
           "total_tokens", "corpus_md5")
     }),
@@ -3258,13 +3272,19 @@ object SparkEntry {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .unionByName(planted)
-      val nTotal = base.count()
+      // n_total rides the classifier-gate materialization as an
+      // observed metric instead of its own corpus scan (guide §1.2:
+      // stage 1 formerly scanned the base union twice — once to count
+      // it, once to materialize the gate).
+      val obsTotal = org.apache.spark.sql.Observation()
       // stage 1: learned quality gate — compare on the ROUNDED prob,
       // exactly what the oracle replays
-      val cls = base.filter(round(graft.ext.Classify.qualityProb(
-        col("text"), graft.ext.Classify.PinnedModel), 6) >= 0.5).persist()
+      val cls = base.observe(obsTotal, count(lit(1)).as("n"))
+        .filter(round(graft.ext.Classify.qualityProb(
+          col("text"), graft.ext.Classify.PinnedModel), 6) >= 0.5).persist()
       try {
         val nCls = cls.count()
+        val nTotal = obsTotal.get("n").asInstanceOf[Long]
         // degenerate corpus (classifier keeps nothing): the oracle's
         // empty CTE chain yields zero counts and NULL corpus_md5 —
         // emit the same row instead of running percentile over nothing
@@ -3286,17 +3306,23 @@ object SparkEntry {
           .when(col("nll") <= c2,
             Splits.md5Keep(col("doc_id"), "ppl", lit(0.5)))
           .otherwise(Splits.md5Keep(col("doc_id"), "ppl", lit(0.1)))
+        // the en token mass rides the SAME materializing count as an
+        // observed metric (sum over the filtered rows ≡ sum of the
+        // when()-gated column: long addition, order-independent) — one
+        // cached-corpus aggregation job fewer
+        val obsEnTok = org.apache.spark.sql.Observation()
         val kept = cls.join(scored.filter(keepPpl).select("doc_id"),
             Seq("doc_id"), "left_semi")
           .withColumn("n_tok",
             TextAnalysis.bpeTokenCountRanked(col("text")).cast("long"))
+          .observe(obsEnTok, coalesce(sum(when(col("lang") === "en",
+            col("n_tok"))), lit(0L)).as("en_tok"))
           .persist()
         try {
           val nPpl = kept.count()
           // stage 3: en capped at half its token mass (integer-div
           // budget so the oracle's t//2 arithmetic is identical)
-          val enTok = kept.filter(col("lang") === "en")
-            .agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+          val enTok = obsEnTok.get("en_tok").asInstanceOf[Long]
           val rate = if (enTok > 0) (enTok / 2).toDouble / enTok else 1.0
           val fin = kept.filter(col("lang") =!= "en" ||
             Splits.md5Keep(col("doc_id"), "budget", lit(rate)))
@@ -3345,32 +3371,49 @@ object SparkEntry {
       val url = concat(scheme, host, port, lit("/p/"), k, slash, track, frag)
       val withUrl = docs.select(col("doc_id"), col("lang"), col("text"),
         url.as("url"))
-      val nTotal = withUrl.count()
-      val parsed = graft.ext.UrlOps.parseUrl(withUrl)
+      // Stage counts ride the ONE materializing pass as observed
+      // metrics (CollectMetrics) instead of each being its own action
+      // over a progressively deeper re-execution of the chain — the
+      // former spelling ran the URL stages up to six times (guide
+      // §1.2). afterCap persists for the span: it already had TWO
+      // consumers (the dedup aggregation and the semi-join's left
+      // side), and the cache is also the barrier that makes the
+      // upstream metrics fire exactly once.
+      val obsTotal = org.apache.spark.sql.Observation()
+      val obsBlock = org.apache.spark.sql.Observation()
+      val obsCap = org.apache.spark.sql.Observation()
+      val obsUniq = org.apache.spark.sql.Observation()
+      val obsLang = org.apache.spark.sql.Observation()
+      val parsed = graft.ext.UrlOps.parseUrl(
+        withUrl.observe(obsTotal, count(lit(1)).as("n")))
       val afterBlock = graft.ext.UrlOps.domainBlocklistFilter(parsed,
         Seq("src1-web.com", "src7-web.com", "src13-web.com"))
-      val nBlock = afterBlock.count()
-      val afterCap = graft.ext.UrlOps.capPerDomain(afterBlock, maxDocs = 20)
-      val nCap = afterCap.count()
-      val keep = graft.ext.UrlOps.dedupByUrl(afterCap)
-      val uniq = afterCap.join(
-        keep.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      val nUniq = uniq.count()
-      val en = uniq.filter(col("lang") === "en")
-      val nLang = en.count()
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-        .cast("double") / length(col("text"))
-      val q = en
-        .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
-        .filter(alpha >= 0.82)
-      val row = q.agg(count(lit(1)).as("n"),
-        coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L))
-          .cast("long").as("tok")).head()
-      Seq((nTotal, nBlock, nCap, nUniq, nLang, row.getLong(0),
-          row.getLong(1)))
-        .toDF("n_total", "n_after_blocklist", "n_after_cap",
-          "n_url_unique", "n_lang", "n_quality", "total_tokens")
+      val afterCap = graft.ext.UrlOps.capPerDomain(
+          afterBlock.observe(obsBlock, count(lit(1)).as("n")), maxDocs = 20)
+        .observe(obsCap, count(lit(1)).as("n"))
+        .persist()
+      try {
+        val keep = graft.ext.UrlOps.dedupByUrl(afterCap)
+        val uniq = afterCap.join(
+          keep.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        val en = uniq.observe(obsUniq, count(lit(1)).as("n"))
+          .filter(col("lang") === "en")
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))
+        val q = en.observe(obsLang, count(lit(1)).as("n"))
+          .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
+          .filter(alpha >= 0.82)
+        val row = q.agg(count(lit(1)).as("n"),
+          coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L))
+            .cast("long").as("tok")).head()
+        def n(o: org.apache.spark.sql.Observation): Long =
+          o.get("n").asInstanceOf[Long]
+        Seq((n(obsTotal), n(obsBlock), n(obsCap), n(obsUniq), n(obsLang),
+            row.getLong(0), row.getLong(1)))
+          .toDF("n_total", "n_after_blocklist", "n_after_cap",
+            "n_url_unique", "n_lang", "n_quality", "total_tokens")
+      } finally afterCap.unpersist()
     }),
 
     // =================================================================

@@ -80,6 +80,32 @@ object PlanProbes {
       println("[planprobe] wrote q_apply_changes_netting_{before,after}.txt")
     }
 
+    // 2b. Pipeline stage counts: the r22 observed-metrics form — ONE
+    // materializing pass whose plan carries the per-stage counts as
+    // CollectMetrics nodes — vs the former chain, where each stage
+    // count was its own action re-executing the scan + gates (the
+    // "before" dump shows one representative standalone count plan;
+    // the entry ran four of them before the dedup materialization).
+    {
+      val (dupLine, _) = TextAnalysis.repetitionStats(col("text"))
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      def gates(d: DataFrame): DataFrame = d
+        .filter(col("lang") === "en")
+        .filter(TextAnalysis.tokenCount(col("text")).between(20, 100000))
+        .filter(alpha >= 0.82)
+        .filter(dupLine <= 0.3)
+      dump("pipeline_counts_before", gates(docs)
+        .groupBy().count())
+      val obsT = org.apache.spark.sql.Observation()
+      val obsQ = org.apache.spark.sql.Observation()
+      dump("pipeline_counts_after",
+        Dedup.exactByContent(
+          gates(docs.observe(obsT, count(lit(1)).as("n")))
+            .observe(obsQ, count(lit(1)).as("n")),
+          "text", "doc_id"))
+    }
+
     // 3. PQ/IVF seed pools: the r22 one-pass bounded-pool aggregation
     // (all m+1 pools in one scan) vs the former spelling — m+1
     // independent TakeOrdered corpus scans (one representative dumped;
