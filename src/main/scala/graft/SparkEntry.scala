@@ -369,8 +369,12 @@ object SparkEntry {
       enc.count() // materialize the encode under the fixture's clock
       (enc, cb, firstVector(e))
     } { case (enc, cb, q) =>
-      val out = rankedIds(Similarity.pqTopKAdc(enc, "vec_id", "embedding",
-        q, cb, k = 10, refine = 100)).localCheckpoint(true)
+      // materialize through the shared seam (conf-selectable checkpoint
+      // mode) so the fixture's persisted encode can be freed before
+      // returning — the result is tiny (top-k ids)
+      val out = graft.ext.Dedup.materialize(
+        rankedIds(Similarity.pqTopKAdc(enc, "vec_id", "embedding",
+          q, cb, k = 10, refine = 100)))
       enc.unpersist()
       out
     },
@@ -6281,8 +6285,8 @@ object SparkEntry {
           .join(d.select(col("doc_id").as("id_b"), col("_b").as("_bb")),
             col("id_b") === col("id_a") + 1 && col("_bb") === col("_ba"))
           .select(col("id_a"), col("id_b"))
-        (s, Dedup.connectedComponents(edges)
-          .withColumnRenamed("id", "doc_id").localCheckpoint(true))
+        (s, Dedup.materialize(Dedup.connectedComponents(edges)
+          .withColumnRenamed("id", "doc_id")))
       }
     )._2
 

@@ -106,6 +106,40 @@ object PlanProbes {
           "text", "doc_id"))
     }
 
+    // 2c. CDC diff (TableStore.changeDiff, consumed by readChanges /
+    // writeChangeFiles on every CDC/MOR/mv-retract feed path): ONE
+    // count-and-replicate aggregation with a per-direction counter vs
+    // the former two independent exceptAll aggregations, each scanning
+    // both sides. Dumped over identical stand-in frames so the operator
+    // shapes are directly comparable.
+    {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val removed = orders.filter(col("o_orderkey") % 5 === 0)
+      val added = removed.withColumn("o_totalprice", col("o_totalprice") * 2)
+      // dump the EXECUTED adaptive plans: the fused form's win — the
+      // two directions' final aggregates sharing ONE exchange — is an
+      // AQE-runtime exchange reuse, invisible in the initial plan
+      def dumpExecuted(name: String, df: DataFrame): Unit = {
+        // execute THIS QueryExecution (toRdd, no column pruning) so the
+        // AdaptiveSparkPlan is finalized with its runtime reuse nodes
+        df.queryExecution.toRdd.count()
+        Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"),
+          df.queryExecution.explainString(
+            ExplainMode.fromString("formatted")))
+        println(s"[planprobe] wrote ${name}_$suffix.txt (executed)")
+      }
+      dumpExecuted("cdc_diff_exceptall_before",
+        removed.exceptAll(added)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(added.exceptAll(removed)
+            .withColumn("_change_type", lit("insert"))))
+      val st = new graft.store.TableStore(
+        new org.apache.hadoop.fs.Path(
+          Files.createTempDirectory("graft-probe-diff").toString), spark)
+      dumpExecuted("cdc_diff_fused_after", st.changeDiffFrame(removed, added))
+    }
+
     // 3. PQ/IVF seed pools: the r22 one-pass bounded-pool aggregation
     // (all m+1 pools in one scan) vs the former spelling — m+1
     // independent TakeOrdered corpus scans (one representative dumped;
