@@ -151,8 +151,8 @@ object PlanProbes {
         .orderBy(xxhash64(col("_cid"), lit(42L)))
         .limit(128))
     dump("seed_pools_one_pass",
-      Similarity.seedPoolFrame(emb, "vec_id", "embedding",
-        42L +: (0 until 4).map(42L + _), 128))
+      Similarity.seedPoolPartials(emb, "vec_id", "embedding",
+        42L +: (0 until 4).map(42L + _), 128).toDF())
 
     spark.stop()
   }
